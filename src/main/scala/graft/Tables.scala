@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
+
+/** Loaders for the driver-provided parquet fixtures (see TESTDATA.md /
+  * FIXTURES.md). Every query receives the scale-factor directory and reads
+  * only the tables and columns it needs, so Catalyst can push projection
+  * and predicates into the parquet scan.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS), which Spark 4 rejects unless
+    // read as a raw nanos long (legacy conf). Runtime-settable; idempotent.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** events.ts is nanosecond parquet (read as a nanos long — see [[load]]);
+    * DuckDB keeps nanosecond timestamps. All engine logic therefore works on
+    * millisecond epoch longs (`ts DIV 1e6` here = floor, `epoch_ms` in the
+    * oracle SQL) so both engines compare identical integers (SURVEY.md
+    * §7.4). Integer division is mandatory: ~1.7e18 ns exceeds double's 2^53
+    * exact range. A microsecond TimestampType `ts` is reconstructed for
+    * operators that need a real timestamp (window(), watermarks).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "events")
+      .withColumn("ts_ms", expr("ts DIV 1000000"))
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+}
+
+/** Shared expression helpers kept portable with the DuckDB oracle. */
+object Portable {
+  /** Exact dot product of two float-array columns as a single generated
+    * left-associative chain of double ops. IEEE doubles make this
+    * bit-identical across engines (same values, same operation order), so
+    * results need no rounding/tolerance. Codegen-friendly: the whole chain
+    * stays inside WholeStageCodegen, unlike `aggregate()` higher-order
+    * functions which are interpreted per element.
+    */
+  def dot(a: Column, b: Column, dim: Int): Column =
+    (1 to dim)
+      .map(i => element_at(a, i).cast("double") * element_at(b, i).cast("double"))
+      .reduceLeft(_ + _)
+
+  /** Oracle-side twin of [[dot]]: identical association order. */
+  def dotSql(a: String, b: String, dim: Int): String =
+    (1 to dim)
+      .map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)")
+      .mkString(" + ")
+}

@@ -1,0 +1,550 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Tables, Portable}
+
+/** Relational / dataflow catalog (SURVEY.md §2.2 Q1–Q21) over the TPC-H-ish
+  * fixtures. Every query is written for determinism against the DuckDB
+  * oracle: total ORDER BY on the output, aggregates over doubles rounded at
+  * the input's fixed-decimal precision (so float jitter from differing
+  * summation order is absorbed), integer sums kept integral, timestamps
+  * compared as epoch milliseconds (events.ts is ns parquet — SURVEY.md §7.4).
+  *
+  * Scale notes (100 TB): all queries are pure declarative plans — predicate
+  * pushdown and column pruning reach the parquet scan; dimension joins are
+  * explicitly broadcast; window operators partition by high-cardinality keys
+  * (customer / user), never a global unpartitioned window except the
+  * explicitly bounded top-k (planned as TakeOrderedAndProject, no full sort
+  * materialization).
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  // Q1 — hash aggregation with map-side partial agg (TPC-H Q1 shape).
+  // sum_disc_price has 4 true decimals (2-dec price × 2-dec discount) →
+  // round(4); plain sums of 2-dec doubles → round(2).
+  val q1Agg: Q = (spark, dir) => {
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | round(sum(l_quantity), 2) AS sum_qty,
+      | round(sum(l_extendedprice), 2) AS sum_base_price,
+      | round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+      | round(avg(l_quantity), 2) AS avg_qty,
+      | round(avg(l_discount), 4) AS avg_disc,
+      | CAST(count(*) AS BIGINT) AS count_order
+      |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // Q2 — equi inner join (orders ⋈ customer), shuffle join on o_custkey;
+  // at scale both sides shuffle-partition on the key, AQE handles skew.
+  val q2JoinInner: Q = (spark, dir) => {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+      .groupBy(col("c_mktsegment"), col("o_orderstatus"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy(col("c_mktsegment"), col("o_orderstatus"))
+  }
+  val q2Sql: String =
+    """SELECT c_mktsegment, o_orderstatus,
+      | round(sum(o_totalprice), 2) AS revenue,
+      | CAST(count(*) AS BIGINT) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // Q3 — star join with explicitly broadcast dims (nation: 25, region: 5
+  // rows at every SF — broadcast is the correct plan at 100 TB too).
+  val q3JoinBroadcast: Q = (spark, dir) => {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_cust"), round(avg(col("c_acctbal")), 2).as("avg_bal"))
+      .orderBy(col("r_name"))
+  }
+  val q3Sql: String =
+    """SELECT r_name, CAST(count(*) AS BIGINT) AS n_cust,
+      | round(avg(c_acctbal), 2) AS avg_bal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // Q4 — left outer join keeping customers with zero orders.
+  val q4JoinLeft: Q = (spark, dir) => {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("c_custkey"))
+  }
+  val q4Sql: String =
+    """SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // Q4b — full outer join of two pre-aggregated sides (nation population of
+  // customers vs suppliers; nulls where one side is missing a key).
+  val q4bJoinFull: Q = (spark, dir) => {
+    val c = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_cust"))
+    val s = Tables.supplier(spark, dir)
+      .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_sup"))
+    c.join(s, col("c_nationkey") === col("s_nationkey"), "full_outer")
+      .select(
+        coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+        col("n_cust"), col("n_sup"))
+      .orderBy(col("nationkey"))
+  }
+  val q4bSql: String =
+    """SELECT coalesce(c.k, s.k) AS nationkey, n_cust, n_sup
+      |FROM (SELECT c_nationkey AS k, CAST(count(*) AS BIGINT) AS n_cust FROM customer GROUP BY 1) c
+      |FULL OUTER JOIN (SELECT s_nationkey AS k, CAST(count(*) AS BIGINT) AS n_sup FROM supplier GROUP BY 1) s
+      |ON c.k = s.k ORDER BY nationkey""".stripMargin
+
+  // Q5 — semi + anti join (EXISTS / NOT EXISTS shapes).
+  val q5SemiAnti: Q = (spark, dir) => {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val semi = c.join(o.filter(col("o_orderstatus") === "P"),
+        c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(lit("has_P_order").as("tag"), col("c_custkey").as("custkey"))
+    val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(lit("no_orders").as("tag"), col("c_custkey").as("custkey"))
+    semi.unionByName(anti).orderBy(col("tag"), col("custkey"))
+  }
+  val q5Sql: String =
+    """SELECT * FROM (
+      | SELECT 'has_P_order' AS tag, c_custkey AS custkey FROM customer
+      |  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+      | UNION ALL
+      | SELECT 'no_orders' AS tag, c_custkey AS custkey FROM customer
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |) ORDER BY tag, custkey""".stripMargin
+
+  // Q6 — range (theta) join: signup → purchase by the same user within one
+  // hour. The user_id equi-key keeps this a shuffle/sort-merge join with a
+  // residual range predicate — never a cartesian product, so it shards.
+  val q6RangeJoin: Q = (spark, dir) => {
+    val e = Tables.events(spark, dir)
+    val a = e.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("a_id"), col("ts_ms").as("a_ms"))
+    val b = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("event_id").as("b_id"), col("ts_ms").as("b_ms"))
+    a.join(b, col("user_id") === col("b_user") &&
+        col("b_ms") >= col("a_ms") && col("b_ms") <= col("a_ms") + lit(3600000L))
+      .select(col("user_id"), col("a_id"), col("b_id"), (col("b_ms") - col("a_ms")).as("delta_ms"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+  val q6Sql: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type FROM events)
+      |SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id, b.ts_ms - a.ts_ms AS delta_ms
+      |FROM e a JOIN e b ON a.user_id = b.user_id
+      | AND b.ts_ms >= a.ts_ms AND b.ts_ms <= a.ts_ms + 3600000
+      |WHERE a.event_type = 'signup' AND b.event_type = 'purchase'
+      |ORDER BY a_id, b_id""".stripMargin
+
+  // Q7 — as-of join: for each purchase, the most recent error by the same
+  // user at-or-before it. Spark has no native as-of join; the classic
+  // distributed rewrite is union + last(ignoreNulls) over a key-partitioned
+  // window — one shuffle on user_id, streams at any scale. Tie-break at
+  // equal ms: the error sorts first so `<=` semantics match DuckDB ASOF.
+  val q7AsofJoin: Q = (spark, dir) => {
+    val e = Tables.events(spark, dir)
+    val p = e.filter(col("event_type") === "purchase").select(
+      col("user_id"), col("ts_ms"), col("event_id"), lit(0).as("is_right"),
+      lit(null).cast("long").as("r_event_id"), lit(null).cast("long").as("r_ts_ms"))
+    val r = e.filter(col("event_type") === "error").select(
+      col("user_id"), col("ts_ms"), col("event_id"), lit(1).as("is_right"),
+      col("event_id").as("r_event_id"), col("ts_ms").as("r_ts_ms"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms").asc, col("is_right").desc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p.unionByName(r)
+      .withColumn("asof_event_id", last(col("r_event_id"), ignoreNulls = true).over(w))
+      .withColumn("asof_ts_ms", last(col("r_ts_ms"), ignoreNulls = true).over(w))
+      .filter(col("is_right") === 0)
+      .select(col("event_id").as("p_event_id"), col("user_id"),
+        col("ts_ms").as("p_ts_ms"), col("asof_event_id"), col("asof_ts_ms"))
+      .orderBy(col("p_event_id"))
+  }
+  val q7Sql: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type FROM events),
+      | p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+      | r AS (SELECT * FROM e WHERE event_type = 'error')
+      |SELECT p.event_id AS p_event_id, p.user_id, p.ts_ms AS p_ts_ms,
+      | r.event_id AS asof_event_id, r.ts_ms AS asof_ts_ms
+      |FROM p ASOF LEFT JOIN r ON p.user_id = r.user_id AND p.ts_ms >= r.ts_ms
+      |ORDER BY p_event_id""".stripMargin
+
+  // Q8 — multi-aggregate stats incl. exact distinct count (shuffle expand).
+  val q8AggStats: Q = (spark, dir) => {
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("sum_value"),
+        round(avg(col("value")), 4).as("avg_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+  }
+  val q8Sql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      | round(sum(value), 2) AS sum_value, round(avg(value), 4) AS avg_value,
+      | min(value) AS min_value, max(value) AS max_value,
+      | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // Q9 — DISTINCT projection (dedup of a key pair).
+  val q9Distinct: Q = (spark, dir) => {
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+      .orderBy(col("user_id"), col("event_type"))
+  }
+  val q9Sql: String =
+    "SELECT DISTINCT user_id, event_type FROM events ORDER BY 1, 2"
+
+  // Q9b — approximate distinct via HLL++ (no DuckDB oracle: different
+  // sketch; driver records the weaker rows-only check; exactness covered by
+  // the scalatest bound vs the true count).
+  val q9bApproxDistinct: Q = (spark, dir) => {
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .orderBy(col("event_type"))
+  }
+
+  // Q10 — ROLLUP hierarchy (group keys COALESCEd so the subtotal rows have
+  // non-null sort keys in both engines).
+  val q10Rollup: Q = (spark, dir) => {
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("n"))
+      .orderBy(col("rf"), col("ls"))
+  }
+  val q10Sql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+      | round(sum(l_quantity), 2) AS sum_qty, CAST(count(*) AS BIGINT) AS n
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY rf, ls""".stripMargin
+
+  // Q10b — CUBE over orders.
+  val q10bCube: Q = (spark, dir) => {
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+        col("revenue"), col("n"))
+      .orderBy(col("st"), col("pri"))
+  }
+  val q10bSql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS st, coalesce(o_orderpriority, 'ALL') AS pri,
+      | round(sum(o_totalprice), 2) AS revenue, CAST(count(*) AS BIGINT) AS n
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY st, pri""".stripMargin
+
+  // Q11 — ranking window: top-3 orders per customer. Key-partitioned window
+  // (shards by customer); deterministic tie-break on orderkey.
+  val q11WindowRank: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+  val q11Sql: String =
+    """SELECT o_custkey, CAST(row_number() OVER w AS INT) AS rn, o_orderkey, o_totalprice
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      |QUALIFY rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  // Q12 — analytic window: lag/lead over each user's event timeline.
+  val q12WindowLag: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_ms"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .orderBy(col("user_id"), col("ts_ms"), col("event_id"))
+  }
+  val q12Sql: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type, value FROM events)
+      |SELECT user_id, event_id, ts_ms,
+      | lag(value, 1) OVER w AS prev_value,
+      | lead(event_type, 1) OVER w AS next_type
+      |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+      |ORDER BY user_id, ts_ms, event_id""".stripMargin
+
+  // Q13 — explicit ROWS frame: running revenue per customer.
+  val q13WindowFrame: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("od_ms"),
+        round(sum(col("o_totalprice")).over(w), 2).as("running_revenue"))
+      .orderBy(col("o_custkey"), col("od_ms"), col("o_orderkey"))
+  }
+  val q13Sql: String =
+    """SELECT o_custkey, o_orderkey, epoch_ms(o_orderdate) AS od_ms,
+      | round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+      |   ORDER BY o_orderdate, o_orderkey
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_revenue
+      |FROM orders ORDER BY o_custkey, od_ms, o_orderkey""".stripMargin
+
+  // Q14 — global top-k: Spark plans orderBy+limit as TakeOrderedAndProject
+  // (per-partition heaps + driver merge of k rows — no global sort), which
+  // is exactly the 100 TB-safe plan.
+  val q14TopK: Q = (spark, dir) => {
+    Tables.orders(spark, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+  }
+  val q14Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  // Q15 — set operations (UNION/INTERSECT/EXCEPT, all distinct semantics).
+  val q15SetOps: Q = (spark, dir) => {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val withP = o.filter(col("o_orderstatus") === "P").select(col("o_custkey").as("custkey"))
+    val withF = o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+    val both = withP.intersect(withF).select(lit("P_and_F").as("tag"), col("custkey"))
+    val either = withP.union(withF).distinct().select(lit("P_or_F").as("tag"), col("custkey"))
+    val noOrders = c.select(col("c_custkey").as("custkey"))
+      .except(o.select(col("o_custkey").as("custkey")))
+      .select(lit("no_orders").as("tag"), col("custkey"))
+    both.unionByName(either).unionByName(noOrders).orderBy(col("tag"), col("custkey"))
+  }
+  val q15Sql: String =
+    """SELECT * FROM (
+      | SELECT 'P_and_F' AS tag, custkey FROM (
+      |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P'
+      |  INTERSECT
+      |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F')
+      | UNION ALL
+      | SELECT 'P_or_F' AS tag, custkey FROM (
+      |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P'
+      |  UNION
+      |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F')
+      | UNION ALL
+      | SELECT 'no_orders' AS tag, custkey FROM (
+      |  SELECT c_custkey AS custkey FROM customer
+      |  EXCEPT
+      |  SELECT o_custkey AS custkey FROM orders)
+      |) ORDER BY tag, custkey""".stripMargin
+
+  // Q16 — string function battery (all codegen'd built-ins).
+  val q16String: Q = (spark, dir) => {
+    Tables.customer(spark, dir)
+      .select(
+        col("c_custkey"),
+        lower(col("c_name")).as("name_lc"),
+        upper(col("c_mktsegment")).as("seg_uc"),
+        substring(col("c_name"), 1, 8).as("name8"),
+        element_at(split(col("c_name"), "#"), 2).as("num_part"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+        length(col("c_name")).as("name_len"),
+        concat_ws("@", lower(col("c_mktsegment")), lit("example.com")).as("fake_email"))
+      .orderBy(col("c_custkey"))
+  }
+  val q16Sql: String =
+    """SELECT c_custkey, lower(c_name) AS name_lc, upper(c_mktsegment) AS seg_uc,
+      | substring(c_name, 1, 8) AS name8,
+      | string_split(c_name, '#')[2] AS num_part,
+      | regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+      | CAST(length(c_name) AS INT) AS name_len,
+      | concat_ws('@', lower(c_mktsegment), 'example.com') AS fake_email
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  // Q17 — time bucketing (the batch twin of the streaming tumbling window
+  // T1; same window() primitive drives the streaming form in tests).
+  val q17DateTime: Q = (spark, dir) => {
+    val e = Tables.events(spark, dir)
+    e.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        unix_millis(col("window.start")).as("hour_ms"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("hour_ms"), col("event_type"))
+  }
+  val q17Sql: String =
+    """SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) AS hour_ms, event_type,
+      | CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // Q17b — calendar field extraction on ms-precision order dates.
+  val q17bExtract: Q = (spark, dir) => {
+    Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("y"), col("m"))
+  }
+  val q17bSql: String =
+    """SELECT CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m,
+      | CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice), 2) AS revenue
+      |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // Q18 — scalar math battery. Per-row expressions mirror the oracle's
+  // association order exactly → bit-identical IEEE doubles, no rounding
+  // tolerance needed.
+  val q18Math: Q = (spark, dir) => {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") < 100)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("disc_price"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("charge"),
+        abs(col("l_discount") - lit(0.05)).as("disc_dev"),
+        sqrt(col("l_extendedprice")).as("price_sqrt"),
+        floor(col("l_quantity") / lit(5.0)).as("qty_bucket"),
+        round(col("l_quantity") / lit(7.0), 3).as("qty_sevenths"),
+        pmod(col("l_orderkey"), lit(7L)).as("key_mod"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+  val q18Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      | l_extendedprice * (1.0 - l_discount) AS disc_price,
+      | l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS charge,
+      | abs(l_discount - 0.05) AS disc_dev,
+      | sqrt(l_extendedprice) AS price_sqrt,
+      | floor(l_quantity / 5.0) AS qty_bucket,
+      | round(l_quantity / 7.0, 3) AS qty_sevenths,
+      | l_orderkey % 7 AS key_mod
+      |FROM lineitem WHERE l_orderkey < 100
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // Q19 — array functions over 64-d embeddings; dot products via the
+  // generated left-associative chain (Portable.dot) — codegen'd and
+  // bit-identical with the oracle.
+  val q19Array: Q = (spark, dir) => {
+    val dim = 64
+    val e = Tables.embeddings(spark, dir)
+    val headSum = (1 to 8).map(i => element_at(col("embedding"), i).cast("double")).reduceLeft(_ + _)
+    e.select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        element_at(col("embedding"), 1).cast("double").as("e1"),
+        sqrt(Portable.dot(col("embedding"), col("embedding"), dim)).as("l2_norm"),
+        headSum.as("head8_sum"))
+      .orderBy(col("vec_id"))
+  }
+  val q19Sql: String = {
+    val headSum = (1 to 8).map(i => s"CAST(embedding[$i] AS DOUBLE)").mkString(" + ")
+    s"""SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+       | CAST(embedding[1] AS DOUBLE) AS e1,
+       | sqrt(${Portable.dotSql("embedding", "embedding", 64)}) AS l2_norm,
+       | $headSum AS head8_sum
+       |FROM embeddings ORDER BY vec_id""".stripMargin
+  }
+
+  // Q20 — JSON extraction from the events.props payload.
+  val q20Json: Q = (spark, dir) => {
+    Tables.events(spark, dir)
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k"), col("value"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("k"))
+  }
+  val q20Sql: String =
+    """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+      | CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // Q21 — JSON parsed as a MapType column, element_at access.
+  val q21Map: Q = (spark, dir) => {
+    import org.apache.spark.sql.types.{MapType, StringType, IntegerType}
+    Tables.events(spark, dir)
+      .select(from_json(col("props"), MapType(StringType, IntegerType)).as("m"), col("event_type"))
+      .select(element_at(col("m"), "k").as("k"), col("event_type"))
+      .groupBy(col("event_type"))
+      .agg(round(avg(col("k")), 4).as("avg_k"), count(col("k")).as("n_k"))
+      .orderBy(col("event_type"))
+  }
+  val q21Sql: String =
+    """SELECT event_type, round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+      | CAST(count(json_extract_string(props, '$.k')) AS BIGINT) AS n_k
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q1_agg" -> q1Agg,
+    "q2_join_inner" -> q2JoinInner,
+    "q3_join_broadcast" -> q3JoinBroadcast,
+    "q4_join_left" -> q4JoinLeft,
+    "q4b_join_full" -> q4bJoinFull,
+    "q5_semi_anti" -> q5SemiAnti,
+    "q6_range_join" -> q6RangeJoin,
+    "q7_asof_join" -> q7AsofJoin,
+    "q8_agg_stats" -> q8AggStats,
+    "q9_distinct" -> q9Distinct,
+    "q9b_approx_distinct" -> q9bApproxDistinct,
+    "q10_rollup" -> q10Rollup,
+    "q10b_cube" -> q10bCube,
+    "q11_window_rank" -> q11WindowRank,
+    "q12_window_lag" -> q12WindowLag,
+    "q13_window_frame" -> q13WindowFrame,
+    "q14_topk" -> q14TopK,
+    "q15_setops" -> q15SetOps,
+    "q16_string" -> q16String,
+    "q17_datetime" -> q17DateTime,
+    "q17b_extract" -> q17bExtract,
+    "q18_math" -> q18Math,
+    "q19_array" -> q19Array,
+    "q20_json" -> q20Json,
+    "q21_map" -> q21Map)
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" -> q1Sql,
+    "q2_join_inner" -> q2Sql,
+    "q3_join_broadcast" -> q3Sql,
+    "q4_join_left" -> q4Sql,
+    "q4b_join_full" -> q4bSql,
+    "q5_semi_anti" -> q5Sql,
+    "q6_range_join" -> q6Sql,
+    "q7_asof_join" -> q7Sql,
+    "q8_agg_stats" -> q8Sql,
+    "q9_distinct" -> q9Sql,
+    "q10_rollup" -> q10Sql,
+    "q10b_cube" -> q10bSql,
+    "q11_window_rank" -> q11Sql,
+    "q12_window_lag" -> q12Sql,
+    "q13_window_frame" -> q13Sql,
+    "q14_topk" -> q14Sql,
+    "q15_setops" -> q15Sql,
+    "q16_string" -> q16Sql,
+    "q17_datetime" -> q17Sql,
+    "q17b_extract" -> q17bSql,
+    "q18_math" -> q18Sql,
+    "q19_array" -> q19Sql,
+    "q20_json" -> q20Sql,
+    "q21_map" -> q21Sql)
+}
