@@ -1,0 +1,246 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Schemas, Tables}
+
+/** CDC core (SURVEY.md §2.2 C1–C8): the capability surface implied by the
+  * reference's Debezium envelope stream (ez-cdc `README.md:331`,
+  * `python/cdc_test/main.py:39-47`), re-expressed as declarative Spark
+  * combinators.
+  *
+  * The driver fixtures carry no changelog table, so a deterministic one is
+  * derived **in-query** from the `customer` parquet — the identical
+  * derivation is written as a CTE in each oracle SQL, so Spark and DuckDB
+  * materialize byte-identical changelogs with zero side files and no
+  * wall-clock/randomness (SURVEY.md §7.4 determinism constraint).
+  *
+  * Scenario coverage (FIXTURES.md §B): snapshot reads (`op='r'`), inserts,
+  * single + double updates per key, deletes, tombstones (null message
+  * value), and a second captured table for include-list filtering. The lsn
+  * is the total-order key (single-partition topic,
+  * `docker-compose.yml:36`).
+  *
+  * Scale: every operator is key-partitioned — snapshot materialization is a
+  * window over the primary key (shards across executors; no global sort);
+  * the streaming twin (graft.streaming.CdcStream) keeps per-key state in
+  * flatMapGroupsWithState.
+  */
+object Cdc {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** The mutation schedule, keyed on id = c_custkey:
+    *   id%10<2 → op 'r' (initial snapshot row), lsn=100·id
+    *   else    → op 'c',                        lsn=100·id+1
+    *   id%3=0  → op 'u' (email change),         lsn=100·id+2
+    *   id%9=0  → op 'u' (first_name change),    lsn=100·id+3
+    *   id%7=0  → op 'd',                        lsn=100·id+4
+    * source.ts_ms = 1700000000000 + lsn.
+    */
+  private def base(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(
+      col("c_custkey").as("id"),
+      lower(col("c_mktsegment")).as("fn0"),
+      translate(lower(col("c_name")), "#", "_").as("ln0"),
+      concat(translate(lower(col("c_name")), "#", "."), lit("@example.com")).as("em0"))
+    .withColumn("em1", concat(lit("upd."), col("em0")))
+    .withColumn("fn1", concat(col("fn0"), lit("x")))
+
+  private val nullRow: Column = lit(null).cast(Schemas.rowType)
+
+  private def img(fn: Column, ln: Column, em: Column): Column =
+    struct(col("id").as("id"), fn.as("first_name"), ln.as("last_name"), em.as("email"))
+
+  private def source(lsn: Column, snapshot: Column, table: String): Column = struct(
+    lit("2.4.2.Final").as("version"), lit("postgresql").as("connector"),
+    lit("cdctest").as("name"), (lit(1700000000000L) + lsn).as("ts_ms"),
+    snapshot.as("snapshot"), lit("cdctest").as("db"), lit("public").as("schema"),
+    lit(table).as("table"), (lsn / 10).cast("long").as("txId"), lsn.as("lsn"),
+    lit(null).cast("long").as("xmin"))
+
+  private def event(b: DataFrame, opCode: String, lsn: Column, before: Column,
+      after: Column, table: String = "customers"): DataFrame = {
+    val snap = if (opCode == "r") lit("true") else lit("false")
+    b.select(
+      before.as("before"), after.as("after"),
+      source(lsn, snap, table).as("source"),
+      lit(opCode).as("op"), (lit(1700000000000L) + lsn).as("ts_ms"),
+      lit(null).cast(Schemas.transactionType).as("transaction"))
+  }
+
+  /** The envelope-shaped changelog for the `customers` table (C1's typed
+    * output shape; FIXTURES.md §B).
+    */
+  def changelog(spark: SparkSession, dir: String): DataFrame = {
+    val b = base(spark, dir)
+    val img0 = img(col("fn0"), col("ln0"), col("em0"))
+    val img1 = img(col("fn0"), col("ln0"), col("em1"))
+    val img2 = img(col("fn1"), col("ln0"), col("em1"))
+    val latest = when(col("id") % 9 === 0, img2)
+      .when(col("id") % 3 === 0, img1).otherwise(img0)
+    event(b.filter(col("id") % 10 < 2), "r", col("id") * 100, nullRow, img0)
+      .unionByName(event(b.filter(col("id") % 10 >= 2), "c", col("id") * 100 + 1, nullRow, img0))
+      .unionByName(event(b.filter(col("id") % 3 === 0), "u", col("id") * 100 + 2, img0, img1))
+      .unionByName(event(b.filter(col("id") % 9 === 0), "u", col("id") * 100 + 3, img1, img2))
+      .unionByName(event(b.filter(col("id") % 7 === 0), "d", col("id") * 100 + 4, latest, nullRow))
+  }
+
+  /** Oracle-side twin of [[changelog]]: a flat CTE (structs flattened to
+    * b_ / a_ prefixed columns) producing identical values in DuckDB.
+    */
+  val changelogCte: String =
+    """WITH base AS (
+      | SELECT c_custkey AS id, lower(c_mktsegment) AS fn0,
+      |  translate(lower(c_name), '#', '_') AS ln0,
+      |  translate(lower(c_name), '#', '.') || '@example.com' AS em0,
+      |  'upd.' || translate(lower(c_name), '#', '.') || '@example.com' AS em1,
+      |  lower(c_mktsegment) || 'x' AS fn1
+      | FROM customer),
+      |chg AS (
+      | SELECT id, 'r' AS op, id*100 AS lsn, CAST(NULL AS VARCHAR) AS b_fn, CAST(NULL AS VARCHAR) AS b_ln, CAST(NULL AS VARCHAR) AS b_em, fn0 AS a_fn, ln0 AS a_ln, em0 AS a_em FROM base WHERE id % 10 < 2
+      | UNION ALL SELECT id, 'c', id*100+1, NULL, NULL, NULL, fn0, ln0, em0 FROM base WHERE id % 10 >= 2
+      | UNION ALL SELECT id, 'u', id*100+2, fn0, ln0, em0, fn0, ln0, em1 FROM base WHERE id % 3 = 0
+      | UNION ALL SELECT id, 'u', id*100+3, fn0, ln0, em1, fn1, ln0, em1 FROM base WHERE id % 9 = 0
+      | UNION ALL SELECT id, 'd', id*100+4,
+      |   CASE WHEN id % 9 = 0 THEN fn1 ELSE fn0 END, ln0,
+      |   CASE WHEN id % 3 = 0 THEN em1 ELSE em0 END,
+      |   NULL, NULL, NULL FROM base WHERE id % 7 = 0)""".stripMargin
+
+  // ---------------------------------------------------------------- C4+C5
+  /** Snapshot materialization: fold c/u/d/r into the latest live row per
+    * primary key, ordered by source.lsn (C5's total order). Key-partitioned
+    * window — the plan shuffles once on the PK and shards at any scale.
+    * Library combinator: works on any envelope-shaped DataFrame.
+    */
+  def snapshot(changelog: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("key")).orderBy(col("source.lsn").desc)
+    changelog
+      .withColumn("key", coalesce(col("after.id"), col("before.id")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "d")
+      .select(col("after.id").as("id"), col("after.first_name"),
+        col("after.last_name"), col("after.email"))
+  }
+
+  val cdcSnapshot: Q = (spark, dir) => snapshot(changelog(spark, dir)).orderBy(col("id"))
+  val cdcSnapshotSql: String = changelogCte +
+    """
+      |SELECT id, a_fn AS first_name, a_ln AS last_name, a_em AS email
+      |FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY lsn DESC) AS rn FROM chg)
+      |WHERE rn = 1 AND op <> 'd'
+      |ORDER BY id""".stripMargin
+
+  // ------------------------------------------------------------------- C2
+  /** Route events by op code (the filter/tag split a consumer applies). */
+  def opRoute(changelog: DataFrame): DataFrame =
+    changelog.groupBy(col("op")).agg(count(lit(1)).as("n"))
+
+  val cdcOpRoute: Q = (spark, dir) => opRoute(changelog(spark, dir)).orderBy(col("op"))
+  val cdcOpRouteSql: String = changelogCte +
+    "\nSELECT op, CAST(count(*) AS BIGINT) AS n FROM chg GROUP BY 1 ORDER BY 1"
+
+  // ------------------------------------------------------------------- C6
+  /** Changed-column set per update — the computation REPLICA IDENTITY FULL
+    * exists to enable (`init.sql:9-10`). Null-safe comparison (<=>).
+    */
+  def beforeAfterDiff(changelog: DataFrame): DataFrame = {
+    def changed(field: String): Column =
+      when(!(col(s"before.$field") <=> col(s"after.$field")), lit(field))
+    changelog.filter(col("op") === "u")
+      .select(col("after.id").as("id"), col("source.lsn").as("lsn"),
+        concat_ws(",", changed("first_name"), changed("last_name"), changed("email"))
+          .as("changed_cols"))
+  }
+
+  val cdcDiff: Q = (spark, dir) => beforeAfterDiff(changelog(spark, dir)).orderBy(col("id"), col("lsn"))
+  val cdcDiffSql: String = changelogCte +
+    """
+      |SELECT id, lsn, concat_ws(',',
+      |  CASE WHEN b_fn IS DISTINCT FROM a_fn THEN 'first_name' END,
+      |  CASE WHEN b_ln IS DISTINCT FROM a_ln THEN 'last_name' END,
+      |  CASE WHEN b_em IS DISTINCT FROM a_em THEN 'email' END) AS changed_cols
+      |FROM chg WHERE op = 'u' ORDER BY id, lsn""".stripMargin
+
+  // ---------------------------------------------------------------- C1+C8
+  /** Envelope JSON parse (C1) with tombstone guard (C8): serialize the
+    * changelog to self-describing JSON strings (R4's wire format), inject
+    * null-value tombstones after each delete (Debezium emits (key, null)
+    * for log compaction), then parse back with the explicit envelope
+    * schema — the null guard mirrors `main.py:42` (`if value:`).
+    */
+  def parseEnvelope(raw: DataFrame): DataFrame =
+    raw.filter(col("value").isNotNull)
+      .select(from_json(col("value"), Schemas.envelopeType).as("e"))
+
+  val cdcParseEnvelope: Q = (spark, dir) => {
+    val wire = changelog(spark, dir)
+      .select(to_json(struct(col("before"), col("after"), col("source"),
+        col("op"), col("ts_ms"), col("transaction"))).as("value"),
+        col("after.id").as("k"))
+    val tombstones = wire.filter(col("value").contains("\"op\":\"d\""))
+      .select(lit(null).cast("string").as("value"), col("k"))
+    parseEnvelope(wire.unionByName(tombstones))
+      .select(coalesce(col("e.after.id"), col("e.before.id")).as("id"),
+        col("e.op").as("op"), col("e.source.lsn").as("lsn"),
+        col("e.after.email").as("email"))
+      .orderBy(col("id"), col("lsn"))
+  }
+  val cdcParseEnvelopeSql: String = changelogCte +
+    "\nSELECT id, op, lsn, a_em AS email FROM chg ORDER BY id, lsn"
+
+  // ------------------------------------------------------------------- C5
+  /** Per-key ordering stats over the lsn total order (max_by = the
+    * "latest event wins" primitive).
+    */
+  def changeOrdering(changelog: DataFrame): DataFrame =
+    changelog
+      .withColumn("key", coalesce(col("after.id"), col("before.id")))
+      .groupBy(col("key").as("id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("source.lsn")).as("first_lsn"),
+        max(col("source.lsn")).as("last_lsn"),
+        max_by(col("op"), col("source.lsn")).as("last_op"))
+
+  val cdcOrdering: Q = (spark, dir) => changeOrdering(changelog(spark, dir)).orderBy(col("id"))
+  val cdcOrderingSql: String = changelogCte +
+    """
+      |SELECT id, CAST(count(*) AS BIGINT) AS n_events, min(lsn) AS first_lsn,
+      | max(lsn) AS last_lsn, arg_max(op, lsn) AS last_op
+      |FROM chg GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- C7+C8
+  /** Include-list table filter (`customers_conf.json:12` semantics) over a
+    * multi-table stream: nation-table events are interleaved, then filtered
+    * out by source.table before the per-op count.
+    */
+  val cdcTableFilter: Q = (spark, dir) => {
+    val n = Tables.nation(spark, dir).select(
+      col("n_nationkey").cast("long").as("id"),
+      lower(col("n_name")).as("fn0"), lit("n").as("ln0"), lit("n@x").as("em0"))
+    val nationEvents = event(n, "c", lit(9000000L) + col("id"), nullRow,
+      img(col("fn0"), col("ln0"), col("em0")), table = "nations")
+    changelog(spark, dir).unionByName(nationEvents)
+      .filter(col("source.table") === "customers")
+      .groupBy(col("op")).agg(count(lit(1)).as("n"))
+      .orderBy(col("op"))
+  }
+  // After the include-list filter the nation events vanish → same as opRoute.
+  val cdcTableFilterSql: String = cdcOpRouteSql
+
+  val queries: Map[String, Q] = Map(
+    "cdc_snapshot" -> cdcSnapshot,
+    "cdc_op_route" -> cdcOpRoute,
+    "cdc_diff" -> cdcDiff,
+    "cdc_parse_envelope" -> cdcParseEnvelope,
+    "cdc_ordering" -> cdcOrdering,
+    "cdc_table_filter" -> cdcTableFilter)
+
+  val oracle: Map[String, String] = Map(
+    "cdc_snapshot" -> cdcSnapshotSql,
+    "cdc_op_route" -> cdcOpRouteSql,
+    "cdc_diff" -> cdcDiffSql,
+    "cdc_parse_envelope" -> cdcParseEnvelopeSql,
+    "cdc_ordering" -> cdcOrderingSql,
+    "cdc_table_filter" -> cdcTableFilterSql)
+}
