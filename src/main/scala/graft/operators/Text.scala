@@ -1,0 +1,281 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Text-pipeline extensions (SURVEY.md §2.2 X1/X2/X4 + the north-star
+  * training-data operators): exact dedup, MinHash+LSH, SimHash, n-gram
+  * Jaccard near-dup, language-ID heuristic, quality scoring, token
+  * counting, document fingerprinting.
+  *
+  * Portability discipline: every hash is `md5` (identical lowercase hex in
+  * Spark and DuckDB — no engine-specific hash64), every score is either
+  * integer-exact or a single mirrored IEEE expression, so the DuckDB oracle
+  * matches values exactly.
+  *
+  * Scale design: everything is explode → hash → groupBy — embarrassingly
+  * parallel over documents; candidate generation (LSH bands / rare-shingle
+  * join) is the standard prune-then-verify shape so the quadratic step only
+  * touches candidate pairs, never the full corpus cross product.
+  */
+object Text {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Distinct 3-token shingles per document (guarded for <3-token docs). */
+  private def shingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(t) >= 3
+          | THEN transform(sequence(1, size(t)-2),
+          |        i -> concat_ws(' ', element_at(t,i), element_at(t,i+1), element_at(t,i+2)))
+          | ELSE array() END""".stripMargin)).as("s"))
+      .distinct()
+
+  private val shinglesCte: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, unnest(
+      |  CASE WHEN len(t) >= 3
+      |   THEN list_transform(generate_series(1, len(t)-2),
+      |          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |   ELSE [] END) AS s
+      | FROM tok)""".stripMargin
+
+  // ------------------------------------------------------------------- X1
+  /** Exact dedup with a deterministic representative (min doc_id per text —
+    * never dropDuplicates, whose surviving row is partition-order
+    * dependent). Generic combinator + registered query.
+    */
+  def dedupExact(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  val x1DedupExact: Q = (spark, dir) =>
+    dedupExact(Tables.documents(spark, dir), Seq("text"), "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  val x1Sql: String =
+    """SELECT doc_id, lang, n_chars FROM (
+      | SELECT doc_id, lang, n_chars,
+      |  row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      | FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------- X2
+  /** MinHash signatures (8 portable hash functions = md5 with seed prefix,
+    * lexicographic min) banded 4×2; documents sharing any band bucket are
+    * near-dup candidates. Output: candidate pairs.
+    */
+  val numHashes = 8
+  private def minhashSigs(docs: DataFrame): DataFrame = {
+    val aggs = (1 to numHashes).map(j =>
+      min(md5(concat(lit(s"$j:"), col("s")).cast("binary"))).as(s"h$j"))
+    shingles(docs).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+  private val minhashSigsSql: String = {
+    val mins = (1 to numHashes).map(j => s"min(md5('$j:' || s)) AS h$j").mkString(", ")
+    s"sig AS (SELECT doc_id, $mins FROM sh GROUP BY 1)"
+  }
+
+  val x2MinhashLsh: Q = (spark, dir) => {
+    val sig = minhashSigs(Tables.documents(spark, dir))
+    val bands = (1 to numHashes by 2).zipWithIndex.map { case (j, b) =>
+      sig.select(lit(b).as("band"), concat(col(s"h$j"), col(s"h${j + 1}")).as("key"), col("doc_id"))
+    }.reduce(_ unionByName _)
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+  val x2Sql: String = {
+    val bandSelects = (1 to numHashes by 2).zipWithIndex.map { case (j, b) =>
+      s"SELECT $b AS band, h$j || h${j + 1} AS key, doc_id FROM sig"
+    }.mkString(" UNION ALL ")
+    shinglesCte + s""",
+      |$minhashSigsSql,
+      |bands AS ($bandSelects)
+      |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |FROM bands a JOIN bands b
+      | ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ------------------------------------------------------------- X2 SimHash
+  /** 16-bit SimHash over term-frequency-weighted token hashes: bit p is the
+    * sign of Σ_tokens (md5 hex digit p ≥ 8 ? +1 : −1) — integer-exact in
+    * both engines.
+    */
+  val x2bSimhash: Q = (spark, dir) => {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", md5(col("tok").cast("binary")))
+    val hi = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val sums = (1 to 16).map(p =>
+      sum(when(substring(col("h"), p, 1).isin(hi: _*), 1).otherwise(-1)).as(s"s$p"))
+    val bits = (1 to 16).map(p => when(col(s"s$p") > 0, "1").otherwise("0"))
+    toks.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), concat(bits: _*).as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+  val x2bSql: String = {
+    val sums = (1 to 16).map(p =>
+      s"sum(CASE WHEN substr(h, $p, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s$p")
+      .mkString(", ")
+    val bits = (1 to 16).map(p => s"CASE WHEN s$p > 0 THEN '1' ELSE '0' END").mkString(" || ")
+    s"""WITH toks AS (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents),
+       |sums AS (SELECT doc_id, $sums FROM toks GROUP BY 1)
+       |SELECT doc_id, $bits AS simhash FROM sums ORDER BY doc_id""".stripMargin
+  }
+
+  // ----------------------------------------------------- X2 n-gram Jaccard
+  /** Exact Jaccard near-dup with prune-then-verify: candidates come from a
+    * join restricted to rare shingles (document frequency ≤ 20 — the scale
+    * lever: hot shingles never explode the join), then the true Jaccard is
+    * computed over the full shingle sets of candidate pairs only. Emits
+    * integer numerator/denominator (exact) with J ≥ 0.7 (10·shared ≥
+    * 7·union).
+    */
+  val x2cNgramJaccard: Q = (spark, dir) => {
+    val sh = shingles(Tables.documents(spark, dir)).cache()
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val rare = sh.withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .filter(col("df") <= 20)
+    val cand = rare.as("a").join(rare.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
+    val shared = cand
+      .join(sh.as("x"), col("da") === col("x.doc_id"))
+      .join(sh.as("y"), col("db") === col("y.doc_id") && col("x.s") === col("y.s"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("shared"))
+    shared
+      .join(cnt.as("ca"), col("da") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("db") === col("cb.doc_id"))
+      .select(col("da"), col("db"), col("shared"),
+        col("ca.n").as("na"), col("cb.n").as("nb"))
+      .filter(col("shared") * 10 >= (col("na") + col("nb") - col("shared")) * 7)
+      .orderBy(col("da"), col("db"))
+  }
+  val x2cSql: String = shinglesCte + """,
+      |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+      |rare AS (SELECT * FROM (SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh) WHERE df <= 20),
+      |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |         FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id),
+      |shared AS (SELECT da, db, CAST(count(*) AS BIGINT) AS shared
+      |           FROM cand JOIN sh x ON da = x.doc_id JOIN sh y ON db = y.doc_id AND x.s = y.s
+      |           GROUP BY 1, 2)
+      |SELECT da, db, shared, ca.n AS na, cb.n AS nb
+      |FROM shared JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
+      |WHERE shared * 10 >= (ca.n + cb.n - shared) * 7
+      |ORDER BY da, db""".stripMargin
+
+  // ------------------------------------------------------------------- X4
+  /** Quality scoring: token counts, stopword ratio, average token length —
+    * integer-exact components plus mirrored IEEE ratios.
+    */
+  val x4TextQuality: Q = (spark, dir) => {
+    Tables.documents(spark, dir)
+      .withColumn("t", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("t")).cast("long"))
+      .withColumn("n_stop", expr("size(filter(t, x -> x IN ('the','a','of','and')))").cast("long"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_stop"),
+        round(col("n_stop") * lit(1.0) / col("n_tokens"), 4).as("stop_ratio"),
+        round((col("n_chars") - (col("n_tokens") - 1)) * lit(1.0) / col("n_tokens"), 4).as("avg_tok_len"))
+      .orderBy(col("doc_id"))
+  }
+  val x4Sql: String =
+    """WITH d AS (SELECT doc_id, n_chars, string_split(text, ' ') AS t FROM documents),
+      |m AS (SELECT doc_id, n_chars, CAST(len(t) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_filter(t, x -> x IN ('the','a','of','and'))) AS BIGINT) AS n_stop FROM d)
+      |SELECT doc_id, n_tokens, n_stop,
+      | round(n_stop * 1.0 / n_tokens, 4) AS stop_ratio,
+      | round((n_chars - (n_tokens - 1)) * 1.0 / n_tokens, 4) AS avg_tok_len
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------- X4 language ID
+  /** Character-n-gram language-ID heuristic (deterministic profile scores —
+    * occurrence counts of marker n-grams via the length-difference trick,
+    * integer-exact in both engines). The fixture text is synthetic, so this
+    * scores the *operator*, not real language ID.
+    */
+  val x4bLangId: Q = (spark, dir) => {
+    def occ(ngram: String): Column =
+      ((length(col("text")) - length(expr(s"replace(text, '$ngram', '')"))) / ngram.length).cast("long")
+    Tables.documents(spark, dir)
+      .withColumn("th_n", occ("th"))
+      .withColumn("er_n", occ("er"))
+      .withColumn("ow_n", occ("ow"))
+      .select(col("doc_id"), col("lang").as("actual_lang"), col("th_n"), col("er_n"), col("ow_n"),
+        when(col("th_n") >= 6, "en")
+          .when(col("er_n") >= 8, "de")
+          .when(col("ow_n") >= 5, "fr")
+          .otherwise("und").as("pred_lang"))
+      .orderBy(col("doc_id"))
+  }
+  val x4bSql: String =
+    """WITH m AS (SELECT doc_id, lang AS actual_lang,
+      |  CAST((length(text) - length(replace(text, 'th', ''))) / 2 AS BIGINT) AS th_n,
+      |  CAST((length(text) - length(replace(text, 'er', ''))) / 2 AS BIGINT) AS er_n,
+      |  CAST((length(text) - length(replace(text, 'ow', ''))) / 2 AS BIGINT) AS ow_n
+      | FROM documents)
+      |SELECT doc_id, actual_lang, th_n, er_n, ow_n,
+      | CASE WHEN th_n >= 6 THEN 'en' WHEN er_n >= 8 THEN 'de'
+      |      WHEN ow_n >= 5 THEN 'fr' ELSE 'und' END AS pred_lang
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------- X4 token counting
+  /** Whitespace vs BPE-ish regex tokenization counts. */
+  val x4cTokenCount: Q = (spark, dir) => {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z0-9]+")).cast("long").as("re_tokens"),
+        length(col("text")).cast("long").as("n_chars_m"))
+      .orderBy(col("doc_id"))
+  }
+  val x4cSql: String =
+    """SELECT doc_id,
+      | CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+      | CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS re_tokens,
+      | CAST(length(text) AS BIGINT) AS n_chars_m
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------- X4 doc fingerprinting
+  /** Content fingerprint (md5 of normalized text) + per-fingerprint group
+    * size — the exact-dup detector at fingerprint granularity.
+    */
+  val x4dFingerprint: Q = (spark, dir) => {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(lower(col("text")).cast("binary")).as("fp"))
+      .withColumn("n_same", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .orderBy(col("doc_id"))
+  }
+  val x4dSql: String =
+    """SELECT doc_id, md5(lower(text)) AS fp,
+      | CAST(count(*) OVER (PARTITION BY md5(lower(text))) AS BIGINT) AS n_same
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "x1_dedup_exact" -> x1DedupExact,
+    "x2_minhash_lsh" -> x2MinhashLsh,
+    "x2b_simhash" -> x2bSimhash,
+    "x2c_ngram_jaccard" -> x2cNgramJaccard,
+    "x4_text_quality" -> x4TextQuality,
+    "x4b_langid" -> x4bLangId,
+    "x4c_token_count" -> x4cTokenCount,
+    "x4d_fingerprint" -> x4dFingerprint)
+
+  val oracle: Map[String, String] = Map(
+    "x1_dedup_exact" -> x1Sql,
+    "x2_minhash_lsh" -> x2Sql,
+    "x2b_simhash" -> x2bSql,
+    "x2c_ngram_jaccard" -> x2cSql,
+    "x4_text_quality" -> x4Sql,
+    "x4b_langid" -> x4bSql,
+    "x4c_token_count" -> x4cSql,
+    "x4d_fingerprint" -> x4dSql)
+}

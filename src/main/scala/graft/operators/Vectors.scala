@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Portable, Tables}
+
+/** Similarity search + multimodal-column extensions (SURVEY.md §2.2 X3/X5).
+  *
+  * Embeddings are unit-normalized 64-d float vectors, so cosine similarity
+  * is the raw dot product. Dot products are generated as a 64-term
+  * left-associative chain of double multiply-adds (Portable.dot):
+  * whole-stage-codegen'd in Spark and bit-identical with the DuckDB oracle
+  * (same IEEE ops, same order) — no tolerance needed anywhere.
+  *
+  * Scale design (100 TB): the brute-force path broadcasts the (small) query
+  * set and streams the corpus — embarrassingly parallel, one shuffle of
+  * k·|Q| candidate rows for the final top-k; the LSH path buckets both
+  * sides by sign-bit projections so the join only touches matching buckets
+  * (the IVF-style coarse quantization analogue without a training step);
+  * the all-pairs near-dup path is globally bounded by TakeOrderedAndProject
+  * (per-partition heaps, never a full sort/materialization).
+  */
+object Vectors {
+  type Q = (SparkSession, String) => DataFrame
+  val dim = 64
+
+  /** Brute-force cosine top-k: the exact baseline. `queries` is expected to
+    * be small (broadcast); `corpus` arbitrary size.
+    */
+  def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val joined = broadcast(queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
+      .crossJoin(corpus.select(col("vec_id"), col("embedding")))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        Portable.dot(col("q_emb"), col("embedding"), dim).as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id").asc)
+    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  val x3CosineTopK: Q = (spark, dir) => {
+    val e = Tables.embeddings(spark, dir)
+    cosineTopK(e.filter(col("vec_id") < 10), e, 5)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+  val x3Sql: String =
+    s"""WITH sims AS (
+       | SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+       |  ${Portable.dotSql("q.embedding", "c.embedding", dim)} AS sim
+       | FROM embeddings q CROSS JOIN embeddings c
+       | WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+       |SELECT q_id, CAST(row_number() OVER w AS INT) AS rank, vec_id, sim
+       |FROM sims WINDOW w AS (PARTITION BY q_id ORDER BY sim DESC, vec_id)
+       |QUALIFY rank <= 5
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** Sign-bit LSH bucket (axis-aligned random-projection hash over the
+    * first 4 dims): the scale path — candidates only come from the matching
+    * bucket, trading recall for a 16× (expected) join reduction. A trained
+    * IVF coarse quantizer would replace `bucket` with a centroid id; the
+    * plumbing is identical.
+    */
+  def signBucket(emb: Column): Column =
+    (when(element_at(emb, 1) > 0, 8).otherwise(0)
+      + when(element_at(emb, 2) > 0, 4).otherwise(0)
+      + when(element_at(emb, 3) > 0, 2).otherwise(0)
+      + when(element_at(emb, 4) > 0, 1).otherwise(0)).cast("int")
+
+  private val signBucketSql: String =
+    """(CASE WHEN %e[1] > 0 THEN 8 ELSE 0 END + CASE WHEN %e[2] > 0 THEN 4 ELSE 0 END
+      | + CASE WHEN %e[3] > 0 THEN 2 ELSE 0 END + CASE WHEN %e[4] > 0 THEN 1 ELSE 0 END)"""
+      .stripMargin.replace("\n", "")
+
+  val x3bCosineLsh: Q = (spark, dir) => {
+    val e = Tables.embeddings(spark, dir).withColumn("bucket", signBucket(col("embedding")))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
+    val joined = broadcast(q)
+      .join(e.select(col("vec_id"), col("embedding"), col("bucket")), Seq("bucket"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        Portable.dot(col("q_emb"), col("embedding"), dim).as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id").asc)
+    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+  val x3bSql: String = {
+    val bq = signBucketSql.replace("%e", "q.embedding")
+    val bc = signBucketSql.replace("%e", "c.embedding")
+    s"""WITH sims AS (
+       | SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+       |  ${Portable.dotSql("q.embedding", "c.embedding", dim)} AS sim
+       | FROM embeddings q JOIN embeddings c ON $bq = $bc
+       | WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+       |SELECT q_id, CAST(row_number() OVER w AS INT) AS rank, vec_id, sim
+       |FROM sims WINDOW w AS (PARTITION BY q_id ORDER BY sim DESC, vec_id)
+       |QUALIFY rank <= 3
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** Embedding-cosine near-dup: global top-20 most-similar pairs (the
+    * fixtures plant no >0.52-cosine pairs, so a fixed top-k is the
+    * deterministic, always-nonempty formulation; a threshold filter is the
+    * same plan with one more predicate).
+    */
+  val x3cEmbedNearDup: Q = (spark, dir) => {
+    val e = Tables.embeddings(spark, dir)
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        Portable.dot(col("a.embedding"), col("b.embedding"), dim).as("sim"))
+      .orderBy(col("sim").desc, col("va").asc, col("vb").asc)
+      .limit(20)
+  }
+  val x3cSql: String =
+    s"""SELECT a.vec_id AS va, b.vec_id AS vb,
+       | ${Portable.dotSql("a.embedding", "b.embedding", dim)} AS sim
+       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |ORDER BY sim DESC, va, vb LIMIT 20""".stripMargin
+
+  // ------------------------------------------------------------------- X5
+  /** Multimodal join: text modality (documents) ⋈ vector modality
+    * (embeddings) on shared id; the vector stays ArrayType(FloatType).
+    */
+  val x5MultimodalJoin: Q = (spark, dir) => {
+    Tables.documents(spark, dir)
+      .join(Tables.embeddings(spark, dir), col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("lang"), col("label"), col("n_chars"),
+        size(col("embedding")).as("dim"))
+      .orderBy(col("doc_id"))
+  }
+  val x5Sql: String =
+    """SELECT doc_id, lang, label, n_chars, CAST(len(embedding) AS INT) AS dim
+      |FROM documents JOIN embeddings ON doc_id = vec_id
+      |ORDER BY doc_id""".stripMargin
+
+  /** Binary-payload plumbing, oracle-checked half: byte length + content
+    * hash of an opaque binary column (UTF-8 bytes of text stand in for an
+    * image payload; md5 of the bytes is identical in both engines). The
+    * batch decode/feature plumbing lives in graft.operators.Multimodal.
+    */
+  val x5bMultimodalBinary: Q = (spark, dir) => {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        md5(col("text").cast("binary")).as("payload_md5"))
+      .orderBy(col("doc_id"))
+  }
+  val x5bSql: String =
+    """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS payload_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "x3_cosine_topk" -> x3CosineTopK,
+    "x3b_cosine_lsh" -> x3bCosineLsh,
+    "x3c_embed_neardup" -> x3cEmbedNearDup,
+    "x5_multimodal_join" -> x5MultimodalJoin,
+    "x5b_multimodal_binary" -> x5bMultimodalBinary)
+
+  val oracle: Map[String, String] = Map(
+    "x3_cosine_topk" -> x3Sql,
+    "x3b_cosine_lsh" -> x3bSql,
+    "x3c_embed_neardup" -> x3cSql,
+    "x5_multimodal_join" -> x5Sql,
+    "x5b_multimodal_binary" -> x5bSql)
+}
