@@ -28,12 +28,13 @@ object Vectors {
   /** Brute-force cosine top-k: the exact baseline. `queries` is expected to
     * be small (broadcast); `corpus` arbitrary size.
     */
-  def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+  def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      d: Int = dim): DataFrame = {
     val joined = broadcast(queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
       .crossJoin(corpus.select(col("vec_id"), col("embedding")))
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"),
-        Portable.dot(col("q_emb"), col("embedding"), dim).as("sim"))
+        Portable.dot(col("q_emb"), col("embedding"), d).as("sim"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id").asc)
     joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.Schemas.{CdcEvent, CdcRow}
+
+/** Structured Streaming surface (SURVEY.md §2.2 T1–T7). Every combinator
+  * takes a DataFrame/Dataset that may be batch or streaming — the same
+  * declarative plan runs under MicroBatchExecution when the source is a
+  * stream (`readStream` / MemoryStream) and under normal batch execution
+  * otherwise, which is exactly how the specs cross-check streaming results
+  * against the batch oracle-verified forms.
+  *
+  * The reference consumes a Kafka CDC topic (`main.py:21-26`); in
+  * production this surface reads `spark.readStream.format("kafka")
+  * .option("subscribe", topic)` — no broker ships in this environment, so
+  * tests drive MemoryStream (S2 stand-in per SURVEY.md §2.2).
+  */
+object Streams {
+
+  /** T1 — tumbling-window counts per event type. */
+  def tumblingCounts(events: DataFrame, width: String = "10 minutes"): DataFrame =
+    events.groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** T2 — sliding-window counts (width, slide). */
+  def slidingCounts(events: DataFrame, width: String = "10 minutes",
+      slide: String = "5 minutes"): DataFrame =
+    events.groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+
+  /** T3 — session windows per user (gap-based). */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events.groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("user_id"), col("n"))
+
+  /** T4 — event-time watermark: bounds state and drops data later than
+    * `delay` behind the max observed event time.
+    */
+  def withLateness(events: DataFrame, delay: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", delay)
+
+  /** T5 — streaming dedup by event id with watermark-bounded state (the
+    * at-least-once → exactly-once repair for the reference's autocommit
+    * consumer, `main.py:52-53`).
+    */
+  def dedupEvents(events: DataFrame, delay: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", delay).dropDuplicates("event_id")
+
+  // ------------------------------------------------------------------ T6
+  /** Per-key running-snapshot state: the streaming twin of batch
+    * Cdc.snapshot (C4). Key-partitioned state via flatMapGroupsWithState —
+    * scales horizontally with executors; state per key is O(1) (latest lsn
+    * + row image).
+    */
+  case class SnapState(lsn: Long, live: Boolean,
+      first_name: Option[String], last_name: Option[String], email: Option[String])
+  case class SnapUpdate(id: Long, live: Boolean, lsn: Long,
+      first_name: Option[String], last_name: Option[String], email: Option[String])
+
+  def foldKey(id: Long, events: Iterator[CdcEvent],
+      state: GroupState[SnapState]): Iterator[SnapUpdate] = {
+    val incoming = events.toSeq
+    if (incoming.isEmpty) Iterator.empty
+    else {
+      val prior = state.getOption
+      val best = incoming.maxBy(e => e.source.lsn.getOrElse(Long.MinValue))
+      val bestLsn = best.source.lsn.getOrElse(Long.MinValue)
+      if (prior.exists(_.lsn >= bestLsn)) Iterator.empty // stale / out-of-order
+      else {
+        val next = if (best.op == "d")
+          SnapState(bestLsn, live = false, None, None, None)
+        else {
+          val row = best.after.getOrElse(CdcRow(id, None, None, None))
+          SnapState(bestLsn, live = true, row.first_name, row.last_name, row.email)
+        }
+        state.update(next)
+        Iterator.single(SnapUpdate(id, next.live, next.lsn,
+          next.first_name, next.last_name, next.email))
+      }
+    }
+  }
+
+  /** T6 — running CDC snapshot as an update stream; emit one row per key
+    * per micro-batch when its state advanced. Works on batch Datasets too
+    * (state starts empty, one "batch").
+    */
+  def snapshotStream(events: Dataset[CdcEvent]): Dataset[SnapUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(e => e.after.orElse(e.before).map(_.id).getOrElse(-1L))
+      .flatMapGroupsWithState[SnapState, SnapUpdate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(foldKey)
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.Schemas.{CdcEvent, CdcRow, CdcSource}
+import graft.operators.Cdc
+
+/** CDC semantics over hand-built envelopes — mechanizes the reference's
+  * manual insert-then-inspect demo (ez-cdc README.md:307-333) and the
+  * FIXTURES.md §B scenario matrix.
+  */
+class CdcSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def src(lsn: Long): CdcSource = CdcSource("2.4.2.Final", "postgresql",
+    "cdctest", 1700000000000L + lsn, Some("false"), "cdctest", "public",
+    "customers", Some(lsn / 10), Some(lsn), None)
+
+  def ev(id: Long, op: String, lsn: Long, before: Option[CdcRow],
+      after: Option[CdcRow]): CdcEvent =
+    CdcEvent(before, after, src(lsn), op, 1700000000000L + lsn)
+
+  def row(id: Long, fn: String, ln: String, em: String): Option[CdcRow] =
+    Some(CdcRow(id, Option(fn), Option(ln), Option(em)))
+
+  test("README demo: two inserts materialize to two rows, before=null, op=c") {
+    val events = Seq(
+      ev(1, "c", 10, None, row(1, "alex", "foley", "afoley@gmail.com")),
+      ev(2, "c", 20, None, row(2, "john", "doe", "jdoe@gmail.com")))
+    val df = events.toDS.toDF
+    assert(df.filter(col("before").isNotNull).count() === 0)
+    assert(df.filter(col("op") === "c").count() === 2)
+    val snap = Cdc.snapshot(df).orderBy("id").collect()
+    assert(snap.length === 2)
+    assert(snap(0).getString(1) === "alex" && snap(0).getString(3) === "afoley@gmail.com")
+    assert(snap(1).getString(1) === "john")
+  }
+
+  test("c->u->u->d removes the key; c->u keeps latest image") {
+    val events = Seq(
+      ev(10, "c", 100, None, row(10, "a", "x", "a@x")),
+      ev(10, "u", 101, row(10, "a", "x", "a@x"), row(10, "a2", "x", "a@x")),
+      ev(10, "u", 102, row(10, "a2", "x", "a@x"), row(10, "a3", "x", "a@x")),
+      ev(10, "d", 103, row(10, "a3", "x", "a@x"), None),
+      ev(11, "c", 200, None, row(11, "b", "y", "b@y")),
+      ev(11, "u", 201, row(11, "b", "y", "b@y"), row(11, "b", "y", "b2@y")))
+    val snap = Cdc.snapshot(events.toDS.toDF).orderBy("id").collect()
+    assert(snap.map(_.getLong(0)).toSeq === Seq(11L))
+    assert(snap(0).getString(3) === "b2@y")
+  }
+
+  test("out-of-order arrival: lsn order wins, not arrival order") {
+    val events = Seq( // arrival order deliberately scrambled
+      ev(12, "u", 302, row(12, "v2", "z", "z@z"), row(12, "v3", "z", "z@z")),
+      ev(12, "c", 300, None, row(12, "v1", "z", "z@z")),
+      ev(12, "u", 301, row(12, "v1", "z", "z@z"), row(12, "v2", "z", "z@z")))
+    val snap = Cdc.snapshot(events.toDS.toDF).collect()
+    assert(snap.length === 1 && snap(0).getString(1) === "v3")
+  }
+
+  test("op=r snapshot reads participate like inserts") {
+    val events = Seq(
+      ev(13, "r", 400, None, row(13, "pre", "s", "s@s")),
+      ev(13, "u", 401, row(13, "pre", "s", "s@s"), row(13, "post", "s", "s@s")))
+    val snap = Cdc.snapshot(events.toDS.toDF).collect()
+    assert(snap(0).getString(1) === "post")
+  }
+
+  test("before/after diff emits exactly the changed columns") {
+    val events = Seq(
+      ev(14, "u", 500, row(14, "f", "l", "e@e"), row(14, "f", "l", "e2@e")),
+      ev(15, "u", 501, row(15, "f", "l", "e@e"), row(15, "f2", "l2", "e@e")))
+    val d = Cdc.beforeAfterDiff(events.toDS.toDF).orderBy("id").collect()
+    assert(d(0).getString(2) === "email")
+    assert(d(1).getString(2) === "first_name,last_name")
+  }
+
+  test("tombstones (null value) are dropped before parse (main.py:42)") {
+    val wire = Seq(
+      ("""{"op":"c","after":{"id":1,"first_name":"a"},"source":{"lsn":1},"ts_ms":1}""", 1L),
+      (null.asInstanceOf[String], 1L)).toDF("value", "k")
+    val parsed = Cdc.parseEnvelope(wire)
+    assert(parsed.count() === 1)
+  }
+}

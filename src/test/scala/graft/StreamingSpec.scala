@@ -1,0 +1,129 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.Schemas.{CdcEvent, CdcRow, CdcSource}
+import graft.streaming.Streams
+import java.sql.Timestamp
+
+/** Top-level so Spark can derive an Encoder (inner classes of a suite
+  * cannot be encoded without their outer scope).
+  */
+case class E(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** T1–T7 driven through MicroBatchExecution via MemoryStream (S2 stand-in —
+  * no Kafka broker in this environment), cross-checked against the same
+  * combinators run in batch mode (SURVEY.md §5.2.4).
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def t(minute: Int): Timestamp = new Timestamp(1700000000000L + minute * 60000L)
+
+  val sample: Seq[E] = Seq(
+    E(1, t(0), 1, "view", 1.0), E(2, t(3), 1, "view", 2.0),
+    E(3, t(12), 2, "click", 3.0), E(4, t(14), 1, "view", 4.0),
+    E(5, t(27), 2, "view", 5.0))
+
+  test("T1 tumbling window: streaming result equals batch result") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[E]
+    val q = Streams.tumblingCounts(mem.toDF).writeStream
+      .format("memory").queryName("t1").outputMode("complete").start()
+    mem.addData(sample: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("t1").orderBy("w_start", "event_type").collect()
+    val batch = Streams.tumblingCounts(sample.toDF).orderBy("w_start", "event_type").collect()
+    assert(streamed.toSeq === batch.toSeq)
+    assert(batch.map(_.getLong(2)).sum === sample.size)
+  }
+
+  test("T2 sliding windows double-count rows across overlapping windows") {
+    val out = Streams.slidingCounts(sample.toDF).collect()
+    assert(out.map(_.getLong(2)).sum === 2L * sample.size) // width=2×slide
+  }
+
+  test("T3 session window merges events within gap") {
+    val out = Streams.sessionCounts(sample.toDF, "10 minutes")
+      .orderBy("user_id", "s_start").collect()
+    // user 1: events at minutes 0,3,14 → 0 and 3 merge (3 < 0+10), but
+    // 14 > 3+10 starts a new session → two sessions of sizes 2 and 1
+    val u1 = out.filter(_.getLong(2) == 1L)
+    assert(u1.length === 2 && u1(0).getLong(3) === 2L && u1(1).getLong(3) === 1L)
+    // user 2: 12 and 27 are >10min apart → two sessions
+    assert(out.count(_.getLong(2) == 2L) === 2)
+  }
+
+  test("T5 streaming dedup by event_id across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[E]
+    val q = Streams.dedupEvents(mem.toDF).writeStream
+      .format("memory").queryName("t5").outputMode("append").start()
+    mem.addData(sample.head, sample(1))
+    q.processAllAvailable()
+    mem.addData(sample.head) // duplicate of event_id=1 in a later batch
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table("t5").select("event_id").as[Long].collect().sorted
+    assert(ids.toSeq === Seq(1L, 2L))
+  }
+
+  test("T4 watermark is attached to the plan (event-time column ts)") {
+    // the analyzer strips watermarks from batch plans — assert on the
+    // pre-analysis logical plan, where the node must be present
+    val wm = Streams.withLateness(sample.toDF, "30 minutes")
+    assert(wm.queryExecution.logical.toString.contains("EventTimeWatermark"))
+  }
+
+  def src(lsn: Long) = CdcSource("v", "postgresql", "cdctest", lsn, None,
+    "cdctest", "public", "customers", None, Some(lsn), None)
+  def row(id: Long, em: String) = Some(CdcRow(id, Some("f"), Some("l"), Option(em)))
+
+  test("T6 stateful snapshot stream: latest state per key survives micro-batches, matches batch C4") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[CdcEvent]
+    val q = Streams.snapshotStream(mem.toDS).writeStream
+      .format("memory").queryName("t6").outputMode("update").start()
+    // batch 1: insert both keys; batch 2: update 20, delete 21, stale event for 20
+    mem.addData(
+      CdcEvent(None, row(20, "a@x"), src(100), "c", 100),
+      CdcEvent(None, row(21, "b@x"), src(200), "c", 200))
+    q.processAllAvailable()
+    mem.addData(
+      CdcEvent(row(20, "a@x"), row(20, "a2@x"), src(101), "u", 101),
+      CdcEvent(row(20, "zzz@stale"), row(20, "zzz@stale"), src(99), "u", 99), // out-of-order: must lose
+      CdcEvent(row(21, "b@x"), None, src(201), "d", 201))
+    q.processAllAvailable(); q.stop()
+    val last = spark.table("t6")
+      .orderBy(col("id"), col("lsn").desc)
+      .groupBy("id").agg(first("live").as("live"), first("email").as("email"),
+        max("lsn").as("lsn"))
+      .orderBy("id").collect()
+    assert(last.length === 2)
+    assert(last(0).getBoolean(1) === true && last(0).getString(2) === "a2@x")
+    assert(last(1).getBoolean(1) === false) // deleted
+    // cross-check against the oracle-verified batch fold on the same events
+    val all = Seq(
+      CdcEvent(None, row(20, "a@x"), src(100), "c", 100),
+      CdcEvent(row(20, "a@x"), row(20, "a2@x"), src(101), "u", 101),
+      CdcEvent(row(20, "zzz@stale"), row(20, "zzz@stale"), src(99), "u", 99),
+      CdcEvent(None, row(21, "b@x"), src(200), "c", 200),
+      CdcEvent(row(21, "b@x"), None, src(201), "d", 201))
+    val batchSnap = operators.Cdc.snapshot(all.toDS.toDF).collect()
+    assert(batchSnap.length === 1 && batchSnap(0).getString(3) === "a2@x")
+  }
+
+  test("T7 output modes: complete/append/update all supported by the combinators") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[E]
+    // append mode on a windowed agg requires a watermark
+    val agg = Streams.tumblingCounts(Streams.withLateness(mem.toDF, "5 minutes"))
+    val q = agg.writeStream.format("memory").queryName("t7").outputMode("append").start()
+    mem.addData(sample: _*)
+    q.processAllAvailable(); q.stop()
+    // append emits only finalized windows (watermark passed); just assert it ran
+    assert(spark.table("t7").columns.contains("n"))
+  }
+}

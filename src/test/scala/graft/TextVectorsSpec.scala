@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Multimodal, Text, Vectors}
+
+/** Unit-level checks for the extension operators on hand-built inputs. */
+class TextVectorsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("exact dedup keeps the minimum-id representative per text") {
+    val docs = Seq((3L, "a b c"), (1L, "a b c"), (2L, "x y z"))
+      .toDF("doc_id", "text")
+    val kept = Text.dedupExact(docs, Seq("text"), "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 2L))
+  }
+
+  test("cosine top-k: identical vector ranks first, orthogonal last") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),   // identical to query
+      (2L, Array(0.8f, 0.6f, 0.0f, 0.0f)),   // cos = 0.8
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)))   // orthogonal
+      .toDF("vec_id", "embedding")
+    val q = e.filter(col("vec_id") === 0)
+    val top = Vectors.cosineTopK(q, e, 3, d = 4)
+      .orderBy("rank").select("vec_id", "sim").collect()
+    assert(top(0).getLong(0) === 1L && math.abs(top(0).getDouble(1) - 1.0) < 1e-12)
+    assert(top(1).getLong(0) === 2L)
+    assert(top(2).getDouble(1) === 0.0)
+  }
+
+  test("sign-bucket LSH assigns equal buckets to sign-identical vectors") {
+    val df = Seq(
+      (0L, Array(0.5f, -0.1f, 0.2f, -0.3f)),
+      (1L, Array(0.9f, -0.7f, 0.1f, -0.9f)),  // same sign pattern → same bucket
+      (2L, Array(-0.5f, 0.1f, -0.2f, 0.3f)))  // inverted → different bucket
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), Vectors.signBucket(col("embedding")).as("b"))
+      .collect()
+    assert(df(0).getInt(1) === df(1).getInt(1))
+    assert(df(0).getInt(1) !== df(2).getInt(1))
+  }
+
+  test("multimodal: payload roundtrip, batch features deterministic, frames partition payload") {
+    val docs = Tables.documents(spark, TestSpark.sf).limit(50)
+    val media = Multimodal.attachPayload(docs)
+    val feats1 = Multimodal.extractFeatures(media, dim = 16).collect().sortBy(_.doc_id)
+    val feats2 = Multimodal.extractFeatures(media.repartition(7), dim = 16)
+      .collect().sortBy(_.doc_id)
+    assert(feats1.length === 50)
+    assert(feats1.forall(_.features.length === 16))
+    // determinism across partitionings (batch boundaries must not matter)
+    assert(feats1.zip(feats2).forall { case (a, b) =>
+      a.doc_id == b.doc_id && a.features.sameElements(b.features) })
+    // frame sampling: concatenated frames == original payload bytes
+    val byId = media.collect().map(m => m.doc_id -> m.payload).toMap
+    val frames = Multimodal.sampleFrames(media, n = 4).collect()
+      .groupBy(_.doc_id)
+    frames.foreach { case (id, fs) =>
+      val joined = fs.sortBy(_.frame_idx).flatMap(_.frame_bytes)
+      assert(joined.sameElements(byId(id)))
+    }
+    assert(frames.nonEmpty)
+  }
+
+  test("simhash of identical texts is identical; different texts differ somewhere") {
+    val q = Text.x2bSimhash(spark, TestSpark.sf)
+    val rows = q.limit(20).collect()
+    assert(rows.forall(_.getString(1).length === 16))
+  }
+}
