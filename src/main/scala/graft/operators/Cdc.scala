@@ -69,8 +69,18 @@ object Cdc {
       lit(null).cast(Schemas.transactionType).as("transaction"))
   }
 
+  private def envelope(opCode: Column, lsn: Column, before: Column,
+      after: Column, table: String = "customers"): Column = struct(
+    before.as("before"), after.as("after"),
+    source(lsn, when(opCode === "r", "true").otherwise("false"), table).as("source"),
+    opCode.as("op"), (lit(1700000000000L) + lsn).as("ts_ms"),
+    lit(null).cast(Schemas.transactionType).as("transaction"))
+
   /** The envelope-shaped changelog for the `customers` table (C1's typed
-    * output shape; FIXTURES.md §B).
+    * output shape; FIXTURES.md §B). Built in a SINGLE parquet scan: each
+    * customer expands to its 1–4 events via a null-filtered array explode
+    * (vs a 5-way union that re-reads the table five times — at 100 TB the
+    * difference is 5 scans vs 1).
     */
   def changelog(spark: SparkSession, dir: String): DataFrame = {
     val b = base(spark, dir)
@@ -79,11 +89,13 @@ object Cdc {
     val img2 = img(col("fn1"), col("ln0"), col("em1"))
     val latest = when(col("id") % 9 === 0, img2)
       .when(col("id") % 3 === 0, img1).otherwise(img0)
-    event(b.filter(col("id") % 10 < 2), "r", col("id") * 100, nullRow, img0)
-      .unionByName(event(b.filter(col("id") % 10 >= 2), "c", col("id") * 100 + 1, nullRow, img0))
-      .unionByName(event(b.filter(col("id") % 3 === 0), "u", col("id") * 100 + 2, img0, img1))
-      .unionByName(event(b.filter(col("id") % 9 === 0), "u", col("id") * 100 + 3, img1, img2))
-      .unionByName(event(b.filter(col("id") % 7 === 0), "d", col("id") * 100 + 4, latest, nullRow))
+    val events = array(
+      when(col("id") % 10 < 2, envelope(lit("r"), col("id") * 100, nullRow, img0)),
+      when(col("id") % 10 >= 2, envelope(lit("c"), col("id") * 100 + 1, nullRow, img0)),
+      when(col("id") % 3 === 0, envelope(lit("u"), col("id") * 100 + 2, img0, img1)),
+      when(col("id") % 9 === 0, envelope(lit("u"), col("id") * 100 + 3, img1, img2)),
+      when(col("id") % 7 === 0, envelope(lit("d"), col("id") * 100 + 4, latest, nullRow)))
+    b.select(explode(filter(events, e => e.isNotNull)).as("e")).select("e.*")
   }
 
   /** Oracle-side twin of [[changelog]]: a flat CTE (structs flattened to

