@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Native Catalyst expression for float32-vector dot products — the hot
+  * kernel of the similarity operators (SURVEY.md §2.2 X3).
+  *
+  * Why an Expression and not a UDF or higher-order function: `doGenCode`
+  * emits a tight primitive loop that whole-stage codegen inlines next to
+  * the join, with zero boxing, zero per-element Column-expression overhead
+  * (the 64-term `element_at` chain re-checks bounds/null per term), and no
+  * serialization wall like a Scala UDF.
+  *
+  * Determinism contract: accumulates left-to-right in double — EXACTLY the
+  * same IEEE operation sequence as the generated SQL chain
+  * `a[1]*b[1] + ... + a[n]*b[n]` that the DuckDB oracle runs, so results
+  * stay bit-identical across engines. Interpreted `nullSafeEval` and
+  * generated code paths are the same loop.
+  *
+  * Null elements inside the arrays are not expected (embedding columns);
+  * a null array (either side) yields null via `nullIntolerant`.
+  */
+case class DotProductFloat(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"dot_f32 requires two array<float> arguments, got ${l.sql} and ${r.sql}")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "dot_f32"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+/** Column-API and SQL-registry exposure of the native expression. */
+object VectorFunctions {
+  /** DataFrame form: `df.select(dotF32($"a", $"b"))`. */
+  def dotF32(a: Column, b: Column): Column =
+    GraftBridge.column(
+      DotProductFloat(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  private val info = new ExpressionInfo(classOf[DotProductFloat].getName, "dot_f32")
+  private val builder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, "dot_f32 takes exactly 2 arguments")
+    DotProductFloat(exprs.head, exprs(1))
+  }
+
+  /** Session-local SQL registration: `SELECT dot_f32(a.embedding, b.embedding)`. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_f32", builder, "built-in")
+}
+
+/** SparkSessionExtensions entry point:
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectFunction((FunctionIdentifier("dot_f32"),
+      new ExpressionInfo(classOf[DotProductFloat].getName, "dot_f32"),
+      { exprs: Seq[Expression] => DotProductFloat(exprs.head, exprs(1)) }))
+}

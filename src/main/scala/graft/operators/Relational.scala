@@ -495,7 +495,62 @@ object Relational {
       | CAST(count(json_extract_string(props, '$.k')) AS BIGINT) AS n_k
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // Q10c — GROUPING SETS via the SQL authoring path (spark.sql over a temp
+  // view — exercises the parser/analyzer entry instead of the DSL).
+  val q10cGroupingSets: Q = (spark, dir) => {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("v_li_gs")
+    spark.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        | round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM v_li_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())
+        |ORDER BY rf, ls""".stripMargin)
+  }
+  val q10cSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+      | round(sum(l_quantity), 2) AS sum_qty, CAST(count(*) AS BIGINT) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())
+      |ORDER BY rf, ls""".stripMargin
+
+  // Q_pivot — pivot events per user into one column per event type.
+  val qPivot: Q = (spark, dir) => {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+      .orderBy(col("user_id"))
+  }
+  val qPivotSql: String =
+    """SELECT user_id,
+      | CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+      | CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+      | CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+      | CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+      | CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // Q22 — correlated scalar subquery (Catalyst decorrelates it into a
+  // left outer aggregate join — SURVEY.md §4.2).
+  val q22Subquery: Q = (spark, dir) => {
+    Tables.customer(spark, dir).createOrReplaceTempView("v_cust_sq")
+    Tables.orders(spark, dir).createOrReplaceTempView("v_ord_sq")
+    spark.sql(
+      """SELECT c_custkey,
+        | (SELECT count(*) FROM v_ord_sq o WHERE o.o_custkey = c.c_custkey) AS n_ord
+        |FROM v_cust_sq c ORDER BY c_custkey""".stripMargin)
+  }
+  val q22Sql: String =
+    """SELECT c_custkey,
+      | (SELECT CAST(count(*) AS BIGINT) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_ord
+      |FROM customer c ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q10c_grouping_sets" -> q10cGroupingSets,
+    "q_pivot" -> qPivot,
+    "q22_subquery" -> q22Subquery,
     "q1_agg" -> q1Agg,
     "q2_join_inner" -> q2JoinInner,
     "q3_join_broadcast" -> q3JoinBroadcast,
@@ -523,6 +578,9 @@ object Relational {
     "q21_map" -> q21Map)
 
   val oracle: Map[String, String] = Map(
+    "q10c_grouping_sets" -> q10cSql,
+    "q_pivot" -> qPivotSql,
+    "q22_subquery" -> q22Sql,
     "q1_agg" -> q1Sql,
     "q2_join_inner" -> q2Sql,
     "q3_join_broadcast" -> q3Sql,

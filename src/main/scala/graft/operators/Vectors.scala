@@ -4,14 +4,17 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{Portable, Tables}
+import graft.functions.{TopK, VectorFunctions}
 
 /** Similarity search + multimodal-column extensions (SURVEY.md §2.2 X3/X5).
   *
   * Embeddings are unit-normalized 64-d float vectors, so cosine similarity
-  * is the raw dot product. Dot products are generated as a 64-term
-  * left-associative chain of double multiply-adds (Portable.dot):
-  * whole-stage-codegen'd in Spark and bit-identical with the DuckDB oracle
-  * (same IEEE ops, same order) — no tolerance needed anywhere.
+  * is the raw dot product. Dot products run through the native Catalyst
+  * expression [[graft.functions.DotProductFloat]] (codegen'd primitive
+  * loop), which accumulates left-to-right in double — the exact IEEE
+  * operation sequence of the oracle's generated SQL chain
+  * (Portable.dotSql), so values stay bit-identical across engines with no
+  * tolerance anywhere.
   *
   * Scale design (100 TB): the brute-force path broadcasts the (small) query
   * set and streams the corpus — embarrassingly parallel, one shuffle of
@@ -35,7 +38,7 @@ object Vectors {
       .crossJoin(corpus.select(col("vec_id"), col("embedding")).repartition(par))
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"),
-        Portable.dot(col("q_emb"), col("embedding"), d).as("sim"))
+        VectorFunctions.dotF32(col("q_emb"), col("embedding")).as("sim"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id").asc)
     joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -82,7 +85,7 @@ object Vectors {
       .join(e.select(col("vec_id"), col("embedding"), col("bucket")), Seq("bucket"))
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"),
-        Portable.dot(col("q_emb"), col("embedding"), dim).as("sim"))
+        VectorFunctions.dotF32(col("q_emb"), col("embedding")).as("sim"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id").asc)
     joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
       .select(col("q_id"), col("rank"), col("vec_id"), col("sim"))
@@ -116,7 +119,7 @@ object Vectors {
     val a = e.repartition(spark.sparkContext.defaultParallelism)
     a.as("a").join(broadcast(e).as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
-        Portable.dot(col("a.embedding"), col("b.embedding"), dim).as("sim"))
+        VectorFunctions.dotF32(col("a.embedding"), col("b.embedding")).as("sim"))
       .orderBy(col("sim").desc, col("va").asc, col("vb").asc)
       .limit(20)
   }
@@ -158,8 +161,48 @@ object Vectors {
     """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS payload_md5
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** X3 via the typed top-k [[graft.functions.TopK.TopKAgg]] Aggregator:
+    * map-side partial aggregation ships at most k hits per partition to the
+    * shuffle — the scale-preferred formulation vs the row_number window
+    * (which shuffles every candidate row). Output is value-identical to
+    * x3_cosine_topk, checked against the same oracle SQL.
+    */
+  val x3dTopKAgg: Q = (spark, dir) => {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+    val par = spark.sparkContext.defaultParallelism
+    val cand = broadcast(e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
+      .crossJoin(e.select(col("vec_id"), col("embedding")).repartition(par))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        VectorFunctions.dotF32(col("q_emb"), col("embedding")).as("sim"))
+    cand.as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => TopK.Hit(t._3, t._2))
+      .agg(TopK.topK(5).toColumn)
+      .flatMap { case (q, hits) =>
+        hits.zipWithIndex.map { case (h, i) => (q, i + 1, h.id, h.sim) } }
+      .toDF("q_id", "rank", "vec_id", "sim")
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** X5 media pipeline through the driver contract (rows-only check — the
+    * mapPartitions feature extraction is not SQL-expressible): binary
+    * payload → batch feature extraction → per-document feature head.
+    */
+  val x5cMediaFeatures: Q = (spark, dir) => {
+    val media = Multimodal.attachPayload(Tables.documents(spark, dir))
+    Multimodal.extractFeatures(media, dim = 16).toDF()
+      .select(col("doc_id"), col("format"), col("n_bytes"),
+        element_at(col("features"), 1).as("f1"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "x3_cosine_topk" -> x3CosineTopK,
+    "x3d_topk_agg" -> x3dTopKAgg,
+    "x5c_media_features" -> x5cMediaFeatures,
     "x3b_cosine_lsh" -> x3bCosineLsh,
     "x3c_embed_neardup" -> x3cEmbedNearDup,
     "x5_multimodal_join" -> x5MultimodalJoin,
@@ -167,6 +210,7 @@ object Vectors {
 
   val oracle: Map[String, String] = Map(
     "x3_cosine_topk" -> x3Sql,
+    "x3d_topk_agg" -> x3Sql, // same contract as x3 — value-identical by design
     "x3b_cosine_lsh" -> x3bSql,
     "x3c_embed_neardup" -> x3cSql,
     "x5_multimodal_join" -> x5Sql,

@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into Spark's package-private Column↔Expression converters (the
+  * Spark 4 "classic" API). Standard technique for external Catalyst
+  * extensions: these helpers are public API in spirit (every native
+  * function uses them) but scoped `private[sql]`.
+  */
+object GraftBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
