@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Partitioning
+
+/** Each partitioning technique must PROVE its claimed plan property. */
+class PartitioningSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("salted join returns identical results to the plain join") {
+    val ev = Tables.events(spark, TestSpark.sf)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val dim = Tables.events(spark, TestSpark.sf)
+      .select(col("user_id")).distinct()
+      .withColumn("user_tag", concat(lit("u"), col("user_id")))
+    val plain = ev.join(dim, Seq("user_id"))
+      .select(col("event_id"), col("user_tag"))
+      .orderBy("event_id").collect()
+    val salted = Partitioning.saltedEquiJoin(ev, dim, "user_id", salts = 4)
+      .select(col("event_id"), col("user_tag"))
+      .orderBy("event_id").collect()
+    assert(salted.toSeq === plain.toSeq)
+    assert(plain.nonEmpty)
+  }
+
+  test("co-bucketed join plans with no shuffle Exchange") {
+    // unique names: a crashed prior run leaves the managed location behind
+    val sfx = System.nanoTime()
+    val (tc, to) = (s"b_cust_$sfx", s"b_ord_$sfx")
+    val c = Tables.customer(spark, TestSpark.sf)
+    val o = Tables.orders(spark, TestSpark.sf).withColumnRenamed("o_custkey", "c_custkey")
+    Partitioning.writeBucketed(c, tc, "c_custkey", buckets = 4)
+    Partitioning.writeBucketed(o, to, "c_custkey", buckets = 4)
+    // disable auto-broadcast: at fixture size the planner would broadcast
+    // (with a BroadcastExchange) and skip bucketed scans entirely; the
+    // property under test is the co-located shuffle-free sort-merge join
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Partitioning.bucketedJoin(spark, tc, to, "c_custkey")
+      joined.collect() // finalize AQE plan
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), p)
+      assert(p.contains("SortMergeJoin"), p)
+      assert(joined.count() === Tables.orders(spark, TestSpark.sf).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+      spark.sql(s"DROP TABLE IF EXISTS $tc")
+      spark.sql(s"DROP TABLE IF EXISTS $to")
+    }
+  }
+
+  test("range partitioning by time yields non-overlapping contiguous spans") {
+    val ev = Tables.events(spark, TestSpark.sf)
+    val ranged = Partitioning.rangePartitionByTime(ev, "ts_ms", 4)
+    import spark.implicits._
+    val spans = ranged
+      .mapPartitions(it => {
+        val tss = it.map(_.getAs[Long]("ts_ms")).toSeq
+        if (tss.isEmpty) Iterator.empty
+        else Iterator.single((tss.min, tss.max))
+      })(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong))
+      .collect().sortBy(_._1)
+    assert(spans.length > 1)
+    spans.sliding(2).foreach {
+      case Array((_, maxA), (minB, _)) => assert(maxA <= minB)
+      case _ =>
+    }
+  }
+}
