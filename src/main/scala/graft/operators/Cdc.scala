@@ -135,6 +135,23 @@ object Cdc {
         col("after.last_name"), col("after.email"))
   }
 
+  /** Latest state per key INCLUDING tombstones (live=false for deletes),
+    * with the winning lsn — the mergeable form used by incremental
+    * snapshot maintenance (streaming foreachBatch upsert): a delete must
+    * outrank a previously materialized live row when snapshots are folded
+    * across epochs.
+    */
+  def snapshotWithTombstones(changelog: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("key")).orderBy(col("source.lsn").desc)
+    changelog
+      .withColumn("key", coalesce(col("after.id"), col("before.id")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("key").as("id"), (col("op") =!= "d").as("live"),
+        col("source.lsn").as("lsn"), col("after.first_name"),
+        col("after.last_name"), col("after.email"))
+  }
+
   val cdcSnapshot: Q = (spark, dir) => snapshot(changelog(spark, dir)).orderBy(col("id"))
   val cdcSnapshotSql: String = changelogCte +
     """

@@ -280,7 +280,28 @@ object Text {
       | CAST(count(*) OVER (PARTITION BY md5(lower(text))) AS BIGINT) AS n_same
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------ X4 term frequency
+  /** Corpus term frequency with language filter: tokenize → explode →
+    * count, the canonical shuffle-with-partial-agg text op. Deterministic
+    * top slice: all tokens with count ≥ 1000·SF would drift across SF, so
+    * rank by (count desc, token) and keep the top 50.
+    */
+  val x4eTermFreq: Q = (spark, dir) => {
+    Tables.documents(spark, dir)
+      .filter(col("lang").isin("en", "es"))
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(50)
+  }
+  val x4eSql: String =
+    """SELECT token, CAST(count(*) AS BIGINT) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token
+      |      FROM documents WHERE lang IN ('en', 'es'))
+      |GROUP BY 1 ORDER BY n DESC, token LIMIT 50""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "x4e_term_freq" -> x4eTermFreq,
     "x1_dedup_exact" -> x1DedupExact,
     "x2_minhash_lsh" -> x2MinhashLsh,
     "x2b_simhash" -> x2bSimhash,
@@ -291,6 +312,7 @@ object Text {
     "x4d_fingerprint" -> x4dFingerprint)
 
   val oracle: Map[String, String] = Map(
+    "x4e_term_freq" -> x4eSql,
     "x1_dedup_exact" -> x1Sql,
     "x2_minhash_lsh" -> x2Sql,
     "x2b_simhash" -> x2bSql,

@@ -52,6 +52,14 @@ object Streams {
   def dedupEvents(events: DataFrame, delay: String = "1 hour"): DataFrame =
     events.withWatermark("ts", delay).dropDuplicates("event_id")
 
+  /** T5b — watermark-scoped dedup: unlike dropDuplicates (which keys state
+    * on event_id forever unless the watermark column is part of the key),
+    * dropDuplicatesWithinWatermark expires each key's state once the
+    * watermark passes it — bounded state for unbounded streams.
+    */
+  def dedupWithinWatermark(events: DataFrame, delay: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", delay).dropDuplicatesWithinWatermark("event_id")
+
   // ------------------------------------------------------------------ T6
   /** Per-key running-snapshot state: the streaming twin of batch
     * Cdc.snapshot (C4). Key-partitioned state via flatMapGroupsWithState —
@@ -96,5 +104,39 @@ object Streams {
     events.groupByKey(e => e.after.orElse(e.before).map(_.id).getOrElse(-1L))
       .flatMapGroupsWithState[SnapState, SnapUpdate](
         OutputMode.Update, GroupStateTimeout.NoTimeout)(foldKey)
+  }
+
+  /** T6-alt — snapshot via foreachBatch + idempotent overwrite: each
+    * micro-batch folds the batch's events with the previously materialized
+    * snapshot (read back from parquet) and overwrites it atomically. Simpler
+    * operational model than state stores — the snapshot IS the checkpoint —
+    * at the cost of rewriting the table per epoch; right when the snapshot
+    * is small relative to the stream (a dimension table fed by CDC).
+    */
+  def snapshotForeachBatch(events: Dataset[CdcEvent], snapshotPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[CdcEvent] = {
+    val spark = events.sparkSession
+    events.writeStream.foreachBatch { (batch: Dataset[CdcEvent], _: Long) =>
+      import org.apache.spark.sql.functions._
+      val incoming = graft.operators.Cdc.snapshotWithTombstones(batch.toDF)
+      val merged = if (new java.io.File(snapshotPath).exists()) {
+        val prior = spark.read.parquet(snapshotPath)
+        prior.withColumn("__src", lit(0))
+          .unionByName(incoming.withColumn("__src", lit(1)))
+      } else incoming.withColumn("__src", lit(1))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id")).orderBy(col("lsn").desc, col("__src").desc)
+      val next = merged.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("live"))
+        .drop("rn", "__src")
+      // stage-then-swap keeps the overwrite atomic enough for local use;
+      // production would write to a versioned location / table format
+      val staged = snapshotPath + ".staging"
+      next.write.mode("overwrite").parquet(staged)
+      val tgt = new java.io.File(snapshotPath)
+      if (tgt.exists()) { scala.reflect.io.Directory(tgt).deleteRecursively() }
+      new java.io.File(staged).renameTo(tgt)
+      ()
+    }
   }
 }

@@ -115,6 +115,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchSnap.length === 1 && batchSnap(0).getString(3) === "a2@x")
   }
 
+  test("T5b dropDuplicatesWithinWatermark dedups and bounds state") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[E]
+    val q = Streams.dedupWithinWatermark(mem.toDF, "10 minutes").writeStream
+      .format("memory").queryName("t5b").outputMode("append").start()
+    mem.addData(sample.head, sample.head, sample(1)) // in-batch duplicate
+    q.processAllAvailable()
+    mem.addData(sample(1))                           // cross-batch duplicate
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table("t5b").select("event_id").as[Long].collect().sorted
+    assert(ids.toSeq === Seq(1L, 2L))
+  }
+
+  test("T6-alt foreachBatch idempotent snapshot merges across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("snap").toString + "/snap"
+    val mem = MemoryStream[CdcEvent]
+    val q = Streams.snapshotForeachBatch(mem.toDS, tmp)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt").toString)
+      .start()
+    mem.addData(
+      CdcEvent(None, row(30, "a@x"), src(300), "c", 300),
+      CdcEvent(None, row(31, "b@x"), src(310), "c", 310))
+    q.processAllAvailable()
+    mem.addData(
+      CdcEvent(row(30, "a@x"), row(30, "a2@x"), src(301), "u", 301),
+      CdcEvent(row(31, "b@x"), None, src(311), "d", 311))
+    q.processAllAvailable(); q.stop()
+    val snap = spark.read.parquet(tmp).orderBy("id").collect()
+    assert(snap.length === 1)
+    assert(snap(0).getLong(0) === 30L && snap(0).getString(5) === "a2@x")
+  }
+
   test("T7 output modes: complete/append/update all supported by the combinators") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[E]
