@@ -257,7 +257,57 @@ object Cdc {
   // After the include-list filter the nation events vanish → same as opRoute.
   val cdcTableFilterSql: String = cdcOpRouteSql
 
+  // ------------------------------------------------------------- SCD2 form
+  /** Slowly-changing-dimension type-2 history: every row version with its
+    * validity interval [valid_from, valid_to) in lsn order; open versions
+    * have valid_to NULL; deletes close the last interval without opening a
+    * new one. The other classic CDC materialization besides latest-state
+    * (C4) — "maintaining data replicas" per the reference's motivation
+    * (README.md:56-63). Key-partitioned window: one shuffle on the PK.
+    */
+  def scd2(changelog: DataFrame): DataFrame = {
+    changelog
+      .withColumn("key", coalesce(col("after.id"), col("before.id")))
+      .select(col("key").as("id"), col("op"), col("source.lsn").as("lsn"),
+        col("after.email").as("email"))
+      .withColumn("valid_to", lead(col("lsn"), 1).over(
+        Window.partitionBy(col("id")).orderBy(col("lsn").asc)))
+      .filter(col("op") =!= "d")
+      .select(col("id"), col("lsn").as("valid_from"), col("valid_to"), col("email"))
+  }
+
+  val cdcScd2: Q = (spark, dir) =>
+    scd2(changelog(spark, dir)).orderBy(col("id"), col("valid_from"))
+  val cdcScd2Sql: String = changelogCte +
+    """
+      |SELECT id, valid_from, valid_to, email FROM (
+      | SELECT id, op, lsn AS valid_from,
+      |  lead(lsn, 1) OVER (PARTITION BY id ORDER BY lsn) AS valid_to,
+      |  a_em AS email
+      | FROM chg)
+      |WHERE op <> 'd'
+      |ORDER BY id, valid_from""".stripMargin
+
+  // -------------------------------------------------------- change-rate
+  /** Operational monitoring: change volume per op per source-commit hour —
+    * the first query anyone points at a CDC stream.
+    */
+  val cdcRate: Q = (spark, dir) =>
+    changelog(spark, dir)
+      .groupBy((col("source.ts_ms") / lit(3600000L)).cast("long").as("hour_bucket"),
+        col("op"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(coalesce(col("after.id"), col("before.id"))).as("n_keys"))
+      .orderBy(col("hour_bucket"), col("op"))
+  val cdcRateSql: String = changelogCte +
+    """
+      |SELECT CAST((1700000000000 + lsn) // 3600000 AS BIGINT) AS hour_bucket, op,
+      | CAST(count(*) AS BIGINT) AS n, CAST(count(DISTINCT id) AS BIGINT) AS n_keys
+      |FROM chg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "cdc_scd2" -> cdcScd2,
+    "cdc_rate" -> cdcRate,
     "cdc_snapshot" -> cdcSnapshot,
     "cdc_op_route" -> cdcOpRoute,
     "cdc_diff" -> cdcDiff,
@@ -266,6 +316,8 @@ object Cdc {
     "cdc_table_filter" -> cdcTableFilter)
 
   val oracle: Map[String, String] = Map(
+    "cdc_scd2" -> cdcScd2Sql,
+    "cdc_rate" -> cdcRateSql,
     "cdc_snapshot" -> cdcSnapshotSql,
     "cdc_op_route" -> cdcOpRouteSql,
     "cdc_diff" -> cdcDiffSql,

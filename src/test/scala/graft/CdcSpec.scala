@@ -76,6 +76,34 @@ class CdcSpec extends AnyFunSuite {
     assert(d(1).getString(2) === "first_name,last_name")
   }
 
+  test("envelope parse tolerates schema drift: extra fields ignored, missing fields null") {
+    val wire = Seq(
+      // Debezium 2.x adds fields across versions — extras must not break parse
+      ("""{"op":"c","after":{"id":7,"first_name":"x","new_field":"?"},"source":{"lsn":5,"sequence":"[1,2]"},"ts_ms":1,"unknown_top":42}""", 7L),
+      // minimal envelope: absent optional fields surface as nulls
+      ("""{"op":"d","before":{"id":8},"source":{"lsn":6},"ts_ms":2}""", 8L))
+      .toDF("value", "k")
+    val parsed = Cdc.parseEnvelope(wire).select("e.after.id", "e.op", "e.source.lsn",
+      "e.after.email", "e.transaction").collect()
+    assert(parsed.length === 2)
+    assert(parsed(0).getLong(0) === 7L && parsed(0).getString(1) === "c")
+    assert(parsed(0).isNullAt(3) && parsed(0).isNullAt(4))
+    assert(parsed(1).getString(1) === "d" && parsed(1).getLong(2) === 6L)
+  }
+
+  test("SCD2 history: intervals chain per key, delete closes without opening") {
+    val events = Seq(
+      ev(40, "c", 100, None, row(40, "f", "l", "v1@x")),
+      ev(40, "u", 101, row(40, "f", "l", "v1@x"), row(40, "f", "l", "v2@x")),
+      ev(40, "d", 102, row(40, "f", "l", "v2@x"), None),
+      ev(41, "c", 200, None, row(41, "g", "m", "w1@x")))
+    val h = Cdc.scd2(events.toDS.toDF).orderBy("id", "valid_from").collect()
+    assert(h.length === 3)
+    assert(h(0).getLong(1) === 100L && h(0).getLong(2) === 101L) // closed by update
+    assert(h(1).getLong(1) === 101L && h(1).getLong(2) === 102L) // closed by delete
+    assert(h(2).getLong(1) === 200L && h(2).isNullAt(2))         // still open
+  }
+
   test("tombstones (null value) are dropped before parse (main.py:42)") {
     val wire = Seq(
       ("""{"op":"c","after":{"id":1,"first_name":"a"},"source":{"lsn":1},"ts_ms":1}""", 1L),
