@@ -89,10 +89,13 @@ object Text {
   }
 
   val x2MinhashLsh: Q = (spark, dir) => {
-    // NB: deliberately NOT cached — InMemoryRelation materialization costs
-    // more here than recomputing the (codegen'd, single-scan) signature
-    // pipeline per join branch; measured 23s cached vs 6s recomputed.
-    val sig = minhashSigs(Tables.documents(spark, dir))
+    // Stage signatures once via localCheckpoint (block-manager rows, lineage
+    // truncated): the band self-join then reads the staged table per branch
+    // instead of re-running the shingle pipeline. At 100 TB this staging IS
+    // the design — one pass over the corpus, tiny per-doc signature table
+    // downstream. (.cache() measured 4× slower here: InMemoryRelation
+    // columnar encode + AQE interplay — see BASELINE.md.)
+    val sig = minhashSigs(Tables.documents(spark, dir)).localCheckpoint()
     // melt to (band, key) with ONE explode pass instead of a 4-way union
     // (a union of N selects re-reads the signature relation N times)
     val bandStructs = (1 to numHashes by 2).zipWithIndex.map { case (j, b) =>
@@ -157,12 +160,14 @@ object Text {
     * 7·union).
     */
   val x2cNgramJaccard: Q = (spark, dir) => {
-    val sh = shingles(Tables.documents(spark, dir))
+    // Stage the shingle set once (see x2_minhash_lsh): the five consumer
+    // branches (doc counts, df counts, candidate join ×2, verify join ×2)
+    // all read the staged table — without staging the plan re-scans the
+    // corpus per branch (21 Exchanges in the audit; 11.8s vs 6.4s at sf0.1).
+    val sh = shingles(Tables.documents(spark, dir)).localCheckpoint()
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // df via groupBy+join (one shuffle + hash join) rather than a window
-    // over 's' (shuffle + per-partition sort over every shingle string);
-    // uncached throughout — recomputing the codegen'd scan beats
-    // InMemoryRelation materialization at this shape (see x2_minhash_lsh)
+    // over 's' (shuffle + per-partition sort over every shingle string)
     val df = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val rare = sh.join(df.filter(col("df") <= 10), "s")
     val cand = rare.as("a").join(rare.as("b"),
