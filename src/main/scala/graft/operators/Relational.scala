@@ -212,6 +212,46 @@ object Relational {
       | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // Q8b — exact percentiles (interpolated): Spark `percentile` and DuckDB
+  // `quantile_cont` share the linear-interpolation definition; rounding at
+  // 4 absorbs last-bit interpolation differences.
+  val q8bPercentile: Q = (spark, dir) => {
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+      .orderBy(col("event_type"))
+  }
+  val q8bSql: String =
+    """SELECT event_type,
+      | round(quantile_cont(value, 0.5), 4) AS p50,
+      | round(quantile_cont(value, 0.9), 4) AS p90,
+      | round(quantile_cont(value, 0.99), 4) AS p99
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // Q8c — statistical aggregates (sample stddev/variance, correlation,
+  // covariance); both engines use numerically stable one-pass updates,
+  // round(6) absorbs the last-bit differences.
+  val q8cStats: Q = (spark, dir) => {
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(stddev_samp(col("value")), 6).as("sd"),
+        round(var_samp(col("value")), 6).as("vr"),
+        round(corr(col("value"), col("user_id").cast("double")), 6).as("cr"),
+        round(covar_samp(col("value"), col("user_id").cast("double")), 6).as("cv"))
+      .orderBy(col("event_type"))
+  }
+  val q8cSql: String =
+    """SELECT event_type,
+      | round(stddev_samp(value), 6) AS sd,
+      | round(var_samp(value), 6) AS vr,
+      | round(corr(value, CAST(user_id AS DOUBLE)), 6) AS cr,
+      | round(covar_samp(value, CAST(user_id AS DOUBLE)), 6) AS cv
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   // Q9 — DISTINCT projection (dedup of a key pair).
   val q9Distinct: Q = (spark, dir) => {
     Tables.events(spark, dir)
@@ -386,6 +426,55 @@ object Relational {
       | concat_ws('@', lower(c_mktsegment), 'example.com') AS fake_email
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  // Q16b — conditional expressions: greatest/least/nullif/coalesce/CASE.
+  val q16bConditional: Q = (spark, dir) => {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") < 200)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        greatest(col("l_discount"), col("l_tax")).as("max_rate"),
+        least(col("l_discount"), col("l_tax")).as("min_rate"),
+        nullif(col("l_discount"), lit(0.0)).as("disc_or_null"),
+        coalesce(nullif(col("l_discount"), lit(0.0)), lit(-1.0)).as("disc_dflt"),
+        when(col("l_quantity") >= 25, "bulk")
+          .when(col("l_quantity") >= 10, "mid").otherwise("small").as("qty_class"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+  val q16bSql: String =
+    """SELECT l_orderkey, l_linenumber,
+      | greatest(l_discount, l_tax) AS max_rate,
+      | least(l_discount, l_tax) AS min_rate,
+      | nullif(l_discount, 0.0) AS disc_or_null,
+      | coalesce(nullif(l_discount, 0.0), -1.0) AS disc_dflt,
+      | CASE WHEN l_quantity >= 25 THEN 'bulk'
+      |      WHEN l_quantity >= 10 THEN 'mid' ELSE 'small' END AS qty_class
+      |FROM lineitem WHERE l_orderkey < 200
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // Q17c — date arithmetic: offsets, truncation, component differences on
+  // ms-precision timestamps (compared as epoch-ms longs / exact ints).
+  val q17cDateArith: Q = (spark, dir) => {
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") < 500)
+      .select(
+        col("o_orderkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("od_ms"),
+        unix_millis(add_months(col("o_orderdate"), 3).cast("timestamp")).as("plus3m_ms"),
+        unix_millis(date_add(col("o_orderdate"), 30).cast("timestamp")).as("plus30d_ms"),
+        unix_millis(date_trunc("month", col("o_orderdate")).cast("timestamp")).as("month_ms"),
+        datediff(lit("2000-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_to_y2k"))
+      .orderBy(col("o_orderkey"))
+  }
+  val q17cSql: String =
+    """SELECT o_orderkey,
+      | epoch_ms(o_orderdate) AS od_ms,
+      | epoch_ms(o_orderdate + INTERVAL 3 MONTH) AS plus3m_ms,
+      | epoch_ms(o_orderdate + INTERVAL 30 DAY) AS plus30d_ms,
+      | epoch_ms(date_trunc('month', o_orderdate)) AS month_ms,
+      | CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INT) AS days_to_y2k
+      |FROM orders WHERE o_orderkey < 500
+      |ORDER BY o_orderkey""".stripMargin
+
   // Q17 — time bucketing (the batch twin of the streaming tumbling window
   // T1; same window() primitive drives the streaming form in tests).
   val q17DateTime: Q = (spark, dir) => {
@@ -548,6 +637,10 @@ object Relational {
       |FROM customer c ORDER BY c_custkey""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q8b_percentile" -> q8bPercentile,
+    "q8c_stats" -> q8cStats,
+    "q16b_conditional" -> q16bConditional,
+    "q17c_date_arith" -> q17cDateArith,
     "q10c_grouping_sets" -> q10cGroupingSets,
     "q_pivot" -> qPivot,
     "q22_subquery" -> q22Subquery,
@@ -578,6 +671,10 @@ object Relational {
     "q21_map" -> q21Map)
 
   val oracle: Map[String, String] = Map(
+    "q8b_percentile" -> q8bSql,
+    "q8c_stats" -> q8cSql,
+    "q16b_conditional" -> q16bSql,
+    "q17c_date_arith" -> q17cSql,
     "q10c_grouping_sets" -> q10cSql,
     "q_pivot" -> qPivotSql,
     "q22_subquery" -> q22Sql,

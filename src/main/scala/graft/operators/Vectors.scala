@@ -187,6 +187,90 @@ object Vectors {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  // --------------------------------------------------------------- X3 IVF
+  /** Deterministic spherical k-means (Lloyd) for IVF coarse quantization:
+    * init = the k lowest-vec_id vectors, fixed iteration count, centroids
+    * L2-normalized each round so nearest-centroid = max dot product.
+    * The k×dim centroid model lives on the driver (tiny), like any fitted
+    * model; at 100 TB you fit on a sample — assignment stays fully
+    * distributed either way.
+    */
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): Array[Array[Float]] = {
+    val spark = corpus.sparkSession
+    var centroids: Array[Array[Float]] = corpus
+      .orderBy(col("vec_id")).limit(k)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    for (_ <- 1 to iters) {
+      val assigned = assignCluster(corpus, centroids)
+      val dimAvgs = (1 to dim).map(d =>
+        avg(element_at(col("embedding"), d).cast("double")).as(s"d$d"))
+      val rows = assigned.groupBy(col("cluster")).agg(dimAvgs.head, dimAvgs.tail: _*)
+        .collect()
+      val next = centroids.clone()
+      rows.foreach { r =>
+        val c = r.getAs[Int]("cluster")
+        val v = (1 to dim).map(d => r.getAs[Double](s"d$d")).toArray
+        val norm = math.sqrt(v.map(x => x * x).sum)
+        if (norm > 0) next(c) = v.map(x => (x / norm).toFloat)
+      }
+      centroids = next
+    }
+    centroids
+  }
+
+  /** Distributed nearest-centroid assignment: each dot evaluated once into
+    * an array, argmax via array_position (first-match tie-break —
+    * deterministic).
+    */
+  def assignCluster(vectors: DataFrame, centroids: Array[Array[Float]]): DataFrame = {
+    val dots = centroids.map(c =>
+      VectorFunctions.dotF32(col("embedding"), typedlit(c.toSeq)))
+    vectors.withColumn("__dots", array(dots: _*))
+      .withColumn("cluster",
+        (expr("array_position(__dots, array_max(__dots))") - 1).cast("int"))
+      .drop("__dots")
+  }
+
+  /** IVF search: probe the `nprobe` nearest centroid lists instead of the
+    * whole corpus — the trained-quantizer counterpart of the sign-bit LSH
+    * path (expected corpus-scan reduction ≈ nlist/nprobe).
+    */
+  def ivfSearch(queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
+    val centroids = kmeansCentroids(corpus, nlist, iters)
+    val assignedCorpus = assignCluster(corpus, centroids)
+    // per query: explode its nprobe nearest clusters
+    val qDots = centroids.map(c =>
+      VectorFunctions.dotF32(col("embedding"), typedlit(c.toSeq)))
+    val probes = queries
+      .withColumn("__dots", array(qDots: _*))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        explode(expr(
+          s"""transform(
+             | slice(array_sort(zip_with(__dots, sequence(0, ${nlist - 1}),
+             |   (d, i) -> struct(-d AS nd, i AS ci))), 1, $nprobe),
+             | s -> s.ci)""".stripMargin)).as("cluster"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id").asc)
+    broadcast(probes)
+      .join(assignedCorpus, Seq("cluster"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        VectorFunctions.dotF32(col("q_emb"), col("embedding")).as("sim"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("sim"))
+  }
+
+  /** Rows-only driver entry (k-means averaging order makes last-bit
+    * centroid values run-dependent, so no hash oracle; recall vs the exact
+    * brute-force result is asserted in FunctionsSpec).
+    */
+  val x3eCosineIvf: Q = (spark, dir) => {
+    val e = Tables.embeddings(spark, dir)
+    ivfSearch(e.filter(col("vec_id") < 10), e, k = 5)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** X5 media pipeline through the driver contract (rows-only check — the
     * mapPartitions feature extraction is not SQL-expressible): binary
     * payload → batch feature extraction → per-document feature head.
@@ -202,6 +286,7 @@ object Vectors {
   val queries: Map[String, Q] = Map(
     "x3_cosine_topk" -> x3CosineTopK,
     "x3d_topk_agg" -> x3dTopKAgg,
+    "x3e_cosine_ivf" -> x3eCosineIvf,
     "x5c_media_features" -> x5cMediaFeatures,
     "x3b_cosine_lsh" -> x3bCosineLsh,
     "x3c_embed_neardup" -> x3cEmbedNearDup,

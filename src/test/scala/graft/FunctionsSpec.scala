@@ -57,6 +57,18 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF search recalls most of the exact brute-force top-5") {
+    val exact = Vectors.x3CosineTopK(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Vectors.x3eCosineIvf(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(ivf.size === exact.size)
+    val recall = (ivf & exact).size.toDouble / exact.size
+    // 4-of-16 probes on 500 random unit vectors: recall well above chance
+    // (chance ≈ nprobe/nlist = 0.25); assert a conservative floor
+    assert(recall >= 0.5, s"IVF recall $recall")
+  }
+
   test("S3 JSON-lines changelog source roundtrips the envelope") {
     val dir = java.nio.file.Files.createTempDirectory("chg").toString
     val chg = operators.Cdc.changelog(spark, TestSpark.sf).limit(50)
