@@ -526,7 +526,7 @@ object Relational {
       | l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS charge,
       | abs(l_discount - 0.05) AS disc_dev,
       | sqrt(l_extendedprice) AS price_sqrt,
-      | floor(l_quantity / 5.0) AS qty_bucket,
+      | CAST(floor(l_quantity / 5.0) AS BIGINT) AS qty_bucket,
       | round(l_quantity / 7.0, 3) AS qty_sevenths,
       | l_orderkey % 7 AS key_mod
       |FROM lineitem WHERE l_orderkey < 100

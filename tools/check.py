@@ -16,6 +16,21 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
+def norm_type(t):
+    t = str(t).upper()
+    if "NUMBER" in t or t in ("FLOAT", "REAL"):
+        return "FLOAT"
+    if t in ("DOUBLE", "FLOAT64", "NUMBER"):
+        return "DOUBLE"
+    if t in ("INT", "INTEGER", "INT32", "NUMBER(32)"):
+        return "INT"
+    if t in ("BIGINT", "INT64", "LONG", "HUGEINT"):
+        return "BIGINT"
+    if t.startswith("VARCHAR") or t in ("STRING", "TEXT"):
+        return "STRING"
+    return t
+
+
 def canon(v):
     if v is None:
         return ("null",)
@@ -69,6 +84,19 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns spark={sorted(got_cols)} duck={sorted(exp_cols)}")
             n_fail += 1
             continue
+        # type strictness: compare normalized logical types per column, in
+        # case the driver's compare is schema-sensitive
+        try:
+            gt = {r[0]: norm_type(r[1]) for r in con.execute(
+                f"DESCRIBE SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchall()}
+            et = {r[0]: norm_type(r[1]) for r in con.execute(
+                f"DESCRIBE {sql}").fetchall()}
+            tdiff = {c: (gt.get(c), et.get(c)) for c in gt
+                     if gt.get(c) != et.get(c)}
+            if tdiff:
+                print(f"WARN {name}: type mismatch {tdiff}")
+        except Exception as e:
+            print(f"WARN {name}: type check failed: {e}")
         if len(got) != len(exp):
             print(f"FAIL {name}: rows spark={len(got)} duck={len(exp)}")
             n_fail += 1
