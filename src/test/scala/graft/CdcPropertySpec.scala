@@ -58,6 +58,18 @@ object CdcPropertySpec extends Properties("CdcSnapshot") {
       }
     }
 
+  property("set operations agree with Scala Set algebra on random key sets") =
+    forAll(Gen.listOf(Gen.choose(0L, 30L)), Gen.listOf(Gen.choose(0L, 30L))) { (xs, ys) =>
+      import spark.implicits._
+      val a = xs.toDF("k"); val b = ys.toDF("k")
+      val union = a.union(b).distinct().as[Long].collect().toSet
+      val inter = a.intersect(b).as[Long].collect().toSet
+      val except = a.except(b).as[Long].collect().toSet
+      val (sa, sb) = (xs.toSet, ys.toSet)
+      Prop(union == (sa | sb) && inter == (sa & sb) && except == (sa -- sb)) :|
+        s"sets diverged: u=$union i=$inter e=$except"
+    }
+
   property("snapshot is idempotent under event duplication (at-least-once)") =
     forAll(genChangelog) { keyed =>
       import spark.implicits._
