@@ -77,8 +77,8 @@ object VectorFunctions {
     GraftBridge.column(
       DotProductFloat(GraftBridge.expression(a), GraftBridge.expression(b)))
 
-  private val info = new ExpressionInfo(classOf[DotProductFloat].getName, "dot_f32")
-  private val builder: Seq[Expression] => Expression = { exprs =>
+  val info = new ExpressionInfo(classOf[DotProductFloat].getName, "dot_f32")
+  val builder: Seq[Expression] => Expression = { exprs =>
     require(exprs.length == 2, "dot_f32 takes exactly 2 arguments")
     DotProductFloat(exprs.head, exprs(1))
   }
@@ -96,6 +96,5 @@ object VectorFunctions {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
     e.injectFunction((FunctionIdentifier("dot_f32"),
-      new ExpressionInfo(classOf[DotProductFloat].getName, "dot_f32"),
-      { exprs: Seq[Expression] => DotProductFloat(exprs.head, exprs(1)) }))
+      VectorFunctions.info, VectorFunctions.builder))
 }

@@ -125,15 +125,10 @@ object Cdc {
     * window — the plan shuffles once on the PK and shards at any scale.
     * Library combinator: works on any envelope-shaped DataFrame.
     */
-  def snapshot(changelog: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("key")).orderBy(col("source.lsn").desc)
-    changelog
-      .withColumn("key", coalesce(col("after.id"), col("before.id")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1 && col("op") =!= "d")
-      .select(col("after.id").as("id"), col("after.first_name"),
-        col("after.last_name"), col("after.email"))
-  }
+  def snapshot(changelog: DataFrame): DataFrame =
+    snapshotWithTombstones(changelog)
+      .filter(col("live"))
+      .select(col("id"), col("first_name"), col("last_name"), col("email"))
 
   /** Latest state per key INCLUDING tombstones (live=false for deletes),
     * with the winning lsn — the mergeable form used by incremental

@@ -459,8 +459,10 @@ object Relational {
       .select(
         col("o_orderkey"),
         unix_millis(col("o_orderdate").cast("timestamp")).as("od_ms"),
-        unix_millis(add_months(col("o_orderdate"), 3).cast("timestamp")).as("plus3m_ms"),
-        unix_millis(date_add(col("o_orderdate"), 30).cast("timestamp")).as("plus30d_ms"),
+        // interval arithmetic (not add_months/date_add, which coerce to
+        // DateType and drop time-of-day — the oracle keeps it)
+        unix_millis((col("o_orderdate") + expr("INTERVAL 3 MONTHS")).cast("timestamp")).as("plus3m_ms"),
+        unix_millis((col("o_orderdate") + expr("INTERVAL 30 DAYS")).cast("timestamp")).as("plus30d_ms"),
         unix_millis(date_trunc("month", col("o_orderdate")).cast("timestamp")).as("month_ms"),
         datediff(lit("2000-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_to_y2k"))
       .orderBy(col("o_orderkey"))

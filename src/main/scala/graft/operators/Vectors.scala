@@ -31,16 +31,25 @@ object Vectors {
   /** Brute-force cosine top-k: the exact baseline. `queries` is expected to
     * be small (broadcast); `corpus` arbitrary size.
     */
-  def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      d: Int = dim): DataFrame = {
+  /** Shared candidate generation for the brute-force paths: broadcast the
+    * query set, repartition + stream the corpus, score with the native dot
+    * expression. Both top-k formulations (window and Aggregator) consume
+    * this, so they cannot diverge from the shared oracle contract.
+    */
+  private[operators] def bruteCandidates(queries: DataFrame,
+      corpus: DataFrame): DataFrame = {
     val par = corpus.sparkSession.sparkContext.defaultParallelism
-    val joined = broadcast(queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
+    broadcast(queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
       .crossJoin(corpus.select(col("vec_id"), col("embedding")).repartition(par))
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"),
         VectorFunctions.dotF32(col("q_emb"), col("embedding")).as("sim"))
+  }
+
+  def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id").asc)
-    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    bruteCandidates(queries, corpus)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
   val x3CosineTopK: Q = (spark, dir) => {
@@ -115,6 +124,11 @@ object Vectors {
     // would serialize the O(n²/2) pair loop onto one core. Repartitioning
     // the streamed side spreads the broadcast-nested-loop across all cores
     // (at cluster scale: across executors).
+    // SCALE CAVEAT: broadcast(e) ships the whole corpus to every task —
+    // right only while the corpus fits in memory (it does here). At 100 TB
+    // the pair generation block-partitions instead (repartition both sides
+    // into B blocks, join block pairs — SCALE.md §Similarity) or routes
+    // through the LSH/IVF candidate paths.
     val e = Tables.embeddings(spark, dir)
     val a = e.repartition(spark.sparkContext.defaultParallelism)
     a.as("a").join(broadcast(e).as("b"), col("a.vec_id") < col("b.vec_id"))
@@ -170,13 +184,7 @@ object Vectors {
   val x3dTopKAgg: Q = (spark, dir) => {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir)
-    val par = spark.sparkContext.defaultParallelism
-    val cand = broadcast(e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
-      .crossJoin(e.select(col("vec_id"), col("embedding")).repartition(par))
-      .filter(col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id"),
-        VectorFunctions.dotF32(col("q_emb"), col("embedding")).as("sim"))
+    val cand = bruteCandidates(e.filter(col("vec_id") < 10), e)
     cand.as[(Long, Long, Double)]
       .groupByKey(_._1)
       .mapValues(t => TopK.Hit(t._3, t._2))
@@ -196,13 +204,15 @@ object Vectors {
     * distributed either way.
     */
   def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): Array[Array[Float]] = {
-    val spark = corpus.sparkSession
-    var centroids: Array[Array[Float]] = corpus
+    // stage once: every Lloyd iteration scans the corpus (same shape as the
+    // shingle staging in Text — see BASELINE.md)
+    val staged = corpus.select(col("vec_id"), col("embedding")).localCheckpoint()
+    var centroids: Array[Array[Float]] = staged
       .orderBy(col("vec_id")).limit(k)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).toArray)
     for (_ <- 1 to iters) {
-      val assigned = assignCluster(corpus, centroids)
+      val assigned = assignCluster(staged, centroids)
       val dimAvgs = (1 to dim).map(d =>
         avg(element_at(col("embedding"), d).cast("double")).as(s"d$d"))
       val rows = assigned.groupBy(col("cluster")).agg(dimAvgs.head, dimAvgs.tail: _*)

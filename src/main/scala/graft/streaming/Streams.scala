@@ -101,7 +101,12 @@ object Streams {
   def snapshotStream(events: Dataset[CdcEvent]): Dataset[SnapUpdate] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events.groupByKey(e => e.after.orElse(e.before).map(_.id).getOrElse(-1L))
+    events
+      // keyless events (both images null — e.g. Debezium TRUNCATE/message
+      // records) carry no row state; dropping them up front keeps them from
+      // collapsing into one shared phantom key
+      .filter(e => e.after.orElse(e.before).isDefined)
+      .groupByKey(e => e.after.orElse(e.before).map(_.id).get)
       .flatMapGroupsWithState[SnapState, SnapUpdate](
         OutputMode.Update, GroupStateTimeout.NoTimeout)(foldKey)
   }
@@ -126,17 +131,39 @@ object Streams {
       } else incoming.withColumn("__src", lit(1))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("id")).orderBy(col("lsn").desc, col("__src").desc)
+      // KEEP tombstones (live=false) in the persisted state: a delete must
+      // retain its winning lsn across epochs, or a redelivered older update
+      // in a later batch would resurrect the deleted row. Consumers read
+      // the snapshot with readSnapshot (live rows only).
       val next = merged.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1 && col("live"))
+        .filter(col("rn") === 1)
         .drop("rn", "__src")
-      // stage-then-swap keeps the overwrite atomic enough for local use;
-      // production would write to a versioned location / table format
-      val staged = snapshotPath + ".staging"
-      next.write.mode("overwrite").parquet(staged)
+      // stage-then-swap: write staged, move current aside, move staged in,
+      // then drop the old generation — every step checked so a failed move
+      // never leaves the snapshot deleted. Production would use a
+      // versioned/table format instead of directory renames.
+      val staged = new java.io.File(snapshotPath + ".staging")
+      val old = new java.io.File(snapshotPath + ".old")
+      next.write.mode("overwrite").parquet(staged.getPath)
+      if (old.exists()) scala.reflect.io.Directory(old).deleteRecursively()
       val tgt = new java.io.File(snapshotPath)
-      if (tgt.exists()) { scala.reflect.io.Directory(tgt).deleteRecursively() }
-      new java.io.File(staged).renameTo(tgt)
+      if (tgt.exists() && !tgt.renameTo(old))
+        sys.error(s"snapshot swap: could not move $tgt aside")
+      if (!staged.renameTo(tgt)) {
+        old.renameTo(tgt) // restore the prior generation before failing
+        sys.error(s"snapshot swap: could not move $staged into place")
+      }
+      if (old.exists()) scala.reflect.io.Directory(old).deleteRecursively()
       ()
     }
   }
+
+  /** Consumer view of a foreachBatch-maintained snapshot: live rows only
+    * (the persisted table also carries tombstones — state, not output).
+    */
+  def readSnapshot(spark: org.apache.spark.sql.SparkSession,
+      snapshotPath: String): DataFrame =
+    spark.read.parquet(snapshotPath)
+      .filter(org.apache.spark.sql.functions.col("live"))
+      .drop("live")
 }

@@ -143,10 +143,17 @@ class StreamingSpec extends AnyFunSuite {
     mem.addData(
       CdcEvent(row(30, "a@x"), row(30, "a2@x"), src(301), "u", 301),
       CdcEvent(row(31, "b@x"), None, src(311), "d", 311))
+    q.processAllAvailable()
+    // epoch 3: redelivered OLDER update for the deleted key — the persisted
+    // tombstone (lsn 311) must outrank it; no resurrection
+    mem.addData(CdcEvent(row(31, "b@x"), row(31, "stale@x"), src(309), "u", 309))
     q.processAllAvailable(); q.stop()
-    val snap = spark.read.parquet(tmp).orderBy("id").collect()
-    assert(snap.length === 1)
-    assert(snap(0).getLong(0) === 30L && snap(0).getString(5) === "a2@x")
+    val live = Streams.readSnapshot(spark, tmp).orderBy("id").collect()
+    assert(live.length === 1)
+    assert(live(0).getLong(0) === 30L && live(0).getString(4) === "a2@x")
+    // raw state keeps the tombstone with its winning lsn
+    val raw = spark.read.parquet(tmp).orderBy("id").collect()
+    assert(raw.length === 2 && !raw(1).getBoolean(1) && raw(1).getLong(2) === 311L)
   }
 
   test("R6 checkpoint recovery: file-source stream resumes after stop without reprocessing") {

@@ -25,7 +25,7 @@ class TextVectorsSpec extends AnyFunSuite {
       (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)))   // orthogonal
       .toDF("vec_id", "embedding")
     val q = e.filter(col("vec_id") === 0)
-    val top = Vectors.cosineTopK(q, e, 3, d = 4)
+    val top = Vectors.cosineTopK(q, e, 3)
       .orderBy("rank").select("vec_id", "sim").collect()
     assert(top(0).getLong(0) === 1L && math.abs(top(0).getDouble(1) - 1.0) < 1e-12)
     assert(top(1).getLong(0) === 2L)
