@@ -546,7 +546,14 @@ object Relational {
         size(col("embedding")).as("dim"),
         element_at(col("embedding"), 1).cast("double").as("e1"),
         sqrt(Portable.dot(col("embedding"), col("embedding"), dim)).as("l2_norm"),
-        headSum.as("head8_sum"))
+        headSum.as("head8_sum"),
+        // higher-order lambdas in order-independent exact forms: count via
+        // filter, max over exact float abs via transform
+        expr("size(filter(embedding, x -> x > 0F))").cast("long").as("n_pos"),
+        expr("array_max(transform(embedding, x -> abs(x)))").cast("double").as("max_abs"),
+        // zip_with + slice: pairwise min of the vector with its reverse,
+        // first element (element-wise, exact)
+        expr("CAST(element_at(zip_with(embedding, reverse(embedding), (a, b) -> least(a, b)), 1) AS DOUBLE)").as("sym_min1"))
       .orderBy(col("vec_id"))
   }
   val q19Sql: String = {
@@ -554,7 +561,10 @@ object Relational {
     s"""SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
        | CAST(embedding[1] AS DOUBLE) AS e1,
        | sqrt(${Portable.dotSql("embedding", "embedding", 64)}) AS l2_norm,
-       | $headSum AS head8_sum
+       | $headSum AS head8_sum,
+       | CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+       | CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS max_abs,
+       | CAST(least(embedding[1], embedding[64]) AS DOUBLE) AS sym_min1
        |FROM embeddings ORDER BY vec_id""".stripMargin
   }
 

@@ -62,6 +62,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") || p.contains("Join"), p)
   }
 
+  test("as-of join window rewrite equals a naive per-group scan") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.events(spark, TestSpark.sf)
+      .select("event_id", "user_id", "ts_ms", "event_type").collect()
+    val errorsByUser = e.filter(_.getString(3) == "error")
+      .groupBy(_.getLong(1)).map { case (u, rs) =>
+        u -> rs.map(r => (r.getLong(2), r.getLong(0))).sortBy(x => (x._1, x._2))
+      }
+    val expected = e.filter(_.getString(3) == "purchase").map { p =>
+      val candidates = errorsByUser.getOrElse(p.getLong(1), Array.empty[(Long, Long)])
+        .filter(_._1 <= p.getLong(2))
+      val best = if (candidates.isEmpty) None else Some(candidates.last)
+      (p.getLong(0), best.map(_._2))
+    }.toMap
+    val got = SparkEntry.queries("q7_asof_join")(spark, TestSpark.sf).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(got.size === expected.size)
+    assert(got === expected)
+  }
+
   test("similarity search broadcasts the query side") {
     val p = plan("x3_cosine_topk")
     assert(p.contains("Broadcast"), p)
