@@ -305,8 +305,42 @@ object Text {
       |      FROM documents WHERE lang IN ('en', 'es'))
       |GROUP BY 1 ORDER BY n DESC, token LIMIT 50""".stripMargin
 
+  // ------------------------------------------------------------- X4 TF-IDF
+  /** TF-IDF per (document, term): term frequency × ln(N / document
+    * frequency). Output is the full matrix for a doc slice with the score
+    * rounded — deliberately NOT a top-k-by-score ranking, because ln() last
+    * -ulp differences between engines could flip float-ranked positions;
+    * values-with-round compare exactly, ranks on floats would not.
+    */
+  val x4fTfIdf: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir)
+    val n = docs.count()
+    val tf = docs.filter(col("doc_id") < 50)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "token")
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("tfidf"))
+      .orderBy(col("doc_id"), col("token"))
+  }
+  val x4fSql: String =
+    """WITH tf AS (
+      | SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents WHERE doc_id < 50),
+      |tfc AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tf GROUP BY 1, 2),
+      |dfc AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM (
+      | SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) GROUP BY 1)
+      |SELECT doc_id, tfc.token, tf, df,
+      | round(tf * ln((SELECT count(*) FROM documents) * 1.0 / df), 6) AS tfidf
+      |FROM tfc JOIN dfc ON tfc.token = dfc.token
+      |ORDER BY doc_id, tfc.token""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "x4e_term_freq" -> x4eTermFreq,
+    "x4f_tfidf" -> x4fTfIdf,
     "x1_dedup_exact" -> x1DedupExact,
     "x2_minhash_lsh" -> x2MinhashLsh,
     "x2b_simhash" -> x2bSimhash,
@@ -318,6 +352,7 @@ object Text {
 
   val oracle: Map[String, String] = Map(
     "x4e_term_freq" -> x4eSql,
+    "x4f_tfidf" -> x4fSql,
     "x1_dedup_exact" -> x1Sql,
     "x2_minhash_lsh" -> x2Sql,
     "x2b_simhash" -> x2bSql,
