@@ -596,6 +596,40 @@ object Relational {
       | CAST(count(json_extract_string(props, '$.k')) AS BIGINT) AS n_k
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // Q_sessionize — batch sessionization via gaps-and-islands (lag + running
+  // sum of gap flags), the oracle-checkable twin of the streaming
+  // session_window (T3). A spec asserts this formulation produces the same
+  // sessions as session_window itself.
+  val qSessionize: Q = (spark, dir) => {
+    val gapMs = 30 * 60 * 1000L
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_ms"))
+      .withColumn("new_session",
+        when(col("ts_ms") - lag(col("ts_ms"), 1).over(byUser) > gapMs, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_ms")).as("start_ms"), max(col("ts_ms")).as("end_ms"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+  val qSessionizeSql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),
+      |flagged AS (
+      | SELECT user_id, event_id, ts_ms,
+      |  CASE WHEN ts_ms - lag(ts_ms, 1) OVER w > 1800000 THEN 1 ELSE 0 END AS new_session
+      | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+      |sessions AS (
+      | SELECT user_id, event_id, ts_ms,
+      |  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      | FROM flagged)
+      |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+      | min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
+      |FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // Q10c — GROUPING SETS via the SQL authoring path (spark.sql over a temp
   // view — exercises the parser/analyzer entry instead of the DSL).
   val q10cGroupingSets: Q = (spark, dir) => {
@@ -655,6 +689,7 @@ object Relational {
     "q17c_date_arith" -> q17cDateArith,
     "q10c_grouping_sets" -> q10cGroupingSets,
     "q_pivot" -> qPivot,
+    "q_sessionize" -> qSessionize,
     "q22_subquery" -> q22Subquery,
     "q1_agg" -> q1Agg,
     "q2_join_inner" -> q2JoinInner,
@@ -689,6 +724,7 @@ object Relational {
     "q17c_date_arith" -> q17cSql,
     "q10c_grouping_sets" -> q10cSql,
     "q_pivot" -> qPivotSql,
+    "q_sessionize" -> qSessionizeSql,
     "q22_subquery" -> q22Sql,
     "q1_agg" -> q1Sql,
     "q2_join_inner" -> q2Sql,

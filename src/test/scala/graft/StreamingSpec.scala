@@ -57,6 +57,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.count(_.getLong(2) == 2L) === 2)
   }
 
+  test("T3b gaps-and-islands sessionization equals session_window on real events") {
+    import graft.operators.Relational
+    // session_window(ts, 30min) on the fixture events vs the oracle-checked
+    // gaps-and-islands rewrite: same (user, n_events, start) multiset
+    val viaWindow = Streams.sessionCounts(
+        Tables.events(spark, TestSpark.sf).withColumn("ts",
+          timestamp_millis(col("ts_ms"))), "30 minutes")
+      .select(col("user_id"), col("n"), unix_millis(col("s_start")).as("start_ms"))
+      .orderBy("user_id", "start_ms").collect()
+    val viaIslands = Relational.qSessionize(spark, TestSpark.sf)
+      .select(col("user_id"), col("n_events"), col("start_ms"))
+      .orderBy("user_id", "start_ms").collect()
+    assert(viaWindow.length === viaIslands.length)
+    viaWindow.zip(viaIslands).foreach { case (w, i) =>
+      assert(w.getLong(0) === i.getLong(0))
+      assert(w.getLong(1) === i.getLong(1))
+      assert(w.getLong(2) === i.getLong(2))
+    }
+  }
+
   test("T5 streaming dedup by event_id across micro-batches") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[E]
