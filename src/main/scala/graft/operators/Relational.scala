@@ -324,6 +324,49 @@ object Relational {
       |QUALIFY rn <= 3
       |ORDER BY o_custkey, rn""".stripMargin
 
+  // Q11b — distribution window functions: ntile / percent_rank / cume_dist.
+  // percent_rank=(rank-1)/(n-1) and cume_dist=peers/n are exact rationals
+  // evaluated identically in both engines — no rounding needed.
+  val q11bWindowDist: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+  }
+  val q11bSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      | CAST(ntile(4) OVER w AS INT) AS quartile,
+      | percent_rank() OVER w AS pct_rank,
+      | cume_dist() OVER w AS cume
+      |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_custkey, o_totalprice, o_orderkey""".stripMargin
+
+  // Q12b — positional window values: first/last/nth over an explicit ROWS
+  // frame (default RANGE frames differ subtly; ROWS is unambiguous).
+  val q12bWindowPos: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_ms"),
+        first(col("event_type")).over(w).as("first_type"),
+        last(col("event_type")).over(w).as("last_type"),
+        nth_value(col("event_type"), 2).over(w).as("second_type"))
+      .orderBy(col("user_id"), col("ts_ms"), col("event_id"))
+  }
+  val q12bSql: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type FROM events)
+      |SELECT user_id, event_id, ts_ms,
+      | first_value(event_type) OVER w AS first_type,
+      | last_value(event_type) OVER w AS last_type,
+      | nth_value(event_type, 2) OVER w AS second_type
+      |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY user_id, ts_ms, event_id""".stripMargin
+
   // Q12 — analytic window: lag/lead over each user's event timeline.
   val q12WindowLag: Q = (spark, dir) => {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
@@ -705,7 +748,9 @@ object Relational {
     "q10_rollup" -> q10Rollup,
     "q10b_cube" -> q10bCube,
     "q11_window_rank" -> q11WindowRank,
+    "q11b_window_dist" -> q11bWindowDist,
     "q12_window_lag" -> q12WindowLag,
+    "q12b_window_pos" -> q12bWindowPos,
     "q13_window_frame" -> q13WindowFrame,
     "q14_topk" -> q14TopK,
     "q15_setops" -> q15SetOps,
@@ -739,7 +784,9 @@ object Relational {
     "q10_rollup" -> q10Sql,
     "q10b_cube" -> q10bSql,
     "q11_window_rank" -> q11Sql,
+    "q11b_window_dist" -> q11bSql,
     "q12_window_lag" -> q12Sql,
+    "q12b_window_pos" -> q12bSql,
     "q13_window_frame" -> q13Sql,
     "q14_topk" -> q14Sql,
     "q15_setops" -> q15Sql,
