@@ -314,17 +314,18 @@ object Text {
     */
   val x4fTfIdf: Q = (spark, dir) => {
     val docs = Tables.documents(spark, dir)
-    val n = docs.count()
-    val tf = docs.filter(col("doc_id") < 50)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    // one declarative plan: token stream shared by tf and df branches, and
+    // N delivered in-plan via a broadcast 1-row aggregate — no eager
+    // count() job at query-construction time
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = toks.filter(col("doc_id") < 50)
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val dfreq = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .distinct()
+    val dfreq = toks.distinct()
       .groupBy(col("token")).agg(count(lit(1)).as("df"))
-    tf.join(dfreq, "token")
+    tf.join(dfreq, "token").crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("token"), col("tf"), col("df"),
-        round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("tfidf"))
+        round(col("tf") * log(col("n_docs") / col("df")), 6).as("tfidf"))
       .orderBy(col("doc_id"), col("token"))
   }
   val x4fSql: String =

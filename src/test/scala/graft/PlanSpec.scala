@@ -78,7 +78,6 @@ class PlanSpec extends AnyFunSuite {
     }.toMap
     val got = SparkEntry.queries("q7_asof_join")(spark, TestSpark.sf).collect()
       .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
-    assert(got.size === expected.size)
     assert(got === expected)
   }
 
