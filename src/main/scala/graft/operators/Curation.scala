@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Corpus-curation composites — the end-to-end shapes a 100 TB training-
+  * data pipeline actually runs, composed from the catalog operators:
+  * quality gating + language selection + near-dup exclusion, deterministic
+  * stratified sampling for data mixing, and token-budget shard packing.
+  * All deterministic and DuckDB-oracle-exact (integer arithmetic, md5-based
+  * pseudo-randomness, total ordering).
+  */
+object Curation {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** X6 — curation pipeline: keep en/de/es documents in a token-length
+    * band, drop every near-duplicate pair member except its lowest-id
+    * representative (using the same rare-5-gram Jaccard candidates as
+    * x2c), and emit the surviving corpus with its quality features.
+    * The "would a user of the reference switch" query: filter → near-dup
+    * anti-join → project, one declarative plan.
+    */
+  val x6Curation: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+    val kept = docs
+      .filter(col("lang").isin("en", "de", "es"))
+      .filter(col("n_tokens").between(20, 90))
+    // near-dup members (da < db): db is the duplicate to drop
+    val dupPairs = Text.x2cNgramJaccard(spark, dir).select(col("db").as("dup_id"))
+    kept.join(dupPairs, kept("doc_id") === dupPairs("dup_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+  val x6Sql: String = {
+    // reuse the exact x2c candidate/verify CTE, then anti-join
+    val jaccard = Text.x2cSql
+      .replaceAll("(?s)SELECT da, db, shared.*$", "") // keep CTEs only
+    jaccard + ",\n" +
+      """dups AS (
+        | SELECT DISTINCT db AS dup_id
+        | FROM shared JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
+        | WHERE shared * 10 >= (ca.n + cb.n - shared) * 7)
+        |SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, n_chars
+        |FROM documents
+        |WHERE lang IN ('en', 'de', 'es')
+        | AND len(string_split(text, ' ')) BETWEEN 20 AND 90
+        | AND NOT EXISTS (SELECT 1 FROM dups WHERE dup_id = doc_id)
+        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** X6b — deterministic stratified sample: k documents per language,
+    * selected by md5 order (portable pseudo-randomness — same "random"
+    * sample in any engine, any run).
+    */
+  val x6bStratifiedSample: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(concat(lit("samp:"), col("doc_id").cast("string"))), col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .select(col("lang"), col("rn"), col("doc_id"))
+      .orderBy(col("lang"), col("rn"))
+  }
+  val x6bSql: String =
+    """SELECT lang, CAST(rn AS INT) AS rn, doc_id FROM (
+      | SELECT lang, doc_id,
+      |  row_number() OVER (PARTITION BY lang
+      |    ORDER BY md5('samp:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      | FROM documents)
+      |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin
+
+  /** X6c — token-budget shard packing: stream documents in id order per
+    * language, cut a new shard whenever the running token count passes the
+    * budget — the batch approximation of sequence packing. Integer-exact.
+    */
+  val x6cTokenPacking: Q = (spark, dir) => {
+    val budget = 2000L
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("shard", ((col("cum_tokens") - 1) / budget).cast("long"))
+      .groupBy(col("lang"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("shard_tokens"))
+      .orderBy(col("lang"), col("shard"))
+  }
+  val x6cSql: String =
+    """WITH t AS (
+      | SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      | FROM documents),
+      |c AS (
+      | SELECT lang, doc_id, n_tokens,
+      |  sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      | FROM t)
+      |SELECT lang, CAST((cum_tokens - 1) // 2000 AS BIGINT) AS shard,
+      | CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+      |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "x6_curation" -> x6Curation,
+    "x6b_stratified_sample" -> x6bStratifiedSample,
+    "x6c_token_packing" -> x6cTokenPacking)
+
+  val oracle: Map[String, String] = Map(
+    "x6_curation" -> x6Sql,
+    "x6b_stratified_sample" -> x6bSql,
+    "x6c_token_packing" -> x6cSql)
+}
