@@ -252,6 +252,42 @@ object Relational {
       | round(covar_samp(value, CAST(user_id AS DOUBLE)), 6) AS cv
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // Q8d — string aggregation. collect_list order is partition-dependent,
+  // so the deterministic form is collect_set → sort_array → array_join,
+  // mirrored by DuckDB's string_agg(DISTINCT ... ORDER BY).
+  val q8dStringAgg: Q = (spark, dir) => {
+    Tables.events(spark, dir)
+      .filter(col("user_id") < 10)
+      .groupBy(col("user_id"))
+      .agg(array_join(sort_array(collect_set(col("event_type"))), ",").as("types_seen"),
+        count(lit(1)).as("n"))
+      .orderBy(col("user_id"))
+  }
+  val q8dSql: String =
+    """SELECT user_id,
+      | string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_seen,
+      | CAST(count(*) AS BIGINT) AS n
+      |FROM events WHERE user_id < 10 GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // Q_unpivot — melt wide columns to (key, metric, value) rows.
+  val qUnpivot: Q = (spark, dir) => {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") < 50)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "metric", "value")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+  }
+  val qUnpivotSql: String =
+    """SELECT l_orderkey, l_linenumber, metric, value
+      |FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+      |      FROM lineitem WHERE l_orderkey < 50)
+      |UNPIVOT (value FOR metric IN (l_quantity, l_extendedprice, l_discount))
+      |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
+
   // Q9 — DISTINCT projection (dedup of a key pair).
   val q9Distinct: Q = (spark, dir) => {
     Tables.events(spark, dir)
@@ -728,6 +764,8 @@ object Relational {
   val queries: Map[String, Q] = Map(
     "q8b_percentile" -> q8bPercentile,
     "q8c_stats" -> q8cStats,
+    "q8d_stringagg" -> q8dStringAgg,
+    "q_unpivot" -> qUnpivot,
     "q16b_conditional" -> q16bConditional,
     "q17c_date_arith" -> q17cDateArith,
     "q10c_grouping_sets" -> q10cGroupingSets,
@@ -765,6 +803,8 @@ object Relational {
   val oracle: Map[String, String] = Map(
     "q8b_percentile" -> q8bSql,
     "q8c_stats" -> q8cSql,
+    "q8d_stringagg" -> q8dSql,
+    "q_unpivot" -> qUnpivotSql,
     "q16b_conditional" -> q16bSql,
     "q17c_date_arith" -> q17cSql,
     "q10c_grouping_sets" -> q10cSql,
