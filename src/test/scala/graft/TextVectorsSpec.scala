@@ -66,6 +66,18 @@ class TextVectorsSpec extends AnyFunSuite {
     assert(frames.nonEmpty)
   }
 
+  test("stratified sample is invariant to input partitioning (md5 order, not row order)") {
+    import graft.operators.Curation
+    val direct = Curation.x6bStratifiedSample(spark, TestSpark.sf).collect().toSeq
+    // same query over a deliberately reshuffled source must pick the SAME docs
+    val docs = Tables.documents(spark, TestSpark.sf).repartition(13)
+    val tmp = java.nio.file.Files.createTempDirectory("strat").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // the query reads only documents.parquet from the sf dir
+    val reshuffled = Curation.x6bStratifiedSample(spark, tmp).collect().toSeq
+    assert(direct === reshuffled)
+  }
+
   test("simhash of identical texts is identical; different texts differ somewhere") {
     val q = Text.x2bSimhash(spark, TestSpark.sf)
     val rows = q.limit(20).collect()
