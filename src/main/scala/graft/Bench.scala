@@ -24,7 +24,11 @@ object Bench {
           false
       }
       // -1 marks a failed query so a regression can't hide as a fast time
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      // free localCheckpoint blocks left by staged intermediates so they
+      // don't accumulate GC pressure across the 60+ query run
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
