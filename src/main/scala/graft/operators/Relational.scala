@@ -192,6 +192,23 @@ object Relational {
       |FROM p ASOF LEFT JOIN r ON p.user_id = r.user_id AND p.ts_ms >= r.ts_ms
       |ORDER BY p_event_id""".stripMargin
 
+  // Q7b — the same as-of semantics through the custom Catalyst operator
+  // (graft.plans.AsOfJoinExec: one hash shuffle + per-partition merge scan)
+  // instead of the window rewrite; checked against the same DuckDB ASOF
+  // oracle, so the two execution strategies are mutually verified.
+  val q7bAsofCustom: Q = (spark, dir) => {
+    val e = Tables.events(spark, dir)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_event_id"), col("ts_ms"))
+    val r = e.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("asof_event_id"), col("ts_ms"))
+    graft.plans.AsOf.asofJoin(p, r, "user_id", "ts_ms")
+      .toDF("user_id", "p_event_id", "p_ts_ms", "r_user_id", "asof_event_id", "asof_ts_ms")
+      .select(col("p_event_id"), col("user_id"), col("p_ts_ms"),
+        col("asof_event_id"), col("asof_ts_ms"))
+      .orderBy(col("p_event_id"))
+  }
+
   // Q8 — multi-aggregate stats incl. exact distinct count (shuffle expand).
   val q8AggStats: Q = (spark, dir) => {
     Tables.events(spark, dir)
@@ -780,6 +797,7 @@ object Relational {
     "q5_semi_anti" -> q5SemiAnti,
     "q6_range_join" -> q6RangeJoin,
     "q7_asof_join" -> q7AsofJoin,
+    "q7b_asof_custom" -> q7bAsofCustom,
     "q8_agg_stats" -> q8AggStats,
     "q9_distinct" -> q9Distinct,
     "q9b_approx_distinct" -> q9bApproxDistinct,
@@ -819,6 +837,7 @@ object Relational {
     "q5_semi_anti" -> q5Sql,
     "q6_range_join" -> q6Sql,
     "q7_asof_join" -> q7Sql,
+    "q7b_asof_custom" -> q7Sql, // same contract, custom physical operator
     "q8_agg_stats" -> q8Sql,
     "q9_distinct" -> q9Sql,
     "q10_rollup" -> q10Sql,

@@ -1,0 +1,126 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Whole-operator as-of join as a first-class Catalyst citizen (SURVEY.md
+  * §2.2 Q7; the tier-(c) extension path — logical node + planner strategy +
+  * distributed physical operator). Spark has no native as-of join; the
+  * engine's window rewrite (Relational.q7AsofJoin) expresses the semantics
+  * with built-ins, while this operator executes them directly: for every
+  * left row, the matching right row is the one with the greatest
+  * `rightTs <= leftTs` within the same key (left outer semantics).
+  *
+  * Distribution contract: both children require ClusteredDistribution on
+  * the key and (key, ts) ascending ordering — EnsureRequirements inserts
+  * the one hash shuffle + in-partition sorts, after which each partition
+  * merges its two sorted streams in a single O(n_left + n_right) pass with
+  * O(1) state (the current candidate row). That is the textbook
+  * merge-scan an ASOF-native engine runs, sharded by key across executors.
+  *
+  * Key and timestamp expressions must be LongType (the engine's id/epoch-ms
+  * convention).
+  */
+case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTs: Expression, rightTs: Expression) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(newLeft: LogicalPlan,
+      newRight: LogicalPlan): LogicalPlan = copy(left = newLeft, right = newRight)
+}
+
+case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTs: Expression, rightTs: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] = Seq(
+    ClusteredDistribution(Seq(leftKey)), ClusteredDistribution(Seq(rightKey)))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending))
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lk = BindReferences.bindReference(leftKey, left.output)
+    val lt = BindReferences.bindReference(leftTs, left.output)
+    val rk = BindReferences.bindReference(rightKey, right.output)
+    val rt = BindReferences.bindReference(rightTs, right.output)
+    val rightSchema = right.output
+    val allOutput = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val nullRight = new GenericInternalRow(rightSchema.length)
+      val joined = new JoinedRow
+      val toUnsafe = UnsafeProjection.create(allOutput, allOutput)
+      val rBuf = rIter.buffered
+      // candidate: last right row of the CURRENT left key with ts <= left ts
+      var candidate: InternalRow = null
+      var candidateKey = 0L
+      lIter.map { lRow =>
+        val key = lk.eval(lRow).asInstanceOf[Long]
+        val ts = lt.eval(lRow).asInstanceOf[Long]
+        if (candidate != null && candidateKey != key) candidate = null
+        var advancing = true
+        while (advancing && rBuf.hasNext) {
+          val head = rBuf.head
+          val hk = rk.eval(head).asInstanceOf[Long]
+          if (hk < key) { rBuf.next() } // behind the current key: skip
+          else if (hk == key && rt.eval(head).asInstanceOf[Long] <= ts) {
+            candidate = rBuf.next().copy() // newest admissible match so far
+            candidateKey = key
+          } else advancing = false // right stream is ahead; stop
+        }
+        val r = if (candidate != null && candidateKey == key) candidate else nullRight
+        toUnsafe(joined(lRow, r))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(newLeft: SparkPlan,
+      newRight: SparkPlan): SparkPlan = copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+/** DataFrame-level entry point. Enable the strategy once per session via
+  * `spark.experimental.extraStrategies` (done here idempotently) or
+  * `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+object AsOf {
+  def asofJoin(left: DataFrame, right: DataFrame,
+      key: String, ts: String): DataFrame = {
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    val l = left.queryExecution.analyzed
+    // self-join safety: when both inputs derive from one base relation the
+    // attribute exprIds collide across children and Catalyst resolves/prunes
+    // them against the wrong side — re-alias the right side to fresh ids
+    // (the same dedup Dataset.join performs)
+    val r = right.select(right.columns.map(c => right(c).as(c)): _*)
+      .queryExecution.analyzed
+    def attr(p: LogicalPlan, name: String): Attribute =
+      p.output.find(_.name == name).getOrElse(
+        sys.error(s"asofJoin: column $name not found in ${p.output.map(_.name)}"))
+    GraftBridge.ofRows(spark,
+      AsOfJoinPlan(l, r, attr(l, key), attr(r, key), attr(l, ts), attr(r, ts)))
+  }
+}
