@@ -202,7 +202,7 @@ object Relational {
       .select(col("user_id"), col("event_id").as("p_event_id"), col("ts_ms"))
     val r = e.filter(col("event_type") === "error")
       .select(col("user_id"), col("event_id").as("asof_event_id"), col("ts_ms"))
-    graft.plans.AsOf.asofJoin(p, r, "user_id", "ts_ms")
+    graft.plans.AsOf.asofJoin(p, r, "user_id", "ts_ms", tieBreak = Some("asof_event_id"))
       .toDF("user_id", "p_event_id", "p_ts_ms", "r_user_id", "asof_event_id", "asof_ts_ms")
       .select(col("p_event_id"), col("user_id"), col("p_ts_ms"),
         col("asof_event_id"), col("asof_ts_ms"))

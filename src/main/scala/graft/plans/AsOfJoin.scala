@@ -28,7 +28,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   */
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTs: Expression, rightTs: Expression) extends BinaryNode {
+    leftTs: Expression, rightTs: Expression,
+    rightTieBreak: Option[Expression]) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(newLeft: LogicalPlan,
@@ -37,7 +38,8 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
 
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTs: Expression, rightTs: Expression) extends BinaryExecNode {
+    leftTs: Expression, rightTs: Expression,
+    rightTieBreak: Option[Expression]) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -45,12 +47,20 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   override def requiredChildDistribution: Seq[Distribution] = Seq(
     ClusteredDistribution(Seq(leftKey)), ClusteredDistribution(Seq(rightKey)))
 
+  // the optional right tie-break makes equal-(key, ts) matches
+  // deterministic (the merge keeps the LAST admissible row, i.e. the
+  // greatest tie-break value — mirroring the window rewrite's ordering)
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)))
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)) ++
+      rightTieBreak.map(SortOrder(_, Ascending)))
 
   override def outputOrdering: Seq[SortOrder] =
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending))
+
+  // zipPartitions preserves the left child's hash clustering — declaring it
+  // lets a downstream groupBy/join on the key skip its shuffle
+  override def outputPartitioning = left.outputPartitioning
 
   protected override def doExecute(): RDD[InternalRow] = {
     val lk = BindReferences.bindReference(leftKey, left.output)
@@ -68,21 +78,37 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       var candidate: InternalRow = null
       var candidateKey = 0L
       lIter.map { lRow =>
-        val key = lk.eval(lRow).asInstanceOf[Long]
-        val ts = lt.eval(lRow).asInstanceOf[Long]
-        if (candidate != null && candidateKey != key) candidate = null
-        var advancing = true
-        while (advancing && rBuf.hasNext) {
-          val head = rBuf.head
-          val hk = rk.eval(head).asInstanceOf[Long]
-          if (hk < key) { rBuf.next() } // behind the current key: skip
-          else if (hk == key && rt.eval(head).asInstanceOf[Long] <= ts) {
-            candidate = rBuf.next().copy() // newest admissible match so far
-            candidateKey = key
-          } else advancing = false // right stream is ahead; stop
+        val keyV = lk.eval(lRow)
+        val tsV = lt.eval(lRow)
+        // SQL semantics: a NULL key or NULL ts never matches (left outer row)
+        if (keyV == null || tsV == null) {
+          toUnsafe(joined(lRow, nullRight))
+        } else {
+          val key = keyV.asInstanceOf[Long]
+          val ts = tsV.asInstanceOf[Long]
+          if (candidate != null && candidateKey != key) candidate = null
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val head = rBuf.head
+            val hkV = rk.eval(head)
+            // null right keys sort first (NULLS FIRST) and match nothing: skip
+            if (hkV == null) { rBuf.next() }
+            else {
+              val hk = hkV.asInstanceOf[Long]
+              if (hk < key) { rBuf.next() } // behind the current key: skip
+              else if (hk == key) {
+                val htV = rt.eval(head)
+                if (htV == null) { rBuf.next() } // null ts matches nothing
+                else if (htV.asInstanceOf[Long] <= ts) {
+                  candidate = rBuf.next().copy() // newest admissible match
+                  candidateKey = key
+                } else advancing = false
+              } else advancing = false // right stream is ahead; stop
+            }
+          }
+          val r = if (candidate != null && candidateKey == key) candidate else nullRight
+          toUnsafe(joined(lRow, r))
         }
-        val r = if (candidate != null && candidateKey == key) candidate else nullRight
-        toUnsafe(joined(lRow, r))
       }
     }
   }
@@ -93,8 +119,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tie) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tie) :: Nil
     case _ => Nil
   }
 }
@@ -104,10 +130,17 @@ object AsOfJoinStrategy extends SparkStrategy {
   * `spark.sql.extensions=graft.functions.GraftExtensions`.
   */
 object AsOf {
+  /** @param tieBreak right-side column ordering equal-(key, ts) rows; the
+    *                 greatest value wins (None = engine order on ties)
+    */
   def asofJoin(left: DataFrame, right: DataFrame,
-      key: String, ts: String): DataFrame = {
+      key: String, ts: String, tieBreak: Option[String] = None): DataFrame = {
     val spark = left.sparkSession
-    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+    // planner.strategies covers BOTH registration paths (extensions-injected
+    // and experimental) — checking only extraStrategies would double-add
+    // when the session came up with GraftExtensions
+    val registered = spark.sessionState.planner.strategies.contains(AsOfJoinStrategy)
+    if (!registered)
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
     val l = left.queryExecution.analyzed
@@ -121,6 +154,7 @@ object AsOf {
       p.output.find(_.name == name).getOrElse(
         sys.error(s"asofJoin: column $name not found in ${p.output.map(_.name)}"))
     GraftBridge.ofRows(spark,
-      AsOfJoinPlan(l, r, attr(l, key), attr(r, key), attr(l, ts), attr(r, ts)))
+      AsOfJoinPlan(l, r, attr(l, key), attr(r, key), attr(l, ts), attr(r, ts),
+        tieBreak.map(attr(r, _))))
   }
 }

@@ -33,6 +33,39 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(custom.values.exists(_.isDefined) && custom.values.exists(_.isEmpty))
   }
 
+  test("NULL keys and timestamps never match (SQL semantics), on either side") {
+    import spark.implicits._
+    val l = Seq(
+      (Option(1L), Option(100L), "l1"),
+      (Option.empty[Long], Option(100L), "l-nullkey"),
+      (Option(1L), Option.empty[Long], "l-nullts"),
+      (Option(2L), Option(50L), "l2"))
+      .toDF("user_id", "ts_ms", "ltag")
+    val r = Seq(
+      (Option(1L), Option(90L), "r1"),
+      (Option.empty[Long], Option(10L), "r-nullkey"), // must never match
+      (Option(1L), Option.empty[Long], "r-nullts"),   // must never match
+      (Option(2L), Option(60L), "r-later"))           // after l2: no match
+      .toDF("user_id", "ts_ms", "rtag")
+    val out = graft.plans.AsOf.asofJoin(l, r, "user_id", "ts_ms")
+      .select(col("ltag"), col("rtag")).collect()
+      .map(x => x.getString(0) -> Option(x.getString(1))).toMap
+    assert(out("l1") === Some("r1"))
+    assert(out("l-nullkey") === None)
+    assert(out("l-nullts") === None)
+    assert(out("l2") === None)
+  }
+
+  test("equal-(key, ts) right rows resolve deterministically via tieBreak") {
+    import spark.implicits._
+    val l = Seq((1L, 100L, "probe")).toDF("user_id", "ts_ms", "ltag")
+    val r = Seq((1L, 90L, 7L), (1L, 90L, 3L), (1L, 90L, 9L))
+      .toDF("user_id", "ts_ms", "rid")
+    val out = graft.plans.AsOf.asofJoin(l, r, "user_id", "ts_ms",
+        tieBreak = Some("rid")).select(col("rid")).collect()
+    assert(out.length === 1 && out(0).getLong(0) === 9L) // greatest tie-break wins
+  }
+
   test("physical plan is AsOfJoinExec fed by one hash shuffle + sort per side") {
     val df = AsOf.asofJoin(purchases, errors, "user_id", "ts_ms")
     df.collect()
