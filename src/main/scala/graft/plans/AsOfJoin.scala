@@ -117,6 +117,33 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       newRight: SparkPlan): SparkPlan = copy(left = newLeft, right = newRight)
 }
 
+/** Optimizer rule completing predicate pushdown for the custom node:
+  * Catalyst's PushDownPredicates cannot see through unknown operators, so
+  * `df.asofJoin(...).filter(left-only predicate)` would otherwise stop the
+  * predicate above the join; splitting the conjunction and pushing the
+  * left-referencing part below AsOfJoinPlan lets it keep sinking all the
+  * way into the parquet scan. Right-side predicates must NOT be pushed:
+  * under left-outer as-of semantics they filter match candidates, not
+  * output rows.
+  */
+object PushFilterThroughAsOfJoin
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+  import org.apache.spark.sql.catalyst.expressions.And
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, j: AsOfJoinPlan) =>
+      val (pushable, kept) = splitConjunctivePredicates(cond)
+        .partition(_.references.subsetOf(j.left.outputSet))
+      if (pushable.isEmpty) f
+      else {
+        val pushed = j.copy(left = Filter(pushable.reduce(And), j.left))
+        kept.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinPlan(l, r, lk, rk, lt, rt, tie) =>
@@ -143,6 +170,9 @@ object AsOf {
     if (!registered)
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    if (!spark.experimental.extraOptimizations.contains(PushFilterThroughAsOfJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PushFilterThroughAsOfJoin
     val l = left.queryExecution.analyzed
     // self-join safety: when both inputs derive from one base relation the
     // attribute exprIds collide across children and Catalyst resolves/prunes

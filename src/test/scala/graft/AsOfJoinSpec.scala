@@ -66,6 +66,21 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out.length === 1 && out(0).getLong(0) === 9L) // greatest tie-break wins
   }
 
+  test("custom optimizer rule pushes left-only filters through the as-of join to the scan") {
+    val df = AsOf.asofJoin(purchases, errors, "user_id", "ts_ms")
+      .filter(col("p_event_id") < 100)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the predicate must reach the LEFT side's parquet scan...
+    assert(p.contains("LessThan(event_id,100)"), p)
+    // ...and no Filter may remain above the join
+    assert(!p.replaceAll("(?s)\\+- AsOfJoin.*", "").contains("Filter"), p)
+    // correctness unchanged by the rewrite
+    val expected = AsOf.asofJoin(purchases, errors, "user_id", "ts_ms").collect()
+      .filter(_.getLong(1) < 100).length
+    assert(df.count() === expected)
+  }
+
   test("physical plan is AsOfJoinExec fed by one hash shuffle + sort per side") {
     val df = AsOf.asofJoin(purchases, errors, "user_id", "ts_ms")
     df.collect()
