@@ -97,6 +97,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(wm.queryExecution.logical.toString.contains("EventTimeWatermark"))
   }
 
+  test("T4b late data behind the watermark is dropped from finalized windows") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[E]
+    val agg = Streams.tumblingCounts(Streams.withLateness(mem.toDF, "10 minutes"))
+    val q = agg.writeStream.format("memory").queryName("t4b").outputMode("append").start()
+    // batch 1: events in window [0,10); then batch 2 advances event time to
+    // minute 60 → watermark ≈ 50 → window [0,10) finalizes and emits
+    mem.addData(E(1, t(1), 1, "view", 1.0), E(2, t(2), 1, "view", 1.0))
+    q.processAllAvailable()
+    mem.addData(E(3, t(60), 1, "view", 1.0))
+    q.processAllAvailable()
+    // batch 3: a LATE event for the already-finalized window [0,10) — must
+    // be dropped, not re-emitted or merged
+    mem.addData(E(4, t(3), 1, "view", 99.0))
+    q.processAllAvailable()
+    mem.addData(E(5, t(120), 1, "view", 1.0)) // push watermark past everything
+    q.processAllAvailable(); q.stop()
+    // the tumbling window containing t(1): floor to the 10-min grid
+    val start = new Timestamp(t(1).getTime - t(1).getTime % 600000L)
+    val w0 = spark.table("t4b").filter(col("w_start") === start).collect()
+    assert(w0.length === 1)
+    assert(w0(0).getLong(2) === 2L)               // late event 4 NOT counted
+    assert(w0(0).getDouble(3) === 2.0)            // its value 99.0 absent too
+  }
+
   def src(lsn: Long) = CdcSource("v", "postgresql", "cdctest", lsn, None,
     "cdctest", "public", "customers", None, Some(lsn), None)
   def row(id: Long, em: String) = Some(CdcRow(id, Some("f"), Some("l"), Option(em)))
