@@ -25,9 +25,10 @@ object Bench {
       }
       // -1 marks a failed query so a regression can't hide as a fast time
       val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      // free localCheckpoint blocks left by staged intermediates so they
-      // don't accumulate GC pressure across the 60+ query run
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // Staged intermediates (graft.Staged) are keyed and shared across
+      // queries, so checkpoint-block footprint is bounded by the handful of
+      // distinct staged tables — no per-query unpersist sweep needed (and
+      // sweeping would sever the shared checkpoints).
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -21,8 +21,8 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // free staged localCheckpoint blocks between queries
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // staged intermediates (graft.Staged) are keyed + shared across
+      // queries — bounded footprint, no per-query unpersist sweep
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.{Schemas, Tables}
+import graft.{Schemas, Staged, Tables}
 
 /** CDC core (SURVEY.md §2.2 C1–C8): the capability surface implied by the
   * reference's Debezium envelope stream (ez-cdc `README.md:331`,
@@ -82,7 +82,10 @@ object Cdc {
     * (vs a 5-way union that re-reads the table five times — at 100 TB the
     * difference is 5 scans vs 1).
     */
-  def changelog(spark: SparkSession, dir: String): DataFrame = {
+  def changelog(spark: SparkSession, dir: String): DataFrame =
+    Staged(spark, s"cdc_changelog:$dir")(buildChangelog(spark, dir))
+
+  private def buildChangelog(spark: SparkSession, dir: String): DataFrame = {
     val b = base(spark, dir)
     val img0 = img(col("fn0"), col("ln0"), col("em0"))
     val img1 = img(col("fn0"), col("ln0"), col("em1"))

@@ -28,8 +28,10 @@ object Curation {
     val kept = docs
       .filter(col("lang").isin("en", "de", "es"))
       .filter(col("n_tokens").between(20, 90))
-    // near-dup members (da < db): db is the duplicate to drop
-    val dupPairs = Text.x2cNgramJaccard(spark, dir).select(col("db").as("dup_id"))
+    // near-dup members (da < db): db is the duplicate to drop. The pair
+    // table is staged (graft.Staged) — built once per session and shared
+    // with x2c instead of re-running the whole Jaccard pipeline here.
+    val dupPairs = Text.stagedJaccardPairs(spark, dir).select(col("db").as("dup_id"))
     kept.join(dupPairs, kept("doc_id") === dupPairs("dup_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_chars"))
       .orderBy(col("doc_id"))

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.Tables
+import graft.{Staged, Tables}
 
 /** Text-pipeline extensions (SURVEY.md §2.2 X1/X2/X4 + the north-star
   * training-data operators): exact dedup, MinHash+LSH, SimHash, n-gram
@@ -23,34 +23,61 @@ import graft.Tables
 object Text {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Distinct 5-token shingles per document (guarded for short docs).
-    * Shingle width is the scale lever: the fixture vocabulary is tiny
-    * (~30 words), so 3-grams are hot (document frequency ≈ corpus size /
-    * 27k) and would blow up candidate joins quadratically; 5-grams live in
-    * a 30⁵ space, keeping per-shingle frequency — and thus the LSH /
-    * Jaccard candidate pair count — near-linear in corpus size.
+  /** Default shingle width. A width parameter is the scale lever: the
+    * fixture vocabulary is tiny (~30 words), so 3-grams are hot (document
+    * frequency ≈ corpus size / 27k) and would blow up candidate joins
+    * quadratically; 5-grams live in a 30⁵ space, keeping per-shingle
+    * frequency — and thus the LSH / Jaccard candidate pair count —
+    * near-linear in corpus size. Pick the smallest width whose shingle
+    * space dwarfs the corpus vocabulary.
     */
-  private def shingles(docs: DataFrame, dedup: Boolean = true): DataFrame = {
-    val raw = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
-      .select(col("doc_id"), explode(expr(
-        """CASE WHEN size(t) >= 5
-          | THEN transform(sequence(1, size(t)-4),
-          |        i -> concat_ws(' ', element_at(t,i), element_at(t,i+1),
-          |               element_at(t,i+2), element_at(t,i+3), element_at(t,i+4)))
-          | ELSE array() END""".stripMargin)).as("s"))
-    // min-hash aggregation is duplicate-insensitive — skip the dedup
-    // shuffle on that path; Jaccard counting needs true set semantics
-    if (dedup) raw.distinct() else raw
+  val defaultShingleWidth = 5
+
+  /** Document-frequency cap for Jaccard candidate generation (see
+    * [[jaccardPairs]]): shingles shared by more than this many documents
+    * never generate candidate pairs, bounding the self-join at ≤ maxDf²
+    * rows per shingle regardless of corpus skew.
+    */
+  val defaultMaxDf = 10
+
+  /** Distinct `width`-token shingles per document (guarded for short docs),
+    * each stored as its md5 digest: joins, distinct, and signature slices
+    * all run over fixed 32-char keys instead of variable-width phrase
+    * strings — less shuffle volume, and md5 is identical in DuckDB so the
+    * oracle mirrors it exactly. Columns: (doc_id, hs).
+    */
+  def shingles(docs: DataFrame, width: Int = defaultShingleWidth): DataFrame = {
+    // explode the start INDEX, then build + hash the phrase as ordinary
+    // column expressions: a lambda body inside transform() is interpreted
+    // per element, while element_at/concat_ws/md5 on the exploded row stay
+    // inside whole-stage codegen (measured ~2× on the staging pass)
+    val terms = (0 until width).map(o => element_at(col("t"), col("i") + o))
+    docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("t"), explode(expr(
+        s"CASE WHEN size(t) >= $width THEN sequence(1, size(t)-${width - 1}) ELSE array() END"))
+        .as("i"))
+      .select(col("doc_id"), md5(concat_ws(" ", terms: _*).cast("binary")).as("hs"))
+      .distinct()
   }
 
-  private val shinglesCte: String =
-    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      |sh AS (SELECT DISTINCT doc_id, unnest(
-      |  CASE WHEN len(t) >= 5
-      |   THEN list_transform(generate_series(1, len(t)-4),
-      |          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])
-      |   ELSE [] END) AS s
-      | FROM tok)""".stripMargin
+  /** Staged shingle table (one producer pass, shared by x2/x2c/x6 — see
+    * [[graft.Staged]]).
+    */
+  def stagedShingles(spark: SparkSession, dir: String,
+      width: Int = defaultShingleWidth): DataFrame =
+    Staged(spark, s"shingles:$width:$dir")(
+      shingles(Tables.documents(spark, dir), width))
+
+  private def shinglesCte(width: Int = defaultShingleWidth): String = {
+    val phrase = (1 to width).map(o => s"t[i+${o - 1}]").mkString(" || ' ' || ")
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, unnest(
+       |  CASE WHEN len(t) >= $width
+       |   THEN list_transform(generate_series(1, len(t)-${width - 1}),
+       |          i -> md5($phrase))
+       |   ELSE [] END) AS hs
+       | FROM tok)""".stripMargin
+  }
 
   // ------------------------------------------------------------------- X1
   /** Exact dedup with a deterministic representative (min doc_id per text —
@@ -73,53 +100,87 @@ object Text {
       | FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------- X2
-  /** MinHash signatures (8 portable hash functions = md5 with seed prefix,
-    * lexicographic min) banded 4×2; documents sharing any band bucket are
-    * near-dup candidates. Output: candidate pairs.
+  /** MinHash signatures banded 4×2; documents sharing any band bucket are
+    * near-dup candidates. The 8 hash functions are the 8 disjoint 4-hex
+    * slices of the shingle's one md5 digest (the classic split-one-wide-
+    * hash-into-k trick) — zero additional hashing per shingle, and each
+    * slice is still a uniform function of the shingle, so per-band
+    * collision probability behaves like independent minhashes.
     */
   val numHashes = 8
-  private def minhashSigs(docs: DataFrame): DataFrame = {
+
+  /** Hot-bucket cap for the LSH band join: a band bucket holding more than
+    * `defaultMaxBucket` documents is degenerate (a boilerplate-heavy or
+    * adversarial key) and would go quadratic in the self-join — ~n²/2 pairs
+    * from one bucket. Capped buckets are dropped entirely; their members
+    * still pair up via their other bands. Bounds candidate count at
+    * ≤ bands · buckets · cap²/2 no matter how skewed the corpus is.
+    */
+  val defaultMaxBucket = 100
+
+  private def minhashSigs(sh: DataFrame): DataFrame = {
     val aggs = (1 to numHashes).map(j =>
-      min(md5(concat(lit(s"$j:"), col("s")).cast("binary"))).as(s"h$j"))
-    shingles(docs, dedup = false).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      min(substring(col("hs"), 4 * (j - 1) + 1, 4)).as(s"h$j"))
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
   private val minhashSigsSql: String = {
-    val mins = (1 to numHashes).map(j => s"min(md5('$j:' || s)) AS h$j").mkString(", ")
+    val mins = (1 to numHashes)
+      .map(j => s"min(substr(hs, ${4 * (j - 1) + 1}, 4)) AS h$j").mkString(", ")
     s"sig AS (SELECT doc_id, $mins FROM sh GROUP BY 1)"
   }
 
-  val x2MinhashLsh: Q = (spark, dir) => {
-    // Stage signatures once via localCheckpoint (block-manager rows, lineage
-    // truncated): the band self-join then reads the staged table per branch
-    // instead of re-running the shingle pipeline. At 100 TB this staging IS
-    // the design — one pass over the corpus, tiny per-doc signature table
-    // downstream. (.cache() measured 4× slower here: InMemoryRelation
-    // columnar encode + AQE interplay — see BASELINE.md.)
-    val sig = minhashSigs(Tables.documents(spark, dir)).localCheckpoint()
-    // melt to (band, key) with ONE explode pass instead of a 4-way union
-    // (a union of N selects re-reads the signature relation N times)
+  /** Signature → capped (band, key) melt: one explode pass instead of a
+    * 4-way union (a union of N selects re-reads the signature relation N
+    * times); buckets larger than `maxBucket` dropped before any join.
+    */
+  def minhashBands(sh: DataFrame, maxBucket: Int = defaultMaxBucket): DataFrame = {
     val bandStructs = (1 to numHashes by 2).zipWithIndex.map { case (j, b) =>
       struct(lit(b).as("band"), concat(col(s"h$j"), col(s"h${j + 1}")).as("key"))
     }
-    val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+    minhashSigs(sh)
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .withColumn("bsz", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("key"))))
+      .filter(col("bsz") <= maxBucket)
+      .drop("bsz")
+  }
+
+  /** Bucket self-join: candidates only ever come from documents sharing a
+    * band bucket, each bucket bounded by the [[minhashBands]] cap.
+    */
+  def bandPairs(bands: DataFrame): DataFrame = {
     val a = bands.as("a")
     val b = bands.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-      .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** LSH candidate pairs over a shingle table (see [[shingles]]). */
+  def lshCandidates(sh: DataFrame, maxBucket: Int = defaultMaxBucket): DataFrame =
+    bandPairs(minhashBands(sh, maxBucket))
+
+  val x2MinhashLsh: Q = (spark, dir) => {
+    // stage the (tiny) capped band table so the self-join's two branches
+    // read it instead of re-running signature aggregation per branch
+    val bands = Staged(spark, s"minhash_bands:$dir")(
+      minhashBands(stagedShingles(spark, dir)))
+    bandPairs(bands).orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val x2Sql: String = {
     val bandSelects = (1 to numHashes by 2).zipWithIndex.map { case (j, b) =>
       s"SELECT $b AS band, h$j || h${j + 1} AS key, doc_id FROM sig"
     }.mkString(" UNION ALL ")
-    shinglesCte + s""",
+    shinglesCte() + s""",
       |$minhashSigsSql,
-      |bands AS ($bandSelects)
+      |bands AS ($bandSelects),
+      |capped AS (SELECT band, key, doc_id FROM bands
+      |  QUALIFY count(*) OVER (PARTITION BY band, key) <= $defaultMaxBucket)
       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |FROM bands a JOIN bands b
+      |FROM capped a JOIN capped b
       | ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
       |ORDER BY doc_a, doc_b""".stripMargin
   }
@@ -153,45 +214,63 @@ object Text {
 
   // ----------------------------------------------------- X2 n-gram Jaccard
   /** Exact Jaccard near-dup with prune-then-verify: candidates come from a
-    * join restricted to rare shingles (document frequency ≤ 10 — the scale
-    * lever: hot shingles never explode the join), then the true Jaccard is
-    * computed over the full shingle sets of candidate pairs only. Emits
-    * integer numerator/denominator (exact) with J ≥ 0.7 (10·shared ≥
-    * 7·union).
+    * join restricted to rare shingles (document frequency ≤ `maxDf` — the
+    * scale lever: hot shingles never explode the join), then the true
+    * Jaccard is computed over the full shingle sets of candidate pairs
+    * only. Emits integer numerator/denominator (exact) with
+    * J ≥ jNum/jDen (default 7/10).
+    *
+    * Soundness of the prune: a pair with J ≥ 0.7 shares ≥ 70% of its
+    * shingles; unless EVERY shared shingle is hot (df > maxDf) the pair
+    * survives. maxDf trades that recall edge against the hard bound it
+    * buys: the candidate self-join emits ≤ maxDf²/2 pairs per shingle.
     */
-  val x2cNgramJaccard: Q = (spark, dir) => {
-    // Stage the shingle set once (see x2_minhash_lsh): the five consumer
-    // branches (doc counts, df counts, candidate join ×2, verify join ×2)
-    // all read the staged table — without staging the plan re-scans the
-    // corpus per branch (21 Exchanges in the audit; 11.8s vs 6.4s at sf0.1).
-    val sh = shingles(Tables.documents(spark, dir)).localCheckpoint()
+  def jaccardPairs(sh: DataFrame, maxDf: Int = defaultMaxDf,
+      jNum: Int = 7, jDen: Int = 10): DataFrame = {
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    // df via groupBy+join (one shuffle + hash join) rather than a window
-    // over 's' (shuffle + per-partition sort over every shingle string)
-    val df = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val rare = sh.join(df.filter(col("df") <= 10), "s")
+    // df via groupBy+join (partial-agg count is skew-safe; hot shingles are
+    // dropped by the df filter BEFORE the self-join, so no reducer ever
+    // sees a hot shingle's pair explosion). A bounded-collect single-
+    // shuffle variant (graft.functions.BoundedCollect) measured slower
+    // here — typed-aggregator encoding costs more than the extra codegen'd
+    // shuffle at this row width.
+    val df = sh.groupBy(col("hs")).agg(count(lit(1)).as("df"))
+    val rare = sh.join(df.filter(col("df") <= maxDf), "hs")
     val cand = rare.as("a").join(rare.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
+    // verify joins: cand is tiny after the prune, so AQE turns both joins
+    // into broadcast-hash probes over the staged shingle table — no
+    // full-table shuffle in the verify stage
     val shared = cand
       .join(sh.as("x"), col("da") === col("x.doc_id"))
-      .join(sh.as("y"), col("db") === col("y.doc_id") && col("x.s") === col("y.s"))
+      .join(sh.as("y"), col("db") === col("y.doc_id") && col("x.hs") === col("y.hs"))
       .groupBy(col("da"), col("db")).agg(count(lit(1)).as("shared"))
     shared
       .join(cnt.as("ca"), col("da") === col("ca.doc_id"))
       .join(cnt.as("cb"), col("db") === col("cb.doc_id"))
       .select(col("da"), col("db"), col("shared"),
         col("ca.n").as("na"), col("cb.n").as("nb"))
-      .filter(col("shared") * 10 >= (col("na") + col("nb") - col("shared")) * 7)
-      .orderBy(col("da"), col("db"))
+      .filter(col("shared") * jDen >= (col("na") + col("nb") - col("shared")) * jNum)
   }
-  val x2cSql: String = shinglesCte + """,
+
+  /** Staged verified near-dup pair table — shared by x2c and the x6
+    * curation anti-join (which previously re-ran this whole pipeline).
+    */
+  def stagedJaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    Staged(spark, s"jaccard_pairs:$dir")(
+      jaccardPairs(stagedShingles(spark, dir)))
+
+  val x2cNgramJaccard: Q = (spark, dir) =>
+    stagedJaccardPairs(spark, dir).orderBy(col("da"), col("db"))
+
+  val x2cSql: String = shinglesCte() + s""",
       |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
-      |rare AS (SELECT * FROM (SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh) WHERE df <= 10),
+      |rare AS (SELECT * FROM (SELECT doc_id, hs, count(*) OVER (PARTITION BY hs) AS df FROM sh) WHERE df <= $defaultMaxDf),
       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-      |         FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id),
+      |         FROM rare a JOIN rare b ON a.hs = b.hs AND a.doc_id < b.doc_id),
       |shared AS (SELECT da, db, CAST(count(*) AS BIGINT) AS shared
-      |           FROM cand JOIN sh x ON da = x.doc_id JOIN sh y ON db = y.doc_id AND x.s = y.s
+      |           FROM cand JOIN sh x ON da = x.doc_id JOIN sh y ON db = y.doc_id AND x.hs = y.hs
       |           GROUP BY 1, 2)
       |SELECT da, db, shared, ca.n AS na, cb.n AS nb
       |FROM shared JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id

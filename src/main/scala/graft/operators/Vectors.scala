@@ -196,35 +196,50 @@ object Vectors {
   }
 
   // --------------------------------------------------------------- X3 IVF
-  /** Deterministic spherical k-means (Lloyd) for IVF coarse quantization:
-    * init = the k lowest-vec_id vectors, fixed iteration count, centroids
-    * L2-normalized each round so nearest-centroid = max dot product.
-    * The k×dim centroid model lives on the driver (tiny), like any fitted
-    * model; at 100 TB you fit on a sample — assignment stays fully
-    * distributed either way.
+  /** Deterministic spherical k-means (Lloyd) for IVF coarse quantization,
+    * fit DRIVER-SIDE on a bounded sample: collect the `fitSampleMax`
+    * lowest-vec_id vectors once (deterministic sample, sorted — so the
+    * accumulation order and therefore every last bit of the centroids is
+    * run-independent), Lloyd-iterate locally (k×dim model, microseconds),
+    * and leave only the ASSIGNMENT distributed. This is the 100 TB shape:
+    * a coarse quantizer is always fit on a sample — iterating Lloyd over
+    * the full corpus would re-scan 100 TB per iteration for a model that
+    * converges on 10⁵ points.
+    * Init = the k lowest-vec_id vectors; centroids L2-normalized each
+    * round so nearest-centroid = max dot product; empty clusters keep
+    * their previous centroid.
     */
-  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): Array[Array[Float]] = {
-    // stage once: every Lloyd iteration scans the corpus (same shape as the
-    // shingle staging in Text — see BASELINE.md)
-    val staged = corpus.select(col("vec_id"), col("embedding")).localCheckpoint()
-    var centroids: Array[Array[Float]] = staged
-      .orderBy(col("vec_id")).limit(k)
-      .select(col("embedding")).collect()
-      .map(_.getSeq[Float](0).toArray)
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int,
+      fitSampleMax: Int = 100000): Array[Array[Float]] = {
+    val sample: Array[Array[Float]] = corpus
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(fitSampleMax)
+      .collect()
+      .map(r => r.getSeq[Float](1).toArray)
+    var centroids = sample.take(k).map(_.clone())
     for (_ <- 1 to iters) {
-      val assigned = assignCluster(staged, centroids)
-      val dimAvgs = (1 to dim).map(d =>
-        avg(element_at(col("embedding"), d).cast("double")).as(s"d$d"))
-      val rows = assigned.groupBy(col("cluster")).agg(dimAvgs.head, dimAvgs.tail: _*)
-        .collect()
-      val next = centroids.clone()
-      rows.foreach { r =>
-        val c = r.getAs[Int]("cluster")
-        val v = (1 to dim).map(d => r.getAs[Double](s"d$d")).toArray
-        val norm = math.sqrt(v.map(x => x * x).sum)
-        if (norm > 0) next(c) = v.map(x => (x / norm).toFloat)
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        // nearest centroid by dot product, first-match tie-break (the
+        // driver-side twin of assignCluster's array_position argmax)
+        var best = 0; var bestDot = Double.MinValue
+        for (c <- 0 until k) {
+          var d = 0.0
+          for (i <- 0 until dim) d += v(i).toDouble * centroids(c)(i).toDouble
+          if (d > bestDot) { bestDot = d; best = c }
+        }
+        for (i <- 0 until dim) sums(best)(i) += v(i).toDouble
+        counts(best) += 1
       }
-      centroids = next
+      centroids = centroids.zipWithIndex.map { case (prev, c) =>
+        if (counts(c) == 0) prev
+        else {
+          val mean = sums(c).map(_ / counts(c))
+          val norm = math.sqrt(mean.map(x => x * x).sum)
+          if (norm > 0) mean.map(x => (x / norm).toFloat) else prev
+        }
+      }
     }
     centroids
   }
