@@ -56,16 +56,31 @@ object Curation {
   /** X6b — deterministic stratified sample: k documents per language,
     * selected by md5 order (portable pseudo-randomness — same "random"
     * sample in any engine, any run).
+    *
+    * Two-phase top-k: a language has ~corpus/5 documents, so a window
+    * partitioned by `lang` alone is one task per language at any scale.
+    * Phase 1 ranks within (lang, hash-bucket) — `subBuckets` parallel
+    * tasks per language, each emitting ≤ k rows; phase 2 ranks the
+    * ≤ subBuckets·k survivors per language (tiny). Global top-k = top-k
+    * of the union of per-bucket top-ks, so the output is IDENTICAL to the
+    * single-window formulation — same oracle SQL.
     */
-  val x6bStratifiedSample: Q = (spark, dir) => {
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(md5(concat(lit("samp:"), col("doc_id").cast("string"))), col("doc_id"))
-    Tables.documents(spark, dir)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 20)
+  def stratifiedSample(docs: DataFrame, k: Int, subBuckets: Int = 16): DataFrame = {
+    val keyed = docs
+      .withColumn("skey", md5(concat(lit("samp:"), col("doc_id").cast("string"))))
+      .withColumn("bkt", pmod(xxhash64(col("doc_id")), lit(subBuckets)))
+    val w1 = Window.partitionBy(col("lang"), col("bkt"))
+      .orderBy(col("skey"), col("doc_id"))
+    val w2 = Window.partitionBy(col("lang")).orderBy(col("skey"), col("doc_id"))
+    keyed
+      .withColumn("rn1", row_number().over(w1)).filter(col("rn1") <= k)
+      .withColumn("rn", row_number().over(w2)).filter(col("rn") <= k)
       .select(col("lang"), col("rn"), col("doc_id"))
-      .orderBy(col("lang"), col("rn"))
   }
+
+  val x6bStratifiedSample: Q = (spark, dir) =>
+    stratifiedSample(Tables.documents(spark, dir), k = 20)
+      .orderBy(col("lang"), col("rn"))
   val x6bSql: String =
     """SELECT lang, CAST(rn AS INT) AS rn, doc_id FROM (
       | SELECT lang, doc_id,
@@ -77,19 +92,40 @@ object Curation {
   /** X6c — token-budget shard packing: stream documents in id order per
     * language, cut a new shard whenever the running token count passes the
     * budget — the batch approximation of sequence packing. Integer-exact.
+    *
+    * Two-phase prefix sum (a running total partitioned by `lang` alone
+    * would be one full-sort task per language at scale): bucket by
+    * CONTIGUOUS doc_id range (floor(doc_id / bucketWidth) — ranges, not
+    * hashes, so per-bucket prefix sums compose), compute the local running
+    * total per (lang, bucket) in parallel, then add each bucket's offset =
+    * the sum of all earlier buckets' totals (a window over #buckets rows,
+    * tiny, broadcast-joined back). Identical output to the single-window
+    * formulation — same oracle SQL.
     */
-  val x6cTokenPacking: Q = (spark, dir) => {
-    val budget = 2000L
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(spark, dir)
+  def tokenPacking(docs: DataFrame, budget: Long,
+      bucketWidth: Long = 500L): DataFrame = {
+    val keyed = docs
       .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("bkt", (col("doc_id") / bucketWidth).cast("long"))
+    val w1 = Window.partitionBy(col("lang"), col("bkt")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = keyed.withColumn("local_cum", sum(col("n_tokens")).over(w1))
+    val wOff = Window.partitionBy(col("lang")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy(col("lang"), col("bkt"))
+      .agg(sum(col("n_tokens")).as("btot"))
+      .withColumn("off", coalesce(sum(col("btot")).over(wOff), lit(0L)))
+      .select(col("lang"), col("bkt"), col("off"))
+    local.join(broadcast(offsets), Seq("lang", "bkt"))
+      .withColumn("cum_tokens", col("local_cum") + col("off"))
       .withColumn("shard", ((col("cum_tokens") - 1) / budget).cast("long"))
       .groupBy(col("lang"), col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("shard_tokens"))
-      .orderBy(col("lang"), col("shard"))
   }
+
+  val x6cTokenPacking: Q = (spark, dir) =>
+    tokenPacking(Tables.documents(spark, dir), budget = 2000L)
+      .orderBy(col("lang"), col("shard"))
   val x6cSql: String =
     """WITH t AS (
       | SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

@@ -52,4 +52,43 @@ object Partitioning {
   def rangePartitionByTime(df: DataFrame, tsCol: String,
       partitions: Int): DataFrame =
     df.repartitionByRange(partitions, col(tsCol))
+
+  /** Block-partitioned all-pairs: every unordered pair of rows exactly
+    * once, with NO broadcast of the full table and bounded per-task
+    * memory — the scalable replacement for `broadcast(df)` pair joins.
+    *
+    * Rows are hashed into `numBlocks` blocks; each side is replicated to
+    * the block PAIRS it participates in (x in block b → all (b, j), j ≥ b;
+    * y in block b → all (i, b), i ≤ b) and the join runs on the (i, j)
+    * key, so each of the B(B+1)/2 block-pair tasks holds exactly two
+    * blocks (≈ 2n/B rows) and computes their cross product locally. Total
+    * shuffle volume is n·(B+1) rows against the broadcast variant's
+    * n·numTasks; per-task memory is O(n/B) instead of O(n). Diagonal
+    * blocks emit `id_a < id_b`; off-diagonal blocks emit every cross pair
+    * (each unordered pair has exactly one home block pair), so no pair is
+    * produced twice. Output: the two full rows as structs `a` and `b`
+    * (orientation arbitrary off-diagonal — canonicalize downstream with
+    * least/greatest if needed).
+    *
+    * Choose B ≈ sqrt(2·cluster cores) for full fan-out: B(B+1)/2 tasks.
+    */
+  def blockedAllPairs(df: DataFrame, idCol: String, numBlocks: Int): DataFrame = {
+    val spark = df.sparkSession
+    val blocks = df
+      .select(struct(col("*")).as("r"),
+        pmod(hash(col(idCol)), lit(numBlocks)).as("blk"))
+    // block-pair index built from ONE range (no join): id → (id/B, id%B)
+    val bp = spark.range(numBlocks.toLong * numBlocks)
+      .select((col("id") / numBlocks).cast("int").as("i"),
+        (col("id") % numBlocks).cast("int").as("j"))
+      .filter(col("i") <= col("j"))
+    val xs = blocks.join(broadcast(bp), col("blk") === col("i"))
+      .select(col("r").as("a"), col("i"), col("j"))
+    val ys = blocks.join(broadcast(bp), col("blk") === col("j"))
+      .select(col("r").as("b"), col("i"), col("j"))
+    xs.join(ys, Seq("i", "j"))
+      .filter(col("i") =!= col("j") ||
+        col("a").getField(idCol) < col("b").getField(idCol))
+      .select(col("a"), col("b"))
+  }
 }

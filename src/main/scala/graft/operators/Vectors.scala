@@ -120,19 +120,22 @@ object Vectors {
     * same plan with one more predicate).
     */
   val x3cEmbedNearDup: Q = (spark, dir) => {
-    // The fixture is a single parquet file → a single input partition, which
-    // would serialize the O(n²/2) pair loop onto one core. Repartitioning
-    // the streamed side spreads the broadcast-nested-loop across all cores
-    // (at cluster scale: across executors).
-    // SCALE CAVEAT: broadcast(e) ships the whole corpus to every task —
-    // right only while the corpus fits in memory (it does here). At 100 TB
-    // the pair generation block-partitions instead (repartition both sides
-    // into B blocks, join block pairs — SCALE.md §Similarity) or routes
-    // through the LSH/IVF candidate paths.
+    // Block-partitioned all-pairs (Partitioning.blockedAllPairs): each of
+    // the B(B+1)/2 block-pair tasks holds two blocks (O(n/B) rows) and
+    // crosses them locally — no whole-corpus broadcast, bounded per-task
+    // memory, so the same plan survives a corpus that doesn't fit on one
+    // executor. B ≈ sqrt(2·parallelism) saturates the cluster.
+    // The pair orientation off-diagonal is arbitrary; least/greatest
+    // canonicalizes, and the dot product is term-wise commutative so sim
+    // is bit-identical either way. TakeOrderedAndProject bounds the output
+    // (per-partition heaps, never a global sort).
     val e = Tables.embeddings(spark, dir)
-    val a = e.repartition(spark.sparkContext.defaultParallelism)
-    a.as("a").join(broadcast(e).as("b"), col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+    val b = math.max(2, math.ceil(
+      math.sqrt(2.0 * spark.sparkContext.defaultParallelism)).toInt)
+    Partitioning.blockedAllPairs(e.select(col("vec_id"), col("embedding")), "vec_id", b)
+      .select(
+        least(col("a.vec_id"), col("b.vec_id")).as("va"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("vb"),
         VectorFunctions.dotF32(col("a.embedding"), col("b.embedding")).as("sim"))
       .orderBy(col("sim").desc, col("va").asc, col("vb").asc)
       .limit(20)

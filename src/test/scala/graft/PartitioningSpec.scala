@@ -69,4 +69,39 @@ class PartitioningSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("blocked all-pairs emits every unordered pair exactly once, no corpus broadcast") {
+    val n = 137 // deliberately not a multiple of the block count
+    val df = spark.range(n).select(col("id").as("vec_id"),
+      (col("id") * 3 % 11).as("payload"))
+    for (b <- Seq(2, 4, 7)) {
+      val pairs = Partitioning.blockedAllPairs(df, "vec_id", b)
+        .select(
+          least(col("a.vec_id"), col("b.vec_id")).as("lo"),
+          greatest(col("a.vec_id"), col("b.vec_id")).as("hi"))
+      val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val want = (for {
+        i <- 0L until n; j <- (i + 1) until n
+      } yield (i, j)).sorted.toSeq
+      assert(got === want, s"block count $b")
+    }
+    // scale property: with auto-broadcast off (as at real scale, where no
+    // side fits), the pair join shuffle-partitions BY BLOCK PAIR — a
+    // hash-partitioned equi-join on (i, j), never a nested-loop and never
+    // a broadcast of a corpus side
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val e = Tables.embeddings(spark, TestSpark.sf)
+        .select(col("vec_id"), col("embedding"))
+      val q = Partitioning.blockedAllPairs(e, "vec_id", 4)
+      q.collect() // finalize AQE plan
+      val p = q.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+      // the only broadcasts are the int-only block-pair index (a few rows);
+      // the corpus rows travel exclusively through (i,j) hash partitions
+      assert(p.contains("SortMergeJoin [i"), p)
+      assert(p.contains("hashpartitioning(i"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
 }

@@ -83,4 +83,41 @@ class TextVectorsSpec extends AnyFunSuite {
     val rows = q.limit(20).collect()
     assert(rows.forall(_.getString(1).length === 16))
   }
+
+  test("two-phase stratified sample equals the single-window formulation") {
+    import graft.operators.Curation
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val naive = docs
+      .withColumn("rn", row_number().over(Window.partitionBy(col("lang"))
+        .orderBy(md5(concat(lit("samp:"), col("doc_id").cast("string"))), col("doc_id"))))
+      .filter(col("rn") <= 20)
+      .select(col("lang"), col("rn"), col("doc_id"))
+      .orderBy(col("lang"), col("rn")).collect().toSeq
+    for (b <- Seq(1, 4, 16)) {
+      val twoPhase = Curation.stratifiedSample(docs, k = 20, subBuckets = b)
+        .orderBy(col("lang"), col("rn")).collect().toSeq
+      assert(twoPhase === naive, s"subBuckets=$b")
+    }
+  }
+
+  test("two-phase token packing equals the single-window running total") {
+    import graft.operators.Curation
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = docs
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("shard", ((col("cum_tokens") - 1) / 2000L).cast("long"))
+      .groupBy(col("lang"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("shard_tokens"))
+      .orderBy(col("lang"), col("shard")).collect().toSeq
+    for (width <- Seq(100L, 500L, 1000000L)) { // incl. one bucket spanning everything
+      val twoPhase = Curation.tokenPacking(docs, budget = 2000L, bucketWidth = width)
+        .orderBy(col("lang"), col("shard")).collect().toSeq
+      assert(twoPhase === naive, s"bucketWidth=$width")
+    }
+  }
 }
