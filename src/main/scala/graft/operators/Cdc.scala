@@ -98,7 +98,21 @@ object Cdc {
       when(col("id") % 3 === 0, envelope(lit("u"), col("id") * 100 + 2, img0, img1)),
       when(col("id") % 9 === 0, envelope(lit("u"), col("id") * 100 + 3, img1, img2)),
       when(col("id") % 7 === 0, envelope(lit("d"), col("id") * 100 + 4, latest, nullRow)))
-    b.select(explode(filter(events, e => e.isNotNull)).as("e")).select("e.*")
+    val flat = b.select(explode(filter(events, e => e.isNotNull)).as("e")).select("e.*")
+    // Populate the Debezium transaction block (README.md:331: {id,
+    // total_order, data_collection_order}): synthetic commit batches of 10
+    // consecutive keys — tx id = lsn DIV 1000 (lsn = 100·id + k, so one tx
+    // spans ids 10t..10t+9); total_order = the event's rank within its
+    // commit; data_collection_order equals it (single captured table).
+    val wTx = Window.partitionBy(expr("source.lsn DIV 1000"))
+      .orderBy(col("source.lsn"))
+    flat
+      .withColumn("__tord", row_number().over(wTx).cast("long"))
+      .withColumn("transaction", struct(
+        concat(lit("tx-"), expr("source.lsn DIV 1000").cast("string")).as("id"),
+        col("__tord").as("total_order"),
+        col("__tord").as("data_collection_order")))
+      .drop("__tord")
   }
 
   /** Oracle-side twin of [[changelog]]: a flat CTE (structs flattened to
@@ -286,6 +300,69 @@ object Cdc {
       |WHERE op <> 'd'
       |ORDER BY id, valid_from""".stripMargin
 
+  // ------------------------------------------------- transaction blocks
+  /** Per-transaction atomic change sets: group envelope events by
+    * `transaction.id`, order within the group by `transaction.total_order`
+    * (README.md:331) — the view a consumer needs to apply a commit's rows
+    * together instead of event-by-event. Key-partitioned groupBy: shards
+    * by transaction at any scale.
+    */
+  def txBlocks(changelog: DataFrame): DataFrame =
+    changelog
+      .groupBy(col("transaction.id").as("tx_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("source.lsn")).as("first_lsn"),
+        max(col("source.lsn")).as("last_lsn"),
+        countDistinct(coalesce(col("after.id"), col("before.id"))).as("n_keys"),
+        expr("""array_join(transform(array_sort(
+          collect_list(struct(transaction.total_order AS o, op AS op))),
+          x -> x.op), ',')""").as("ops"))
+
+  val cdcTxBlocks: Q = (spark, dir) =>
+    txBlocks(changelog(spark, dir)).orderBy(col("tx_id"))
+  // total_order ranks by lsn, so the oracle's ORDER BY lsn is the same order
+  val cdcTxBlocksSql: String = changelogCte +
+    """
+      |SELECT 'tx-' || CAST(lsn // 1000 AS VARCHAR) AS tx_id,
+      | CAST(count(*) AS BIGINT) AS n_events, min(lsn) AS first_lsn,
+      | max(lsn) AS last_lsn, CAST(count(DISTINCT id) AS BIGINT) AS n_keys,
+      | string_agg(op, ',' ORDER BY lsn) AS ops
+      |FROM chg GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Transactionally consistent snapshot: materialize only COMPLETE
+    * transactions whose last event is at or below the cutoff lsn — a
+    * commit is applied atomically or not at all, never half (the guarantee
+    * a replica consumer needs when reading mid-stream). The cutoff is
+    * supplied as a 1-row broadcast so the whole operator stays one
+    * declarative plan.
+    */
+  def txConsistentSnapshot(changelog: DataFrame, cutoff: DataFrame): DataFrame = {
+    val wTx = Window.partitionBy(col("transaction.id"))
+    val complete = changelog
+      .withColumn("__tx_last", max(col("source.lsn")).over(wTx))
+      .crossJoin(broadcast(cutoff))
+      .filter(col("__tx_last") <= col("cutoff"))
+      .drop("__tx_last", "cutoff")
+    snapshot(complete)
+  }
+
+  val cdcTxSnapshot: Q = (spark, dir) => {
+    val chg = changelog(spark, dir)
+    // deterministic mid-stream cutoff: 60% of the max lsn
+    val cutoff = chg.agg(expr("max(source.lsn) * 6 DIV 10").as("cutoff"))
+    txConsistentSnapshot(chg, cutoff).orderBy(col("id"))
+  }
+  val cdcTxSnapshotSql: String = changelogCte +
+    """,
+      |txl AS (SELECT *, max(lsn) OVER (PARTITION BY lsn // 1000) AS tx_last FROM chg),
+      |cut AS (SELECT (max(lsn) * 6) // 10 AS cutoff FROM chg)
+      |SELECT id, a_fn AS first_name, a_ln AS last_name, a_em AS email
+      |FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY lsn DESC) AS rn
+      |      FROM txl, cut WHERE tx_last <= cutoff)
+      |WHERE rn = 1 AND op <> 'd'
+      |ORDER BY id""".stripMargin
+
   // -------------------------------------------------------- change-rate
   /** Operational monitoring: change volume per op per source-commit hour —
     * the first query anyone points at a CDC stream.
@@ -304,6 +381,8 @@ object Cdc {
       |FROM chg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "cdc_tx_blocks" -> cdcTxBlocks,
+    "cdc_tx_snapshot" -> cdcTxSnapshot,
     "cdc_scd2" -> cdcScd2,
     "cdc_rate" -> cdcRate,
     "cdc_snapshot" -> cdcSnapshot,
@@ -314,6 +393,8 @@ object Cdc {
     "cdc_table_filter" -> cdcTableFilter)
 
   val oracle: Map[String, String] = Map(
+    "cdc_tx_blocks" -> cdcTxBlocksSql,
+    "cdc_tx_snapshot" -> cdcTxSnapshotSql,
     "cdc_scd2" -> cdcScd2Sql,
     "cdc_rate" -> cdcRateSql,
     "cdc_snapshot" -> cdcSnapshotSql,

@@ -111,4 +111,53 @@ class CdcSpec extends AnyFunSuite {
     val parsed = Cdc.parseEnvelope(wire)
     assert(parsed.count() === 1)
   }
+
+  test("transaction blocks: total_order ranks every event of a commit 1..n") {
+    val chg = Cdc.changelog(spark, TestSpark.sf)
+    val blocks = Cdc.txBlocks(chg).collect()
+    assert(blocks.nonEmpty)
+    // ops string has exactly n_events entries for every transaction
+    blocks.foreach { r =>
+      val n = r.getAs[Long]("n_events")
+      assert(r.getAs[String]("ops").split(",").length.toLong === n, r.toString)
+    }
+    // per-event orders are a contiguous 1..n within each tx
+    val orders = chg.select(col("transaction.id").as("tx"),
+        col("transaction.total_order").as("o"))
+      .collect().groupBy(_.getString(0))
+    orders.foreach { case (tx, rows) =>
+      val os = rows.map(_.getLong(1)).sorted.toSeq
+      assert(os === (1L to os.length).toSeq, tx)
+    }
+  }
+
+  test("tx-consistent snapshot applies whole commits or nothing") {
+    val chg = Cdc.changelog(spark, TestSpark.sf)
+    // cutoff = the FIRST event of the last transaction: guaranteed to
+    // straddle that tx (its later events exceed the cutoff), so atomicity
+    // is observable — tx lsn ranges are disjoint, so every earlier tx is
+    // complete below it
+    val cutoffVal = chg
+      .groupBy(col("transaction.id")).agg(
+        min(col("source.lsn")).as("lo"), max(col("source.lsn")).as("hi"))
+      .orderBy(col("hi").desc).limit(1)
+      .collect()(0).getAs[Long]("lo")
+    val got = Cdc.txConsistentSnapshot(chg,
+      spark.range(1).select(lit(cutoffVal).as("cutoff")))
+      .orderBy("id").collect().toSeq
+    // naive reference: include exactly the events of txs fully <= cutoff
+    val events = chg.select(col("transaction.id").as("tx"), col("source.lsn").as("lsn"))
+      .collect()
+    val completeTx = events.groupBy(_.getString(0))
+      .filter { case (_, rs) => rs.map(_.getLong(1)).max <= cutoffVal }.keySet
+    val included = chg.filter(col("transaction.id").isin(completeTx.toSeq: _*))
+    val want = Cdc.snapshot(included).orderBy("id").collect().toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+    // and it differs from a naive per-event lsn filter when a tx straddles
+    // the cutoff (atomicity is observable, not vacuous)
+    val perEvent = Cdc.snapshot(chg.filter(col("source.lsn") <= cutoffVal))
+      .orderBy("id").collect().toSeq
+    assert(perEvent !== got)
+  }
 }
