@@ -111,24 +111,30 @@ object Streams {
         OutputMode.Update, GroupStateTimeout.NoTimeout)(foldKey)
   }
 
-  /** T6-alt — snapshot via foreachBatch + idempotent overwrite: each
-    * micro-batch folds the batch's events with the previously materialized
-    * snapshot (read back from parquet) and overwrites it atomically. Simpler
-    * operational model than state stores — the snapshot IS the checkpoint —
-    * at the cost of rewriting the table per epoch; right when the snapshot
-    * is small relative to the stream (a dimension table fed by CDC).
+  /** T6-alt — snapshot via foreachBatch + versioned commit: each
+    * micro-batch folds the batch's events with the previously COMMITTED
+    * snapshot and commits the merged table as a new version through
+    * [[SnapshotStore]] (stage data dir → atomic pointer write → GC).
+    * Simpler operational model than state stores — the snapshot IS the
+    * checkpoint — at the cost of rewriting the table per epoch; right when
+    * the snapshot is small relative to the stream (a dimension table fed
+    * by CDC). The version is the micro-batch id: monotonic across restarts
+    * via the query checkpoint, and a replayed batch after a crash commits
+    * the same version it was writing — idempotent recovery.
     */
-  def snapshotForeachBatch(events: Dataset[CdcEvent], snapshotPath: String)
+  def snapshotForeachBatch(events: Dataset[CdcEvent], snapshotRoot: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[CdcEvent] = {
     val spark = events.sparkSession
-    events.writeStream.foreachBatch { (batch: Dataset[CdcEvent], _: Long) =>
+    events.writeStream.foreachBatch { (batch: Dataset[CdcEvent], batchId: Long) =>
       import org.apache.spark.sql.functions._
       val incoming = graft.operators.Cdc.snapshotWithTombstones(batch.toDF)
-      val merged = if (new java.io.File(snapshotPath).exists()) {
-        val prior = spark.read.parquet(snapshotPath)
-        prior.withColumn("__src", lit(0))
+      // merge against the snapshot as of BEFORE this batch id — on crash
+      // replay the pointer may already name batchId (see readBefore)
+      val merged = SnapshotStore.readBefore(spark, snapshotRoot, batchId) match {
+        case Some(prior) => prior.withColumn("__src", lit(0))
           .unionByName(incoming.withColumn("__src", lit(1)))
-      } else incoming.withColumn("__src", lit(1))
+        case None => incoming.withColumn("__src", lit(1))
+      }
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("id")).orderBy(col("lsn").desc, col("__src").desc)
       // KEEP tombstones (live=false) in the persisted state: a delete must
@@ -138,22 +144,7 @@ object Streams {
       val next = merged.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .drop("rn", "__src")
-      // stage-then-swap: write staged, move current aside, move staged in,
-      // then drop the old generation — every step checked so a failed move
-      // never leaves the snapshot deleted. Production would use a
-      // versioned/table format instead of directory renames.
-      val staged = new java.io.File(snapshotPath + ".staging")
-      val old = new java.io.File(snapshotPath + ".old")
-      next.write.mode("overwrite").parquet(staged.getPath)
-      if (old.exists()) scala.reflect.io.Directory(old).deleteRecursively()
-      val tgt = new java.io.File(snapshotPath)
-      if (tgt.exists() && !tgt.renameTo(old))
-        sys.error(s"snapshot swap: could not move $tgt aside")
-      if (!staged.renameTo(tgt)) {
-        old.renameTo(tgt) // restore the prior generation before failing
-        sys.error(s"snapshot swap: could not move $staged into place")
-      }
-      if (old.exists()) scala.reflect.io.Directory(old).deleteRecursively()
+      SnapshotStore.commit(next, snapshotRoot, batchId)
       ()
     }
   }
@@ -162,8 +153,9 @@ object Streams {
     * (the persisted table also carries tombstones — state, not output).
     */
   def readSnapshot(spark: org.apache.spark.sql.SparkSession,
-      snapshotPath: String): DataFrame =
-    spark.read.parquet(snapshotPath)
-      .filter(org.apache.spark.sql.functions.col("live"))
-      .drop("live")
+      snapshotRoot: String): DataFrame = {
+    val committed = SnapshotStore.read(spark, snapshotRoot)
+      .getOrElse(sys.error(s"no committed snapshot under $snapshotRoot"))
+    committed.filter(org.apache.spark.sql.functions.col("live")).drop("live")
+  }
 }

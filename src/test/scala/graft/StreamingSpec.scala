@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import graft.Schemas.{CdcEvent, CdcRow, CdcSource}
-import graft.streaming.Streams
+import graft.streaming.{RetryRunner, SnapshotStore, Streams}
 import java.sql.Timestamp
 
 /** Top-level so Spark can derive an Encoder (inner classes of a suite
@@ -196,9 +196,76 @@ class StreamingSpec extends AnyFunSuite {
     val live = Streams.readSnapshot(spark, tmp).orderBy("id").collect()
     assert(live.length === 1)
     assert(live(0).getLong(0) === 30L && live(0).getString(4) === "a2@x")
-    // raw state keeps the tombstone with its winning lsn
-    val raw = spark.read.parquet(tmp).orderBy("id").collect()
+    // raw committed state keeps the tombstone with its winning lsn
+    val raw = SnapshotStore.read(spark, tmp).get.orderBy("id").collect()
     assert(raw.length === 2 && !raw(1).getBoolean(1) && raw(1).getLong(2) === 311L)
+  }
+
+  test("snapshot commit protocol: a crash between stage and pointer leaves the prior version readable") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("store").toString + "/s"
+    // epoch 0 commits
+    SnapshotStore.commit(Seq((1L, "a")).toDF("id", "v"), root, 0L)
+    assert(SnapshotStore.latestVersion(spark, root) === Some(0L))
+    // epoch 1 CRASHES between writing its data and the pointer write:
+    // simulate by staging without committing
+    SnapshotStore.writeVersion(Seq((1L, "b")).toDF("id", "v"), root, 1L)
+    // a reader still sees epoch 0, not the half-finished epoch 1
+    assert(SnapshotStore.latestVersion(spark, root) === Some(0L))
+    assert(SnapshotStore.read(spark, root).get.collect()(0).getString(1) === "a")
+    // the replay of epoch 1 (same version id — checkpoint replays the same
+    // batch) merges against the committed state and completes the commit
+    assert(SnapshotStore.readBefore(spark, root, 1L)
+      .get.collect()(0).getString(1) === "a")
+    SnapshotStore.commit(Seq((1L, "b")).toDF("id", "v"), root, 1L)
+    assert(SnapshotStore.read(spark, root).get.collect()(0).getString(1) === "b")
+    // replay when the pointer ALREADY names the replayed version: merge
+    // source must be the predecessor (kept by the GC grace window)
+    assert(SnapshotStore.readBefore(spark, root, 1L)
+      .get.collect()(0).getString(1) === "a")
+    // GC keeps current + predecessor only
+    SnapshotStore.commit(Seq((1L, "c")).toDF("id", "v"), root, 2L)
+    SnapshotStore.commit(Seq((1L, "d")).toDF("id", "v"), root, 3L)
+    val dirs = new java.io.File(root).listFiles().map(_.getName).filter(_.startsWith("v=")).sorted
+    assert(dirs.toSeq === Seq("v=2", "v=3"))
+  }
+
+  test("R6 retry runner: bounded restarts recover a failing query with no loss or duplication") {
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("retry").toString
+    val mem = MemoryStream[Long]
+    val seen = new scala.collection.concurrent.TrieMap[Long, Long]() // value -> batchId
+    val dupes = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var armed = true
+    def start() = mem.toDS.writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Long], id: Long) =>
+        val rows = b.collect()
+        // poison micro-batch: the first time value 13 arrives, die AFTER
+        // reading but BEFORE the sink write — the classic mid-batch crash
+        if (armed && rows.contains(13L)) { armed = false; sys.error("boom") }
+        rows.foreach { v => if (seen.putIfAbsent(v, id).isDefined) dupes.incrementAndGet() }
+        ()
+      }
+      .start()
+    mem.addData(1L, 2L, 3L)
+    mem.addData(13L, 14L) // the poison value is queued before the run
+    val res = RetryRunner.runWithRetry(() => {
+      val q = start()
+      // drain-then-stop on a helper thread so awaitTermination returns
+      // cleanly on the successful attempt (and the failing attempt's
+      // processAllAvailable error is surfaced via awaitTermination)
+      new Thread(() => {
+        try { q.processAllAvailable(); q.stop() } catch { case _: Throwable => () }
+      }).start()
+      q
+    }, maxAttempts = 3, backoffMs = 50)
+    // one failure consumed one attempt; the restart replayed the poison
+    // batch from the checkpoint and delivered every value exactly once
+    assert(res.attempts >= 2, res.toString)
+    assert(res.errors.nonEmpty && res.errors.head.getMessage.contains("boom"))
+    assert(seen.keySet === Set(1L, 2L, 3L, 13L, 14L))
+    assert(dupes.get() === 0)
   }
 
   test("R6 checkpoint recovery: file-source stream resumes after stop without reprocessing") {
