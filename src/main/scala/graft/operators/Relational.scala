@@ -324,6 +324,27 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  // Q9c — the oracle-checkable form of the sketch: each engine computes
+  // ITS OWN approx_count_distinct and ITS OWN exact count and emits the
+  // boolean |approx − exact| ≤ 5%·exact. The sketches differ; the bound
+  // must hold in both, so the booleans hash-match — turning the sketch's
+  // accuracy contract into an exact cross-engine check.
+  val q9cApproxBound: Q = (spark, dir) => {
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), 0.01).as("approx"),
+        countDistinct(col("user_id")).as("exact"))
+      .select(col("event_type"),
+        (abs(col("approx") - col("exact")) * 100 <= col("exact") * 5).as("within_5pct"))
+      .orderBy(col("event_type"))
+  }
+  val q9cSql: String =
+    """SELECT event_type,
+      | abs(approx_count_distinct(user_id) - count(DISTINCT user_id)) * 100
+      |   <= count(DISTINCT user_id) * 5 AS within_5pct
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   // Q10 — ROLLUP hierarchy (group keys COALESCEd so the subtotal rows have
   // non-null sort keys in both engines).
   val q10Rollup: Q = (spark, dir) => {
@@ -801,6 +822,7 @@ object Relational {
     "q8_agg_stats" -> q8AggStats,
     "q9_distinct" -> q9Distinct,
     "q9b_approx_distinct" -> q9bApproxDistinct,
+    "q9c_approx_bound" -> q9cApproxBound,
     "q10_rollup" -> q10Rollup,
     "q10b_cube" -> q10bCube,
     "q11_window_rank" -> q11WindowRank,
@@ -840,6 +862,7 @@ object Relational {
     "q7b_asof_custom" -> q7Sql, // same contract, custom physical operator
     "q8_agg_stats" -> q8Sql,
     "q9_distinct" -> q9Sql,
+    "q9c_approx_bound" -> q9cSql,
     "q10_rollup" -> q10Sql,
     "q10b_cube" -> q10bSql,
     "q11_window_rank" -> q11Sql,

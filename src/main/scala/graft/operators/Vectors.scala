@@ -289,15 +289,38 @@ object Vectors {
       .select(col("q_id"), col("rank"), col("vec_id"), col("sim"))
   }
 
-  /** Rows-only driver entry (k-means averaging order makes last-bit
-    * centroid values run-dependent, so no hash oracle; recall vs the exact
-    * brute-force result is asserted in FunctionsSpec).
+  /** Rows-only driver entry (the IVF list assignment has no SQL twin, so
+    * no hash oracle on the hits themselves; the oracle-checkable recall
+    * bound is x3f below, and FunctionsSpec asserts recall ≥ 0.5).
     */
   val x3eCosineIvf: Q = (spark, dir) => {
     val e = Tables.embeddings(spark, dir)
     ivfSearch(e.filter(col("vec_id") < 10), e, k = 5)
       .orderBy(col("q_id"), col("rank"))
   }
+
+  /** X3f — the IVF accuracy contract as an oracle-checked boolean: per
+    * query, recall@5 of the IVF search against the exact brute-force top-5
+    * is ≥ 0.6. The oracle can't run IVF, but hash-matching the booleans
+    * certifies the bound held for EVERY query id in the committed result —
+    * the same bound-not-values pattern as q9c_approx_bound.
+    */
+  val x3fIvfRecall: Q = (spark, dir) => {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 10)
+    val brute = cosineTopK(q, e, 5).select(col("q_id"), col("vec_id"))
+    val ivf = ivfSearch(q, e, k = 5).select(col("q_id"), col("vec_id"))
+    val hits = brute.join(ivf, Seq("q_id", "vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+    q.select(col("vec_id").as("q_id"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        (coalesce(col("n_hit"), lit(0L)) * 10 >= 30).as("recall_ok")) // ≥3/5
+      .orderBy(col("q_id"))
+  }
+  val x3fSql: String =
+    """SELECT vec_id AS q_id, true AS recall_ok
+      |FROM embeddings WHERE vec_id < 10 ORDER BY 1""".stripMargin
 
   /** X5 media pipeline through the driver contract (rows-only check — the
     * mapPartitions feature extraction is not SQL-expressible): binary
@@ -315,6 +338,7 @@ object Vectors {
     "x3_cosine_topk" -> x3CosineTopK,
     "x3d_topk_agg" -> x3dTopKAgg,
     "x3e_cosine_ivf" -> x3eCosineIvf,
+    "x3f_ivf_recall" -> x3fIvfRecall,
     "x5c_media_features" -> x5cMediaFeatures,
     "x3b_cosine_lsh" -> x3bCosineLsh,
     "x3c_embed_neardup" -> x3cEmbedNearDup,
@@ -324,6 +348,7 @@ object Vectors {
   val oracle: Map[String, String] = Map(
     "x3_cosine_topk" -> x3Sql,
     "x3d_topk_agg" -> x3Sql, // same contract as x3 — value-identical by design
+    "x3f_ivf_recall" -> x3fSql,
     "x3b_cosine_lsh" -> x3bSql,
     "x3c_embed_neardup" -> x3cSql,
     "x5_multimodal_join" -> x5Sql,

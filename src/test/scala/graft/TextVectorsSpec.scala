@@ -84,6 +84,29 @@ class TextVectorsSpec extends AnyFunSuite {
     assert(rows.forall(_.getString(1).length === 16))
   }
 
+  test("LSH hot-bucket cap bounds candidates on adversarially skewed input") {
+    import spark.implicits._
+    // 400 documents with IDENTICAL text: every band bucket they occupy
+    // holds all 400 — uncapped, the self-join would emit 4 bands ×
+    // C(400,2) ≈ 319k pairs. Plus one planted near-dup pair with unique
+    // text that must survive the cap.
+    val boiler = (1L to 400L).map(i => (i, "the quick brown fox jumps over the lazy dog again and again"))
+    val pair = Seq(
+      (901L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (902L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    val docs = (boiler ++ pair).toDF("doc_id", "text")
+    val sh = Text.shingles(docs)
+    val capped = Text.lshCandidates(sh, maxBucket = 10).collect()
+    // the planted pair is found; the boilerplate flood is not exploded
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).contains((901L, 902L)))
+    val bound = Text.numHashes / 2 * 10 * 10 / 2 // bands · cap²/2
+    assert(capped.length <= bound,
+      s"${capped.length} candidates exceed the cap bound $bound")
+    // sanity: uncapped, the same input explodes quadratically
+    val uncapped = Text.lshCandidates(sh, maxBucket = 100000).count()
+    assert(uncapped > 70000L, s"uncapped=$uncapped")
+  }
+
   test("two-phase stratified sample equals the single-window formulation") {
     import graft.operators.Curation
     import org.apache.spark.sql.expressions.Window
