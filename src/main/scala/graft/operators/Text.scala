@@ -418,7 +418,96 @@ object Text {
       |FROM tfc JOIN dfc ON tfc.token = dfc.token
       |ORDER BY doc_id, tfc.token""".stripMargin
 
+  // ------------------------------------------------- X7d bigram familiarity
+  /** Language-model-ish familiarity score without a model: each document is
+    * scored by the mean corpus frequency of its bigram occurrences — high
+    * means boilerplate/templated text, low means rare/novel text. The
+    * integer numerator/denominator are exact; the one ratio is a mirrored
+    * IEEE division.
+    *
+    * Scale: the bigram stream is explode-parallel; the frequency table is a
+    * map-side-combined count; the score join is keyed by bigram hash —
+    * fixed-width md5 keys, partial-agg on both sides, no skew pitfall
+    * because hot bigrams fan out across their documents' partitions (join
+    * output rows = bigram occurrences, which the input already had).
+    */
+  def bigrams(docs: DataFrame): DataFrame = {
+    // same exploded-index shape as [[shingles]] width=2, but KEEPING
+    // duplicate occurrences (frequency weighting needs multiplicity)
+    docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("t"), explode(expr(
+        "CASE WHEN size(t) >= 2 THEN sequence(1, size(t)-1) ELSE array() END"))
+        .as("i"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ", element_at(col("t"), col("i")),
+          element_at(col("t"), col("i") + 1)).cast("binary")).as("bg"))
+  }
+
+  val x7dBigramFamiliarity: Q = (spark, dir) => {
+    val bg = bigrams(Tables.documents(spark, dir))
+    val freq = bg.groupBy(col("bg")).agg(count(lit(1)).as("bgf"))
+    bg.join(freq, "bg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bgf")).as("fam_num"))
+      .select(col("doc_id"), col("n_bigrams"), col("fam_num"),
+        round(col("fam_num") / col("n_bigrams"), 4).as("familiarity"))
+      .orderBy(col("doc_id"))
+  }
+  val x7dSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |bg AS (SELECT doc_id, unnest(
+      |  CASE WHEN len(t) >= 2
+      |   THEN list_transform(generate_series(1, len(t)-1),
+      |          i -> md5(t[i] || ' ' || t[i+1]))
+      |   ELSE [] END) AS bg
+      | FROM tok),
+      |freq AS (SELECT bg, CAST(count(*) AS BIGINT) AS bgf FROM bg GROUP BY 1)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      | CAST(sum(bgf) AS BIGINT) AS fam_num,
+      | round(sum(bgf) / count(*), 4) AS familiarity
+      |FROM bg JOIN freq USING (bg)
+      |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------- X7e decontamination
+  /** Benchmark decontamination: flag training documents sharing any
+    * `width`-token shingle with the benchmark split (the GPT-3 appendix-C
+    * n-gram-overlap rule). Here the benchmark set is the doc_id < `benchMax`
+    * slice of the same corpus; in production it is the eval suites.
+    *
+    * Scale (the whole point of this shape): the benchmark shingle set is
+    * small and bounded (eval suites, not the corpus), so it BROADCASTS; the
+    * 100 TB training side is only scanned, hash-probed, and map-side
+    * partial-agged — the join adds no shuffle of the big side.
+    */
+  def decontaminate(docs: DataFrame, sh: DataFrame, benchMax: Long): DataFrame = {
+    val benchShingles = sh.filter(col("doc_id") < benchMax)
+      .select(col("hs")).distinct()
+    val hits = sh.filter(col("doc_id") >= benchMax)
+      .join(broadcast(benchShingles), "hs")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    docs.filter(col("doc_id") >= benchMax).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  val x7eDecontamination: Q = (spark, dir) =>
+    decontaminate(Tables.documents(spark, dir),
+      stagedShingles(spark, dir), benchMax = 50L)
+      .orderBy(col("doc_id"))
+  val x7eSql: String = shinglesCte() + """,
+      |bench AS (SELECT DISTINCT hs FROM sh WHERE doc_id < 50),
+      |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+      |         FROM sh JOIN bench USING (hs) WHERE doc_id >= 50 GROUP BY 1)
+      |SELECT d.doc_id, coalesce(n_hits, 0) AS n_hits,
+      | coalesce(n_hits, 0) > 0 AS contaminated
+      |FROM (SELECT doc_id FROM documents WHERE doc_id >= 50) d
+      | LEFT JOIN hits ON d.doc_id = hits.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "x7d_bigram_familiarity" -> x7dBigramFamiliarity,
+    "x7e_decontamination" -> x7eDecontamination,
     "x4e_term_freq" -> x4eTermFreq,
     "x4f_tfidf" -> x4fTfIdf,
     "x1_dedup_exact" -> x1DedupExact,
@@ -431,6 +520,8 @@ object Text {
     "x4d_fingerprint" -> x4dFingerprint)
 
   val oracle: Map[String, String] = Map(
+    "x7d_bigram_familiarity" -> x7dSql,
+    "x7e_decontamination" -> x7eSql,
     "x4e_term_freq" -> x4eSql,
     "x4f_tfidf" -> x4fSql,
     "x1_dedup_exact" -> x1Sql,

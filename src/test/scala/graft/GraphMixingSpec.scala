@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Graph, Mixing, Text}
+
+/** Connected components vs a brute-force union-find reference, plus
+  * determinism checks for the fixed-point mixing aggregates. */
+class GraphMixingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Reference: path-compressed union-find over the same edges. */
+  private def ufComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // root's label is not necessarily the min id mid-stream; normalize by
+    // grouping members per root and taking the min
+    val members = parent.keys.toSeq.groupBy(find)
+    members.flatMap { case (_, ms) => val m = ms.min; ms.map(_ -> m) }.toMap
+  }
+
+  private def ccMap(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.connectedComponents(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+
+  test("connected components: chain, clique, singleton-pair, separate islands") {
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),          // chain → all label 1
+      (10L, 11L), (11L, 12L), (10L, 12L),    // triangle → label 10
+      (20L, 21L),                            // pair
+      (30L, 30L))                            // self loop only
+    assert(ccMap(edges) === ufComponents(edges))
+  }
+
+  test("connected components match union-find on pseudo-random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 40 + trial * 20
+      val edges = Seq.fill(n)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      assert(ccMap(edges) === ufComponents(edges), s"trial $trial")
+    }
+  }
+
+  test("connected components: long chain needs multiple propagation rounds") {
+    // a 17-node path has diameter 16 > 1 round; min-label still converges
+    val edges = (1L until 17L).map(i => (i + 1, i))
+    val cc = ccMap(edges)
+    assert(cc.values.toSet === Set(1L))
+    assert(cc.size === 17)
+  }
+
+  test("x7 clusters: every pair member is labeled, label is component min") {
+    val dir = "/root/testdata/sf0.001"
+    val pairs = Text.stagedJaccardPairs(spark, dir)
+      .select("da", "db").as[(Long, Long)].collect()
+    val expected = ufComponents(pairs)
+    val got = Graph.x7NeardupClusters(spark, dir)
+      .select("doc_id", "cluster").as[(Long, Long)].collect().toMap
+    assert(got === expected)
+  }
+
+  test("label centroids are invariant to input partitioning") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val a = Mixing.labelCentroids(e.repartition(1))
+      .orderBy("label", "pos").collect()
+    val b = Mixing.labelCentroids(e.repartition(13))
+      .orderBy("label", "pos").collect()
+    assert(a.sameElements(b))
+    assert(a.nonEmpty)
+  }
+
+  test("temperature weights sum to ~1 and favor rare languages vs raw share") {
+    val docs = (1 to 900).map(i => (i.toLong, "en")) ++
+      (901 to 1000).map(i => (i.toLong, "fr"))
+    val w = Mixing.temperatureWeights(
+        docs.toDF("doc_id", "lang"), budget = 1000L)
+      .select("lang", "n_docs", "weight").as[(String, Long, Double)]
+      .collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(math.abs(w.values.map(_._2).sum - 1.0) < 1e-4)
+    // α=1/2 flattening: fr's weight (sqrt(100)/ (sqrt(900)+sqrt(100)) = .25)
+    // exceeds its raw 10% share
+    assert(w("fr")._2 > 0.24 && w("fr")._2 < 0.26)
+  }
+}
