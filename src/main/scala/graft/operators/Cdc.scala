@@ -380,7 +380,71 @@ object Cdc {
       | CAST(count(*) AS BIGINT) AS n, CAST(count(DISTINCT id) AS BIGINT) AS n_keys
       |FROM chg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------------- C9 dead-letter routing
+  /** Malformed-envelope routing: a real Kafka topic carries raw value
+    * bytes, and a consumer must not die on an unparsable record (the
+    * reference's consumer would — `main.py:43` json.loads with no guard).
+    * [[deadLetterRoute]] parses raw JSON against the envelope schema and
+    * routes rows: parse success → `ok` with extracted fields, failure →
+    * `dead` with the raw payload retained for replay. Pure per-row
+    * expression work (from_json + md5) — embarrassingly parallel at any
+    * scale, no shuffle until a consumer aggregates.
+    *
+    * The oracle-checked query derives raw value strings in-query (manual
+    * concat — portable, unlike engine-specific to_json field ordering) and
+    * corrupts every lsn % 13 == 0 record by truncation; both engines see
+    * byte-identical strings, so md5(raw) hash-matches.
+    */
+  def deadLetterRoute(raw: DataFrame): DataFrame = {
+    // PERMISSIVE from_json yields a null-FIELD struct on malformed input
+    // (never a null struct), so routing keys off the corrupt-record column
+    val parsed = from_json(col("raw"),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "op STRING, lsn BIGINT, after STRUCT<id: BIGINT, email: STRING>, _corrupt STRING"),
+      Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt"))
+    raw.select(
+      md5(col("raw").cast("binary")).as("raw_md5"),
+      when(parsed.getField("_corrupt").isNotNull, "dead").otherwise("ok").as("route"),
+      when(parsed.getField("_corrupt").isNotNull, lit(null).cast("long"))
+        .otherwise(parsed.getField("lsn")).as("lsn"))
+  }
+
+  val cdcDeadletter: Q = (spark, dir) => {
+    val raw0 = changelog(spark, dir).select(
+      col("source.lsn").as("gen_lsn"),
+      concat(
+        lit("{\"op\":\""), col("op"),
+        lit("\",\"lsn\":"), col("source.lsn").cast("string"),
+        lit(",\"after\":"),
+        when(col("after").isNull, lit("null")).otherwise(concat(
+          lit("{\"id\":"), col("after.id").cast("string"),
+          lit(",\"email\":\""), col("after.email"), lit("\"}"))),
+        lit("}")).as("raw"))
+    val corrupted = raw0.select(
+      when(pmod(col("gen_lsn"), lit(13)) === 0,
+        col("raw").substr(lit(1), length(col("raw")) - 3))
+        .otherwise(col("raw")).as("raw"))
+    deadLetterRoute(corrupted).orderBy(col("raw_md5"))
+  }
+  val cdcDeadletterSql: String = changelogCte +
+    """,
+      |raw0 AS (
+      | SELECT lsn AS gen_lsn,
+      |  '{"op":"' || op || '","lsn":' || lsn || ',"after":' ||
+      |  CASE WHEN a_em IS NULL THEN 'null'
+      |       ELSE '{"id":' || id || ',"email":"' || a_em || '"}' END ||
+      |  '}' AS raw
+      | FROM chg),
+      |c AS (SELECT CASE WHEN gen_lsn % 13 = 0
+      |  THEN substr(raw, 1, length(raw) - 3) ELSE raw END AS raw FROM raw0)
+      |SELECT md5(raw) AS raw_md5,
+      | CASE WHEN json_valid(raw) THEN 'ok' ELSE 'dead' END AS route,
+      | CASE WHEN json_valid(raw) THEN CAST(json_extract(raw, '$.lsn') AS BIGINT)
+      |      ELSE NULL END AS lsn
+      |FROM c ORDER BY raw_md5""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "cdc_deadletter" -> cdcDeadletter,
     "cdc_tx_blocks" -> cdcTxBlocks,
     "cdc_tx_snapshot" -> cdcTxSnapshot,
     "cdc_scd2" -> cdcScd2,
@@ -393,6 +457,7 @@ object Cdc {
     "cdc_table_filter" -> cdcTableFilter)
 
   val oracle: Map[String, String] = Map(
+    "cdc_deadletter" -> cdcDeadletterSql,
     "cdc_tx_blocks" -> cdcTxBlocksSql,
     "cdc_tx_snapshot" -> cdcTxSnapshotSql,
     "cdc_scd2" -> cdcScd2Sql,

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.{Staged, Tables}
 
 /** Graph operators for the dedup pipeline: near-dup PAIRS (x2/x2c) only say
   * "these two documents overlap"; an actual dedup pass needs CLUSTERS — one
@@ -69,21 +70,30 @@ object Graph {
     * gets its component's min doc_id as cluster id, plus the component
     * size. Downstream dedup keeps `doc_id == cluster` rows.
     */
+  /** Staged (node, cluster) table over the verified pair graph — the
+    * iterative propagation runs once per session; x7 and x7f consume the
+    * checkpointed result.
+    */
+  def stagedClusters(spark: SparkSession, dir: String): DataFrame =
+    Staged(spark, s"neardup_cc:$dir")(
+      connectedComponents(
+        Text.stagedJaccardPairs(spark, dir).select(col("da"), col("db"))))
+
   val x7NeardupClusters: Q = (spark, dir) => {
-    val pairs = Text.stagedJaccardPairs(spark, dir).select(col("da"), col("db"))
-    connectedComponents(pairs)
+    stagedClusters(spark, dir)
       .withColumn("n_members",
         count(lit(1)).over(Window.partitionBy(col("cluster"))))
       .select(col("node").as("doc_id"), col("cluster"), col("n_members"))
       .orderBy(col("doc_id"))
   }
 
-  /** Oracle: DuckDB recursive CTE computes the transitive closure of the
-    * same pair graph (x2c's CTE chain builds the pairs), then min(reach)
-    * per node = the component's min id. Closure is quadratic per component
-    * — fine for an oracle at fixture scale, never the engine plan.
+  /** Oracle scaffolding: DuckDB recursive CTE computing the transitive
+    * closure of the same pair graph (x2c's CTE chain builds the pairs),
+    * then min(reach) per node = the component's min id. Closure is
+    * quadratic per component — fine for an oracle at fixture scale, never
+    * the engine plan.
     */
-  val x7Sql: String = {
+  private val ccCtes: String = {
     val pairCtes = Text.x2cSql
       .replaceAll("(?s)SELECT da, db, shared.*$", "") // keep CTEs only
       .replaceFirst("WITH ", "WITH RECURSIVE ")
@@ -97,15 +107,45 @@ object Graph {
       |walk AS (SELECT u AS node, u AS reach FROM edges
       |         UNION
       |         SELECT w.node, e.v AS reach FROM walk w JOIN edges e ON e.u = w.reach),
-      |cc AS (SELECT node, min(reach) AS cluster FROM walk GROUP BY 1)
+      |cc AS (SELECT node, min(reach) AS cluster FROM walk GROUP BY 1)""".stripMargin
+  }
+
+  val x7Sql: String = ccCtes + """
       |SELECT node AS doc_id, cluster,
       | CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS n_members
       |FROM cc ORDER BY doc_id""".stripMargin
+
+  /** X7f — cluster-representative dedup of the corpus: keep every document
+    * that is either in no near-dup cluster or is its cluster's min-id
+    * representative. This is the semantically-correct dedup apply — the
+    * pair-wise anti-join (x6) also drops the chain-end c of a–b–c even
+    * when c never resembled a; keeping one representative per COMPONENT
+    * drops exactly (members − 1) per cluster.
+    *
+    * Scale: the cluster map is bounded by near-dup membership (≪ corpus),
+    * so it broadcasts; the corpus side is scanned + hash-probed only.
+    */
+  val x7fDedupApply: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir)
+    val cc = stagedClusters(spark, dir)
+    docs.join(broadcast(cc), docs("doc_id") === cc("node"), "left")
+      .filter(col("node").isNull || col("doc_id") === col("cluster"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      .orderBy(col("doc_id"))
   }
 
+  val x7fSql: String = ccCtes + """
+      |SELECT doc_id, lang, n_chars, coalesce(cluster, doc_id) AS cluster
+      |FROM documents LEFT JOIN cc ON doc_id = node
+      |WHERE node IS NULL OR doc_id = cluster
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
-    "x7_neardup_clusters" -> x7NeardupClusters)
+    "x7_neardup_clusters" -> x7NeardupClusters,
+    "x7f_dedup_apply" -> x7fDedupApply)
 
   val oracle: Map[String, String] = Map(
-    "x7_neardup_clusters" -> x7Sql)
+    "x7_neardup_clusters" -> x7Sql,
+    "x7f_dedup_apply" -> x7fSql)
 }

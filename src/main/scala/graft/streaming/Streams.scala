@@ -152,6 +152,35 @@ object Streams {
   /** Consumer view of a foreachBatch-maintained snapshot: live rows only
     * (the persisted table also carries tombstones — state, not output).
     */
+  /** T8 — streaming decontamination: a document stream filtered against a
+    * STATIC benchmark shingle set via a stream-static left-anti-style join
+    * (here: left join + flag, so consumers can either drop or audit). The
+    * static side is small (eval suites) and broadcast, so each micro-batch
+    * is scan + hash-probe — no stateful operator, no watermark needed, and
+    * the same `Text.decontaminate` semantics as the batch/oracle form.
+    *
+    * `docStream` must carry (doc_id, text); emits one row per streamed doc
+    * with its contaminating-shingle count.
+    */
+  def decontaminateStream(docStream: DataFrame, benchShingles: DataFrame,
+      width: Int = graft.operators.Text.defaultShingleWidth): DataFrame = {
+    // per-doc distinct shingles via array_distinct INSIDE the row — the
+    // batch path's relation-level distinct() would be a second stateful
+    // operator in a streaming plan; this keeps the query's only state in
+    // the final aggregation (same n_hits semantics: a doc's shingle set is
+    // local to its row)
+    val sh = docStream
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), explode(expr(
+        s"""array_distinct(transform(
+           | CASE WHEN size(t) >= $width
+           |  THEN sequence(1, size(t)-${width - 1}) ELSE array() END,
+           | i -> md5(cast(concat_ws(' ', slice(t, i, $width)) AS binary))))"""
+          .stripMargin)).as("hs"))
+    sh.join(broadcast(benchShingles.select(col("hs"))), Seq("hs"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+  }
+
   def readSnapshot(spark: org.apache.spark.sql.SparkSession,
       snapshotRoot: String): DataFrame = {
     val committed = SnapshotStore.read(spark, snapshotRoot)

@@ -160,4 +160,22 @@ class CdcSpec extends AnyFunSuite {
       .orderBy("id").collect().toSeq
     assert(perEvent !== got)
   }
+
+  test("C9 dead-letter routing: malformed records routed, payload retained") {
+    import spark.implicits._
+    val raw = Seq(
+      """{"op":"c","lsn":101,"after":{"id":1,"email":"a@x"}}""",
+      """{"op":"d","lsn":104,"after":null}""",
+      """{"op":"c","lsn":201,"after":{"id":2,"email"""",  // truncated
+      """not json at all""")
+      .toDF("raw")
+    val routed = Cdc.deadLetterRoute(raw).collect()
+    val byRoute = routed.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(byRoute === Map("ok" -> 2, "dead" -> 2))
+    // ok rows carry the parsed lsn; dead rows keep null lsn + an md5 of the
+    // raw payload for replay
+    val lsns = routed.filter(_.getString(1) == "ok").map(_.getLong(2)).sorted
+    assert(lsns.toSeq === Seq(101L, 104L))
+    assert(routed.forall(_.getString(0).length == 32))
+  }
 }

@@ -13,6 +13,8 @@ import java.sql.Timestamp
 case class E(event_id: Long, ts: Timestamp, user_id: Long,
     event_type: String, value: Double)
 
+case class DocE(doc_id: Long, text: String)
+
 /** T1–T7 driven through MicroBatchExecution via MemoryStream (S2 stand-in —
   * no Kafka broker in this environment), cross-checked against the same
   * combinators run in batch mode (SURVEY.md §5.2.4).
@@ -300,5 +302,31 @@ class StreamingSpec extends AnyFunSuite {
     q.processAllAvailable(); q.stop()
     // append emits only finalized windows (watermark passed); just assert it ran
     assert(spark.table("t7").columns.contains("n"))
+  }
+
+  test("T8 streaming decontamination equals the batch operator") {
+    implicit val ctx = spark.sqlContext
+    val bench = Seq(DocE(1, "a b c d e f"), DocE(2, "q r s t u v w")).toDF
+    val stream = Seq(
+      DocE(10, "a b c d e f g"),   // shares shingles with bench doc 1
+      DocE(11, "x y z p d q n m"), // no 5-gram overlap
+      DocE(12, "q r s t u"))       // one shared shingle with bench doc 2
+    val benchShingles = graft.operators.Text.shingles(bench)
+    val mem = MemoryStream[DocE]
+    val q = Streams.decontaminateStream(mem.toDF, benchShingles).writeStream
+      .format("memory").queryName("t8").outputMode("complete").start()
+    mem.addData(stream: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("t8").orderBy("doc_id")
+      .as[(Long, Long)].collect().toSeq
+    // batch twin over the same union: contaminated docs only, same counts
+    val batch = graft.operators.Text.decontaminate(
+        (bench.as[DocE].collect().toSeq ++ stream).toDF,
+        graft.operators.Text.shingles((bench.as[DocE].collect().toSeq ++ stream).toDF),
+        benchMax = 10L)
+      .filter(col("n_hits") > 0)
+      .select("doc_id", "n_hits").as[(Long, Long)].collect().toSeq.sorted
+    assert(streamed === batch)
+    assert(streamed.map(_._1) === Seq(10L, 12L))
   }
 }
