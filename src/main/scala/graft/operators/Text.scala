@@ -190,8 +190,8 @@ object Text {
     * sign of Σ_tokens (md5 hex digit p ≥ 8 ? +1 : −1) — integer-exact in
     * both engines.
     */
-  val x2bSimhash: Q = (spark, dir) => {
-    val toks = Tables.documents(spark, dir)
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .withColumn("h", md5(col("tok").cast("binary")))
     val hi = Seq("8", "9", "a", "b", "c", "d", "e", "f")
@@ -200,8 +200,13 @@ object Text {
     val bits = (1 to 16).map(p => when(col(s"s$p") > 0, "1").otherwise("0"))
     toks.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
       .select(col("doc_id"), concat(bits: _*).as("simhash"))
-      .orderBy(col("doc_id"))
   }
+
+  def stagedSimhash(spark: SparkSession, dir: String): DataFrame =
+    Staged(spark, s"simhash:$dir")(simhash(Tables.documents(spark, dir)))
+
+  val x2bSimhash: Q = (spark, dir) =>
+    stagedSimhash(spark, dir).orderBy(col("doc_id"))
   val x2bSql: String = {
     val sums = (1 to 16).map(p =>
       s"sum(CASE WHEN substr(h, $p, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s$p")
@@ -210,6 +215,75 @@ object Text {
     s"""WITH toks AS (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents),
        |sums AS (SELECT doc_id, $sums FROM toks GROUP BY 1)
        |SELECT doc_id, $bits AS simhash FROM sums ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------- X2d SimHash near-dup
+  /** SimHash near-dup pairing: band the 16-bit fingerprint into 4 bands of
+    * 4 bits; by pigeonhole, any pair within Hamming distance 3 shares at
+    * least one unchanged band, so the band-bucket join has EXACT recall for
+    * the ≤3-bit contract — then the true Hamming distance verifies each
+    * candidate. The standard simhash-at-scale shape (Manku et al., WWW'07:
+    * split the fingerprint into k+1 blocks to catch all k-bit differences).
+    *
+    * Scale: the join only touches band buckets (same capped-bucket guard as
+    * MinHash would apply for degenerate corpora); Hamming verification is a
+    * codegen'd 16-term comparison chain, no UDF.
+    */
+  def simhashPairs(sig: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = defaultMaxBucket): DataFrame = {
+    val bandStructs = (0 until 4).map(b =>
+      struct(lit(b).as("band"), substring(col("simhash"), 4 * b + 1, 4).as("key")))
+    val bands = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .withColumn("bsz", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("key"))))
+      .filter(col("bsz") <= maxBucket)
+      .drop("bsz")
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val ham = (1 to 16).map(p =>
+      when(substring(col("ha"), p, 1) =!= substring(col("hb"), p, 1), 1).otherwise(0))
+      .reduceLeft((a: Column, b: Column) => a + b)
+    cand
+      .join(sig.select(col("doc_id"), col("simhash").as("ha")), col("da") === col("doc_id"))
+      .drop("doc_id")
+      .join(sig.select(col("doc_id"), col("simhash").as("hb")), col("db") === col("doc_id"))
+      .select(col("da"), col("db"), ham.cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  val x2dSimhashNearDup: Q = (spark, dir) =>
+    simhashPairs(stagedSimhash(spark, dir)).orderBy(col("da"), col("db"))
+
+  val x2dSql: String = {
+    // keep x2b's toks/sums CTEs (strip its final select — the one starting
+    // "SELECT doc_id, CASE"; the sums CTE's select starts "doc_id, sum(")
+    val simhashCtes =
+      x2bSql.replaceAll("(?s)\\nSELECT doc_id, CASE.*$", "") +
+        ",\nsig AS (SELECT doc_id, " +
+        (1 to 16).map(p => s"CASE WHEN s$p > 0 THEN '1' ELSE '0' END")
+          .mkString(" || ") + " AS simhash FROM sums)"
+    val bandSelects = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, substr(simhash, ${4 * b + 1}, 4) AS key FROM sig")
+      .mkString(" UNION ALL ")
+    val ham = (1 to 16)
+      .map(p => s"CASE WHEN substr(ha, $p, 1) <> substr(hb, $p, 1) THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    simhashCtes + s""",
+      |bands AS ($bandSelects),
+      |capped AS (SELECT * FROM bands
+      |  QUALIFY count(*) OVER (PARTITION BY band, key) <= $defaultMaxBucket),
+      |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |         FROM capped a JOIN capped b
+      |          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+      |h AS (SELECT da, db, CAST($ham AS BIGINT) AS hamming
+      |      FROM cand JOIN sig sa ON da = sa.doc_id JOIN sig sb ON db = sb.doc_id,
+      |      LATERAL (SELECT sa.simhash AS ha, sb.simhash AS hb))
+      |SELECT da, db, hamming FROM h WHERE hamming <= 3 ORDER BY da, db""".stripMargin
   }
 
   // ----------------------------------------------------- X2 n-gram Jaccard
