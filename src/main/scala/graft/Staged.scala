@@ -21,21 +21,48 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Memory: entries are keyed, so the footprint is bounded by the number of
   * DISTINCT staged tables (single-digit, each ≤ tens of MB at bench scale),
-  * not by the number of queries run. `clear(spark)` unpersists everything
-  * for teardown.
+  * not by the number of queries run. `clear(spark)` unpersists only the
+  * checkpoint blocks THIS registry created for that session — a user's own
+  * `cache()`d DataFrames in a shared session are untouched.
   */
 object Staged {
-  private val cache = TrieMap[(Int, String), DataFrame]()
+  private case class Entry(df: DataFrame, rddIds: Set[Int])
+  // keyed by the session REFERENCE (SparkSession keeps default identity
+  // equality) — unique among live sessions, unlike identityHashCode, which
+  // is neither unique nor stable across GC; entries of stopped sessions
+  // are evicted opportunistically so nothing is pinned forever
+  private val cache = TrieMap[(SparkSession, String), Entry]()
 
-  private def sid(spark: SparkSession): Int = System.identityHashCode(spark)
+  private def evictStopped(): Unit =
+    cache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
 
-  /** The staged table for `key`, building + checkpointing it on first use. */
+  /** The staged table for `key`, building + checkpointing it on first use.
+    * Synchronized so the before/after persistent-RDD diff that attributes
+    * checkpoint blocks to this entry can't interleave with another build
+    * (reentrant, so staged tables can build from other staged tables).
+    */
   def apply(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    cache.getOrElseUpdate((sid(spark), key), build.localCheckpoint())
+    synchronized {
+      evictStopped()
+      cache.getOrElseUpdate((spark, key), {
+        val before = spark.sparkContext.getPersistentRDDs.keySet
+        val ck = build.localCheckpoint()
+        val added = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+        Entry(ck, added.toSet)
+      }).df
+    }
 
-  /** Drop every entry staged for `spark` and free its checkpoint blocks. */
-  def clear(spark: SparkSession): Unit = {
-    cache.keys.filter(_._1 == sid(spark)).foreach(cache.remove)
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  /** Drop every entry staged for `spark` and free exactly the checkpoint
+    * blocks those entries created — never foreign persisted RDDs (a user's
+    * own `cache()`d DataFrames in a shared session are untouched).
+    */
+  def clear(spark: SparkSession): Unit = synchronized {
+    val persistent = spark.sparkContext.getPersistentRDDs
+    cache.filterInPlace { case ((s, _), e) =>
+      val own = s eq spark
+      if (own) e.rddIds.foreach(id => persistent.get(id).foreach(_.unpersist(false)))
+      !own
+    }
+    evictStopped()
   }
 }

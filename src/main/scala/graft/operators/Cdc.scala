@@ -70,9 +70,12 @@ object Cdc {
   }
 
   private def envelope(opCode: Column, lsn: Column, before: Column,
-      after: Column, table: String = "customers"): Column = struct(
+      after: Column, table: String = "customers",
+      snap: Option[Column] = None): Column = struct(
     before.as("before"), after.as("after"),
-    source(lsn, when(opCode === "r", "true").otherwise("false"), table).as("source"),
+    source(lsn,
+      snap.getOrElse(when(opCode === "r", "true").otherwise("false")),
+      table).as("source"),
     opCode.as("op"), (lit(1700000000000L) + lsn).as("ts_ms"),
     lit(null).cast(Schemas.transactionType).as("transaction"))
 
@@ -443,7 +446,178 @@ object Cdc {
       |      ELSE NULL END AS lsn
       |FROM c ORDER BY raw_md5""".stripMargin
 
+  // -------------------------------------- incremental snapshot (Debezium)
+  /** Changelog with interleaved INCREMENTAL-snapshot windows — the
+    * `snapshot='incremental'` member of the envelope enum
+    * (`README.md:331`: allowed `true,last,false,incremental`): a chunked
+    * re-read of existing rows running concurrently with live capture
+    * (Debezium's DDD-3 signal-based snapshot). Two synthetic chunks:
+    *
+    *  - chunk A (keys id%10=0): read EARLY — emits the post-insert image at
+    *    lsn 100·id+1, BELOW any later live update/delete for the key, so
+    *    the fold must let live changes win over the stale snapshot row;
+    *  - chunk B (keys id%10=5, still live): read LATE — re-emits the
+    *    current image at lsn 100·id+10, above the key's live events, so
+    *    the fold must be idempotent under re-snapshot. Deleted keys are
+    *    never re-emitted (an incremental snapshot only reads existing
+    *    rows — re-emitting one would resurrect the delete).
+    *
+    * Because every snapshot event carries its read-time lsn, C4's
+    * last-writer-wins-by-lsn fold is already correct under arbitrary
+    * interleaving: [[cdcIncrSnapshot]] proves the extended fold equals the
+    * plain [[cdcSnapshot]] state.
+    */
+  def incrementalChangelog(spark: SparkSession, dir: String): DataFrame =
+    Staged(spark, s"cdc_changelog_incr:$dir")({
+      val b = base(spark, dir)
+      val img0 = img(col("fn0"), col("ln0"), col("em0"))
+      val img1 = img(col("fn0"), col("ln0"), col("em1"))
+      val img2 = img(col("fn1"), col("ln0"), col("em1"))
+      val latest = when(col("id") % 9 === 0, img2)
+        .when(col("id") % 3 === 0, img1).otherwise(img0)
+      val incrSnap = Some(lit("incremental"): Column)
+      val events = array(
+        when(col("id") % 10 === 0,
+          envelope(lit("r"), col("id") * 100 + 1, nullRow, img0, snap = incrSnap)),
+        when(col("id") % 10 === 5 && col("id") % 7 =!= 0,
+          envelope(lit("r"), col("id") * 100 + 10, nullRow, latest, snap = incrSnap)))
+      changelog(spark, dir).unionByName(
+        b.select(explode(filter(events, e => e.isNotNull)).as("e")).select("e.*"))
+    })
+
+  /** Fold over the incremental-snapshot-extended changelog; `src_snapshot`
+    * records which rows were last served by the incremental re-read vs live
+    * events. The (id, name, email) state must hash-match [[cdcSnapshot]]'s.
+    */
+  val cdcIncrSnapshot: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("key")).orderBy(col("source.lsn").desc)
+    incrementalChangelog(spark, dir)
+      .withColumn("key", coalesce(col("after.id"), col("before.id")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "d")
+      .select(col("key").as("id"), col("after.first_name"),
+        col("after.last_name"), col("after.email"),
+        col("source.snapshot").as("src_snapshot"))
+      .orderBy(col("id"))
+  }
+  val cdcIncrSnapshotSql: String = changelogCte +
+    """,
+      |incr AS (
+      | SELECT id, 'r' AS op, id*100+1 AS lsn, fn0 AS a_fn, ln0 AS a_ln, em0 AS a_em
+      | FROM base WHERE id % 10 = 0
+      | UNION ALL SELECT id, 'r', id*100+10,
+      |  CASE WHEN id % 9 = 0 THEN fn1 ELSE fn0 END, ln0,
+      |  CASE WHEN id % 3 = 0 THEN em1 ELSE em0 END
+      | FROM base WHERE id % 10 = 5 AND id % 7 <> 0),
+      |all_chg AS (
+      | SELECT id, op, lsn, a_fn, a_ln, a_em,
+      |  CASE WHEN op = 'r' THEN 'true' ELSE 'false' END AS snapshot FROM chg
+      | UNION ALL
+      | SELECT id, op, lsn, a_fn, a_ln, a_em, 'incremental' FROM incr)
+      |SELECT id, a_fn AS first_name, a_ln AS last_name, a_em AS email,
+      | snapshot AS src_snapshot
+      |FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY lsn DESC) AS rn
+      |      FROM all_chg)
+      |WHERE rn = 1 AND op <> 'd'
+      |ORDER BY id""".stripMargin
+
+  // ------------------------------------------------- schema-change drift
+  /** Distinct payload shapes per table: the sorted field set of each
+    * event's `after` object (extracted from the raw wire JSON — the
+    * self-describing schema the reference consumer discards, `main.py:43`)
+    * with its first-seen lsn and event count.
+    *
+    * Scale: the per-event key extraction is pure expression work; the
+    * groupBy collapses to (#tables × #schema-versions) rows via map-side
+    * combine BEFORE any window runs, so the drift window below never sees
+    * more than a handful of rows per table — no hot-table skew.
+    */
+  def payloadSchemaVersions(raw: DataFrame): DataFrame =
+    raw.select(col("tbl"), col("lsn"),
+      array_join(array_sort(json_object_keys(
+        get_json_object(col("raw"), "$.after"))), ",").as("fields"))
+      .groupBy(col("tbl"), col("fields"))
+      .agg(min(col("lsn")).as("since_lsn"), count(lit(1)).as("n_events"))
+
+  /** Drift report: one row per schema version per table, with the columns
+    * added/removed vs the previous version — the alert a replica pipeline
+    * pages on when upstream DDL lands. Version boundaries are first-seen
+    * lsns (assumes monotone schema evolution within a capture window; a
+    * revert A→B→A folds into its first run).
+    */
+  def schemaDriftReport(versions: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("tbl")).orderBy(col("since_lsn"))
+    def delta(a: Column, b: Column): Column =
+      array_join(array_sort(array_except(split(a, ","), split(b, ","))), ",")
+    versions
+      .withColumn("prev_fields", lag(col("fields"), 1).over(w))
+      .select(col("tbl"), col("since_lsn"), col("n_events"), col("fields"),
+        col("prev_fields"),
+        when(col("prev_fields").isNull, col("fields"))
+          .otherwise(delta(col("fields"), col("prev_fields"))).as("added"),
+        when(col("prev_fields").isNull, lit(""))
+          .otherwise(delta(col("prev_fields"), col("fields"))).as("removed"))
+  }
+
+  /** Registered drift query: wire JSON derived in-query (portable manual
+    * concat, as in [[cdcDeadletter]]) with two DDL events at 50% / 80% of
+    * the lsn range — `phone` added, then `last_name` dropped.
+    */
+  val cdcSchemaDrift: Q = (spark, dir) => {
+    val chg = changelog(spark, dir).filter(col("op") =!= "d")
+    val cuts = chg.agg(expr("max(source.lsn) * 5 DIV 10").as("c1"),
+      expr("max(source.lsn) * 8 DIV 10").as("c2"))
+    def obj(parts: Column*): Column = concat(
+      lit("{\"id\":") +: col("after.id").cast("string") +: parts :+ lit("\"}"): _*)
+    val fnEm = Seq(
+      lit(",\"first_name\":\""), col("after.first_name"),
+      lit("\",\"email\":\""), col("after.email"))
+    val ln = Seq(lit("\",\"last_name\":\""), col("after.last_name"))
+    val phone = Seq(lit("\",\"phone\":\"555-0100"))
+    val raw = chg.crossJoin(broadcast(cuts)).select(
+      lit("customers").as("tbl"), col("source.lsn").as("lsn"),
+      concat(lit("{\"op\":\""), col("op"), lit("\",\"after\":"),
+        when(col("source.lsn") >= col("c2"), obj(fnEm ++ phone: _*))
+          .when(col("source.lsn") >= col("c1"), obj(fnEm ++ ln ++ phone: _*))
+          .otherwise(obj(fnEm ++ ln: _*)),
+        lit("}")).as("raw"))
+    schemaDriftReport(payloadSchemaVersions(raw))
+      .orderBy(col("tbl"), col("since_lsn"))
+  }
+  val cdcSchemaDriftSql: String = changelogCte +
+    """,
+      |cuts AS (SELECT (max(lsn)*5)//10 AS c1, (max(lsn)*8)//10 AS c2 FROM chg),
+      |raw AS (
+      | SELECT 'customers' AS tbl, lsn,
+      |  '{"op":"' || op || '","after":' ||
+      |  CASE
+      |   WHEN lsn >= c2 THEN '{"id":' || id || ',"first_name":"' || a_fn ||
+      |     '","email":"' || a_em || '","phone":"555-0100"}'
+      |   WHEN lsn >= c1 THEN '{"id":' || id || ',"first_name":"' || a_fn ||
+      |     '","email":"' || a_em || '","last_name":"' || a_ln || '","phone":"555-0100"}'
+      |   ELSE '{"id":' || id || ',"first_name":"' || a_fn ||
+      |     '","email":"' || a_em || '","last_name":"' || a_ln || '"}'
+      |  END || '}' AS raw
+      | FROM chg, cuts WHERE op <> 'd'),
+      |keyed AS (SELECT tbl, lsn,
+      |  array_to_string(list_sort(json_keys(raw, '$.after')), ',') AS fields FROM raw),
+      |versions AS (SELECT tbl, fields, min(lsn) AS since_lsn,
+      |  CAST(count(*) AS BIGINT) AS n_events FROM keyed GROUP BY 1, 2),
+      |drift AS (SELECT tbl, since_lsn, n_events, fields,
+      |  lag(fields) OVER (PARTITION BY tbl ORDER BY since_lsn) AS prev_fields
+      | FROM versions)
+      |SELECT tbl, since_lsn, n_events, fields, prev_fields,
+      | CASE WHEN prev_fields IS NULL THEN fields
+      |  ELSE coalesce(array_to_string(list_sort(list_filter(string_split(fields, ','),
+      |    x -> NOT list_contains(string_split(prev_fields, ','), x))), ','), '') END AS added,
+      | CASE WHEN prev_fields IS NULL THEN ''
+      |  ELSE coalesce(array_to_string(list_sort(list_filter(string_split(prev_fields, ','),
+      |    x -> NOT list_contains(string_split(fields, ','), x))), ','), '') END AS removed
+      |FROM drift ORDER BY tbl, since_lsn""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "cdc_incr_snapshot" -> cdcIncrSnapshot,
+    "cdc_schema_drift" -> cdcSchemaDrift,
     "cdc_deadletter" -> cdcDeadletter,
     "cdc_tx_blocks" -> cdcTxBlocks,
     "cdc_tx_snapshot" -> cdcTxSnapshot,
@@ -457,6 +631,8 @@ object Cdc {
     "cdc_table_filter" -> cdcTableFilter)
 
   val oracle: Map[String, String] = Map(
+    "cdc_incr_snapshot" -> cdcIncrSnapshotSql,
+    "cdc_schema_drift" -> cdcSchemaDriftSql,
     "cdc_deadletter" -> cdcDeadletterSql,
     "cdc_tx_blocks" -> cdcTxBlocksSql,
     "cdc_tx_snapshot" -> cdcTxSnapshotSql,

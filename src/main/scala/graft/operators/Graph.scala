@@ -33,10 +33,20 @@ object Graph {
 
   /** Connected components of an undirected edge list.
     *
+    * Each round does (a) neighbor-min propagation and (b) a pointer-jump
+    * (label compression: every node's label is replaced by its label's
+    * label) — the jump halves the distance a min label still has to travel,
+    * so rounds are O(log diameter), not O(diameter): a path of 10⁶ nodes
+    * converges in ~20 rounds instead of 10⁶. If the round budget is still
+    * exhausted without a fixpoint the function THROWS rather than return
+    * partially-propagated (wrong) labels that downstream dedup would
+    * silently trust.
+    *
     * @param edges two-column DataFrame (src, dst), any orientation; self
     *              loops and duplicates are fine (symmetrized + deduped).
     * @return (node, cluster) — cluster = min node id in the component; only
     *         nodes appearing in `edges` are emitted.
+    * @throws IllegalStateException if not converged within `maxRounds`.
     */
   def connectedComponents(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
     val src = edges.columns(0)
@@ -53,15 +63,27 @@ object Graph {
     while (!converged && round < maxRounds) {
       val nbrMin = sym.join(labels, sym("v") === labels("node"))
         .groupBy(col("u")).agg(min(col("cluster")).as("nbr"))
-      val next = labels.join(nbrMin, labels("node") === nbrMin("u"), "left")
+      val prop = labels.join(nbrMin, labels("node") === nbrMin("u"), "left")
         .select(col("node"),
           least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"),
           (col("nbr") < col("cluster")).as("chg"))
+        .localCheckpoint()
+      // pointer-jump: label ids are node ids, so self-join the label table
+      // to fetch each node's label's label and take the min
+      val ptr = prop.select(col("node").as("pn"), col("cluster").as("pc"))
+      val next = prop.join(ptr, prop("cluster") === ptr("pn"), "left")
+        .select(col("node"),
+          least(col("cluster"), coalesce(col("pc"), col("cluster"))).as("cluster"),
+          (col("chg") || col("pc") < col("cluster")).as("chg"))
         .localCheckpoint()
       converged = next.filter(col("chg")).isEmpty
       labels = next.drop("chg")
       round += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxRounds rounds; " +
+        "labels would be partially propagated (wrong). Raise maxRounds — " +
+        "rounds needed ≈ log2(component diameter) with pointer-jumping.")
     labels
   }
 

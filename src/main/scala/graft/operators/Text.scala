@@ -207,15 +207,24 @@ object Text {
 
   val x2bSimhash: Q = (spark, dir) =>
     stagedSimhash(spark, dir).orderBy(col("doc_id"))
-  val x2bSql: String = {
+
+  /** Shared simhash CTE prefix (toks → sums) + the bit-string expression,
+    * used verbatim by both x2b and x2d so the two oracle twins can never
+    * drift apart.
+    */
+  private val simhashSumsCte: String = {
     val sums = (1 to 16).map(p =>
       s"sum(CASE WHEN substr(h, $p, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s$p")
       .mkString(", ")
-    val bits = (1 to 16).map(p => s"CASE WHEN s$p > 0 THEN '1' ELSE '0' END").mkString(" || ")
     s"""WITH toks AS (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents),
-       |sums AS (SELECT doc_id, $sums FROM toks GROUP BY 1)
-       |SELECT doc_id, $bits AS simhash FROM sums ORDER BY doc_id""".stripMargin
+       |sums AS (SELECT doc_id, $sums FROM toks GROUP BY 1)""".stripMargin
   }
+  private val simhashBitsExpr: String =
+    (1 to 16).map(p => s"CASE WHEN s$p > 0 THEN '1' ELSE '0' END").mkString(" || ")
+
+  val x2bSql: String =
+    s"""$simhashSumsCte
+       |SELECT doc_id, $simhashBitsExpr AS simhash FROM sums ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------- X2d SimHash near-dup
   /** SimHash near-dup pairing: band the 16-bit fingerprint into 4 bands of
@@ -260,20 +269,14 @@ object Text {
     simhashPairs(stagedSimhash(spark, dir)).orderBy(col("da"), col("db"))
 
   val x2dSql: String = {
-    // keep x2b's toks/sums CTEs (strip its final select — the one starting
-    // "SELECT doc_id, CASE"; the sums CTE's select starts "doc_id, sum(")
-    val simhashCtes =
-      x2bSql.replaceAll("(?s)\\nSELECT doc_id, CASE.*$", "") +
-        ",\nsig AS (SELECT doc_id, " +
-        (1 to 16).map(p => s"CASE WHEN s$p > 0 THEN '1' ELSE '0' END")
-          .mkString(" || ") + " AS simhash FROM sums)"
     val bandSelects = (0 until 4).map(b =>
       s"SELECT doc_id, $b AS band, substr(simhash, ${4 * b + 1}, 4) AS key FROM sig")
       .mkString(" UNION ALL ")
     val ham = (1 to 16)
-      .map(p => s"CASE WHEN substr(ha, $p, 1) <> substr(hb, $p, 1) THEN 1 ELSE 0 END")
+      .map(p => s"CASE WHEN substr(sa.simhash, $p, 1) <> substr(sb.simhash, $p, 1) THEN 1 ELSE 0 END")
       .mkString(" + ")
-    simhashCtes + s""",
+    simhashSumsCte + s""",
+      |sig AS (SELECT doc_id, $simhashBitsExpr AS simhash FROM sums),
       |bands AS ($bandSelects),
       |capped AS (SELECT * FROM bands
       |  QUALIFY count(*) OVER (PARTITION BY band, key) <= $defaultMaxBucket),
@@ -281,8 +284,7 @@ object Text {
       |         FROM capped a JOIN capped b
       |          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
       |h AS (SELECT da, db, CAST($ham AS BIGINT) AS hamming
-      |      FROM cand JOIN sig sa ON da = sa.doc_id JOIN sig sb ON db = sb.doc_id,
-      |      LATERAL (SELECT sa.simhash AS ha, sb.simhash AS hb))
+      |      FROM cand JOIN sig sa ON da = sa.doc_id JOIN sig sb ON db = sb.doc_id)
       |SELECT da, db, hamming FROM h WHERE hamming <= 3 ORDER BY da, db""".stripMargin
   }
 
@@ -426,13 +428,22 @@ object Text {
   // -------------------------------------------------- X4 doc fingerprinting
   /** Content fingerprint (md5 of normalized text) + per-fingerprint group
     * size — the exact-dup detector at fingerprint granularity.
+    *
+    * Skew note: a `count over (partition by fp)` window would funnel EVERY
+    * copy of one fingerprint into a single task — boilerplate-heavy corpora
+    * (the exact thing this operator detects) make one fp hold millions of
+    * rows at 100 TB. Instead the count is a map-side-combined groupBy whose
+    * tiny result joins back (AQE broadcasts it); the hot fp's rows stay
+    * spread across their original partitions.
     */
-  val x4dFingerprint: Q = (spark, dir) => {
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), md5(lower(col("text")).cast("binary")).as("fp"))
-      .withColumn("n_same", count(lit(1)).over(Window.partitionBy(col("fp"))))
-      .orderBy(col("doc_id"))
+  def fingerprintCounts(docs: DataFrame): DataFrame = {
+    val fps = docs.select(col("doc_id"), md5(lower(col("text")).cast("binary")).as("fp"))
+    val counts = fps.groupBy(col("fp")).agg(count(lit(1)).as("n_same"))
+    fps.join(counts, "fp").select(col("doc_id"), col("fp"), col("n_same"))
   }
+
+  val x4dFingerprint: Q = (spark, dir) =>
+    fingerprintCounts(Tables.documents(spark, dir)).orderBy(col("doc_id"))
   val x4dSql: String =
     """SELECT doc_id, md5(lower(text)) AS fp,
       | CAST(count(*) OVER (PARTITION BY md5(lower(text))) AS BIGINT) AS n_same
@@ -588,6 +599,7 @@ object Text {
     "x2_minhash_lsh" -> x2MinhashLsh,
     "x2b_simhash" -> x2bSimhash,
     "x2c_ngram_jaccard" -> x2cNgramJaccard,
+    "x2d_simhash_neardup" -> x2dSimhashNearDup,
     "x4_text_quality" -> x4TextQuality,
     "x4b_langid" -> x4bLangId,
     "x4c_token_count" -> x4cTokenCount,
@@ -602,6 +614,7 @@ object Text {
     "x2_minhash_lsh" -> x2Sql,
     "x2b_simhash" -> x2bSql,
     "x2c_ngram_jaccard" -> x2cSql,
+    "x2d_simhash_neardup" -> x2dSql,
     "x4_text_quality" -> x4Sql,
     "x4b_langid" -> x4bSql,
     "x4c_token_count" -> x4cSql,

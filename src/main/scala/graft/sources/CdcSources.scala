@@ -46,6 +46,33 @@ object CdcSources {
   def consoleSink(df: DataFrame): DataStreamWriter[Row] =
     df.writeStream.format("console").outputMode("append")
 
+  /** R4 — envelope serialization to the Kafka wire shape: one (key, value)
+    * string row per event. key = the primary key (Debezium keys records by
+    * PK so log compaction keeps the latest per row, `README.md:173` topic
+    * contract); value = the self-describing JSON envelope, the exact format
+    * [[kafkaEnvelopeStream]] / `graft.operators.Cdc.parseEnvelope` read
+    * back — the round trip is spec-verified (wire → parse ≡ identity).
+    */
+  def envelopeWire(changelog: DataFrame): DataFrame =
+    changelog.select(
+      coalesce(col("after.id"), col("before.id")).cast("string").as("key"),
+      to_json(struct(col("before"), col("after"), col("source"),
+        col("op"), col("ts_ms"), col("transaction"))).as("value"))
+
+  /** R4 — Kafka envelope sink: re-emit envelopes to a topic (the reference
+    * publish path, `README.md:173`). Requires the Kafka connector + broker
+    * at runtime; the serialization half is [[envelopeWire]], which tests
+    * cover via the memory-sink round trip (no broker in this environment).
+    */
+  def kafkaEnvelopeSink(changelog: DataFrame, bootstrap: String, topic: String,
+      checkpoint: String): DataStreamWriter[Row] =
+    envelopeWire(changelog).writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+
   /** S5 — checkpointed parquet sink: exactly-once per epoch. */
   def parquetSink(df: DataFrame, path: String, checkpoint: String,
       intervalMs: Long = 5000): DataStreamWriter[Row] =

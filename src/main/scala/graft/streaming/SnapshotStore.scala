@@ -40,11 +40,20 @@ object SnapshotStore {
   def writeVersion(df: DataFrame, root: String, version: Long): Unit =
     df.write.mode("overwrite").parquet(versionDir(root, version).toString)
 
-  /** Step (2): commit — point readers at `version` (atomic small write). */
+  /** Step (2): commit — point readers at `version`. Written to a temp file
+    * and renamed into place with OVERWRITE: `create(overwrite=true)` would
+    * truncate-then-write, letting a concurrent reader observe an empty
+    * pointer on local FS / HDFS; rename is atomic there, and object stores
+    * with atomic PUT are covered either way.
+    */
   def commitPointer(spark: SparkSession, root: String, version: Long): Unit = {
     val f = fs(spark, root)
-    val out = f.create(pointer(root), true)
+    val tmp = new Path(root, s"_LATEST.tmp")
+    val out = f.create(tmp, true)
     try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      new Path(root).toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, pointer(root), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Step (3): drop committed-over versions, keeping `current` and its
@@ -66,17 +75,34 @@ object SnapshotStore {
     gc(spark, root, version)
   }
 
+  /** The committed version, or None before the first commit. Defensive
+    * against a torn/empty pointer (possible only on stores with neither
+    * atomic rename nor atomic PUT): retries the read briefly, then treats a
+    * still-unparsable pointer as absent rather than throwing
+    * NumberFormatException at the reader.
+    */
   def latestVersion(spark: SparkSession, root: String): Option[Long] = {
     val f = fs(spark, root)
-    if (!f.exists(pointer(root))) None
-    else {
-      val in = f.open(pointer(root))
-      try {
-        val s = new String(
-          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
-        Some(s.toLong)
-      } finally in.close()
+    def readOnce(): Option[Long] =
+      if (!f.exists(pointer(root))) None
+      else {
+        val in = f.open(pointer(root))
+        try {
+          val s = new String(
+            org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+          s.toLongOption
+        } finally in.close()
+      }
+    var attempt = 0
+    var result: Option[Long] = None
+    var present = true
+    while (attempt < 3 && result.isEmpty && present) {
+      if (attempt > 0) Thread.sleep(50L * attempt)
+      present = f.exists(pointer(root))
+      if (present) result = readOnce()
+      attempt += 1
     }
+    result
   }
 
   private def listVersions(spark: SparkSession, root: String): Seq[Long] = {

@@ -152,15 +152,19 @@ object Streams {
   /** Consumer view of a foreachBatch-maintained snapshot: live rows only
     * (the persisted table also carries tombstones — state, not output).
     */
-  /** T8 — streaming decontamination: a document stream filtered against a
-    * STATIC benchmark shingle set via a stream-static left-anti-style join
-    * (here: left join + flag, so consumers can either drop or audit). The
+  /** T8 — streaming decontamination: a document stream checked against a
+    * STATIC benchmark shingle set via a stream-static left-SEMI join. The
     * static side is small (eval suites) and broadcast, so each micro-batch
     * is scan + hash-probe — no stateful operator, no watermark needed, and
-    * the same `Text.decontaminate` semantics as the batch/oracle form.
+    * the same flagged-docs semantics as the batch `Text.decontaminate`.
     *
-    * `docStream` must carry (doc_id, text); emits one row per streamed doc
-    * with its contaminating-shingle count.
+    * `docStream` must carry (doc_id, text); emits one row per CONTAMINATED
+    * doc with its contaminating-shingle count — clean docs produce no
+    * output (a semi join keeps only matches). Consumers drop contaminated
+    * training docs by anti-joining on the emitted doc_ids; a left-join-
+    * with-flag shape that also emits clean docs is deliberately avoided
+    * here because the flag column would force every micro-batch to carry
+    * the full (mostly clean) corpus through the aggregation state.
     */
   def decontaminateStream(docStream: DataFrame, benchShingles: DataFrame,
       width: Int = graft.operators.Text.defaultShingleWidth): DataFrame = {
