@@ -178,4 +178,53 @@ class CdcSpec extends AnyFunSuite {
     assert(lsns.toSeq === Seq(101L, 104L))
     assert(routed.forall(_.getString(0).length == 32))
   }
+
+  test("R4 envelope wire round trip: serialize -> parse is the identity") {
+    val chg = Cdc.changelog(spark, TestSpark.sf)
+    val wire = graft.sources.CdcSources.envelopeWire(chg)
+    // the wire key is the primary key as a string (compaction contract)
+    assert(wire.filter(col("key").isNull).count() === 0)
+    def fingerprint(df: org.apache.spark.sql.DataFrame) =
+      df.select(
+          coalesce(col("after.id"), col("before.id")).as("id"), col("op"),
+          col("source.lsn").as("lsn"), col("source.snapshot").as("snap"),
+          col("before.email").as("b_em"), col("after.email").as("a_em"),
+          col("transaction.total_order").as("tord"))
+        .orderBy(col("id"), col("lsn")).collect().toSeq
+    val parsed = Cdc.parseEnvelope(wire.select(col("value"))).select(col("e.*"))
+    assert(fingerprint(parsed) === fingerprint(chg))
+    assert(fingerprint(chg).nonEmpty)
+  }
+
+  test("incremental snapshot windows fold to the same state as the plain changelog") {
+    val base = Cdc.snapshot(Cdc.changelog(spark, TestSpark.sf))
+      .orderBy("id").collect().toSeq
+    val incr = Cdc.snapshot(Cdc.incrementalChangelog(spark, TestSpark.sf))
+      .orderBy("id").collect().toSeq
+    assert(incr === base)
+    assert(base.nonEmpty)
+    // the extended changelog really carries incremental-snapshot events,
+    // and none of them resurrects a deleted key
+    val marks = Cdc.incrementalChangelog(spark, TestSpark.sf)
+      .filter(col("source.snapshot") === "incremental")
+    assert(marks.count() > 0)
+  }
+
+  test("schema drift report: added and removed columns per payload-shape version") {
+    import spark.implicits._
+    val raw = Seq(
+      ("t", 1L, """{"after":{"id":1,"a":1,"b":2}}"""),
+      ("t", 2L, """{"after":{"id":2,"b":3,"a":4}}"""),  // same shape, reordered
+      ("t", 5L, """{"after":{"id":3,"a":5,"b":6,"c":7}}"""), // + c
+      ("t", 9L, """{"after":{"id":4,"a":8,"c":9}}"""))       // - b
+      .toDF("tbl", "lsn", "raw")
+    val got = Cdc.schemaDriftReport(Cdc.payloadSchemaVersions(raw))
+      .orderBy("since_lsn")
+      .select("since_lsn", "n_events", "fields", "added", "removed")
+      .as[(Long, Long, String, String, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, 2L, "a,b,id", "a,b,id", ""),
+      (5L, 1L, "a,b,c,id", "c", ""),
+      (9L, 1L, "a,c,id", "", "b")))
+  }
 }

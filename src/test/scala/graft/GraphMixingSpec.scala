@@ -57,6 +57,24 @@ class GraphMixingSpec extends AnyFunSuite {
     assert(cc.size === 17)
   }
 
+  test("connected components: 200-node path converges in O(log d) rounds via pointer-jumping") {
+    // plain propagation needs 199 rounds; with per-round label compression
+    // the reach doubles each round (2^r - 1 ≥ 199 → r = 8), so 10 suffices
+    val edges = (1L until 200L).map(i => (i + 1, i))
+    val cc = Graph.connectedComponents(edges.toDF("src", "dst"), maxRounds = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(cc.values.toSet === Set(1L))
+    assert(cc.size === 200)
+  }
+
+  test("connected components throw on round exhaustion instead of returning wrong labels") {
+    val edges = (1L until 40L).map(i => (i + 1, i))
+    val ex = intercept[IllegalStateException] {
+      Graph.connectedComponents(edges.toDF("src", "dst"), maxRounds = 2)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("x7 clusters: every pair member is labeled, label is component min") {
     val dir = "/root/testdata/sf0.001"
     val pairs = Text.stagedJaccardPairs(spark, dir)

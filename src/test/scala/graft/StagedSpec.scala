@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registry semantics of [[Staged]]: memoization identity, and clear()
+  * freeing exactly its own checkpoint blocks — never a user's caches.
+  */
+class StagedSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("apply memoizes: same key returns the same staged DataFrame") {
+    val a = Staged(spark, "spec:memo")(spark.range(5).toDF("x"))
+    val b = Staged(spark, "spec:memo")(spark.range(5).toDF("x"))
+    assert(a eq b)
+    Staged.clear(spark)
+  }
+
+  test("clear frees only its own checkpoint blocks; a foreign cache survives") {
+    val foreign = spark.range(100).toDF("x").cache()
+    foreign.count() // materialize the cache blocks
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    assert(before.nonEmpty)
+
+    val staged = Staged(spark, "spec:own")(spark.range(50).toDF("y"))
+    assert(staged.count() === 50)
+    val withStaged = spark.sparkContext.getPersistentRDDs.keySet
+    assert(before.subsetOf(withStaged) && withStaged != before)
+
+    Staged.clear(spark)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    // staged checkpoint gone, foreign cache untouched
+    assert(after === before)
+    assert(foreign.count() === 100)
+    foreign.unpersist(true)
+  }
+
+  test("cleared key rebuilds on next apply") {
+    var builds = 0
+    def build = { builds += 1; spark.range(3).toDF("z") }
+    Staged(spark, "spec:rebuild")(build)
+    Staged(spark, "spec:rebuild")(build)
+    assert(builds === 1)
+    Staged.clear(spark)
+    Staged(spark, "spec:rebuild")(build)
+    assert(builds === 2)
+    Staged.clear(spark)
+  }
+}

@@ -232,6 +232,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(dirs.toSeq === Seq("v=2", "v=3"))
   }
 
+  test("snapshot pointer: commit leaves no temp file; a torn pointer reads as absent, then recovers") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("ptr").toString + "/s"
+    SnapshotStore.commit(Seq((1L, "a")).toDF("id", "v"), root, 0L)
+    assert(SnapshotStore.latestVersion(spark, root) === Some(0L))
+    // the temp-and-rename protocol must not leave its staging file behind
+    assert(!new java.io.File(root, "_LATEST.tmp").exists())
+    // simulate a torn pointer (a store with neither atomic rename nor
+    // atomic PUT crashing mid-write): empty file must not throw, and must
+    // not be mistaken for a committed version
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "_LATEST"),
+      Array.emptyByteArray)
+    assert(SnapshotStore.latestVersion(spark, root) === None)
+    // the next commit repairs the pointer
+    SnapshotStore.commit(Seq((1L, "b")).toDF("id", "v"), root, 1L)
+    assert(SnapshotStore.latestVersion(spark, root) === Some(1L))
+    assert(SnapshotStore.read(spark, root).get.collect()(0).getString(1) === "b")
+  }
+
   test("R6 retry runner: bounded restarts recover a failing query with no loss or duplication") {
     implicit val ctx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("retry").toString

@@ -143,4 +143,40 @@ class TextVectorsSpec extends AnyFunSuite {
       assert(twoPhase === naive, s"bucketWidth=$width")
     }
   }
+
+  test("fingerprint counts equal the window form on a hot-fingerprint corpus") {
+    // 400 copies of one text (the skew case the groupBy+join form exists
+    // for) plus a few uniques; the de-skewed plan must agree with the
+    // single-partition window definition row for row
+    val docs = ((1 to 400).map(i => (i.toLong, "same boilerplate text")) ++
+      Seq((900L, "unique a"), (901L, "unique b")))
+      .toDF("doc_id", "text")
+    val got = Text.fingerprintCounts(docs)
+      .orderBy("doc_id").collect().toSeq
+    val windowed = docs
+      .select(col("doc_id"), md5(lower(col("text")).cast("binary")).as("fp"))
+      .withColumn("n_same", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .orderBy("doc_id").collect().toSeq
+    assert(got === windowed)
+    assert(got.count(_.getLong(2) == 400L) === 400)
+    // and no per-fp window remains in the de-skewed plan
+    val plan = Text.fingerprintCounts(docs).queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("window"))
+  }
+
+  test("simhash near-dup pairs: hamming<=3 pairs found, distant pairs excluded") {
+    // identical docs -> hamming 0; one with a couple tokens swapped stays
+    // within the band recall contract; a disjoint-vocabulary doc pairs with
+    // nobody
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "zzz yyy xxx www vvv uuu ttt sss rrr qqq ppp ooo"))
+      .toDF("doc_id", "text")
+    val pairs = Text.simhashPairs(Text.simhash(docs))
+      .select("da", "db", "hamming").as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.contains((1L, 2L, 0L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
 }
