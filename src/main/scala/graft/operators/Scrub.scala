@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** X8 — content scrubbing + repetition metrics, the two standard
+  * training-data curation passes not covered by X1–X7: PII redaction
+  * (mask emails/phones before a corpus ships) and Gopher-style repetition
+  * filters (Rae et al. 2021 §A1.1: documents dominated by one repeated
+  * n-gram or by duplicated tokens are boilerplate; gate on the fractions).
+  *
+  * Scale: both are pure per-document map work (regex / per-doc groupBy) —
+  * embarrassingly parallel, no cross-document shuffle except the bounded
+  * per-(doc, gram) partial aggregation, which map-side combines. Regexes
+  * stay in the engine-portable common subset (character classes +
+  * quantifiers — identical semantics in Java regex and RE2/DuckDB), so the
+  * oracle mirrors them verbatim.
+  */
+object Scrub {
+  type Q = (SparkSession, String) => DataFrame
+
+  val emailRe = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+"
+  val phoneRe = "555-[0-9]{4}"
+
+  /** Redact emails/phones; emits match counts and the scrubbed text. */
+  def piiScrub(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("n_emails", regexp_count(col(textCol), lit(emailRe)).cast("long"))
+      .withColumn("n_phones", regexp_count(col(textCol), lit(phoneRe)).cast("long"))
+      .withColumn("scrubbed",
+        regexp_replace(regexp_replace(col(textCol), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>"))
+
+  /** Registered query: the fixture text carries no PII, so deterministic
+    * contact strings are appended in-query for a known subset of docs
+    * (identical derivation in the oracle CTE — same bytes both engines);
+    * output carries md5(scrubbed) rather than the full text.
+    */
+  val x8PiiScrub: Q = (spark, dir) => {
+    val aug = Tables.documents(spark, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), (col("doc_id") % 50).cast("string"),
+            lit("@example.org now"))).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" call 555-01"),
+            lpad((col("doc_id") % 100).cast("string"), 2, "0")))
+          .otherwise(lit(""))).as("text"))
+    piiScrub(aug)
+      .select(col("doc_id"), col("n_emails"), col("n_phones"),
+        md5(col("scrubbed").cast("binary")).as("scrub_md5"))
+      .orderBy(col("doc_id"))
+  }
+  val x8Sql: String =
+    s"""WITH aug AS (
+       | SELECT doc_id, text ||
+       |  CASE WHEN doc_id % 3 = 0
+       |   THEN ' contact user' || CAST(doc_id % 50 AS VARCHAR) || '@example.org now'
+       |   ELSE '' END ||
+       |  CASE WHEN doc_id % 4 = 0
+       |   THEN ' call 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+       |   ELSE '' END AS text
+       | FROM documents)
+       |SELECT doc_id,
+       | CAST(len(regexp_extract_all(text, '$emailRe')) AS BIGINT) AS n_emails,
+       | CAST(len(regexp_extract_all(text, '$phoneRe')) AS BIGINT) AS n_phones,
+       | md5(regexp_replace(regexp_replace(text, '$emailRe', '<EMAIL>', 'g'),
+       |     '$phoneRe', '<PHONE>', 'g')) AS scrub_md5
+       |FROM aug ORDER BY doc_id""".stripMargin
+
+  /** Gopher-style repetition metrics per document: the share of bigram
+    * occurrences taken by the single most frequent bigram (`top2_frac`)
+    * and the share of tokens that are repeats of an earlier token
+    * (`tok_dup_frac`). Integer-exact numerators/denominators plus one
+    * mirrored rounded ratio each; a curation gate then filters on them
+    * (e.g. Gopher drops top-2-gram fraction > 0.20).
+    */
+  def repetitionMetrics(docs: DataFrame): DataFrame = {
+    val bg = Text.bigrams(docs)
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top2_n"))
+    val tok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        (sum(col("c")) - count(lit(1))).as("dup_tokens"))
+    tok.join(bg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("dup_tokens"),
+        round(col("dup_tokens") * lit(1.0) / col("n_tokens"), 4).as("tok_dup_frac"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("top2_n"), lit(0L)).as("top2_n"),
+        when(col("n_bigrams").isNull, lit(0.0))
+          .otherwise(round(col("top2_n") * lit(1.0) / col("n_bigrams"), 4))
+          .as("top2_frac"))
+  }
+
+  val x8bRepetition: Q = (spark, dir) =>
+    repetitionMetrics(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+  val x8bSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |bg AS (SELECT doc_id, unnest(
+      |  CASE WHEN len(t) >= 2
+      |   THEN list_transform(generate_series(1, len(t)-1),
+      |          i -> md5(t[i] || ' ' || t[i+1]))
+      |   ELSE [] END) AS bg
+      | FROM tok),
+      |bgc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+      |bga AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+      |        CAST(max(c) AS BIGINT) AS top2_n FROM bgc GROUP BY 1),
+      |tkc AS (SELECT doc_id, unnest(t) AS tk FROM tok),
+      |tkg AS (SELECT doc_id, tk, count(*) AS c FROM tkc GROUP BY 1, 2),
+      |tka AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |        CAST(sum(c) - count(*) AS BIGINT) AS dup_tokens FROM tkg GROUP BY 1)
+      |SELECT tka.doc_id, n_tokens, dup_tokens,
+      | round(dup_tokens * 1.0 / n_tokens, 4) AS tok_dup_frac,
+      | coalesce(n_bigrams, 0) AS n_bigrams, coalesce(top2_n, 0) AS top2_n,
+      | CASE WHEN n_bigrams IS NULL THEN 0.0
+      |      ELSE round(top2_n * 1.0 / n_bigrams, 4) END AS top2_frac
+      |FROM tka LEFT JOIN bga ON tka.doc_id = bga.doc_id
+      |ORDER BY tka.doc_id""".stripMargin
+
+  /** Curation gate over the repetition metrics — the operator a pipeline
+    * actually runs (Gopher's repetition thresholds as a filter).
+    */
+  val x8cRepetitionGate: Q = (spark, dir) =>
+    repetitionMetrics(Tables.documents(spark, dir))
+      .filter(col("top2_frac") <= 0.2 && col("tok_dup_frac") <= 0.6)
+      .select(col("doc_id"), col("top2_frac"), col("tok_dup_frac"))
+      .orderBy(col("doc_id"))
+  val x8cSql: String = {
+    val inner = x8bSql.replace("ORDER BY tka.doc_id", "")
+    s"""SELECT doc_id, top2_frac, tok_dup_frac FROM ($inner)
+       |WHERE top2_frac <= 0.2 AND tok_dup_frac <= 0.6
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "x8_pii_scrub" -> x8PiiScrub,
+    "x8b_repetition" -> x8bRepetition,
+    "x8c_repetition_gate" -> x8cRepetitionGate)
+
+  val oracle: Map[String, String] = Map(
+    "x8_pii_scrub" -> x8Sql,
+    "x8b_repetition" -> x8bSql,
+    "x8c_repetition_gate" -> x8cSql)
+}

@@ -165,6 +165,36 @@ class TextVectorsSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("window"))
   }
 
+  test("PII scrub masks emails and phones and counts matches") {
+    val docs = Seq(
+      (1L, "write to jane.doe@corp.example or call 555-0137 today"),
+      (2L, "no contact info here at all"))
+      .toDF("doc_id", "text")
+    val got = operators.Scrub.piiScrub(docs)
+      .select("doc_id", "n_emails", "n_phones", "scrubbed")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, 1L, 1L, "write to <EMAIL> or call <PHONE> today"),
+      (2L, 0L, 0L, "no contact info here at all")))
+  }
+
+  test("repetition metrics: degenerate repeats score 1.0, varied text scores low, single token safe") {
+    val docs = Seq(
+      (1L, "spam spam spam spam"), // 4 tokens, 3 dups; 3 bigrams all equal
+      (2L, "a b c d"),             // no repeats; 3 distinct bigrams
+      (3L, "x"))                   // single token: no bigrams at all
+      .toDF("doc_id", "text")
+    val got = operators.Scrub.repetitionMetrics(docs)
+      .select("doc_id", "n_tokens", "dup_tokens", "tok_dup_frac",
+        "n_bigrams", "top2_n", "top2_frac")
+      .as[(Long, Long, Long, Double, Long, Long, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, 4L, 3L, 0.75, 3L, 3L, 1.0),
+      (2L, 4L, 0L, 0.0, 3L, 1L, 0.3333),
+      (3L, 1L, 0L, 0.0, 0L, 0L, 0.0)))
+  }
+
   test("simhash near-dup pairs: hamming<=3 pairs found, distant pairs excluded") {
     // identical docs -> hamming 0; one with a couple tokens swapped stays
     // within the band recall contract; a disjoint-vocabulary doc pairs with
