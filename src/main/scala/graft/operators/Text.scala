@@ -129,6 +129,22 @@ object Text {
     s"sig AS (SELECT doc_id, $mins FROM sh GROUP BY 1)"
   }
 
+  /** Drop rows of (band, key) buckets holding more than `maxBucket`
+    * members. The bucket size is a map-side-combined groupBy whose tiny
+    * result semi-joins back (AQE broadcasts it) — NOT a `count over
+    * (partition by band, key)` window, which would funnel every member of
+    * the degenerate bucket being capped into one task first (same skew
+    * class as the x4d fingerprint count; on a boilerplate-heavy corpus the
+    * hot bucket is exactly where the rows are).
+    */
+  private def capBuckets(bands: DataFrame, maxBucket: Int): DataFrame = {
+    val small = bands.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucket)
+      .select(col("band"), col("key"))
+    bands.join(small, Seq("band", "key"), "left_semi")
+  }
+
   /** Signature → capped (band, key) melt: one explode pass instead of a
     * 4-way union (a union of N selects re-reads the signature relation N
     * times); buckets larger than `maxBucket` dropped before any join.
@@ -137,13 +153,11 @@ object Text {
     val bandStructs = (1 to numHashes by 2).zipWithIndex.map { case (j, b) =>
       struct(lit(b).as("band"), concat(col(s"h$j"), col(s"h${j + 1}")).as("key"))
     }
-    minhashSigs(sh)
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-      .withColumn("bsz", count(lit(1)).over(
-        Window.partitionBy(col("band"), col("key"))))
-      .filter(col("bsz") <= maxBucket)
-      .drop("bsz")
+    capBuckets(
+      minhashSigs(sh)
+        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key")),
+      maxBucket)
   }
 
   /** Bucket self-join: candidates only ever come from documents sharing a
@@ -242,13 +256,10 @@ object Text {
       maxBucket: Int = defaultMaxBucket): DataFrame = {
     val bandStructs = (0 until 4).map(b =>
       struct(lit(b).as("band"), substring(col("simhash"), 4 * b + 1, 4).as("key")))
-    val bands = sig
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-      .withColumn("bsz", count(lit(1)).over(
-        Window.partitionBy(col("band"), col("key"))))
-      .filter(col("bsz") <= maxBucket)
-      .drop("bsz")
+    val bands = capBuckets(
+      sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key")),
+      maxBucket)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
