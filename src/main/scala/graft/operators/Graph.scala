@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.{Staged, Tables}
 
 /** Graph operators for the dedup pipeline: near-dup PAIRS (x2/x2c) only say
@@ -102,9 +101,13 @@ object Graph {
         Text.stagedJaccardPairs(spark, dir).select(col("da"), col("db"))))
 
   val x7NeardupClusters: Q = (spark, dir) => {
-    stagedClusters(spark, dir)
-      .withColumn("n_members",
-        count(lit(1)).over(Window.partitionBy(col("cluster"))))
+    // component size via groupBy + broadcast join back, not a per-cluster
+    // count window: a giant boilerplate component would land every member
+    // in one window task, and the cluster-size table is bounded by near-dup
+    // membership (≪ corpus), so it broadcasts
+    val cc = stagedClusters(spark, dir)
+    val sizes = cc.groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
+    cc.join(broadcast(sizes), "cluster")
       .select(col("node").as("doc_id"), col("cluster"), col("n_members"))
       .orderBy(col("doc_id"))
   }

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.{Staged, Tables}
 
 /** Text-pipeline extensions (SURVEY.md §2.2 X1/X2/X4 + the north-star
@@ -80,13 +79,21 @@ object Text {
   }
 
   // ------------------------------------------------------------------- X1
-  /** Exact dedup with a deterministic representative (min doc_id per text —
-    * never dropDuplicates, whose surviving row is partition-order
-    * dependent). Generic combinator + registered query.
+  /** Exact dedup with a deterministic representative (min `orderCol` per
+    * key group — never dropDuplicates, whose surviving row is
+    * partition-order dependent). `orderCol` must be unique within a key
+    * group (a row id), which also makes this equal to the row_number
+    * formulation.
+    *
+    * Skew note: a row_number window partitioned by the dup key would put
+    * EVERY copy of one duplicated document in a single task — and the hot
+    * key is precisely what a dedup operator exists to handle. The min is
+    * a map-side-combined groupBy; the semi join back hash-spreads the hot
+    * key's copies across their original partitions.
     */
   def dedupExact(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
-    df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    val reps = df.groupBy(keys.map(col): _*).agg(min(col(orderCol)).as(orderCol))
+    df.join(reps, keys :+ orderCol, "left_semi")
   }
 
   val x1DedupExact: Q = (spark, dir) =>
