@@ -345,6 +345,28 @@ object Relational {
       |   <= count(DISTINCT user_id) * 5 AS within_5pct
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Approximate percentile (Spark: KLL-style quantile summaries; DuckDB:
+    * t-digest) with the accuracy contract checked as a cross-engine
+    * boolean, like q9c/x3f: each engine's own sketch must land within 5%
+    * of its own exact median. The sketches differ; the bound must hold in
+    * both.
+    */
+  val q8eApproxPercentileBound: Q = (spark, dir) => {
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("approx"),
+        expr("percentile(l_extendedprice, 0.5)").as("exact"))
+      .select(col("l_returnflag"),
+        (abs(col("approx") - col("exact")) * 100 <= col("exact") * 5).as("within_5pct"))
+      .orderBy(col("l_returnflag"))
+  }
+  val q8eSql: String =
+    """SELECT l_returnflag,
+      | abs(approx_quantile(l_extendedprice, 0.5) - quantile_cont(l_extendedprice, 0.5)) * 100
+      |   <= quantile_cont(l_extendedprice, 0.5) * 5 AS within_5pct
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   // Q10 — ROLLUP hierarchy (group keys COALESCEd so the subtotal rows have
   // non-null sort keys in both engines).
   val q10Rollup: Q = (spark, dir) => {
@@ -822,6 +844,7 @@ object Relational {
     "q8_agg_stats" -> q8AggStats,
     "q9_distinct" -> q9Distinct,
     "q9b_approx_distinct" -> q9bApproxDistinct,
+    "q8e_approx_pct_bound" -> q8eApproxPercentileBound,
     "q9c_approx_bound" -> q9cApproxBound,
     "q10_rollup" -> q10Rollup,
     "q10b_cube" -> q10bCube,
@@ -841,6 +864,7 @@ object Relational {
     "q21_map" -> q21Map)
 
   val oracle: Map[String, String] = Map(
+    "q8e_approx_pct_bound" -> q8eSql,
     "q8b_percentile" -> q8bSql,
     "q8c_stats" -> q8cSql,
     "q8d_stringagg" -> q8dSql,

@@ -185,6 +185,23 @@ object Streams {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
   }
 
+  /** T9 — streaming schema-drift alerts: emit one row the FIRST time each
+    * (table, payload-shape) appears on the wire — the page a replica
+    * pipeline wants the moment upstream DDL lands, not at the next batch
+    * audit. The shape key is the sorted field set of the `after` object
+    * (same extraction as the batch `Cdc.payloadSchemaVersions`); novelty
+    * detection is Spark's stateful streaming dropDuplicates keyed by
+    * (tbl, fields). State is bounded by #tables × #schema-versions —
+    * inherently tiny, so no watermark eviction is needed.
+    *
+    * `raw` must carry (tbl, lsn, raw) with `raw` the envelope JSON string.
+    */
+  def schemaDriftStream(raw: DataFrame): DataFrame =
+    raw.select(col("tbl"), col("lsn"),
+      array_join(array_sort(json_object_keys(
+        get_json_object(col("raw"), "$.after"))), ",").as("fields"))
+      .dropDuplicates("tbl", "fields")
+
   def readSnapshot(spark: org.apache.spark.sql.SparkSession,
       snapshotRoot: String): DataFrame = {
     val committed = SnapshotStore.read(spark, snapshotRoot)

@@ -348,4 +348,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
     assert(streamed.map(_._1) === Seq(10L, 12L))
   }
+
+  test("T9 schema drift alerts: first sight of each payload shape, once, as it arrives") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, String)]
+    val q = Streams.schemaDriftStream(
+        mem.toDF.toDF("tbl", "lsn", "raw")).writeStream
+      .format("memory").queryName("t9").outputMode("append").start()
+    mem.addData(("customers", 1L, """{"after":{"id":1,"email":"a@x"}}"""))
+    q.processAllAvailable()
+    // same shape again (different values, reordered keys): no new alert
+    mem.addData(("customers", 2L, """{"after":{"email":"b@x","id":2}}"""))
+    q.processAllAvailable()
+    val afterSame = spark.table("t9").count()
+    // DDL lands: new field appears -> exactly one new alert, cross-batch
+    mem.addData(
+      ("customers", 3L, """{"after":{"id":3,"email":"c@x","phone":"555-0100"}}"""),
+      ("customers", 4L, """{"after":{"id":4,"email":"d@x","phone":"555-0101"}}"""))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("t9").orderBy("lsn")
+      .as[(String, Long, String)].collect().toSeq
+    assert(afterSame === 1)
+    assert(rows === Seq(
+      ("customers", 1L, "email,id"),
+      ("customers", 3L, "email,id,phone")))
+  }
 }
