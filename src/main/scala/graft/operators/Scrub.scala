@@ -97,8 +97,15 @@ object Scrub {
           .as("top2_frac"))
   }
 
+  /** Staged per-doc metrics (one row per document — tiny): x8b and the
+    * x8c gate both consume the single producer pass (see [[graft.Staged]]).
+    */
+  def stagedRepetition(spark: SparkSession, dir: String): DataFrame =
+    graft.Staged(spark, s"repetition:$dir")(
+      repetitionMetrics(Tables.documents(spark, dir)))
+
   val x8bRepetition: Q = (spark, dir) =>
-    repetitionMetrics(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+    stagedRepetition(spark, dir).orderBy(col("doc_id"))
   val x8bSql: String =
     """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |bg AS (SELECT doc_id, unnest(
@@ -126,7 +133,7 @@ object Scrub {
     * actually runs (Gopher's repetition thresholds as a filter).
     */
   val x8cRepetitionGate: Q = (spark, dir) =>
-    repetitionMetrics(Tables.documents(spark, dir))
+    stagedRepetition(spark, dir)
       .filter(col("top2_frac") <= 0.2 && col("tok_dup_frac") <= 0.6)
       .select(col("doc_id"), col("top2_frac"), col("tok_dup_frac"))
       .orderBy(col("doc_id"))
