@@ -86,4 +86,31 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Broadcast"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("skew discipline: no hot-key Window in dedup, fingerprint, band-cap, or cluster-size plans") {
+    // each of these previously counted or ranked over a partition keyed by
+    // the potentially-degenerate value itself (dup text, fingerprint, LSH
+    // bucket, cluster id); all must stay groupBy+join shaped
+    for (q <- Seq("x1_dedup_exact", "x4d_fingerprint", "x2_minhash_lsh",
+        "x2d_simhash_neardup", "x7_neardup_clusters")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q plan contains a Window:\n$p")
+    }
+  }
+
+  test("per-document map queries have no shuffle at all") {
+    for (q <- Seq("x8_pii_scrub", "x4_text_quality", "x4b_langid", "x4c_token_count")) {
+      val p = plan(q)
+      // the only Exchange allowed is the final single-partition ordering
+      // for deterministic output (rangepartitioning for orderBy)
+      val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toSeq
+      assert(exchanges.forall(_.contains("rangepartitioning")),
+        s"$q has a non-sort shuffle: $exchanges\n$p")
+    }
+  }
+
+  test("decontamination broadcasts the benchmark side, never shuffles the corpus for the join") {
+    val p = plan("x7e_decontamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
