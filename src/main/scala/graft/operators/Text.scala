@@ -467,6 +467,56 @@ object Text {
       | CAST(count(*) OVER (PARTITION BY md5(lower(text))) AS BIGINT) AS n_same
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- X4 URL/domain stats
+  /** Web-curation domain statistics: extract every URL's host from the
+    * text, count documents and occurrences per domain — the table a
+    * crawl-curation pipeline gates on (domain allow/deny lists, per-domain
+    * caps). The regex stays in the Java/RE2-common subset so the oracle
+    * mirrors it verbatim.
+    *
+    * Scale: extraction is per-row expression work; the domain groupBy is
+    * map-side combined and keyed by domain (bounded cardinality ≪ corpus);
+    * a hot domain costs one reducer its partial counts, not its rows.
+    */
+  val urlHostRe = "https?://([a-z0-9.-]+)/"
+
+  def domainStats(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(expr(s"regexp_extract_all($textCol, '$urlHostRe', 1)")).as("domain"))
+      .groupBy(col("domain"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_urls"))
+
+  /** Registered query: the fixture text carries no URLs, so deterministic
+    * ones are appended in-query (same derivation in the oracle CTE).
+    */
+  val x4gDomains: Q = (spark, dir) => {
+    val aug = Tables.documents(spark, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(" see https://site"), (col("doc_id") % 7).cast("string"),
+            lit(".example.com/page"), col("doc_id").cast("string")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(" and http://cdn.example.net/x"))
+          .otherwise(lit(""))).as("text"))
+    domainStats(aug).orderBy(col("domain"))
+  }
+  val x4gSql: String =
+    s"""WITH aug AS (
+       | SELECT doc_id, text ||
+       |  CASE WHEN doc_id % 2 = 0
+       |   THEN ' see https://site' || CAST(doc_id % 7 AS VARCHAR) ||
+       |        '.example.com/page' || CAST(doc_id AS VARCHAR)
+       |   ELSE '' END ||
+       |  CASE WHEN doc_id % 5 = 0 THEN ' and http://cdn.example.net/x'
+       |   ELSE '' END AS text
+       | FROM documents),
+       |d AS (SELECT doc_id, unnest(regexp_extract_all(text, '$urlHostRe', 1)) AS domain
+       |      FROM aug)
+       |SELECT domain, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       | CAST(count(*) AS BIGINT) AS n_urls
+       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------ X4 term frequency
   /** Corpus term frequency with language filter: tokenize → explode →
     * count, the canonical shuffle-with-partial-agg text op. Deterministic
@@ -621,9 +671,11 @@ object Text {
     "x4_text_quality" -> x4TextQuality,
     "x4b_langid" -> x4bLangId,
     "x4c_token_count" -> x4cTokenCount,
-    "x4d_fingerprint" -> x4dFingerprint)
+    "x4d_fingerprint" -> x4dFingerprint,
+    "x4g_domains" -> x4gDomains)
 
   val oracle: Map[String, String] = Map(
+    "x4g_domains" -> x4gSql,
     "x7d_bigram_familiarity" -> x7dSql,
     "x7e_decontamination" -> x7eSql,
     "x4e_term_freq" -> x4eSql,

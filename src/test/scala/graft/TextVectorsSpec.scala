@@ -165,6 +165,20 @@ class TextVectorsSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("window"))
   }
 
+  test("domain stats: hosts extracted per URL, counted per doc and occurrence") {
+    val docs = Seq(
+      (1L, "intro https://a.example.com/x then https://a.example.com/y done"),
+      (2L, "see http://b.example.net/z and https://a.example.com/w"),
+      (3L, "no links at all"))
+      .toDF("doc_id", "text")
+    val got = operators.Text.domainStats(docs)
+      .select("domain", "n_docs", "n_urls")
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      ("a.example.com", 2L, 3L),
+      ("b.example.net", 1L, 1L)))
+  }
+
   test("PII scrub masks emails and phones and counts matches") {
     val docs = Seq(
       (1L, "write to jane.doe@corp.example or call 555-0137 today"),
