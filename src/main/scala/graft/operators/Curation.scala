@@ -139,13 +139,69 @@ object Curation {
       | CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
       |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** X9 — the complete curation pipeline as ONE declarative plan, composed
+    * from the catalog operators the way a user would actually run them:
+    *
+    *   1. quality gate (token floor),
+    *   2. near-dup DEDUP APPLY — keep one representative per connected
+    *      component of the verified pair graph (x7f semantics, broadcast
+    *      cluster map),
+    *   3. benchmark DECONTAMINATION — drop docs sharing any shingle with
+    *      the benchmark split (x7e semantics, broadcast bench set),
+    *   4. token-budget SHARD PACKING over the survivors (x6c's two-phase
+    *      prefix sum).
+    *
+    * Every intermediate feeds from the session-staged tables (shingles,
+    * cluster map), so the composite adds no producer re-runs — the whole
+    * chain is gate-filter + two broadcast probes + the packing shuffle.
+    * The oracle twin replays the identical chain in SQL (recursive-CTE
+    * closure for clusters, single-window prefix sum for packing).
+    */
+  val x9Pipeline: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+    val gated = docs.filter(col("n_tokens") >= 5)
+    val cc = Graph.stagedClusters(spark, dir)
+    val deduped = gated
+      .join(broadcast(cc), gated("doc_id") === cc("node"), "left")
+      .filter(col("node").isNull || col("doc_id") === col("cluster"))
+      .select(gated.columns.map(col): _*)
+    val sh = Text.stagedShingles(spark, dir)
+    val bench = sh.filter(col("doc_id") < 50).select(col("hs")).distinct()
+    val contaminated = sh.filter(col("doc_id") >= 50)
+      .join(broadcast(bench), "hs").select(col("doc_id")).distinct()
+    val clean = deduped.filter(col("doc_id") >= 50)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    tokenPacking(clean, budget = 2000L).orderBy(col("lang"), col("shard"))
+  }
+  val x9Sql: String = Graph.ccCtes + """,
+      |bench AS (SELECT DISTINCT hs FROM sh WHERE doc_id < 50),
+      |contam AS (SELECT DISTINCT doc_id FROM sh JOIN bench USING (hs) WHERE doc_id >= 50),
+      |kept AS (
+      | SELECT d.lang, d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+      | FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
+      | WHERE len(string_split(d.text, ' ')) >= 5
+      |  AND (cc.node IS NULL OR d.doc_id = cc.cluster)
+      |  AND d.doc_id >= 50
+      |  AND NOT EXISTS (SELECT 1 FROM contam WHERE contam.doc_id = d.doc_id)),
+      |run AS (
+      | SELECT lang, doc_id, n_tokens,
+      |  sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      | FROM kept)
+      |SELECT lang, CAST((cum_tokens - 1) // 2000 AS BIGINT) AS shard,
+      | CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+      |FROM run GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "x6_curation" -> x6Curation,
     "x6b_stratified_sample" -> x6bStratifiedSample,
-    "x6c_token_packing" -> x6cTokenPacking)
+    "x6c_token_packing" -> x6cTokenPacking,
+    "x9_pipeline" -> x9Pipeline)
 
   val oracle: Map[String, String] = Map(
     "x6_curation" -> x6Sql,
     "x6b_stratified_sample" -> x6bSql,
-    "x6c_token_packing" -> x6cSql)
+    "x6c_token_packing" -> x6cSql,
+    "x9_pipeline" -> x9Sql)
 }

@@ -118,7 +118,7 @@ object Graph {
     * quadratic per component — fine for an oracle at fixture scale, never
     * the engine plan.
     */
-  private val ccCtes: String = {
+  private[operators] val ccCtes: String = {
     val pairCtes = Text.x2cSql
       .replaceAll("(?s)SELECT da, db, shared.*$", "") // keep CTEs only
       .replaceFirst("WITH ", "WITH RECURSIVE ")
