@@ -517,6 +517,37 @@ object Text {
        | CAST(count(*) AS BIGINT) AS n_urls
        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------- X4 novelty growth
+  /** Novelty growth curve (Heaps-law monitoring at 5-gram granularity):
+    * per doc_id bucket, how many NEVER-BEFORE-SEEN shingles appear, plus
+    * the cumulative distinct-shingle count — the curve a corpus pipeline
+    * watches to detect creeping duplication (sub-linear growth) or
+    * contamination/noise (super-linear growth). Shingles rather than
+    * tokens: a token vocabulary saturates almost immediately, the 5-gram
+    * space keeps discriminating. Feeds from the session-staged shingle
+    * table.
+    *
+    * Scale: "first seen" is min(bucket) per shingle — one map-side-combined
+    * groupBy keyed by the shingle hash; the cumulative window runs over
+    * #buckets rows (already aggregated, tiny), never over shingles.
+    */
+  val x4hNoveltyGrowth: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val firstSeen = stagedShingles(spark, dir)
+      .groupBy(col("hs")).agg(min((col("doc_id") / 100).cast("long")).as("bkt"))
+    firstSeen.groupBy(col("bkt")).agg(count(lit(1)).as("new_shingles"))
+      .withColumn("distinct_shingles", sum(col("new_shingles")).over(
+        Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy(col("bkt"))
+  }
+  val x4hSql: String = shinglesCte() + """,
+      |fs AS (SELECT hs, min(doc_id // 100) AS bkt FROM sh GROUP BY 1),
+      |pb AS (SELECT bkt, CAST(count(*) AS BIGINT) AS new_shingles FROM fs GROUP BY 1)
+      |SELECT bkt, new_shingles,
+      | CAST(sum(new_shingles) OVER (ORDER BY bkt ROWS UNBOUNDED PRECEDING) AS BIGINT) AS distinct_shingles
+      |FROM pb ORDER BY bkt""".stripMargin
+
   // ------------------------------------------------------ X4 term frequency
   /** Corpus term frequency with language filter: tokenize → explode →
     * count, the canonical shuffle-with-partial-agg text op. Deterministic
@@ -672,10 +703,12 @@ object Text {
     "x4b_langid" -> x4bLangId,
     "x4c_token_count" -> x4cTokenCount,
     "x4d_fingerprint" -> x4dFingerprint,
-    "x4g_domains" -> x4gDomains)
+    "x4g_domains" -> x4gDomains,
+    "x4h_novelty_growth" -> x4hNoveltyGrowth)
 
   val oracle: Map[String, String] = Map(
     "x4g_domains" -> x4gSql,
+    "x4h_novelty_growth" -> x4hSql,
     "x7d_bigram_familiarity" -> x7dSql,
     "x7e_decontamination" -> x7eSql,
     "x4e_term_freq" -> x4eSql,
