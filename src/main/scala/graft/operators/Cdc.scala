@@ -615,7 +615,60 @@ object Cdc {
       |    x -> NOT list_contains(string_split(fields, ','), x))), ','), '') END AS removed
       |FROM drift ORDER BY tbl, since_lsn""".stripMargin
 
+  // ------------------------------------- incremental aggregate maintenance
+  /** Incremental view maintenance (IVM) of a grouped aggregate from the
+    * changelog deltas ALONE — no base-table rescan: op c/r contributes
+    * (+1 row, +id) to the after-image's group, op d contributes (−1, −id)
+    * to the before-image's group, and op u transfers between groups when
+    * the grouping column changed (it cancels to a no-op when it didn't).
+    * Folding all deltas from an empty start equals recomputing the
+    * aggregate over the materialized snapshot — count and sum are
+    * self-maintainable aggregates (min/max are not: a delete can expose a
+    * previous value only the base table knows).
+    *
+    * Scale: THE reason CDC feeds analytics — keeping a 100 TB corpus's
+    * aggregate current costs one pass over the (tiny) delta stream: pure
+    * per-event expression work, one explode, one map-side-combined groupBy
+    * on the grouping key. The snapshot recompute the oracle runs would
+    * rescan the world.
+    */
+  def aggMaintain(changelog: DataFrame, groupOf: Column => Column): DataFrame = {
+    val deltas = array(
+      when(col("op") =!= "d", struct(
+        groupOf(col("after")).as("grp"),
+        lit(1L).as("dn"),
+        col("after.id").cast("long").as("ds"))),
+      when(col("op").isin("u", "d"), struct(
+        groupOf(col("before")).as("grp"),
+        lit(-1L).as("dn"),
+        (-col("before.id")).cast("long").as("ds"))))
+    changelog
+      .select(explode(filter(deltas, e => e.isNotNull)).as("d"))
+      .groupBy(col("d.grp").as("grp"))
+      .agg(sum(col("d.dn")).as("n"), sum(col("d.ds")).as("sum_id"))
+      .filter(col("n") > 0)
+  }
+
+  /** Registered IVM query grouped by first_name — the schedule's second
+    * update (`id%9=0`: fn0 → fn1) exercises the cross-group transfer, the
+    * deletes exercise retraction. Must hash-match the oracle's
+    * recompute-from-snapshot, proving delta-fold ≡ full recomputation.
+    */
+  val cdcAggMaintain: Q = (spark, dir) =>
+    aggMaintain(changelog(spark, dir), img => img.getField("first_name"))
+      .select(col("grp").as("first_name"), col("n"), col("sum_id"))
+      .orderBy(col("first_name"))
+  val cdcAggMaintainSql: String = changelogCte +
+    """
+      |SELECT a_fn AS first_name, CAST(count(*) AS BIGINT) AS n,
+      | CAST(sum(id) AS BIGINT) AS sum_id
+      |FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY lsn DESC) AS rn
+      |      FROM chg)
+      |WHERE rn = 1 AND op <> 'd'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "cdc_agg_maintain" -> cdcAggMaintain,
     "cdc_incr_snapshot" -> cdcIncrSnapshot,
     "cdc_schema_drift" -> cdcSchemaDrift,
     "cdc_deadletter" -> cdcDeadletter,
@@ -631,6 +684,7 @@ object Cdc {
     "cdc_table_filter" -> cdcTableFilter)
 
   val oracle: Map[String, String] = Map(
+    "cdc_agg_maintain" -> cdcAggMaintainSql,
     "cdc_incr_snapshot" -> cdcIncrSnapshotSql,
     "cdc_schema_drift" -> cdcSchemaDriftSql,
     "cdc_deadletter" -> cdcDeadletterSql,

@@ -72,6 +72,60 @@ object Partitioning {
     *
     * Choose B ≈ sqrt(2·cluster cores) for full fan-out: B(B+1)/2 tasks.
     */
+  /** Z-order (Morton) curve value: interleave the low `bits` bits of two
+    * dimension keys so that rows close in BOTH dimensions get close
+    * z-values. Sorting / range-partitioning a table by z-value gives every
+    * output file a bounded span in every interleaved dimension, so file-
+    * level min/max statistics prune multi-dimensional predicates — the
+    * standard data-skipping layout for 100 TB scans filtered on more than
+    * one column (a single-column sort clusters only its own column).
+    * Pure integer bit arithmetic (shift/and/add over disjoint bits) —
+    * codegen'd in Spark and mirrored exactly by the oracle.
+    */
+  def zValue(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+      bits: Int = 16): org.apache.spark.sql.Column =
+    (0 until bits).map(i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+      .reduceLeft(_ + _)
+
+  /** Scalable global ordinal assignment (dense ranks 1..n in a total
+    * order) WITHOUT a single-task global window: `row_number() OVER
+    * (ORDER BY …)` funnels every row through one task — the classic
+    * driver-shaped bottleneck for vocabulary building / id densification
+    * at corpus scale. Two-phase instead:
+    *
+    *  1. range-repartition + sort locally on the sort key, rank within
+    *     each partition (the per-partition window shards);
+    *  2. count rows per partition (tiny: one row per partition), prefix-sum
+    *     those counts, and broadcast-join the offsets back:
+    *     ordinal = partition offset + local rank.
+    *
+    * Output ordinals depend only on the total order — partition boundaries
+    * cancel out — so results are deterministic for a unique sort key
+    * regardless of the range sampler's split choices. The only global step
+    * is the prefix sum over `numParts` counters.
+    *
+    * @param sortCols total order (MUST be unique — ties would make ranks
+    *                 nondeterministic in any formulation).
+    */
+  def ordinalIds(df: DataFrame, sortCols: Seq[org.apache.spark.sql.Column],
+      idName: String, numParts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val local = df.repartitionByRange(numParts, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__pr", row_number().over(
+        Window.partitionBy(col("__pid")).orderBy(sortCols: _*)).cast("long"))
+    val offsets = local.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(
+        Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    local.join(broadcast(offsets), "__pid")
+      .withColumn(idName, col("__off") + col("__pr"))
+      .drop("__pid", "__pr", "__off")
+  }
+
   def blockedAllPairs(df: DataFrame, idCol: String, numBlocks: Int): DataFrame = {
     val spark = df.sparkSession
     val blocks = df

@@ -821,7 +821,41 @@ object Relational {
       | (SELECT CAST(count(*) AS BIGINT) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_ord
       |FROM customer c ORDER BY c_custkey""".stripMargin
 
+  // Q23 — z-order layout audit: bucket events by the Morton z-value of
+  // (user, hour) and emit each bucket's span in BOTH dimensions. The point
+  // of the curve is the invariant this query exposes: every z-bucket covers
+  // a bounded user range AND a bounded hour range simultaneously, so files
+  // written in z-order are prunable by min/max stats under predicates on
+  // either or both columns — a single-column sort gives unbounded span in
+  // the other column. At 100 TB the layout step is
+  // `repartitionByRange(col("z"))` + sorted write; this query is the audit
+  // that the interleave actually clusters (see Partitioning.zValue).
+  val q23Zorder: Q = (spark, dir) => {
+    val e = Tables.events(spark, dir).select(
+      pmod(col("user_id"), lit(65536L)).as("ux"),
+      pmod(expr("ts_ms DIV 3600000"), lit(65536L)).as("hy"))
+    e.withColumn("z", Partitioning.zValue(col("ux"), col("hy")))
+      .withColumn("zbkt", expr("z DIV 4096"))
+      .groupBy(col("zbkt"))
+      .agg(count(lit(1)).as("n"),
+        min(col("ux")).as("u_min"), max(col("ux")).as("u_max"),
+        min(col("hy")).as("h_min"), max(col("hy")).as("h_max"))
+      .orderBy(col("zbkt"))
+  }
+  val q23Sql: String = {
+    val z = (0 until 16).map(i =>
+      s"(((ux >> $i) & 1) << ${2 * i}) + (((hy >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+    s"""WITH e AS (SELECT user_id % 65536 AS ux,
+       |  (epoch_ms(ts) // 3600000) % 65536 AS hy FROM events),
+       |z AS (SELECT ux, hy, ($z) // 4096 AS zbkt FROM e)
+       |SELECT zbkt, CAST(count(*) AS BIGINT) AS n,
+       | min(ux) AS u_min, max(ux) AS u_max, min(hy) AS h_min, max(hy) AS h_max
+       |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q23_zorder" -> q23Zorder,
     "q8b_percentile" -> q8bPercentile,
     "q8c_stats" -> q8cStats,
     "q8d_stringagg" -> q8dStringAgg,
@@ -864,6 +898,7 @@ object Relational {
     "q21_map" -> q21Map)
 
   val oracle: Map[String, String] = Map(
+    "q23_zorder" -> q23Sql,
     "q8e_approx_pct_bound" -> q8eSql,
     "q8b_percentile" -> q8bSql,
     "q8c_stats" -> q8cSql,

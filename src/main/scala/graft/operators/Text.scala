@@ -548,6 +548,35 @@ object Text {
       | CAST(sum(new_shingles) OVER (ORDER BY bkt ROWS UNBOUNDED PRECEDING) AS BIGINT) AS distinct_shingles
       |FROM pb ORDER BY bkt""".stripMargin
 
+  // ------------------------------------------------- X4 vocabulary ids
+  /** Vocabulary construction with dense ordinal token ids (frequency rank,
+    * ties broken by token — a unique total order): the id-assignment step
+    * of tokenizer/vocab building. The naive `row_number() OVER (ORDER BY
+    * …)` is a single-task global sort at corpus scale; this uses
+    * [[Partitioning.ordinalIds]] — range-partition, rank locally, then
+    * prefix-sum the per-partition counts and add the offsets back — so the
+    * only global step is a prefix sum over #partitions counters. Ordinals
+    * depend only on the total order, so the output is deterministic and
+    * identical to the window formulation (spec-asserted, plus the oracle
+    * IS the window formulation).
+    */
+  val x4iVocabIds: Q = (spark, dir) => {
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    Partitioning.ordinalIds(vocab, Seq(col("n").desc, col("token").asc), "id",
+        numParts = 8)
+      .select(col("token"), col("n"), col("id"))
+      .orderBy(col("id"))
+  }
+  val x4iSql: String =
+    """WITH v AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+      | FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      | GROUP BY 1)
+      |SELECT token, n,
+      | CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS id
+      |FROM v ORDER BY id""".stripMargin
+
   // ------------------------------------------------------ X4 term frequency
   /** Corpus term frequency with language filter: tokenize → explode →
     * count, the canonical shuffle-with-partial-agg text op. Deterministic
@@ -704,7 +733,8 @@ object Text {
     "x4c_token_count" -> x4cTokenCount,
     "x4d_fingerprint" -> x4dFingerprint,
     "x4g_domains" -> x4gDomains,
-    "x4h_novelty_growth" -> x4hNoveltyGrowth)
+    "x4h_novelty_growth" -> x4hNoveltyGrowth,
+    "x4i_vocab_ids" -> x4iVocabIds)
 
   val oracle: Map[String, String] = Map(
     "x4g_domains" -> x4gSql,
@@ -721,5 +751,6 @@ object Text {
     "x4_text_quality" -> x4Sql,
     "x4b_langid" -> x4bSql,
     "x4c_token_count" -> x4cSql,
-    "x4d_fingerprint" -> x4dSql)
+    "x4d_fingerprint" -> x4dSql,
+    "x4i_vocab_ids" -> x4iSql)
 }

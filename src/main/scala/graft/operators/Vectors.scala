@@ -322,6 +322,61 @@ object Vectors {
     """SELECT vec_id AS q_id, true AS recall_ok
       |FROM embeddings WHERE vec_id < 10 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------ X3g int8 quantization
+  /** X3g — per-vector scalar quantization to 8-bit codes: each embedding is
+    * mapped to 0..255 by its own min/max (`code = floor((v−lo)/step + 0.5)`,
+    * `step = (hi−lo)/255`), the standard SQ8 compression for ANN corpora —
+    * at 100 TB of float32 embeddings, int8 codes cut the store (and the
+    * scan bytes behind every search) 4×, and per-VECTOR ranges need no
+    * global statistics pass, so quantization is pure per-row expression
+    * work with no shuffle at all.
+    *
+    * Correctness contract, oracle-checked per vector: the integer code sum
+    * is exact (identical IEEE double chain in both engines feeding an
+    * integer floor), and the dequantization round-trip error never exceeds
+    * half a quantization step (`recon_ok`) — floor(x+0.5) is within 0.5 of
+    * x, scaled by step. `floor(x+0.5)` rather than round(): round's
+    * half-even/half-up convention differs across engines; floor does not.
+    */
+  val x3gQuantize: Q = (spark, dir) =>
+    Tables.embeddings(spark, dir)
+      .withColumn("lo", array_min(col("embedding")).cast("double"))
+      .withColumn("step",
+        (array_max(col("embedding")).cast("double") - col("lo")) / lit(255.0))
+      // constant vectors (step = 0) carry no information to quantize and
+      // would NaN the code arithmetic — excluded identically in the oracle
+      .filter(col("step") > 0)
+      .withColumn("codes", expr(
+        "transform(embedding, v -> CAST(floor((CAST(v AS DOUBLE) - lo)/step + 0.5) AS BIGINT))"))
+      .withColumn("code_sum", expr(
+        "aggregate(codes, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .withColumn("max_err", expr(
+        """aggregate(transform(sequence(1, size(codes)),
+          |  i -> abs(lo + CAST(element_at(codes, i) AS DOUBLE)*step
+          |           - CAST(element_at(embedding, i) AS DOUBLE))),
+          | CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, x))""".stripMargin))
+      .select(col("vec_id"), col("code_sum"),
+        (col("max_err") <= col("step") * lit(0.5000001)).as("recon_ok"))
+      .orderBy(col("vec_id"))
+  val x3gSql: String =
+    """WITH p AS (SELECT vec_id, embedding,
+      |  CAST(list_min(embedding) AS DOUBLE) AS lo,
+      |  (CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE))/255.0 AS step
+      | FROM embeddings),
+      |pf AS (SELECT * FROM p WHERE step > 0),
+      |c AS (SELECT vec_id, embedding, lo, step,
+      |  list_transform(embedding,
+      |    v -> CAST(floor((CAST(v AS DOUBLE) - lo)/step + 0.5) AS BIGINT)) AS codes
+      | FROM pf),
+      |m AS (SELECT vec_id, step,
+      |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+      |  list_max(list_transform(generate_series(1, len(codes)),
+      |    i -> abs(lo + CAST(codes[i] AS DOUBLE)*step
+      |             - CAST(embedding[i] AS DOUBLE)))) AS max_err
+      | FROM c)
+      |SELECT vec_id, code_sum, (max_err <= step * 0.5000001) AS recon_ok
+      |FROM m ORDER BY vec_id""".stripMargin
+
   /** X5 media pipeline through the driver contract (rows-only check — the
     * mapPartitions feature extraction is not SQL-expressible): binary
     * payload → batch feature extraction → per-document feature head.
@@ -335,6 +390,7 @@ object Vectors {
   }
 
   val queries: Map[String, Q] = Map(
+    "x3g_quantize" -> x3gQuantize,
     "x3_cosine_topk" -> x3CosineTopK,
     "x3d_topk_agg" -> x3dTopKAgg,
     "x3e_cosine_ivf" -> x3eCosineIvf,
@@ -346,6 +402,7 @@ object Vectors {
     "x5b_multimodal_binary" -> x5bMultimodalBinary)
 
   val oracle: Map[String, String] = Map(
+    "x3g_quantize" -> x3gSql,
     "x3_cosine_topk" -> x3Sql,
     "x3d_topk_agg" -> x3Sql, // same contract as x3 — value-identical by design
     "x3f_ivf_recall" -> x3fSql,

@@ -202,6 +202,29 @@ object Streams {
         get_json_object(col("raw"), "$.after"))), ",").as("fields"))
       .dropDuplicates("tbl", "fields")
 
+  /** T10 — stream-stream interval join: match each left event to right
+    * events with the same key arriving within `[left.ts, left.ts + window]`
+    * event time — the "order ↔ payment within an hour" shape. BOTH sides
+    * carry watermarks and the join condition bounds event-time distance in
+    * both directions, which is exactly what lets Spark expire buffered
+    * state: a buffered left row can stop waiting once the right watermark
+    * passes `l_ts + window`, and vice versa. Without the time bound the
+    * join would buffer both streams forever.
+    *
+    * Inner join ⇒ output rows emit as soon as both sides arrive; state per
+    * key is bounded by (watermark delay + window) of traffic, partitioned
+    * by key — shards across executors at any scale.
+    *
+    * Left must carry (l_key, l_ts, …), right (r_key, r_ts, …); the
+    * returned frame joins on `l_key = r_key AND r_ts ∈ [l_ts, l_ts +
+    * window]`.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      delay: String = "10 minutes", window: String = "1 hour"): DataFrame =
+    left.withWatermark("l_ts", delay)
+      .join(right.withWatermark("r_ts", delay),
+        expr(s"l_key = r_key AND r_ts >= l_ts AND r_ts <= l_ts + INTERVAL $window"))
+
   def readSnapshot(spark: org.apache.spark.sql.SparkSession,
       snapshotRoot: String): DataFrame = {
     val committed = SnapshotStore.read(spark, snapshotRoot)

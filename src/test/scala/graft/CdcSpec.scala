@@ -227,4 +227,29 @@ class CdcSpec extends AnyFunSuite {
       (5L, 1L, "a,b,c,id", "c", ""),
       (9L, 1L, "a,c,id", "", "b")))
   }
+
+  test("IVM delta-fold: group transfer on update, retraction to absence on delete") {
+    val events = Seq(
+      ev(1, "c", 10, None, row(1, "a", "x", "e1")),
+      ev(2, "c", 20, None, row(2, "a", "x", "e2")),
+      // update moves key 2 from group a to group b: -1 to a, +1 to b
+      ev(2, "u", 21, row(2, "a", "x", "e2"), row(2, "b", "x", "e2")),
+      // update with UNCHANGED group must cancel to a no-op for key 1
+      ev(1, "u", 11, row(1, "a", "x", "e1"), row(1, "a", "x", "e1b")),
+      ev(3, "c", 30, None, row(3, "c", "x", "e3")),
+      // delete retracts group c entirely — net 0 rows must mean ABSENT
+      ev(3, "d", 31, row(3, "c", "x", "e3"), None))
+    val chg = events.toDS.toDF
+    val ivm = Cdc.aggMaintain(chg, _.getField("first_name"))
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(ivm === Seq(("a", 1L, 1L), ("b", 1L, 2L)))
+    // delta fold ≡ recompute over the materialized snapshot
+    val snap = Cdc.snapshot(chg)
+      .groupBy(col("first_name"))
+      .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"))
+      .orderBy("first_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(ivm === snap)
+  }
 }

@@ -104,4 +104,41 @@ class PartitioningSpec extends AnyFunSuite {
       assert(p.contains("hashpartitioning(i"), p)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
+
+  test("ordinalIds equals the single-window row_number and is partition-count invariant") {
+    val vocab = Tables.documents(spark, TestSpark.sf)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    def sortCols = Seq(col("n").desc, col("token").asc)
+    val byWindow = vocab.withColumn("id", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(sortCols: _*)).cast("long"))
+      .select("token", "id").orderBy("id").collect().toSeq
+    val a = Partitioning.ordinalIds(vocab, sortCols, "id", numParts = 3)
+      .select("token", "id").orderBy("id").collect().toSeq
+    val b = Partitioning.ordinalIds(vocab, sortCols, "id", numParts = 8)
+      .select("token", "id").orderBy("id").collect().toSeq
+    assert(a.nonEmpty)
+    assert(a === byWindow) // ids depend only on the total order…
+    assert(b === byWindow) // …not on where the range sampler cut partitions
+  }
+
+  test("zValue interleaves bits; z-buckets bound the span of BOTH dimensions") {
+    val df = spark.range(0, 1024).select(
+      pmod(col("id"), lit(32L)).as("x"), expr("id DIV 32").as("y"))
+    // spot-check the interleave: x=3 → bits 0,2; y=5 → bits 1,5 ⇒ 1+4+2+32
+    val z35 = df.filter(col("x") === 3 && col("y") === 5)
+      .select(Partitioning.zValue(col("x"), col("y"))).head.getLong(0)
+    assert(z35 === 39L)
+    // bucket = z DIV 64 leaves 3 free low bits per dimension ⇒ span ≤ 7 in
+    // x AND y simultaneously (a single-column sort bounds only one)
+    val spans = df
+      .withColumn("z", Partitioning.zValue(col("x"), col("y")))
+      .withColumn("b", expr("z DIV 64"))
+      .groupBy(col("b"))
+      .agg((max(col("x")) - min(col("x"))).as("xs"),
+        (max(col("y")) - min(col("y"))).as("ys"))
+      .collect()
+    assert(spans.nonEmpty)
+    assert(spans.forall(r => r.getLong(1) <= 7 && r.getLong(2) <= 7))
+  }
 }

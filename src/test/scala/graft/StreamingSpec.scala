@@ -15,6 +15,9 @@ case class E(event_id: Long, ts: Timestamp, user_id: Long,
 
 case class DocE(doc_id: Long, text: String)
 
+case class LOrd(l_key: Long, l_ts: Timestamp, amount: Double)
+case class RPay(r_key: Long, r_ts: Timestamp)
+
 /** T1–T7 driven through MicroBatchExecution via MemoryStream (S2 stand-in —
   * no Kafka broker in this environment), cross-checked against the same
   * combinators run in batch mode (SURVEY.md §5.2.4).
@@ -372,5 +375,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows === Seq(
       ("customers", 1L, "email,id"),
       ("customers", 3L, "email,id,phone")))
+  }
+
+  test("T10 stream-stream interval join: in-window matches only, ≡ batch twin") {
+    implicit val ctx = spark.sqlContext
+    val lm = MemoryStream[LOrd]
+    val rm = MemoryStream[RPay]
+    val q = Streams.intervalJoin(lm.toDF, rm.toDF,
+        delay = "5 minutes", window = "30 minutes").writeStream
+      .format("memory").queryName("t10").outputMode("append").start()
+    val lefts = Seq(LOrd(1, t(0), 10.0), LOrd(2, t(10), 20.0), LOrd(3, t(20), 30.0))
+    val rights = Seq(
+      RPay(1, t(10)), // within [t0, t0+30] for left 1 → the only match
+      RPay(2, t(50)), // 40 min after left 2 → out of window
+      RPay(9, t(21))) // no such left key
+    lm.addData(lefts: _*)
+    rm.addData(rights: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("t10").select("l_key", "r_key")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(streamed === Seq((1L, 1L)))
+    // watermark is a no-op in batch, so the same combinator is its own
+    // batch twin — streaming and batch answers must agree
+    val batch = Streams.intervalJoin(lefts.toDF, rights.toDF,
+        "5 minutes", "30 minutes")
+      .select("l_key", "r_key")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(batch === streamed)
   }
 }

@@ -223,4 +223,12 @@ class TextVectorsSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L, 0L)))
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
+
+  test("x3g int8 quantization: every vector reconstructs within half a step") {
+    val out = Vectors.x3gQuantize(spark, TestSpark.sf).collect()
+    assert(out.length === Tables.embeddings(spark, TestSpark.sf).count())
+    assert(out.forall(_.getBoolean(2)), "a vector exceeded the half-step bound")
+    // codes live in 0..255 ⇒ a 64-dim code sum is bounded by 64·255
+    assert(out.forall(r => r.getLong(1) >= 0L && r.getLong(1) <= 64L * 255))
+  }
 }
