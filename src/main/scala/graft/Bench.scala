@@ -52,11 +52,25 @@ object Bench {
       val v2 = p2.getOrElse(k, -1.0)
       k -> (if (v1 < 0 || v2 < 0) -1.0 else math.min(v1, v2))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def r3(v: Double): String = f"$v%.3f"
+    def qmap(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val cold = p1.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$cold,"sf":"$sfDir"}""")
+    // The harness keeps only a bounded tail of this process's output, so
+    // the contract line must stay short: per-query detail is limited to the
+    // slowest 25 (failures sort first via -1 → they always surface); the
+    // full per-query map goes to BENCH_FULL.json alongside the repo docs.
+    val slowest = results.sortBy { case (_, v) => if (v < 0) Double.MaxValue else v }
+      .takeRight(25).sortBy(_._1)
+    val failed = results.filter(_._2 < 0).sortBy(_._1)
+    val headline = (failed ++ slowest).distinct
+    val full =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qmap(results)},"cold_total":${r3(cold)},"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
+    catch { case _: Throwable => () }
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qmap(headline)},"cold_total":${r3(cold)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

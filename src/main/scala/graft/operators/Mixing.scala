@@ -97,11 +97,62 @@ object Mixing {
        | CAST(floor(w_q * 10000 / w_total) AS BIGINT) AS n_sample
        |FROM c CROSS JOIN t ORDER BY lang""".stripMargin
 
+  /** X7g — MATERIALIZE the temperature mixture: take exactly `n_sample`
+    * documents per language (the [[temperatureWeights]] allocation),
+    * selected by md5 order — the step that turns mixing weights into an
+    * actual training corpus, deterministic across engines and runs.
+    *
+    * Scale: the weight table is ~#languages rows (broadcast); ranking uses
+    * the same two-phase top-k as Curation.stratifiedSample — phase 1 ranks
+    * within (lang, hash-bucket) so no task ever sorts a whole language,
+    * phase 2 ranks the ≤ subBuckets·n_sample survivors. n_sample is
+    * constant within a language, so per-lang top-n = top-n of the union of
+    * per-bucket top-ns and the output is IDENTICAL to the single-window
+    * formulation (which is the oracle).
+    */
+  def mixApply(docs: DataFrame, budget: Long, subBuckets: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val alloc = temperatureWeights(docs, budget)
+      .select(col("lang"), col("n_sample"))
+    val keyed = docs.select(col("lang"), col("doc_id"))
+      .withColumn("skey", md5(concat(lit("mix:"), col("doc_id").cast("string"))))
+      .withColumn("bkt", pmod(xxhash64(col("doc_id")), lit(subBuckets)))
+      .join(broadcast(alloc), "lang")
+    val w1 = Window.partitionBy(col("lang"), col("bkt"))
+      .orderBy(col("skey"), col("doc_id"))
+    val w2 = Window.partitionBy(col("lang")).orderBy(col("skey"), col("doc_id"))
+    keyed
+      .withColumn("rn1", row_number().over(w1)).filter(col("rn1") <= col("n_sample"))
+      .withColumn("rn", row_number().over(w2).cast("long"))
+      .filter(col("rn") <= col("n_sample"))
+      .select(col("lang"), col("rn"), col("doc_id"), col("n_sample"))
+  }
+
+  val x7gMixApply: Q = (spark, dir) =>
+    mixApply(Tables.documents(spark, dir), budget = 200L)
+      .orderBy(col("lang"), col("rn"))
+
+  val x7gSql: String =
+    s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(floor(sqrt(count(*)) * $fpScale) AS BIGINT) AS w_q
+       | FROM documents GROUP BY 1),
+       |t AS (SELECT CAST(sum(w_q) AS BIGINT) AS w_total FROM c),
+       |w AS (SELECT lang, CAST(floor(w_q * 200 / w_total) AS BIGINT) AS n_sample
+       |      FROM c CROSS JOIN t),
+       |r AS (SELECT lang, doc_id, CAST(row_number() OVER (PARTITION BY lang
+       |        ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+       |      FROM documents)
+       |SELECT r.lang, rn, doc_id, n_sample
+       |FROM r JOIN w ON r.lang = w.lang
+       |WHERE rn <= n_sample ORDER BY r.lang, rn""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "x7b_label_centroids" -> x7bLabelCentroids,
-    "x7c_temperature_mix" -> x7cTemperatureMix)
+    "x7c_temperature_mix" -> x7cTemperatureMix,
+    "x7g_mix_apply" -> x7gMixApply)
 
   val oracle: Map[String, String] = Map(
     "x7b_label_centroids" -> x7bSql,
-    "x7c_temperature_mix" -> x7cSql)
+    "x7c_temperature_mix" -> x7cSql,
+    "x7g_mix_apply" -> x7gSql)
 }

@@ -854,7 +854,35 @@ object Relational {
        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // Q24 — skew-salted join, oracle-checked: the big/skewed side (lineitem)
+  // is scattered across `salts` replicas of the small side (supplier), so a
+  // hot supplier key spreads over `salts` tasks instead of one straggler —
+  // the manual complement to AQE's runtime skew splitting (it also covers
+  // the cases AQE can't: skewed hash AGGREGATIONS, and plans whose stats
+  // arrive too late to re-split). The salt is internal: every probe row
+  // still meets its key's build rows exactly once, so the result — and the
+  // oracle — is the PLAIN join, which is the point: the technique changes
+  // the schedule, never the answer (see Partitioning.saltedEquiJoin and the
+  // no-Exchange/identity specs in PartitioningSpec).
+  val q24SaltedJoin: Q = (spark, dir) => {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey").as("suppkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("disc_price"))
+    val supp = Tables.supplier(spark, dir)
+      .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+    Partitioning.saltedEquiJoin(li, supp, "suppkey", salts = 8)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_items"), round(sum(col("disc_price")), 2).as("revenue"))
+      .orderBy(col("s_nationkey"))
+  }
+  val q24Sql: String =
+    """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_items,
+      | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q24_salted_join" -> q24SaltedJoin,
     "q23_zorder" -> q23Zorder,
     "q8b_percentile" -> q8bPercentile,
     "q8c_stats" -> q8cStats,
@@ -898,6 +926,7 @@ object Relational {
     "q21_map" -> q21Map)
 
   val oracle: Map[String, String] = Map(
+    "q24_salted_join" -> q24Sql,
     "q23_zorder" -> q23Sql,
     "q8e_approx_pct_bound" -> q8eSql,
     "q8b_percentile" -> q8bSql,

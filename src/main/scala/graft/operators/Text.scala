@@ -106,6 +106,106 @@ object Text {
       |  row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
       | FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------- X1b line dedup
+  /** Non-overlapping `width`-token segments per document — the "line" unit
+    * for corpus-level repeated-line removal on a wire format with no
+    * newlines (the fixture text is one space-joined token stream; on real
+    * crawl text the split is `\n` and everything downstream is identical).
+    * Columns: (doc_id, idx, seg) with idx the 0-based segment ordinal.
+    */
+  def segments(docs: DataFrame, width: Int = 10): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(expr(s"sequence(1, size(t), $width)")).as("i"))
+      .select(col("doc_id"),
+        ((col("i") - 1) / width).cast("long").as("idx"),
+        array_join(slice(col("t"), col("i"), lit(width)), " ").as("seg"))
+
+  /** Corpus-level repeated-segment removal (the RefinedWeb/CCNet "line
+    * dedup" pass): segments whose content appears in more than `maxDocs`
+    * distinct documents are boilerplate (headers, navbars, license blurbs)
+    * and are struck from EVERY document; survivors are reassembled in
+    * order. Emits per-document segment counts plus the md5 fingerprint of
+    * the cleaned text (`null` when nothing survives — a fully-boilerplate
+    * document).
+    *
+    * Scale: segmentation is explode-parallel; the document-frequency table
+    * is a map-side-combined groupBy on fixed 32-char md5 keys; the join
+    * back fans a hot segment out across its documents' partitions (output
+    * rows = input occurrences); reassembly groups by doc_id — per-task rows
+    * bounded by document length, and the dup key can't skew it because
+    * doc_id is unique. Nothing ever concentrates the hot segment's copies
+    * in one task.
+    */
+  def lineDedup(docs: DataFrame, width: Int = 10, maxDocs: Int = 2): DataFrame = {
+    val seg = segments(docs, width).withColumn("h", md5(col("seg").cast("binary")))
+    val dfreq = seg.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("seg_df"))
+    val marked = seg.join(dfreq, "h")
+      .withColumn("keep", col("seg_df") <= maxDocs)
+    marked.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("idx"), col("seg"))))),
+          x => x.getField("seg")), " ").as("clean_text"))
+      .select(col("doc_id"), col("n_segs"), col("n_kept"),
+        when(col("n_kept") > 0, md5(col("clean_text").cast("binary")))
+          .otherwise(lit(null)).as("clean_fp"))
+  }
+
+  val x1bLineDedup: Q = (spark, dir) =>
+    lineDedup(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+  val x1bSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |st AS (SELECT doc_id, t, unnest(generate_series(1, len(t), 10)) AS i FROM tok),
+      |seg AS (SELECT doc_id, CAST((i - 1) // 10 AS BIGINT) AS idx,
+      |         array_to_string(t[i:i+9], ' ') AS seg FROM st),
+      |dfreq AS (SELECT md5(seg) AS h, count(DISTINCT doc_id) AS seg_df
+      |          FROM seg GROUP BY 1),
+      |m AS (SELECT doc_id, idx, seg, seg_df
+      |      FROM seg JOIN dfreq ON md5(seg) = h)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+      | CAST(count(*) FILTER (WHERE seg_df <= 2) AS BIGINT) AS n_kept,
+      | CASE WHEN count(*) FILTER (WHERE seg_df <= 2) > 0
+      |  THEN md5(string_agg(seg, ' ' ORDER BY idx) FILTER (WHERE seg_df <= 2))
+      |  ELSE NULL END AS clean_fp
+      |FROM m GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------- X4j chunking
+  /** Context-window chunking: overlapping `window`-token chunks every
+    * `stride` tokens — the preprocessing step that turns documents into
+    * training sequences (stride < window ⇒ overlap carries context across
+    * chunk boundaries; the final chunks are naturally short). Emits the
+    * chunk ordinal, its token count, and the chunk-content fingerprint
+    * (rows stay narrow — downstream either rehydrates by (doc_id, offset)
+    * or dedups chunks by fingerprint before tokenization).
+    *
+    * Scale: pure per-row expression work — explode of an index sequence,
+    * array slice, hash; no shuffle at all until a downstream consumer
+    * aggregates. Output rows ≈ n_tokens/stride per document.
+    */
+  def chunk(docs: DataFrame, window: Int = 16, stride: Int = 8): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(expr(s"sequence(1, size(t), $stride)")).as("i"))
+      .select(col("doc_id"),
+        ((col("i") - 1) / stride).cast("long").as("chunk_idx"),
+        size(slice(col("t"), col("i"), lit(window))).cast("long").as("n_chunk_tokens"),
+        md5(array_join(slice(col("t"), col("i"), lit(window)), " ").cast("binary"))
+          .as("chunk_fp"))
+
+  val x4jChunks: Q = (spark, dir) =>
+    chunk(Tables.documents(spark, dir)).orderBy(col("doc_id"), col("chunk_idx"))
+  val x4jSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |s AS (SELECT doc_id, t, unnest(generate_series(1, len(t), 8)) AS i FROM tok)
+      |SELECT doc_id, CAST((i - 1) // 8 AS BIGINT) AS chunk_idx,
+      | CAST(len(t[i:i+15]) AS BIGINT) AS n_chunk_tokens,
+      | md5(array_to_string(t[i:i+15], ' ')) AS chunk_fp
+      |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
+
   // ------------------------------------------------------------------- X2
   /** MinHash signatures banded 4×2; documents sharing any band bucket are
     * near-dup candidates. The 8 hash functions are the 8 disjoint 4-hex
@@ -724,6 +824,8 @@ object Text {
     "x4e_term_freq" -> x4eTermFreq,
     "x4f_tfidf" -> x4fTfIdf,
     "x1_dedup_exact" -> x1DedupExact,
+    "x1b_line_dedup" -> x1bLineDedup,
+    "x4j_chunks" -> x4jChunks,
     "x2_minhash_lsh" -> x2MinhashLsh,
     "x2b_simhash" -> x2bSimhash,
     "x2c_ngram_jaccard" -> x2cNgramJaccard,
@@ -744,6 +846,8 @@ object Text {
     "x4e_term_freq" -> x4eSql,
     "x4f_tfidf" -> x4fSql,
     "x1_dedup_exact" -> x1Sql,
+    "x1b_line_dedup" -> x1bSql,
+    "x4j_chunks" -> x4jSql,
     "x2_minhash_lsh" -> x2Sql,
     "x2b_simhash" -> x2bSql,
     "x2c_ngram_jaccard" -> x2cSql,

@@ -224,6 +224,74 @@ class TextVectorsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("line dedup strikes corpus-hot segments and reassembles survivors in order") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // "x y" appears in 4 distinct docs (df=4 > maxDocs=2) → boilerplate,
+    // struck everywhere; the per-doc unique segments survive. Doc 4 is
+    // ALL boilerplate → n_kept=0 and a null fingerprint.
+    val docs = Seq(
+      (1L, "x y a b"), (2L, "x y c d"), (3L, "e f x y"), (4L, "x y x y"))
+      .toDF("doc_id", "text")
+    val got = Text.lineDedup(docs, width = 2, maxDocs = 2)
+      .select("doc_id", "n_segs", "n_kept", "clean_fp")
+      .as[(Long, Long, Long, Option[String])].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, 2L, 1L, Some(md5hex("a b"))),
+      (2L, 2L, 1L, Some(md5hex("c d"))),
+      (3L, 2L, 1L, Some(md5hex("e f"))),
+      (4L, 2L, 0L, None)))
+    // survivors keep document order: a doc with two kept segments joins
+    // them idx-ascending regardless of shuffle order
+    val multi = Seq((1L, "a b c d e f"), (2L, "hot hot")).toDF("doc_id", "text")
+    val kept = Text.lineDedup(multi.repartition(5), width = 2, maxDocs = 1)
+      .filter(col("doc_id") === 1L).select("clean_fp").as[String].head()
+    assert(kept === md5hex("a b c d e f"))
+  }
+
+  test("chunking: overlapping windows cover the token stream with short tails") {
+    val docs = Seq((7L, "a b c d e")).toDF("doc_id", "text")
+    val got = Text.chunk(docs, window = 3, stride = 2)
+      .select("chunk_idx", "n_chunk_tokens", "chunk_fp")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got === Seq(
+      (0L, 3L, md5hex("a b c")),
+      (1L, 3L, md5hex("c d e")),
+      (2L, 1L, md5hex("e"))))
+  }
+
+  test("mix apply: two-phase ranking equals the single-window mixture, per-lang sizes honor the allocation") {
+    import graft.operators.Mixing
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val alloc = Mixing.temperatureWeights(docs, budget = 200L)
+      .select(col("lang"), col("n_sample"), col("n_docs"))
+    val naive = docs.select(col("lang"), col("doc_id"))
+      .withColumn("skey", md5(concat(lit("mix:"), col("doc_id").cast("string"))))
+      .join(broadcast(alloc.select("lang", "n_sample")), "lang")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("skey"), col("doc_id"))).cast("long"))
+      .filter(col("rn") <= col("n_sample"))
+      .select(col("lang"), col("rn"), col("doc_id"), col("n_sample"))
+      .orderBy(col("lang"), col("rn")).collect().toSeq
+    for (b <- Seq(1, 4, 16)) {
+      val twoPhase = Mixing.mixApply(docs, budget = 200L, subBuckets = b)
+        .orderBy(col("lang"), col("rn")).collect().toSeq
+      assert(twoPhase === naive, s"subBuckets=$b")
+    }
+    // every language contributes exactly min(n_sample, n_docs) documents
+    val sizes = Mixing.mixApply(docs, budget = 200L)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .join(alloc, "lang")
+      .select(col("lang"), col("n"), least(col("n_sample"), col("n_docs")).as("want"))
+      .as[(String, Long, Long)].collect()
+    assert(sizes.nonEmpty && sizes.forall(s => s._2 == s._3), sizes.mkString(","))
+  }
+
   test("x3g int8 quantization: every vector reconstructs within half a step") {
     val out = Vectors.x3gQuantize(spark, TestSpark.sf).collect()
     assert(out.length === Tables.embeddings(spark, TestSpark.sf).count())
