@@ -881,7 +881,90 @@ object Relational {
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // Q25 — ordered funnel (signup → view → purchase): each stage's earliest
+  // event AT OR AFTER the previous stage's time, per user. The classic
+  // product-analytics sequence query, built as three chained conditional
+  // min-aggregates — every shuffle is keyed by user_id (high cardinality),
+  // each stage's output is ≤ one row per user, and stage joins probe those
+  // small per-user tables (AQE broadcasts them when they fit). No window
+  // over a user's whole history, no per-user sort: a power user costs
+  // their own events in a partial agg, never a task.
+  def funnel(e: DataFrame, stages: Seq[String]): DataFrame = {
+    val mins = stages.zipWithIndex.foldLeft(Option.empty[DataFrame]) {
+      case (prev, (stage, i)) =>
+        val base = prev match {
+          case None => e.filter(col("event_type") === stage)
+          case Some(p) => e.join(p.select(col("user_id"), col(s"t$i").as("tprev")), "user_id")
+            .filter(col("event_type") === stage && col("ts_ms") >= col("tprev"))
+        }
+        val cur = base.groupBy(col("user_id")).agg(min(col("ts_ms")).as(s"t${i + 1}"))
+        Some(prev.fold(cur)(p =>
+          p.join(cur, Seq("user_id"), "left")))
+    }.get
+    // ascending fold so the LAST-wrapped (outermost) branch is the highest
+    // completed stage: when(t_n)… wins over when(t_1)…
+    val stageExpr = (1 to stages.length).foldLeft(lit(0)) {
+      (acc, i) => when(col(s"t$i").isNotNull, i).otherwise(acc)
+    }
+    e.select(col("user_id")).distinct()
+      .join(mins, Seq("user_id"), "left")
+      .select(col("user_id") +: stages.indices.map(i => col(s"t${i + 1}")) :+
+        stageExpr.as("stage"): _*)
+  }
+
+  val q25Funnel: Q = (spark, dir) =>
+    funnel(Tables.events(spark, dir)
+        .select(col("user_id"), col("event_type"), col("ts_ms")),
+      Seq("signup", "view", "purchase"))
+      .orderBy(col("user_id"))
+  val q25Sql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+      |s1 AS (SELECT user_id, min(ts_ms) AS t1 FROM e
+      |       WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(ts_ms) AS t2 FROM e JOIN s1 USING (user_id)
+      |       WHERE event_type = 'view' AND ts_ms >= t1 GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(ts_ms) AS t3 FROM e JOIN s2 USING (user_id)
+      |       WHERE event_type = 'purchase' AND ts_ms >= t2 GROUP BY 1)
+      |SELECT u.user_id, t1, t2, t3,
+      | CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+      |           WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS stage
+      |FROM (SELECT DISTINCT user_id FROM e) u
+      | LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+      | LEFT JOIN s3 USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
+  // Q26 — cohort retention: users grouped by first-seen week, activity
+  // counted per (cohort week, weeks since). Two keyed aggregations: first
+  // seen per user (map-side-combined min), then distinct active users per
+  // (cohort, offset) — Spark's two-phase distinct aggregate. The first-seen
+  // join is keyed by user_id; nothing global, nothing windowed.
+  val weekMs = 7L * 86400000L
+  def cohortRetention(e: DataFrame): DataFrame = {
+    val first = e.groupBy(col("user_id")).agg(min(col("ts_ms")).as("t0"))
+      .select(col("user_id"), expr(s"t0 DIV $weekMs").as("cohort_wk"))
+    e.join(first, "user_id")
+      .select(col("cohort_wk"),
+        (expr(s"ts_ms DIV $weekMs") - col("cohort_wk")).as("week_offset"),
+        col("user_id"))
+      .groupBy(col("cohort_wk"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  val q26Cohort: Q = (spark, dir) =>
+    cohortRetention(Tables.events(spark, dir).select(col("user_id"), col("ts_ms")))
+      .orderBy(col("cohort_wk"), col("week_offset"))
+  val q26Sql: String =
+    s"""WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
+       |f AS (SELECT user_id, min(ts_ms) // $weekMs AS cohort_wk
+       |      FROM e GROUP BY 1)
+       |SELECT cohort_wk, ts_ms // $weekMs - cohort_wk AS week_offset,
+       | CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+       |FROM e JOIN f USING (user_id)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q25_funnel" -> q25Funnel,
+    "q26_cohort" -> q26Cohort,
     "q24_salted_join" -> q24SaltedJoin,
     "q23_zorder" -> q23Zorder,
     "q8b_percentile" -> q8bPercentile,
@@ -926,6 +1009,8 @@ object Relational {
     "q21_map" -> q21Map)
 
   val oracle: Map[String, String] = Map(
+    "q25_funnel" -> q25Sql,
+    "q26_cohort" -> q26Sql,
     "q24_salted_join" -> q24Sql,
     "q23_zorder" -> q23Sql,
     "q8e_approx_pct_bound" -> q8eSql,

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Relational
+
+/** Hand-computed checks for the event-analytics composites (funnel,
+  * cohort retention) — the oracle covers the fixture tables; these pin
+  * the ordering semantics on adversarial mini-inputs.
+  */
+class AnalyticsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("funnel: stages only count at-or-after the previous stage; highest stage wins") {
+    val e = Seq(
+      // u1: clean signup -> view -> purchase
+      (1L, "signup", 10L), (1L, "view", 20L), (1L, "purchase", 30L),
+      // u2: views exist ONLY BEFORE signup -> stuck at stage 1
+      (2L, "view", 5L), (2L, "view", 8L), (2L, "signup", 10L),
+      // u3: noise before signup is ignored; later full sequence counts
+      (3L, "purchase", 1L), (3L, "view", 2L), (3L, "signup", 3L),
+      (3L, "view", 4L), (3L, "purchase", 5L),
+      // u4: never enters the funnel
+      (4L, "click", 7L),
+      // u5: purchase without an in-order view does not advance past 1
+      (5L, "signup", 10L), (5L, "purchase", 15L))
+      .toDF("user_id", "event_type", "ts_ms")
+    val got = Relational.funnel(e, Seq("signup", "view", "purchase"))
+      .select("user_id", "t1", "t2", "t3", "stage")
+      .as[(Long, Option[Long], Option[Long], Option[Long], Int)]
+      .collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, Some(10L), Some(20L), Some(30L), 3),
+      (2L, Some(10L), None, None, 1),
+      (3L, Some(3L), Some(4L), Some(5L), 3),
+      (4L, None, None, None, 0),
+      (5L, Some(10L), None, None, 1)))
+  }
+
+  test("funnel: a same-timestamp event satisfies the at-or-after rule") {
+    val e = Seq((1L, "signup", 10L), (1L, "view", 10L), (1L, "purchase", 10L))
+      .toDF("user_id", "event_type", "ts_ms")
+    val got = Relational.funnel(e, Seq("signup", "view", "purchase"))
+      .select("stage").as[Int].head()
+    assert(got === 3)
+  }
+
+  test("cohort retention: offsets measured from each user's own first week") {
+    val wk = Relational.weekMs
+    val e = Seq(
+      (1L, 0L), (1L, wk + 1L),          // u1: cohort wk0, active wk0 + wk1
+      (2L, wk), (2L, wk + 5L),          // u2: cohort wk1, active wk1 only
+      (3L, 1L), (3L, 2 * wk + 1L))      // u3: cohort wk0, active wk0 + wk2
+      .toDF("user_id", "ts_ms")
+    val got = Relational.cohortRetention(e)
+      .select("cohort_wk", "week_offset", "n_users")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(got === Seq((0L, 0L, 2L), (0L, 1L, 1L), (0L, 2L, 1L), (1L, 0L, 1L)))
+  }
+}
