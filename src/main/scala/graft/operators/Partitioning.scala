@@ -126,21 +126,33 @@ object Partitioning {
       .drop("__pid", "__pr", "__off")
   }
 
-  def blockedAllPairs(df: DataFrame, idCol: String, numBlocks: Int): DataFrame = {
+  def blockedAllPairs(df: DataFrame, idCol: String, numBlocks: Int): DataFrame =
+    blockedAllPairsWithin(df, Nil, idCol, numBlocks)
+
+  /** [[blockedAllPairs]] restricted to pairs AGREEING on `groupCols` — the
+    * cluster-scoped all-pairs (e.g. SemDeDup within coarse cells): the join
+    * key becomes (group, i, j), so compute is Σ_g |g|² instead of n², and
+    * a single huge group still block-shards across B(B+1)/2 tasks instead
+    * of landing on the one task a plain group-keyed self-join would give
+    * it. Empty `groupCols` degenerates to the global form.
+    */
+  def blockedAllPairsWithin(df: DataFrame, groupCols: Seq[String],
+      idCol: String, numBlocks: Int): DataFrame = {
     val spark = df.sparkSession
     val blocks = df
-      .select(struct(col("*")).as("r"),
-        pmod(hash(col(idCol)), lit(numBlocks)).as("blk"))
+      .select((struct(col("*")).as("r") +: pmod(hash(col(idCol)), lit(numBlocks)).as("blk") +:
+        groupCols.map(g => col(g).as(s"__g_$g"))): _*)
     // block-pair index built from ONE range (no join): id → (id/B, id%B)
     val bp = spark.range(numBlocks.toLong * numBlocks)
       .select((col("id") / numBlocks).cast("int").as("i"),
         (col("id") % numBlocks).cast("int").as("j"))
       .filter(col("i") <= col("j"))
+    val keyCols = groupCols.map(g => s"__g_$g") ++ Seq("i", "j")
     val xs = blocks.join(broadcast(bp), col("blk") === col("i"))
-      .select(col("r").as("a"), col("i"), col("j"))
+      .select((col("r").as("a") +: keyCols.map(col)): _*)
     val ys = blocks.join(broadcast(bp), col("blk") === col("j"))
-      .select(col("r").as("b"), col("i"), col("j"))
-    xs.join(ys, Seq("i", "j"))
+      .select((col("r").as("b") +: keyCols.map(col)): _*)
+    xs.join(ys, keyCols)
       .filter(col("i") =!= col("j") ||
         col("a").getField(idCol) < col("b").getField(idCol))
       .select(col("a"), col("b"))

@@ -146,6 +146,46 @@ object Vectors {
        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
        |ORDER BY sim DESC, va, vb LIMIT 20""".stripMargin
 
+  // ------------------------------------------------- X3h semantic dedup
+  /** Cluster-scoped semantic dedup (the SemDeDup shape: near-identical
+    * embeddings within a coarse cluster are redundant training data): drop
+    * every vector that has a lower-id neighbor with cosine ≥ `tau` in the
+    * SAME cluster (here the `label` column; a trained IVF assignment slots
+    * in identically). The lower-id rule is deterministic and
+    * embarrassingly parallel — a pure pair predicate, no sequential greedy
+    * state; the transitive connected-component variant is available by
+    * feeding the pair table to Graph.connectedComponents (x7 semantics).
+    *
+    * Scale: pairs come from [[Partitioning.blockedAllPairsWithin]] — the
+    * join key is (cluster, block-pair), so compute is Σ_c |c|² rather than
+    * n², per-task memory stays O(|c|/B), and a degenerate giant cluster
+    * shards over B(B+1)/2 tasks instead of one reducer. The drop set is
+    * near-dup-sized (small), so the anti-join broadcast-probes the corpus.
+    */
+  def semanticDedup(e: DataFrame, tau: Double, numBlocks: Int = 4): DataFrame = {
+    val pairs = Partitioning.blockedAllPairsWithin(
+      e.select(col("vec_id"), col("label"), col("embedding")),
+      Seq("label"), "vec_id", numBlocks)
+      .select(
+        greatest(col("a.vec_id"), col("b.vec_id")).as("dropped"),
+        VectorFunctions.dotF32(col("a.embedding"), col("b.embedding")).as("sim"))
+      .filter(col("sim") >= tau)
+    e.join(pairs.select(col("dropped").as("vec_id")).distinct(),
+      Seq("vec_id"), "left_anti")
+  }
+
+  val x3hSemanticDedup: Q = (spark, dir) =>
+    semanticDedup(Tables.embeddings(spark, dir), tau = 0.4)
+      .select(col("vec_id"), col("label"))
+      .orderBy(col("vec_id"))
+  val x3hSql: String =
+    s"""SELECT e.vec_id, e.label FROM embeddings e
+       |WHERE NOT EXISTS (
+       | SELECT 1 FROM embeddings o
+       | WHERE o.label = e.label AND o.vec_id < e.vec_id
+       |  AND ${Portable.dotSql("o.embedding", "e.embedding", dim)} >= 0.4)
+       |ORDER BY e.vec_id""".stripMargin
+
   // ------------------------------------------------------------------- X5
   /** Multimodal join: text modality (documents) ⋈ vector modality
     * (embeddings) on shared id; the vector stays ArrayType(FloatType).
@@ -398,10 +438,12 @@ object Vectors {
     "x5c_media_features" -> x5cMediaFeatures,
     "x3b_cosine_lsh" -> x3bCosineLsh,
     "x3c_embed_neardup" -> x3cEmbedNearDup,
+    "x3h_semantic_dedup" -> x3hSemanticDedup,
     "x5_multimodal_join" -> x5MultimodalJoin,
     "x5b_multimodal_binary" -> x5bMultimodalBinary)
 
   val oracle: Map[String, String] = Map(
+    "x3h_semantic_dedup" -> x3hSql,
     "x3g_quantize" -> x3gSql,
     "x3_cosine_topk" -> x3Sql,
     "x3d_topk_agg" -> x3Sql, // same contract as x3 — value-identical by design

@@ -105,6 +105,23 @@ class PartitioningSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
+  test("blocked all-pairs WITHIN groups emits exactly the same-group pairs, once each") {
+    val n = 97
+    val df = spark.range(n).select(col("id").as("vec_id"),
+      (col("id") % 5).as("label"))
+    for (b <- Seq(1, 3, 6)) {
+      val pairs = Partitioning.blockedAllPairsWithin(df, Seq("label"), "vec_id", b)
+        .select(
+          least(col("a.vec_id"), col("b.vec_id")).as("lo"),
+          greatest(col("a.vec_id"), col("b.vec_id")).as("hi"))
+      val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val want = (for {
+        i <- 0L until n; j <- (i + 1) until n; if i % 5 == j % 5
+      } yield (i, j)).sorted.toSeq
+      assert(got === want, s"block count $b")
+    }
+  }
+
   test("ordinalIds equals the single-window row_number and is partition-count invariant") {
     val vocab = Tables.documents(spark, TestSpark.sf)
       .select(explode(split(col("text"), " ")).as("token"))

@@ -292,6 +292,24 @@ class TextVectorsSpec extends AnyFunSuite {
     assert(sizes.nonEmpty && sizes.forall(s => s._2 == s._3), sizes.mkString(","))
   }
 
+  test("semantic dedup drops lower-priority near-identical vectors within a cluster only") {
+    def unit(axis: Int): Array[Float] =
+      Array.tabulate(64)(i => if (i == axis) 1.0f else 0.0f)
+    val e = Seq(
+      (1L, "A", unit(0)),  // kept: lowest id of the A-cluster duplicate set
+      (2L, "A", unit(0)),  // dropped: identical to 1 in the same cluster
+      (3L, "B", unit(0)),  // kept: identical content but DIFFERENT cluster
+      (4L, "A", unit(7)),  // kept: same cluster, orthogonal
+      (5L, "A", unit(0)))  // dropped: identical to 1 (and 2)
+      .toDF("vec_id", "label", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    for (b <- Seq(1, 2, 4)) {
+      val kept = Vectors.semanticDedup(e, tau = 0.9, numBlocks = b)
+        .select("vec_id").as[Long].collect().sorted.toSeq
+      assert(kept === Seq(1L, 3L, 4L), s"numBlocks=$b")
+    }
+  }
+
   test("x3g int8 quantization: every vector reconstructs within half a step") {
     val out = Vectors.x3gQuantize(spark, TestSpark.sf).collect()
     assert(out.length === Tables.embeddings(spark, TestSpark.sf).count())
