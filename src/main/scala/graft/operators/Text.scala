@@ -677,6 +677,48 @@ object Text {
       | CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS id
       |FROM v ORDER BY id""".stripMargin
 
+  // ------------------------------------------------- X4k corpus encoding
+  /** Encode every document as its token-id sequence using the x4i
+    * vocabulary (frequency-rank ordinals) — the tokenizer-apply step that
+    * turns a curated corpus into model input. Emits the id array in token
+    * order plus the token count.
+    *
+    * Scale: the vocabulary is bounded (≪ corpus) and BROADCASTS; the
+    * corpus side is posexplode → hash-probe → groupBy(doc_id) with
+    * per-group rows bounded by document length. Order is restored by
+    * sorting the (pos, id) structs inside the aggregation — collect_list
+    * order is partition-dependent, the sort makes it deterministic.
+    */
+  val x4kEncodeIds: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir)
+    val vocab = docs.select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val ids = Partitioning.ordinalIds(vocab,
+        Seq(col("n").desc, col("token").asc), "id", numParts = 8)
+      .select(col("token"), col("id"))
+    docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+      .join(broadcast(ids), "token")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        expr("transform(array_sort(collect_list(struct(pos, id))), s -> s.id)")
+          .as("ids"))
+      .orderBy(col("doc_id"))
+  }
+  val x4kSql: String =
+    """WITH v AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+      | FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      | GROUP BY 1),
+      |ids AS (SELECT token,
+      |  CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS id FROM v),
+      |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |e AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, toks FROM t),
+      |tok AS (SELECT doc_id, pos, toks[pos] AS token FROM e)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      | list(id ORDER BY pos) AS ids
+      |FROM tok JOIN ids USING (token)
+      |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------ X4 term frequency
   /** Corpus term frequency with language filter: tokenize → explode →
     * count, the canonical shuffle-with-partial-agg text op. Deterministic
@@ -836,7 +878,8 @@ object Text {
     "x4d_fingerprint" -> x4dFingerprint,
     "x4g_domains" -> x4gDomains,
     "x4h_novelty_growth" -> x4hNoveltyGrowth,
-    "x4i_vocab_ids" -> x4iVocabIds)
+    "x4i_vocab_ids" -> x4iVocabIds,
+    "x4k_encode_ids" -> x4kEncodeIds)
 
   val oracle: Map[String, String] = Map(
     "x4g_domains" -> x4gSql,
@@ -856,5 +899,6 @@ object Text {
     "x4b_langid" -> x4bSql,
     "x4c_token_count" -> x4cSql,
     "x4d_fingerprint" -> x4dSql,
-    "x4i_vocab_ids" -> x4iSql)
+    "x4i_vocab_ids" -> x4iSql,
+    "x4k_encode_ids" -> x4kSql)
 }

@@ -292,6 +292,19 @@ class TextVectorsSpec extends AnyFunSuite {
     assert(sizes.nonEmpty && sizes.forall(s => s._2 == s._3), sizes.mkString(","))
   }
 
+  test("corpus encoding: ids follow frequency rank, arrays keep token order") {
+    // corpus: "b" appears 3x (id 1), "a" 2x (id 2), "c" 1x (id 3)
+    val sfDir = java.nio.file.Files.createTempDirectory("enc").toString
+    Seq((1L, "a b c"), (2L, "b a b")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$sfDir/documents.parquet")
+    val got = Text.x4kEncodeIds(spark, sfDir)
+      .select("doc_id", "n_tokens", "ids")
+      .as[(Long, Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, 3L, Seq(2L, 1L, 3L)),
+      (2L, 3L, Seq(1L, 2L, 1L))))
+  }
+
   test("semantic dedup drops lower-priority near-identical vectors within a cluster only") {
     def unit(axis: Int): Array[Float] =
       Array.tabulate(64)(i => if (i == axis) 1.0f else 0.0f)
