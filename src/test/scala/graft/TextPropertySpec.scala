@@ -1,0 +1,105 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.forAll
+import graft.operators.{Relational, Text}
+
+/** Property-based invariants for the text-pipeline and analytics
+  * composites: each distributed formulation must equal a pure-Scala
+  * sequential reference on arbitrary inputs.
+  */
+object TextPropertySpec extends Properties("TextOps") {
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  lazy val spark = TestSpark.spark
+
+  def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  // small vocabulary so segments collide across documents
+  val genDoc: Gen[String] =
+    Gen.choose(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString(" ")))
+  val genCorpus: Gen[List[String]] = Gen.choose(1, 10)
+    .flatMap(n => Gen.listOfN(n, genDoc))
+
+  /** Sequential reference for [[Text.lineDedup]]. */
+  def lineDedupRef(texts: List[String], width: Int, maxDocs: Int)
+      : Map[Long, (Long, Long, Option[String])] = {
+    def segs(t: String): List[String] =
+      t.split(" ").grouped(width).map(_.mkString(" ")).toList
+    val df = texts.zipWithIndex
+      .flatMap { case (t, id) => segs(t).distinct.map(_ -> id.toLong) }
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).distinct.size }
+    texts.zipWithIndex.map { case (t, id) =>
+      val all = segs(t)
+      val kept = all.filter(s => df(s) <= maxDocs)
+      id.toLong -> (all.size.toLong, kept.size.toLong,
+        if (kept.isEmpty) None else Some(md5hex(kept.mkString(" "))))
+    }.toMap
+  }
+
+  property("line dedup == sequential per-document reference on random corpora") =
+    forAll(genCorpus, Gen.choose(1, 3), Gen.choose(1, 3)) { (texts, width, maxDocs) =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex
+        .map { case (t, id) => (id.toLong, t) }.toDF("doc_id", "text")
+      val got = Text.lineDedup(docs, width, maxDocs).collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), Option(r.getString(3)))).toMap
+      val want = lineDedupRef(texts, width, maxDocs)
+      Prop(got == want) :| s"got=$got want=$want (width=$width maxDocs=$maxDocs)"
+    }
+
+  val stages = Seq("s1", "s2", "s3")
+  val genEvents: Gen[List[(Long, String, Long)]] = Gen.choose(0, 30).flatMap(n =>
+    Gen.listOfN(n, Gen.zip(
+      Gen.choose(1L, 5L),
+      Gen.oneOf("s1", "s2", "s3", "noise"),
+      Gen.choose(0L, 50L))))
+
+  /** Sequential reference for [[Relational.funnel]]: for each user, stage
+    * i's time is the earliest event of that type at-or-after stage i-1's.
+    */
+  def funnelRef(events: List[(Long, String, Long)])
+      : Map[Long, (List[Option[Long]], Int)] =
+    events.groupBy(_._1).map { case (u, es) =>
+      val ts = stages.foldLeft(List.empty[Option[Long]]) { (acc, st) =>
+        val floor = acc.lastOption.getOrElse(Some(Long.MinValue))
+        val t = floor.flatMap(f =>
+          es.collect { case (_, `st`, t) if t >= f => t }.minOption)
+        acc :+ t
+      }
+      u -> (ts, ts.lastIndexWhere(_.isDefined) + 1)
+    }
+
+  property("funnel == sequential per-user reference on random event streams") =
+    forAll(genEvents) { events =>
+      import spark.implicits._
+      if (events.isEmpty) Prop.passed
+      else {
+        val df = events.toDF("user_id", "event_type", "ts_ms")
+        val got = Relational.funnel(df, stages).collect()
+          .map(r => r.getLong(0) -> (List(1, 2, 3).map(i =>
+            if (r.isNullAt(i)) None else Some(r.getLong(i))), r.getInt(4))).toMap
+        val want = funnelRef(events)
+        Prop(got == want) :| s"got=$got want=$want"
+      }
+    }
+
+  property("funnel stages are monotone: reaching stage k implies reaching k-1") =
+    forAll(genEvents) { events =>
+      import spark.implicits._
+      if (events.isEmpty) Prop.passed
+      else {
+        val rows = Relational.funnel(events.toDF("user_id", "event_type", "ts_ms"),
+          stages).collect()
+        Prop(rows.forall { r =>
+          val ts = List(1, 2, 3).map(!r.isNullAt(_))
+          ts.zip(ts.tail).forall { case (lo, hi) => lo || !hi }
+        }) :| rows.mkString(";")
+      }
+    }
+}
