@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import graft.Schemas.{CdcEvent, CdcRow}
 
 /** Structured Streaming surface (SURVEY.md §2.2 T1–T7). Every combinator
@@ -71,28 +72,35 @@ object Streams {
   case class SnapUpdate(id: Long, live: Boolean, lsn: Long,
       first_name: Option[String], last_name: Option[String], email: Option[String])
 
-  def foldKey(id: Long, events: Iterator[CdcEvent],
-      state: GroupState[SnapState]): Iterator[SnapUpdate] = {
-    val incoming = events.toSeq
-    if (incoming.isEmpty) Iterator.empty
+  /** The shared per-key fold: the winning (max-lsn) incoming event against
+    * the prior state; None when the batch is stale/out-of-order — the SAME
+    * state transition drives both the flatMapGroupsWithState form (T6) and
+    * the transformWithState form (T11), so the two APIs cannot drift.
+    */
+  def advance(id: Long, prior: Option[SnapState],
+      incoming: Seq[CdcEvent]): Option[SnapState] = {
+    if (incoming.isEmpty) None
     else {
-      val prior = state.getOption
       val best = incoming.maxBy(e => e.source.lsn.getOrElse(Long.MinValue))
       val bestLsn = best.source.lsn.getOrElse(Long.MinValue)
-      if (prior.exists(_.lsn >= bestLsn)) Iterator.empty // stale / out-of-order
+      if (prior.exists(_.lsn >= bestLsn)) None // stale / out-of-order
+      else if (best.op == "d") Some(SnapState(bestLsn, live = false, None, None, None))
       else {
-        val next = if (best.op == "d")
-          SnapState(bestLsn, live = false, None, None, None)
-        else {
-          val row = best.after.getOrElse(CdcRow(id, None, None, None))
-          SnapState(bestLsn, live = true, row.first_name, row.last_name, row.email)
-        }
-        state.update(next)
-        Iterator.single(SnapUpdate(id, next.live, next.lsn,
-          next.first_name, next.last_name, next.email))
+        val row = best.after.getOrElse(CdcRow(id, None, None, None))
+        Some(SnapState(bestLsn, live = true, row.first_name, row.last_name, row.email))
       }
     }
   }
+
+  def foldKey(id: Long, events: Iterator[CdcEvent],
+      state: GroupState[SnapState]): Iterator[SnapUpdate] =
+    advance(id, state.getOption, events.toSeq) match {
+      case None => Iterator.empty
+      case Some(next) =>
+        state.update(next)
+        Iterator.single(SnapUpdate(id, next.live, next.lsn,
+          next.first_name, next.last_name, next.email))
+    }
 
   /** T6 — running CDC snapshot as an update stream; emit one row per key
     * per micro-batch when its state advanced. Works on batch Datasets too
@@ -109,6 +117,46 @@ object Streams {
       .groupByKey(e => e.after.orElse(e.before).map(_.id).get)
       .flatMapGroupsWithState[SnapState, SnapUpdate](
         OutputMode.Update, GroupStateTimeout.NoTimeout)(foldKey)
+  }
+
+  // ----------------------------------------------------------------- T11
+  /** T11 — the same running snapshot on the Spark 4 arbitrary-state API
+    * (`transformWithState` + [[StatefulProcessor]]), the successor to
+    * flatMapGroupsWithState: typed named state ([[ValueState]]) with
+    * per-state TTL support, timers decoupled from output mode, and state
+    * evolution across query versions. Requires the RocksDB state store
+    * provider (`spark.sql.streaming.stateStore.providerClass`); state per
+    * key is the same O(1) (lsn, row image) record as T6, and the state
+    * transition is the SAME [[advance]] fold, spec-asserted equivalent.
+    */
+  class SnapshotProcessor extends StatefulProcessor[Long, CdcEvent, SnapUpdate] {
+    @transient private var latest: ValueState[SnapState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      latest = getHandle.getValueState[SnapState]("latest",
+        Encoders.product[SnapState], TTLConfig.NONE)
+
+    override def handleInputRows(id: Long, rows: Iterator[CdcEvent],
+        timerValues: TimerValues): Iterator[SnapUpdate] = {
+      val prior = if (latest.exists()) Some(latest.get()) else None
+      advance(id, prior, rows.toSeq) match {
+        case None => Iterator.empty
+        case Some(next) =>
+          latest.update(next)
+          Iterator.single(SnapUpdate(id, next.live, next.lsn,
+            next.first_name, next.last_name, next.email))
+      }
+    }
+  }
+
+  def snapshotStreamTws(events: Dataset[CdcEvent]): Dataset[SnapUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .filter(e => e.after.orElse(e.before).isDefined)
+      .groupByKey(e => e.after.orElse(e.before).map(_.id).get)
+      .transformWithState(new SnapshotProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** T6-alt — snapshot via foreachBatch + versioned commit: each

@@ -165,6 +165,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchSnap.length === 1 && batchSnap(0).getString(3) === "a2@x")
   }
 
+  test("T11 transformWithState snapshot: same fold as T6 on the Spark 4 state API") {
+    implicit val ctx = spark.sqlContext
+    // the new state API requires the RocksDB provider; scope it to this query
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[CdcEvent]
+      val q = Streams.snapshotStreamTws(mem.toDS).writeStream
+        .format("memory").queryName("t11").outputMode("update").start()
+      mem.addData(
+        CdcEvent(None, row(40, "a@x"), src(400), "c", 400),
+        CdcEvent(None, row(41, "b@x"), src(410), "c", 410))
+      q.processAllAvailable()
+      mem.addData(
+        CdcEvent(row(40, "a@x"), row(40, "a2@x"), src(401), "u", 401),
+        CdcEvent(row(40, "z@stale"), row(40, "z@stale"), src(399), "u", 399), // must lose
+        CdcEvent(row(41, "b@x"), None, src(411), "d", 411))
+      q.processAllAvailable(); q.stop()
+      val last = spark.table("t11")
+        .orderBy(col("id"), col("lsn").desc)
+        .groupBy("id").agg(first("live").as("live"), first("email").as("email"),
+          max("lsn").as("lsn"))
+        .orderBy("id").collect()
+      assert(last.length === 2)
+      assert(last(0).getBoolean(1) === true && last(0).getString(2) === "a2@x")
+      assert(last(1).getBoolean(1) === false) // deleted
+      // the stale event emitted nothing in batch 2 (fold rejected it)
+      val emitted40 = spark.table("t11").filter(col("id") === 40).count()
+      assert(emitted40 === 2) // insert + winning update, never the stale one
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("T5b dropDuplicatesWithinWatermark dedups and bounds state") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[E]
