@@ -139,6 +139,37 @@ object Curation {
       | CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
       |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** X6e — quality-weighted Bernoulli sampling: keep each document with
+    * probability proportional to a quality weight (here min(1, n_tokens /
+    * `cap`) — longer docs more likely kept), decided by a deterministic
+    * per-document coin: the first 8 md5 hex digits as a uint32. The keep
+    * test `h32 · cap < n_tokens · 2³²` is ALL-INTEGER — exact in both
+    * engines, no float threshold to disagree on — and depends only on
+    * doc_id, so the sample is identical across runs, partitionings, and
+    * engines (the importance-sampling analogue of x6b's md5 ranking).
+    *
+    * Scale: pure per-row expression work, zero shuffle — the filter
+    * composes with any scan.
+    */
+  def weightedSample(docs: DataFrame, cap: Long = 100L): DataFrame =
+    docs
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("h32", expr(
+        "CAST(conv(substr(md5(CAST(concat('w:', CAST(doc_id AS STRING)) AS BINARY)), 1, 8), 16, 10) AS BIGINT)"))
+      .filter(col("h32") * cap < col("n_tokens") * 4294967296L)
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+
+  val x6eWeightedSample: Q = (spark, dir) =>
+    weightedSample(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+  val x6eSql: String =
+    """WITH d AS (SELECT doc_id, lang,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(('0x' || substr(md5('w:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h32
+      | FROM documents)
+      |SELECT doc_id, lang, n_tokens FROM d
+      |WHERE h32 * 100 < n_tokens * 4294967296
+      |ORDER BY doc_id""".stripMargin
+
   /** X9 — the complete curation pipeline as ONE declarative plan, composed
     * from the catalog operators the way a user would actually run them:
     *
@@ -197,11 +228,13 @@ object Curation {
     "x6_curation" -> x6Curation,
     "x6b_stratified_sample" -> x6bStratifiedSample,
     "x6c_token_packing" -> x6cTokenPacking,
+    "x6e_weighted_sample" -> x6eWeightedSample,
     "x9_pipeline" -> x9Pipeline)
 
   val oracle: Map[String, String] = Map(
     "x6_curation" -> x6Sql,
     "x6b_stratified_sample" -> x6bSql,
     "x6c_token_packing" -> x6cSql,
+    "x6e_weighted_sample" -> x6eSql,
     "x9_pipeline" -> x9Sql)
 }

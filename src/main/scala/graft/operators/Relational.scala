@@ -962,7 +962,43 @@ object Relational {
        |FROM e JOIN f USING (user_id)
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // Q27 — star-schema join (the TPC-H Q5 shape): two fact tables chained
+  // on their keys, two dimensions broadcast. The plan shape that matters
+  // at 100 TB: lineitem⋈orders and orders⋈customer shuffle on their join
+  // keys (AQE may broadcast whichever side's stats allow), nation/region
+  // broadcast unconditionally (bounded dims), and the final groupBy is
+  // low-cardinality with map-side combine — so the revenue rollup costs
+  // two fact shuffles regardless of data volume.
+  val q27StarJoin: Q = (spark, dir) => {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("disc_price"))
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val n = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val r = Tables.region(spark, dir).select(col("r_regionkey"), col("r_name"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("disc_price")), 2).as("revenue"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+  val q27Sql: String =
+    """SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_items,
+      | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      | JOIN orders ON l_orderkey = o_orderkey
+      | JOIN customer ON o_custkey = c_custkey
+      | JOIN nation ON c_nationkey = n_nationkey
+      | JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q27_star_join" -> q27StarJoin,
     "q25_funnel" -> q25Funnel,
     "q26_cohort" -> q26Cohort,
     "q24_salted_join" -> q24SaltedJoin,
@@ -1009,6 +1045,7 @@ object Relational {
     "q21_map" -> q21Map)
 
   val oracle: Map[String, String] = Map(
+    "q27_star_join" -> q27Sql,
     "q25_funnel" -> q25Sql,
     "q26_cohort" -> q26Sql,
     "q24_salted_join" -> q24Sql,

@@ -292,6 +292,20 @@ class TextVectorsSpec extends AnyFunSuite {
     assert(sizes.nonEmpty && sizes.forall(s => s._2 == s._3), sizes.mkString(","))
   }
 
+  test("weighted sample: deterministic coin, full-weight docs always kept") {
+    import graft.operators.Curation
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val a = Curation.weightedSample(docs).orderBy("doc_id").collect().toSeq
+    val b = Curation.weightedSample(docs.repartition(13)).orderBy("doc_id").collect().toSeq
+    assert(a === b) // the coin depends only on doc_id, not row placement
+    assert(a.nonEmpty && a.size < docs.count()) // a real sample, not a pass-through
+    // weight min(1, n/100): every ≥100-token doc clears any possible coin
+    val longDocs = docs.filter(size(split(col("text"), " ")) >= 100)
+      .select("doc_id").as[Long].collect().toSet
+    val kept = a.map(_.getLong(0)).toSet
+    assert(longDocs.subsetOf(kept))
+  }
+
   test("corpus encoding: ids follow frequency rank, arrays keep token order") {
     // corpus: "b" appears 3x (id 1), "a" 2x (id 2), "c" 1x (id 3)
     val sfDir = java.nio.file.Files.createTempDirectory("enc").toString
