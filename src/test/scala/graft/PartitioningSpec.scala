@@ -120,6 +120,20 @@ class PartitioningSpec extends AnyFunSuite {
       } yield (i, j)).sorted.toSeq
       assert(got === want, s"block count $b")
     }
+    // scale property: the pair join is hash-partitioned by (group, block
+    // pair) — a degenerate giant group still spreads over block-pair tasks
+    // instead of landing on one group-keyed reducer
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val e = Tables.embeddings(spark, TestSpark.sf)
+        .select(col("vec_id"), col("label"), col("embedding"))
+      val q = Partitioning.blockedAllPairsWithin(e, Seq("label"), "vec_id", 4)
+      q.collect()
+      val p = q.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+      assert(p.contains("hashpartitioning(__g_label"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
   test("ordinalIds equals the single-window row_number and is partition-count invariant") {
