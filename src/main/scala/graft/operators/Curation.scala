@@ -199,8 +199,10 @@ object Curation {
       .select(gated.columns.map(col): _*)
     val sh = Text.stagedShingles(spark, dir)
     val bench = sh.filter(col("doc_id") < 50).select(col("hs")).distinct()
+    // no distinct() on the contaminated ids: an anti-join tests existence,
+    // so deduplicating its right side is a wasted aggregate + Exchange
     val contaminated = sh.filter(col("doc_id") >= 50)
-      .join(broadcast(bench), "hs").select(col("doc_id")).distinct()
+      .join(broadcast(bench), "hs").select(col("doc_id"))
     val clean = deduped.filter(col("doc_id") >= 50)
       .join(contaminated, Seq("doc_id"), "left_anti")
     tokenPacking(clean, budget = 2000L).orderBy(col("lang"), col("shard"))
