@@ -52,7 +52,10 @@ object Bench {
       val v2 = p2.getOrElse(k, -1.0)
       k -> (if (v1 < 0 || v2 < 0) -1.0 else math.min(v1, v2))
     }
-    def r3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: %.3f under a comma-decimal locale would emit "0,123"
+    // and break the driver's JSON parse
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def qmap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
