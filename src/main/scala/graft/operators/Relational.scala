@@ -997,7 +997,41 @@ object Relational {
       | JOIN region ON n_regionkey = r_regionkey
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // Q28 — column profiling (the Deequ-style data-quality summary): one
+  // pass over the table computing per-column null count, exact distinct
+  // count, and min/max, emitted long-format. Multiple DISTINCT aggregates
+  // make Catalyst plan an Expand (input ×|columns| before the partial
+  // agg) — the exact-profile cost; at 100 TB swap countDistinct for
+  // approx_count_distinct and the Expand disappears (q9b shows that
+  // sketch path). min/max/null-count are plain partial aggregates.
+  val profileCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  val q28Profile: Q = (spark, dir) => {
+    val li = Tables.lineitem(spark, dir)
+    val aggs = profileCols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+      countDistinct(col(c)).as(s"${c}_dist"),
+      min(col(c)).cast("double").as(s"${c}_min"),
+      max(col(c)).cast("double").as(s"${c}_max")))
+    li.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(profileCols.map(c => struct(
+        lit(c).as("col_name"),
+        col(s"${c}_nulls").as("n_nulls"),
+        col(s"${c}_dist").as("n_distinct"),
+        col(s"${c}_min").as("min_v"),
+        col(s"${c}_max").as("max_v"))): _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy(col("col_name"))
+  }
+  val q28Sql: String = profileCols.map(c =>
+    s"""SELECT '$c' AS col_name,
+       | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       | CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+       | CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v
+       |FROM lineitem""".stripMargin)
+    .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+
   val queries: Map[String, Q] = Map(
+    "q28_profile" -> q28Profile,
     "q27_star_join" -> q27StarJoin,
     "q25_funnel" -> q25Funnel,
     "q26_cohort" -> q26Cohort,
@@ -1045,6 +1079,7 @@ object Relational {
     "q21_map" -> q21Map)
 
   val oracle: Map[String, String] = Map(
+    "q28_profile" -> q28Sql,
     "q27_star_join" -> q27Sql,
     "q25_funnel" -> q25Sql,
     "q26_cohort" -> q26Sql,
