@@ -292,6 +292,26 @@ class TextVectorsSpec extends AnyFunSuite {
     assert(sizes.nonEmpty && sizes.forall(s => s._2 == s._3), sizes.mkString(","))
   }
 
+  test("line dedup survives a boilerplate flood: one hot segment across 400 docs") {
+    // the hot-key case the groupBy+join discipline exists for: one segment
+    // shared by 400 documents (df=400) must be struck from all of them
+    // without funneling the flood into one task or exploding the join
+    val docs = ((1L to 400L).map(i => (i, s"hot seg one two $i")) ++
+      Seq((900L, "calm unique text here")))
+      .toDF("doc_id", "text")
+    val got = Text.lineDedup(docs, width = 2, maxDocs = 2).collect()
+    assert(got.length === 401)
+    val flood = got.filter(_.getLong(0) <= 400)
+    // every flood doc: 3 segments ("hot seg", "one two", "<i>"), the two
+    // shared ones struck, the unique id-segment kept
+    assert(flood.forall(r => r.getLong(1) === 3L && r.getLong(2) === 1L))
+    val calm = got.find(_.getLong(0) == 900L).get
+    assert(calm.getLong(2) === 2L) // untouched
+    // and the plan keeps the skew discipline: no per-segment window
+    val plan = Text.lineDedup(docs, 2, 2).queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("window"), plan)
+  }
+
   test("weighted sample: deterministic coin, full-weight docs always kept") {
     import graft.operators.Curation
     val docs = Tables.documents(spark, TestSpark.sf)
