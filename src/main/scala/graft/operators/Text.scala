@@ -701,8 +701,10 @@ object Text {
       .join(broadcast(ids), "token")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
-        expr("transform(array_sort(collect_list(struct(pos, id))), s -> s.id)")
-          .as("ids"))
+        // canonical CSV rather than an array column: id sequences compare
+        // as one opaque string in any engine's hash of the result
+        expr("""array_join(transform(array_sort(collect_list(struct(pos, id))),
+          | s -> CAST(s.id AS STRING)), ',')""".stripMargin).as("ids"))
       .orderBy(col("doc_id"))
   }
   val x4kSql: String =
@@ -715,7 +717,7 @@ object Text {
       |e AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, toks FROM t),
       |tok AS (SELECT doc_id, pos, toks[pos] AS token FROM e)
       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-      | list(id ORDER BY pos) AS ids
+      | string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos) AS ids
       |FROM tok JOIN ids USING (token)
       |GROUP BY 1 ORDER BY doc_id""".stripMargin
 

@@ -333,10 +333,10 @@ class TextVectorsSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(s"$sfDir/documents.parquet")
     val got = Text.x4kEncodeIds(spark, sfDir)
       .select("doc_id", "n_tokens", "ids")
-      .as[(Long, Long, Seq[Long])].collect().sortBy(_._1).toSeq
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
     assert(got === Seq(
-      (1L, 3L, Seq(2L, 1L, 3L)),
-      (2L, 3L, Seq(1L, 2L, 1L))))
+      (1L, 3L, "2,1,3"),
+      (2L, 3L, "1,2,1")))
   }
 
   test("semantic dedup drops lower-priority near-identical vectors within a cluster only") {
