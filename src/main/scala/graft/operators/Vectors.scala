@@ -429,8 +429,60 @@ object Vectors {
       .orderBy(col("doc_id"))
   }
 
+  /** X5d — cross-engine bound for the x5c media decode (the q9c/x3f
+    * bound-not-values pattern): the stub decode is integer byte arithmetic
+    * (`features[k] = Σ_{i % dim = k} byte_i / 255` in float32), so an
+    * independent pure-SQL ground truth is computable in BOTH engines from
+    * the UTF-8 bytes (the fixture text is ASCII, so `ascii(substr)` IS the
+    * byte). Exact columns hash-checked cross-engine: `byte_sum` (total) and
+    * `n_bytes`; `decode_ok` asserts every float feature is within 5e-4 of
+    * its exact per-bucket byte sum / 255 — worst-case float32 accumulation
+    * error for ≤40 terms/bucket is ~4e-5, while any decode bug (missed
+    * byte, wrong modulo, wrong normalization) shifts a bucket by ≥ 32/255 ≈
+    * 0.125. The Spark-side ground truth is pure codegen'd expression work
+    * (no mapPartitions), independent of the decode path it checks.
+    */
+  val x5dMediaBound: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir)
+    val media = Multimodal.attachPayload(docs)
+    val feats = Multimodal.extractFeatures(media, dim = 16).toDF()
+      .select(col("doc_id"), col("format"), col("n_bytes").cast("long").as("n_bytes"),
+        col("features"))
+    val bytesArr = transform(
+      sequence(lit(1), octet_length(col("text"))),
+      i => ascii(col("text").substr(i, lit(1))).cast("long"))
+    val truth = docs.select(col("doc_id").as("t_doc_id"), bytesArr.as("bytes"))
+      .select(col("t_doc_id"),
+        aggregate(col("bytes"), lit(0L), (a, x) => a + x).as("byte_sum"),
+        transform(sequence(lit(0), lit(15)), k =>
+          aggregate(
+            transform(col("bytes"), (b, i) => when(i % 16 === k, b).otherwise(0L)),
+            lit(0L), (a, x) => a + x)).as("bucket_sums"))
+    feats.join(truth, col("doc_id") === col("t_doc_id"))
+      .select(col("doc_id"), col("format"), col("n_bytes"), col("byte_sum"),
+        forall(
+          zip_with(col("features"), col("bucket_sums"),
+            (f, s) => abs(f.cast("double") - s.cast("double") / 255.0) <= lit(5e-4)),
+          ok => ok).as("decode_ok"))
+      .orderBy(col("doc_id"))
+  }
+  val x5dSql: String =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    list_transform(generate_series(1, CAST(strlen(text) AS INT)),
+      |      i -> ord(substr(text, i, 1))) AS bytes
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'png'
+      |       WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'mp4' END AS format,
+      |  CAST(len(bytes) AS BIGINT) AS n_bytes,
+      |  CAST(list_sum(bytes) AS BIGINT) AS byte_sum,
+      |  true AS decode_ok
+      |FROM b ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "x3g_quantize" -> x3gQuantize,
+    "x5d_media_bound" -> x5dMediaBound,
     "x3_cosine_topk" -> x3CosineTopK,
     "x3d_topk_agg" -> x3dTopKAgg,
     "x3e_cosine_ivf" -> x3eCosineIvf,
@@ -451,5 +503,6 @@ object Vectors {
     "x3b_cosine_lsh" -> x3bSql,
     "x3c_embed_neardup" -> x3cSql,
     "x5_multimodal_join" -> x5Sql,
-    "x5b_multimodal_binary" -> x5bSql)
+    "x5b_multimodal_binary" -> x5bSql,
+    "x5d_media_bound" -> x5dSql)
 }

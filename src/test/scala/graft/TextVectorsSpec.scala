@@ -66,6 +66,18 @@ class TextVectorsSpec extends AnyFunSuite {
     assert(frames.nonEmpty)
   }
 
+  test("x5d media bound holds at the largest fixture (worst-case float accumulation)") {
+    // sf0.1 has the longest documents (~577 bytes → ~37 terms/bucket); the
+    // decode_ok bound must hold with margin there, not just at sf0.001.
+    val dir = if (new java.io.File("/root/testdata/sf0.1").isDirectory)
+      "/root/testdata/sf0.1" else TestSpark.sf
+    val out = Vectors.x5dMediaBound(spark, dir)
+      .select("decode_ok", "byte_sum").collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getBoolean(0)), "a decoded feature drifted beyond 5e-4")
+    assert(out.forall(_.getLong(1) > 0L))
+  }
+
   test("stratified sample is invariant to input partitioning (md5 order, not row order)") {
     import graft.operators.Curation
     val direct = Curation.x6bStratifiedSample(spark, TestSpark.sf).collect().toSeq
