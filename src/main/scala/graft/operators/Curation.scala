@@ -37,10 +37,8 @@ object Curation {
       .orderBy(col("doc_id"))
   }
   val x6Sql: String = {
-    // reuse the exact x2c candidate/verify CTE, then anti-join
-    val jaccard = Text.x2cSql
-      .replaceAll("(?s)SELECT da, db, shared.*$", "") // keep CTEs only
-    jaccard + ",\n" +
+    // reuse the exact x2c candidate/verify CTE chain, then anti-join
+    Text.x2cCtePrefix() + ",\n" +
       """dups AS (
         | SELECT DISTINCT db AS dup_id
         | FROM shared JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id

@@ -118,10 +118,8 @@ object Graph {
     * quadratic per component — fine for an oracle at fixture scale, never
     * the engine plan.
     */
-  private[operators] val ccCtes: String = {
-    val pairCtes = Text.x2cSql
-      .replaceAll("(?s)SELECT da, db, shared.*$", "") // keep CTEs only
-      .replaceFirst("WITH ", "WITH RECURSIVE ")
+  private[graft] val ccCtes: String = {
+    val pairCtes = Text.x2cCtePrefix("WITH RECURSIVE")
     pairCtes + s""",
       |pairs AS (
       | SELECT da, db

@@ -67,9 +67,10 @@ object Text {
     Staged(spark, s"shingles:$width:$dir")(
       shingles(Tables.documents(spark, dir), width))
 
-  private def shinglesCte(width: Int = defaultShingleWidth): String = {
+  private def shinglesCte(width: Int = defaultShingleWidth,
+      withKw: String = "WITH"): String = {
     val phrase = (1 to width).map(o => s"t[i+${o - 1}]").mkString(" || ' ' || ")
-    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    s"""$withKw tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        |sh AS (SELECT DISTINCT doc_id, unnest(
        |  CASE WHEN len(t) >= $width
        |   THEN list_transform(generate_series(1, len(t)-${width - 1}),
@@ -424,10 +425,10 @@ object Text {
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // df via groupBy+join (partial-agg count is skew-safe; hot shingles are
     // dropped by the df filter BEFORE the self-join, so no reducer ever
-    // sees a hot shingle's pair explosion). A bounded-collect single-
-    // shuffle variant (graft.functions.BoundedCollect) measured slower
-    // here — typed-aggregator encoding costs more than the extra codegen'd
-    // shuffle at this row width.
+    // sees a hot shingle's pair explosion). A capped-collect typed
+    // Aggregator (one shuffle instead of count-join-selfjoin) measured
+    // slower here — typed-aggregator encoding costs more than the extra
+    // codegen'd shuffle at this row width.
     val df = sh.groupBy(col("hs")).agg(count(lit(1)).as("df"))
     val rare = sh.join(df.filter(col("df") <= maxDf), "hs")
     val cand = rare.as("a").join(rare.as("b"),
@@ -458,14 +459,24 @@ object Text {
   val x2cNgramJaccard: Q = (spark, dir) =>
     stagedJaccardPairs(spark, dir).orderBy(col("da"), col("db"))
 
-  val x2cSql: String = shinglesCte() + s""",
+  /** The x2c CTE chain (shingles → cnt/rare/cand/shared), exposed as a
+    * standalone prefix so the downstream oracles that extend it
+    * (Graph.ccCtes → x7/x7f, Curation.x6Sql/x9Sql) CONCATENATE onto it
+    * instead of regex-stripping [[x2cSql]] — an edit to the final SELECT
+    * can no longer silently corrupt three other oracles. `withKw` lets a
+    * consumer that appends recursive CTEs open with `WITH RECURSIVE`.
+    */
+  private[graft] def x2cCtePrefix(withKw: String = "WITH"): String =
+    shinglesCte(withKw = withKw) + s""",
       |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
       |rare AS (SELECT * FROM (SELECT doc_id, hs, count(*) OVER (PARTITION BY hs) AS df FROM sh) WHERE df <= $defaultMaxDf),
       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
       |         FROM rare a JOIN rare b ON a.hs = b.hs AND a.doc_id < b.doc_id),
       |shared AS (SELECT da, db, CAST(count(*) AS BIGINT) AS shared
       |           FROM cand JOIN sh x ON da = x.doc_id JOIN sh y ON db = y.doc_id AND x.hs = y.hs
-      |           GROUP BY 1, 2)
+      |           GROUP BY 1, 2)""".stripMargin
+
+  val x2cSql: String = x2cCtePrefix() + """
       |SELECT da, db, shared, ca.n AS na, cb.n AS nb
       |FROM shared JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
       |WHERE shared * 10 >= (ca.n + cb.n - shared) * 7
@@ -782,11 +793,9 @@ object Text {
     * integer numerator/denominator are exact; the one ratio is a mirrored
     * IEEE division.
     *
-    * Scale: the bigram stream is explode-parallel; the frequency table is a
-    * map-side-combined count; the score join is keyed by bigram hash —
-    * fixed-width md5 keys, partial-agg on both sides, no skew pitfall
-    * because hot bigrams fan out across their documents' partitions (join
-    * output rows = bigram occurrences, which the input already had).
+    * Scale: the bigram stream is explode-parallel over fixed-width md5
+    * keys; the join discipline lives in [[bigramFamiliarity]] (both sides
+    * pre-aggregated — see its scaladoc).
     */
   def bigrams(docs: DataFrame): DataFrame = {
     // same exploded-index shape as [[shingles]] width=2, but KEEPING
@@ -800,16 +809,32 @@ object Text {
           element_at(col("t"), col("i") + 1)).cast("binary")).as("bg"))
   }
 
-  val x7dBigramFamiliarity: Q = (spark, dir) => {
-    val bg = bigrams(Tables.documents(spark, dir))
-    val freq = bg.groupBy(col("bg")).agg(count(lit(1)).as("bgf"))
-    bg.join(freq, "bg")
+  /** Scale shape (the r4-verdict fix): BOTH join inputs are pre-aggregated.
+    * `perDoc` collapses the occurrence stream to one row per (doc_id,
+    * bigram) with its multiplicity, so a hot bigram ("of the"-class
+    * boilerplate) carries ONE row per containing document into the
+    * frequency join — never one per occurrence — and the join output is
+    * bounded by the distinct (doc, bigram) pair count regardless of flood
+    * factor. The frequency table is derived from `perDoc` by a second
+    * map-side-combined sum, so no shape depends on it broadcasting: when
+    * the distinct-bigram count outgrows the broadcast threshold at corpus
+    * scale, the join degrades to a shuffle keyed by `bg` whose build side
+    * is one row per key — exactly the shape AQE skew-splitting handles.
+    */
+  def bigramFamiliarity(docs: DataFrame): DataFrame = {
+    val perDoc = bigrams(docs)
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
+    val freq = perDoc.groupBy(col("bg")).agg(sum(col("cnt")).as("bgf"))
+    perDoc.join(freq, "bg")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("bgf")).as("fam_num"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        sum(col("cnt") * col("bgf")).as("fam_num"))
       .select(col("doc_id"), col("n_bigrams"), col("fam_num"),
         round(col("fam_num") / col("n_bigrams"), 4).as("familiarity"))
-      .orderBy(col("doc_id"))
   }
+
+  val x7dBigramFamiliarity: Q = (spark, dir) =>
+    bigramFamiliarity(Tables.documents(spark, dir)).orderBy(col("doc_id"))
   val x7dSql: String =
     """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |bg AS (SELECT doc_id, unnest(

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.operators.{Graph, Mixing, Text}
+import graft.operators.{Curation, Graph, Mixing, Text}
 
 /** Connected components vs a brute-force union-find reference, plus
   * determinism checks for the fixed-point mixing aggregates. */
@@ -25,6 +25,18 @@ class GraphMixingSpec extends AnyFunSuite {
     // grouping members per root and taking the min
     val members = parent.keys.toSeq.groupBy(find)
     members.flatMap { case (_, ms) => val m = ms.min; ms.map(_ -> m) }.toMap
+  }
+
+  test("downstream oracles share x2c's CTE chain by concatenation, not surgery") {
+    // x7/x7f/x9/x6 extend the exact pair-generation CTEs that x2c itself is
+    // checked against; if any of these prefixes drifts, an edit to the x2c
+    // pipeline would no longer propagate to the dependent oracles.
+    assert(Text.x2cSql.startsWith(Text.x2cCtePrefix()))
+    assert(Graph.ccCtes.startsWith(Text.x2cCtePrefix("WITH RECURSIVE")))
+    assert(Curation.x6Sql.startsWith(Text.x2cCtePrefix()))
+    assert(Graph.x7Sql.startsWith(Graph.ccCtes))
+    assert(Graph.x7fSql.startsWith(Graph.ccCtes))
+    assert(Curation.x9Sql.startsWith(Graph.ccCtes))
   }
 
   private def ccMap(edges: Seq[(Long, Long)]): Map[Long, Long] =
