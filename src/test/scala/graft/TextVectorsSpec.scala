@@ -324,6 +324,30 @@ class TextVectorsSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("window"), plan)
   }
 
+  test("bigram familiarity survives a flooded bigram: pre-agg bounds the frequency join") {
+    // one bigram repeated 3× inside each of 400 docs (hot-key flood): the
+    // per-(doc, bigram) pre-aggregation must carry ONE row per doc into the
+    // frequency join, and the score must still be exact
+    val docs = ((1L to 400L).map(i => (i, s"hot hot hot hot x$i")) ++
+      Seq((900L, "calm unique text here")))
+      .toDF("doc_id", "text")
+    val got = Text.bigramFamiliarity(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // flood doc: bigrams = (hot,hot)×3 + (hot,xi)×1; freq(hot,hot)=1200
+    assert((1L to 400L).forall(i => got(i) == ((4L, 3L * 1200L + 1L))))
+    assert(got(900L) == ((3L, 3L))) // all three bigrams unique
+    // plan discipline: both inputs of the frequency join are aggregates
+    // (occurrences never meet the join), and no hot-key Window anywhere
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val lp = Text.bigramFamiliarity(docs).queryExecution.optimizedPlan
+    val joins = lp.collect { case j: Join => j }
+    assert(joins.nonEmpty)
+    assert(joins.forall(_.children.forall(
+      c => c.collectFirst { case a: Aggregate => a }.isDefined)),
+      lp.toString)
+    assert(!lp.toString.contains("Window"), lp.toString)
+  }
+
   test("weighted sample: deterministic coin, full-weight docs always kept") {
     import graft.operators.Curation
     val docs = Tables.documents(spark, TestSpark.sf)
