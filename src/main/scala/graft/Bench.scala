@@ -62,8 +62,9 @@ object Bench {
     val cold = p1.map(_._2).sum
     // The harness keeps only a bounded tail of this process's output, so
     // the contract line must stay short: per-query detail is limited to the
-    // slowest 25 (failures sort first via -1 → they always surface); the
-    // full per-query map goes to BENCH_FULL.json alongside the repo docs.
+    // slowest 25 (failures map to MaxValue here AND are explicitly
+    // prepended to the headline below, so they always surface); the full
+    // per-query map goes to BENCH_FULL.json alongside the repo docs.
     val slowest = results.sortBy { case (_, v) => if (v < 0) Double.MaxValue else v }
       .takeRight(25).sortBy(_._1)
     val failed = results.filter(_._2 < 0).sortBy(_._1)
@@ -72,7 +73,11 @@ object Bench {
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qmap(results)},"cold_total":${r3(cold)},"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
-    catch { case _: Throwable => () }
+    catch { case e: Throwable =>
+      // non-fatal, but a silent failure would leave a STALE file that
+      // tools/perfdiff.py diffs against without warning
+      System.err.println(s"[bench] BENCH_FULL.json write failed: $e")
+    }
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qmap(headline)},"cold_total":${r3(cold)},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -69,14 +69,18 @@ object Cdc {
       lit(null).cast(Schemas.transactionType).as("transaction"))
   }
 
-  private def envelope(opCode: Column, lsn: Column, before: Column,
+  // opCode is always a literal at the call sites, so the snapshot flag is
+  // decided here at plan-build time — a `when(lit("r") === "r", …)` column
+  // would be constant-folded anyway but emits a "trivially true equals
+  // predicate" WARN per envelope into every driver log
+  private def envelope(opCode: String, lsn: Column, before: Column,
       after: Column, table: String = "customers",
       snap: Option[Column] = None): Column = struct(
     before.as("before"), after.as("after"),
     source(lsn,
-      snap.getOrElse(when(opCode === "r", "true").otherwise("false")),
+      snap.getOrElse(lit(if (opCode == "r") "true" else "false")),
       table).as("source"),
-    opCode.as("op"), (lit(1700000000000L) + lsn).as("ts_ms"),
+    lit(opCode).as("op"), (lit(1700000000000L) + lsn).as("ts_ms"),
     lit(null).cast(Schemas.transactionType).as("transaction"))
 
   /** The envelope-shaped changelog for the `customers` table (C1's typed
@@ -96,11 +100,11 @@ object Cdc {
     val latest = when(col("id") % 9 === 0, img2)
       .when(col("id") % 3 === 0, img1).otherwise(img0)
     val events = array(
-      when(col("id") % 10 < 2, envelope(lit("r"), col("id") * 100, nullRow, img0)),
-      when(col("id") % 10 >= 2, envelope(lit("c"), col("id") * 100 + 1, nullRow, img0)),
-      when(col("id") % 3 === 0, envelope(lit("u"), col("id") * 100 + 2, img0, img1)),
-      when(col("id") % 9 === 0, envelope(lit("u"), col("id") * 100 + 3, img1, img2)),
-      when(col("id") % 7 === 0, envelope(lit("d"), col("id") * 100 + 4, latest, nullRow)))
+      when(col("id") % 10 < 2, envelope("r", col("id") * 100, nullRow, img0)),
+      when(col("id") % 10 >= 2, envelope("c", col("id") * 100 + 1, nullRow, img0)),
+      when(col("id") % 3 === 0, envelope("u", col("id") * 100 + 2, img0, img1)),
+      when(col("id") % 9 === 0, envelope("u", col("id") * 100 + 3, img1, img2)),
+      when(col("id") % 7 === 0, envelope("d", col("id") * 100 + 4, latest, nullRow)))
     val flat = b.select(explode(filter(events, e => e.isNotNull)).as("e")).select("e.*")
     // Populate the Debezium transaction block (README.md:331: {id,
     // total_order, data_collection_order}): synthetic commit batches of 10
@@ -478,9 +482,9 @@ object Cdc {
       val incrSnap = Some(lit("incremental"): Column)
       val events = array(
         when(col("id") % 10 === 0,
-          envelope(lit("r"), col("id") * 100 + 1, nullRow, img0, snap = incrSnap)),
+          envelope("r", col("id") * 100 + 1, nullRow, img0, snap = incrSnap)),
         when(col("id") % 10 === 5 && col("id") % 7 =!= 0,
-          envelope(lit("r"), col("id") * 100 + 10, nullRow, latest, snap = incrSnap)))
+          envelope("r", col("id") * 100 + 10, nullRow, latest, snap = incrSnap)))
       changelog(spark, dir).unionByName(
         b.select(explode(filter(events, e => e.isNotNull)).as("e")).select("e.*"))
     })

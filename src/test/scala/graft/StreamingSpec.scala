@@ -185,10 +185,14 @@ class StreamingSpec extends AnyFunSuite {
         CdcEvent(row(40, "z@stale"), row(40, "z@stale"), src(399), "u", 399), // must lose
         CdcEvent(row(41, "b@x"), None, src(411), "d", 411))
       q.processAllAvailable(); q.stop()
+      // max-lsn row per id via struct-max (lsn leads the struct): a hash
+      // aggregation does not preserve sorted-within-group order, so
+      // orderBy + first() would be partitioning-dependent
       val last = spark.table("t11")
-        .orderBy(col("id"), col("lsn").desc)
-        .groupBy("id").agg(first("live").as("live"), first("email").as("email"),
-          max("lsn").as("lsn"))
+        .groupBy("id")
+        .agg(max(struct(col("lsn"), col("live"), col("email"))).as("s"))
+        .select(col("id"), col("s.live").as("live"), col("s.email").as("email"),
+          col("s.lsn").as("lsn"))
         .orderBy("id").collect()
       assert(last.length === 2)
       assert(last(0).getBoolean(1) === true && last(0).getString(2) === "a2@x")
