@@ -1,7 +1,9 @@
 package graft.operators
 
+import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Tables
 
 /** Partitioning strategies for 100 TB operation (SURVEY.md §4.3; builder
   * mandate "partitioning & shuffle"). These are the levers a cluster
@@ -125,6 +127,52 @@ object Partitioning {
       .withColumn(idName, col("__off") + col("__pr"))
       .drop("__pid", "__pr", "__off")
   }
+
+  // ------------------------------------------------- partitioned layout
+  /** Day-partitioned on-disk copy of `events` (hive-style `day=YYYY-MM-DD`
+    * directories, one file per day via a pre-write repartition on the
+    * partition key) — the single most common 100 TB scan layout: a query
+    * filtering on `day` lists only the matching directories, so scan cost
+    * is proportional to the days touched, not the table. Written once per
+    * (JVM, sf dir) under java.io.tmpdir; the fixture parquet is immutable,
+    * so a layout left by an earlier run of the same JVM is reused as-is.
+    */
+  private val dayLayouts = TrieMap[String, String]()
+  def eventsByDay(spark: SparkSession, dir: String): DataFrame = {
+    val path = dayLayouts.getOrElseUpdate(dir, synchronized {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_events_day_" +
+        Integer.toHexString(dir.hashCode)
+      if (!new java.io.File(p, "_SUCCESS").isFile) {
+        Tables.events(spark, dir)
+          .withColumn("day", to_date(col("ts")))
+          .repartition(col("day")) // one output file per day directory
+          .write.mode(SaveMode.Overwrite).partitionBy("day").parquet(p)
+      }
+      p
+    })
+    spark.read.parquet(path)
+  }
+
+  /** Q29 — the pruning contract as a driver query: scan the day-partitioned
+    * layout for ONE day and aggregate. PartitioningSpec asserts the plan
+    * carries PartitionFilters and reads exactly one of the 30 day files;
+    * the oracle recomputes from the flat table (same rows either way).
+    */
+  val q29PartitionPrune: (SparkSession, String) => DataFrame = (spark, dir) =>
+    eventsByDay(spark, dir)
+      .filter(col("day") === to_date(lit("2024-01-05")))
+      .groupBy(col("day").cast("string").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("day"), col("event_type"))
+  val q29Sql: String =
+    """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+      | CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
+      |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-05'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("q29_partition_prune" -> q29PartitionPrune)
+  val oracle: Map[String, String] = Map("q29_partition_prune" -> q29Sql)
 
   def blockedAllPairs(df: DataFrame, idCol: String, numBlocks: Int): DataFrame =
     blockedAllPairsWithin(df, Nil, idCol, numBlocks)

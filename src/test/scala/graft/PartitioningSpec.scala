@@ -51,6 +51,52 @@ class PartitioningSpec extends AnyFunSuite {
     }
   }
 
+  test("day-partitioned layout: single-day scan prunes to one of 30 partitions") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // collect() does not descend into AQE wrapper nodes (AdaptiveSparkPlan
+    // holds the final plan out-of-band; QueryStage wraps each stage)
+    def fileScans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+      case s: QueryStageExec => fileScans(s.plan)
+      case f: FileSourceScanExec => Seq(f)
+    }.flatten
+    val q = Partitioning.q29PartitionPrune(spark, TestSpark.sf)
+    assert(q.count() > 0)
+    q.collect()
+    val scan = fileScans(q.queryExecution.executedPlan).head
+    // static pruning: the day predicate is a PartitionFilter (directory
+    // listing), not a data Filter over a full scan
+    assert(scan.partitionFilters.nonEmpty, scan.toString)
+    val filesRead = scan.metrics("numFiles").value
+    val totalFiles = {
+      val root = new java.io.File(
+        Partitioning.eventsByDay(spark, TestSpark.sf)
+          .inputFiles.head.stripPrefix("file:"))
+        .getParentFile.getParentFile
+      root.listFiles.count(_.getName.startsWith("day="))
+    }
+    assert(totalFiles === 30, s"expected 30 day dirs, got $totalFiles")
+    assert(filesRead === 1, s"pruned scan read $filesRead files")
+
+    // dynamic partition pruning: when the day set comes from a filtered
+    // dimension JOIN instead of a literal, the scan still prunes — via a
+    // runtime DPP subquery on the partition key. The dim side must be a
+    // real datasource scan with a surviving selective predicate (a filter
+    // over a local relation constant-folds away and the DPP rule sees
+    // nothing to prune with).
+    val dim = Tables.events(spark, TestSpark.sf)
+      .filter(col("event_type") === "purchase" && dayofmonth(col("ts")) <= 2)
+      .select(to_date(col("ts")).as("day"))
+    val dpp = Partitioning.eventsByDay(spark, TestSpark.sf)
+      .join(dim, "day")
+      .groupBy("day").count()
+    dpp.collect()
+    assert(fileScans(dpp.queryExecution.executedPlan)
+      .exists(_.partitionFilters.exists(_.toString.contains("dynamicpruning"))),
+      dpp.queryExecution.executedPlan.toString)
+  }
+
   test("range partitioning by time yields non-overlapping contiguous spans") {
     val ev = Tables.events(spark, TestSpark.sf)
     val ranged = Partitioning.rangePartitionByTime(ev, "ts_ms", 4)
