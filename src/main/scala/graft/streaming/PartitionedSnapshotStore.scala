@@ -1,0 +1,125 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Keyed-merge variant of [[SnapshotStore]]: the snapshot lives in `p=<b>`
+  * hash partitions of the primary key, and an epoch rewrites ONLY the
+  * partitions its batch touched — the production CDC-apply shape at 100 TB,
+  * where a micro-batch's keys land in a handful of partitions and a
+  * full-table overwrite per epoch would rewrite terabytes to apply
+  * kilobytes (the reference's "maintaining data replicas" purpose,
+  * ez-cdc README.md:62-63).
+  *
+  * Layout under `root`:
+  * {{{
+  *   root/p=<bucket>/v=<epoch>/   that bucket's rows as of that epoch
+  *   root/_LATEST                 committed epoch pointer (atomic write)
+  * }}}
+  *
+  * A bucket's current data under committed epoch E is its LARGEST staged
+  * version ≤ E; untouched buckets simply keep serving an older version
+  * directory. Commit stays atomic across buckets because an epoch is
+  * published by the single root pointer: (1) stage every affected bucket's
+  * new `v=<epoch>` directory (readers ignore them — the pointer still
+  * names the prior epoch); (2) write `_LATEST` (the commit point, one
+  * atomic small-object write, reusing [[SnapshotStore.commitPointer]]);
+  * (3) GC each affected bucket down to its two newest committed versions
+  * (reader grace window). A crash between (1) and (2) leaves dangling
+  * bucket versions above the pointer and a fully readable prior epoch;
+  * the checkpoint replay of the same epoch overwrites them.
+  */
+object PartitionedSnapshotStore {
+  val bucketColName = "__bucket"
+
+  private def fs(spark: SparkSession, root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def bucketDir(root: String, b: Int) = new Path(root, s"p=$b")
+  private def versionDir(root: String, b: Int, v: Long) =
+    new Path(bucketDir(root, b), s"v=$v")
+
+  /** Deterministic key → partition assignment (plain modulus: portable,
+    * stable across engines and releases — unlike hash(), whose seed/algo is
+    * an implementation detail).
+    */
+  def bucketOf(id: org.apache.spark.sql.Column, buckets: Int): org.apache.spark.sql.Column =
+    pmod(id, lit(buckets)).cast("int")
+
+  private def listBuckets(spark: SparkSession, root: String): Seq[Int] = {
+    val f = fs(spark, root)
+    val r = new Path(root)
+    if (!f.exists(r)) Seq.empty
+    else f.listStatus(r).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("p=")).map(_.stripPrefix("p=").toInt)
+  }
+
+  private def bucketVersions(spark: SparkSession, root: String, b: Int): Seq[Long] = {
+    val f = fs(spark, root)
+    val d = bucketDir(root, b)
+    if (!f.exists(d)) Seq.empty
+    else f.listStatus(d).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
+  }
+
+  /** Per-bucket data directories as of `maxEpoch` (inclusive): each bucket
+    * resolves independently to its largest version ≤ maxEpoch.
+    */
+  private def resolvePaths(spark: SparkSession, root: String,
+      maxEpoch: Long): Seq[String] =
+    listBuckets(spark, root).flatMap { b =>
+      bucketVersions(spark, root, b).filter(_ <= maxEpoch).maxOption
+        .map(v => versionDir(root, b, v).toString)
+    }
+
+  /** Stage + commit an epoch touching only `merged`'s buckets. `merged`
+    * must carry [[bucketColName]]; one write job stages all affected
+    * buckets (a hash-partitioned parquet write), then each staged
+    * directory is moved under its bucket and the root pointer publishes
+    * the epoch.
+    */
+  def commit(merged: DataFrame, root: String, epoch: Long): Unit = {
+    val spark = merged.sparkSession
+    val f = fs(spark, root)
+    val staging = new Path(root, s"_stage_v=$epoch")
+    merged.write.mode("overwrite")
+      .partitionBy(bucketColName).parquet(staging.toString)
+    val staged = f.listStatus(staging).toSeq
+      .filter(_.getPath.getName.startsWith(s"$bucketColName="))
+    staged.foreach { st =>
+      val b = st.getPath.getName.stripPrefix(s"$bucketColName=").toInt
+      f.mkdirs(bucketDir(root, b))
+      val dest = versionDir(root, b, epoch)
+      if (f.exists(dest)) f.delete(dest, true) // crash-replay of this epoch
+      f.rename(st.getPath, dest)
+    }
+    f.delete(staging, true)
+    SnapshotStore.commitPointer(spark, root, epoch)
+    // GC: per affected bucket keep the two newest versions ≤ epoch
+    staged.map(_.getPath.getName.stripPrefix(s"$bucketColName=").toInt)
+      .foreach { b =>
+        val vs = bucketVersions(spark, root, b).filter(_ <= epoch).sorted
+        vs.dropRight(2).foreach(v => f.delete(versionDir(root, b, v), true))
+      }
+  }
+
+  /** The committed snapshot (all buckets at their committed versions). */
+  def read(spark: SparkSession, root: String): Option[DataFrame] =
+    SnapshotStore.latestVersion(spark, root).flatMap { e =>
+      val paths = resolvePaths(spark, root, e)
+      if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+    }
+
+  /** The snapshot an epoch writing `epoch` must merge against: each
+    * bucket's largest version STRICTLY below `epoch` — correct both in
+    * normal operation (pointer < epoch) and on crash replay where the
+    * pointer already names `epoch` but this epoch's directories are about
+    * to be overwritten.
+    */
+  def readBefore(spark: SparkSession, root: String,
+      epoch: Long): Option[DataFrame] = {
+    val paths = resolvePaths(spark, root, epoch - 1)
+    if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+  }
+}

@@ -197,6 +197,55 @@ object Streams {
     }
   }
 
+  /** T6-merge — keyed-merge variant of [[snapshotForeachBatch]]: the
+    * snapshot is hash-partitioned by key into `buckets` directories
+    * ([[PartitionedSnapshotStore]]) and an epoch REWRITES ONLY the
+    * partitions its batch touched, merging the batch's winners against
+    * just those partitions' prior rows. Same fold, same crash-replay
+    * idempotence (merge reads strictly-before state; the epoch pointer is
+    * the single commit point) — but apply cost scales with the batch's
+    * key spread, not the table size: the 100 TB CDC-apply shape, where a
+    * micro-batch touches a handful of partitions of a huge replica.
+    */
+  def snapshotForeachBatchMerge(events: Dataset[CdcEvent], snapshotRoot: String,
+      buckets: Int = 16): org.apache.spark.sql.streaming.DataStreamWriter[CdcEvent] = {
+    val spark = events.sparkSession
+    val bcol = PartitionedSnapshotStore.bucketColName
+    events.writeStream.foreachBatch { (batch: Dataset[CdcEvent], batchId: Long) =>
+      import org.apache.spark.sql.functions._
+      val incoming = graft.operators.Cdc.snapshotWithTombstones(batch.toDF)
+        .withColumn(bcol, PartitionedSnapshotStore.bucketOf(col("id"), buckets))
+      // only the touched partitions participate in the merge; every other
+      // partition's files are not even read
+      val affected = incoming.select(col(bcol)).distinct()
+      val prior = PartitionedSnapshotStore.readBefore(spark, snapshotRoot, batchId)
+        .map(_.withColumn(bcol, PartitionedSnapshotStore.bucketOf(col("id"), buckets))
+          .join(broadcast(affected), bcol))
+      val merged = prior match {
+        case Some(p) => p.withColumn("__src", lit(0))
+          .unionByName(incoming.withColumn("__src", lit(1)))
+        case None => incoming.withColumn("__src", lit(1))
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id")).orderBy(col("lsn").desc, col("__src").desc)
+      // tombstones persist with their winning lsn, as in the full-overwrite
+      // form — a redelivered older update must not resurrect a delete
+      val next = merged.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .drop("rn", "__src")
+      PartitionedSnapshotStore.commit(next, snapshotRoot, batchId)
+      ()
+    }
+  }
+
+  /** Consumer view of a [[snapshotForeachBatchMerge]] snapshot. */
+  def readMergedSnapshot(spark: org.apache.spark.sql.SparkSession,
+      snapshotRoot: String): DataFrame = {
+    val committed = PartitionedSnapshotStore.read(spark, snapshotRoot)
+      .getOrElse(sys.error(s"no committed snapshot under $snapshotRoot"))
+    committed.filter(org.apache.spark.sql.functions.col("live")).drop("live")
+  }
+
   /** Consumer view of a foreachBatch-maintained snapshot: live rows only
     * (the persisted table also carries tombstones — state, not output).
     */

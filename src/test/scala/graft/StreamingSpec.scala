@@ -249,6 +249,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(raw.length === 2 && !raw(1).getBoolean(1) && raw(1).getLong(2) === 311L)
   }
 
+  test("T6-merge keyed sink rewrites only touched partitions and matches the full-overwrite fold") {
+    implicit val ctx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("psnap").toString + "/snap"
+    val full = java.nio.file.Files.createTempDirectory("fsnap").toString + "/snap"
+    def dirState(root: String): Map[String, Set[String]] = {
+      val r = new java.io.File(root)
+      r.listFiles().filter(_.getName.startsWith("p="))
+        .map(d => d.getName -> d.listFiles().map(_.getName).toSet).toMap
+    }
+    // same event stream through the partitioned-merge sink and the
+    // full-overwrite reference sink
+    val batch0 = (0L to 7L).map(id =>
+      CdcEvent(None, row(id, s"e$id@x"), src(id * 10), "c", id * 10))
+    val batch1 = Seq(
+      CdcEvent(row(4, "e4@x"), row(4, "e4b@x"), src(41), "u", 41),
+      CdcEvent(row(5, "e5@x"), None, src(51), "d", 51))
+    for ((sink, root) <- Seq(
+        (Streams.snapshotForeachBatchMerge(_: org.apache.spark.sql.Dataset[CdcEvent], tmp, buckets = 4), tmp),
+        (Streams.snapshotForeachBatch(_: org.apache.spark.sql.Dataset[CdcEvent], full), full))) {
+      val mem = MemoryStream[CdcEvent]
+      val q = sink(mem.toDS)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ckpt").toString)
+        .start()
+      mem.addData(batch0: _*)
+      q.processAllAvailable()
+      if (root == tmp) {
+        // epoch 0 touched all 4 buckets
+        assert(dirState(tmp).keySet === Set("p=0", "p=1", "p=2", "p=3"))
+      }
+      val before = if (root == tmp) dirState(tmp) else Map.empty[String, Set[String]]
+      mem.addData(batch1: _*)
+      q.processAllAvailable(); q.stop()
+      if (root == tmp) {
+        val after = dirState(tmp)
+        // batch 1's keys 4, 5 live in buckets 0 and 1: those gained v=1
+        assert(after("p=0") === before("p=0") + "v=1")
+        assert(after("p=1") === before("p=1") + "v=1")
+        // untouched buckets: file sets byte-for-byte identical, no rewrite
+        assert(after("p=2") === before("p=2"))
+        assert(after("p=3") === before("p=3"))
+      }
+    }
+    // the merged snapshot equals the full-overwrite fold, tombstones and all
+    val got = graft.streaming.PartitionedSnapshotStore.read(spark, tmp).get
+      .orderBy("id").collect().toSeq
+    val want = SnapshotStore.read(spark, full).get.orderBy("id").collect().toSeq
+    assert(got === want)
+    assert(got.length === 8)
+    // live view drops the tombstoned key 5 and sees key 4's update
+    val live = Streams.readMergedSnapshot(spark, tmp).orderBy("id").collect()
+    assert(live.length === 7)
+    assert(live.find(_.getLong(0) == 4L).get.getString(4) === "e4b@x")
+  }
+
   test("snapshot commit protocol: a crash between stage and pointer leaves the prior version readable") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("store").toString + "/s"
