@@ -69,8 +69,12 @@ object Bench {
       .takeRight(25).sortBy(_._1)
     val failed = results.filter(_._2 < 0).sortBy(_._1)
     val headline = (failed ++ slowest).distinct
+    // cold - steady ≈ staging: attribute it per staged table so a staging
+    // regression names its culprit (BENCH_FULL only — the stdout contract
+    // line stays short)
+    val staging = qmap(Staged.timings.toSeq.sortBy(_._1))
     val full =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qmap(results)},"cold_total":${r3(cold)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qmap(results)},"cold_total":${r3(cold)},"staging":$staging,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
     catch { case e: Throwable =>

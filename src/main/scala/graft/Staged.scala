@@ -32,6 +32,14 @@ object Staged {
   // is neither unique nor stable across GC; entries of stopped sessions
   // are evicted opportunistically so nothing is pinned forever
   private val cache = TrieMap[(SparkSession, String), Entry]()
+  private val buildSeconds = TrieMap[String, Double]()
+
+  /** Seconds spent materializing each staged table in this JVM — the
+    * producer-pass cost that makes a bench cold pass exceed its steady
+    * pass. Exposed so the bench can attribute a cold-total regression to
+    * the specific staged table that got slower.
+    */
+  def timings: Map[String, Double] = buildSeconds.toMap
 
   private def evictStopped(): Unit =
     cache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
@@ -45,9 +53,11 @@ object Staged {
     synchronized {
       evictStopped()
       cache.getOrElseUpdate((spark, key), {
+        val t0 = System.nanoTime()
         val before = spark.sparkContext.getPersistentRDDs.keySet
-        val ck = build.localCheckpoint()
+        val ck = build.localCheckpoint() // eager: materializes here
         val added = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+        buildSeconds.put(key, (System.nanoTime() - t0) / 1e9)
         Entry(ck, added.toSet)
       }).df
     }
