@@ -525,6 +525,81 @@ object Cdc {
       |WHERE rn = 1 AND op <> 'd'
       |ORDER BY id""".stripMargin
 
+  // --------------------------------------------- C13 TOAST reconstruction
+  /** Debezium "unavailable value" (Postgres TOAST) reconstruction: when a
+    * captured table's REPLICA IDENTITY is not FULL, an UPDATE that leaves
+    * a TOASTed column untouched ships the placeholder string
+    * `__debezium_unavailable_value` instead of the real (large) value, and
+    * the consumer must re-hydrate it from the key's last known value.
+    * (ez-cdc sets REPLICA IDENTITY FULL — `init.sql:10` — precisely to
+    * dodge this; a replica pipeline on the default identity hits it on the
+    * first TOASTed update.)
+    *
+    * [[toastFill]] carries each listed column's last known value forward
+    * per key in lsn order. Genuine NULLs are preserved — they travel as a
+    * tag through the ignoreNulls carry instead of being skipped — and a
+    * delete resets the carry (state after a delete is "no row", so a
+    * post-delete placeholder must not resurrect pre-delete data). A key
+    * whose FIRST event already carries the placeholder stays null:
+    * unknowable without a re-snapshot.
+    *
+    * Scale: one key-partitioned running window (shards by key exactly like
+    * C4); everything else is per-row expression work.
+    */
+  val toastSentinel = "__debezium_unavailable_value"
+  private val nullTag = "<<NULL>>"
+
+  def toastFill(changelog: DataFrame, cols: Seq[String],
+      sentinel: String = toastSentinel): DataFrame = {
+    val w = Window.partitionBy(col("key")).orderBy(col("source.lsn"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val keyed = changelog
+      .withColumn("key", coalesce(col("after.id"), col("before.id")))
+    val filled = cols.foldLeft(keyed) { (df, c) =>
+      val v = col(s"after.$c")
+      // placeholder → null (to be filled over); real value → itself;
+      // genuine null (incl. the null after-image of a delete) → tag
+      val tagged = when(v === sentinel, lit(null)).otherwise(coalesce(v, lit(nullTag)))
+      val carried = last(tagged, ignoreNulls = true).over(w)
+      df.withColumn(c,
+          when(carried === nullTag, lit(null).cast("string")).otherwise(carried))
+        .withColumn(s"${c}_was_toast", coalesce(v === sentinel, lit(false)))
+    }
+    filled.select(Seq(col("key").as("id"), col("source.lsn").as("lsn"),
+      col("op")) ++ cols.flatMap(c => Seq(col(c), col(s"${c}_was_toast"))): _*)
+  }
+
+  /** Registered query: simulate default replica identity by replacing
+    * `after.last_name` with the placeholder on every update (the fixture's
+    * updates never change last_name — exactly the unchanged-TOAST shape),
+    * then reconstruct it. The oracle replays the corruption AND the fill.
+    */
+  val cdcToastFill: Q = (spark, dir) => {
+    val corrupted = changelog(spark, dir).withColumn("after",
+      col("after").withField("last_name",
+        when(col("op") === "u", lit(toastSentinel))
+          .otherwise(col("after.last_name"))))
+    toastFill(corrupted, Seq("last_name"))
+      .withColumnRenamed("last_name_was_toast", "was_toast")
+      .orderBy(col("id"), col("lsn"))
+  }
+  val cdcToastFillSql: String = changelogCte +
+    s""",
+      |corr AS (SELECT id, op, lsn,
+      |  CASE WHEN op = 'u' THEN '$toastSentinel' ELSE a_ln END AS a_ln_t
+      | FROM chg),
+      |f AS (SELECT id, op, lsn,
+      |  last_value(CASE WHEN a_ln_t = '$toastSentinel' THEN NULL
+      |                  ELSE coalesce(a_ln_t, '$nullTag') END IGNORE NULLS)
+      |    OVER (PARTITION BY id ORDER BY lsn
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried,
+      |  coalesce(a_ln_t = '$toastSentinel', false) AS was_toast
+      | FROM corr)
+      |SELECT id, lsn, op,
+      | CASE WHEN carried = '$nullTag' THEN NULL ELSE carried END AS last_name,
+      | was_toast
+      |FROM f ORDER BY id, lsn""".stripMargin
+
   // ------------------------------------------------- schema-change drift
   /** Distinct payload shapes per table: the sorted field set of each
     * event's `after` object (extracted from the raw wire JSON — the
@@ -674,6 +749,7 @@ object Cdc {
   val queries: Map[String, Q] = Map(
     "cdc_agg_maintain" -> cdcAggMaintain,
     "cdc_incr_snapshot" -> cdcIncrSnapshot,
+    "cdc_toast_fill" -> cdcToastFill,
     "cdc_schema_drift" -> cdcSchemaDrift,
     "cdc_deadletter" -> cdcDeadletter,
     "cdc_tx_blocks" -> cdcTxBlocks,
@@ -690,6 +766,7 @@ object Cdc {
   val oracle: Map[String, String] = Map(
     "cdc_agg_maintain" -> cdcAggMaintainSql,
     "cdc_incr_snapshot" -> cdcIncrSnapshotSql,
+    "cdc_toast_fill" -> cdcToastFillSql,
     "cdc_schema_drift" -> cdcSchemaDriftSql,
     "cdc_deadletter" -> cdcDeadletterSql,
     "cdc_tx_blocks" -> cdcTxBlocksSql,

@@ -210,6 +210,38 @@ class CdcSpec extends AnyFunSuite {
     assert(marks.count() > 0)
   }
 
+  test("C13 TOAST fill: placeholder re-hydrates, genuine nulls survive, delete resets the carry") {
+    val S = Cdc.toastSentinel
+    val events = Seq(
+      // key 1: insert with real value → update ships placeholder → fill
+      ev(1, "c", 100, None, row(1, "a", "big-doc-v1", "a@x")),
+      ev(1, "u", 101, row(1, "a", null, "a@x"), row(1, "a2", S, "a@x")),
+      // key 1 continues: genuine NULL set, then another placeholder — the
+      // fill must carry the NULL forward, not skip back to big-doc-v1
+      ev(1, "u", 102, row(1, "a2", null, "a@x"), row(1, "a2", null, "a@x")),
+      ev(1, "u", 103, row(1, "a2", null, "a@x"), row(1, "a3", S, "a@x")),
+      // key 2: FIRST event already a placeholder → unknowable, stays null
+      ev(2, "u", 200, None, row(2, "b", S, "b@y")),
+      // key 3: value → delete → re-insert with placeholder: the delete
+      // must have reset the carry (no resurrection of pre-delete data)
+      ev(3, "c", 300, None, row(3, "c", "keep-v1", "c@z")),
+      ev(3, "d", 301, row(3, "c", "keep-v1", "c@z"), None),
+      ev(3, "c", 302, None, row(3, "c2", S, "c@z")))
+    val got = Cdc.toastFill(events.toDS.toDF, Seq("last_name"))
+      .orderBy("id", "lsn").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(3)), r.getBoolean(4)))
+    assert(got.toSeq === Seq(
+      (1L, 100L, Some("big-doc-v1"), false),
+      (1L, 101L, Some("big-doc-v1"), true),  // re-hydrated
+      (1L, 102L, None, false),               // genuine null
+      (1L, 103L, None, true),                // fills the NULL, not v1
+      (2L, 200L, None, true),                // unknowable
+      (3L, 300L, Some("keep-v1"), false),
+      (3L, 301L, None, false),               // delete row: no after image
+      (3L, 302L, None, true)))               // carry reset by the delete
+  }
+
   test("schema drift report: added and removed columns per payload-shape version") {
     import spark.implicits._
     val raw = Seq(

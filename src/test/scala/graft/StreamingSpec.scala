@@ -304,6 +304,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(live.find(_.getLong(0) == 4L).get.getString(4) === "e4b@x")
   }
 
+  test("partitioned commit protocol: staged buckets above the pointer stay invisible until the epoch commits") {
+    import spark.implicits._
+    import graft.streaming.PartitionedSnapshotStore
+    val root = java.nio.file.Files.createTempDirectory("pstore").toString + "/s"
+    def df(rows: (Long, String)*) = rows.toDF("id", "v")
+      .withColumn(PartitionedSnapshotStore.bucketColName,
+        PartitionedSnapshotStore.bucketOf(col("id"), 4))
+    // epoch 0 commits keys in buckets 1 and 2
+    PartitionedSnapshotStore.commit(df((1L, "a"), (2L, "b")), root, 0L)
+    assert(PartitionedSnapshotStore.read(spark, root).get.orderBy("id")
+      .collect().map(_.getString(1)).toSeq === Seq("a", "b"))
+    // epoch 1 CRASHES between staging bucket 1's new version and the
+    // pointer write: simulate by placing the staged dir without committing
+    val staged = new java.io.File(s"$root/p=1/v=1"); staged.mkdirs()
+    Seq((1L, "CRASHED")).toDF("id", "v").write.mode("overwrite")
+      .parquet(staged.toString)
+    // readers still see epoch 0 everywhere — the dangling dir is above the
+    // pointer and ignored
+    assert(PartitionedSnapshotStore.read(spark, root).get.orderBy("id")
+      .collect().map(_.getString(1)).toSeq === Seq("a", "b"))
+    // the replay of epoch 1 merges against strictly-before state…
+    assert(PartitionedSnapshotStore.readBefore(spark, root, 1L).get
+      .orderBy("id").collect().map(_.getString(1)).toSeq === Seq("a", "b"))
+    // …and its commit overwrites the dangling dir idempotently
+    PartitionedSnapshotStore.commit(df((1L, "a2")), root, 1L)
+    assert(PartitionedSnapshotStore.read(spark, root).get.orderBy("id")
+      .collect().map(_.getString(1)).toSeq === Seq("a2", "b"))
+    // GC keeps ≤ 2 versions per touched bucket; untouched bucket unchanged
+    PartitionedSnapshotStore.commit(df((1L, "a3")), root, 2L)
+    PartitionedSnapshotStore.commit(df((1L, "a4")), root, 3L)
+    val b1 = new java.io.File(s"$root/p=1").listFiles().map(_.getName)
+      .filter(_.startsWith("v=")).sorted
+    assert(b1.toSeq === Seq("v=2", "v=3"))
+    val b2 = new java.io.File(s"$root/p=2").listFiles().map(_.getName)
+      .filter(_.startsWith("v=")).sorted
+    assert(b2.toSeq === Seq("v=0"))
+    assert(PartitionedSnapshotStore.read(spark, root).get.orderBy("id")
+      .collect().map(_.getString(1)).toSeq === Seq("a4", "b"))
+  }
+
   test("snapshot commit protocol: a crash between stage and pointer leaves the prior version readable") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("store").toString + "/s"
