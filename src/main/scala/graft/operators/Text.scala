@@ -822,7 +822,13 @@ object Text {
     * is one row per key — exactly the shape AQE skew-splitting handles.
     */
   def bigramFamiliarity(docs: DataFrame): DataFrame = {
+    // ONE shuffle of the occurrence stream, by doc_id: hash(doc_id)
+    // satisfies the clustering requirement of BOTH downstream per-doc
+    // aggregations (doc_id ⊆ (doc_id, bg)), so the pre-agg and the final
+    // fold run exchange-free on this partitioning — only the bounded
+    // frequency table shuffles again (by bg, after its own map-side sum)
     val perDoc = bigrams(docs)
+      .repartition(col("doc_id"))
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
     val freq = perDoc.groupBy(col("bg")).agg(sum(col("cnt")).as("bgf"))
     perDoc.join(freq, "bg")
