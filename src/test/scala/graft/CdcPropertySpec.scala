@@ -58,6 +58,51 @@ object CdcPropertySpec extends Properties("CdcSnapshot") {
       }
     }
 
+  // ---- C13 toastFill: value ∈ {real, genuine-null, TOAST placeholder} ----
+  val genVals: Gen[List[String]] = Gen.listOfN(6, Gen.frequency(
+    4 -> Gen.alphaLowerStr.map(s => "v" + s.take(3)),
+    2 -> Gen.const("NULL"),
+    3 -> Gen.const("TOAST"))).map(l => if (l.isEmpty) List("v") else l)
+
+  def toastEvents(keyed: Map[Long, List[String]]): Seq[CdcEvent] =
+    keyed.toSeq.flatMap { case (id, vals) =>
+      vals.zipWithIndex.map { case (v, i) =>
+        val lsn = id * 1000 + i
+        val ln = v match {
+          case "NULL" => None
+          case "TOAST" => Some(Cdc.toastSentinel)
+          case real => Some(real)
+        }
+        CdcEvent(None, Some(CdcRow(id, Some(s"f$i"), ln, Some(s"$id@x"))),
+          src(lsn), if (i == 0) "c" else "u", lsn)
+      }
+    }
+
+  /** Sequential truth: carry the last non-placeholder value (real or
+    * genuine null) forward; a leading placeholder is unknowable (null).
+    */
+  def toastReplay(keyed: Map[Long, List[String]]): Map[(Long, Long), Option[String]] =
+    keyed.flatMap { case (id, vals) =>
+      var carry: Option[String] = None // value as of the last non-TOAST event
+      vals.zipWithIndex.map { case (v, i) =>
+        if (v != "TOAST") carry = if (v == "NULL") None else Some(v)
+        (id, id * 1000 + i) -> carry
+      }
+    }
+
+  property("toastFill == sequential carry-forward for random value sequences") =
+    forAll(Gen.mapOfN(5, Gen.zip(Gen.choose(1L, 40L), genVals))) { keyed =>
+      import spark.implicits._
+      val events = toastEvents(keyed)
+      if (events.isEmpty) Prop.passed
+      else {
+        val got = Cdc.toastFill(events.toDS.toDF, Seq("last_name")).collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> Option(r.getString(3))).toMap
+        val expected = toastReplay(keyed)
+        Prop(got == expected) :| s"got=$got expected=$expected"
+      }
+    }
+
   property("set operations agree with Scala Set algebra on random key sets") =
     forAll(Gen.listOf(Gen.choose(0L, 30L)), Gen.listOf(Gen.choose(0L, 30L))) { (xs, ys) =>
       import spark.implicits._
