@@ -131,6 +131,41 @@ class StreamingSpec extends AnyFunSuite {
     "cdctest", "public", "customers", None, Some(lsn), None)
   def row(id: Long, em: String) = Some(CdcRow(id, Some("f"), Some("l"), Option(em)))
 
+  test("IVM delta-fold maintains incrementally under MicroBatchExecution, matches batch fold") {
+    // the SAME declarative aggMaintain plan runs as a stateful streaming
+    // aggregation — Spark maintains the running (n, sum) per group across
+    // micro-batches, i.e. native incremental view maintenance; the final
+    // state must equal the batch fold over the concatenated changelog
+    implicit val ctx = spark.sqlContext
+    import graft.operators.Cdc
+    def fr(id: Long, fn: String) = Some(CdcRow(id, Some(fn), Some("l"), Some(s"$id@x")))
+    val batch1 = Seq(
+      CdcEvent(None, fr(1, "alpha"), src(100), "c", 100),
+      CdcEvent(None, fr(2, "alpha"), src(200), "c", 200),
+      CdcEvent(None, fr(3, "beta"), src(300), "c", 300))
+    val batch2 = Seq(
+      // cross-group transfer: key 2 moves alpha → beta
+      CdcEvent(fr(2, "alpha"), fr(2, "beta"), src(201), "u", 201),
+      // retraction to absence: key 3 deleted, beta loses it
+      CdcEvent(fr(3, "beta"), None, src(301), "d", 301))
+    val mem = MemoryStream[CdcEvent]
+    val q = Cdc.aggMaintain(mem.toDF, img => img.getField("first_name"))
+      .writeStream.format("memory").queryName("ivm")
+      .outputMode("complete").start()
+    mem.addData(batch1: _*); q.processAllAvailable()
+    val mid = spark.table("ivm").orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(mid.toSeq === Seq(("alpha", 2L, 3L), ("beta", 1L, 3L)))
+    mem.addData(batch2: _*); q.processAllAvailable(); q.stop()
+    val fin = spark.table("ivm").orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val batchFold = Cdc.aggMaintain((batch1 ++ batch2).toDS.toDF,
+        img => img.getField("first_name")).orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(fin.toSeq === batchFold.toSeq)
+    assert(fin.toSeq === Seq(("alpha", 1L, 1L), ("beta", 1L, 2L)))
+  }
+
   test("T6 stateful snapshot stream: latest state per key survives micro-batches, matches batch C4") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[CdcEvent]
