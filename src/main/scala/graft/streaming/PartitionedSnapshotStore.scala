@@ -122,4 +122,30 @@ object PartitionedSnapshotStore {
     val paths = resolvePaths(spark, root, epoch - 1)
     if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
   }
+
+  /** Time travel: the snapshot as of committed epoch `epoch` — each bucket
+    * at its largest version ≤ epoch, the natural by-product of the
+    * untouched-buckets-keep-old-versions layout. Returns None when `epoch`
+    * is above the committed pointer (not yet readable) or below the
+    * retention window: per-bucket GC keeps only the two newest committed
+    * versions, so a bucket with versions but none ≤ epoch means the
+    * requested epoch has been collected (production retention would be
+    * time-based). The refusal is conservative — a bucket first created
+    * after `epoch` is indistinguishable from a collected one post-GC, so
+    * it also refuses rather than silently serving a partial snapshot.
+    */
+  def readAsOf(spark: SparkSession, root: String,
+      epoch: Long): Option[DataFrame] =
+    SnapshotStore.latestVersion(spark, root).flatMap { committed =>
+      if (epoch > committed) None
+      else {
+        val buckets = listBuckets(spark, root)
+        val resolved = buckets.flatMap { b =>
+          bucketVersions(spark, root, b).filter(_ <= epoch).maxOption
+            .map(v => versionDir(root, b, v).toString)
+        }
+        if (resolved.size < buckets.size || resolved.isEmpty) None
+        else Some(spark.read.parquet(resolved: _*))
+      }
+    }
 }

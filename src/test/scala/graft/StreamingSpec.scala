@@ -377,6 +377,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(b2.toSeq === Seq("v=0"))
     assert(PartitionedSnapshotStore.read(spark, root).get.orderBy("id")
       .collect().map(_.getString(1)).toSeq === Seq("a4", "b"))
+    // time travel: epoch 2 is inside the retention window (bucket 1 keeps
+    // v=2,3; bucket 2 serves its untouched v=0)
+    assert(PartitionedSnapshotStore.readAsOf(spark, root, 2L).get
+      .orderBy("id").collect().map(_.getString(1)).toSeq === Seq("a3", "b"))
+    // epoch 1 was GC'd out of bucket 1 → refuse rather than serve a
+    // partial snapshot; the future is not readable either
+    assert(PartitionedSnapshotStore.readAsOf(spark, root, 1L).isEmpty)
+    assert(PartitionedSnapshotStore.readAsOf(spark, root, 99L).isEmpty)
   }
 
   test("snapshot commit protocol: a crash between stage and pointer leaves the prior version readable") {
