@@ -168,6 +168,44 @@ object Curation {
       |WHERE h32 * 100 < n_tokens * 4294967296
       |ORDER BY doc_id""".stripMargin
 
+  /** X6f — deterministic training-order shuffle: the terminal step of a
+    * data pipeline materializes the curated corpus into N shard files in
+    * pseudo-random order (so consecutive training batches are not
+    * correlated by crawl/source order). Seeded md5 coin per document:
+    * shard = top-32-bits mod N (uniform by construction — no shard can be
+    * hot, whatever the key distribution), within-shard position = rank by
+    * the same coin. One task per shard sorts |corpus|/N rows — exactly the
+    * shape of the shard writer that materializes the file, so the
+    * per-shard window IS the output stage, not an extra pass. Identical
+    * output for any input partitioning, any engine (all-integer/md5).
+    */
+  def corpusShuffle(docs: DataFrame, shards: Int,
+      seed: String = "shuf"): DataFrame = {
+    val coin = expr(
+      s"md5(CAST(concat('$seed:', CAST(doc_id AS STRING)) AS BINARY))")
+    val wS = Window.partitionBy(col("shard")).orderBy(col("coin"), col("doc_id"))
+    docs
+      .select(col("doc_id"), coin.as("coin"))
+      .withColumn("h32", expr(
+        "CAST(conv(substr(coin, 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("shard", pmod(col("h32"), lit(shards)).cast("int"))
+      .withColumn("pos", row_number().over(wS).cast("long"))
+      .select(col("shard"), col("pos"), col("doc_id"))
+  }
+
+  val x6fCorpusShuffle: Q = (spark, dir) =>
+    corpusShuffle(Tables.documents(spark, dir), shards = 8)
+      .orderBy(col("shard"), col("pos"))
+  val x6fSql: String =
+    """WITH d AS (SELECT doc_id,
+      |  md5('shuf:' || CAST(doc_id AS VARCHAR)) AS coin,
+      |  CAST(CAST(('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS INT) AS shard
+      | FROM documents)
+      |SELECT shard,
+      | CAST(row_number() OVER (PARTITION BY shard ORDER BY coin, doc_id) AS BIGINT) AS pos,
+      | doc_id
+      |FROM d ORDER BY shard, pos""".stripMargin
+
   /** X9 — the complete curation pipeline as ONE declarative plan, composed
     * from the catalog operators the way a user would actually run them:
     *
@@ -229,6 +267,7 @@ object Curation {
     "x6b_stratified_sample" -> x6bStratifiedSample,
     "x6c_token_packing" -> x6cTokenPacking,
     "x6e_weighted_sample" -> x6eWeightedSample,
+    "x6f_corpus_shuffle" -> x6fCorpusShuffle,
     "x9_pipeline" -> x9Pipeline)
 
   val oracle: Map[String, String] = Map(
@@ -236,5 +275,6 @@ object Curation {
     "x6b_stratified_sample" -> x6bSql,
     "x6c_token_packing" -> x6cSql,
     "x6e_weighted_sample" -> x6eSql,
+    "x6f_corpus_shuffle" -> x6fSql,
     "x9_pipeline" -> x9Sql)
 }

@@ -348,6 +348,25 @@ class TextVectorsSpec extends AnyFunSuite {
     assert(!lp.toString.contains("Window"), lp.toString)
   }
 
+  test("corpus shuffle: every doc exactly once, deterministic under repartition, seed changes order") {
+    import graft.operators.Curation
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val a = Curation.corpusShuffle(docs, shards = 8).orderBy("shard", "pos").collect().toSeq
+    val b = Curation.corpusShuffle(docs.repartition(13), shards = 8)
+      .orderBy("shard", "pos").collect().toSeq
+    assert(a === b) // placement depends only on (seed, doc_id)
+    // a permutation: every doc exactly once, positions dense 1..n per shard
+    assert(a.map(_.getLong(2)).distinct.size === a.size)
+    assert(a.size === docs.count())
+    a.groupBy(_.getInt(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq === (1L to rows.size).toSeq)
+    }
+    // a different seed is a different permutation
+    val c = Curation.corpusShuffle(docs, shards = 8, seed = "other")
+      .orderBy("shard", "pos").collect().toSeq
+    assert(c.map(_.getLong(2)) !== a.map(_.getLong(2)))
+  }
+
   test("weighted sample: deterministic coin, full-weight docs always kept") {
     import graft.operators.Curation
     val docs = Tables.documents(spark, TestSpark.sf)
