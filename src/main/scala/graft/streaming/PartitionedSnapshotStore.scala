@@ -104,12 +104,74 @@ object PartitionedSnapshotStore {
       }
   }
 
-  /** The committed snapshot (all buckets at their committed versions). */
+  /** The committed snapshot (all buckets at their committed versions).
+    * Read with mergeSchema: buckets written before an upstream schema
+    * change (C13/drift world) lack the newer columns — they surface as
+    * nulls instead of failing the union, so a replica keeps serving
+    * across a rolling schema migration.
+    */
   def read(spark: SparkSession, root: String): Option[DataFrame] =
     SnapshotStore.latestVersion(spark, root).flatMap { e =>
       val paths = resolvePaths(spark, root, e)
-      if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+      if (paths.isEmpty) None
+      else Some(spark.read.option("mergeSchema", "true").parquet(paths: _*))
     }
+
+  /** The store's key→bucket modulus is LOAD-BEARING for correctness: a
+    * key's prior row is found by recomputing its bucket, so every writer
+    * across the store's lifetime must use the same count. It is persisted
+    * once (`_BUCKETS`) and validated on every sink start — a restart with
+    * a different configured count fails loudly instead of silently
+    * splitting keys across two placements (stale row in the old bucket +
+    * new winner in the new one = a duplicated key on read).
+    */
+  def ensureBucketCount(spark: SparkSession, root: String, n: Int): Unit = {
+    val f = fs(spark, root)
+    val p = new Path(root, "_BUCKETS")
+    bucketCount(spark, root) match {
+      case Some(existing) =>
+        require(existing == n,
+          s"store at $root was created with $existing buckets; got $n")
+      case None =>
+        f.mkdirs(new Path(root))
+        val out = f.create(p, true)
+        try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  def bucketCount(spark: SparkSession, root: String): Option[Int] = {
+    val f = fs(spark, root)
+    val p = new Path(root, "_BUCKETS")
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        .trim.toIntOption
+      finally in.close()
+    }
+  }
+
+  /** Compaction: rewrite every bucket's CURRENT data as a fresh
+    * single-file version under a new epoch and commit it — the
+    * small-files repair for a long-running keyed-merge replica, where
+    * each bucket accumulates one (possibly tiny, shuffle-partitioned)
+    * version dir per epoch that touched it. Data is unchanged; only the
+    * layout is. Runs through the normal commit path, so it inherits its
+    * atomicity (pointer publish) and GC — and because GC keeps the
+    * pre-compaction version as the grace window, an in-flight reader is
+    * never broken.
+    */
+  def compact(spark: SparkSession, root: String, epoch: Long): Unit = {
+    import org.apache.spark.sql.functions.col
+    val n = bucketCount(spark, root).getOrElse(
+      sys.error(s"no _BUCKETS metadata under $root"))
+    val current = read(spark, root).getOrElse(
+      sys.error(s"nothing committed under $root"))
+    val compacted = current
+      .withColumn(bucketColName, bucketOf(col("id"), n))
+      .repartition(col(bucketColName))
+    commit(compacted, root, epoch)
+  }
 
   /** The snapshot an epoch writing `epoch` must merge against: each
     * bucket's largest version STRICTLY below `epoch` — correct both in
@@ -120,7 +182,8 @@ object PartitionedSnapshotStore {
   def readBefore(spark: SparkSession, root: String,
       epoch: Long): Option[DataFrame] = {
     val paths = resolvePaths(spark, root, epoch - 1)
-    if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+    if (paths.isEmpty) None
+    else Some(spark.read.option("mergeSchema", "true").parquet(paths: _*))
   }
 
   /** Time travel: the snapshot as of committed epoch `epoch` — each bucket
@@ -145,7 +208,7 @@ object PartitionedSnapshotStore {
             .map(v => versionDir(root, b, v).toString)
         }
         if (resolved.size < buckets.size || resolved.isEmpty) None
-        else Some(spark.read.parquet(resolved: _*))
+        else Some(spark.read.option("mergeSchema", "true").parquet(resolved: _*))
       }
     }
 }

@@ -213,6 +213,9 @@ object Streams {
     val bcol = PartitionedSnapshotStore.bucketColName
     events.writeStream.foreachBatch { (batch: Dataset[CdcEvent], batchId: Long) =>
       import org.apache.spark.sql.functions._
+      // the key→bucket modulus must never change for this store: persist
+      // it on first commit, fail loudly on a misconfigured restart
+      PartitionedSnapshotStore.ensureBucketCount(spark, snapshotRoot, buckets)
       val incoming = graft.operators.Cdc.snapshotWithTombstones(batch.toDF)
         .withColumn(bcol, PartitionedSnapshotStore.bucketOf(col("id"), buckets))
       // only the touched partitions participate in the merge; every other

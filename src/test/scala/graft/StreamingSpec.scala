@@ -387,6 +387,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(PartitionedSnapshotStore.readAsOf(spark, root, 99L).isEmpty)
   }
 
+  test("compaction collapses bucket versions without changing data; reads merge schemas") {
+    import spark.implicits._
+    import graft.streaming.PartitionedSnapshotStore
+    val root = java.nio.file.Files.createTempDirectory("cstore").toString + "/s"
+    PartitionedSnapshotStore.ensureBucketCount(spark, root, 4)
+    // a mis-sized restart fails loudly instead of corrupting placement
+    intercept[IllegalArgumentException] {
+      PartitionedSnapshotStore.ensureBucketCount(spark, root, 8)
+    }
+    def df(rows: (Long, String)*) = rows.toDF("id", "v")
+      .withColumn(PartitionedSnapshotStore.bucketColName,
+        PartitionedSnapshotStore.bucketOf(col("id"), 4))
+    PartitionedSnapshotStore.commit(
+      df((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d")), root, 0L)
+    PartitionedSnapshotStore.commit(df((0L, "a2")), root, 1L)
+    PartitionedSnapshotStore.commit(df((1L, "b2")), root, 2L)
+    val before = PartitionedSnapshotStore.read(spark, root).get
+      .select("id", "v").orderBy("id").collect().toSeq
+    PartitionedSnapshotStore.compact(spark, root, 3L)
+    val after = PartitionedSnapshotStore.read(spark, root).get
+      .select("id", "v").orderBy("id").collect().toSeq
+    assert(after === before) // data unchanged, layout only
+    // every bucket now resolves to the compacted epoch, one data file each
+    (0 to 3).foreach { b =>
+      val v3 = new java.io.File(s"$root/p=$b/v=3")
+      assert(v3.isDirectory, s"bucket $b not compacted")
+      assert(v3.listFiles().count(_.getName.endsWith(".parquet")) === 1)
+    }
+    // schema evolution: a later epoch carries an extra column; mergeSchema
+    // reads serve old buckets with nulls instead of failing the union
+    val widened = Seq((0L, "a3", "x")).toDF("id", "v", "extra")
+      .withColumn(PartitionedSnapshotStore.bucketColName,
+        PartitionedSnapshotStore.bucketOf(col("id"), 4))
+    PartitionedSnapshotStore.commit(widened, root, 4L)
+    val merged = PartitionedSnapshotStore.read(spark, root).get
+      .select("id", "v", "extra").orderBy("id").collect()
+    assert(merged.length === 4)
+    assert(merged(0).getString(2) === "x")
+    assert((1 to 3).forall(merged(_).isNullAt(2)))
+  }
+
   test("snapshot commit protocol: a crash between stage and pointer leaves the prior version readable") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("store").toString + "/s"
