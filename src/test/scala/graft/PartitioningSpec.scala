@@ -97,6 +97,41 @@ class PartitioningSpec extends AnyFunSuite {
       dpp.queryExecution.executedPlan.toString)
   }
 
+  test("runtime bloom-filter pruning: a selective dim filter reaches the fact scan as a bloom probe") {
+    // the third pruning lever after static partition pruning and DPP: when
+    // neither side broadcasts, Spark can build a bloom filter from the
+    // filtered (small) join side and inject it into the big side's scan,
+    // so most fact rows die at the scan instead of traveling to the
+    // shuffle — at 100 TB this is the difference between shuffling the
+    // table and shuffling the matching fraction
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force a shuffle join
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val prior = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val li = Tables.lineitem(spark, TestSpark.sf)
+      val ord = Tables.orders(spark, TestSpark.sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val q = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      val withBloom = q.collect()
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("bloom_filter_agg"), p.take(4000))
+      // and the runtime filter must not change results
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val without = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n")).collect()
+      assert(withBloom.toSeq === without.toSeq)
+      assert(withBloom.nonEmpty && withBloom.head.getLong(1) > 0)
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("range partitioning by time yields non-overlapping contiguous spans") {
     val ev = Tables.events(spark, TestSpark.sf)
     val ranged = Partitioning.rangePartitionByTime(ev, "ts_ms", 4)
