@@ -224,7 +224,10 @@ object Curation {
     * The oracle twin replays the identical chain in SQL (recursive-CTE
     * closure for clusters, single-window prefix sum for packing).
     */
-  val x9Pipeline: Q = (spark, dir) => {
+  /** The pipeline's kept set (steps 1–3), shared by both composites so
+    * the x9/x9b surfaces cannot drift from each other.
+    */
+  private def keptDocs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
     val gated = docs.filter(col("n_tokens") >= 5)
@@ -239,11 +242,19 @@ object Curation {
     // so deduplicating its right side is a wasted aggregate + Exchange
     val contaminated = sh.filter(col("doc_id") >= 50)
       .join(broadcast(bench), "hs").select(col("doc_id"))
-    val clean = deduped.filter(col("doc_id") >= 50)
+    deduped.filter(col("doc_id") >= 50)
       .join(contaminated, Seq("doc_id"), "left_anti")
-    tokenPacking(clean, budget = 2000L).orderBy(col("lang"), col("shard"))
   }
-  val x9Sql: String = Graph.ccCtes + """,
+
+  val x9Pipeline: Q = (spark, dir) =>
+    tokenPacking(keptDocs(spark, dir), budget = 2000L)
+      .orderBy(col("lang"), col("shard"))
+
+  /** CTE chain for the kept set — the oracle twin of [[keptDocs]],
+    * shared by x9 and x9b via concatenation (same discipline as
+    * `Text.x2cCtePrefix`).
+    */
+  private val x9Ctes: String = Graph.ccCtes + """,
       |bench AS (SELECT DISTINCT hs FROM sh WHERE doc_id < 50),
       |contam AS (SELECT DISTINCT doc_id FROM sh JOIN bench USING (hs) WHERE doc_id >= 50),
       |kept AS (
@@ -252,7 +263,9 @@ object Curation {
       | WHERE len(string_split(d.text, ' ')) >= 5
       |  AND (cc.node IS NULL OR d.doc_id = cc.cluster)
       |  AND d.doc_id >= 50
-      |  AND NOT EXISTS (SELECT 1 FROM contam WHERE contam.doc_id = d.doc_id)),
+      |  AND NOT EXISTS (SELECT 1 FROM contam WHERE contam.doc_id = d.doc_id))""".stripMargin
+
+  val x9Sql: String = x9Ctes + """,
       |run AS (
       | SELECT lang, doc_id, n_tokens,
       |  sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
@@ -262,13 +275,40 @@ object Curation {
       | CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
       |FROM run GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** X9b — the pipeline's TERMINAL step: the curated kept set shuffled
+    * into training order (x6f's seeded permutation) and summarized as a
+    * shard manifest — docs, tokens, and the first document each shard
+    * file would start with. Composition proof: gate → dedup →
+    * decontaminate → shuffle, one declarative plan over the same staged
+    * intermediates as x9.
+    */
+  val x9bShuffleManifest: Q = (spark, dir) => {
+    val kept = keptDocs(spark, dir)
+    corpusShuffle(kept, shards = 8)
+      .join(kept.select(col("doc_id"), col("n_tokens")), "doc_id")
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("shard_tokens"),
+        expr("min_by(doc_id, pos)").as("first_doc"))
+      .orderBy(col("shard"))
+  }
+  val x9bSql: String = x9Ctes + """,
+      |sshuf AS (SELECT doc_id, n_tokens,
+      |  CAST(CAST(('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS INT) AS shard,
+      |  md5('shuf:' || CAST(doc_id AS VARCHAR)) AS coin
+      | FROM kept)
+      |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+      | CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+      | arg_min(doc_id, coin) AS first_doc
+      |FROM sshuf GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "x6_curation" -> x6Curation,
     "x6b_stratified_sample" -> x6bStratifiedSample,
     "x6c_token_packing" -> x6cTokenPacking,
     "x6e_weighted_sample" -> x6eWeightedSample,
     "x6f_corpus_shuffle" -> x6fCorpusShuffle,
-    "x9_pipeline" -> x9Pipeline)
+    "x9_pipeline" -> x9Pipeline,
+    "x9b_shuffle_manifest" -> x9bShuffleManifest)
 
   val oracle: Map[String, String] = Map(
     "x6_curation" -> x6Sql,
@@ -276,5 +316,6 @@ object Curation {
     "x6c_token_packing" -> x6cSql,
     "x6e_weighted_sample" -> x6eSql,
     "x6f_corpus_shuffle" -> x6fSql,
-    "x9_pipeline" -> x9Sql)
+    "x9_pipeline" -> x9Sql,
+    "x9b_shuffle_manifest" -> x9bSql)
 }
