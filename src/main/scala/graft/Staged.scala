@@ -33,8 +33,14 @@ object Staged {
   // are evicted opportunistically so nothing is pinned forever
   private val cache = TrieMap[(SparkSession, String), Entry]()
   private val buildSeconds = TrieMap[String, Double]()
+  // one accumulator per OPEN build frame (builds nest: minhash_bands
+  // builds from the staged shingle table) — lets each entry record its
+  // SELF time, not children-inclusive time, so the bench attribution
+  // doesn't double-charge a nested build to whichever parent ran first
+  private var openChildSeconds = List.empty[Double]
 
-  /** Seconds spent materializing each staged table in this JVM — the
+  /** SELF seconds spent materializing each staged table in this JVM
+    * (nested builds are charged to their own key, not the parent) — the
     * producer-pass cost that makes a bench cold pass exceed its steady
     * pass. Exposed so the bench can attribute a cold-total regression to
     * the specific staged table that got slower.
@@ -54,11 +60,20 @@ object Staged {
       evictStopped()
       cache.getOrElseUpdate((spark, key), {
         val t0 = System.nanoTime()
-        val before = spark.sparkContext.getPersistentRDDs.keySet
-        val ck = build.localCheckpoint() // eager: materializes here
-        val added = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
-        buildSeconds.put(key, (System.nanoTime() - t0) / 1e9)
-        Entry(ck, added.toSet)
+        openChildSeconds = 0.0 :: openChildSeconds
+        try {
+          val before = spark.sparkContext.getPersistentRDDs.keySet
+          val ck = build.localCheckpoint() // eager: materializes here
+          val added = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+          Entry(ck, added.toSet)
+        } finally { // also on build failure, so the frame stack can't leak
+          val elapsed = (System.nanoTime() - t0) / 1e9
+          val children = openChildSeconds.head
+          openChildSeconds = openChildSeconds.tail
+          if (openChildSeconds.nonEmpty) // charge our whole span to the parent
+            openChildSeconds = (openChildSeconds.head + elapsed) :: openChildSeconds.tail
+          buildSeconds.put(key, elapsed - children)
+        }
       }).df
     }
 

@@ -547,7 +547,6 @@ object Cdc {
     * C4); everything else is per-row expression work.
     */
   val toastSentinel = "__debezium_unavailable_value"
-  private val nullTag = "<<NULL>>"
 
   def toastFill(changelog: DataFrame, cols: Seq[String],
       sentinel: String = toastSentinel): DataFrame = {
@@ -557,12 +556,15 @@ object Cdc {
       .withColumn("key", coalesce(col("after.id"), col("before.id")))
     val filled = cols.foldLeft(keyed) { (df, c) =>
       val v = col(s"after.$c")
-      // placeholder → null (to be filled over); real value → itself;
-      // genuine null (incl. the null after-image of a delete) → tag
-      val tagged = when(v === sentinel, lit(null)).otherwise(coalesce(v, lit(nullTag)))
+      // placeholder → null (skipped by the ignoreNulls carry); anything
+      // else → a one-field struct, so a genuine null (incl. the null
+      // after-image of a delete) travels as struct(null) — a NON-null
+      // tag — and overwrites the carry. Structural, not in-band: a real
+      // column value can never collide with the tag (the old '<<NULL>>'
+      // string marker would have been silently rewritten to null).
+      val tagged = when(v === sentinel, lit(null)).otherwise(struct(v.as("v")))
       val carried = last(tagged, ignoreNulls = true).over(w)
-      df.withColumn(c,
-          when(carried === nullTag, lit(null).cast("string")).otherwise(carried))
+      df.withColumn(c, carried.getField("v"))
         .withColumn(s"${c}_was_toast", coalesce(v === sentinel, lit(false)))
     }
     filled.select(Seq(col("key").as("id"), col("source.lsn").as("lsn"),
@@ -590,13 +592,13 @@ object Cdc {
       | FROM chg),
       |f AS (SELECT id, op, lsn,
       |  last_value(CASE WHEN a_ln_t = '$toastSentinel' THEN NULL
-      |                  ELSE coalesce(a_ln_t, '$nullTag') END IGNORE NULLS)
+      |                  ELSE struct_pack(v := a_ln_t) END IGNORE NULLS)
       |    OVER (PARTITION BY id ORDER BY lsn
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried,
       |  coalesce(a_ln_t = '$toastSentinel', false) AS was_toast
       | FROM corr)
       |SELECT id, lsn, op,
-      | CASE WHEN carried = '$nullTag' THEN NULL ELSE carried END AS last_name,
+      | carried.v AS last_name,
       | was_toast
       |FROM f ORDER BY id, lsn""".stripMargin
 

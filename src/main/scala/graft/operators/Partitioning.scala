@@ -134,21 +134,47 @@ object Partitioning {
     * partition key) — the single most common 100 TB scan layout: a query
     * filtering on `day` lists only the matching directories, so scan cost
     * is proportional to the days touched, not the table. Written once per
-    * (JVM, sf dir) under java.io.tmpdir; the fixture parquet is immutable,
-    * so a layout left by an earlier run of the same JVM is reused as-is.
+    * (JVM, sf dir) under java.io.tmpdir. Cross-JVM reuse is safe because
+    * the cache path encodes BOTH the full source dir (sanitized — not a
+    * hashCode, which can collide) and a fingerprint of the source parquet
+    * (name/size/mtime): a regenerated fixture changes the fingerprint and
+    * gets a fresh layout instead of serving stale data. Creation goes
+    * through a unique temp dir + atomic rename-into-place, so two
+    * first-run JVMs (e.g. test + bench) can race without either reading a
+    * half-written layout — the loser discards its copy.
     */
   private val dayLayouts = TrieMap[String, String]()
   def eventsByDay(spark: SparkSession, dir: String): DataFrame = {
     val path = dayLayouts.getOrElseUpdate(dir, synchronized {
-      val p = s"${sys.props("java.io.tmpdir")}/graft_events_day_" +
-        Integer.toHexString(dir.hashCode)
-      if (!new java.io.File(p, "_SUCCESS").isFile) {
+      val src = new java.io.File(dir, "events.parquet")
+      val parts = (if (src.isDirectory) src.listFiles.toSeq else Seq(src))
+        .filter(_.isFile).map(f => (f.getName, f.length, f.lastModified))
+      val fp = Integer.toHexString(parts.sorted.hashCode)
+      val sane = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val p = s"${sys.props("java.io.tmpdir")}/graft_events_day_${sane}_$fp"
+      val dest = new java.io.File(p)
+      if (!new java.io.File(dest, "_SUCCESS").isFile) {
+        val tmp = new java.io.File(
+          p + "_tmp_" + java.util.UUID.randomUUID.toString.take(8))
         Tables.events(spark, dir)
           .withColumn("day", to_date(col("ts")))
           .repartition(col("day")) // one output file per day directory
-          .write.mode(SaveMode.Overwrite).partitionBy("day").parquet(p)
-      }
-      p
+          .write.mode(SaveMode.Overwrite).partitionBy("day")
+          .parquet(tmp.getAbsolutePath)
+        if (tmp.renameTo(dest)) p
+        else if (new java.io.File(dest, "_SUCCESS").isFile) {
+          // lost the race to an equivalent complete layout — drop ours
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles.foreach(rm); f.delete(); ()
+          }
+          rm(tmp)
+          p
+        } else {
+          // dest exists but incomplete (e.g. crashed writer left debris):
+          // serve this JVM from its own complete copy rather than fail
+          tmp.getAbsolutePath
+        }
+      } else p
     })
     spark.read.parquet(path)
   }

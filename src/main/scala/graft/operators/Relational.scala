@@ -882,34 +882,53 @@ object Relational {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // Q25 — ordered funnel (signup → view → purchase): each stage's earliest
-  // event AT OR AFTER the previous stage's time, per user. The classic
-  // product-analytics sequence query, built as three chained conditional
-  // min-aggregates — every shuffle is keyed by user_id (high cardinality),
-  // each stage's output is ≤ one row per user, and stage joins probe those
-  // small per-user tables (AQE broadcasts them when they fit). No window
-  // over a user's whole history, no per-user sort: a power user costs
-  // their own events in a partial agg, never a task.
+  // event AT OR AFTER the previous stage's time, per user. Single-pass:
+  // ONE groupBy(user_id) collects the user's stage events, sorts them by
+  // (ts, stage rank), and folds them chronologically with an N-slot
+  // accumulator — the first stage-1 event sets t1, the first stage-k event
+  // at-or-after t_{k-1} sets t_k, which IS the chained conditional min
+  // (min of stage-k events ≥ t_{k-1} = the first one met in time order).
+  // One keyed exchange total, vs the previous per-stage join-fold's 15
+  // Exchanges / 7 joins for 3 stages. The trade: the fold buffers a
+  // user's own stage events in ONE aggregation buffer (the join-fold kept
+  // constant state) — per-user funnel-event counts are human-scale, and a
+  // pathological flood degrades to that user's events in a partial agg,
+  // never a task hot-spot for OTHER users.
   def funnel(e: DataFrame, stages: Seq[String]): DataFrame = {
-    val mins = stages.zipWithIndex.foldLeft(Option.empty[DataFrame]) {
-      case (prev, (stage, i)) =>
-        val base = prev match {
-          case None => e.filter(col("event_type") === stage)
-          case Some(p) => e.join(p.select(col("user_id"), col(s"t$i").as("tprev")), "user_id")
-            .filter(col("event_type") === stage && col("ts_ms") >= col("tprev"))
-        }
-        val cur = base.groupBy(col("user_id")).agg(min(col("ts_ms")).as(s"t${i + 1}"))
-        Some(prev.fold(cur)(p =>
-          p.join(cur, Seq("user_id"), "left")))
-    }.get
-    // ascending fold so the LAST-wrapped (outermost) branch is the highest
-    // completed stage: when(t_n)… wins over when(t_1)…
-    val stageExpr = (1 to stages.length).foldLeft(lit(0)) {
+    val n = stages.length
+    // stage rank 1..n inside the sort key so equal-ts events process in
+    // stage order — a purchase at exactly the qualifying view's ts must
+    // fold AFTER that view (>= is inclusive); null for non-stage events,
+    // which when() drops so collect_list never sees them
+    val rk = stages.zipWithIndex.foldLeft(lit(null).cast("int")) {
+      case (acc, (s, i)) => when(col("event_type") === s, lit(i + 1)).otherwise(acc)
+    }
+    val ev = when(rk.isNotNull, struct(col("ts_ms").as("ts"), rk.as("rk")))
+    val init = struct((1 to n).map(i => lit(null).cast("long").as(s"t$i")): _*)
+    def step(acc: org.apache.spark.sql.Column,
+        x: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val ts = x.getField("ts")
+      val r = x.getField("rk")
+      struct((1 to n).map { i =>
+        val prevOk =
+          if (i == 1) lit(true)
+          else acc.getField(s"t${i - 1}").isNotNull &&
+            ts >= acc.getField(s"t${i - 1}")
+        when(acc.getField(s"t$i").isNull && r === i && prevOk, ts)
+          .otherwise(acc.getField(s"t$i")).as(s"t$i")
+      }: _*)
+    }
+    // groupBy over ALL events (not pre-filtered) so stage-0 users — whose
+    // events are all non-stage types — still get a row
+    val folded = e.groupBy(col("user_id"))
+      .agg(aggregate(array_sort(collect_list(ev)), init, step).as("f"))
+    val stageExpr = (1 to n).foldLeft(lit(0)) {
       (acc, i) => when(col(s"t$i").isNotNull, i).otherwise(acc)
     }
-    e.select(col("user_id")).distinct()
-      .join(mins, Seq("user_id"), "left")
-      .select(col("user_id") +: stages.indices.map(i => col(s"t${i + 1}")) :+
-        stageExpr.as("stage"): _*)
+    folded
+      .select(col("user_id") +:
+        (1 to n).map(i => col("f").getField(s"t$i").as(s"t$i")): _*)
+      .withColumn("stage", stageExpr)
   }
 
   val q25Funnel: Q = (spark, dir) =>

@@ -181,10 +181,14 @@ class StreamingSpec extends AnyFunSuite {
       CdcEvent(row(20, "zzz@stale"), row(20, "zzz@stale"), src(99), "u", 99), // out-of-order: must lose
       CdcEvent(row(21, "b@x"), None, src(201), "d", 201))
     q.processAllAvailable(); q.stop()
+    // max-lsn row per id via struct-max (lsn leads the struct): a hash
+    // aggregation does not preserve sorted-within-group order, so
+    // orderBy + first() would be partitioning-dependent
     val last = spark.table("t6")
-      .orderBy(col("id"), col("lsn").desc)
-      .groupBy("id").agg(first("live").as("live"), first("email").as("email"),
-        max("lsn").as("lsn"))
+      .groupBy("id")
+      .agg(max(struct(col("lsn"), col("live"), col("email"))).as("s"))
+      .select(col("id"), col("s.live").as("live"), col("s.email").as("email"),
+        col("s.lsn").as("lsn"))
       .orderBy("id").collect()
     assert(last.length === 2)
     assert(last(0).getBoolean(1) === true && last(0).getString(2) === "a2@x")
