@@ -370,6 +370,149 @@ object Cdc {
       |WHERE rn = 1 AND op <> 'd'
       |ORDER BY id""".stripMargin
 
+  // ------------------------------- C14 multi-table consistent snapshot
+  /** Envelope changelog for a SECOND captured table (`orders`), with
+    * transactions SHARED with the customers changelog: order events for
+    * customer c take lsns inside c's centi-block — lsn = 100·c + 5 + 3·(
+    * o_orderkey % 30) + j, j ∈ {0 create, 1 update, 2 delete} — so j stays
+    * ≤ 99 and every orders event lands in the same `lsn DIV 1000` commit
+    * as its customer's events. That is exactly how a real WAL looks: one
+    * transaction UPDATEs a customer and INSERTs their orders, and Debezium
+    * stamps both tables' envelopes with the same transaction id
+    * (the multi-topic shape ez-cdc's include-list points at,
+    * `customers_conf.json:12`). Two orders of one customer may collide on
+    * an lsn (distinct PKs, so no fold is affected); each ORDER's own
+    * events stay strictly ordered by construction.
+    *
+    * Schedule, keyed on o_orderkey: create for every order; status update
+    * for o_orderkey % 4 = 0; delete for o_orderkey % 9 = 0.
+    */
+  def ordersChangelog(spark: SparkSession, dir: String): DataFrame =
+    Staged(spark, s"cdc_changelog_orders:$dir")(buildOrdersChangelog(spark, dir))
+
+  private def buildOrdersChangelog(spark: SparkSession, dir: String): DataFrame = {
+    val b = Tables.orders(spark, dir).select(
+      col("o_orderkey").as("id"), col("o_custkey").as("ck"),
+      lower(col("o_orderstatus")).as("st0"),
+      round(col("o_totalprice"), 2).as("total"))
+    def img(status: Column): Column = struct(col("id").as("id"),
+      col("ck").as("custkey"), status.as("status"), col("total").as("total"))
+    val nullImg = lit(null).cast(
+      "struct<id:bigint,custkey:bigint,status:string,total:double>")
+    val lsn0 = col("ck") * 100 + 5 + (col("id") % 30) * 3
+    def oenv(opCode: String, lsn: Column, before: Column, after: Column): Column =
+      struct(before.as("before"), after.as("after"),
+        source(lsn, lit("false"), "orders").as("source"),
+        lit(opCode).as("op"), (lit(1700000000000L) + lsn).as("ts_ms"))
+    val latest = when(col("id") % 4 === 0, img(lit("shipped"))).otherwise(img(col("st0")))
+    val events = array(
+      oenv("c", lsn0, nullImg, img(col("st0"))),
+      when(col("id") % 4 === 0, oenv("u", lsn0 + 1, img(col("st0")), img(lit("shipped")))),
+      when(col("id") % 9 === 0, oenv("d", lsn0 + 2, latest, nullImg)))
+    val flat = b.select(explode(filter(events, e => e.isNotNull)).as("e")).select("e.*")
+    // same commit-block structure as the customers changelog; the id
+    // tiebreak keeps total_order deterministic under colliding lsns
+    val wTx = Window.partitionBy(expr("source.lsn DIV 1000"))
+      .orderBy(col("source.lsn"), coalesce(col("after.id"), col("before.id")))
+    flat
+      .withColumn("__tord", row_number().over(wTx).cast("long"))
+      .withColumn("transaction", struct(
+        concat(lit("tx-"), expr("source.lsn DIV 1000").cast("string")).as("id"),
+        col("__tord").as("total_order"),
+        col("__tord").as("data_collection_order")))
+      .drop("__tord")
+  }
+
+  /** C10 extended across tables: a commit is applied to EVERY captured
+    * table or to none. The per-tx high-water lsn is computed over the
+    * UNION of all logs' (transaction.id, lsn) pairs, and each log keeps
+    * only events of transactions fully at-or-below the cutoff — so a
+    * transaction torn by the cutoff in ANY table disappears from ALL of
+    * them, which is the invariant a replica consumer needs before it may
+    * join the two materialized tables (a half-applied commit would join a
+    * new order against a pre-commit customer row).
+    *
+    * Scale: the tx-last table is data-proportional (one row per commit),
+    * so it is NOT broadcast — each log filters through a left-semi join
+    * keyed on transaction id, the same keyed-shuffle shape as the
+    * snapshot fold that follows.
+    */
+  def multiTableCompleteTx(logs: Seq[DataFrame], cutoff: DataFrame): Seq[DataFrame] = {
+    val txLast = logs
+      .map(_.select(col("transaction.id").as("__tx"), col("source.lsn").as("__lsn")))
+      .reduce(_ unionAll _)
+      .groupBy(col("__tx")).agg(max(col("__lsn")).as("__last"))
+    val complete = txLast.crossJoin(broadcast(cutoff))
+      .filter(col("__last") <= col("cutoff"))
+      .select(col("__tx"))
+    logs.map(log =>
+      log.join(complete, log("transaction.id") === complete("__tx"), "left_semi"))
+  }
+
+  /** Latest live after-image per key for ANY envelope changelog (the
+    * table-agnostic form of [[snapshot]] — key-partitioned window, shards
+    * at any scale).
+    */
+  def materializeLatest(changelog: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("__k")).orderBy(col("source.lsn").desc)
+    changelog
+      .withColumn("__k", coalesce(col("after.id"), col("before.id")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("op") =!= "d")
+      .select(col("after.*"))
+  }
+
+  /** Registered query: transaction-consistent snapshot of customers AND
+    * orders at one cutoff, then the replica-side join. Deleted customers
+    * drop their orders from the join (inner — a replica FK lookup).
+    */
+  val cdcMultitableSnapshot: Q = (spark, dir) => {
+    val cust = changelog(spark, dir)
+    val ords = ordersChangelog(spark, dir)
+    val cutoff = cust.select(col("source.lsn").as("lsn"))
+      .unionAll(ords.select(col("source.lsn").as("lsn")))
+      .agg(expr("max(lsn) * 6 DIV 10").as("cutoff"))
+    val Seq(custC, ordsC) = multiTableCompleteTx(Seq(cust, ords), cutoff)
+    val snapC = materializeLatest(custC)
+    val snapO = materializeLatest(ordsC)
+    snapO.select(col("id").as("orderkey"), col("custkey"),
+        col("status"), col("total"))
+      .join(snapC.select(col("id").as("custkey"), col("first_name"), col("email")),
+        "custkey")
+      .select(col("orderkey"), col("custkey"), col("first_name"), col("email"),
+        col("status"), col("total"))
+      .orderBy(col("orderkey"))
+  }
+  val cdcMultitableSnapshotSql: String = changelogCte + """,
+      |ochg AS (
+      | SELECT o_orderkey AS oid, o_custkey AS ck, 'c' AS op,
+      |   100*o_custkey + 5 + 3*(o_orderkey % 30) AS lsn,
+      |   lower(o_orderstatus) AS status, round(o_totalprice, 2) AS total
+      | FROM orders
+      | UNION ALL SELECT o_orderkey, o_custkey, 'u',
+      |   100*o_custkey + 6 + 3*(o_orderkey % 30), 'shipped', round(o_totalprice, 2)
+      |  FROM orders WHERE o_orderkey % 4 = 0
+      | UNION ALL SELECT o_orderkey, o_custkey, 'd',
+      |   100*o_custkey + 7 + 3*(o_orderkey % 30), NULL, NULL
+      |  FROM orders WHERE o_orderkey % 9 = 0),
+      |alltx AS (SELECT lsn // 1000 AS tx, lsn FROM chg
+      |          UNION ALL SELECT lsn // 1000, lsn FROM ochg),
+      |cut AS (SELECT (max(lsn) * 6) // 10 AS cutoff FROM alltx),
+      |txlast AS (SELECT tx, max(lsn) AS tx_last FROM alltx GROUP BY 1),
+      |ctx AS (SELECT tx FROM txlast, cut WHERE tx_last <= cutoff),
+      |snap_c AS (SELECT * FROM (
+      |  SELECT id, op, a_fn, a_em,
+      |   row_number() OVER (PARTITION BY id ORDER BY lsn DESC) AS rn
+      |  FROM chg WHERE lsn // 1000 IN (SELECT tx FROM ctx)) WHERE rn = 1 AND op <> 'd'),
+      |snap_o AS (SELECT * FROM (
+      |  SELECT oid, ck, op, status, total,
+      |   row_number() OVER (PARTITION BY oid ORDER BY lsn DESC) AS rn
+      |  FROM ochg WHERE lsn // 1000 IN (SELECT tx FROM ctx)) WHERE rn = 1 AND op <> 'd')
+      |SELECT o.oid AS orderkey, o.ck AS custkey, c.a_fn AS first_name,
+      | c.a_em AS email, o.status, o.total
+      |FROM snap_o o JOIN snap_c c ON o.ck = c.id
+      |ORDER BY orderkey""".stripMargin
+
   // -------------------------------------------------------- change-rate
   /** Operational monitoring: change volume per op per source-commit hour —
     * the first query anyone points at a CDC stream.
@@ -756,6 +899,7 @@ object Cdc {
     "cdc_deadletter" -> cdcDeadletter,
     "cdc_tx_blocks" -> cdcTxBlocks,
     "cdc_tx_snapshot" -> cdcTxSnapshot,
+    "cdc_multitable_snapshot" -> cdcMultitableSnapshot,
     "cdc_scd2" -> cdcScd2,
     "cdc_rate" -> cdcRate,
     "cdc_snapshot" -> cdcSnapshot,
@@ -773,6 +917,7 @@ object Cdc {
     "cdc_deadletter" -> cdcDeadletterSql,
     "cdc_tx_blocks" -> cdcTxBlocksSql,
     "cdc_tx_snapshot" -> cdcTxSnapshotSql,
+    "cdc_multitable_snapshot" -> cdcMultitableSnapshotSql,
     "cdc_scd2" -> cdcScd2Sql,
     "cdc_rate" -> cdcRateSql,
     "cdc_snapshot" -> cdcSnapshotSql,

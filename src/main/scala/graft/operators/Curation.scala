@@ -184,17 +184,23 @@ object Curation {
     val coin = expr(
       s"md5(CAST(concat('$seed:', CAST(doc_id AS STRING)) AS BINARY))")
     val wS = Window.partitionBy(col("shard")).orderBy(col("coin"), col("doc_id"))
+    // payload columns ride along (that's what a shard writer materializes;
+    // Catalyst prunes any a consumer doesn't use) — so a consumer like the
+    // x9b manifest never has to join the input subtree back onto its own
+    // output, which would plan the whole upstream pipeline twice
+    val carried = docs.columns.filterNot(_ == "doc_id").map(col)
     docs
-      .select(col("doc_id"), coin.as("coin"))
+      .withColumn("coin", coin)
       .withColumn("h32", expr(
         "CAST(conv(substr(coin, 1, 8), 16, 10) AS BIGINT)"))
       .withColumn("shard", pmod(col("h32"), lit(shards)).cast("int"))
       .withColumn("pos", row_number().over(wS).cast("long"))
-      .select(col("shard"), col("pos"), col("doc_id"))
+      .select(Seq(col("shard"), col("pos"), col("doc_id")) ++ carried: _*)
   }
 
   val x6fCorpusShuffle: Q = (spark, dir) =>
     corpusShuffle(Tables.documents(spark, dir), shards = 8)
+      .select(col("shard"), col("pos"), col("doc_id")) // prune the payload
       .orderBy(col("shard"), col("pos"))
   val x6fSql: String =
     """WITH d AS (SELECT doc_id,
@@ -284,8 +290,11 @@ object Curation {
     */
   val x9bShuffleManifest: Q = (spark, dir) => {
     val kept = keptDocs(spark, dir)
-    corpusShuffle(kept, shards = 8)
-      .join(kept.select(col("doc_id"), col("n_tokens")), "doc_id")
+    // n_tokens rides through the shuffle as carried payload — joining
+    // `kept` back onto the shuffle output would embed the whole pipeline
+    // subtree twice in one plan (measured: three ~1.1 MiB task binaries
+    // per run, the only "large task binary" WARNs in the bench tail)
+    corpusShuffle(kept.select(col("doc_id"), col("n_tokens")), shards = 8)
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("shard_tokens"),
         expr("min_by(doc_id, pos)").as("first_doc"))

@@ -161,6 +161,56 @@ class CdcSpec extends AnyFunSuite {
     assert(perEvent !== got)
   }
 
+  test("C14 multi-table snapshot: a tx torn across TABLES vanishes from both") {
+    val cust = Cdc.changelog(spark, TestSpark.sf)
+    val ords = Cdc.ordersChangelog(spark, TestSpark.sf)
+    // pick a transaction with events in BOTH tables, and cut it between
+    // its last customers event and its last orders event: complete in the
+    // customers stream alone, torn in the union — the cross-table
+    // atomicity case a per-table C10 cannot see
+    val spanning = cust.select(col("transaction.id").as("tx"),
+        col("source.lsn").as("lsn"), lit("c").as("t"))
+      .unionAll(ords.select(col("transaction.id").as("tx"),
+        col("source.lsn").as("lsn"), lit("o").as("t")))
+      .groupBy("tx").agg(
+        max(when(col("t") === "c", col("lsn"))).as("c_hi"),
+        max(when(col("t") === "o", col("lsn"))).as("o_hi"))
+      .filter(col("c_hi").isNotNull && col("o_hi").isNotNull &&
+        col("o_hi") > col("c_hi"))
+      // take the LATEST such tx so every earlier commit block (disjoint,
+      // ascending lsn ranges) stays complete below the cutoff
+      .orderBy(col("c_hi").desc).limit(1).collect()(0)
+    val (tornTx, cutoffVal) = (spanning.getString(0), spanning.getLong(1))
+    val cutoff = spark.range(1).select(lit(cutoffVal).as("cutoff"))
+    val Seq(custC, ordsC) = Cdc.multiTableCompleteTx(Seq(cust, ords), cutoff)
+    // the torn tx contributes NOTHING to either side, even though every
+    // one of its customers events is at-or-below the cutoff
+    assert(cust.filter(col("transaction.id") === tornTx &&
+      col("source.lsn") <= cutoffVal).count() > 0)
+    assert(custC.filter(col("transaction.id") === tornTx).count() === 0)
+    assert(ordsC.filter(col("transaction.id") === tornTx).count() === 0)
+    // transactions fully below the cutoff in BOTH tables survive in both
+    val whole = custC.select(col("transaction.id").as("tx")).distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(whole.nonEmpty)
+    val ordTx = ordsC.select(col("transaction.id").as("tx")).distinct().collect()
+      .map(_.getString(0)).toSet
+    // every surviving orders tx is also fully applied on the customers
+    // side (or has no customers events at all)
+    val custAllTx = cust.select(col("transaction.id").as("tx")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert((ordTx intersect custAllTx) subsetOf whole)
+    // and the materialized join carries no row whose order OR customer
+    // state came from the torn tx: no order of the torn tx's commit block
+    // appears, and the torn tx's customers show their PRE-tx state (their
+    // ids are absent entirely here, since all a customer's events share
+    // one tx in the fixture schedule)
+    val snapO = Cdc.materializeLatest(ordsC)
+    val tornBlock = tornTx.stripPrefix("tx-").toLong
+    assert(snapO.filter(col("custkey") >= tornBlock * 10 &&
+      col("custkey") < tornBlock * 10 + 10).count() === 0)
+  }
+
   test("C9 dead-letter routing: malformed records routed, payload retained") {
     import spark.implicits._
     val raw = Seq(
