@@ -285,6 +285,74 @@ object Streams {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
   }
 
+  // ------------------------------------------- T12 / C14 streaming gate
+  /** One unit of the cross-table transaction gate's input stream: either a
+    * data event of `table` (table + event set) or a Debezium-style
+    * transaction END marker carrying the commit's total event count
+    * (endCount set) — the union of every captured table's topic plus the
+    * transaction-metadata topic, as one typed stream.
+    */
+  case class TxInput(txId: String, table: Option[String],
+      event: Option[graft.Schemas.CdcEvent], endCount: Option[Long])
+
+  /** A data event released by the gate, still tagged with its table and
+    * transaction so a downstream per-table fold can route it.
+    */
+  case class GatedEvent(table: String, txId: String,
+      event: graft.Schemas.CdcEvent)
+
+  case class TxGateState(expected: Option[Long], buffered: List[GatedEvent])
+
+  /** C14 under Structured Streaming: hold every data event until its
+    * transaction is COMPLETE across all captured tables, then release the
+    * whole commit at once — the streaming twin of
+    * `Cdc.multiTableCompleteTx`'s batch cutoff. Completeness is the
+    * Debezium transaction-metadata contract: the END marker's event_count
+    * equals the number of data events stamped with that transaction id
+    * (across every table's topic). Until both the marker AND all its
+    * events have arrived — in any interleaving, marker first or last —
+    * nothing of the commit is visible downstream; afterwards, all of it
+    * is, in one micro-batch, so a consumer folding the released stream
+    * per table can never observe a commit half-applied (the torn-joint
+    * state the batch C14 spec demonstrates).
+    *
+    * Scale: keyed by transaction id — shards across executors like every
+    * other stateful op here. State per OPEN transaction is its buffered
+    * events plus one counter: the bare minimum ANY cross-table atomicity
+    * gate must hold (you cannot release what you have not seen), and it
+    * frees the moment the commit releases. Released events emit sorted by
+    * (table, lsn) so downstream folds see a deterministic order. A
+    * production deployment adds a GroupStateTimeout to spill/abandon
+    * transactions whose END never arrives (producer crash) — policy, not
+    * mechanism, so the combinator keeps NoTimeout.
+    */
+  def txGateKey(txId: String, in: Iterator[TxInput],
+      state: GroupState[TxGateState]): Iterator[GatedEvent] = {
+    val st0 = state.getOption.getOrElse(TxGateState(None, Nil))
+    val ins = in.toList
+    val fresh = ins.flatMap(i =>
+      for { t <- i.table; e <- i.event } yield GatedEvent(t, txId, e))
+    val expected = ins.flatMap(_.endCount).lastOption.orElse(st0.expected)
+    val buffered = st0.buffered ++ fresh
+    if (expected.exists(_ <= buffered.size)) {
+      state.remove()
+      buffered.sortBy(g => (g.table, g.event.source.lsn.getOrElse(Long.MinValue)))
+        .iterator
+    } else {
+      state.update(TxGateState(expected, buffered))
+      Iterator.empty
+    }
+  }
+
+  def txGate(inputs: Dataset[TxInput]): Dataset[GatedEvent] = {
+    val spark = inputs.sparkSession
+    import spark.implicits._
+    inputs
+      .groupByKey(_.txId)
+      .flatMapGroupsWithState[TxGateState, GatedEvent](
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(txGateKey)
+  }
+
   /** T9 — streaming schema-drift alerts: emit one row the FIRST time each
     * (table, payload-shape) appears on the wire — the page a replica
     * pipeline wants the moment upstream DDL lands, not at the next batch

@@ -204,6 +204,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchSnap.length === 1 && batchSnap(0).getString(3) === "a2@x")
   }
 
+  test("T12 cross-table tx gate: a commit is invisible until complete across BOTH streams") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.Streams.TxInput
+    def cust(id: Long, em: String, lsn: Long) =
+      TxInput(s"tx-${lsn / 1000}", Some("customers"),
+        Some(CdcEvent(None, row(id, em), src(lsn), "c", lsn)), None)
+    def ord(id: Long, em: String, lsn: Long) =
+      TxInput(s"tx-${lsn / 1000}", Some("orders"),
+        Some(CdcEvent(None, row(id, em), src(lsn), "c", lsn)), None)
+    def end(tx: String, n: Long) = TxInput(tx, None, None, Some(n))
+
+    val mem = MemoryStream[TxInput]
+    val q = Streams.txGate(mem.toDS).writeStream
+      .format("memory").queryName("t12").outputMode("update").start()
+    // batch 1: tx-1 partially arrived (marker says 3, only 2 events —
+    // ONE PER TABLE, so each table alone looks "complete" to any
+    // per-table gate); tx-2 fully arrived, marker FIRST
+    mem.addData(
+      end("tx-2", 2),
+      cust(10, "a@x", 1100), ord(90, "o@x", 1150), end("tx-1", 3),
+      cust(20, "b@x", 2100), ord(91, "p@x", 2150))
+    q.processAllAvailable()
+    val after1 = spark.table("t12").select("txId").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(after1 === Set("tx-2")) // tx-1 held: NOTHING of it visible
+    assert(spark.table("t12").count() === 2)
+    // batch 2: tx-1's missing orders event arrives -> whole commit releases
+    mem.addData(ord(92, "q@x", 1151))
+    q.processAllAvailable(); q.stop()
+    val released = spark.table("t12")
+    assert(released.count() === 5)
+    val tx1 = released.filter(col("txId") === "tx-1")
+      .select("table", "event.ts_ms").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(identity).toSeq
+    // all three of tx-1's events released together, both tables at once
+    assert(tx1 === Seq(("customers", 1100L), ("orders", 1150L),
+      ("orders", 1151L)))
+    // gate releases everything exactly once: released stream per table ==
+    // the ungated inputs per table (same multiset of lsns)
+    val relLsns = released.select("event.source.lsn").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(relLsns === Seq(1100L, 1150L, 1151L, 2100L, 2150L))
+  }
+
   test("T11 transformWithState snapshot: same fold as T6 on the Spark 4 state API") {
     implicit val ctx = spark.sqlContext
     // the new state API requires the RocksDB provider; scope it to this query
