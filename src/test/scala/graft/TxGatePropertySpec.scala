@@ -1,0 +1,98 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+import graft.Schemas.{CdcEvent, CdcRow, CdcSource}
+import graft.streaming.Streams
+import graft.streaming.Streams.{GatedEvent, TxGateState, TxInput}
+
+/** Property-based invariants for the T12 cross-table transaction gate
+  * (`Streams.txGateKey`), driven as a pure state machine via Spark's
+  * `TestGroupState` — no streaming query needed, so hundreds of random
+  * interleavings are cheap:
+  *
+  * For ANY assignment of a transaction's events to two tables, ANY global
+  * interleaving of events and END markers, and ANY split of that stream
+  * into micro-batches:
+  *   1. nothing of a transaction is released before the batch in which
+  *      BOTH its END marker and its last data event have arrived;
+  *   2. in exactly that batch, ALL of its events release at once, sorted
+  *      by (table, lsn);
+  *   3. every event releases exactly once, and the gate's state for the
+  *      transaction is freed on release.
+  */
+object TxGatePropertySpec extends Properties("TxGate") {
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(200)
+
+  def src(lsn: Long) = CdcSource("v", "postgresql", "cdctest", lsn, None,
+    "cdctest", "public", "t", None, Some(lsn), None)
+
+  case class TxCase(txId: String, events: List[(String, Long)]) // (table, lsn)
+
+  val genTx: Gen[Int => TxCase] = for {
+    n <- Gen.choose(1, 6)
+    tables <- Gen.listOfN(n, Gen.oneOf("customers", "orders"))
+  } yield (i: Int) =>
+    TxCase(s"tx-$i", tables.zipWithIndex.map { case (t, j) => (t, i * 100L + j) })
+
+  val genCase: Gen[(List[TxCase], List[List[TxInput]])] = for {
+    k <- Gen.choose(1, 4)
+    mk <- Gen.listOfN(k, genTx)
+    txs = mk.zipWithIndex.map { case (f, i) => f(i) }
+    inputs = txs.flatMap { tx =>
+      tx.events.map { case (t, lsn) =>
+        TxInput(tx.txId, Some(t),
+          Some(CdcEvent(None, Some(CdcRow(lsn, None, None, None)),
+            src(lsn), "c", lsn)), None)
+      } :+ TxInput(tx.txId, None, None, Some(tx.events.size.toLong))
+    }
+    shuffled <- Gen.const(inputs).flatMap(l =>
+      Gen.listOfN(l.size, Gen.choose(0, Int.MaxValue)).map(ks =>
+        l.zip(ks).sortBy(p => (p._2, p._1.hashCode)).map(_._1)))
+    nBatches <- Gen.choose(1, 5)
+    cuts <- Gen.listOfN(nBatches - 1, Gen.choose(0, shuffled.size))
+  } yield {
+    val bounds = (0 +: cuts.sorted :+ shuffled.size).distinct.sorted
+    (txs, bounds.zip(bounds.tail).map { case (a, b) => shuffled.slice(a, b) })
+  }
+
+  property("all-or-nothing release at the exact completion batch; exactly once") =
+    forAll(genCase) { case (txs, batches) =>
+      // drive txGateKey per (tx, batch) through TestGroupState
+      var states = Map.empty[String, TxGateState]
+      val releasedPerBatch: Seq[Map[String, Seq[GatedEvent]]] =
+        batches.map { batch =>
+          batch.groupBy(_.txId).map { case (txId, ins) =>
+            val st = TestGroupState.create[TxGateState](
+              org.apache.spark.api.java.Optional.fromNullable(states.get(txId).orNull),
+              GroupStateTimeout.NoTimeout, 0L,
+              org.apache.spark.api.java.Optional.absent[Long](),
+              hasTimedOut = false)
+            val out = Streams.txGateKey(txId, ins.iterator, st).toSeq
+            states =
+              if (st.isRemoved || !st.exists) states - txId
+              else states + (txId -> st.get)
+            txId -> out
+          }
+        }
+      val props = txs.map { tx =>
+        // completion batch: first batch by which marker AND all events arrived
+        val seen = batches.scanLeft((0, false)) { case ((n, m), batch) =>
+          val mine = batch.filter(_.txId == tx.txId)
+          (n + mine.count(_.event.isDefined), m || mine.exists(_.endCount.isDefined))
+        }.tail
+        val expectedBatch = seen.indexWhere { case (n, m) => m && n == tx.events.size }
+        val perBatch = releasedPerBatch.map(_.getOrElse(tx.txId, Nil))
+        val releasedAt = perBatch.indexWhere(_.nonEmpty)
+        val all = perBatch.flatten
+        (Prop(releasedAt == expectedBatch) :| s"${tx.txId} released at $releasedAt, expected $expectedBatch") &&
+        (Prop(all.size == tx.events.size) :| s"${tx.txId} exactly-once violated: ${all.size}") &&
+        (Prop(all == all.sortBy(g => (g.table, g.event.source.lsn.get))) :| s"${tx.txId} order") &&
+        (Prop(all.map(g => (g.table, g.event.source.lsn.get)).toSet == tx.events.toSet) :| s"${tx.txId} content") &&
+        (Prop(!states.contains(tx.txId)) :| s"${tx.txId} state not freed")
+      }
+      props.reduce(_ && _)
+    }
+}
