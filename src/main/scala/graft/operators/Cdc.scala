@@ -410,8 +410,14 @@ object Cdc {
       when(col("id") % 4 === 0, oenv("u", lsn0 + 1, img(col("st0")), img(lit("shipped")))),
       when(col("id") % 9 === 0, oenv("d", lsn0 + 2, latest, nullImg)))
     val flat = b.select(explode(filter(events, e => e.isNotNull)).as("e")).select("e.*")
-    // same commit-block structure as the customers changelog; the id
-    // tiebreak keeps total_order deterministic under colliding lsns
+    // Per-COLLECTION rank (the id tiebreak keeps it deterministic under
+    // colliding lsns): data_collection_order is Debezium-exact; total_order
+    // is set to the same per-collection value, NOT the true
+    // cross-collection rank — computing that would make each table's
+    // builder scan the other table (the orders-per-customer distribution
+    // is data-dependent, no closed formula). Consumers that need the
+    // global commit order key on (transaction.id, source.lsn), which IS
+    // that order — the C14 cutoff, gate, and folds all do.
     val wTx = Window.partitionBy(expr("source.lsn DIV 1000"))
       .orderBy(col("source.lsn"), coalesce(col("after.id"), col("before.id")))
     flat

@@ -183,17 +183,21 @@ object Curation {
       seed: String = "shuf"): DataFrame = {
     val coin = expr(
       s"md5(CAST(concat('$seed:', CAST(doc_id AS STRING)) AS BINARY))")
-    val wS = Window.partitionBy(col("shard")).orderBy(col("coin"), col("doc_id"))
+    val wS = Window.partitionBy(col("shard")).orderBy(col("__coin"), col("doc_id"))
     // payload columns ride along (that's what a shard writer materializes;
     // Catalyst prunes any a consumer doesn't use) — so a consumer like the
     // x9b manifest never has to join the input subtree back onto its own
-    // output, which would plan the whole upstream pipeline twice
+    // output, which would plan the whole upstream pipeline twice.
+    // Internals are __-prefixed so a payload column can never be silently
+    // overwritten; the two output names the operator mints are guarded.
+    require(!docs.columns.contains("shard") && !docs.columns.contains("pos"),
+      "corpusShuffle emits 'shard' and 'pos'; rename the input's columns")
     val carried = docs.columns.filterNot(_ == "doc_id").map(col)
     docs
-      .withColumn("coin", coin)
-      .withColumn("h32", expr(
-        "CAST(conv(substr(coin, 1, 8), 16, 10) AS BIGINT)"))
-      .withColumn("shard", pmod(col("h32"), lit(shards)).cast("int"))
+      .withColumn("__coin", coin)
+      .withColumn("__h32", expr(
+        "CAST(conv(substr(__coin, 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("shard", pmod(col("__h32"), lit(shards)).cast("int"))
       .withColumn("pos", row_number().over(wS).cast("long"))
       .select(Seq(col("shard"), col("pos"), col("doc_id")) ++ carried: _*)
   }

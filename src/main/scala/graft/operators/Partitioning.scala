@@ -149,11 +149,23 @@ object Partitioning {
       val src = new java.io.File(dir, "events.parquet")
       val parts = (if (src.isDirectory) src.listFiles.toSeq else Seq(src))
         .filter(_.isFile).map(f => (f.getName, f.length, f.lastModified))
-      val fp = Integer.toHexString(parts.sorted.hashCode)
+      // a real digest of the (name, size, mtime) triples — a 32-bit
+      // hashCode could collide across fixture regenerations and silently
+      // serve the previous fixture's layout
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(parts.sorted.mkString("|").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
       val sane = dir.replaceAll("[^A-Za-z0-9._-]", "_")
       val p = s"${sys.props("java.io.tmpdir")}/graft_events_day_${sane}_$fp"
       val dest = new java.io.File(p)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm); f.delete(); ()
+      }
       if (!new java.io.File(dest, "_SUCCESS").isFile) {
+        // crashed-writer debris (dest without _SUCCESS) self-heals: remove
+        // it so the rename below can land, instead of every future JVM
+        // re-writing the layout and leaking a tmp copy
+        if (dest.exists()) rm(dest)
         val tmp = new java.io.File(
           p + "_tmp_" + java.util.UUID.randomUUID.toString.take(8))
         Tables.events(spark, dir)
@@ -164,14 +176,12 @@ object Partitioning {
         if (tmp.renameTo(dest)) p
         else if (new java.io.File(dest, "_SUCCESS").isFile) {
           // lost the race to an equivalent complete layout — drop ours
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) f.listFiles.foreach(rm); f.delete(); ()
-          }
           rm(tmp)
           p
         } else {
-          // dest exists but incomplete (e.g. crashed writer left debris):
-          // serve this JVM from its own complete copy rather than fail
+          // rename blocked by something else entirely (permissions, a
+          // racing writer's incomplete dest): serve this JVM from its own
+          // complete copy rather than fail
           tmp.getAbsolutePath
         }
       } else p

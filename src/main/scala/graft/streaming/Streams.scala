@@ -321,10 +321,14 @@ object Streams {
     * events plus one counter: the bare minimum ANY cross-table atomicity
     * gate must hold (you cannot release what you have not seen), and it
     * frees the moment the commit releases. Released events emit sorted by
-    * (table, lsn) so downstream folds see a deterministic order. A
-    * production deployment adds a GroupStateTimeout to spill/abandon
-    * transactions whose END never arrives (producer crash) — policy, not
-    * mechanism, so the combinator keeps NoTimeout.
+    * (table, lsn) so downstream folds see a deterministic order.
+    * Redelivered events (at-least-once source) dedup by (table, lsn)
+    * identity so they can never satisfy the marker's count in place of a
+    * missing distinct event. A production deployment adds a
+    * GroupStateTimeout to spill/abandon state that cannot complete — a
+    * transaction whose END never arrives (producer crash), or the
+    * expected-less stub a post-release redelivery re-creates — policy,
+    * not mechanism, so the combinator keeps NoTimeout.
     */
   def txGateKey(txId: String, in: Iterator[TxInput],
       state: GroupState[TxGateState]): Iterator[GatedEvent] = {
@@ -333,7 +337,15 @@ object Streams {
     val fresh = ins.flatMap(i =>
       for { t <- i.table; e <- i.event } yield GatedEvent(t, txId, e))
     val expected = ins.flatMap(_.endCount).lastOption.orElse(st0.expected)
-    val buffered = st0.buffered ++ fresh
+    // dedup by event identity, not raw count: the production source is
+    // at-least-once Kafka, and a REDELIVERED event must not satisfy the
+    // marker's count while a distinct event is still missing — that would
+    // release exactly the torn cross-table state this gate exists to
+    // prevent. (table, lsn) identifies an event within its transaction.
+    val have = st0.buffered
+      .map(g => (g.table, g.event.source.lsn)).to(scala.collection.mutable.Set)
+    val buffered = st0.buffered ++ fresh.filter(g =>
+      have.add((g.table, g.event.source.lsn)))
     if (expected.exists(_ <= buffered.size)) {
       state.remove()
       buffered.sortBy(g => (g.table, g.event.source.lsn.getOrElse(Long.MinValue)))

@@ -48,7 +48,11 @@ object TxGatePropertySpec extends Properties("TxGate") {
             src(lsn), "c", lsn)), None)
       } :+ TxInput(tx.txId, None, None, Some(tx.events.size.toLong))
     }
-    shuffled <- Gen.const(inputs).flatMap(l =>
+    // at-least-once source: redeliver a random subset of data events — a
+    // duplicate must never satisfy the marker's count in place of a
+    // missing distinct event, nor release anything twice
+    dups <- Gen.someOf(inputs.filter(_.event.isDefined))
+    shuffled <- Gen.const(inputs ++ dups).flatMap(l =>
       Gen.listOfN(l.size, Gen.choose(0, Int.MaxValue)).map(ks =>
         l.zip(ks).sortBy(p => (p._2, p._1.hashCode)).map(_._1)))
     nBatches <- Gen.choose(1, 5)
@@ -78,12 +82,16 @@ object TxGatePropertySpec extends Properties("TxGate") {
           }
         }
       val props = txs.map { tx =>
-        // completion batch: first batch by which marker AND all events arrived
-        val seen = batches.scanLeft((0, false)) { case ((n, m), batch) =>
-          val mine = batch.filter(_.txId == tx.txId)
-          (n + mine.count(_.event.isDefined), m || mine.exists(_.endCount.isDefined))
+        // completion batch: first batch by which the marker AND all
+        // DISTINCT events have arrived (redeliveries must not count)
+        val seen = batches.scanLeft((Set.empty[(String, Long)], false)) {
+          case ((s, m), batch) =>
+            val mine = batch.filter(_.txId == tx.txId)
+            (s ++ mine.flatMap(i =>
+               i.event.map(e => (i.table.get, e.source.lsn.get))),
+             m || mine.exists(_.endCount.isDefined))
         }.tail
-        val expectedBatch = seen.indexWhere { case (n, m) => m && n == tx.events.size }
+        val expectedBatch = seen.indexWhere { case (s, m) => m && s.size == tx.events.size }
         val perBatch = releasedPerBatch.map(_.getOrElse(tx.txId, Nil))
         val releasedAt = perBatch.indexWhere(_.nonEmpty)
         val all = perBatch.flatten
@@ -91,7 +99,9 @@ object TxGatePropertySpec extends Properties("TxGate") {
         (Prop(all.size == tx.events.size) :| s"${tx.txId} exactly-once violated: ${all.size}") &&
         (Prop(all == all.sortBy(g => (g.table, g.event.source.lsn.get))) :| s"${tx.txId} order") &&
         (Prop(all.map(g => (g.table, g.event.source.lsn.get)).toSet == tx.events.toSet) :| s"${tx.txId} content") &&
-        (Prop(!states.contains(tx.txId)) :| s"${tx.txId} state not freed")
+        // state freed on release; a POST-release redelivery may leave an
+        // inert expected-less stub (timeout policy's job), never live state
+        (Prop(states.get(tx.txId).forall(_.expected.isEmpty)) :| s"${tx.txId} live state not freed")
       }
       props.reduce(_ && _)
     }
