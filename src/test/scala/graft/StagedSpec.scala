@@ -34,6 +34,27 @@ class StagedSpec extends AnyFunSuite {
     foreign.unpersist(true)
   }
 
+  test("nested builds record SELF time: a parent is not charged its child") {
+    // child sleeps ~400ms inside its build; parent builds FROM the staged
+    // child and adds ~50ms of its own work. With inclusive accounting the
+    // parent would record >= the child's 400ms; self-time accounting must
+    // charge the sleep to the child alone. Generous margins — this asserts
+    // attribution structure, not precise timing.
+    val parent = Staged(spark, "spec:nest-parent")({
+      val child = Staged(spark, "spec:nest-child")({
+        Thread.sleep(400); spark.range(10).toDF("c")
+      })
+      Thread.sleep(50)
+      child.select(org.apache.spark.sql.functions.col("c"))
+    })
+    assert(parent.count() === 10)
+    val t = Staged.timings
+    assert(t("spec:nest-child") >= 0.4)
+    assert(t("spec:nest-parent") < 0.35, // far below the child's sleep
+      s"parent charged inclusive time: ${t("spec:nest-parent")}")
+    Staged.clear(spark)
+  }
+
   test("cleared key rebuilds on next apply") {
     var builds = 0
     def build = { builds += 1; spark.range(3).toDF("z") }
