@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Staged, Tables}
 
@@ -173,6 +174,72 @@ object Text {
       |  THEN md5(string_agg(seg, ' ' ORDER BY idx) FILTER (WHERE seg_df <= 2))
       |  ELSE NULL END AS clean_fp
       |FROM m GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------- X1c duplicate spans
+  /** Exact duplicate-SPAN detection — the substring-granular third member
+    * of the dedup family (x1 = whole document, x1b = fixed segment, x1c =
+    * any run of tokens): every `n`-token gram whose exact content occurs
+    * more than once ANYWHERE in the corpus (other documents or elsewhere
+    * in the same one — both are verbatim repetition a model would
+    * memorize) marks its token positions as duplicated, and maximal runs
+    * of marked positions merge into spans (classic gaps-and-islands on
+    * the position index). Emits (doc_id, span_start, span_end,
+    * span_tokens); removal is a trivial anti-join of the token stream
+    * against the span table, the same apply shape as x7f/x1b.
+    *
+    * This is the n-gram formulation of exact substring dedup (suffix-array
+    * engines find the same spans with global structures; the gram
+    * formulation gives the same ≥n-token guarantee from embarrassingly
+    * parallel pieces, which is why corpus pipelines at crawl scale use
+    * it). Scale: gram emission is explode-parallel per row; the
+    * occurrence count is a map-side-combined groupBy on fixed 32-char md5
+    * keys; the join back is a keyed shuffle (aggregate-before-join — the
+    * count table, not the corpus, flows to the probe); coverage dedup
+    * shards by (doc_id, position); the island window partitions by doc_id
+    * so per-task state is bounded by document length. No step broadcasts
+    * or concentrates the corpus.
+    */
+  def duplicateSpans(docs: DataFrame, n: Int = 5): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    val grams = toks.filter(size(col("t")) >= n)
+      .select(col("doc_id"), col("t"),
+        explode(expr(s"sequence(0, size(t) - $n)")).as("pos"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        md5(array_join(slice(col("t"), col("pos") + 1, lit(n)), " ")
+          .cast("binary")).as("h"))
+    val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select(col("h"))
+    val covered = grams.join(dup, "h")
+      .select(col("doc_id"),
+        explode(expr(s"sequence(pos, pos + ${n - 1})")).as("tpos"))
+      .distinct()
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tpos"))
+    covered.withColumn("grp", col("tpos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("tpos")).as("span_start"), max(col("tpos")).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
+  val x1cSpanDedup: Q = (spark, dir) =>
+    duplicateSpans(Tables.documents(spark, dir))
+      .orderBy(col("doc_id"), col("span_start"))
+  val x1cSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |g0 AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+      |       FROM tok WHERE len(t) >= 5),
+      |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+      |        md5(array_to_string(t[i:i+4], ' ')) AS h FROM g0),
+      |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+      |c0 AS (SELECT doc_id, unnest(generate_series(pos, pos + 4)) AS tp
+      |       FROM g JOIN dup USING (h)),
+      |cov AS (SELECT DISTINCT doc_id, tp AS tpos FROM c0),
+      |isl AS (SELECT doc_id, tpos,
+      |         tpos - row_number() OVER (PARTITION BY doc_id ORDER BY tpos) AS grp
+      |        FROM cov)
+      |SELECT doc_id, min(tpos) AS span_start, max(tpos) AS span_end,
+      |       max(tpos) - min(tpos) + 1 AS span_tokens
+      |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin
 
   // ------------------------------------------------------- X4j chunking
   /** Context-window chunking: overlapping `window`-token chunks every
@@ -900,6 +967,7 @@ object Text {
     "x4f_tfidf" -> x4fTfIdf,
     "x1_dedup_exact" -> x1DedupExact,
     "x1b_line_dedup" -> x1bLineDedup,
+    "x1c_span_dedup" -> x1cSpanDedup,
     "x4j_chunks" -> x4jChunks,
     "x2_minhash_lsh" -> x2MinhashLsh,
     "x2b_simhash" -> x2bSimhash,
@@ -923,6 +991,7 @@ object Text {
     "x4f_tfidf" -> x4fSql,
     "x1_dedup_exact" -> x1Sql,
     "x1b_line_dedup" -> x1bSql,
+    "x1c_span_dedup" -> x1cSql,
     "x4j_chunks" -> x4jSql,
     "x2_minhash_lsh" -> x2Sql,
     "x2b_simhash" -> x2bSql,

@@ -17,6 +17,23 @@ class TextVectorsSpec extends AnyFunSuite {
     assert(kept.toSeq === Seq(1L, 2L))
   }
 
+  test("duplicate spans: cross-doc and within-doc runs merge into maximal spans") {
+    val docs = Seq(
+      (1L, "p q r s t u"),         // shares "p q r s t" with doc 2
+      (2L, "z p q r s t"),
+      (3L, "a b c d e a b c d e"), // self-repetition: adjacent runs merge
+      (4L, "k l m n o w v"),       // all grams unique -> no spans
+      (5L, "x y"))                 // shorter than n -> no grams, no crash
+      .toDF("doc_id", "text")
+    val spans = Text.duplicateSpans(docs)
+      .orderBy("doc_id", "span_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.toSeq === Seq(
+      (1L, 0L, 4L, 5L),   // gram at pos 0 covers tokens 0..4
+      (2L, 1L, 5L, 5L),   // same content one position over
+      (3L, 0L, 9L, 10L))) // two occurrences 0..4 and 5..9 fuse into one span
+  }
+
   test("cosine top-k: identical vector ranks first, orthogonal last") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
