@@ -960,9 +960,86 @@ object Text {
       | LEFT JOIN hits ON d.doc_id = hits.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------- X7h DSIR importance selection
+  /** Importance-resampling data selection (the DSIR shape: fit target and
+    * pool bag-of-bigram multinomials with add-1 smoothing, score each pool
+    * document by its importance log-weight Σ_f c_f·(ln p_f − ln q_f), keep
+    * documents that look more target-like than pool-like). The target
+    * exemplar split is the doc_id < `targetMax` slice (same convention as
+    * x7e's benchmark split); in production it is the curated domain sample
+    * the corpus should be steered toward.
+    *
+    * Exactness discipline: the per-feature delta is quantized to
+    * micro-nat BIGINTs at the feature row (one deterministic expression
+    * over exact integer counts — the x7b fixed-point pattern), so the
+    * per-document fold is an exact integer sum with no cross-engine or
+    * partition-order float drift; `selected` is an exact integer sign
+    * test.
+    *
+    * Scale (x7d's discipline): ONE repartition of the occurrence stream by
+    * doc_id collapses it to per-(doc, bigram) multiplicities; both
+    * per-split frequency tables derive from it by map-side-combined sums,
+    * so the probe side never re-shuffles; the delta table is one bounded
+    * row per distinct bigram (joined by key — degrades gracefully from
+    * broadcast to keyed shuffle as vocabulary grows); the three corpus
+    * scalars (feature masses + vocabulary size) are a 1-row broadcast.
+    */
+  def dsirSelect(docs: DataFrame, targetMax: Long = 50L): DataFrame = {
+    val perDoc = bigrams(docs)
+      .repartition(col("doc_id"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+    val ct = perDoc.filter(col("doc_id") < targetMax)
+      .groupBy(col("bg")).agg(sum(col("c")).as("ct"))
+    val cs = perDoc.filter(col("doc_id") >= targetMax)
+      .groupBy(col("bg")).agg(sum(col("c")).as("cs"))
+    val f = ct.join(cs, Seq("bg"), "full")
+      .select(col("bg"), coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cs"), lit(0L)).as("cs"))
+    val scalars = f.agg(sum(col("ct")).as("nt"), sum(col("cs")).as("ns"),
+      count(lit(1)).as("v"))
+    val dq = f.crossJoin(broadcast(scalars))
+      .select(col("bg"), round(lit(1e6) *
+          (log(col("ct") + 1) - log(col("nt") + col("v"))
+            - log(col("cs") + 1) + log(col("ns") + col("v"))))
+        .cast("long").as("dqf"))
+    perDoc.filter(col("doc_id") >= targetMax).join(dq, "bg")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_feats"),
+        sum(col("c") * col("dqf")).as("logw_micro"))
+      .select(col("doc_id"), col("n_feats"), col("logw_micro"),
+        (col("logw_micro") > 0).as("selected"))
+  }
+
+  val x7hDsirSelect: Q = (spark, dir) =>
+    dsirSelect(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+  val x7hSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |bg AS (SELECT doc_id, unnest(
+      |  CASE WHEN len(t) >= 2
+      |   THEN list_transform(generate_series(1, len(t)-1),
+      |          i -> md5(t[i] || ' ' || t[i+1]))
+      |   ELSE [] END) AS bg
+      | FROM tok),
+      |pd AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2),
+      |ct AS (SELECT bg, sum(c) AS ct FROM pd WHERE doc_id < 50 GROUP BY 1),
+      |cs AS (SELECT bg, sum(c) AS cs FROM pd WHERE doc_id >= 50 GROUP BY 1),
+      |f AS (SELECT coalesce(ct.bg, cs.bg) AS bg, coalesce(ct, 0) AS ct,
+      |        coalesce(cs, 0) AS cs
+      |      FROM ct FULL JOIN cs ON ct.bg = cs.bg),
+      |sc AS (SELECT sum(ct) AS nt, sum(cs) AS ns, count(*) AS v FROM f),
+      |dq AS (SELECT bg, CAST(round(1e6 * (ln(ct + 1) - ln(nt + v)
+      |         - ln(cs + 1) + ln(ns + v))) AS BIGINT) AS dqf
+      |       FROM f, sc)
+      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+      | CAST(sum(c * dqf) AS BIGINT) AS logw_micro,
+      | sum(c * dqf) > 0 AS selected
+      |FROM pd JOIN dq USING (bg) WHERE doc_id >= 50
+      |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "x7d_bigram_familiarity" -> x7dBigramFamiliarity,
     "x7e_decontamination" -> x7eDecontamination,
+    "x7h_dsir_select" -> x7hDsirSelect,
     "x4e_term_freq" -> x4eTermFreq,
     "x4f_tfidf" -> x4fTfIdf,
     "x1_dedup_exact" -> x1DedupExact,
@@ -987,6 +1064,7 @@ object Text {
     "x4h_novelty_growth" -> x4hSql,
     "x7d_bigram_familiarity" -> x7dSql,
     "x7e_decontamination" -> x7eSql,
+    "x7h_dsir_select" -> x7hSql,
     "x4e_term_freq" -> x4eSql,
     "x4f_tfidf" -> x4fSql,
     "x1_dedup_exact" -> x1Sql,

@@ -34,6 +34,32 @@ class TextVectorsSpec extends AnyFunSuite {
       (3L, 0L, 9L, 10L))) // two occurrences 0..4 and 5..9 fuse into one span
   }
 
+  test("DSIR selection: target-like pool docs selected, partition-order invariant") {
+    // target split (id < 2): bigrams of "a b" dominate; pool doc 2 repeats
+    // them (target-like), pool doc 3 shares nothing (pool-like)
+    val docs = Seq(
+      (0L, "a b a b a b"),
+      (1L, "a b c d"),
+      (2L, "a b a b"),
+      (3L, "x y z x y"))
+      .toDF("doc_id", "text")
+    val r = Text.dsirSelect(docs, targetMax = 2L)
+      .orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getBoolean(3)))
+    assert(r.map(_._1).toSeq === Seq(2L, 3L))
+    val sel = Text.dsirSelect(docs, targetMax = 2L)
+      .filter(col("selected")).select("doc_id").as[Long].collect().toSeq
+    assert(sel === Seq(2L))
+    // fixed-point quantization => the score is an exact integer sum,
+    // identical under any physical partitioning of the input
+    val a = Text.dsirSelect(docs, 2L).select("doc_id", "logw_micro").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    val b = Text.dsirSelect(docs.repartition(7), 2L)
+      .select("doc_id", "logw_micro").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(a === b)
+  }
+
   test("cosine top-k: identical vector ranks first, orthogonal last") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
