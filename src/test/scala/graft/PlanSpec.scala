@@ -56,6 +56,18 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("x7h's shared per-(doc,bigram) pre-agg executes once (runtime ReusedExchange)") {
+    // The static plan shows the perDoc subtree three times (target counts,
+    // pool counts, final probe); the single repartition(doc_id) makes the
+    // subtrees identical, so AQE must collapse them. Only the finalized
+    // post-execution plan shows this — run, then inspect.
+    val df = SparkEntry.queries("x7h_dsir_select")(spark, TestSpark.sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("range join keeps the user_id equi-key (sort-merge, not cartesian)") {
     val p = plan("q6_range_join")
     assert(!p.contains("CartesianProduct"), p)
