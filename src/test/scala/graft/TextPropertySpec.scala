@@ -53,6 +53,41 @@ object TextPropertySpec extends Properties("TextOps") {
       Prop(got == want) :| s"got=$got want=$want (width=$width maxDocs=$maxDocs)"
     }
 
+  /** Sequential reference for [[Text.duplicateSpans]]: count every n-gram
+    * globally (with multiplicity), mark covered token positions, merge
+    * consecutive runs.
+    */
+  def spansRef(texts: List[String], n: Int): Set[(Long, Long, Long, Long)] = {
+    val toks = texts.map(_.split(" ").toList)
+    val gramCount = toks.flatMap(t =>
+      (0 to t.size - n).map(i => t.slice(i, i + n).mkString(" ")))
+      .groupBy(identity).map { case (g, xs) => g -> xs.size }
+    toks.zipWithIndex.flatMap { case (t, id) =>
+      val covered = (for {
+        i <- 0 to t.size - n
+        if gramCount(t.slice(i, i + n).mkString(" ")) >= 2
+        p <- i until i + n
+      } yield p).toSet.toList.sorted
+      covered.foldLeft(List.empty[(Int, Int)]) {
+        case ((s, e) :: rest, p) if p == e + 1 => (s, p) :: rest
+        case (acc, p) => (p, p) :: acc
+      }.map { case (s, e) =>
+        (id.toLong, s.toLong, e.toLong, (e - s + 1).toLong) }
+    }.toSet
+  }
+
+  property("duplicate spans == sequential reference on random corpora") =
+    forAll(genCorpus, Gen.choose(2, 3)) { (texts, n) =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex
+        .map { case (t, id) => (id.toLong, t) }.toDF("doc_id", "text")
+      val got = Text.duplicateSpans(docs, n).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val want = spansRef(texts, n)
+      Prop(got == want) :| s"got=$got want=$want (n=$n)"
+    }
+
   val stages = Seq("s1", "s2", "s3")
   val genEvents: Gen[List[(Long, String, Long)]] = Gen.choose(0, 30).flatMap(n =>
     Gen.listOfN(n, Gen.zip(
