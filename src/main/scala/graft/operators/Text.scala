@@ -209,7 +209,23 @@ object Text {
           .cast("binary")).as("h"))
     val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2).select(col("h"))
-    val covered = grams.join(dup, "h")
+    // Join discipline: the occurrence count is map-side combined (only
+    // per-partition partials shuffle), and the join back is PINNED to a
+    // shuffled hash join building on `dup` — one bounded row per key,
+    // the aggregate-before-join shape AQE skew-splitting handles.
+    // Without the pin, Catalyst's post-explode size estimate collapses
+    // and it broadcasts the corpus-proportional gram stream itself
+    // (observed at sf0.1: a 1M-row BroadcastExchange) — the inversion
+    // that dies at scale. AQE may still flip the build side to a
+    // broadcast of `dup` when its runtime stats are tiny — the correct
+    // direction at any size.
+    // Downstream, the dup-gram hits (a small fraction of the corpus)
+    // cluster by doc_id once: the coverage dedup groups on
+    // (doc_id, tpos) ⊇ doc_id, the island window and the span fold
+    // partition by doc_id — all exchange-free after that one shuffle.
+    val covered = grams.join(dup.hint("shuffle_hash"), "h")
+      .select(col("doc_id"), col("pos"))
+      .repartition(col("doc_id"))
       .select(col("doc_id"),
         explode(expr(s"sequence(pos, pos + ${n - 1})")).as("tpos"))
       .distinct()
