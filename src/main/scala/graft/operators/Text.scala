@@ -1018,7 +1018,12 @@ object Text {
           (log(col("ct") + 1) - log(col("nt") + col("v"))
             - log(col("cs") + 1) + log(col("ns") + col("v"))))
         .cast("long").as("dqf"))
-    perDoc.filter(col("doc_id") >= targetMax).join(dq, "bg")
+    // Pinned like x1c's join-back: without the hint, Catalyst's collapsed
+    // post-explode estimate broadcasts the corpus-proportional
+    // per-(doc,bigram) POOL side (observed at sf0.1); shuffle_hash on dq
+    // builds on the one-bounded-row-per-key delta table instead, and AQE
+    // may still flip to broadcasting dq while it is genuinely small.
+    perDoc.filter(col("doc_id") >= targetMax).join(dq.hint("shuffle_hash"), "bg")
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_feats"),
         sum(col("c") * col("dqf")).as("logw_micro"))
