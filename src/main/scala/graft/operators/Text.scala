@@ -143,7 +143,11 @@ object Text {
     val seg = segments(docs, width).withColumn("h", md5(col("seg").cast("binary")))
     val dfreq = seg.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("seg_df"))
-    val marked = seg.join(dfreq, "h")
+    // Pinned like x1c/x7h: Catalyst's post-explode estimate collapse
+    // otherwise broadcasts the corpus-proportional raw segment stream
+    // (observed at sf0.1); shuffle_hash on dfreq builds on the
+    // one-bounded-row-per-key frequency table instead.
+    val marked = seg.join(dfreq.hint("shuffle_hash"), "h")
       .withColumn("keep", col("seg_df") <= maxDocs)
     marked.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_segs"),
