@@ -241,10 +241,17 @@ object Text {
         (col("span_end") - col("span_start") + 1).as("span_tokens"))
   }
 
+  /** Span table staged once per (session, sfDir): x1c reads it ordered,
+    * x1d's removal probes it — the producer-once/consumers-fan-out shape
+    * the other staged intermediates (shingles, jaccard_pairs) use.
+    */
+  def stagedSpans(spark: SparkSession, dir: String): DataFrame =
+    Staged(spark, s"dup_spans:5:$dir")(
+      duplicateSpans(Tables.documents(spark, dir)))
+
   val x1cSpanDedup: Q = (spark, dir) =>
-    duplicateSpans(Tables.documents(spark, dir))
-      .orderBy(col("doc_id"), col("span_start"))
-  val x1cSql: String =
+    stagedSpans(spark, dir).orderBy(col("doc_id"), col("span_start"))
+  private val spansCte: String =
     """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |g0 AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
       |       FROM tok WHERE len(t) >= 5),
@@ -256,10 +263,70 @@ object Text {
       |cov AS (SELECT DISTINCT doc_id, tp AS tpos FROM c0),
       |isl AS (SELECT doc_id, tpos,
       |         tpos - row_number() OVER (PARTITION BY doc_id ORDER BY tpos) AS grp
-      |        FROM cov)
-      |SELECT doc_id, min(tpos) AS span_start, max(tpos) AS span_end,
-      |       max(tpos) - min(tpos) + 1 AS span_tokens
-      |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin
+      |        FROM cov),
+      |sp AS (SELECT doc_id, min(tpos) AS s, max(tpos) AS e
+      |       FROM isl GROUP BY doc_id, grp)""".stripMargin
+
+  val x1cSql: String = spansCte + """
+      |SELECT doc_id, s AS span_start, e AS span_end,
+      |       e - s + 1 AS span_tokens
+      |FROM sp ORDER BY doc_id, span_start""".stripMargin
+
+  // ------------------------------------------------ X1d span-dedup apply
+  /** Removal twin of [[duplicateSpans]]: strike every covered token,
+    * reassemble survivors in order, and emit the kept-token count, the
+    * duplicated-token count, and the md5 fingerprint of the cleaned text
+    * (null for a fully-duplicated document) — the same contract as x1b's
+    * reassembly, so the whole substring-dedup pipeline is value-exact
+    * cross-engine, not just the span table.
+    *
+    * Scale: the span table aggregates to one bounded array per document
+    * (array length ≤ doc length / n), joins the token stream keyed by
+    * doc_id, and the containment test is a per-row `exists` over that
+    * bounded array — no range join, no broadcast of anything
+    * corpus-proportional; reassembly groups by doc_id exactly like x1b.
+    */
+  def spanDedupApply(docs: DataFrame, spans: DataFrame): DataFrame = {
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("sp"),
+        sum(col("span_tokens")).as("n_dup"))
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val kept = toks.join(perDoc.select(col("doc_id"), col("sp")), Seq("doc_id"), "left")
+      .filter(col("sp").isNull ||
+        !expr("exists(sp, s -> pos >= s.span_start AND pos <= s.span_end)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").cast("binary")).as("clean_fp"))
+    docs.select(col("doc_id"))
+      .join(perDoc.select(col("doc_id"), col("n_dup")), Seq("doc_id"), "left")
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        col("clean_fp"))
+  }
+
+  val x1dSpanApply: Q = (spark, dir) =>
+    spanDedupApply(Tables.documents(spark, dir), stagedSpans(spark, dir))
+      .orderBy(col("doc_id"))
+  val x1dSql: String = spansCte + """,
+      |spd AS (SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS n_dup
+      |        FROM sp GROUP BY 1),
+      |e2 AS (SELECT doc_id, unnest(generate_series(1, len(t))) AS i, t FROM tok),
+      |tk AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS tokn FROM e2),
+      |kept AS (SELECT tk.doc_id, pos, tokn FROM tk WHERE NOT EXISTS (
+      |  SELECT 1 FROM sp WHERE sp.doc_id = tk.doc_id AND tk.pos BETWEEN sp.s AND sp.e)),
+      |ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |       md5(string_agg(tokn, ' ' ORDER BY pos)) AS clean_fp
+      |       FROM kept GROUP BY 1)
+      |SELECT d.doc_id, coalesce(n_kept, 0) AS n_kept,
+      |  coalesce(n_dup, 0) AS n_dup, clean_fp
+      |FROM (SELECT doc_id FROM documents) d
+      |LEFT JOIN spd USING (doc_id) LEFT JOIN ka USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
 
   // ------------------------------------------------------- X4j chunking
   /** Context-window chunking: overlapping `window`-token chunks every
@@ -1070,6 +1137,7 @@ object Text {
     "x1_dedup_exact" -> x1DedupExact,
     "x1b_line_dedup" -> x1bLineDedup,
     "x1c_span_dedup" -> x1cSpanDedup,
+    "x1d_span_apply" -> x1dSpanApply,
     "x4j_chunks" -> x4jChunks,
     "x2_minhash_lsh" -> x2MinhashLsh,
     "x2b_simhash" -> x2bSimhash,
@@ -1095,6 +1163,7 @@ object Text {
     "x1_dedup_exact" -> x1Sql,
     "x1b_line_dedup" -> x1bSql,
     "x1c_span_dedup" -> x1cSql,
+    "x1d_span_apply" -> x1dSql,
     "x4j_chunks" -> x4jSql,
     "x2_minhash_lsh" -> x2Sql,
     "x2b_simhash" -> x2bSql,

@@ -34,6 +34,25 @@ class TextVectorsSpec extends AnyFunSuite {
       (3L, 0L, 9L, 10L))) // two occurrences 0..4 and 5..9 fuse into one span
   }
 
+  test("span-dedup apply strikes covered tokens, keeps order, nulls fully-dup docs") {
+    val docs = Seq(
+      (1L, "p q r s t u"),         // span [0,4] -> keeps only "u"
+      (2L, "z p q r s t"),         // span [1,5] -> keeps only "z"
+      (3L, "a b c d e a b c d e"), // fully covered -> nothing kept
+      (4L, "k l m n o w v"))       // untouched
+      .toDF("doc_id", "text")
+    val r = Text.spanDedupApply(docs, Text.duplicateSpans(docs))
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), Option(x.getString(3))))
+    def fp(s: String) = Some(java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    assert(r.toSeq === Seq(
+      (1L, 1L, 5L, fp("u")),
+      (2L, 1L, 5L, fp("z")),
+      (3L, 0L, 10L, None),
+      (4L, 7L, 0L, fp("k l m n o w v"))))
+  }
+
   test("DSIR selection: target-like pool docs selected, partition-order invariant") {
     // target split (id < 2): bigrams of "a b" dominate; pool doc 2 repeats
     // them (target-like), pool doc 3 shares nothing (pool-like)
