@@ -88,6 +88,75 @@ object TextPropertySpec extends Properties("TextOps") {
       Prop(got == want) :| s"got=$got want=$want (n=$n)"
     }
 
+  /** Sequential reference for [[Text.spanDedupApply]] built on
+    * [[spansRef]]: strike covered positions, reassemble in order.
+    */
+  def applyRef(texts: List[String], n: Int): Map[Long, (Long, Long, Option[String])] = {
+    val byDoc = spansRef(texts, n).groupBy(_._1)
+    texts.zipWithIndex.map { case (t, id) =>
+      val toks = t.split(" ").toVector
+      val covered = byDoc.getOrElse(id.toLong, Set.empty)
+        .flatMap { case (_, s, e, _) => s to e }
+      val kept = toks.indices.filterNot(p => covered(p.toLong)).map(toks)
+      id.toLong -> ((kept.size.toLong, covered.size.toLong,
+        if (kept.isEmpty) None else Some(md5hex(kept.mkString(" ")))))
+    }.toMap
+  }
+
+  property("span-dedup apply == sequential reference on random corpora") =
+    forAll(genCorpus, Gen.choose(2, 3)) { (texts, n) =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex
+        .map { case (t, id) => (id.toLong, t) }.toDF("doc_id", "text")
+      val got = Text.spanDedupApply(docs, Text.duplicateSpans(docs, n)).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), Option(r.getString(3))))).toMap
+      val want = applyRef(texts, n)
+      Prop(got == want) :| s"got=$got want=$want (n=$n)"
+    }
+
+  /** Sequential reference for [[Text.dsirSelect]], mirroring the
+    * fixed-point quantization exactly (BigDecimal HALF_UP = Spark round).
+    */
+  def dsirRef(texts: List[String], targetMax: Long): Map[Long, (Long, Long, Boolean)] = {
+    def bgs(t: String): List[String] = {
+      val w = t.split(" ").toList
+      if (w.size < 2) Nil else w.zip(w.tail).map { case (a, b) => s"$a $b" }
+    }
+    val perDoc = texts.zipWithIndex.map { case (t, id) =>
+      id.toLong -> bgs(t).groupBy(identity).map { case (g, xs) => g -> xs.size.toLong }
+    }.toMap
+    def side(p: Long => Boolean): Map[String, Long] =
+      perDoc.filter(kv => p(kv._1)).values
+        .flatten.groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).sum }
+    val ct = side(_ < targetMax); val cs = side(_ >= targetMax)
+    val vocab = ct.keySet ++ cs.keySet
+    val (nt, ns, v) = (ct.values.sum, cs.values.sum, vocab.size.toLong)
+    def q(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val dqf = vocab.map { g =>
+      g -> q(1e6 * (math.log(ct.getOrElse(g, 0L) + 1d) - math.log(nt + v.toDouble)
+        - math.log(cs.getOrElse(g, 0L) + 1d) + math.log(ns + v.toDouble)))
+    }.toMap
+    perDoc.collect { case (id, fs) if id >= targetMax && fs.nonEmpty =>
+      val nFeats = fs.values.sum
+      val logw = fs.map { case (g, c) => c * dqf(g) }.sum
+      id -> ((nFeats, logw, logw > 0))
+    }
+  }
+
+  property("DSIR selection == exact integer reference on random corpora") =
+    forAll(genCorpus, Gen.choose(1, 5)) { (texts, cut) =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex
+        .map { case (t, id) => (id.toLong, t) }.toDF("doc_id", "text")
+      val got = Text.dsirSelect(docs, cut.toLong).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+      val want = dsirRef(texts, cut.toLong)
+      Prop(got == want) :| s"got=$got want=$want (cut=$cut)"
+    }
+
   val stages = Seq("s1", "s2", "s3")
   val genEvents: Gen[List[(Long, String, Long)]] = Gen.choose(0, 30).flatMap(n =>
     Gen.listOfN(n, Gen.zip(
