@@ -68,6 +68,39 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("no corpus-proportional broadcast: pinned joins never broadcast an explode stream") {
+    // Regression guard for the r6 estimate-collapse audit (PLANS.md):
+    // Catalyst's post-explode size estimates collapse, and without the
+    // shuffle_hash pins it broadcast the raw gram/segment/pool streams.
+    // Executed-plan check: no BroadcastExchange subtree may contain a
+    // Generate (explode) that is NOT below an aggregate — aggregated
+    // build sides (vocab, tf slice, per-doc arrays) remain legitimate.
+    for (name <- Seq("x1b_line_dedup", "x1c_span_dedup", "x1d_span_apply",
+        "x7h_dsir_select")) {
+      val df = SparkEntry.queries(name)(spark, TestSpark.sf)
+      df.collect()
+      val all = df.queryExecution.executedPlan.toString.linesIterator.toVector
+      val cut = all.indexWhere(_.contains("Initial Plan"))
+      val lines = if (cut > 0) all.take(cut) else all
+      lines.zipWithIndex.filter(_._1.contains("BroadcastExchange")).foreach {
+        case (l, i) =>
+          val base = l.indexOf("BroadcastExchange")
+          var j = i + 1
+          var aggSeen = false
+          while (j < lines.size && {
+            val pos = lines(j).indexWhere(_.isLetter); pos > base || pos < 0
+          }) {
+            val line = lines(j)
+            if (line.contains("HashAggregate") || line.contains("ObjectHashAggregate"))
+              aggSeen = true
+            assert(!(line.contains("Generate ") && !aggSeen),
+              s"$name broadcasts a raw explode stream:\n${lines.slice(i, j + 1).mkString("\n")}")
+            j += 1
+          }
+      }
+    }
+  }
+
   test("range join keeps the user_id equi-key (sort-merge, not cartesian)") {
     val p = plan("q6_range_join")
     assert(!p.contains("CartesianProduct"), p)
