@@ -886,6 +886,57 @@ object Text {
       |FROM tok JOIN ids USING (token)
       |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------- X4l sketch heavy hitters
+  /** Heavy hitters via the mergeable Misra–Gries summary
+    * ([[graft.functions.MisraGries]]): one pass, ≤ k-1 counters per
+    * partition buffer — frequent tokens WITHOUT shuffling the
+    * distinct-token table (at crawl scale the vocabulary itself is
+    * billions of rows; x4e's exact counting shuffles it, the sketch ships
+    * k counters per partition). The ≤ k-1-entry summary is collected to
+    * the driver — bounded by construction, the same class as the IVF
+    * sample-fit collect.
+    *
+    * Verified as a cross-engine contract (the q9c pattern): for every
+    * token whose TRUE count exceeds N/k (exact integer cross-multiply),
+    * the sketch must contain it (`captured`) with undercount at most N/k
+    * (`err_bounded`) — the MG theorem, which holds for ANY partitioning,
+    * so the booleans are deterministic even though the raw estimates are
+    * not (they stay out of the compared output).
+    */
+  def heavyHitters(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(explode(split(col("text"), " ")).as("token"))
+    val sketch: Map[String, Long] =
+      toks.as[String].select(graft.functions.MisraGries.mg(k).toColumn).head()
+    val sk = sketch.toSeq.toDF("token", "est")
+    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("n"))
+    counts.crossJoin(broadcast(total))
+      .filter(col("cnt") * k > col("n")) // true heavy hitters, integer-exact
+      .join(broadcast(sk), Seq("token"), "left")
+      .select(col("token"), col("cnt"),
+        col("est").isNotNull.as("captured"),
+        (col("est").isNotNull &&
+          (col("cnt") - coalesce(col("est"), lit(0L))) * k <= col("n"))
+          .as("err_bounded"))
+  }
+
+  /** k=30 against the fixtures' ~31-token near-uniform vocabulary: some
+    * tokens clear the N/30 bar (non-vacuous output, 14-16 rows at every
+    * SF) while 31 distinct > 29 counters forces the eviction path. */
+  val x4lHeavyHitters: Q = (spark, dir) =>
+    heavyHitters(Tables.documents(spark, dir), k = 30)
+      .orderBy(col("cnt").desc, col("token"))
+  val x4lSql: String =
+    """WITH c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+      | FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      | GROUP BY 1),
+      |tot AS (SELECT sum(cnt) AS n FROM c)
+      |SELECT token, cnt, TRUE AS captured, TRUE AS err_bounded
+      |FROM c, tot WHERE cnt * 30 > n
+      |ORDER BY cnt DESC, token""".stripMargin
+
   // ------------------------------------------------------ X4 term frequency
   /** Corpus term frequency with language filter: tokenize → explode →
     * count, the canonical shuffle-with-partial-agg text op. Deterministic
@@ -1150,7 +1201,8 @@ object Text {
     "x4g_domains" -> x4gDomains,
     "x4h_novelty_growth" -> x4hNoveltyGrowth,
     "x4i_vocab_ids" -> x4iVocabIds,
-    "x4k_encode_ids" -> x4kEncodeIds)
+    "x4k_encode_ids" -> x4kEncodeIds,
+    "x4l_heavy_hitters" -> x4lHeavyHitters)
 
   val oracle: Map[String, String] = Map(
     "x4g_domains" -> x4gSql,
@@ -1174,5 +1226,6 @@ object Text {
     "x4c_token_count" -> x4cSql,
     "x4d_fingerprint" -> x4dSql,
     "x4i_vocab_ids" -> x4iSql,
-    "x4k_encode_ids" -> x4kSql)
+    "x4k_encode_ids" -> x4kSql,
+    "x4l_heavy_hitters" -> x4lSql)
 }

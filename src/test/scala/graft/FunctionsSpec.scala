@@ -69,6 +69,45 @@ class FunctionsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall $recall")
   }
 
+  test("Misra-Gries bound holds for random streams under random partitioning and merge order") {
+    val rnd = new scala.util.Random(42)
+    val agg = graft.functions.MisraGries.mg(8)
+    for (trial <- 1 to 40) {
+      // zipf-ish stream: token id ~ floor(vocab * u^2) skews low ids hot
+      val vocab = 1 + rnd.nextInt(30)
+      val stream = Seq.fill(50 + rnd.nextInt(500)) {
+        val u = rnd.nextDouble(); s"t${(vocab * u * u).toInt}"
+      }
+      val truth = stream.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      val n = stream.size.toLong
+      // random partitioning, per-partition reduce, random-order pairwise merge
+      val parts = stream.groupBy(_ => rnd.nextInt(1 + rnd.nextInt(6))).values.toSeq
+      var bufs = rnd.shuffle(parts.map(_.foldLeft(agg.zero)(agg.reduce)))
+      while (bufs.size > 1)
+        bufs = rnd.shuffle(agg.merge(bufs(0), bufs(1)) +: bufs.drop(2))
+      val sketch = agg.finish(bufs.head)
+      assert(sketch.size <= 7, s"trial $trial: ${sketch.size} counters")
+      sketch.foreach { case (t, est) =>
+        val cnt = truth(t)
+        assert(est <= cnt, s"trial $trial: $t overcounted $est > $cnt")
+        assert((cnt - est) * 8 <= n, s"trial $trial: $t undercount ${cnt - est} > N/k")
+      }
+      truth.foreach { case (t, cnt) =>
+        if (cnt * 8 > n)
+          assert(sketch.contains(t), s"trial $trial: heavy $t ($cnt of $n) missing")
+      }
+    }
+  }
+
+  test("x4l heavy hitters: every true heavy token captured within the N/k bound") {
+    val rows = operators.Text.x4lHeavyHitters(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(2), s"${r.getString(0)} not captured")
+      assert(r.getBoolean(3), s"${r.getString(0)} undercount exceeds N/k")
+    }
+  }
+
   test("S3 JSON-lines changelog source roundtrips the envelope") {
     val dir = java.nio.file.Files.createTempDirectory("chg").toString
     val chg = operators.Cdc.changelog(spark, TestSpark.sf).limit(50)
