@@ -937,6 +937,61 @@ object Text {
       |FROM c, tot WHERE cnt * 30 > n
       |ORDER BY cnt DESC, token""".stripMargin
 
+  // ------------------------------------------- X4m count-min frequency oracle
+  /** Point-frequency oracle via Spark's built-in mergeable Count–Min
+    * sketch aggregate (`count_min_sketch`, codegen'd): a fixed
+    * ~depth×width counter grid (~10 KB here) answers "how often does
+    * token t occur" for ANY t without storing the vocabulary — the
+    * overcount-bounded complement to x4l's undercount-bounded
+    * Misra–Gries (CMS: est ≥ true, est ≤ true + ε·N w.h.p.; MG:
+    * est ≤ true, true − est ≤ N/k). Mergeability is counter-grid
+    * addition, so one pass + map-side partials; the collected sketch is
+    * bounded by construction (the IVF sample-fit class).
+    *
+    * Verified as a cross-engine contract (the q9c/x4l pattern): for
+    * every distinct token, `no_undercount` (CMS can only overcount —
+    * any serialization/merge bug shows up here) and `overcount_bounded`
+    * (est − true ≤ ε·N). ε=0.1 makes the grid width (⌈e/ε⌉ = 28)
+    * smaller than the 31-token vocabulary, so collisions actually
+    * occur and the bound is exercised, not vacuous. Booleans are
+    * deterministic: the seed is fixed and CMS estimates are
+    * partition-invariant (counter addition commutes). The per-token
+    * estimate probe is a udf over the POST-aggregation distinct-token
+    * side (31 rows), never the token stream.
+    */
+  def cmsFrequencyBound(docs: DataFrame, eps: Double, confidence: Double,
+      seed: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val toks = docs.select(explode(split(col("text"), " ")).as("token"))
+    val bytes = toks
+      .agg(count_min_sketch(col("token"), lit(eps), lit(confidence),
+        lit(seed)).as("s"))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+    val bcms = spark.sparkContext.broadcast(cms)
+    val est = udf((t: String) => bcms.value.estimateCount(t))
+    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("n"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("est", est(col("token")))
+      .select(col("token"), col("cnt"),
+        (col("est") >= col("cnt")).as("no_undercount"),
+        ((col("est") - col("cnt")) <= lit(eps) * col("n"))
+          .as("overcount_bounded"))
+  }
+
+  val x4mCmsBound: Q = (spark, dir) =>
+    cmsFrequencyBound(Tables.documents(spark, dir),
+      eps = 0.1, confidence = 0.99, seed = 42)
+      .orderBy(col("cnt").desc, col("token"))
+  val x4mSql: String =
+    """WITH c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+      | FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      | GROUP BY 1)
+      |SELECT token, cnt, TRUE AS no_undercount, TRUE AS overcount_bounded
+      |FROM c ORDER BY cnt DESC, token""".stripMargin
+
   // ------------------------------------------------------ X4 term frequency
   /** Corpus term frequency with language filter: tokenize → explode →
     * count, the canonical shuffle-with-partial-agg text op. Deterministic
@@ -1202,7 +1257,8 @@ object Text {
     "x4h_novelty_growth" -> x4hNoveltyGrowth,
     "x4i_vocab_ids" -> x4iVocabIds,
     "x4k_encode_ids" -> x4kEncodeIds,
-    "x4l_heavy_hitters" -> x4lHeavyHitters)
+    "x4l_heavy_hitters" -> x4lHeavyHitters,
+    "x4m_cms_bound" -> x4mCmsBound)
 
   val oracle: Map[String, String] = Map(
     "x4g_domains" -> x4gSql,
@@ -1227,5 +1283,6 @@ object Text {
     "x4d_fingerprint" -> x4dSql,
     "x4i_vocab_ids" -> x4iSql,
     "x4k_encode_ids" -> x4kSql,
-    "x4l_heavy_hitters" -> x4lSql)
+    "x4l_heavy_hitters" -> x4lSql,
+    "x4m_cms_bound" -> x4mSql)
 }

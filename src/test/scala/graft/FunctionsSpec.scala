@@ -108,6 +108,23 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("x4m CMS oracle: never undercounts, overcount within eps*N, grid partition-invariant") {
+    val rows = operators.Text.x4mCmsBound(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(2), s"${r.getString(0)} undercounted")
+      assert(r.getBoolean(3), s"${r.getString(0)} overcount exceeds eps*N")
+    }
+    // counter-grid addition commutes: the SERIALIZED sketch must be
+    // byte-identical under any repartitioning of the token stream
+    val toks = Tables.documents(spark, TestSpark.sf)
+      .select(explode(split(col("text"), " ")).as("token"))
+    def grid(df: org.apache.spark.sql.DataFrame): Array[Byte] = df
+      .agg(count_min_sketch(col("token"), lit(0.1), lit(0.99), lit(42)).as("s"))
+      .head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(grid(toks), grid(toks.repartition(7))))
+  }
+
   test("S3 JSON-lines changelog source roundtrips the envelope") {
     val dir = java.nio.file.Files.createTempDirectory("chg").toString
     val chg = operators.Cdc.changelog(spark, TestSpark.sf).limit(50)
