@@ -480,7 +480,75 @@ object Vectors {
       |  true AS decode_ok
       |FROM b ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------- X3i k-means Lloyd step
+  /** One distributed Lloyd refinement round of spherical k-means
+    * (unit vectors: nearest-by-L2 ⇔ max dot product): broadcast the k
+    * centroid rows, assign every corpus vector to its best centroid with
+    * ONE hash aggregation (`min(struct(-sim, c_id, payload))` — argmax
+    * with deterministic ascending-id tiebreak; no per-vector window
+    * sort), then recompute centroids with the x7b fixed-point discipline
+    * (floor(v·10⁶) BIGINT sums — order-independent, so map-side combine
+    * and AQE re-planning cannot change the answer; the final qsum/n/10⁶
+    * divisions are exact-integer-input IEEE ops, bit-identical across
+    * engines).
+    *
+    * This is THE scalable k-means iteration shape: per round, one
+    * broadcast of k·dim doubles and one shuffle of k·dim integer
+    * partials per partition — centroids never round-trip rows through
+    * the driver (the complement of x3e's bounded driver sample-fit,
+    * which trains the quantizer on a sample precisely because full Lloyd
+    * rescans the corpus every iteration). Initial centroids are the
+    * deterministic first k corpus vectors so the whole round is
+    * oracle-expressible; an empty cluster drops out of the output in
+    * both engines (standard Lloyd).
+    */
+  def kmeansRefine(corpus: DataFrame, k: Int): DataFrame = {
+    val cents = corpus.filter(col("vec_id") < k)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val assigned = corpus.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("c_id"),
+        VectorFunctions.dotF32(col("embedding"), col("c_emb")).as("sim"))
+      // (-sim, c_id) is unique per vec_id (ids distinct), so the payload
+      // field is never consulted by the struct ordering
+      .groupBy(col("vec_id"))
+      .agg(min(struct((-col("sim")).as("neg"), col("c_id").as("c_id"),
+        col("embedding").as("e"))).as("best"))
+      .select(col("best.c_id").as("c_id"), col("best.e").as("embedding"))
+    assigned
+      .select(col("c_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("c_id"), (col("pos") + 1).cast("long").as("pos"),
+        floor(col("v").cast("double") * Mixing.fpScale).cast("long").as("q"))
+      .groupBy(col("c_id"), col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("qsum"))
+      .select(col("c_id"), col("pos"), col("n"), col("qsum"),
+        (col("qsum") / col("n") / Mixing.fpScale).as("centroid"))
+  }
+
+  val kmeansK = 8
+  val x3iKmeansRefine: Q = (spark, dir) =>
+    kmeansRefine(Tables.embeddings(spark, dir), kmeansK)
+      .orderBy(col("c_id"), col("pos"))
+  val x3iSql: String =
+    s"""WITH cents AS (SELECT vec_id AS c_id, embedding AS c_emb
+       |  FROM embeddings WHERE vec_id < $kmeansK),
+       |sims AS (SELECT e.vec_id, e.embedding, c.c_id,
+       |  ${Portable.dotSql("e.embedding", "c.c_emb", dim)} AS sim
+       | FROM embeddings e CROSS JOIN cents c),
+       |asg AS (SELECT vec_id, embedding, c_id,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id) AS rn
+       | FROM sims QUALIFY rn = 1),
+       |pos AS (SELECT unnest(generate_series(1, $dim)) AS pos),
+       |q AS (SELECT c_id, pos,
+       |  CAST(floor(CAST(embedding[pos] AS DOUBLE) * ${Mixing.fpScale}) AS BIGINT) AS q
+       | FROM asg CROSS JOIN pos),
+       |g AS (SELECT c_id, pos, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(q) AS BIGINT) AS qsum FROM q GROUP BY 1, 2)
+       |SELECT c_id, pos, n, qsum, qsum / n / ${Mixing.fpScale} AS centroid
+       |FROM g ORDER BY c_id, pos""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "x3i_kmeans_refine" -> x3iKmeansRefine,
     "x3g_quantize" -> x3gQuantize,
     "x5d_media_bound" -> x5dMediaBound,
     "x3_cosine_topk" -> x3CosineTopK,
@@ -495,6 +563,7 @@ object Vectors {
     "x5b_multimodal_binary" -> x5bMultimodalBinary)
 
   val oracle: Map[String, String] = Map(
+    "x3i_kmeans_refine" -> x3iSql,
     "x3h_semantic_dedup" -> x3hSql,
     "x3g_quantize" -> x3gSql,
     "x3_cosine_topk" -> x3Sql,
