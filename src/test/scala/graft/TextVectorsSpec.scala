@@ -481,4 +481,33 @@ class TextVectorsSpec extends AnyFunSuite {
     // codes live in 0..255 ⇒ a 64-dim code sum is bounded by 64·255
     assert(out.forall(r => r.getLong(1) >= 0L && r.getLong(1) <= 64L * 255))
   }
+
+  test("x3i k-means step matches a sequential Lloyd reference; ties break low-id") {
+    // 2-D corpus, k=2: centroids are vecs 0 (x-axis) and 1 (y-axis).
+    // vec 4 is EXACTLY equidistant (sim 0.6 to both) -> must go to c_id 0.
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.9f, 0.1f)),  // -> 0
+      (3L, Array(0.2f, 0.8f)),  // -> 1
+      (4L, Array(0.6f, 0.6f)),  // tie -> 0
+      (5L, Array(0.7f, 0.3f)))  // -> 0
+      .toDF("vec_id", "embedding")
+    // sequential reference with the same fixed-point discipline
+    val members = Map(0L -> Seq(Array(1.0f, 0.0f), Array(0.9f, 0.1f),
+        Array(0.6f, 0.6f), Array(0.7f, 0.3f)),
+      1L -> Seq(Array(0.0f, 1.0f), Array(0.2f, 0.8f)))
+    val expected = (for {
+      (cid, vs) <- members.toSeq; pos <- 1 to 2
+      qsum = vs.map(v => math.floor(v(pos - 1).toDouble * 1e6).toLong).sum
+    } yield (cid, pos.toLong, vs.size.toLong, qsum,
+      qsum.toDouble / vs.size / 1e6)).sorted
+    for (parts <- Seq(1, 7)) {
+      val got = Vectors.kmeansRefine(corpus.repartition(parts), k = 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))).sorted.toSeq
+      assert(got === expected, s"parts=$parts")
+    }
+  }
 }
