@@ -1,6 +1,28 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Fixed host-speed probe: a deterministic codegen + shuffle kernel with
+   * ZERO dependence on fixture data (pure `range` source), so its wall time
+   * measures only machine state — CPU clocks, JIT quality, concurrent load.
+   * This host drifts up to ~1.4x across hours on identical code
+   * (BASELINE.md r6); emitting the kernel's seconds as `calibration` in the
+   * bench JSON lets any reader — and tools/perfdiff.py — normalize a run by
+   * its own host speed instead of re-litigating drift forensically.
+   * Work is fixed (row count and partition count hardcoded, NOT derived
+   * from the session's parallelism) so the value is comparable across runs
+   * and configs; ~1.5 s on this host's recorded-baseline state. */
+  private val CalRows = 256L * 1000 * 1000
+  def calibrate(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    val groups = spark.range(0L, CalRows, 1L, 32)
+      .selectExpr("xxhash64(id) AS h")
+      .selectExpr(
+        "pmod(h, 4096) AS k",
+        "sin(pmod(h, 9973) / 9973.0d) + sqrt(abs(pmod(h, 97))) AS v")
+      .groupBy("k").sum("v").count()
+    require(groups == 4096L, s"calibration kernel produced $groups groups")
+    (System.nanoTime() - t0) / 1e9
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -21,12 +43,25 @@ object Bench {
     // per (table, sfDir), so every sfDir staged table is still built —
     // and timed — inside the first timed pass; nothing data-sized leaves
     // the measurement window.
-    val warmDir = "/root/testdata/sf0.001"
-    if (warmDir != sfDir && new java.io.File(warmDir).isDirectory)
+    // Warmup fixture: the smallest sf* sibling of sfDir (or an explicit
+    // SPARK_GRAFT_WARM_DIR override) — not a hardcoded path, so the bench
+    // survives a relocated testdata layout; the chosen mode is logged so
+    // every bench record is self-describing about what its cold pass means.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", {
+      val parent = new java.io.File(sfDir).getAbsoluteFile.getParentFile
+      Option(parent).flatMap(p => Option(p.listFiles)).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("sf"))
+        .flatMap(f => scala.util.Try(f.getName.drop(2).toDouble).toOption
+          .map(_ -> f.getPath))
+        .sortBy(_._1).headOption.map(_._2).getOrElse(sfDir)
+    })
+    if (warmDir != sfDir && new java.io.File(warmDir).isDirectory) {
+      System.err.println(s"[bench] warmup=catalog dir=$warmDir")
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
-    else {
+    } else {
+      System.err.println("[bench] warmup=kernel-only (no smaller fixture)")
       // benching the smallest fixture itself (or it's absent): fall back
       // to warming just the heavy codegen kernels on tiny slices — running
       // the catalog at sfDir would stage sfDir's tables untimed and hide
@@ -65,8 +100,16 @@ object Bench {
     // n=3 before this, see BASELINE.md). A failed query stays -1 in both.
     // `cold_total` keeps the first-pass sum (includes one-time staging of
     // the shared changelog/shingle/pair tables) so nothing is hidden.
+    // Calibration: one untimed kernel run (its own codegen/JIT compile),
+    // then a timed run immediately before each timed pass — so each pass's
+    // host state is sampled at the moment it matters. The reported value is
+    // the min (same methodology as per-query times).
+    try calibrate(spark) catch { case _: Throwable => () }
+    val cal1 = calibrate(spark)
     val p1 = pass()
+    val cal2 = calibrate(spark)
     val p2 = pass().toMap
+    val cal = math.min(cal1, cal2)
     val results = p1.map { case (k, v1) =>
       val v2 = p2.getOrElse(k, -1.0)
       k -> (if (v1 < 0 || v2 < 0) -1.0 else math.min(v1, v2))
@@ -97,7 +140,7 @@ object Bench {
     val staging = qmap(Staged.timings.toSeq
       .filter(_._1.endsWith(":" + sfDir)).sortBy(_._1))
     val full =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qmap(results)},"cold_total":${r3(cold)},"staging":$staging,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qmap(results)},"cold_total":${r3(cold)},"staging":$staging,"calibration":${r3(cal)},"calibration_passes":[${r3(cal1)},${r3(cal2)}],"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
     catch { case e: Throwable =>
@@ -105,7 +148,7 @@ object Bench {
       // tools/perfdiff.py diffs against without warning
       System.err.println(s"[bench] BENCH_FULL.json write failed: $e")
     }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qmap(headline)},"cold_total":${r3(cold)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qmap(headline)},"cold_total":${r3(cold)},"calibration":${r3(cal)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -2,16 +2,31 @@
 """Driver-side tooling: diff two BENCH_FULL.json lines and flag per-query
 regressions (new/removed queries, slowdowns past a ratio threshold).
 
+When both files carry a `calibration` value (the fixed host-speed kernel
+graft.Bench emits), new-run times are normalized by the host-speed ratio
+new_cal/old_cal before flagging — a uniformly-slower host (the ~1.4x drift
+BASELINE.md documents) then produces zero false regressions, while a real
+code regression (query-specific) still trips the threshold.
+
 Usage: python3 tools/perfdiff.py <old.json> <new.json> [ratio=2.0]
-Exit 1 if any query regressed past the threshold.
+Exit 1 if any query regressed past the threshold (after normalization).
 """
 import json
 import sys
 
 
 def main(old_path, new_path, ratio=2.0):
-    old = json.load(open(old_path))["queries"]
-    new = json.load(open(new_path))["queries"]
+    old_doc = json.load(open(old_path))
+    new_doc = json.load(open(new_path))
+    old, new = old_doc["queries"], new_doc["queries"]
+    cal_o = old_doc.get("calibration", 0)
+    cal_n = new_doc.get("calibration", 0)
+    scale = cal_n / cal_o if cal_o and cal_n and cal_o > 0 and cal_n > 0 else 1.0
+    if scale != 1.0:
+        print(f"calibration: {cal_o:.3f}s -> {cal_n:.3f}s "
+              f"(host {scale:.2f}x; new times normalized by /{scale:.2f})")
+    elif not (cal_o and cal_n):
+        print("calibration: absent in one or both files; comparing raw times")
     added = sorted(set(new) - set(old))
     removed = sorted(set(old) - set(new))
     if added:
@@ -21,16 +36,18 @@ def main(old_path, new_path, ratio=2.0):
     bad = []
     for q in sorted(set(old) & set(new)):
         o, n = old[q], new[q]
+        n_norm = n / scale if n > 0 else n
         if n < 0:
-            bad.append((q, o, n, "FAILED"))
-        elif o > 0.05 and n > ratio * o:  # ignore sub-50ms noise
-            bad.append((q, o, n, f"{n / o:.1f}x"))
+            bad.append((q, o, n_norm, "FAILED"))
+        elif o > 0.05 and n_norm > ratio * o:  # ignore sub-50ms noise
+            bad.append((q, o, n_norm, f"{n_norm / o:.1f}x"))
     for q, o, n, tag in sorted(bad, key=lambda x: -(x[2] / max(x[1], 1e-9))):
-        print(f"REGRESSED {q}: {o:.3f}s -> {n:.3f}s ({tag})")
+        print(f"REGRESSED {q}: {o:.3f}s -> {n:.3f}s(norm) ({tag})")
     tot_o = sum(v for v in old.values() if v > 0)
     tot_n = sum(v for v in new.values() if v > 0)
-    print(f"total: {tot_o:.1f}s -> {tot_n:.1f}s "
-          f"({len(old)} -> {len(new)} queries)")
+    print(f"total: {tot_o:.1f}s -> {tot_n:.1f}s raw"
+          + (f", {tot_n / scale:.1f}s normalized" if scale != 1.0 else "")
+          + f" ({len(old)} -> {len(new)} queries)")
     return 1 if bad or removed else 0
 
 
