@@ -341,14 +341,23 @@ object Streams {
     // at-least-once Kafka, and a REDELIVERED event must not satisfy the
     // marker's count while a distinct event is still missing — that would
     // release exactly the torn cross-table state this gate exists to
-    // prevent. (table, lsn) identifies an event within its transaction.
-    val have = st0.buffered
-      .map(g => (g.table, g.event.source.lsn)).to(scala.collection.mutable.Set)
-    val buffered = st0.buffered ++ fresh.filter(g =>
-      have.add((g.table, g.event.source.lsn)))
+    // prevent. Identity is (table, lsn, ts_ms, op), NOT (table, lsn)
+    // alone: a source that omits lsn (or reuses one across a tx's events
+    // on the same table) would otherwise collapse distinct events into
+    // one buffered entry and stall the transaction forever under
+    // NoTimeout — silent data withholding. A redelivery replays the same
+    // message bytes, so all four fields match; distinct events sharing
+    // all four (same table, absent lsn, same millisecond, same op) are
+    // indistinguishable without a payload hash — the residual risk is
+    // confined to lsn-less sources and documented here.
+    def ident(g: GatedEvent) =
+      (g.table, g.event.source.lsn, g.event.ts_ms, g.event.op)
+    val have = st0.buffered.map(ident).to(scala.collection.mutable.Set)
+    val buffered = st0.buffered ++ fresh.filter(g => have.add(ident(g)))
     if (expected.exists(_ <= buffered.size)) {
       state.remove()
-      buffered.sortBy(g => (g.table, g.event.source.lsn.getOrElse(Long.MinValue)))
+      buffered.sortBy(g => (g.table,
+        g.event.source.lsn.getOrElse(Long.MinValue), g.event.ts_ms))
         .iterator
     } else {
       state.update(TxGateState(expected, buffered))

@@ -105,4 +105,46 @@ object TxGatePropertySpec extends Properties("TxGate") {
       }
       props.reduce(_ && _)
     }
+
+  /** Regression: a source that omits lsn entirely (every event
+    * `source.lsn = None`) must still complete — event identity falls back
+    * to (table, lsn, ts_ms, op), so distinct events no longer collapse
+    * into one buffered entry (which would leave the marker's count
+    * forever unmet and withhold the transaction silently). Redeliveries
+    * of the same lsn-less event must still dedup. */
+  property("lsn-less events complete the transaction; redeliveries still dedup") =
+    forAll(Gen.choose(2, 6), Gen.choose(0, 5)) { (n, dupSeed) =>
+      val srcNoLsn = CdcSource("v", "mongodb", "cdctest", 0L, None,
+        "cdctest", "public", "t", None, None, None)
+      val events = (0 until n).map { j =>
+        TxInput("tx-0", Some(if (j % 2 == 0) "customers" else "orders"),
+          Some(CdcEvent(None, Some(CdcRow(j.toLong, None, None, None)),
+            srcNoLsn, "c", 1000L + j)), None) // distinct ts_ms per event
+      }
+      // early deliveries of a strict subset (never the final event), so the
+      // transaction cannot legitimately complete before r3
+      val dups = events.take(dupSeed % n)
+      val marker = TxInput("tx-0", None, None, Some(n.toLong))
+      var states = Map.empty[String, TxGateState]
+      def drive(batch: Seq[TxInput]): Seq[GatedEvent] = {
+        val st = TestGroupState.create[TxGateState](
+          org.apache.spark.api.java.Optional.fromNullable(states.get("tx-0").orNull),
+          GroupStateTimeout.NoTimeout, 0L,
+          org.apache.spark.api.java.Optional.absent[Long](),
+          hasTimedOut = false)
+        val out = Streams.txGateKey("tx-0", batch.iterator, st).toSeq
+        states =
+          if (st.isRemoved || !st.exists) states - "tx-0"
+          else states + ("tx-0" -> st.get)
+        out
+      }
+      // marker + redeliveries first, then all but one event, then the last:
+      // nothing may release until the final distinct event arrives
+      val r1 = drive(marker +: dups)
+      val r2 = drive(events.dropRight(1))
+      val r3 = drive(Seq(events.last))
+      (Prop(r1.isEmpty && r2.isEmpty) :| "released before completion") &&
+      (Prop(r3.size == n) :| s"released ${r3.size} of $n on completion") &&
+      (Prop(r3.map(_.event.ts_ms).toSet == events.flatMap(_.event).map(_.ts_ms).toSet) :| "content")
+    }
 }
