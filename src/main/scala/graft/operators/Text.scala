@@ -951,33 +951,45 @@ object Text {
     * Verified as a cross-engine contract (the q9c/x4l pattern): for
     * every distinct token, `no_undercount` (CMS can only overcount —
     * any serialization/merge bug shows up here) and `overcount_bounded`
-    * (est − true ≤ ε·N). ε=0.1 makes the grid width (⌈e/ε⌉ = 28)
+    * (est − true ≤ 2·ε·N). ε=0.1 makes the grid width (⌈e/ε⌉ = 28)
     * smaller than the 31-token vocabulary, so collisions actually
-    * occur and the bound is exercised, not vacuous. Booleans are
-    * deterministic: the seed is fixed and CMS estimates are
-    * partition-invariant (counter addition commutes). The per-token
-    * estimate probe is a udf over the POST-aggregation distinct-token
-    * side (31 rows), never the token stream.
+    * occur and the bound is exercised, not vacuous. The factor 2 is
+    * deliberate slack: CMS guarantees est − true ≤ ε·N only with
+    * probability 1−δ PER POINT QUERY (δ=0.01 here), while the DuckDB
+    * oracle hardcodes TRUE — a regenerated fixture or a new scale
+    * factor is a fresh data draw that could deterministically land in
+    * the δ tail and fail the cross-engine diff forever. At 2·ε·N the
+    * failure probability collapses to ~δ² per the Markov argument
+    * (each grid row independently exceeds 2εN with probability < 1/2e²)
+    * — effectively certain at any fixture scale, and still a real
+    * two-sided sandwich on the estimate. Booleans stay deterministic
+    * for a GIVEN fixture: the seed is fixed and CMS estimates are
+    * partition-invariant (counter addition commutes).
+    *
+    * The per-token estimate probe runs over the POST-aggregation
+    * distinct-token side (31 rows here, the vocabulary at crawl scale)
+    * as a native codegen'd expression (`functions.CountMinProbe` — the
+    * DotProduct pattern): the ~10 KB counter grid parsed out of the
+    * aggregated sketch bytes is embedded as a codegen reference and the
+    * hash-grid min inlines into whole-stage codegen, so even a
+    * billion-row vocabulary probe keeps codegen and never converts
+    * UTF8String→String per row (the udf it replaced did both).
     */
   def cmsFrequencyBound(docs: DataFrame, eps: Double, confidence: Double,
       seed: Int): DataFrame = {
-    val spark = docs.sparkSession
     val toks = docs.select(explode(split(col("text"), " ")).as("token"))
     val bytes = toks
       .agg(count_min_sketch(col("token"), lit(eps), lit(confidence),
         lit(seed)).as("s"))
       .head().getAs[Array[Byte]](0)
-    val cms = org.apache.spark.util.sketch.CountMinSketch
-      .readFrom(new java.io.ByteArrayInputStream(bytes))
-    val bcms = spark.sparkContext.broadcast(cms)
-    val est = udf((t: String) => bcms.value.estimateCount(t))
+    val grid = graft.functions.CountMinProbe.parse(bytes)
     val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
     val total = counts.agg(sum(col("cnt")).as("n"))
     counts.crossJoin(broadcast(total))
-      .withColumn("est", est(col("token")))
+      .withColumn("est", graft.functions.CountMinProbe.probe(grid, col("token")))
       .select(col("token"), col("cnt"),
         (col("est") >= col("cnt")).as("no_undercount"),
-        ((col("est") - col("cnt")) <= lit(eps) * col("n"))
+        ((col("est") - col("cnt")) <= lit(2.0) * lit(eps) * col("n"))
           .as("overcount_bounded"))
   }
 

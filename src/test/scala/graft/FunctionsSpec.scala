@@ -44,6 +44,45 @@ class FunctionsSpec extends AnyFunSuite {
     assert(ext != null)
   }
 
+  test("cms_probe native expression matches CountMinSketch.estimateCount exactly") {
+    import graft.functions.CountMinProbe
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 200).map(i => s"tok${rnd.nextInt(60)}_$i") ++
+      (0 until 300).map(_ => s"hot${rnd.nextInt(9)}")
+    val cms = org.apache.spark.util.sketch.CountMinSketch.create(0.05, 0.95, 11)
+    vocab.foreach(cms.add)
+    val bos = new java.io.ByteArrayOutputStream()
+    cms.writeTo(bos)
+    val grid = CountMinProbe.parse(bos.toByteArray)
+    assert(grid.table.length === grid.depth * grid.width)
+    // probe present AND absent tokens through a real DataFrame (codegen
+    // path) and compare bit-exactly with the reference sketch object
+    val probes = (vocab.distinct ++ Seq("never-seen", "", "absent-token")).toDF("t")
+    val got = probes.select(col("t"),
+      CountMinProbe.probe(grid, col("t")).as("est")).collect()
+    assert(got.nonEmpty)
+    got.foreach(r =>
+      assert(r.getLong(1) === cms.estimateCount(r.getString(0)), r.getString(0)))
+    // interpreted path (no codegen) agrees too
+    val interp = graft.functions.CountMinProbe(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString("hot3"),
+        org.apache.spark.sql.types.StringType),
+      grid.table, grid.depth, grid.width)
+    assert(interp.eval(null) === cms.estimateCount("hot3"))
+  }
+
+  test("x4m probe path contains no UDF and stays in whole-stage codegen") {
+    val df = graft.operators.Text.cmsFrequencyBound(
+      Tables.documents(spark, TestSpark.sf), eps = 0.1, confidence = 0.99,
+      seed = 42)
+    df.collect() // force execution so the final plan exists
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("scalaudf"),
+      s"udf in x4m plan:\n$plan")
+    assert(plan.contains("cms_probe"), "probe expression missing from plan")
+  }
+
   test("TopK aggregator matches the window row_number formulation exactly") {
     val viaAgg = Vectors.x3dTopKAgg(spark, TestSpark.sf).collect()
     val viaWindow = Vectors.x3CosineTopK(spark, TestSpark.sf).collect()
