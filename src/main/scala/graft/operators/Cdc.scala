@@ -845,6 +845,115 @@ object Cdc {
       |    x -> NOT list_contains(string_split(fields, ','), x))), ','), '') END AS removed
       |FROM drift ORDER BY tbl, since_lsn""".stripMargin
 
+  // ------------------------------------------ C15 schema-evolution APPLY
+  /** Widened after-image schema derived from the OBSERVED payload shapes —
+    * the detect step ([[payloadSchemaVersions]]) feeding the apply step:
+    * the union of every field set any envelope carried, so a reader built
+    * from it parses v1 and v2 (and vN) messages alike, with absent fields
+    * surfacing as null. This is exactly why the reference keeps the
+    * envelope self-describing (ez-cdc README.md:331 — the schema rides
+    * with every message): consumers evolve without coordination.
+    *
+    * The driver materialization is bounded by construction: one row per
+    * (table, schema-version), i.e. #tables × #DDL-changes — the IVF
+    * sample-fit class, never data-proportional. Fields type as wire
+    * strings except the key (long); a production deployment would
+    * carry per-field types from a registry, orthogonal to the widening
+    * mechanics exercised here.
+    */
+  def evolvedAfterSchema(raw: DataFrame,
+      keyField: String = "id"): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    val shapes = payloadSchemaVersions(raw)
+      .select(col("fields")).na.drop().distinct()
+      .collect().map(_.getString(0))
+    val fields = shapes.filter(_.nonEmpty).flatMap(_.split(","))
+      .distinct.sorted
+    fields.foldLeft(new StructType()) { (st, f) =>
+      st.add(f, if (f == keyField) LongType else StringType)
+    }
+  }
+
+  /** Additive-column schema evolution folded INTO the snapshot (the
+    * depth item the drift report only detects): every envelope —
+    * pre-DDL v1 or post-DDL v2 — parses against the widened schema, and
+    * the usual latest-wins fold materializes a snapshot where a key's
+    * row carries the new column iff its WINNING event post-dates the
+    * DDL, and nulls it otherwise (a column the latest shape dropped
+    * likewise nulls out for keys last touched after the drop). One
+    * key-partitioned window after pure per-event parse work — identical
+    * shape and scale story to [[snapshot]].
+    *
+    * `raw` must carry (lsn, raw) with `raw` the envelope JSON
+    * `{"op":…,"key":…,"after":{…}|null}` (key present even for deletes,
+    * whose after is null — the message-key the wire format always has).
+    */
+  def evolveSnapshot(raw: DataFrame,
+      after: org.apache.spark.sql.types.StructType,
+      keyField: String = "id"): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    val env = new StructType()
+      .add("op", StringType).add("key", LongType).add("after", after)
+    val w = Window.partitionBy(col("key")).orderBy(col("lsn").desc)
+    raw.select(col("lsn"), from_json(col("raw"), env).as("e"))
+      .select(col("e.op").as("op"), col("e.key").as("key"), col("lsn"),
+        col("e.after").as("after"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "d")
+      .select(col("key").as(keyField) +:
+        after.fieldNames.filterNot(_ == keyField).sorted
+          .map(f => col(s"after.`$f`").as(f)): _*)
+  }
+
+  /** Registered evolution query: the drift fixture's wire stream (phone
+    * added at 50% of the lsn range, last_name dropped at 80%) extended
+    * with deletes and a top-level message key, evolved into one widened
+    * snapshot. The oracle rebuilds it as a UNION of the three shapes —
+    * the widening is therefore value-checked per row, not just
+    * schema-checked.
+    */
+  val cdcSchemaEvolve: Q = (spark, dir) => {
+    val chg = changelog(spark, dir)
+    val cuts = chg.agg(expr("max(source.lsn) * 5 DIV 10").as("c1"),
+      expr("max(source.lsn) * 8 DIV 10").as("c2"))
+    def obj(parts: Column*): Column = concat(
+      lit("{\"id\":") +: col("after.id").cast("string") +: parts :+ lit("\"}"): _*)
+    val fnEm = Seq(
+      lit(",\"first_name\":\""), col("after.first_name"),
+      lit("\",\"email\":\""), col("after.email"))
+    val ln = Seq(lit("\",\"last_name\":\""), col("after.last_name"))
+    val phone = Seq(lit("\",\"phone\":\"555-0100"))
+    val raw = chg.crossJoin(broadcast(cuts)).select(
+      col("source.lsn").as("lsn"),
+      concat(lit("{\"op\":\""), col("op"),
+        lit("\",\"key\":"),
+        coalesce(col("after.id"), col("before.id")).cast("string"),
+        lit(",\"after\":"),
+        when(col("op") === "d", lit("null"))
+          .when(col("source.lsn") >= col("c2"), obj(fnEm ++ phone: _*))
+          .when(col("source.lsn") >= col("c1"), obj(fnEm ++ ln ++ phone: _*))
+          .otherwise(obj(fnEm ++ ln: _*)),
+        lit("}")).as("raw"))
+    evolveSnapshot(raw, evolvedAfterSchema(raw.withColumn("tbl",
+      lit("customers")))).orderBy(col("id"))
+  }
+  val cdcSchemaEvolveSql: String = changelogCte +
+    """,
+      |cuts AS (SELECT (max(lsn)*5)//10 AS c1, (max(lsn)*8)//10 AS c2 FROM chg),
+      |v1 AS (SELECT id, lsn, op, a_em AS email, a_fn AS first_name,
+      |  a_ln AS last_name, CAST(NULL AS VARCHAR) AS phone
+      | FROM chg, cuts WHERE lsn < c1),
+      |v2 AS (SELECT id, lsn, op, a_em, a_fn, a_ln, '555-0100'
+      | FROM chg, cuts WHERE lsn >= c1 AND lsn < c2),
+      |v3 AS (SELECT id, lsn, op, a_em, a_fn, CAST(NULL AS VARCHAR), '555-0100'
+      | FROM chg, cuts WHERE lsn >= c2),
+      |uni AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2
+      |        UNION ALL SELECT * FROM v3),
+      |fold AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY lsn DESC) AS rn
+      |         FROM uni)
+      |SELECT id, email, first_name, last_name, phone
+      |FROM fold WHERE rn = 1 AND op <> 'd' ORDER BY id""".stripMargin
+
   // ------------------------------------- incremental aggregate maintenance
   /** Incremental view maintenance (IVM) of a grouped aggregate from the
     * changelog deltas ALONE — no base-table rescan: op c/r contributes
@@ -902,6 +1011,7 @@ object Cdc {
     "cdc_incr_snapshot" -> cdcIncrSnapshot,
     "cdc_toast_fill" -> cdcToastFill,
     "cdc_schema_drift" -> cdcSchemaDrift,
+    "cdc_schema_evolve" -> cdcSchemaEvolve,
     "cdc_deadletter" -> cdcDeadletter,
     "cdc_tx_blocks" -> cdcTxBlocks,
     "cdc_tx_snapshot" -> cdcTxSnapshot,
@@ -920,6 +1030,7 @@ object Cdc {
     "cdc_incr_snapshot" -> cdcIncrSnapshotSql,
     "cdc_toast_fill" -> cdcToastFillSql,
     "cdc_schema_drift" -> cdcSchemaDriftSql,
+    "cdc_schema_evolve" -> cdcSchemaEvolveSql,
     "cdc_deadletter" -> cdcDeadletterSql,
     "cdc_tx_blocks" -> cdcTxBlocksSql,
     "cdc_tx_snapshot" -> cdcTxSnapshotSql,

@@ -170,28 +170,45 @@ object Streams {
     * via the query checkpoint, and a replayed batch after a crash commits
     * the same version it was writing — idempotent recovery.
     */
+  /** Shared epoch fold for both snapshot sinks: one winner per key from
+    * the union of prior committed state and the batch's winners, ranked by
+    * (lsn desc, incoming-wins). KEEP tombstones (live=false) in the
+    * persisted state: a delete must retain its winning lsn across epochs,
+    * or a redelivered older update in a later batch would resurrect the
+    * deleted row — consumers read live rows only via the read helpers.
+    *
+    * `allowMissingColumns = true` is the schema-evolution seam (C15): a
+    * batch carrying a NEW column (upstream additive DDL) widens the
+    * persisted schema on THIS write — prior rows null the new column —
+    * and a column the batch no longer carries survives with nulls on the
+    * batch's rows. Untouched partitions keep their old files; reads merge
+    * schemas across them (`PartitionedSnapshotStore.read`), so a replica
+    * keeps serving through a rolling schema migration with no rewrite of
+    * history.
+    */
+  def mergeEpoch(prior: Option[DataFrame], incoming: DataFrame): DataFrame = {
+    val merged = prior match {
+      case Some(p) => p.withColumn("__src", lit(0))
+        .unionByName(incoming.withColumn("__src", lit(1)),
+          allowMissingColumns = true)
+      case None => incoming.withColumn("__src", lit(1))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("lsn").desc, col("__src").desc)
+    merged.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn", "__src")
+  }
+
   def snapshotForeachBatch(events: Dataset[CdcEvent], snapshotRoot: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[CdcEvent] = {
     val spark = events.sparkSession
     events.writeStream.foreachBatch { (batch: Dataset[CdcEvent], batchId: Long) =>
-      import org.apache.spark.sql.functions._
       val incoming = graft.operators.Cdc.snapshotWithTombstones(batch.toDF)
       // merge against the snapshot as of BEFORE this batch id — on crash
       // replay the pointer may already name batchId (see readBefore)
-      val merged = SnapshotStore.readBefore(spark, snapshotRoot, batchId) match {
-        case Some(prior) => prior.withColumn("__src", lit(0))
-          .unionByName(incoming.withColumn("__src", lit(1)))
-        case None => incoming.withColumn("__src", lit(1))
-      }
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("id")).orderBy(col("lsn").desc, col("__src").desc)
-      // KEEP tombstones (live=false) in the persisted state: a delete must
-      // retain its winning lsn across epochs, or a redelivered older update
-      // in a later batch would resurrect the deleted row. Consumers read
-      // the snapshot with readSnapshot (live rows only).
-      val next = merged.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .drop("rn", "__src")
+      val next = mergeEpoch(
+        SnapshotStore.readBefore(spark, snapshotRoot, batchId), incoming)
       SnapshotStore.commit(next, snapshotRoot, batchId)
       ()
     }
@@ -224,18 +241,8 @@ object Streams {
       val prior = PartitionedSnapshotStore.readBefore(spark, snapshotRoot, batchId)
         .map(_.withColumn(bcol, PartitionedSnapshotStore.bucketOf(col("id"), buckets))
           .join(broadcast(affected), bcol))
-      val merged = prior match {
-        case Some(p) => p.withColumn("__src", lit(0))
-          .unionByName(incoming.withColumn("__src", lit(1)))
-        case None => incoming.withColumn("__src", lit(1))
-      }
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("id")).orderBy(col("lsn").desc, col("__src").desc)
-      // tombstones persist with their winning lsn, as in the full-overwrite
-      // form — a redelivered older update must not resurrect a delete
-      val next = merged.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .drop("rn", "__src")
+      // same fold (and schema-widening seam) as the full-overwrite form
+      val next = mergeEpoch(prior, incoming)
       PartitionedSnapshotStore.commit(next, snapshotRoot, batchId)
       ()
     }

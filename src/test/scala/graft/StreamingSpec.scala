@@ -476,6 +476,51 @@ class StreamingSpec extends AnyFunSuite {
     assert((1 to 3).forall(merged(_).isNullAt(2)))
   }
 
+  test("mergeEpoch widens the persisted schema on write across additive DDL (C15)") {
+    import spark.implicits._
+    import graft.streaming.PartitionedSnapshotStore
+    val root = java.nio.file.Files.createTempDirectory("wstore").toString + "/s"
+    def bucketed(d: org.apache.spark.sql.DataFrame) = d
+      .withColumn(PartitionedSnapshotStore.bucketColName,
+        PartitionedSnapshotStore.bucketOf(col("id"), 4))
+    // epoch 0: v1 schema (no phone); keys 1 and 2
+    val e0 = bucketed(Seq((1L, true, 10L, "ann"), (2L, true, 11L, "bob"))
+      .toDF("id", "live", "lsn", "first_name"))
+    PartitionedSnapshotStore.commit(Streams.mergeEpoch(None, e0), root, 0L)
+    // epoch 1: upstream DDL added phone; the batch updates key 2 and
+    // inserts key 3 — the merge itself must widen: key 1's prior winner
+    // survives with phone null, key 2's prior row loses to the new one
+    val e1 = bucketed(Seq((2L, true, 20L, "bob", "555"), (3L, true, 21L, "cay", "777"))
+      .toDF("id", "live", "lsn", "first_name", "phone"))
+    val prior1 = PartitionedSnapshotStore.readBefore(spark, root, 1L)
+      .map(p => bucketed(p.drop(PartitionedSnapshotStore.bucketColName)))
+    val m1 = Streams.mergeEpoch(prior1, e1)
+    // the fold output is already widened: prior-only winners null phone
+    assert(m1.columns.contains("phone"))
+    PartitionedSnapshotStore.commit(m1, root, 1L)
+    val got = PartitionedSnapshotStore.read(spark, root).get
+      .select("id", "first_name", "phone").orderBy("id").collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "ann"), (2L, "bob"), (3L, "cay")))
+    assert(got(0).isNullAt(2))            // pre-DDL winner: widened to null
+    assert(got(1).getString(2) === "555") // post-DDL update carries phone
+    assert(got(2).getString(2) === "777")
+    // epoch 2: a batch from a REVERTED producer (no phone) must not
+    // un-widen committed state nor fail the union: key 3's new winner
+    // nulls phone; key 2 keeps its phone from epoch 1
+    val e2 = bucketed(Seq((3L, true, 30L, "cay2"))
+      .toDF("id", "live", "lsn", "first_name"))
+    val prior2 = PartitionedSnapshotStore.readBefore(spark, root, 2L)
+      .map(p => bucketed(p.drop(PartitionedSnapshotStore.bucketColName)))
+    PartitionedSnapshotStore.commit(Streams.mergeEpoch(prior2, e2), root, 2L)
+    val got2 = PartitionedSnapshotStore.read(spark, root).get
+      .select("id", "first_name", "phone").orderBy("id").collect()
+    assert(got2.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "ann"), (2L, "bob"), (3L, "cay2")))
+    assert(got2(1).getString(2) === "555")
+    assert(got2(2).isNullAt(2))
+  }
+
   test("snapshot commit protocol: a crash between stage and pointer leaves the prior version readable") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("store").toString + "/s"
