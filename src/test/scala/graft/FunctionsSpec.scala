@@ -96,6 +96,28 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-PQ (coarse route x ADC shortlist x exact re-rank) recalls the brute-force top-5") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val q = e.filter(col("vec_id") < 10)
+    val exact = Vectors.cosineTopK(q, e, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet // (q_id, vec_id, sim, rank)
+    val pq = Vectors.pqSearch(q, e, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet // (q_id, rank, vec_id, sim)
+    assert(pq.size === exact.size)
+    val recall = (pq & exact).size.toDouble / exact.size
+    // quantization error is absorbed by the exact re-rank; the loss path
+    // is only coarse routing (as x3e) and ADC shortlist truncation
+    assert(recall >= 0.6, s"IVF-PQ recall $recall")
+    // codes are genuine product-quantization output: m entries in [0, ksub)
+    val codes = Vectors.pqEncode(e.limit(20),
+      Vectors.pqCodebooks(e, 8, 16, 3)).select("codes").collect()
+    codes.foreach { r =>
+      val cs = r.getSeq[Int](0)
+      assert(cs.length === 8)
+      assert(cs.forall(c => c >= 0 && c < 16), cs.mkString(","))
+    }
+  }
+
   test("IVF search recalls most of the exact brute-force top-5") {
     val exact = Vectors.x3CosineTopK(spark, TestSpark.sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
