@@ -714,8 +714,134 @@ object Vectors {
        |SELECT c_id, pos, n, qsum, qsum / n / ${Mixing.fpScale} AS centroid
        |FROM g ORDER BY c_id, pos""".stripMargin
 
+  // ------------------------------------------ X3k k-means to convergence
+  /** Micro-unit quantized corpus: `q_emb[i] = floor(embedding[i]·10⁶)` —
+    * the same fixed-point discipline as x3i's centroid sums, moved to the
+    * FRONT of the iteration so that everything downstream (assignment
+    * dots, centroid updates, movement) is exact BIGINT arithmetic:
+    * order-independent, partition-invariant, bit-identical cross-engine.
+    * At 100 TB this is not just an oracle trick — integer reductions make
+    * the iteration immune to float reduction-order drift across cluster
+    * topologies, so a re-run on different hardware converges identically.
+    */
+  def quantizeEmbeddings(corpus: DataFrame): DataFrame =
+    corpus.select(col("vec_id"), expr(
+      s"""transform(embedding,
+         | v -> CAST(floor(CAST(v AS DOUBLE) * ${Mixing.fpScale}) AS BIGINT))"""
+        .stripMargin).as("q_emb"))
+
+  /** One exact-integer Lloyd step against an explicit k-row centroid
+    * table `(c_id, cq array<long>)`: integer dot per (vector, centroid)
+    * — |q|,|c| ≤ 10⁶ ⇒ per-term ≤ 10¹², 64-dim sum ≤ 6.4·10¹³, far
+    * inside BIGINT — argmax with low-c_id tie-break, then the x3i
+    * per-(cluster, pos) count/sum update. Same plan shape as x3i:
+    * one bounded k-row broadcast (BNLJ), one argmax agg, one update agg
+    * (PlanSpec-asserted identical operator profile).
+    */
+  def kmeansStepQ(corpusQ: DataFrame, cents: DataFrame): DataFrame =
+    corpusQ.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("q_emb"), col("c_id"),
+        expr("aggregate(zip_with(q_emb, cq, (a, b) -> a * b), " +
+          "CAST(0 AS BIGINT), (s, x) -> s + x)").as("dot"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct((-col("dot")).as("neg"), col("c_id").as("c_id"),
+        col("q_emb").as("e"))).as("best"))
+      .select(col("best.c_id").as("c_id"), col("best.e").as("q_emb"))
+      .select(col("c_id"), posexplode(col("q_emb")).as(Seq("pos", "qv")))
+      .select(col("c_id"), (col("pos") + 1).cast("long").as("pos"), col("qv"))
+      .groupBy(col("c_id"), col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("qv")).as("qsum"))
+
+  /** X3k — Lloyd to CONVERGENCE: `iters` exact-integer steps where the
+    * loop is driver control flow ONLY — each iteration round-trips the
+    * k·dim centroid table (k·64 longs, ~4 KB) through the driver and
+    * re-broadcasts it; corpus rows never leave the executors. Emits one
+    * row per (iteration, non-empty cluster) with the cluster size, the
+    * centroid's micro-unit component sum, and its total movement
+    * `Σ|c_new − c_old|` — the fixed-point convergence trace (movement
+    * monotonically collapsing toward 0 IS the Lloyd fixed point made
+    * visible). Centroid update `floor(qsum/n)` is computed as the same
+    * IEEE double-divide-then-floor in both engines; an empty cluster
+    * keeps its previous centroid (carried in the loop, coalesced in the
+    * oracle). Oracle: the DuckDB CTE chain unrolls all `iters`
+    * iterations — assignment, update, carry, movement — and must
+    * hash-match exactly.
+    *
+    * 100 TB shape: per iteration ONE broadcast of ~4 KB and one shuffle
+    * of k·dim integer partials per partition (map-side combined); a
+    * production run caches the quantized corpus once — here each step
+    * rescans the (tiny) parquet, keeping the bench honest about
+    * per-iteration plan cost.
+    */
+  def kmeansConverge(spark: SparkSession, corpus: DataFrame, k: Int,
+      iters: Int): DataFrame = {
+    import spark.implicits._
+    val q = quantizeEmbeddings(corpus)
+    var cents: Map[Long, IndexedSeq[Long]] = q.filter(col("vec_id") < k)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toIndexedSeq).toMap
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long, Long)]
+    for (it <- 1 to iters) {
+      val centsDf = cents.toSeq.sortBy(_._1)
+        .map { case (c, a) => (c, a) }.toDF("c_id", "cq")
+      val upd = kmeansStepQ(q, centsDf).collect()
+        .map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2), r.getLong(3)))
+      val byCluster = upd.groupBy(_._1)
+      val next = byCluster.map { case (cId, rows) =>
+        val n = rows.head._3
+        val cq = new Array[Long](dim)
+        rows.foreach { case (_, pos, _, qsum) =>
+          cq(pos - 1) = math.floor(qsum.toDouble / n).toLong }
+        val prev = cents(cId)
+        val movement = (0 until dim).map(i => math.abs(cq(i) - prev(i))).sum
+        out += ((it, cId, n, cq.sum, movement))
+        cId -> cq.toIndexedSeq
+      }
+      cents = cents ++ next // absent (empty) clusters carry their centroid
+    }
+    out.toSeq.toDF("iter", "c_id", "n", "cq_sum", "movement")
+      .orderBy(col("iter"), col("c_id"))
+  }
+
+  val kmeansIters = 3
+  val x3kKmeansConverge: Q = (spark, dir) =>
+    kmeansConverge(spark, Tables.embeddings(spark, dir), kmeansK, kmeansIters)
+
+  def x3kSqlFor(k: Int, iters: Int): String = {
+    val header =
+      s"""WITH p AS (SELECT unnest(generate_series(1, $dim)) AS pos),
+         |q AS (SELECT vec_id, pos,
+         |  CAST(floor(CAST(embedding[pos] AS DOUBLE) * ${Mixing.fpScale}) AS BIGINT) AS qv
+         | FROM embeddings CROSS JOIN p),
+         |c0 AS (SELECT vec_id AS c_id, pos, qv AS cq FROM q WHERE vec_id < $k)"""
+        .stripMargin
+    val its = (1 to iters).map { i =>
+      s""",
+         |d$i AS (SELECT q.vec_id, c.c_id, sum(q.qv * c.cq) AS dot
+         | FROM q JOIN c${i - 1} c USING (pos) GROUP BY 1, 2),
+         |a$i AS (SELECT vec_id, c_id FROM (SELECT vec_id, c_id,
+         |   row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c_id) AS rn
+         |  FROM d$i) t WHERE rn = 1),
+         |u$i AS (SELECT a.c_id, q.pos, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(q.qv) AS BIGINT) AS qsum
+         | FROM a$i a JOIN q ON a.vec_id = q.vec_id GROUP BY 1, 2),
+         |n$i AS (SELECT c_id, pos, n,
+         |  CAST(floor(CAST(qsum AS DOUBLE) / n) AS BIGINT) AS cq FROM u$i),
+         |c$i AS (SELECT pv.c_id, pv.pos, coalesce(x.cq, pv.cq) AS cq
+         | FROM c${i - 1} pv LEFT JOIN n$i x ON pv.c_id = x.c_id AND pv.pos = x.pos),
+         |o$i AS (SELECT $i AS iter, x.c_id, x.n,
+         |  CAST(sum(x.cq) AS BIGINT) AS cq_sum,
+         |  CAST(sum(abs(x.cq - pv.cq)) AS BIGINT) AS movement
+         | FROM n$i x JOIN c${i - 1} pv ON x.c_id = pv.c_id AND x.pos = pv.pos
+         | GROUP BY 1, 2, 3)""".stripMargin
+    }.mkString
+    val union = (1 to iters).map(i => s"SELECT * FROM o$i").mkString(" UNION ALL ")
+    s"$header$its\nSELECT iter, c_id, n, cq_sum, movement FROM ($union) u\nORDER BY iter, c_id"
+  }
+  val x3kSql: String = x3kSqlFor(kmeansK, kmeansIters)
+
   val queries: Map[String, Q] = Map(
     "x3i_kmeans_refine" -> x3iKmeansRefine,
+    "x3k_kmeans_converge" -> x3kKmeansConverge,
     "x3g_quantize" -> x3gQuantize,
     "x5d_media_bound" -> x5dMediaBound,
     "x3_cosine_topk" -> x3CosineTopK,
@@ -732,6 +858,7 @@ object Vectors {
 
   val oracle: Map[String, String] = Map(
     "x3i_kmeans_refine" -> x3iSql,
+    "x3k_kmeans_converge" -> x3kSql,
     "x3h_semantic_dedup" -> x3hSql,
     "x3g_quantize" -> x3gSql,
     "x3_cosine_topk" -> x3Sql,

@@ -101,6 +101,34 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("x3k per-iteration step keeps x3i's operator profile (bounded broadcast + two aggs)") {
+    // the convergence loop is driver control flow only — each distributed
+    // step must have exactly the single-step x3i shape: one bounded k-row
+    // broadcast join, one Generate (posexplode), and no extra shuffles
+    import graft.operators.Vectors
+    import spark.implicits._
+    def profile(df: org.apache.spark.sql.DataFrame): Map[String, Int] = {
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      val all = p.linesIterator.toVector
+      val cut = all.indexWhere(_.contains("Initial Plan"))
+      val fin = (if (cut > 0) all.take(cut) else all).mkString("\n")
+      Seq("BroadcastNestedLoopJoin", "CartesianProduct", "SortMergeJoin",
+        "ShuffledHashJoin", "Generate ", "ShuffleExchange")
+        .map(op => op -> op.r.findAllIn(fin).size).toMap
+    }
+    val x3i = profile(SparkEntry.queries("x3i_kmeans_refine")(spark, TestSpark.sf))
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val q = Vectors.quantizeEmbeddings(e)
+    val cents = q.filter(col("vec_id") < Vectors.kmeansK)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+      .toDF("c_id", "cq")
+    val step = profile(Vectors.kmeansStepQ(q, cents))
+    assert(step === x3i, s"step $step vs x3i $x3i")
+    assert(step("CartesianProduct") === 0 && step("SortMergeJoin") === 0)
+    assert(step("BroadcastNestedLoopJoin") === 1)
+  }
+
   test("range join keeps the user_id equi-key (sort-merge, not cartesian)") {
     val p = plan("q6_range_join")
     assert(!p.contains("CartesianProduct"), p)
