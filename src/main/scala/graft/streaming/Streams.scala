@@ -292,6 +292,67 @@ object Streams {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
   }
 
+  // --------------------------------------- T13 incremental near-dup probe
+  /** T13 — streaming INCREMENTAL near-dup: each micro-batch's documents
+    * are MinHash-signed with the exact batch combinators
+    * (`Text.shingles` → `Text.minhashBands` inside foreachBatch — the
+    * stream path cannot drift from the batch semantics because it IS the
+    * batch code), probed against the growing band store for candidates
+    * versus everything seen before, self-joined for candidates within the
+    * batch, and the batch's bands are appended to the store so later
+    * arrivals probe against them. Real pipelines dedup this way — a new
+    * crawl increment probes the corpus index; nobody recomputes all-pairs
+    * over 100 TB per increment.
+    *
+    * A pair is discovered exactly once: in the batch where its LATER
+    * member arrives (the earlier one is in the store, or the same batch —
+    * `new×prior` plus in-batch `bandPairs`, deduped per batch). Pair
+    * orientation is (min doc_id, max doc_id), matching the batch twin.
+    *
+    * Scale: per batch, one signature pass over the INCREMENT only, one
+    * (band, key) equi-join against the store — partitioned by bucket key,
+    * shards at any corpus size; the store grows by the increment's bands
+    * only. The bucket cap applies per batch exactly as it applies
+    * per corpus in the batch path; a bucket that crosses the cap only
+    * with later increments stops producing NEW pairs once its stored
+    * membership exceeds the cap iff the probe re-caps — here the cap
+    * guards the in-batch melt, and the store-side probe stays uncapped so
+    * the stream≡batch equivalence holds whenever no bucket exceeds the
+    * cap (asserted by the spec's precondition; a production deployment
+    * re-caps the store on compaction as a skew guard, a policy choice).
+    *
+    * `docStream` must carry (doc_id, text); emits appended parquet at
+    * `pairDir` with (doc_a, doc_b).
+    */
+  def nearDupStream(docStream: DataFrame, bandDir: String, pairDir: String,
+      maxBucket: Int = graft.operators.Text.defaultMaxBucket)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    docStream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      val spark = batch.sparkSession
+      val bands = graft.operators.Text.minhashBands(
+        graft.operators.Text.shingles(batch.toDF), maxBucket)
+        .persist() // read 3x below: prior-probe, self-join, store append
+      val prior =
+        if (new java.io.File(bandDir).isDirectory)
+          Some(spark.read.parquet(bandDir))
+        else None
+      val vsPrior = prior.map { p =>
+        bands.join(p.withColumnRenamed("doc_id", "prior_id"), Seq("band", "key"))
+          .filter(col("doc_id") =!= col("prior_id"))
+          .select(least(col("doc_id"), col("prior_id")).as("doc_a"),
+            greatest(col("doc_id"), col("prior_id")).as("doc_b"))
+      }
+      val inBatch = graft.operators.Text.bandPairs(bands)
+      val pairs = vsPrior.map(_.unionByName(inBatch)).getOrElse(inBatch)
+        .distinct()
+      pairs.write.mode("append").parquet(pairDir)
+      bands.write.mode("append").parquet(bandDir)
+      bands.unpersist()
+      ()
+    }
+  }
+
   // ------------------------------------------- T12 / C14 streaming gate
   /** One unit of the cross-table transaction gate's input stream: either a
     * data event of `table` (table + event set) or a Debezium-style

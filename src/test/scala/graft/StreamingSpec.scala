@@ -667,6 +667,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.map(_._1) === Seq(10L, 12L))
   }
 
+  test("T13 incremental near-dup stream equals batch MinHash LSH on the unioned corpus") {
+    import graft.operators.Text
+    implicit val ctx = spark.sqlContext
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "text").as[DocE].collect().toSeq
+    // static corpus + two stream increments, interleaved by id so near-dup
+    // pairs exist within AND across every split
+    val static0 = docs.filter(_.doc_id % 3 == 0)
+    val inc1 = docs.filter(_.doc_id % 3 == 1)
+    val inc2 = docs.filter(_.doc_id % 3 == 2)
+    // precondition for stream≡batch: no full-corpus bucket exceeds the cap
+    // (cap timing differs between one-shot and incremental otherwise)
+    val fullBands = Text.minhashBands(Text.shingles(docs.toDF), Int.MaxValue)
+    val maxBucket = fullBands.groupBy("band", "key").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(maxBucket <= Text.defaultMaxBucket,
+      s"fixture bucket $maxBucket exceeds cap — pick a different split")
+    val dir = java.nio.file.Files.createTempDirectory("neardup").toString
+    val bandDir = s"$dir/bands"; val pairDir = s"$dir/pairs"
+    // seed the store with the static corpus's bands (the "existing index")
+    Text.minhashBands(Text.shingles(static0.toDF))
+      .write.parquet(bandDir)
+    val mem = MemoryStream[DocE]
+    val q = Streams.nearDupStream(mem.toDF, bandDir, pairDir)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt13").toString)
+      .start()
+    mem.addData(inc1: _*)
+    q.processAllAvailable()
+    mem.addData(inc2: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.read.parquet(pairDir)
+      .as[(Long, Long)].collect().toSet
+    // batch twin: all-at-once LSH candidates over the full corpus, minus
+    // the pairs internal to the pre-existing static corpus (the stream
+    // never re-examines static×static — that is the INCREMENTAL point)
+    val all = Text.lshCandidates(Text.shingles(docs.toDF))
+      .as[(Long, Long)].collect().toSet
+    val staticOnly = Text.lshCandidates(Text.shingles(static0.toDF))
+      .as[(Long, Long)].collect().toSet
+    assert(streamed === (all -- staticOnly),
+      s"missing=${(all -- staticOnly -- streamed).take(5)} extra=${(streamed -- all).take(5)}")
+    assert(streamed.nonEmpty) // the fixture must actually exercise pairs
+  }
+
   test("T9 schema drift alerts: first sight of each payload shape, once, as it arrives") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[(String, Long, String)]
