@@ -139,8 +139,13 @@ object Bench {
     // benched.
     val staging = qmap(Staged.timings.toSeq
       .filter(_._1.endsWith(":" + sfDir)).sortBy(_._1))
+    // pass-1 per-query times (BENCH_FULL only): when cold_total spikes,
+    // this names the query that ate it — staging attribution covers the
+    // staged producer passes but not a first-execution anomaly inside a
+    // query (one 370 s cold run in r7 was undiagnosable without this)
+    val coldQ = qmap(p1.sortBy(_._1))
     val full =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qmap(results)},"cold_total":${r3(cold)},"staging":$staging,"calibration":${r3(cal)},"calibration_passes":[${r3(cal1)},${r3(cal2)}],"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qmap(results)},"cold_total":${r3(cold)},"cold_queries":$coldQ,"staging":$staging,"calibration":${r3(cal)},"calibration_passes":[${r3(cal1)},${r3(cal2)}],"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
     catch { case e: Throwable =>

@@ -438,6 +438,16 @@ object Cdc {
     * join the two materialized tables (a half-applied commit would join a
     * new order against a pre-commit customer row).
     *
+    * ORDERING CONTRACT for cross-collection consumers: order a commit's
+    * events by `(transaction.id, source.lsn)` — which IS the global
+    * commit order (everything here does: this cutoff, the T12 gate, the
+    * C4 folds). Do NOT sort across collections by
+    * `transaction.total_order`: the fixture producer stamps it with the
+    * per-collection rank (`ordersChangelog` documents why — the true
+    * cross-collection rank has no closed per-table formula), so it
+    * diverges from Debezium's cross-collection total_order whenever a
+    * commit spans tables.
+    *
     * Scale: the tx-last table is data-proportional (one row per commit),
     * so it is NOT broadcast — each log filters through a left-semi join
     * keyed on transaction id, the same keyed-shuffle shape as the

@@ -902,6 +902,14 @@ object Text {
     * (`err_bounded`) — the MG theorem, which holds for ANY partitioning,
     * so the booleans are deterministic even though the raw estimates are
     * not (they stay out of the compared output).
+    *
+    * PRODUCTION CONTRACT: only the sketch pass (the `head()` action on
+    * the MG aggregation) runs in production — one corpus scan, k counters
+    * out. The exact `counts`/`total` pass below exists SOLELY to let the
+    * oracle check the MG theorem against ground truth; it is the
+    * verification harness, not part of the operator, and at crawl scale
+    * it would be exactly the vocabulary shuffle the sketch exists to
+    * avoid.
     */
   def heavyHitters(docs: DataFrame, k: Int): DataFrame = {
     val spark = docs.sparkSession
