@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Executed-plan estimate-collapse sweep (the r6 audit as a permanent
+  * tool): EXECUTES every registered query at the given fixture and scans
+  * the finalized AQE plan for a `BroadcastExchange` subtree containing a
+  * `Generate` (explode) that is NOT below an aggregate — the signature of
+  * Catalyst broadcasting a corpus-proportional derived stream because
+  * post-explode size estimates collapse under the autoBroadcast
+  * threshold (see SNIPPETS/graft-estimate-collapse notes; three x1c/x7h/
+  * x1b joins were silently inverted this way before their shuffle_hash
+  * pins). Aggregated build sides (vocab tables, per-doc arrays, bounded
+  * query-side probes) are legitimate and not flagged.
+  *
+  * The PlanSpec regression test guards the four historically-affected
+  * queries per test run; this main is the full-catalog sweep to run when
+  * NEW queries land:
+  *
+  *   sbt "runMain graft.CollapseAudit /root/testdata/sf0.1"
+  *
+  * Exit code 1 if any query is flagged; prints one line per query.
+  */
+object CollapseAudit {
+  def flaggedSpans(executedPlan: String): Seq[String] = {
+    val all = executedPlan.linesIterator.toVector
+    val cut = all.indexWhere(_.contains("Initial Plan"))
+    val lines = if (cut > 0) all.take(cut) else all
+    lines.zipWithIndex.filter(_._1.contains("BroadcastExchange")).flatMap {
+      case (l, i) =>
+        val base = l.indexOf("BroadcastExchange")
+        var j = i + 1
+        var aggSeen = false
+        var hit: Option[String] = None
+        while (j < lines.size && hit.isEmpty && {
+          val pos = lines(j).indexWhere(_.isLetter); pos > base || pos < 0
+        }) {
+          val line = lines(j)
+          if (line.contains("HashAggregate") || line.contains("ObjectHashAggregate"))
+            aggSeen = true
+          if (line.contains("Generate ") && !aggSeen)
+            hit = Some(lines.slice(i, j + 1).mkString("\n"))
+          j += 1
+        }
+        hit
+    }
+  }
+
+  /** Flagged-but-bounded-by-design shapes from the r6 audit (PLANS.md):
+    * these broadcasts DO contain a raw Generate, but the generated stream
+    * is bounded by construction, not corpus-proportional —
+    * q24_salted_join replicates the small DIM side across 16 salt values
+    * (dim×16 rows, the point of the salted join); x2d_simhash_neardup
+    * broadcasts its capped band keep-list (≤ maxBucket members per band
+    * by the cap that precedes it); x3e/x3f/x3j broadcast the QUERY-side
+    * probe explode (|Q|·nprobe rows — query-set-proportional, the
+    * intended IVF routing shape) and, in the recall twins, the bounded
+    * |Q|·k brute-force reference. A NEW query landing here must either
+    * justify itself into this list or get a shuffle_hash pin.
+    */
+  val boundedByDesign: Set[String] = Set("q24_salted_join",
+    "x2d_simhash_neardup", "x3e_cosine_ivf", "x3f_ivf_recall",
+    "x3j_pq_recall")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    var bad = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val verdict =
+        try {
+          val df = fn(spark, sfDir)
+          df.collect() // finalize the AQE plan — the static plan lies here
+          val spans = flaggedSpans(df.queryExecution.executedPlan.toString)
+          if (spans.isEmpty) "ok"
+          else if (boundedByDesign(name)) "allowed (bounded by design, see scaladoc)"
+          else { bad += 1; s"FLAGGED raw-explode broadcast:\n${spans.head}" }
+        } catch { case e: Throwable => s"error: ${e.getMessage}" }
+      println(s"$name: $verdict")
+    }
+    spark.stop()
+    if (bad > 0) sys.exit(1)
+  }
+}

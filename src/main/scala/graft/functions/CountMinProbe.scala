@@ -120,4 +120,27 @@ object CountMinProbe {
   def probe(grid: Grid, c: Column): Column =
     GraftBridge.column(CountMinProbe(
       GraftBridge.expression(c), grid.table, grid.depth, grid.width))
+
+  /** SQL form: `SELECT cms_probe(token, sketch_hex)` — the grid rides as
+    * a hex-string literal of the serialized sketch (SQL has no binary
+    * literal that survives every client), parsed once at plan time per
+    * literal. Registered by [[graft.functions.GraftExtensions]] next to
+    * `dot_f32`.
+    */
+  val info = new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+    classOf[CountMinProbe].getName, "cms_probe")
+  val builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+      org.apache.spark.sql.catalyst.expressions.Expression = { exprs =>
+    require(exprs.length == 2,
+      "cms_probe takes (token, sketch_hex_literal)")
+    val hex = exprs(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>
+        v.toString
+      case other => throw new IllegalArgumentException(
+        s"cms_probe sketch argument must be a string literal, got $other")
+    }
+    val bytes = hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val g = parse(bytes)
+    CountMinProbe(exprs.head, g.table, g.depth, g.width)
+  }
 }

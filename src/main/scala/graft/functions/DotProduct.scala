@@ -97,6 +97,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((FunctionIdentifier("dot_f32"),
       VectorFunctions.info, VectorFunctions.builder))
+    e.injectFunction((FunctionIdentifier("cms_probe"),
+      CountMinProbe.info, CountMinProbe.builder))
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
   }

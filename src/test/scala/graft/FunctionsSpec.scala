@@ -72,6 +72,22 @@ class FunctionsSpec extends AnyFunSuite {
     assert(interp.eval(null) === cms.estimateCount("hot3"))
   }
 
+  test("cms_probe SQL registration: hex-literal sketch gives the same estimates") {
+    import graft.functions.CountMinProbe
+    val cms = org.apache.spark.util.sketch.CountMinSketch.create(0.1, 0.95, 5)
+    Seq("a", "a", "b", "c", "c", "c").foreach(cms.add)
+    val bos = new java.io.ByteArrayOutputStream()
+    cms.writeTo(bos)
+    val hex = bos.toByteArray.map("%02x".format(_)).mkString
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cms_probe", CountMinProbe.builder, "built-in")
+    Seq("a", "b", "c", "zzz").toDF("t").createOrReplaceTempView("v_cms")
+    val got = spark.sql(s"SELECT t, cms_probe(t, '$hex') AS est FROM v_cms")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> cms.estimateCount("a"), "b" -> cms.estimateCount("b"),
+      "c" -> cms.estimateCount("c"), "zzz" -> cms.estimateCount("zzz")))
+  }
+
   test("x4m probe path contains no UDF and stays in whole-stage codegen") {
     val df = graft.operators.Text.cmsFrequencyBound(
       Tables.documents(spark, TestSpark.sf), eps = 0.1, confidence = 0.99,

@@ -48,6 +48,21 @@ def main(old_path, new_path, ratio=2.0):
     print(f"total: {tot_o:.1f}s -> {tot_n:.1f}s raw"
           + (f", {tot_n / scale:.1f}s normalized" if scale != 1.0 else "")
           + f" ({len(old)} -> {len(new)} queries)")
+    # cold anomaly naming: when the new run's cold is far above its steady,
+    # name the pass-1 offenders (the host IO-stall signature is a
+    # single-query cold_queries spike with a normal steady — see
+    # BASELINE.md "Cold-pass pathology")
+    cold = new_doc.get("cold_total", 0)
+    cq = new_doc.get("cold_queries", {})
+    if cq and cold > 2 * tot_n:
+        spikes = [(q, t) for q, t in cq.items()
+                  if t > 5 and t > 10 * max(new.get(q, 0), 0.01)]
+        if spikes:
+            spikes.sort(key=lambda x: -x[1])
+            print(f"COLD ANOMALY: cold {cold:.1f}s vs steady {tot_n:.1f}s; "
+                  "pass-1 spikes (steady in parens): "
+                  + ", ".join(f"{q} {t:.1f}s ({new.get(q, 0):.2f}s)"
+                              for q, t in spikes[:5]))
     return 1 if bad or removed else 0
 
 
