@@ -367,6 +367,61 @@ object Relational {
       |   <= quantile_cont(l_extendedprice, 0.5) * 5 AS within_5pct
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Q8f — the GK quantile sketch's RANK-error contract (the theorem
+    * itself, unlike q8e's data-dependent value-space bound): for each
+    * group and each φ ∈ {0.25, 0.5, 0.75}, `approx_percentile(value, φ,
+    * accuracy)` must return an element whose exact rank interval
+    * intersects `[φ·N − 2εN, φ·N + 2εN]` with ε = 1/accuracy. The factor
+    * 2 is the x4m slack discipline: Spark documents ε as the target; the
+    * merge of per-partition summaries is where implementations spend
+    * their margin, and the oracle hardcodes TRUE — at 2ε the boolean is
+    * robust to any conforming implementation while still ~25× tighter
+    * than q8e's 5%-of-value check at these group sizes. The estimate
+    * itself stays OUT of the compared output (which element the sketch
+    * returns is partition-order-dependent; its rank CONTRACT is not).
+    * Rank interval via two counts (< and ≤) so duplicated values get
+    * their full valid rank range.
+    *
+    * This completes the sketch-bounds family as one cross-engine-checked
+    * tier: MG undercount (x4l), CMS overcount (x4m), HLL cardinality
+    * (q9c), GK rank error (q8f).
+    *
+    * Scale: the estimates table is (groups × 3) rows — broadcast to the
+    * exact-rank pass, which is one map-side-combined aggregation over the
+    * events scan. Two passes total, both full-scan-shaped, no window.
+    */
+  val q8fQuantileRankBound: Q = (spark, dir) => {
+    val accuracy = 100 // ε = 0.01
+    val phis = Seq(0.25, 0.5, 0.75)
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
+    val est = ev.groupBy(col("event_type"))
+      .agg(expr(s"approx_percentile(value, array(${phis.mkString("D,")}D), $accuracy)")
+        .as("qs"), count(lit(1)).as("n"))
+      .select(col("event_type"), col("n"),
+        posexplode(col("qs")).as(Seq("i", "qhat")))
+      .select(col("event_type"), col("n"),
+        element_at(typedlit(phis), col("i") + 1).as("phi"), col("qhat"))
+    ev.join(broadcast(est), Seq("event_type"))
+      .groupBy(col("event_type"), col("phi"), col("n"))
+      .agg(
+        sum(when(col("value") < col("qhat"), 1L).otherwise(0L)).as("rank_lt"),
+        sum(when(col("value") <= col("qhat"), 1L).otherwise(0L)).as("rank_le"))
+      .select(col("event_type"), col("phi"), col("n"),
+        // rank interval [rank_lt+1, rank_le] vs target band phi*n ± 2*n/accuracy
+        ((col("rank_lt") + 1) * lit(accuracy) <=
+            (col("phi") * col("n") * accuracy + lit(2) * col("n")) &&
+          col("rank_le") * lit(accuracy) >=
+            (col("phi") * col("n") * accuracy - lit(2) * col("n")))
+          .as("rank_ok"))
+      .orderBy(col("event_type"), col("phi"))
+  }
+  val q8fSql: String =
+    """SELECT event_type, phi, CAST(count(*) AS BIGINT) AS n, TRUE AS rank_ok
+      |FROM events
+      |CROSS JOIN (SELECT unnest([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+      |                           CAST(0.75 AS DOUBLE)]) AS phi) p
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // Q10 — ROLLUP hierarchy (group keys COALESCEd so the subtotal rows have
   // non-null sort keys in both engines).
   val q10Rollup: Q = (spark, dir) => {
@@ -1079,6 +1134,7 @@ object Relational {
     "q9_distinct" -> q9Distinct,
     "q9b_approx_distinct" -> q9bApproxDistinct,
     "q8e_approx_pct_bound" -> q8eApproxPercentileBound,
+    "q8f_quantile_rank_bound" -> q8fQuantileRankBound,
     "q9c_approx_bound" -> q9cApproxBound,
     "q10_rollup" -> q10Rollup,
     "q10b_cube" -> q10bCube,
@@ -1105,6 +1161,7 @@ object Relational {
     "q24_salted_join" -> q24Sql,
     "q23_zorder" -> q23Sql,
     "q8e_approx_pct_bound" -> q8eSql,
+    "q8f_quantile_rank_bound" -> q8fSql,
     "q8b_percentile" -> q8bSql,
     "q8c_stats" -> q8cSql,
     "q8d_stringagg" -> q8dSql,
