@@ -22,6 +22,13 @@ import org.apache.spark.sql.SparkSession
   * Exit code 1 if any query is flagged; prints one line per query.
   */
 object CollapseAudit {
+  /** A broadcast subtree is the collapse signature iff it contains a
+    * `Generate` (explode) and NO aggregate anywhere in the span: the
+    * explode then multiplies a raw scan and its output row count is
+    * corpus-proportional. An aggregate above the Generate bounds its
+    * input; an aggregate below it (e.g. q8f's posexplode of a 3-element
+    * per-group array) bounds its output — both legitimate.
+    */
   def flaggedSpans(executedPlan: String): Seq[String] = {
     val all = executedPlan.linesIterator.toVector
     val cut = all.indexWhere(_.contains("Initial Plan"))
@@ -30,19 +37,14 @@ object CollapseAudit {
       case (l, i) =>
         val base = l.indexOf("BroadcastExchange")
         var j = i + 1
-        var aggSeen = false
-        var hit: Option[String] = None
-        while (j < lines.size && hit.isEmpty && {
+        while (j < lines.size && {
           val pos = lines(j).indexWhere(_.isLetter); pos > base || pos < 0
-        }) {
-          val line = lines(j)
-          if (line.contains("HashAggregate") || line.contains("ObjectHashAggregate"))
-            aggSeen = true
-          if (line.contains("Generate ") && !aggSeen)
-            hit = Some(lines.slice(i, j + 1).mkString("\n"))
-          j += 1
-        }
-        hit
+        }) j += 1
+        val span = lines.slice(i, j)
+        val hasGen = span.exists(_.contains("Generate "))
+        val hasAgg = span.exists(s =>
+          s.contains("HashAggregate") || s.contains("ObjectHashAggregate"))
+        if (hasGen && !hasAgg) Some(span.mkString("\n")) else None
     }
   }
 
