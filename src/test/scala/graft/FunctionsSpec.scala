@@ -134,6 +134,36 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("pqEncode expression path equals a sequential reference encoder") {
+    // the distributed encode runs argmax(v.c - |c|^2/2) through dotF32 +
+    // array_position; a plain-Scala argmin ||v-c||^2 over the same
+    // codebooks must pick the same code for every (vector, subspace) —
+    // first-match tie-break both sides
+    val e = Tables.embeddings(spark, TestSpark.sf).limit(100)
+    val books = Vectors.pqCodebooks(e, 8, 16, 3)
+    val sub = Vectors.dim / 8
+    val got = Vectors.pqEncode(e, books)
+      .select("vec_id", "embedding", "codes").collect()
+    assert(got.length === 100)
+    got.foreach { r =>
+      val v = r.getSeq[Float](1).toArray
+      val cs = r.getSeq[Int](2)
+      for (j <- 0 until 8) {
+        val xs = v.slice(j * sub, (j + 1) * sub)
+        var best = 0; var bestD = Double.MaxValue
+        for (c <- 0 until 16) {
+          var d = 0.0
+          for (i <- 0 until sub) {
+            val t = xs(i).toDouble - books(j)(c)(i).toDouble; d += t * t
+          }
+          if (d < bestD) { bestD = d; best = c }
+        }
+        assert(cs(j) === best,
+          s"vec ${r.getLong(0)} subspace $j: expr ${cs(j)} vs ref $best")
+      }
+    }
+  }
+
   test("IVF search recalls most of the exact brute-force top-5") {
     val exact = Vectors.x3CosineTopK(spark, TestSpark.sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
