@@ -31,18 +31,30 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
-  /** events.ts is nanosecond parquet (read as a nanos long — see [[load]]);
-    * DuckDB keeps nanosecond timestamps. All engine logic therefore works on
-    * millisecond epoch longs (`ts DIV 1e6` here = floor, `epoch_ms` in the
-    * oracle SQL) so both engines compare identical integers (SURVEY.md
-    * §7.4). Integer division is mandatory: ~1.7e18 ns exceeds double's 2^53
-    * exact range. A microsecond TimestampType `ts` is reconstructed for
-    * operators that need a real timestamp (window(), watermarks).
+  /** events.ts has shipped in two physical forms across fixture
+    * generations: TIMESTAMP(NANOS) (read as a nanos long — see [[load]])
+    * and TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ). Both are handled by
+    * dtype dispatch so either fixture vintage loads. All engine logic
+    * works on millisecond epoch longs (floor division here, `epoch_ms` in
+    * the oracle SQL) so both engines compare identical integers
+    * (SURVEY.md §7.4); integer division is mandatory on the nanos form
+    * (~1.7e18 ns exceeds double's 2^53 exact range). A TimestampType `ts`
+    * is (re)constructed for operators that need a real timestamp
+    * (window(), watermarks) — NTZ casts interpret the wall clock in the
+    * session timezone, which every entrypoint pins to UTC to match the
+    * oracle's naive-as-UTC epoch_ms.
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "events")
-      .withColumn("ts_ms", expr("ts DIV 1000000"))
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts_ms", expr("ts DIV 1000000"))
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_ms", unix_millis(col("ts")))
+    }
+  }
 }
 
 /** Shared expression helpers kept portable with the DuckDB oracle. */

@@ -136,8 +136,17 @@ object CountMinProbe {
     val hex = exprs(1) match {
       case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>
         v.toString
-      case other => throw new IllegalArgumentException(
-        s"cms_probe sketch argument must be a string literal, got $other")
+      // AnalysisException, not IllegalArgumentException: the builder runs
+      // at function resolution, so a non-literal sketch argument is an
+      // ANALYSIS error and must surface as one (standard error class with
+      // the non-foldable-input template), not as a runtime-looking failure
+      case other => throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "DATATYPE_MISMATCH.NON_FOLDABLE_INPUT",
+        messageParameters = Map(
+          "sqlExpr" -> s"cms_probe(${exprs.head.sql}, ${other.sql})",
+          "inputName" -> "`sketch_hex`",
+          "inputType" -> "\"STRING\" literal",
+          "inputExpr" -> other.sql))
     }
     val bytes = hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
     val g = parse(bytes)

@@ -377,6 +377,9 @@ object Vectors {
     */
   def pqCodebooks(corpus: DataFrame, m: Int, ksub: Int, iters: Int,
       fitSampleMax: Int = 100000): Array[Array[Array[Float]]] = {
+    // a non-divisor m would silently drop the trailing dim % m dimensions
+    // from every codebook, code, and ADC score — fail loudly instead
+    require(dim % m == 0, s"PQ subspace count m=$m must divide dim=$dim")
     val sub = dim / m
     val sample: Array[Array[Float]] = corpus
       .select(col("vec_id"), col("embedding"))

@@ -88,6 +88,21 @@ class FunctionsSpec extends AnyFunSuite {
       "c" -> cms.estimateCount("c"), "zzz" -> cms.estimateCount("zzz")))
   }
 
+  test("cms_probe with a non-literal sketch argument fails at analysis, not runtime") {
+    import graft.functions.CountMinProbe
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cms_probe", CountMinProbe.builder, "built-in")
+    Seq("a", "b").toDF("t").createOrReplaceTempView("v_cms_neg")
+    // the sketch must ride as a literal (parsed once at plan time); a
+    // column reference is an ANALYSIS error with the standard
+    // non-foldable-input error class, not a runtime IllegalArgumentException
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT cms_probe(t, t) FROM v_cms_neg").collect()
+    }
+    assert(e.getCondition === "DATATYPE_MISMATCH.NON_FOLDABLE_INPUT",
+      s"unexpected error class: ${e.getCondition}")
+  }
+
   test("x4m probe path contains no UDF and stays in whole-stage codegen") {
     val df = graft.operators.Text.cmsFrequencyBound(
       Tables.documents(spark, TestSpark.sf), eps = 0.1, confidence = 0.99,

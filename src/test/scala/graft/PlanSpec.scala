@@ -113,11 +113,18 @@ class PlanSpec extends AnyFunSuite {
       val all = p.linesIterator.toVector
       val cut = all.indexWhere(_.contains("Initial Plan"))
       val fin = (if (cut > 0) all.take(cut) else all).mkString("\n")
+      // executed-plan strings print shuffles as "Exchange hashpartitioning(…)"
+      // (never "ShuffleExchange" — that key would count 0 and make the
+      // no-extra-shuffles half of this assertion vacuous)
       Seq("BroadcastNestedLoopJoin", "CartesianProduct", "SortMergeJoin",
-        "ShuffledHashJoin", "Generate ", "ShuffleExchange")
+        "ShuffledHashJoin", "Generate ", "Exchange [a-z]+partitioning")
         .map(op => op -> op.r.findAllIn(fin).size).toMap
     }
-    val x3i = profile(SparkEntry.queries("x3i_kmeans_refine")(spark, TestSpark.sf))
+    // profile the step combinator, not the registered query: the query
+    // appends a presentation orderBy whose rangepartitioning exchange is
+    // not part of the per-iteration step shape being pinned here
+    val x3i = profile(Vectors.kmeansRefine(
+      Tables.embeddings(spark, TestSpark.sf), Vectors.kmeansK))
     val e = Tables.embeddings(spark, TestSpark.sf)
     val q = Vectors.quantizeEmbeddings(e)
     val cents = q.filter(col("vec_id") < Vectors.kmeansK)
