@@ -867,9 +867,9 @@ object Cdc {
     * The driver materialization is bounded by construction: one row per
     * (table, schema-version), i.e. #tables × #DDL-changes — the IVF
     * sample-fit class, never data-proportional. Fields type as wire
-    * strings except the key (long); a production deployment would
-    * carry per-field types from a registry, orthogonal to the widening
-    * mechanics exercised here.
+    * strings except the key (long) — the shape-only form; for
+    * type-carrying envelopes use [[typedSchemaFromWire]], which reads the
+    * per-field types the wire transmits and widens them across versions.
     */
   def evolvedAfterSchema(raw: DataFrame,
       keyField: String = "id"): org.apache.spark.sql.types.StructType = {
@@ -882,6 +882,71 @@ object Cdc {
     fields.foldLeft(new StructType()) { (st, f) =>
       st.add(f, if (f == keyField) LongType else StringType)
     }
+  }
+
+  /** TYPED widened schema from the envelope's SELF-DESCRIBING schema
+    * object — the reason the reference's wire format carries a `schema`
+    * block with every message (ez-cdc README.md:331 declares `id: int32`,
+    * `first_name: string`, … per message): a consumer can type its reader
+    * without a registry round-trip. `raw` must carry a `raw` column whose
+    * JSON has a top-level `{"schema":{"fields":[{"field":…,"type":…}…]}}`
+    * (Kafka-Connect JSON-converter shape). Each message's declared
+    * (field, type) pairs are aggregated DISTRIBUTED-side down to one row
+    * per field with its distinct wire-type set (bounded by #fields ×
+    * #DDL-changes — the one-row-per-schema-version class), then widened
+    * on the driver with numeric precedence:
+    *
+    *  - int8/int16/int32 < int64 (a column ALTERed int→bigint types as
+    *    long, and pre-DDL int values fold into it losslessly);
+    *  - float < double; an int/float mix widens to double (the Debezium
+    *    converter's own promotion — possible precision loss at the 2^53
+    *    boundary is upstream's contract, not introduced here);
+    *  - any disagreement involving a non-numeric type falls back to
+    *    string (the value is preserved verbatim; nothing is dropped).
+    *
+    * Unknown wire types (bytes, logical decimals, …) type as string —
+    * conservative, lossless, and explicit here rather than failing the
+    * reader mid-stream.
+    */
+  private val intWire = Map("int8" -> 1, "int16" -> 2, "int32" -> 3, "int64" -> 4)
+  private def wireToSpark(w: String): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    w match {
+      case "int8" | "int16" | "int32" => IntegerType
+      case "int64"                    => LongType
+      case "float"                    => FloatType
+      case "double"                   => DoubleType
+      case "boolean"                  => BooleanType
+      case _                          => StringType
+    }
+  }
+  private[graft] def widenWireTypes(ws: Seq[String]): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    val distinct = ws.distinct
+    if (distinct.size == 1) wireToSpark(distinct.head)
+    else if (distinct.forall(w => intWire.contains(w) || w == "float" || w == "double")) {
+      if (distinct.forall(intWire.contains))
+        if (distinct.map(intWire).max >= 4) LongType else IntegerType
+      else if (distinct.forall(_ == "float")) FloatType
+      else DoubleType
+    } else StringType
+  }
+
+  def typedSchemaFromWire(raw: DataFrame): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.{StructType, StructField}
+    val declSchema = StructType.fromDDL(
+      "fields ARRAY<STRUCT<field: STRING, type: STRING>>")
+    val perField = raw
+      .select(explode(from_json(get_json_object(col("raw"), "$.schema"),
+        declSchema).getField("fields")).as("f"))
+      .select(col("f.field").as("field"), col("f.type").as("wire"))
+      .groupBy(col("field"))
+      .agg(collect_set(col("wire")).as("wires"))
+      .collect() // bounded: one row per distinct declared field
+    val fields = perField
+      .map(r => r.getString(0) -> widenWireTypes(r.getSeq[String](1)))
+      .sortBy(_._1)
+    StructType(fields.map { case (n, t) => StructField(n, t) })
   }
 
   /** Additive-column schema evolution folded INTO the snapshot (the
@@ -964,6 +1029,80 @@ object Cdc {
       |SELECT id, email, first_name, last_name, phone
       |FROM fold WHERE rn = 1 AND op <> 'd' ORDER BY id""".stripMargin
 
+  /** TYPED evolution query (the depth [[cdcSchemaEvolve]] lacks — its
+    * evolved column types as a wire string): every envelope carries the
+    * self-describing `schema` block, and the DDL at 50% of the lsn range
+    * adds a NUMERIC column `loyalty_pts` declared `int32`; the DDL at 80%
+    * ALTERs it to `int64` (values then exceed int32 range — 3e9 offset —
+    * so a mis-widened reader would overflow, not just mistype) and drops
+    * `last_name`. [[typedSchemaFromWire]] must produce a LongType column,
+    * and the fold materializes int-era and long-era values into it
+    * losslessly. The oracle rebuilds the same three shapes as a BIGINT
+    * UNION — the widening is value-checked per row with a non-string
+    * evolved column, hash-exact cross-engine.
+    */
+  val cdcSchemaEvolveTyped: Q = (spark, dir) => {
+    val chg = changelog(spark, dir)
+    val cuts = chg.agg(expr("max(source.lsn) * 5 DIV 10").as("c1"),
+      expr("max(source.lsn) * 8 DIV 10").as("c2"))
+    def decl(fs: (String, String)*): String =
+      fs.map { case (n, t) => s"""{"field":"$n","type":"$t"}""" }
+        .mkString("""{"fields":[""", ",", "]}")
+    val declV1 = decl("id" -> "int64", "first_name" -> "string",
+      "email" -> "string", "last_name" -> "string")
+    val declV2 = decl("id" -> "int64", "first_name" -> "string",
+      "email" -> "string", "last_name" -> "string", "loyalty_pts" -> "int32")
+    val declV3 = decl("id" -> "int64", "first_name" -> "string",
+      "email" -> "string", "loyalty_pts" -> "int64")
+    def obj(parts: Column*): Column = concat(
+      lit("{\"id\":") +: col("after.id").cast("string") +: parts :+ lit("}"): _*)
+    val fnEm = Seq(
+      lit(",\"first_name\":\""), col("after.first_name"),
+      lit("\",\"email\":\""), col("after.email"), lit("\""))
+    val ln = Seq(lit(",\"last_name\":\""), col("after.last_name"), lit("\""))
+    val p32 = Seq(lit(",\"loyalty_pts\":"),
+      (col("after.id") % 1000).cast("string"))
+    val p64 = Seq(lit(",\"loyalty_pts\":"),
+      (col("after.id") * lit(1000000L) + lit(3000000000L)).cast("string"))
+    val after = when(col("op") === "d", lit("null"))
+      .when(col("source.lsn") >= col("c2"), obj(fnEm ++ p64: _*))
+      .when(col("source.lsn") >= col("c1"), obj(fnEm ++ ln ++ p32: _*))
+      .otherwise(obj(fnEm ++ ln: _*))
+    val schemaJson = when(col("source.lsn") >= col("c2"), lit(declV3))
+      .when(col("source.lsn") >= col("c1"), lit(declV2))
+      .otherwise(lit(declV1))
+    val raw = chg.crossJoin(broadcast(cuts)).select(
+      col("source.lsn").as("lsn"),
+      concat(lit("{\"schema\":"), schemaJson,
+        lit(",\"payload\":{\"op\":\""), col("op"),
+        lit("\",\"key\":"),
+        coalesce(col("after.id"), col("before.id")).cast("string"),
+        lit(",\"after\":"), after, lit("}}")).as("raw"))
+    val widened = typedSchemaFromWire(raw)
+    evolveSnapshot(
+      raw.withColumn("raw", get_json_object(col("raw"), "$.payload")), widened)
+      .orderBy(col("id"))
+  }
+  val cdcSchemaEvolveTypedSql: String = changelogCte +
+    """,
+      |cuts AS (SELECT (max(lsn)*5)//10 AS c1, (max(lsn)*8)//10 AS c2 FROM chg),
+      |v1 AS (SELECT id, lsn, op, a_em AS email, a_fn AS first_name,
+      |  a_ln AS last_name, CAST(NULL AS BIGINT) AS loyalty_pts
+      | FROM chg, cuts WHERE lsn < c1),
+      |v2 AS (SELECT id, lsn, op, a_em, a_fn, a_ln,
+      |  CASE WHEN op = 'd' THEN NULL ELSE CAST(id % 1000 AS BIGINT) END
+      | FROM chg, cuts WHERE lsn >= c1 AND lsn < c2),
+      |v3 AS (SELECT id, lsn, op, a_em, a_fn, CAST(NULL AS VARCHAR),
+      |  CASE WHEN op = 'd' THEN NULL
+      |       ELSE CAST(id * 1000000 + 3000000000 AS BIGINT) END
+      | FROM chg, cuts WHERE lsn >= c2),
+      |uni AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2
+      |        UNION ALL SELECT * FROM v3),
+      |fold AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY lsn DESC) AS rn
+      |         FROM uni)
+      |SELECT id, email, first_name, last_name, loyalty_pts
+      |FROM fold WHERE rn = 1 AND op <> 'd' ORDER BY id""".stripMargin
+
   // ------------------------------------- incremental aggregate maintenance
   /** Incremental view maintenance (IVM) of a grouped aggregate from the
     * changelog deltas ALONE — no base-table rescan: op c/r contributes
@@ -1022,6 +1161,7 @@ object Cdc {
     "cdc_toast_fill" -> cdcToastFill,
     "cdc_schema_drift" -> cdcSchemaDrift,
     "cdc_schema_evolve" -> cdcSchemaEvolve,
+    "cdc_schema_evolve_typed" -> cdcSchemaEvolveTyped,
     "cdc_deadletter" -> cdcDeadletter,
     "cdc_tx_blocks" -> cdcTxBlocks,
     "cdc_tx_snapshot" -> cdcTxSnapshot,
@@ -1041,6 +1181,7 @@ object Cdc {
     "cdc_toast_fill" -> cdcToastFillSql,
     "cdc_schema_drift" -> cdcSchemaDriftSql,
     "cdc_schema_evolve" -> cdcSchemaEvolveSql,
+    "cdc_schema_evolve_typed" -> cdcSchemaEvolveTypedSql,
     "cdc_deadletter" -> cdcDeadletterSql,
     "cdc_tx_blocks" -> cdcTxBlocksSql,
     "cdc_tx_snapshot" -> cdcTxSnapshotSql,

@@ -104,17 +104,37 @@ object PartitionedSnapshotStore {
       }
   }
 
-  /** The committed snapshot (all buckets at their committed versions).
-    * Read with mergeSchema: buckets written before an upstream schema
-    * change (C13/drift world) lack the newer columns — they surface as
-    * nulls instead of failing the union, so a replica keeps serving
-    * across a rolling schema migration.
+  /** Read a set of bucket-version directories as ONE frame, tolerant of
+    * SCHEMA VINTAGES: buckets written before an upstream schema change
+    * (C15 world) may lack newer columns (additive DDL) or carry a
+    * NARROWER type for one (int32 era of a column later ALTERed to
+    * int64). Parquet's mergeSchema handles only the additive case — it
+    * refuses to merge int32 with int64 footers — so paths are grouped by
+    * their actual file schema (one driver-side footer read per bucket;
+    * bucket count is bounded config, never data-proportional) into one
+    * scan relation per VINTAGE, then unioned by name with analyzer type
+    * widening. One vintage — the steady state — is exactly a single
+    * multi-path scan; a rolling migration adds one relation per live
+    * vintage (2–3), not per bucket.
     */
+  private def readVintages(spark: SparkSession,
+      paths: Seq[String]): DataFrame = {
+    val byVintage = paths
+      .map(p => spark.read.parquet(p).schema.toDDL -> p)
+      .groupBy(_._1).values.toSeq
+      .map(_.map(_._2).sorted)
+      .sortBy(_.head) // deterministic union (and output column) order
+    byVintage
+      .map(ps => spark.read.parquet(ps: _*))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** The committed snapshot (all buckets at their committed versions). */
   def read(spark: SparkSession, root: String): Option[DataFrame] =
     SnapshotStore.latestVersion(spark, root).flatMap { e =>
       val paths = resolvePaths(spark, root, e)
       if (paths.isEmpty) None
-      else Some(spark.read.option("mergeSchema", "true").parquet(paths: _*))
+      else Some(readVintages(spark, paths))
     }
 
   /** The store's key→bucket modulus is LOAD-BEARING for correctness: a
@@ -183,7 +203,7 @@ object PartitionedSnapshotStore {
       epoch: Long): Option[DataFrame] = {
     val paths = resolvePaths(spark, root, epoch - 1)
     if (paths.isEmpty) None
-    else Some(spark.read.option("mergeSchema", "true").parquet(paths: _*))
+    else Some(readVintages(spark, paths))
   }
 
   /** Time travel: the snapshot as of committed epoch `epoch` — each bucket
@@ -208,7 +228,7 @@ object PartitionedSnapshotStore {
             .map(v => versionDir(root, b, v).toString)
         }
         if (resolved.size < buckets.size || resolved.isEmpty) None
-        else Some(spark.read.option("mergeSchema", "true").parquet(resolved: _*))
+        else Some(readVintages(spark, resolved))
       }
     }
 }

@@ -181,10 +181,16 @@ object Streams {
     * batch carrying a NEW column (upstream additive DDL) widens the
     * persisted schema on THIS write — prior rows null the new column —
     * and a column the batch no longer carries survives with nulls on the
-    * batch's rows. Untouched partitions keep their old files; reads merge
-    * schemas across them (`PartitionedSnapshotStore.read`), so a replica
-    * keeps serving through a rolling schema migration with no rewrite of
-    * history.
+    * batch's rows. TYPE evolution rides the same union: when a batch
+    * carries a WIDER type for an existing column (upstream
+    * `ALTER … TYPE BIGINT` — the int32→int64 case the typed C15 query
+    * exercises), the analyzer's set-operation coercion widens the merged
+    * column, so int-era prior rows fold into the long column losslessly.
+    * Untouched partitions keep their old files; reads reconcile schema
+    * vintages across them (`PartitionedSnapshotStore.read` groups bucket
+    * files by vintage and unions with the same widening), so a replica
+    * keeps serving through a rolling schema OR type migration with no
+    * rewrite of history.
     */
   def mergeEpoch(prior: Option[DataFrame], incoming: DataFrame): DataFrame = {
     val merged = prior match {

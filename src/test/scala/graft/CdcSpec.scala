@@ -310,6 +310,47 @@ class CdcSpec extends AnyFunSuite {
       (9L, 1L, "a,c,id", "", "b")))
   }
 
+  test("wire-type widening lattice: int precedence, float/double, mixed and non-numeric fallbacks") {
+    import org.apache.spark.sql.types._
+    assert(Cdc.widenWireTypes(Seq("int32")) === IntegerType)
+    assert(Cdc.widenWireTypes(Seq("int64")) === LongType)
+    assert(Cdc.widenWireTypes(Seq("int8", "int16", "int32")) === IntegerType)
+    assert(Cdc.widenWireTypes(Seq("int32", "int64")) === LongType)
+    assert(Cdc.widenWireTypes(Seq("float")) === FloatType)
+    assert(Cdc.widenWireTypes(Seq("float", "double")) === DoubleType)
+    // int/float mix promotes to double (the Debezium converter promotion)
+    assert(Cdc.widenWireTypes(Seq("int64", "float")) === DoubleType)
+    assert(Cdc.widenWireTypes(Seq("boolean")) === BooleanType)
+    // any disagreement involving a non-numeric type falls back to string
+    assert(Cdc.widenWireTypes(Seq("int32", "string")) === StringType)
+    assert(Cdc.widenWireTypes(Seq("boolean", "int32")) === StringType)
+    // unknown wire types (bytes, logical decimals) type conservatively
+    assert(Cdc.widenWireTypes(Seq("bytes")) === StringType)
+  }
+
+  test("typedSchemaFromWire reads the self-describing schema block and widens across versions") {
+    import org.apache.spark.sql.types._
+    val raw = Seq(
+      // v1: loyalty_pts declared int32
+      """{"schema":{"fields":[{"field":"id","type":"int64"},
+        |{"field":"email","type":"string"},{"field":"loyalty_pts","type":"int32"}]},
+        |"payload":{"op":"c","key":1,"after":{"id":1,"email":"a@x","loyalty_pts":7}}}"""
+        .stripMargin.replace("\n", ""),
+      // v2: upstream ALTER to int64 + added a double column
+      """{"schema":{"fields":[{"field":"id","type":"int64"},
+        |{"field":"email","type":"string"},{"field":"loyalty_pts","type":"int64"},
+        |{"field":"score","type":"double"}]},
+        |"payload":{"op":"u","key":1,"after":{"id":1,"email":"a@x",
+        |"loyalty_pts":5000000000,"score":0.5}}}"""
+        .stripMargin.replace("\n", "")).toDF("raw")
+    val st = Cdc.typedSchemaFromWire(raw)
+    assert(st.fieldNames.toSeq === Seq("email", "id", "loyalty_pts", "score"))
+    assert(st("id").dataType === LongType)
+    assert(st("email").dataType === StringType)
+    assert(st("loyalty_pts").dataType === LongType) // int32 ∨ int64
+    assert(st("score").dataType === DoubleType)
+  }
+
   test("IVM delta-fold: group transfer on update, retraction to absence on delete") {
     val events = Seq(
       ev(1, "c", 10, None, row(1, "a", "x", "e1")),

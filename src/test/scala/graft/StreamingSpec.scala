@@ -521,6 +521,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(got2(2).isNullAt(2))
   }
 
+  test("mergeEpoch widens a column's TYPE across epochs (int32-era rows fold into int64)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.LongType
+    val root = java.nio.file.Files.createTempDirectory("tstore").toString + "/s"
+    // epoch 0: loyalty declared int32 upstream — committed as IntegerType
+    val e0 = Seq((1L, true, 10L, 100), (2L, true, 11L, 200))
+      .toDF("id", "live", "lsn", "loyalty")
+    SnapshotStore.commit(Streams.mergeEpoch(None, e0), root, 0L)
+    // epoch 1: upstream ALTER COLUMN TYPE BIGINT; the batch's values
+    // exceed int32 range, so a mis-widened merge would overflow, not
+    // just mistype. Key 2 updates, key 3 inserts; key 1's int-era row
+    // must fold into the long column losslessly.
+    val e1 = Seq((2L, true, 20L, 5000000000L), (3L, true, 21L, 6000000000L))
+      .toDF("id", "live", "lsn", "loyalty")
+    val m1 = Streams.mergeEpoch(
+      SnapshotStore.readBefore(spark, root, 1L), e1)
+    assert(m1.schema("loyalty").dataType === LongType)
+    SnapshotStore.commit(m1, root, 1L)
+    val got = SnapshotStore.read(spark, root).get
+      .select("id", "loyalty").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((1L, 100L), (2L, 5000000000L), (3L, 6000000000L)))
+  }
+
+  test("keyed-merge store serves across a rolling TYPE migration: untouched int-era buckets union with long-era buckets") {
+    import spark.implicits._
+    import graft.streaming.PartitionedSnapshotStore
+    import org.apache.spark.sql.types.LongType
+    val root = java.nio.file.Files.createTempDirectory("tpstore").toString + "/s"
+    def bucketed(d: org.apache.spark.sql.DataFrame) = d
+      .withColumn(PartitionedSnapshotStore.bucketColName,
+        PartitionedSnapshotStore.bucketOf(col("id"), 4))
+    // epoch 0: keys 1, 2 (buckets 1, 2) with int32-era loyalty
+    val e0 = bucketed(Seq((1L, true, 10L, 100), (2L, true, 11L, 200))
+      .toDF("id", "live", "lsn", "loyalty"))
+    PartitionedSnapshotStore.commit(Streams.mergeEpoch(None, e0), root, 0L)
+    // epoch 1 touches ONLY bucket 3 (key 3) with a post-ALTER long value;
+    // buckets 1 and 2 keep their int32 parquet files — the read must
+    // reconcile the two vintages (parquet mergeSchema would refuse)
+    val e1 = bucketed(Seq((3L, true, 20L, 7000000000L))
+      .toDF("id", "live", "lsn", "loyalty"))
+    PartitionedSnapshotStore.commit(Streams.mergeEpoch(None, e1), root, 1L)
+    val snap = PartitionedSnapshotStore.read(spark, root).get
+    assert(snap.schema("loyalty").dataType === LongType)
+    val got = snap.select("id", "loyalty").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((1L, 100L), (2L, 200L), (3L, 7000000000L)))
+    // readBefore (the merge input path) reconciles the same way
+    val before = PartitionedSnapshotStore.readBefore(spark, root, 2L).get
+    assert(before.schema("loyalty").dataType === LongType)
+    assert(before.count() === 3)
+  }
+
   test("snapshot commit protocol: a crash between stage and pointer leaves the prior version readable") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("store").toString + "/s"
