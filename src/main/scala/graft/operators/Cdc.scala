@@ -429,6 +429,23 @@ object Cdc {
       .drop("__tord")
   }
 
+  /** Oracle-side twin of [[ordersChangelog]] (flat CTE named `ochg`),
+    * shared by every oracle that replays the orders log. Declared before
+    * first use — object vals initialize in declaration order.
+    */
+  val ordersChangelogCte: String =
+    """ochg AS (
+      | SELECT o_orderkey AS oid, o_custkey AS ck, 'c' AS op,
+      |   100*o_custkey + 5 + 3*(o_orderkey % 30) AS lsn,
+      |   lower(o_orderstatus) AS status, round(o_totalprice, 2) AS total
+      | FROM orders
+      | UNION ALL SELECT o_orderkey, o_custkey, 'u',
+      |   100*o_custkey + 6 + 3*(o_orderkey % 30), 'shipped', round(o_totalprice, 2)
+      |  FROM orders WHERE o_orderkey % 4 = 0
+      | UNION ALL SELECT o_orderkey, o_custkey, 'd',
+      |   100*o_custkey + 7 + 3*(o_orderkey % 30), NULL, NULL
+      |  FROM orders WHERE o_orderkey % 9 = 0)""".stripMargin
+
   /** C10 extended across tables: a commit is applied to EVERY captured
     * table or to none. The per-tx high-water lsn is computed over the
     * UNION of all logs' (transaction.id, lsn) pairs, and each log keeps
@@ -469,14 +486,51 @@ object Cdc {
     * table-agnostic form of [[snapshot]] — key-partitioned window, shards
     * at any scale).
     */
-  def materializeLatest(changelog: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("__k")).orderBy(col("source.lsn").desc)
-    changelog
-      .withColumn("__k", coalesce(col("after.id"), col("before.id")))
-      .withColumn("__rn", row_number().over(w))
+  def materializeLatest(changelog: DataFrame): DataFrame =
+    materializeLatestBy(changelog, Seq("id"))
+
+  /** [[materializeLatest]] generalized to a COMPOSITE primary key — the
+    * multi-tenant `(tenant_id, id)` shape any real deployment hits (the
+    * reference's table has a single serial PK, `init.sql:3`, so the
+    * single-column forms match it; this is the implied general form).
+    * Each key column is taken from the after-image with before-image
+    * fallback (deletes carry only `before`), and the fold is ONE window
+    * partitioned by the full key tuple — identical shuffle shape to the
+    * single-key fold: the shuffle keys on all columns at once, so
+    * cardinality and skew behavior only improve vs a single column.
+    */
+  def materializeLatestBy(changelog: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "materializeLatestBy needs at least one key column")
+    val keyed = keyCols.foldLeft(changelog)((df, k) =>
+      df.withColumn(s"__k_$k", coalesce(col(s"after.`$k`"), col(s"before.`$k`"))))
+    val w = Window.partitionBy(keyCols.map(k => col(s"__k_$k")): _*)
+      .orderBy(col("source.lsn").desc)
+    keyed.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && col("op") =!= "d")
       .select(col("after.*"))
   }
+
+  /** Registered composite-key query: the orders changelog folded by
+    * (custkey, id) — a two-column key (partition key + PK, the
+    * multi-tenant layout). Every order's events carry the same custkey,
+    * so the fold result equals the single-key fold; what the oracle
+    * value-checks is that the two-column window partitions correctly
+    * (a key-tuple bug would merge different orders of one customer or
+    * split one order's events).
+    */
+  val cdcSnapshotComposite: Q = (spark, dir) =>
+    materializeLatestBy(ordersChangelog(spark, dir), Seq("custkey", "id"))
+      .select(col("custkey"), col("id").as("orderkey"),
+        col("status"), col("total"))
+      .orderBy(col("custkey"), col("orderkey"))
+  val cdcSnapshotCompositeSql: String =
+    """WITH """ + ordersChangelogCte + """
+      |SELECT ck AS custkey, oid AS orderkey, status, total
+      |FROM (SELECT *, row_number()
+      |        OVER (PARTITION BY ck, oid ORDER BY lsn DESC) AS rn
+      |      FROM ochg)
+      |WHERE rn = 1 AND op <> 'd'
+      |ORDER BY custkey, orderkey""".stripMargin
 
   /** Registered query: transaction-consistent snapshot of customers AND
     * orders at one cutoff, then the replica-side join. Deleted customers
@@ -499,18 +553,8 @@ object Cdc {
         col("status"), col("total"))
       .orderBy(col("orderkey"))
   }
-  val cdcMultitableSnapshotSql: String = changelogCte + """,
-      |ochg AS (
-      | SELECT o_orderkey AS oid, o_custkey AS ck, 'c' AS op,
-      |   100*o_custkey + 5 + 3*(o_orderkey % 30) AS lsn,
-      |   lower(o_orderstatus) AS status, round(o_totalprice, 2) AS total
-      | FROM orders
-      | UNION ALL SELECT o_orderkey, o_custkey, 'u',
-      |   100*o_custkey + 6 + 3*(o_orderkey % 30), 'shipped', round(o_totalprice, 2)
-      |  FROM orders WHERE o_orderkey % 4 = 0
-      | UNION ALL SELECT o_orderkey, o_custkey, 'd',
-      |   100*o_custkey + 7 + 3*(o_orderkey % 30), NULL, NULL
-      |  FROM orders WHERE o_orderkey % 9 = 0),
+  val cdcMultitableSnapshotSql: String = changelogCte + ",\n" +
+    ordersChangelogCte + """,
       |alltx AS (SELECT lsn // 1000 AS tx, lsn FROM chg
       |          UNION ALL SELECT lsn // 1000, lsn FROM ochg),
       |cut AS (SELECT (max(lsn) * 6) // 10 AS cutoff FROM alltx),
@@ -965,18 +1009,41 @@ object Cdc {
     */
   def evolveSnapshot(raw: DataFrame,
       after: org.apache.spark.sql.types.StructType,
-      keyField: String = "id"): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+      keyField: String = "id"): DataFrame =
+    evolveSnapshotBy(raw, after, Seq(keyField))
+
+  /** [[evolveSnapshot]] generalized to a COMPOSITE key. Wire contract:
+    * a single-column key rides as a bare scalar (`"key":123` — the
+    * Debezium message-key for a serial PK, typed long), a composite key
+    * as an object of its columns (`"key":{"tenant":"a","id":7}` — the
+    * message-key struct Debezium emits for a multi-column PK), each key
+    * column typed from the widened after-schema where declared.
+    * Same single key-partitioned window either way.
+    */
+  def evolveSnapshotBy(raw: DataFrame,
+      after: org.apache.spark.sql.types.StructType,
+      keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{DataType, LongType, StringType,
+      StructField, StructType}
+    require(keyCols.nonEmpty, "evolveSnapshotBy needs at least one key column")
+    def declared(k: String): DataType =
+      after.find(_.name == k).map(_.dataType).getOrElse(LongType)
+    val keyType: DataType =
+      if (keyCols.size == 1) LongType // bare scalar message key (serial PK)
+      else StructType(keyCols.map(k => StructField(k, declared(k))))
     val env = new StructType()
-      .add("op", StringType).add("key", LongType).add("after", after)
-    val w = Window.partitionBy(col("key")).orderBy(col("lsn").desc)
+      .add("op", StringType).add("key", keyType).add("after", after)
+    val keyRefs: Seq[Column] =
+      if (keyCols.size == 1) Seq(col("key"))
+      else keyCols.map(k => col(s"key.`$k`"))
+    val w = Window.partitionBy(keyRefs: _*).orderBy(col("lsn").desc)
     raw.select(col("lsn"), from_json(col("raw"), env).as("e"))
       .select(col("e.op").as("op"), col("e.key").as("key"), col("lsn"),
         col("e.after").as("after"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && col("op") =!= "d")
-      .select(col("key").as(keyField) +:
-        after.fieldNames.filterNot(_ == keyField).sorted
+      .select(keyRefs.zip(keyCols).map { case (c, k) => c.as(k) } ++
+        after.fieldNames.filterNot(keyCols.contains).sorted
           .map(f => col(s"after.`$f`").as(f)): _*)
   }
 
@@ -1166,6 +1233,7 @@ object Cdc {
     "cdc_tx_blocks" -> cdcTxBlocks,
     "cdc_tx_snapshot" -> cdcTxSnapshot,
     "cdc_multitable_snapshot" -> cdcMultitableSnapshot,
+    "cdc_snapshot_composite" -> cdcSnapshotComposite,
     "cdc_scd2" -> cdcScd2,
     "cdc_rate" -> cdcRate,
     "cdc_snapshot" -> cdcSnapshot,
@@ -1186,6 +1254,7 @@ object Cdc {
     "cdc_tx_blocks" -> cdcTxBlocksSql,
     "cdc_tx_snapshot" -> cdcTxSnapshotSql,
     "cdc_multitable_snapshot" -> cdcMultitableSnapshotSql,
+    "cdc_snapshot_composite" -> cdcSnapshotCompositeSql,
     "cdc_scd2" -> cdcScd2Sql,
     "cdc_rate" -> cdcRateSql,
     "cdc_snapshot" -> cdcSnapshotSql,

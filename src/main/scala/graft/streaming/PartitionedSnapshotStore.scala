@@ -47,6 +47,19 @@ object PartitionedSnapshotStore {
   def bucketOf(id: org.apache.spark.sql.Column, buckets: Int): org.apache.spark.sql.Column =
     pmod(id, lit(buckets)).cast("int")
 
+  /** Composite-key bucket assignment: a single numeric key keeps the
+    * plain-modulus placement ([[bucketOf]] — existing stores stay
+    * readable); a key tuple hashes with xxhash64 (fixed seed, stable
+    * across Spark releases — the documented 64-bit xxHash of the
+    * canonical row encoding) then takes the modulus. The same
+    * modulus-stability contract applies: every writer over the store's
+    * lifetime must use the same key columns AND bucket count.
+    */
+  def bucketOfKeys(keys: Seq[org.apache.spark.sql.Column],
+      buckets: Int): org.apache.spark.sql.Column =
+    if (keys.size == 1) bucketOf(keys.head, buckets)
+    else pmod(xxhash64(keys: _*), lit(buckets)).cast("int")
+
   private def listBuckets(spark: SparkSession, root: String): Seq[Int] = {
     val f = fs(spark, root)
     val r = new Path(root)
@@ -181,14 +194,15 @@ object PartitionedSnapshotStore {
     * pre-compaction version as the grace window, an in-flight reader is
     * never broken.
     */
-  def compact(spark: SparkSession, root: String, epoch: Long): Unit = {
+  def compact(spark: SparkSession, root: String, epoch: Long,
+      keyCols: Seq[String] = Seq("id")): Unit = {
     import org.apache.spark.sql.functions.col
     val n = bucketCount(spark, root).getOrElse(
       sys.error(s"no _BUCKETS metadata under $root"))
     val current = read(spark, root).getOrElse(
       sys.error(s"nothing committed under $root"))
     val compacted = current
-      .withColumn(bucketColName, bucketOf(col("id"), n))
+      .withColumn(bucketColName, bucketOfKeys(keyCols.map(col), n))
       .repartition(col(bucketColName))
     commit(compacted, root, epoch)
   }

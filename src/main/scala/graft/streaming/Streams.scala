@@ -192,7 +192,17 @@ object Streams {
     * keeps serving through a rolling schema OR type migration with no
     * rewrite of history.
     */
-  def mergeEpoch(prior: Option[DataFrame], incoming: DataFrame): DataFrame = {
+  def mergeEpoch(prior: Option[DataFrame], incoming: DataFrame): DataFrame =
+    mergeEpochBy(prior, incoming, Seq("id"))
+
+  /** [[mergeEpoch]] generalized to a COMPOSITE key (multi-tenant
+    * `(tenant_id, id)` replicas): the winner window partitions by the
+    * full key tuple — same single keyed shuffle, same tombstone and
+    * widening semantics.
+    */
+  def mergeEpochBy(prior: Option[DataFrame], incoming: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "mergeEpochBy needs at least one key column")
     val merged = prior match {
       case Some(p) => p.withColumn("__src", lit(0))
         .unionByName(incoming.withColumn("__src", lit(1)),
@@ -200,7 +210,8 @@ object Streams {
       case None => incoming.withColumn("__src", lit(1))
     }
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("lsn").desc, col("__src").desc)
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col("lsn").desc, col("__src").desc)
     merged.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .drop("rn", "__src")

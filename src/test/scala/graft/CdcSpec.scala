@@ -351,6 +351,26 @@ class CdcSpec extends AnyFunSuite {
     assert(st("score").dataType === DoubleType)
   }
 
+  test("evolveSnapshotBy folds a composite (tenant, id) message key across schema versions") {
+    import org.apache.spark.sql.types._
+    // same id under two tenants; v2 adds loyalty_pts; delete wins (b,1)
+    val raw = Seq(
+      (10L, """{"op":"c","key":{"tenant":"a","id":1},"after":{"tenant":"a","id":1,"email":"a1@x"}}"""),
+      (11L, """{"op":"c","key":{"tenant":"b","id":1},"after":{"tenant":"b","id":1,"email":"b1@x"}}"""),
+      (20L, """{"op":"u","key":{"tenant":"a","id":1},"after":{"tenant":"a","id":1,"email":"a1b@x","loyalty_pts":5000000000}}"""),
+      (21L, """{"op":"d","key":{"tenant":"b","id":1},"after":null}"""))
+      .toDF("lsn", "raw")
+    val after = StructType(Seq(
+      StructField("tenant", StringType), StructField("id", LongType),
+      StructField("email", StringType), StructField("loyalty_pts", LongType)))
+    val got = Cdc.evolveSnapshotBy(raw, after, Seq("tenant", "id"))
+      .orderBy("tenant", "id").collect()
+    assert(got.length === 1) // (b,1) deleted; single-key fold would merge keys
+    assert(got(0).getString(0) === "a" && got(0).getLong(1) === 1L)
+    assert(got(0).getAs[String]("email") === "a1b@x")
+    assert(got(0).getAs[Long]("loyalty_pts") === 5000000000L)
+  }
+
   test("IVM delta-fold: group transfer on update, retraction to absence on delete") {
     val events = Seq(
       ev(1, "c", 10, None, row(1, "a", "x", "e1")),

@@ -574,6 +574,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(before.count() === 3)
   }
 
+  test("composite-key epoch merge: (tenant, id) keys fold, bucket, and tombstone across epochs") {
+    import spark.implicits._
+    import graft.streaming.PartitionedSnapshotStore
+    val root = java.nio.file.Files.createTempDirectory("cstore").toString + "/s"
+    val keys = Seq("tenant", "id")
+    PartitionedSnapshotStore.ensureBucketCount(spark, root, 4)
+    def bucketed(d: org.apache.spark.sql.DataFrame) = d
+      .withColumn(PartitionedSnapshotStore.bucketColName,
+        PartitionedSnapshotStore.bucketOfKeys(keys.map(col), 4))
+    // epoch 0: same id under two tenants — a single-column fold would
+    // collapse them into one key
+    val e0 = bucketed(Seq(
+      ("a", 1L, true, 10L, "a1-v0"), ("b", 1L, true, 11L, "b1-v0"),
+      ("a", 2L, true, 12L, "a2-v0"))
+      .toDF("tenant", "id", "live", "lsn", "v"))
+    PartitionedSnapshotStore.commit(
+      Streams.mergeEpochBy(None, e0, keys), root, 0L)
+    // epoch 1: update (a,1), DELETE (b,1), insert (b,2)
+    val e1 = bucketed(Seq(
+      ("a", 1L, true, 20L, "a1-v1"), ("b", 1L, false, 21L, null),
+      ("b", 2L, true, 22L, "b2-v0"))
+      .toDF("tenant", "id", "live", "lsn", "v"))
+    val prior1 = PartitionedSnapshotStore.readBefore(spark, root, 1L)
+      .map(p => bucketed(p.drop(PartitionedSnapshotStore.bucketColName)))
+    PartitionedSnapshotStore.commit(
+      Streams.mergeEpochBy(prior1, e1, keys), root, 1L)
+    val live = PartitionedSnapshotStore.read(spark, root).get
+      .filter(col("live")).select("tenant", "id", "v")
+      .orderBy("tenant", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(live === Seq(("a", 1L, "a1-v1"), ("a", 2L, "a2-v0"), ("b", 2L, "b2-v0")))
+    // epoch 2: a REDELIVERED older update of the deleted (b,1) must not
+    // resurrect it — the tombstone's winning lsn is retained in state
+    val e2 = bucketed(Seq(("b", 1L, true, 15L, "b1-stale"))
+      .toDF("tenant", "id", "live", "lsn", "v"))
+    val prior2 = PartitionedSnapshotStore.readBefore(spark, root, 2L)
+      .map(p => bucketed(p.drop(PartitionedSnapshotStore.bucketColName)))
+    PartitionedSnapshotStore.commit(
+      Streams.mergeEpochBy(prior2, e2, keys), root, 2L)
+    val after2 = PartitionedSnapshotStore.read(spark, root).get
+    assert(after2.filter(col("tenant") === "b" && col("id") === 1L)
+      .select("live").collect().map(_.getBoolean(0)).toSeq === Seq(false))
+    // composite compaction preserves the data under the same placement
+    PartitionedSnapshotStore.compact(spark, root, 3L, keys)
+    val compacted = PartitionedSnapshotStore.read(spark, root).get
+      .filter(col("live")).select("tenant", "id", "v")
+      .orderBy("tenant", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(compacted === live)
+  }
+
   test("snapshot commit protocol: a crash between stage and pointer leaves the prior version readable") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("store").toString + "/s"
