@@ -338,36 +338,96 @@ object Streams {
     * cap (asserted by the spec's precondition; a production deployment
     * re-caps the store on compaction as a skew guard, a policy choice).
     *
-    * `docStream` must carry (doc_id, text); emits appended parquet at
-    * `pairDir` with (doc_a, doc_b).
+    * `docStream` must carry (doc_id, text); emits parquet under
+    * `pairDir` with (doc_a, doc_b) — read it via [[readNearDupPairs]].
+    *
+    * IDEMPOTENT REPLAY: both stores are keyed by micro-batch —
+    * `<dir>/b=<batchId>/` — and a batch's write is a full OVERWRITE of
+    * its own subdirectory, with "prior" defined as the union of band
+    * directories with id strictly below the current batch. foreachBatch
+    * is at-least-once, so a crash-replayed batch recomputes from the
+    * identical inputs (its own increment + the same strictly-earlier
+    * store) and overwrites the identical output, instead of
+    * double-appending pairs and re-probing its own half-written bands as
+    * "prior" — the failure mode a flat append store has. The batch id is
+    * monotonic across restarts via the query checkpoint (the same
+    * versioning contract as [[SnapshotStore]]).
     */
   def nearDupStream(docStream: DataFrame, bandDir: String, pairDir: String,
       maxBucket: Int = graft.operators.Text.defaultMaxBucket)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docStream.writeStream.foreachBatch {
-      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-      val spark = batch.sparkSession
-      val bands = graft.operators.Text.minhashBands(
-        graft.operators.Text.shingles(batch.toDF), maxBucket)
-        .persist() // read 3x below: prior-probe, self-join, store append
-      val prior =
-        if (new java.io.File(bandDir).isDirectory)
-          Some(spark.read.parquet(bandDir))
-        else None
-      val vsPrior = prior.map { p =>
-        bands.join(p.withColumnRenamed("doc_id", "prior_id"), Seq("band", "key"))
-          .filter(col("doc_id") =!= col("prior_id"))
-          .select(least(col("doc_id"), col("prior_id")).as("doc_a"),
-            greatest(col("doc_id"), col("prior_id")).as("doc_b"))
-      }
-      val inBatch = graft.operators.Text.bandPairs(bands)
-      val pairs = vsPrior.map(_.unionByName(inBatch)).getOrElse(inBatch)
-        .distinct()
-      pairs.write.mode("append").parquet(pairDir)
-      bands.write.mode("append").parquet(bandDir)
-      bands.unpersist()
-      ()
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      nearDupBatch(batch.toDF, batchId, bandDir, pairDir, maxBucket)
     }
+
+  /** One micro-batch of [[nearDupStream]], factored out so a crash
+    * replay is directly testable: calling it twice with the same
+    * (batch, batchId) leaves both stores byte-for-row identical.
+    */
+  def nearDupBatch(batch: DataFrame, batchId: Long, bandDir: String,
+      pairDir: String,
+      maxBucket: Int = graft.operators.Text.defaultMaxBucket): Unit = {
+    val spark = batch.sparkSession
+    val bands = graft.operators.Text.minhashBands(
+      graft.operators.Text.shingles(batch), maxBucket)
+      .persist() // read 3x below: prior-probe, self-join, store write
+    val priorPaths = bandBatchDirs(spark, bandDir)
+      .collect { case (id, p) if id < batchId => p }
+    val prior =
+      if (priorPaths.isEmpty) None
+      else Some(spark.read.parquet(priorPaths: _*))
+    val vsPrior = prior.map { p =>
+      bands.join(p.withColumnRenamed("doc_id", "prior_id"), Seq("band", "key"))
+        .filter(col("doc_id") =!= col("prior_id"))
+        .select(least(col("doc_id"), col("prior_id")).as("doc_a"),
+          greatest(col("doc_id"), col("prior_id")).as("doc_b"))
+    }
+    val inBatch = graft.operators.Text.bandPairs(bands)
+    val pairs = vsPrior.map(_.unionByName(inBatch)).getOrElse(inBatch)
+      .distinct()
+    pairs.write.mode("overwrite").parquet(s"$pairDir/b=$batchId")
+    bands.write.mode("overwrite").parquet(s"$bandDir/b=$batchId")
+    bands.unpersist()
+    ()
+  }
+
+  /** Seed the band store with a pre-existing corpus index (reserved
+    * batch id −1, below every real micro-batch id).
+    */
+  def seedBandStore(bands: DataFrame, bandDir: String): Unit =
+    bands.write.mode("overwrite").parquet(s"$bandDir/b=-1")
+
+  private def bandBatchDirs(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(Long, String)] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("b="))
+      .flatMap(s => s.getPath.getName.stripPrefix("b=").toLongOption
+        .map(_ -> s.getPath.toString))
+      .sortBy(_._1)
+  }
+
+  /** All discovered pairs (the consumer view of [[nearDupStream]]'s
+    * pair store): the union of every batch's pair directory. Pairs are
+    * already globally unique — each is discovered exactly once, in the
+    * batch where its later member arrived.
+    */
+  def readNearDupPairs(spark: org.apache.spark.sql.SparkSession,
+      pairDir: String): DataFrame = {
+    val paths = bandBatchDirs(spark, pairDir).map(_._2)
+    require(paths.nonEmpty, s"no committed pair batches under $pairDir")
+    spark.read.parquet(paths: _*)
+  }
+
+  /** The full band index (seed + every committed batch). */
+  def readBandStore(spark: org.apache.spark.sql.SparkSession,
+      bandDir: String): DataFrame = {
+    val paths = bandBatchDirs(spark, bandDir).map(_._2)
+    require(paths.nonEmpty, s"no band batches under $bandDir")
+    spark.read.parquet(paths: _*)
   }
 
   // ------------------------------------------- T12 / C14 streaming gate

@@ -791,8 +791,7 @@ class StreamingSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("neardup").toString
     val bandDir = s"$dir/bands"; val pairDir = s"$dir/pairs"
     // seed the store with the static corpus's bands (the "existing index")
-    Text.minhashBands(Text.shingles(static0.toDF))
-      .write.parquet(bandDir)
+    Streams.seedBandStore(Text.minhashBands(Text.shingles(static0.toDF)), bandDir)
     val mem = MemoryStream[DocE]
     val q = Streams.nearDupStream(mem.toDF, bandDir, pairDir)
       .option("checkpointLocation",
@@ -802,7 +801,7 @@ class StreamingSpec extends AnyFunSuite {
     q.processAllAvailable()
     mem.addData(inc2: _*)
     q.processAllAvailable(); q.stop()
-    val streamed = spark.read.parquet(pairDir)
+    val streamed = Streams.readNearDupPairs(spark, pairDir)
       .as[(Long, Long)].collect().toSet
     // batch twin: all-at-once LSH candidates over the full corpus, minus
     // the pairs internal to the pre-existing static corpus (the stream
@@ -814,6 +813,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === (all -- staticOnly),
       s"missing=${(all -- staticOnly -- streamed).take(5)} extra=${(streamed -- all).take(5)}")
     assert(streamed.nonEmpty) // the fixture must actually exercise pairs
+    // CRASH REPLAY: foreachBatch is at-least-once — re-running the LAST
+    // batch (id 1, the inc2 increment) must leave both stores identical:
+    // same pair set (no double-discovery) and same band count (no
+    // double-append), because the replay excludes its own b=1 bands from
+    // "prior" and overwrites rather than appends
+    val bandsBefore = Streams.readBandStore(spark, bandDir)
+      .select("doc_id", "band", "key").as[(Long, Int, String)].collect().toSet
+    Streams.nearDupBatch(inc2.toDF, 1L, bandDir, pairDir)
+    val streamedAfter = Streams.readNearDupPairs(spark, pairDir)
+      .as[(Long, Long)].collect().toSet
+    val bandsAfter = Streams.readBandStore(spark, bandDir)
+      .select("doc_id", "band", "key").as[(Long, Int, String)].collect().toSet
+    assert(streamedAfter === streamed, "replayed batch changed the pair set")
+    assert(bandsAfter === bandsBefore, "replayed batch changed the band store")
   }
 
   test("T9 schema drift alerts: first sight of each payload shape, once, as it arrives") {
