@@ -417,7 +417,8 @@ object Cdc {
     // builder scan the other table (the orders-per-customer distribution
     // is data-dependent, no closed formula). Consumers that need the
     // global commit order key on (transaction.id, source.lsn), which IS
-    // that order — the C14 cutoff, gate, and folds all do.
+    // that order — the C14 cutoff, gate, and folds all do — or recompute
+    // the Debezium cross-collection rank via crossCollectionOrder.
     val wTx = Window.partitionBy(expr("source.lsn DIV 1000"))
       .orderBy(col("source.lsn"), coalesce(col("after.id"), col("before.id")))
     flat
@@ -446,6 +447,66 @@ object Cdc {
       |   100*o_custkey + 7 + 3*(o_orderkey % 30), NULL, NULL
       |  FROM orders WHERE o_orderkey % 9 = 0)""".stripMargin
 
+  /** Debezium-exact CROSS-COLLECTION transaction order, computed where it
+    * belongs — in the consumer, over the UNION of every captured table's
+    * log (the fixture producer stamps `transaction.total_order` with the
+    * per-collection rank because the true cross-collection rank has no
+    * closed per-table formula — [[ordersChangelog]] documents why). One
+    * key-partitioned window per rank, both sharing the transaction-id
+    * shuffle: `total_order` ranks a commit's events across ALL
+    * collections and `data_collection_order` within the event's own
+    * collection (`README.md:331` names both fields), ordered by
+    * (lsn, table, key) — lsn IS the WAL order; the (table, key) tiebreak
+    * only disambiguates the fixture's documented same-lsn order pairs,
+    * deterministically. Returns the projected consumer view
+    * (tx_id, lsn, tbl, key, op, total_order, data_collection_order);
+    * join back on (tx_id, tbl, lsn, key) to re-stamp full envelopes.
+    */
+  def crossCollectionOrder(logs: Seq[DataFrame]): DataFrame = {
+    val uni = logs.map(_.select(
+      col("transaction.id").as("tx_id"),
+      col("source.lsn").as("lsn"),
+      col("source.table").as("tbl"),
+      coalesce(col("after.id"), col("before.id")).as("key"),
+      col("op"))).reduce(_ unionByName _)
+    val wTx = Window.partitionBy(col("tx_id"))
+      .orderBy(col("lsn"), col("tbl"), col("key"))
+    val wCol = Window.partitionBy(col("tx_id"), col("tbl"))
+      .orderBy(col("lsn"), col("key"))
+    uni
+      .withColumn("total_order", row_number().over(wTx).cast("long"))
+      .withColumn("data_collection_order", row_number().over(wCol).cast("long"))
+  }
+
+  /** Registered query: per-transaction blocks over the customers+orders
+    * union with the TRUE cross-collection total_order — the C14 sibling
+    * of [[cdcTxBlocks]]. The `ops` string concatenates `table:op` in
+    * total_order rank order, so the oracle value-checks the full
+    * cross-collection permutation of every commit, not just counts.
+    */
+  val cdcTxTotalOrder: Q = (spark, dir) =>
+    crossCollectionOrder(Seq(changelog(spark, dir), ordersChangelog(spark, dir)))
+      .groupBy(col("tx_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("tbl")).as("n_tables"),
+        expr("""array_join(transform(array_sort(
+          collect_list(struct(total_order AS o, concat(tbl, ':', op) AS t))),
+          x -> x.t), ',')""").as("ops"))
+      .orderBy(col("tx_id"))
+  val cdcTxTotalOrderSql: String = changelogCte + ",\n" +
+    ordersChangelogCte + """,
+      |uni AS (
+      | SELECT lsn // 1000 AS txn, lsn, 'customers' AS tbl, id AS key, op FROM chg
+      | UNION ALL SELECT lsn // 1000, lsn, 'orders', oid, op FROM ochg),
+      |ranked AS (SELECT *, row_number()
+      |  OVER (PARTITION BY txn ORDER BY lsn, tbl, key) AS tord FROM uni)
+      |SELECT 'tx-' || CAST(txn AS VARCHAR) AS tx_id,
+      | CAST(count(*) AS BIGINT) AS n_events,
+      | CAST(count(DISTINCT tbl) AS BIGINT) AS n_tables,
+      | string_agg(tbl || ':' || op, ',' ORDER BY tord) AS ops
+      |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** C10 extended across tables: a commit is applied to EVERY captured
     * table or to none. The per-tx high-water lsn is computed over the
     * UNION of all logs' (transaction.id, lsn) pairs, and each log keeps
@@ -458,12 +519,11 @@ object Cdc {
     * ORDERING CONTRACT for cross-collection consumers: order a commit's
     * events by `(transaction.id, source.lsn)` — which IS the global
     * commit order (everything here does: this cutoff, the T12 gate, the
-    * C4 folds). Do NOT sort across collections by
-    * `transaction.total_order`: the fixture producer stamps it with the
-    * per-collection rank (`ordersChangelog` documents why — the true
-    * cross-collection rank has no closed per-table formula), so it
-    * diverges from Debezium's cross-collection total_order whenever a
-    * commit spans tables.
+    * C4 folds). The producer-stamped `transaction.total_order` carries
+    * only the per-collection rank (`ordersChangelog` documents why); a
+    * consumer that needs the Debezium cross-collection total_order
+    * recomputes it over the union via [[crossCollectionOrder]]
+    * (oracle-checked by `cdc_tx_total_order`).
     *
     * Scale: the tx-last table is data-proportional (one row per commit),
     * so it is NOT broadcast — each log filters through a left-semi join
@@ -1231,6 +1291,7 @@ object Cdc {
     "cdc_schema_evolve_typed" -> cdcSchemaEvolveTyped,
     "cdc_deadletter" -> cdcDeadletter,
     "cdc_tx_blocks" -> cdcTxBlocks,
+    "cdc_tx_total_order" -> cdcTxTotalOrder,
     "cdc_tx_snapshot" -> cdcTxSnapshot,
     "cdc_multitable_snapshot" -> cdcMultitableSnapshot,
     "cdc_snapshot_composite" -> cdcSnapshotComposite,
@@ -1252,6 +1313,7 @@ object Cdc {
     "cdc_schema_evolve_typed" -> cdcSchemaEvolveTypedSql,
     "cdc_deadletter" -> cdcDeadletterSql,
     "cdc_tx_blocks" -> cdcTxBlocksSql,
+    "cdc_tx_total_order" -> cdcTxTotalOrderSql,
     "cdc_tx_snapshot" -> cdcTxSnapshotSql,
     "cdc_multitable_snapshot" -> cdcMultitableSnapshotSql,
     "cdc_snapshot_composite" -> cdcSnapshotCompositeSql,

@@ -371,6 +371,37 @@ class CdcSpec extends AnyFunSuite {
     assert(got(0).getAs[Long]("loyalty_pts") === 5000000000L)
   }
 
+  test("crossCollectionOrder: data_collection_order matches the producer stamp; total_order is a dense cross-table rank") {
+    val cust = Cdc.changelog(spark, TestSpark.sf)
+    val ords = Cdc.ordersChangelog(spark, TestSpark.sf)
+    val view = Cdc.crossCollectionOrder(Seq(cust, ords))
+    // per-collection rank must agree with the Debezium-exact stamp the
+    // orders builder writes (the recompute and the producer share only
+    // the contract, not code)
+    val stamped = ords.select(
+      col("transaction.id").as("tx_id"), lit("orders").as("tbl"),
+      col("source.lsn").as("lsn"),
+      coalesce(col("after.id"), col("before.id")).as("key"),
+      col("transaction.data_collection_order").as("dco"))
+    val joined = view.filter(col("tbl") === "orders")
+      .join(stamped, Seq("tx_id", "tbl", "lsn", "key"))
+    assert(joined.filter(col("data_collection_order") =!= col("dco")).count() === 0)
+    assert(joined.count() === ords.count())
+    // total_order is dense 1..n within every commit
+    val dense = view.groupBy("tx_id").agg(
+      count(lit(1)).as("n"), max("total_order").as("m"),
+      min("total_order").as("lo"))
+    assert(dense.filter(col("n") =!= col("m") || col("lo") =!= 1L).count() === 0)
+    // and the two-table commits really interleave: some commit must have
+    // an orders event ranked BETWEEN two customers events (the reason the
+    // per-collection stamp cannot stand in for the cross-table rank)
+    val interleaved = view.groupBy("tx_id").agg(
+      max(when(col("tbl") === "customers", col("total_order"))).as("max_c"),
+      min(when(col("tbl") === "orders", col("total_order"))).as("min_o"))
+      .filter(col("min_o") < col("max_c"))
+    assert(interleaved.count() > 0)
+  }
+
   test("IVM delta-fold: group transfer on update, retraction to absence on delete") {
     val events = Seq(
       ev(1, "c", 10, None, row(1, "a", "x", "e1")),
