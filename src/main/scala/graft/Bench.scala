@@ -84,33 +84,54 @@ object Bench {
     // queries, so checkpoint-block footprint is bounded by the handful of
     // distinct staged tables — no per-query unpersist sweep needed (and
     // sweeping would sever the shared checkpoints).
-    def pass(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            false
-        }
-        // -1 marks a failed query so a regression can't hide as a fast time
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    // Calibration kernel INTERLEAVED through each pass (one sample before
+    // every block of CalEvery queries): the host drifts mid-run (r7's
+    // recorded passes were [0.554, 1.047] — a ~2× degradation invisible
+    // to pass-boundary-only sampling, which made perfdiff normalize a
+    // clean run into a fictitious regression). The per-segment series
+    // lets tools/perfdiff.py normalize each query by the host speed at
+    // the moment it actually ran. Every kernel run is guarded: a
+    // calibration failure records -1 for that sample and must never
+    // abort the benchmark (perfdiff falls back to raw comparison).
+    val CalEvery = 25
+    def safeCal(): Double =
+      try calibrate(spark) catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] calibration failed: ${e.getMessage}")
+          -1.0
       }
+    def pass(): (Seq[(String, Double)], Seq[Double]) = {
+      val cals = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val times = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
+        case ((name, fn), i) =>
+          if (i % CalEvery == 0) cals += safeCal()
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, sfDir).count(); true } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              false
+          }
+          // -1 marks a failed query so a regression can't hide as a fast time
+          name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+      (times, cals.toSeq)
+    }
     // Two timed passes; per-query time is the min (steady-state plan cost —
     // single-JVM GC/JIT pauses land on a different query each run and would
-    // otherwise dominate the 71-query total; spread measured at ±5 s over
-    // n=3 before this, see BASELINE.md). A failed query stays -1 in both.
+    // otherwise dominate the total; spread measured at ±5 s over n=3
+    // before this, see BASELINE.md). A failed query stays -1 in both.
     // `cold_total` keeps the first-pass sum (includes one-time staging of
     // the shared changelog/shingle/pair tables) so nothing is hidden.
-    // Calibration: one untimed kernel run (its own codegen/JIT compile),
-    // then a timed run immediately before each timed pass — so each pass's
-    // host state is sampled at the moment it matters. The reported value is
-    // the min (same methodology as per-query times).
+    // One untimed kernel run first (its own codegen/JIT compile).
     try calibrate(spark) catch { case _: Throwable => () }
-    val cal1 = calibrate(spark)
-    val p1 = pass()
-    val cal2 = calibrate(spark)
-    val p2 = pass().toMap
-    val cal = math.min(cal1, cal2)
+    val (p1, cals1) = pass()
+    val (p2raw, cals2) = pass()
+    val p2 = p2raw.toMap
+    def minPos(xs: Seq[Double]): Double =
+      xs.filter(_ > 0) match { case e if e.isEmpty => -1.0; case e => e.min }
+    val cal1 = minPos(cals1)
+    val cal2 = minPos(cals2)
+    val cal = minPos(Seq(cal1, cal2))
     val results = p1.map { case (k, v1) =>
       val v2 = p2.getOrElse(k, -1.0)
       k -> (if (v1 < 0 || v2 < 0) -1.0 else math.min(v1, v2))
@@ -145,8 +166,14 @@ object Bench {
     // staged producer passes but not a first-execution anomaly inside a
     // query (one 370 s cold run in r7 was undiagnosable without this)
     val coldQ = qmap(p1.sortBy(_._1))
+    // calibration_series: per-pass kernel samples in run order (one per
+    // CalEvery-query segment); calibration_passes keeps the per-pass min
+    // for continuity with earlier rounds' records. pass2_queries lets
+    // perfdiff normalize each pass's raw time by its own segment sample.
+    def arr(xs: Seq[Double]): String = xs.map(r3).mkString("[", ",", "]")
+    val series = s"[${arr(cals1)},${arr(cals2)}]"
     val full =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qmap(results)},"cold_total":${r3(cold)},"cold_queries":$coldQ,"staging":$staging,"calibration":${r3(cal)},"calibration_passes":[${r3(cal1)},${r3(cal2)}],"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qmap(results)},"cold_total":${r3(cold)},"cold_queries":$coldQ,"pass2_queries":${qmap(p2raw.sortBy(_._1))},"staging":$staging,"calibration":${r3(cal)},"calibration_passes":[${r3(cal1)},${r3(cal2)}],"calibration_series":$series,"calibration_every":$CalEvery,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
     catch { case e: Throwable =>
@@ -154,7 +181,7 @@ object Bench {
       // tools/perfdiff.py diffs against without warning
       System.err.println(s"[bench] BENCH_FULL.json write failed: $e")
     }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qmap(headline)},"cold_total":${r3(cold)},"calibration":${r3(cal)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qmap(headline)},"cold_total":${r3(cold)},"calibration":${r3(cal)},"calibration_series":$series,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

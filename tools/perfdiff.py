@@ -8,11 +8,47 @@ new_cal/old_cal before flagging — a uniformly-slower host (the ~1.4x drift
 BASELINE.md documents) then produces zero false regressions, while a real
 code regression (query-specific) still trips the threshold.
 
+When the new run additionally carries `calibration_series` (per-pass
+kernel samples interleaved every `calibration_every` queries) plus the
+per-pass raw times (`cold_queries` / `pass2_queries`), normalization is
+PER SEGMENT: each pass's raw time divides by the host-speed ratio of the
+segment it actually ran in, and the reported time is the min of the two
+normalized passes. This catches the r7 failure mode where the host
+degraded ~2x mid-run — a global min-of-passes calibration said "fast
+host" while half the queries ran on the slow one, manufacturing a
+fictitious regression.
+
 Usage: python3 tools/perfdiff.py <old.json> <new.json> [ratio=2.0]
 Exit 1 if any query regressed past the threshold (after normalization).
 """
 import json
 import sys
+
+
+def seg_normalized(new_doc, cal_o):
+    """Per-query min-of-normalized-passes, or None when the new doc lacks
+    the series fields. Times are expressed on the OLD doc's host-speed
+    scale (divide by seg_cal/cal_o), so they compare directly to old raw
+    times."""
+    series = new_doc.get("calibration_series")
+    p1 = new_doc.get("cold_queries")
+    p2 = new_doc.get("pass2_queries")
+    every = new_doc.get("calibration_every", 25)
+    if not (series and len(series) == 2 and p1 and p2 and cal_o and cal_o > 0):
+        return None
+    names = sorted(set(p1) | set(p2))
+    out = {}
+    for i, q in enumerate(names):
+        cands = []
+        for times, cals in ((p1, series[0]), (p2, series[1])):
+            t = times.get(q, -1.0)
+            if t <= 0 or not cals:
+                continue
+            seg = cals[min(i // every, len(cals) - 1)]
+            if seg > 0:
+                cands.append(t / (seg / cal_o))
+        out[q] = min(cands) if cands else -1.0
+    return out
 
 
 def main(old_path, new_path, ratio=2.0):
@@ -22,7 +58,13 @@ def main(old_path, new_path, ratio=2.0):
     cal_o = old_doc.get("calibration", 0)
     cal_n = new_doc.get("calibration", 0)
     scale = cal_n / cal_o if cal_o and cal_n and cal_o > 0 and cal_n > 0 else 1.0
-    if scale != 1.0:
+    seg = seg_normalized(new_doc, cal_o)
+    if seg is not None:
+        s = new_doc["calibration_series"]
+        print(f"calibration: {cal_o:.3f}s -> series "
+              f"p1={['%.3f' % v for v in s[0]]} p2={['%.3f' % v for v in s[1]]} "
+              "(per-segment normalization)")
+    elif scale != 1.0:
         print(f"calibration: {cal_o:.3f}s -> {cal_n:.3f}s "
               f"(host {scale:.2f}x; new times normalized by /{scale:.2f})")
     elif not (cal_o and cal_n):
@@ -36,8 +78,11 @@ def main(old_path, new_path, ratio=2.0):
     bad = []
     for q in sorted(set(old) & set(new)):
         o, n = old[q], new[q]
-        n_norm = n / scale if n > 0 else n
-        if n < 0:
+        if seg is not None and q in seg:
+            n_norm = seg[q]
+        else:
+            n_norm = n / scale if n > 0 else n
+        if n < 0 or n_norm < 0:
             bad.append((q, o, n_norm, "FAILED"))
         elif o > 0.05 and n_norm > ratio * o:  # ignore sub-50ms noise
             bad.append((q, o, n_norm, f"{n_norm / o:.1f}x"))
@@ -45,8 +90,10 @@ def main(old_path, new_path, ratio=2.0):
         print(f"REGRESSED {q}: {o:.3f}s -> {n:.3f}s(norm) ({tag})")
     tot_o = sum(v for v in old.values() if v > 0)
     tot_n = sum(v for v in new.values() if v > 0)
+    tot_norm = (sum(v for v in seg.values() if v > 0) if seg is not None
+                else tot_n / scale)
     print(f"total: {tot_o:.1f}s -> {tot_n:.1f}s raw"
-          + (f", {tot_n / scale:.1f}s normalized" if scale != 1.0 else "")
+          + (f", {tot_norm:.1f}s normalized" if abs(tot_norm - tot_n) > 1e-9 else "")
           + f" ({len(old)} -> {len(new)} queries)")
     # cold anomaly naming: when the new run's cold is far above its steady,
     # name the pass-1 offenders (the host IO-stall signature is a
