@@ -1162,11 +1162,15 @@ object Cdc {
     * adds a NUMERIC column `loyalty_pts` declared `int32`; the DDL at 80%
     * ALTERs it to `int64` (values then exceed int32 range — 3e9 offset —
     * so a mis-widened reader would overflow, not just mistype) and drops
-    * `last_name`. [[typedSchemaFromWire]] must produce a LongType column,
-    * and the fold materializes int-era and long-era values into it
-    * losslessly. The oracle rebuilds the same three shapes as a BIGINT
-    * UNION — the widening is value-checked per row with a non-string
-    * evolved column, hash-exact cross-engine.
+    * `last_name`. A second added column `score` exercises the FLOAT edge
+    * of the lattice the same way: declared `float` at 50%, ALTERed to
+    * `double` at 80%, with exact dyadic values (id/4 and id/4 + 1/8) so
+    * both engines hold bit-identical doubles with no tolerance.
+    * [[typedSchemaFromWire]] must produce LongType and DoubleType
+    * columns, and the fold materializes each era's values into them
+    * losslessly. The oracle rebuilds the same three shapes as a
+    * BIGINT/DOUBLE UNION — the widening is value-checked per row with
+    * non-string evolved columns, hash-exact cross-engine.
     */
   val cdcSchemaEvolveTyped: Q = (spark, dir) => {
     val chg = changelog(spark, dir)
@@ -1178,9 +1182,10 @@ object Cdc {
     val declV1 = decl("id" -> "int64", "first_name" -> "string",
       "email" -> "string", "last_name" -> "string")
     val declV2 = decl("id" -> "int64", "first_name" -> "string",
-      "email" -> "string", "last_name" -> "string", "loyalty_pts" -> "int32")
+      "email" -> "string", "last_name" -> "string",
+      "loyalty_pts" -> "int32", "score" -> "float")
     val declV3 = decl("id" -> "int64", "first_name" -> "string",
-      "email" -> "string", "loyalty_pts" -> "int64")
+      "email" -> "string", "loyalty_pts" -> "int64", "score" -> "double")
     def obj(parts: Column*): Column = concat(
       lit("{\"id\":") +: col("after.id").cast("string") +: parts :+ lit("}"): _*)
     val fnEm = Seq(
@@ -1188,9 +1193,13 @@ object Cdc {
       lit("\",\"email\":\""), col("after.email"), lit("\""))
     val ln = Seq(lit(",\"last_name\":\""), col("after.last_name"), lit("\""))
     val p32 = Seq(lit(",\"loyalty_pts\":"),
-      (col("after.id") % 1000).cast("string"))
+      (col("after.id") % 1000).cast("string"),
+      lit(",\"score\":"),
+      (col("after.id") / lit(4.0)).cast("string"))
     val p64 = Seq(lit(",\"loyalty_pts\":"),
-      (col("after.id") * lit(1000000L) + lit(3000000000L)).cast("string"))
+      (col("after.id") * lit(1000000L) + lit(3000000000L)).cast("string"),
+      lit(",\"score\":"),
+      (col("after.id") / lit(4.0) + lit(0.125)).cast("string"))
     val after = when(col("op") === "d", lit("null"))
       .when(col("source.lsn") >= col("c2"), obj(fnEm ++ p64: _*))
       .when(col("source.lsn") >= col("c1"), obj(fnEm ++ ln ++ p32: _*))
@@ -1214,20 +1223,24 @@ object Cdc {
     """,
       |cuts AS (SELECT (max(lsn)*5)//10 AS c1, (max(lsn)*8)//10 AS c2 FROM chg),
       |v1 AS (SELECT id, lsn, op, a_em AS email, a_fn AS first_name,
-      |  a_ln AS last_name, CAST(NULL AS BIGINT) AS loyalty_pts
+      |  a_ln AS last_name, CAST(NULL AS BIGINT) AS loyalty_pts,
+      |  CAST(NULL AS DOUBLE) AS score
       | FROM chg, cuts WHERE lsn < c1),
       |v2 AS (SELECT id, lsn, op, a_em, a_fn, a_ln,
-      |  CASE WHEN op = 'd' THEN NULL ELSE CAST(id % 1000 AS BIGINT) END
+      |  CASE WHEN op = 'd' THEN NULL ELSE CAST(id % 1000 AS BIGINT) END,
+      |  CASE WHEN op = 'd' THEN NULL ELSE CAST(id AS DOUBLE) / 4.0 END
       | FROM chg, cuts WHERE lsn >= c1 AND lsn < c2),
       |v3 AS (SELECT id, lsn, op, a_em, a_fn, CAST(NULL AS VARCHAR),
       |  CASE WHEN op = 'd' THEN NULL
-      |       ELSE CAST(id * 1000000 + 3000000000 AS BIGINT) END
+      |       ELSE CAST(id * 1000000 + 3000000000 AS BIGINT) END,
+      |  CASE WHEN op = 'd' THEN NULL
+      |       ELSE CAST(id AS DOUBLE) / 4.0 + 0.125 END
       | FROM chg, cuts WHERE lsn >= c2),
       |uni AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2
       |        UNION ALL SELECT * FROM v3),
       |fold AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY lsn DESC) AS rn
       |         FROM uni)
-      |SELECT id, email, first_name, last_name, loyalty_pts
+      |SELECT id, email, first_name, last_name, loyalty_pts, score
       |FROM fold WHERE rn = 1 AND op <> 'd' ORDER BY id""".stripMargin
 
   // ------------------------------------- incremental aggregate maintenance
