@@ -399,7 +399,7 @@ object Text {
     * class as the x4d fingerprint count; on a boilerplate-heavy corpus the
     * hot bucket is exactly where the rows are).
     */
-  private def capBuckets(bands: DataFrame, maxBucket: Int): DataFrame = {
+  private[graft] def capBuckets(bands: DataFrame, maxBucket: Int): DataFrame = {
     val small = bands.groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= maxBucket)

@@ -430,6 +430,56 @@ object Streams {
     spark.read.parquet(paths: _*)
   }
 
+  /** Compact the band store: merge every batch directory with id ≤
+    * `upTo` into ONE directory keyed `b=upTo`, optionally RE-CAPPING
+    * (band, key) buckets to `maxBucket` members — the small-files AND
+    * skew repair for a long-running incremental near-dup index. A store
+    * accumulates one directory per micro-batch forever, and a
+    * boilerplate-heavy bucket that stayed under the per-batch cap can
+    * grow unboundedly ACROSS batches; the per-batch probe join against
+    * such a bucket is exactly the hot-key melt the batch path's cap
+    * exists to prevent. Re-capping on compaction is the documented
+    * skew-guard policy: after it, a degenerate bucket stops producing
+    * new pairs (a deliberate recall trade, same as the batch cap).
+    *
+    * MUST run at a quiescent barrier: no in-flight micro-batch, and no
+    * possible replay of a batch id ≤ `upTo` (a replayed batch excludes
+    * its own id from "prior", but the compacted directory carries id
+    * `upTo` ≥ the replayed id, so the replay would see almost no prior
+    * and emit wrong pairs). Running it between `processAllAvailable()`
+    * and the next `start()` — or any checkpoint-committed boundary —
+    * satisfies this; the same barrier every streaming-store compaction
+    * (RocksDB, Delta OPTIMIZE) requires.
+    *
+    * Crash-safe: the merged content is staged to a `_compact_b=<upTo>`
+    * temp dir (invisible to readers — only `b=*` dirs are listed) and
+    * the batch dirs are deleted only once the stage carries its
+    * `_SUCCESS` marker; a re-run after a crash mid-delete ADOPTS the
+    * completed stage instead of re-merging the (now partial) directory
+    * set, so no state is lost at any crash point.
+    */
+  def compactBandStore(spark: org.apache.spark.sql.SparkSession,
+      bandDir: String, upTo: Long, maxBucket: Int = Int.MaxValue): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(bandDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(bandDir, s"_compact_b=$upTo")
+    val staged = fs.exists(new Path(tmp, "_SUCCESS"))
+    if (!staged) {
+      val dirs = bandBatchDirs(spark, bandDir).filter(_._1 <= upTo)
+      require(dirs.nonEmpty, s"no band batches ≤ $upTo under $bandDir")
+      val merged = spark.read.parquet(dirs.map(_._2): _*)
+      val capped =
+        if (maxBucket == Int.MaxValue) merged
+        else graft.operators.Text.capBuckets(merged, maxBucket)
+      capped.write.mode("overwrite").parquet(tmp.toString)
+    }
+    bandBatchDirs(spark, bandDir).filter(_._1 <= upTo)
+      .foreach { case (_, p) => fs.delete(new Path(p), true) }
+    fs.rename(tmp, new Path(bandDir, s"b=$upTo"))
+    ()
+  }
+
   // ------------------------------------------- T12 / C14 streaming gate
   /** One unit of the cross-table transaction gate's input stream: either a
     * data event of `table` (table + event set) or a Debezium-style

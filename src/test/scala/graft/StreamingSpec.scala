@@ -829,6 +829,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(bandsAfter === bandsBefore, "replayed batch changed the band store")
   }
 
+  test("T13 band-store compaction: next increment discovers identical pairs; re-cap bounds buckets; torn compaction resumes") {
+    import graft.operators.Text
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "text").as[DocE].collect().toSeq
+    val inc0 = docs.filter(_.doc_id % 3 == 0)
+    val inc1 = docs.filter(_.doc_id % 3 == 1)
+    val inc2 = docs.filter(_.doc_id % 3 == 2)
+    // two identical stores fed by the same two batches; B gets compacted
+    val dirA = java.nio.file.Files.createTempDirectory("bcA").toString
+    val dirB = java.nio.file.Files.createTempDirectory("bcB").toString
+    for (d <- Seq(dirA, dirB)) {
+      Streams.nearDupBatch(inc0.toDF, 0L, s"$d/bands", s"$d/pairs")
+      Streams.nearDupBatch(inc1.toDF, 1L, s"$d/bands", s"$d/pairs")
+    }
+    Streams.compactBandStore(spark, s"$dirB/bands", upTo = 1L)
+    // compaction is layout-only: the store contents are unchanged...
+    val a = Streams.readBandStore(spark, s"$dirA/bands")
+      .select("doc_id", "band", "key").as[(Long, Int, String)].collect().toSet
+    val b = Streams.readBandStore(spark, s"$dirB/bands")
+      .select("doc_id", "band", "key").as[(Long, Int, String)].collect().toSet
+    assert(a === b)
+    // ...and the directory layout collapsed to one merged dir
+    val bDirs = new java.io.File(s"$dirB/bands").listFiles
+      .map(_.getName).filter(_.startsWith("b=")).sorted.toSeq
+    assert(bDirs === Seq("b=1"))
+    // the NEXT increment discovers the same pairs on both stores
+    Streams.nearDupBatch(inc2.toDF, 2L, s"$dirA/bands", s"$dirA/pairs")
+    Streams.nearDupBatch(inc2.toDF, 2L, s"$dirB/bands", s"$dirB/pairs")
+    val pa = Streams.readNearDupPairs(spark, s"$dirA/pairs")
+      .as[(Long, Long)].collect().toSet
+    val pb = Streams.readNearDupPairs(spark, s"$dirB/pairs")
+      .as[(Long, Long)].collect().toSet
+    assert(pa === pb && pa.nonEmpty)
+    // re-cap: compacting with a tiny cap bounds every (band, key) bucket
+    Streams.compactBandStore(spark, s"$dirB/bands", upTo = 2L, maxBucket = 2)
+    val maxAfter = Streams.readBandStore(spark, s"$dirB/bands")
+      .groupBy("band", "key").count().agg(max("count"))
+      .collect()(0).getLong(0)
+    assert(maxAfter <= 2)
+    // torn compaction resumes: simulate a crash AFTER the stage completed
+    // and the batch dirs were deleted but BEFORE the rename published it
+    val dirC = java.nio.file.Files.createTempDirectory("bcC").toString
+    Streams.nearDupBatch(inc0.toDF, 0L, s"$dirC/bands", s"$dirC/pairs")
+    Streams.nearDupBatch(inc1.toDF, 1L, s"$dirC/bands", s"$dirC/pairs")
+    val preTorn = Streams.readBandStore(spark, s"$dirC/bands")
+      .select("doc_id", "band", "key").as[(Long, Int, String)].collect().toSet
+    spark.read.parquet(s"$dirC/bands/b=0", s"$dirC/bands/b=1")
+      .write.parquet(s"$dirC/bands/_compact_b=1") // the completed stage
+    for (bd <- Seq("b=0", "b=1")) {
+      val f = new java.io.File(s"$dirC/bands/$bd")
+      f.listFiles.foreach(_.delete()); f.delete()
+    }
+    Streams.compactBandStore(spark, s"$dirC/bands", upTo = 1L)
+    val recovered = Streams.readBandStore(spark, s"$dirC/bands")
+      .select("doc_id", "band", "key").as[(Long, Int, String)].collect().toSet
+    assert(recovered === preTorn)
+  }
+
   test("T9 schema drift alerts: first sight of each payload shape, once, as it arrives") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[(String, Long, String)]
