@@ -1260,7 +1260,19 @@ object Cdc {
     * on the grouping key. The snapshot recompute the oracle runs would
     * rescan the world.
     */
-  def aggMaintain(changelog: DataFrame, groupOf: Column => Column): DataFrame = {
+  def aggMaintain(changelog: DataFrame, groupOf: Column => Column): DataFrame =
+    aggMaintainState(changelog, groupOf).filter(col("n") > 0)
+
+  /** The UNFILTERED fold state of [[aggMaintain]]: per-group (n, sum_id)
+    * sums that may legitimately be negative or zero when `changelog` is
+    * a PARTIAL delta stream (a micro-batch carrying only a group's
+    * deletes folds to n = −1 — a retraction that must survive until it
+    * meets the prior epoch's +1). [[aggMaintain]] is this with the
+    * live-groups filter, correct only over a COMPLETE from-empty log;
+    * the durable streaming sink ([[graft.streaming.Streams.aggMaintainForeachBatch]])
+    * merges these per-batch states additively across epochs instead.
+    */
+  def aggMaintainState(changelog: DataFrame, groupOf: Column => Column): DataFrame = {
     val deltas = array(
       when(col("op") =!= "d", struct(
         groupOf(col("after")).as("grp"),
@@ -1274,7 +1286,6 @@ object Cdc {
       .select(explode(filter(deltas, e => e.isNotNull)).as("d"))
       .groupBy(col("d.grp").as("grp"))
       .agg(sum(col("d.dn")).as("n"), sum(col("d.ds")).as("sum_id"))
-      .filter(col("n") > 0)
   }
 
   /** Registered IVM query grouped by first_name — the schedule's second

@@ -166,6 +166,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(fin.toSeq === Seq(("alpha", 1L, 1L), ("beta", 1L, 2L)))
   }
 
+  test("durable IVM: per-batch delta states merge additively through the versioned store, replay-idempotent") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.Cdc
+    def fr(id: Long, fn: String) = Some(CdcRow(id, Some(fn), Some("l"), Some(s"$id@x")))
+    val batch1 = Seq(
+      CdcEvent(None, fr(1, "alpha"), src(100), "c", 100),
+      CdcEvent(None, fr(2, "alpha"), src(200), "c", 200),
+      CdcEvent(None, fr(3, "beta"), src(300), "c", 300))
+    val batch2 = Seq(
+      CdcEvent(fr(2, "alpha"), fr(2, "beta"), src(201), "u", 201),
+      CdcEvent(fr(3, "beta"), None, src(301), "d", 301))
+    val root = java.nio.file.Files.createTempDirectory("ivmstore").toString + "/s"
+    val grp = (img: org.apache.spark.sql.Column) => img.getField("first_name")
+    val mem = MemoryStream[CdcEvent]
+    val q = Streams.aggMaintainForeachBatch(mem.toDS, root, grp)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckptivm").toString)
+      .start()
+    mem.addData(batch1: _*); q.processAllAvailable()
+    mem.addData(batch2: _*); q.processAllAvailable(); q.stop()
+    def state() = Streams.readAggSnapshot(spark, root)
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // durable state ≡ the batch fold over the concatenated changelog
+    val batchFold = Cdc.aggMaintain((batch1 ++ batch2).toDS.toDF, grp)
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(state() === batchFold)
+    assert(state() === Seq(("alpha", 1L, 1L), ("beta", 1L, 2L)))
+    // crash replay of the LAST batch: merge reads strictly-before state
+    // and the commit overwrites the same version — state unchanged
+    Streams.aggMaintainBatch(batch2.toDF, 1L, root, grp)
+    assert(state() === batchFold)
+    // a delete-only epoch retracts alpha's last row to ABSENCE: the
+    // group leaves the persisted state entirely (not a zero-count row)
+    val batch3 = Seq(CdcEvent(fr(1, "alpha"), None, src(101), "d", 101))
+    Streams.aggMaintainBatch(batch3.toDF, 2L, root, grp)
+    assert(state() === Seq(("beta", 1L, 2L)))
+    assert(SnapshotStore.read(spark, root).get.count() === 1) // no n=0 rows
+  }
+
   test("T6 stateful snapshot stream: latest state per key survives micro-batches, matches batch C4") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[CdcEvent]
