@@ -1173,6 +1173,77 @@ object Text {
       | LEFT JOIN hits ON d.doc_id = hits.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  // -------------------------------------- X7i Bloom decontamination bound
+  /** The BROADCAST-FREE scale path of [[decontaminate]]: when the
+    * benchmark shingle set outgrows what an exact broadcast set can
+    * carry (a full eval-suite union at production scale), a Bloom
+    * filter stands in — numBits/8 bytes regardless of item count, built
+    * by one distributed OR-merge aggregation
+    * ([[graft.functions.BloomMembership]]) and shipped to every probe
+    * task as a plan literal. The guarantee DIRECTION is what makes this
+    * safe: Bloom has NO false negatives, so a truly contaminated
+    * document is ALWAYS flagged (a missed contamination poisons an
+    * eval; an over-removed clean document only costs data), and the
+    * false-positive rate — a per-document ANY over ~hundreds of shingle
+    * probes, so size the sketch for a per-PROBE fpp far below
+    * 1/shingles-per-doc — bounds the over-removal.
+    *
+    * Registered query contract (the x4m pattern — sketch behavior is
+    * engine-specific, so the ORACLE checks the THEOREMS, not the bits):
+    * per language, exact counts (n_docs, n_contaminated — cross-engine
+    * via the same exact join as x7e) plus two booleans the oracle
+    * asserts as literal `true`: `no_miss_ok` (every exactly-contaminated
+    * doc is bloom-flagged — the no-false-negative theorem) and
+    * `overflag_ok` (bloom-flagged clean docs ≤ `overflagSlack` of clean
+    * docs — the sized-fpp bound).
+    */
+  def bloomDecontaminate(docs: DataFrame, sh: DataFrame, benchMax: Long,
+      expectedItems: Long = 1L << 17, numBits: Long = 1L << 20,
+      overflagSlack: Double = 0.05): DataFrame = {
+    import graft.functions.BloomMembership
+    val bench = sh.filter(col("doc_id") < benchMax).select(col("hs")).distinct()
+    // one bounded driver artifact: numBits/8 bytes (the CMS-grid class)
+    val sketch = bench
+      .agg(BloomMembership.bloomAgg(col("hs"), expectedItems, numBits).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val probe = sh.filter(col("doc_id") >= benchMax)
+    val bloomFlag = probe.groupBy(col("doc_id")).agg(
+      max(BloomMembership.mightContain(sketch, col("hs")).cast("int"))
+        .as("bloom_hit"))
+    val exactHits = probe.join(broadcast(bench), "hs")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    docs.filter(col("doc_id") >= benchMax).select(col("doc_id"), col("lang"))
+      .join(bloomFlag, Seq("doc_id"), "left")
+      .join(exactHits, Seq("doc_id"), "left")
+      .select(col("lang"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contam"),
+        (coalesce(col("bloom_hit"), lit(0)) > 0).as("flagged"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("contam").cast("long")).as("n_contaminated"),
+        min(!col("contam") || col("flagged")).as("no_miss_ok"),
+        (sum((col("flagged") && !col("contam")).cast("long")) <=
+          ceil(lit(overflagSlack) *
+            sum((!col("contam")).cast("long")))).as("overflag_ok"))
+  }
+
+  val x7iBloomDecontaminate: Q = (spark, dir) =>
+    bloomDecontaminate(Tables.documents(spark, dir),
+      stagedShingles(spark, dir), benchMax = 50L)
+      .orderBy(col("lang"))
+  val x7iSql: String = shinglesCte() + """,
+      |bench AS (SELECT DISTINCT hs FROM sh WHERE doc_id < 50),
+      |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+      |         FROM sh JOIN bench USING (hs) WHERE doc_id >= 50 GROUP BY 1)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      | CAST(count(CASE WHEN n_hits > 0 THEN 1 END) AS BIGINT) AS n_contaminated,
+      | true AS no_miss_ok, true AS overflag_ok
+      |FROM (SELECT d.doc_id, d.lang, coalesce(h.n_hits, 0) AS n_hits
+      |      FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+      |      WHERE d.doc_id >= 50)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------------------------------------- X7h DSIR importance selection
   /** Importance-resampling data selection (the DSIR shape: fit target and
     * pool bag-of-bigram multinomials with add-1 smoothing, score each pool
@@ -1257,6 +1328,7 @@ object Text {
   val queries: Map[String, Q] = Map(
     "x7d_bigram_familiarity" -> x7dBigramFamiliarity,
     "x7e_decontamination" -> x7eDecontamination,
+    "x7i_bloom_decontaminate" -> x7iBloomDecontaminate,
     "x7h_dsir_select" -> x7hDsirSelect,
     "x4e_term_freq" -> x4eTermFreq,
     "x4f_tfidf" -> x4fTfIdf,
@@ -1285,6 +1357,7 @@ object Text {
     "x4h_novelty_growth" -> x4hSql,
     "x7d_bigram_familiarity" -> x7dSql,
     "x7e_decontamination" -> x7eSql,
+    "x7i_bloom_decontaminate" -> x7iSql,
     "x7h_dsir_select" -> x7hSql,
     "x4e_term_freq" -> x4eSql,
     "x4f_tfidf" -> x4fSql,

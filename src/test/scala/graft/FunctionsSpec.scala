@@ -114,6 +114,28 @@ class FunctionsSpec extends AnyFunSuite {
     assert(plan.contains("cms_probe"), "probe expression missing from plan")
   }
 
+  test("bloom membership: no false negatives, partition-order-invariant sketch, bounded false positives") {
+    import graft.functions.BloomMembership
+    val members = (0 until 2000).map(i => s"member-$i")
+    val nonMembers = (0 until 10000).map(i => s"absent-$i")
+    def sketchOf(parts: Int): Array[Byte] =
+      members.toDF("t").repartition(parts)
+        .agg(BloomMembership.bloomAgg(col("t"), 4096L, 1L << 16).as("bf"))
+        .head.getAs[Array[Byte]]("bf")
+    val sketch = sketchOf(1)
+    // OR-merge is commutative: any partitioning builds the identical bytes
+    assert(java.util.Arrays.equals(sketch, sketchOf(7)))
+    // the theorem: every inserted member probes true — zero false negatives
+    val misses = members.toDF("t")
+      .filter(!BloomMembership.mightContain(sketch, col("t"))).count()
+    assert(misses === 0L)
+    // definitely-absent: fp rate bounded (16 KiB bits for 2k items,
+    // k sized for 4k → fpp well under 1%; assert a loose 2%)
+    val fps = nonMembers.toDF("t")
+      .filter(BloomMembership.mightContain(sketch, col("t"))).count()
+    assert(fps <= 200L, s"false-positive rate ${fps / 10000.0} above bound")
+  }
+
   test("TopK aggregator matches the window row_number formulation exactly") {
     val viaAgg = Vectors.x3dTopKAgg(spark, TestSpark.sf).collect()
     val viaWindow = Vectors.x3CosineTopK(spark, TestSpark.sf).collect()
