@@ -360,6 +360,30 @@ object Streams {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
   }
 
+  /** T8 at eval-suite scale: [[decontaminateStream]] broadcasts the
+    * EXACT benchmark shingle set; when that set outgrows a broadcast,
+    * this twin probes a Bloom sketch riding in the plan as a
+    * numBits/8-byte literal instead (`Text.bloomDecontaminate`'s
+    * stream form — build the sketch once in batch, stream against it).
+    * Same no-false-negative direction: a contaminated doc is always
+    * emitted; the sized fpp bounds spurious emissions. Stateless per
+    * micro-batch except the final per-doc count aggregation — no join,
+    * no broadcast exchange, nothing keyed by the benchmark at all.
+    */
+  def decontaminateStreamBloom(docStream: DataFrame, sketch: Array[Byte],
+      width: Int = graft.operators.Text.defaultShingleWidth): DataFrame = {
+    val sh = docStream
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), explode(expr(
+        s"""array_distinct(transform(
+           | CASE WHEN size(t) >= $width
+           |  THEN sequence(1, size(t)-${width - 1}) ELSE array() END,
+           | i -> md5(cast(concat_ws(' ', slice(t, i, $width)) AS binary))))"""
+          .stripMargin)).as("hs"))
+    sh.filter(graft.functions.BloomMembership.mightContain(sketch, col("hs")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+  }
+
   // --------------------------------------- T13 incremental near-dup probe
   /** T13 — streaming INCREMENTAL near-dup: each micro-batch's documents
     * are MinHash-signed with the exact batch combinators

@@ -115,6 +115,33 @@ object CdcPropertySpec extends Properties("CdcSnapshot") {
         s"sets diverged: u=$union i=$inter e=$except"
     }
 
+  // the widening lattice must behave like a join-semilattice over the
+  // observed type set: the order envelopes arrive in, duplicates from
+  // redelivery, and incremental vs one-shot observation must all
+  // produce the same widened type — driver code, no Spark session
+  val genWire: Gen[List[String]] = Gen.nonEmptyListOf(Gen.oneOf(
+    "int8", "int16", "int32", "int64", "float", "double",
+    "boolean", "string", "bytes"))
+  property("wire-type widening is order-invariant, duplicate-invariant, and monotone") =
+    forAll(genWire) { ws =>
+      val w = Cdc.widenWireTypes(ws)
+      val orderInv = Cdc.widenWireTypes(ws.reverse) == w &&
+        Cdc.widenWireTypes(scala.util.Random.shuffle(ws)) == w
+      val dupInv = Cdc.widenWireTypes(ws ++ ws) == w
+      // monotone: adding an observation never un-widens below a prior
+      // member's own widened type (numeric ranks only rise; string absorbs)
+      def rank(d: org.apache.spark.sql.types.DataType): Int = d match {
+        case org.apache.spark.sql.types.IntegerType => 1
+        case org.apache.spark.sql.types.LongType    => 2
+        case org.apache.spark.sql.types.FloatType   => 3
+        case org.apache.spark.sql.types.DoubleType  => 4
+        case org.apache.spark.sql.types.BooleanType => 1
+        case _                                      => 5 // string: top
+      }
+      val monotone = ws.forall(t => rank(w) >= rank(Cdc.widenWireTypes(Seq(t))))
+      Prop(orderInv && dupInv && monotone) :| s"lattice violated for $ws -> $w"
+    }
+
   property("snapshot is idempotent under event duplication (at-least-once)") =
     forAll(genChangelog) { keyed =>
       import spark.implicits._

@@ -812,6 +812,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.map(_._1) === Seq(10L, 12L))
   }
 
+  test("T8-bloom streaming decontamination: never misses a contaminated doc, matches its own batch twin") {
+    implicit val ctx = spark.sqlContext
+    import graft.functions.BloomMembership
+    val bench = Seq(DocE(1, "a b c d e f"), DocE(2, "q r s t u v w")).toDF
+    val stream = Seq(
+      DocE(10, "a b c d e f g"),   // shares shingles with bench doc 1
+      DocE(11, "x y z p d q n m"), // no 5-gram overlap
+      DocE(12, "q r s t u"))       // one shared shingle with bench doc 2
+    // sketch built once in batch (the production split: index offline,
+    // stream online)
+    val sketch = graft.operators.Text.shingles(bench)
+      .agg(BloomMembership.bloomAgg(col("hs"), 1024L, 1L << 14).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val mem = MemoryStream[DocE]
+    val q = Streams.decontaminateStreamBloom(mem.toDF, sketch).writeStream
+      .format("memory").queryName("t8b").outputMode("complete").start()
+    mem.addData(stream: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("t8b").orderBy("doc_id")
+      .as[(Long, Long)].collect().toSeq
+    // the same combinator in batch mode — stream ≡ batch determinism
+    val batch = Streams.decontaminateStreamBloom(stream.toDF, sketch)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(streamed === batch)
+    // no-false-negative direction: the exactly-contaminated docs (10, 12)
+    // are present with AT LEAST their exact hit counts
+    val flagged = streamed.toMap
+    assert(flagged.contains(10L) && flagged.contains(12L))
+    assert(flagged(10L) >= 2L && flagged(12L) >= 1L)
+  }
+
   test("T13 incremental near-dup stream equals batch MinHash LSH on the unioned corpus") {
     import graft.operators.Text
     implicit val ctx = spark.sqlContext
