@@ -1206,15 +1206,22 @@ object Text {
     val sketch = bench
       .agg(BloomMembership.bloomAgg(col("hs"), expectedItems, numBits).as("bf"))
       .head.getAs[Array[Byte]]("bf")
+    // ONE pass over the probe shingle stream computes both halves of the
+    // bound: the bloom probe (per-row expression against the plan
+    // literal) and the exact truth (left join against the broadcast
+    // bench set — the x7e oracle side), folded by a single
+    // map-side-combined doc_id aggregation instead of two parallel
+    // aggregations joined back per doc
     val probe = sh.filter(col("doc_id") >= benchMax)
-    val bloomFlag = probe.groupBy(col("doc_id")).agg(
-      max(BloomMembership.mightContain(sketch, col("hs")).cast("int"))
-        .as("bloom_hit"))
-    val exactHits = probe.join(broadcast(bench), "hs")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    val flags = probe
+      .join(broadcast(bench.withColumn("__b", lit(1))), Seq("hs"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        max(BloomMembership.mightContain(sketch, col("hs")).cast("int"))
+          .as("bloom_hit"),
+        sum(col("__b").isNotNull.cast("long")).as("n_hits"))
     docs.filter(col("doc_id") >= benchMax).select(col("doc_id"), col("lang"))
-      .join(bloomFlag, Seq("doc_id"), "left")
-      .join(exactHits, Seq("doc_id"), "left")
+      .join(flags, Seq("doc_id"), "left")
       .select(col("lang"),
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contam"),
         (coalesce(col("bloom_hit"), lit(0)) > 0).as("flagged"))
