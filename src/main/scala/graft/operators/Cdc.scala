@@ -570,6 +570,30 @@ object Cdc {
       .select(col("after.*"))
   }
 
+  /** Winner per composite key INCLUDING tombstones, for ANY
+    * envelope-shaped frame — the table-agnostic, composite-key form of
+    * [[snapshotWithTombstones]] (the mergeable shape the epoch stores
+    * fold across micro-batches: a delete must retain its winning lsn so
+    * a redelivered older update cannot resurrect the row). Output:
+    * key columns (top level), `live`, `lsn`, then every non-key
+    * after-image field, schema-derived.
+    */
+  def latestWithTombstonesBy(changelog: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "latestWithTombstonesBy needs at least one key column")
+    val keyed = keyCols.foldLeft(changelog)((df, k) =>
+      df.withColumn(s"__k_$k", coalesce(col(s"after.`$k`"), col(s"before.`$k`"))))
+    val w = Window.partitionBy(keyCols.map(k => col(s"__k_$k")): _*)
+      .orderBy(col("source.lsn").desc)
+    val valueFields = changelog.select("after.*").columns
+      .filterNot(keyCols.contains)
+    keyed.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(keyCols.map(k => col(s"__k_$k").as(k)) ++
+        Seq((col("op") =!= "d").as("live"), col("source.lsn").as("lsn")) ++
+        valueFields.map(f => col(s"after.`$f`").as(f)): _*)
+  }
+
   /** Registered composite-key query: the orders changelog folded by
     * (custkey, id) — a two-column key (partition key + PK, the
     * multi-tenant layout). Every order's events carry the same custkey,

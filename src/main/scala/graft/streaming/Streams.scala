@@ -316,6 +316,37 @@ object Streams {
     committed.filter(col("n") > 0)
   }
 
+  /** [[snapshotForeachBatchMerge]] generalized to ANY envelope-shaped
+    * stream and a COMPOSITE key — the untyped DataFrame form a
+    * multi-table/multi-tenant replica sink actually needs (the typed
+    * CdcEvent form is the reference-schema convenience). Per batch:
+    * winners-with-tombstones by the key tuple
+    * (`Cdc.latestWithTombstonesBy`), bucket by the composite placement
+    * (`bucketOfKeys`), merge against ONLY the touched buckets' prior
+    * rows, commit through the epoch pointer — same crash-replay
+    * idempotence and schema/type-widening seams as the single-key sink.
+    */
+  def snapshotForeachBatchMergeBy(changelogStream: DataFrame,
+      snapshotRoot: String, keyCols: Seq[String], buckets: Int = 16)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val bcol = PartitionedSnapshotStore.bucketColName
+    changelogStream.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      val spark = batch.sparkSession
+      PartitionedSnapshotStore.ensureBucketCount(spark, snapshotRoot, buckets)
+      def bucketed(df: DataFrame) = df.withColumn(bcol,
+        PartitionedSnapshotStore.bucketOfKeys(keyCols.map(col), buckets))
+      val incoming = bucketed(
+        graft.operators.Cdc.latestWithTombstonesBy(batch.toDF, keyCols))
+      val affected = incoming.select(col(bcol)).distinct()
+      val prior = PartitionedSnapshotStore.readBefore(spark, snapshotRoot, batchId)
+        .map(p => bucketed(p).join(broadcast(affected), bcol))
+      PartitionedSnapshotStore.commit(
+        mergeEpochBy(prior, incoming, keyCols), snapshotRoot, batchId)
+      ()
+    }
+  }
+
   /** Consumer view of a [[snapshotForeachBatchMerge]] snapshot. */
   def readMergedSnapshot(spark: org.apache.spark.sql.SparkSession,
       snapshotRoot: String): DataFrame = {

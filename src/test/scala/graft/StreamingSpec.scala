@@ -18,6 +18,12 @@ case class DocE(doc_id: Long, text: String)
 case class LOrd(l_key: Long, l_ts: Timestamp, amount: Double)
 case class RPay(r_key: Long, r_ts: Timestamp)
 
+/** Composite-key envelope fixture (tenant, id) for the generic sink. */
+case class KSrc(lsn: Long)
+case class KRow(tenant: String, id: Long, v: String)
+case class KEvent(before: Option[KRow], after: Option[KRow],
+    source: KSrc, op: String)
+
 /** T1–T7 driven through MicroBatchExecution via MemoryStream (S2 stand-in —
   * no Kafka broker in this environment), cross-checked against the same
   * combinators run in batch mode (SURVEY.md §5.2.4).
@@ -613,6 +619,48 @@ class StreamingSpec extends AnyFunSuite {
     val before = PartitionedSnapshotStore.readBefore(spark, root, 2L).get
     assert(before.schema("loyalty").dataType === LongType)
     assert(before.count() === 3)
+  }
+
+  test("composite-key streaming sink: generic keyed-merge replica over (tenant, id) envelopes") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.PartitionedSnapshotStore
+    def kr(t: String, id: Long, v: String) = Some(KRow(t, id, v))
+    val batch1 = Seq(
+      KEvent(None, kr("a", 1, "a1-v0"), KSrc(10), "c"),
+      KEvent(None, kr("b", 1, "b1-v0"), KSrc(11), "c"),
+      KEvent(None, kr("a", 2, "a2-v0"), KSrc(12), "c"))
+    val batch2 = Seq(
+      KEvent(kr("a", 1, "a1-v0"), kr("a", 1, "a1-v1"), KSrc(20), "u"),
+      KEvent(kr("b", 1, "b1-v0"), None, KSrc(21), "d"),
+      KEvent(None, kr("b", 2, "b2-v0"), KSrc(22), "c"))
+    val root = java.nio.file.Files.createTempDirectory("kstore").toString + "/s"
+    val mem = MemoryStream[KEvent]
+    val q = Streams.snapshotForeachBatchMergeBy(
+        mem.toDF, root, Seq("tenant", "id"), buckets = 4)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckptk").toString)
+      .start()
+    mem.addData(batch1: _*); q.processAllAvailable()
+    mem.addData(batch2: _*); q.processAllAvailable(); q.stop()
+    val committed = PartitionedSnapshotStore.read(spark, root).get
+    val live = committed.filter(col("live"))
+      .select("tenant", "id", "v").orderBy("tenant", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(live === Seq(("a", 1L, "a1-v1"), ("a", 2L, "a2-v0"), ("b", 2L, "b2-v0")))
+    // the delete is state, not output: tombstone retained with its lsn
+    val tomb = committed.filter(!col("live")).collect()
+    assert(tomb.length === 1)
+    assert(tomb(0).getAs[String]("tenant") === "b" && tomb(0).getAs[Long]("id") === 1L)
+    assert(tomb(0).getAs[Long]("lsn") === 21L)
+    // ≡ the batch fold over the concatenated changelog
+    val batchFold = graft.streaming.Streams.mergeEpochBy(None,
+        graft.operators.Cdc.latestWithTombstonesBy(
+          (batch1 ++ batch2).toDS.toDF, Seq("tenant", "id")),
+        Seq("tenant", "id"))
+      .filter(col("live")).select("tenant", "id", "v")
+      .orderBy("tenant", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(live === batchFold)
   }
 
   test("composite-key epoch merge: (tenant, id) keys fold, bucket, and tombstone across epochs") {
