@@ -1071,6 +1071,14 @@ object Cdc {
       .groupBy(col("field"))
       .agg(collect_set(col("wire")).as("wires"))
       .collect() // bounded: one row per distinct declared field
+    // a stream with NO self-describing schema blocks would otherwise
+    // yield an empty reader schema and a confusing downstream parse
+    // failure — fail loudly at the derivation instead (shape-only
+    // streams belong to evolvedAfterSchema)
+    require(perField.nonEmpty,
+      "typedSchemaFromWire: no '$.schema.fields' blocks found in the wire " +
+        "stream; for schema-less envelopes derive the reader from observed " +
+        "shapes via evolvedAfterSchema")
     val fields = perField
       .map(r => r.getString(0) -> widenWireTypes(r.getSeq[String](1)))
       .sortBy(_._1)

@@ -371,6 +371,15 @@ class CdcSpec extends AnyFunSuite {
     assert(got(0).getAs[Long]("loyalty_pts") === 5000000000L)
   }
 
+  test("typedSchemaFromWire fails loudly on a stream with no schema blocks") {
+    val raw = Seq("""{"payload":{"op":"c","key":1,"after":{"id":1}}}""")
+      .toDF("raw")
+    val e = intercept[IllegalArgumentException] {
+      Cdc.typedSchemaFromWire(raw)
+    }
+    assert(e.getMessage.contains("evolvedAfterSchema"))
+  }
+
   test("crossCollectionOrder: data_collection_order matches the producer stamp; total_order is a dense cross-table rank") {
     val cust = Cdc.changelog(spark, TestSpark.sf)
     val ords = Cdc.ordersChangelog(spark, TestSpark.sf)
