@@ -461,18 +461,33 @@ object Cdc {
     * deterministically. Returns the projected consumer view
     * (tx_id, lsn, tbl, key, op, total_order, data_collection_order);
     * join back on (tx_id, tbl, lsn, key) to re-stamp full envelopes.
+    *
+    * COMPOSITE keys (the C17 generality, extended to the ranker): pass
+    * the full key tuple as `keyCols` — each key column is taken from the
+    * after-image with before-image fallback (exactly the fold's key
+    * extraction) and the tiebreak orders by the WHOLE tuple, so two
+    * same-lsn events of one table differing only in a later key column
+    * still rank deterministically. A single-column key keeps the
+    * historical `key` output column; a composite key emits one
+    * `key_<col>` column per key column.
     */
-  def crossCollectionOrder(logs: Seq[DataFrame]): DataFrame = {
-    val uni = logs.map(_.select(
-      col("transaction.id").as("tx_id"),
-      col("source.lsn").as("lsn"),
-      col("source.table").as("tbl"),
-      coalesce(col("after.id"), col("before.id")).as("key"),
-      col("op"))).reduce(_ unionByName _)
+  def crossCollectionOrder(logs: Seq[DataFrame],
+      keyCols: Seq[String] = Seq("id")): DataFrame = {
+    require(keyCols.nonEmpty, "crossCollectionOrder needs at least one key column")
+    val keyNames =
+      if (keyCols.sizeIs == 1) Seq("key") else keyCols.map(k => s"key_$k")
+    val uni = logs.map(l => l.select(Seq(
+        col("transaction.id").as("tx_id"),
+        col("source.lsn").as("lsn"),
+        col("source.table").as("tbl")) ++
+      keyCols.zip(keyNames).map { case (k, n) =>
+        coalesce(col(s"after.`$k`"), col(s"before.`$k`")).as(n) } :+
+      col("op"): _*)).reduce(_ unionByName _)
+    val keyRefs = keyNames.map(col)
     val wTx = Window.partitionBy(col("tx_id"))
-      .orderBy(col("lsn"), col("tbl"), col("key"))
+      .orderBy(col("lsn") +: col("tbl") +: keyRefs: _*)
     val wCol = Window.partitionBy(col("tx_id"), col("tbl"))
-      .orderBy(col("lsn"), col("key"))
+      .orderBy(col("lsn") +: keyRefs: _*)
     uni
       .withColumn("total_order", row_number().over(wTx).cast("long"))
       .withColumn("data_collection_order", row_number().over(wCol).cast("long"))
@@ -1115,13 +1130,21 @@ object Cdc {
   def evolveSnapshotBy(raw: DataFrame,
       after: org.apache.spark.sql.types.StructType,
       keyCols: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.types.{DataType, LongType, StringType,
+    import org.apache.spark.sql.types.{DataType, StringType,
       StructField, StructType}
     require(keyCols.nonEmpty, "evolveSnapshotBy needs at least one key column")
+    // every key column takes the type the widened after-schema declares
+    // for it (C16 knows the key's wire type): a UUID/string PK parses as
+    // string, a serial PK as long — hardcoding long here would
+    // null-parse every string message key and collapse the whole fold
+    // onto one phantom null key. A key column the after schema does NOT
+    // declare falls back to string: lossless for any JSON scalar (the
+    // parser keeps the token's verbatim text), where a long fallback
+    // silently nulls non-numeric keys.
     def declared(k: String): DataType =
-      after.find(_.name == k).map(_.dataType).getOrElse(LongType)
+      after.find(_.name == k).map(_.dataType).getOrElse(StringType)
     val keyType: DataType =
-      if (keyCols.size == 1) LongType // bare scalar message key (serial PK)
+      if (keyCols.size == 1) declared(keyCols.head) // bare scalar message key
       else StructType(keyCols.map(k => StructField(k, declared(k))))
     val env = new StructType()
       .add("op", StringType).add("key", keyType).add("after", after)

@@ -371,6 +371,44 @@ class CdcSpec extends AnyFunSuite {
     assert(got(0).getAs[Long]("loyalty_pts") === 5000000000L)
   }
 
+  test("evolveSnapshot folds a bare STRING (UUID) message key — key type derives from the typed wire schema") {
+    // the r8 verdict's residual: a bare scalar key hardcoded long would
+    // null-parse every UUID and collapse the fold onto one phantom key.
+    // The wire's self-describing schema declares id: string (C16), so the
+    // derived after-schema types the key correctly.
+    val raw = Seq(
+      (10L, """{"schema":{"fields":[{"field":"id","type":"string"},{"field":"email","type":"string"}]},"payload":{"op":"c","key":"7b9d-a1","after":{"id":"7b9d-a1","email":"a@x"}}}"""),
+      (11L, """{"schema":{"fields":[{"field":"id","type":"string"},{"field":"email","type":"string"}]},"payload":{"op":"c","key":"7b9d-b2","after":{"id":"7b9d-b2","email":"b@x"}}}"""),
+      (20L, """{"schema":{"fields":[{"field":"id","type":"string"},{"field":"email","type":"string"}]},"payload":{"op":"u","key":"7b9d-a1","after":{"id":"7b9d-a1","email":"a2@x"}}}"""),
+      (21L, """{"schema":{"fields":[{"field":"id","type":"string"},{"field":"email","type":"string"}]},"payload":{"op":"d","key":"7b9d-b2","after":null}}"""))
+      .toDF("lsn", "raw")
+    val widened = Cdc.typedSchemaFromWire(raw)
+    assert(widened("id").dataType ===
+      org.apache.spark.sql.types.StringType)
+    val got = Cdc.evolveSnapshot(
+      raw.withColumn("raw", get_json_object(col("raw"), "$.payload")), widened)
+      .orderBy("id").collect()
+    // two distinct UUID keys folded separately; the deleted one is gone
+    assert(got.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("7b9d-a1", "a2@x")))
+  }
+
+  test("evolveSnapshot: an UNDECLARED bare key falls back to string and still folds per key") {
+    import org.apache.spark.sql.types._
+    // after-schema without the key field: the long fallback of old nulled
+    // string keys silently; the string fallback is lossless for any scalar
+    val raw = Seq(
+      (10L, """{"op":"c","key":"u-1","after":{"email":"a@x"}}"""),
+      (11L, """{"op":"c","key":"u-2","after":{"email":"b@x"}}"""),
+      (20L, """{"op":"u","key":"u-1","after":{"email":"a2@x"}}"""))
+      .toDF("lsn", "raw")
+    val after = StructType(Seq(StructField("email", StringType)))
+    val got = Cdc.evolveSnapshotBy(raw, after, Seq("key"))
+      .orderBy("key").collect()
+    assert(got.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("u-1", "a2@x"), ("u-2", "b@x")))
+  }
+
   test("typedSchemaFromWire fails loudly on a stream with no schema blocks") {
     val raw = Seq("""{"payload":{"op":"c","key":1,"after":{"id":1}}}""")
       .toDF("raw")
@@ -409,6 +447,37 @@ class CdcSpec extends AnyFunSuite {
       min(when(col("tbl") === "orders", col("total_order"))).as("min_o"))
       .filter(col("min_o") < col("max_c"))
     assert(interleaved.count() > 0)
+  }
+
+  test("crossCollectionOrder ranks a composite (tenant, id) key deterministically — same-lsn events disambiguate on the full tuple") {
+    // two logs; the events at lsn 30 differ ONLY in the second key column
+    // (id), so a ranker keying on tenant alone would tie nondeterministically
+    def log(tbl: String, rows: Seq[(String, Long, Long, String)]) =
+      rows.toDF("tenant", "id", "lsn", "op").selectExpr(
+        "named_struct('id', concat('tx-', cast(lsn div 100 as string)), " +
+          "'total_order', 0L, 'data_collection_order', 0L) AS transaction",
+        s"named_struct('lsn', lsn, 'table', '$tbl') AS source",
+        "CASE WHEN op <> 'd' THEN named_struct('tenant', tenant, 'id', id) END AS after",
+        "CASE WHEN op <> 'c' THEN named_struct('tenant', tenant, 'id', id) END AS before",
+        "op")
+    val a = log("accounts", Seq(
+      ("t1", 2L, 30L, "c"), ("t1", 1L, 30L, "c"), ("t2", 1L, 10L, "c")))
+    val b = log("orders", Seq(
+      ("t1", 1L, 30L, "d"), ("t1", 3L, 20L, "u")))
+    val view = Cdc.crossCollectionOrder(Seq(a, b), Seq("tenant", "id"))
+      .orderBy("tx_id", "total_order")
+      .select("tx_id", "tbl", "key_tenant", "key_id", "total_order",
+        "data_collection_order")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(view === Seq(
+      ("tx-0", "accounts", "t2", 1L, 1L, 1L), // lsn 10
+      ("tx-0", "orders", "t1", 3L, 2L, 1L),   // lsn 20
+      // lsn 30 three-way: tbl asc, then (tenant, id) tuple asc —
+      // accounts (t1,1) < accounts (t1,2) < orders (t1,1)
+      ("tx-0", "accounts", "t1", 1L, 3L, 2L),
+      ("tx-0", "accounts", "t1", 2L, 4L, 3L),
+      ("tx-0", "orders", "t1", 1L, 5L, 2L)))
   }
 
   test("IVM delta-fold: group transfer on update, retraction to absence on delete") {
