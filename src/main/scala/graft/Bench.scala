@@ -174,12 +174,19 @@ object Bench {
     val series = s"[${arr(cals1)},${arr(cals2)}]"
     val full =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qmap(results)},"cold_total":${r3(cold)},"cold_queries":$coldQ,"pass2_queries":${qmap(p2raw.sortBy(_._1))},"staging":$staging,"calibration":${r3(cal)},"calibration_passes":[${r3(cal1)},${r3(cal2)}],"calibration_series":$series,"calibration_every":$CalEvery,"sf":"$sfDir"}"""
+    // Default sink is the GITIGNORED driver-run file: the committed
+    // BENCH_FULL.json is the builder's deliberate record (the one
+    // BASELINE.md describes) and an automated driver run must not
+    // silently clobber it in the working tree. Recording a new committed
+    // baseline is an explicit act: SPARK_GRAFT_BENCH_OUT=BENCH_FULL.json.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "BENCH_FULL_driver.json")
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
+      java.nio.file.Paths.get(outPath), full + "\n")
     catch { case e: Throwable =>
       // non-fatal, but a silent failure would leave a STALE file that
       // tools/perfdiff.py diffs against without warning
-      System.err.println(s"[bench] BENCH_FULL.json write failed: $e")
+      System.err.println(s"[bench] $outPath write failed: $e")
     }
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qmap(headline)},"cold_total":${r3(cold)},"calibration":${r3(cal)},"calibration_series":$series,"sf":"$sfDir"}""")
     spark.stop()

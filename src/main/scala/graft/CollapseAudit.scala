@@ -57,12 +57,14 @@ object CollapseAudit {
     * by the cap that precedes it); x3e/x3f/x3j broadcast the QUERY-side
     * probe explode (|Q|·nprobe rows — query-set-proportional, the
     * intended IVF routing shape) and, in the recall twins, the bounded
-    * |Q|·k brute-force reference. A NEW query landing here must either
-    * justify itself into this list or get a shuffle_hash pin.
+    * |Q|·k brute-force reference; x3l_incr_index runs that same probe
+    * explode TWICE (incremental index + batch twin, |Q|·nprobe each)
+    * plus the same bounded brute reference. A NEW query landing here
+    * must either justify itself into this list or get a shuffle_hash pin.
     */
   val boundedByDesign: Set[String] = Set("q24_salted_join",
     "x2d_simhash_neardup", "x3e_cosine_ivf", "x3f_ivf_recall",
-    "x3j_pq_recall")
+    "x3j_pq_recall", "x3l_incr_index")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -42,4 +42,22 @@ object BloomMembership {
     GraftBridge.column(BloomFilterMightContain(
       Literal(sketch, BinaryType),
       new XxHash64(Seq(GraftBridge.expression(c)))))
+
+  /** Standard Bloom sizing: the minimum bit count holding the target
+    * false-positive rate `p` for `n` inserted items —
+    * m = ceil(−n·ln p ⁄ ln²2) — rounded up to a byte boundary (the
+    * serialized sketch is whole bytes). Monotone in n and in 1/p. The
+    * optimal hash count at this size, k = (m/n)·ln 2, is what
+    * [[bloomAgg]] derives from (expectedItems = n, numBits = m), so
+    * callers size with this and pass both through. ~1.44·log2(1/p)
+    * bits/item: 19 bits at p = 1e-4, 24 at 1e-5 — the sketch stays a
+    * bounded model artifact at any eval-suite scale.
+    */
+  def bitsFor(n: Long, p: Double): Long = {
+    require(n > 0, s"bloom sizing needs n > 0, got $n")
+    require(p > 0 && p < 1, s"bloom sizing needs 0 < p < 1, got $p")
+    val ln2 = math.log(2.0)
+    val m = math.ceil(-n.toDouble * math.log(p) / (ln2 * ln2)).toLong
+    ((m + 7) / 8) * 8
+  }
 }

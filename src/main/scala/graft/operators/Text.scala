@@ -1198,13 +1198,24 @@ object Text {
     * docs — the sized-fpp bound).
     */
   def bloomDecontaminate(docs: DataFrame, sh: DataFrame, benchMax: Long,
-      expectedItems: Long = 1L << 17, numBits: Long = 1L << 20,
-      overflagSlack: Double = 0.05): DataFrame = {
+      targetFpp: Double = 1e-5, overflagSlack: Double = 0.05): DataFrame = {
     import graft.functions.BloomMembership
     val bench = sh.filter(col("doc_id") < benchMax).select(col("hs")).distinct()
-    // one bounded driver artifact: numBits/8 bytes (the CMS-grid class)
+    // SIZE FROM MEASUREMENT, not fixed constants: a fixed sketch holds
+    // its fpp only while the bench set stays under its design count —
+    // grown past it, the per-doc ANY over hundreds of probes flags
+    // nearly every clean doc and the overflag bound goes red. The
+    // measured distinct-shingle count (one map-side-combined agg over
+    // the SMALL bench side — the same bounded class as the sketch build
+    // it feeds) keeps the per-probe fpp at `targetFpp` at any eval-suite
+    // scale. Default 1e-5: a doc probing ~500 distinct shingles then
+    // over-flags with prob ≈ 1−(1−1e-5)^500 ≈ 0.5%, an order under the
+    // 5% overflagSlack bound the oracle asserts.
+    val n = math.max(1L, bench.count())
+    // one bounded driver artifact: bitsFor(n, p)/8 bytes ≈ 3 bytes/item
     val sketch = bench
-      .agg(BloomMembership.bloomAgg(col("hs"), expectedItems, numBits).as("bf"))
+      .agg(BloomMembership.bloomAgg(col("hs"), n,
+        BloomMembership.bitsFor(n, targetFpp)).as("bf"))
       .head.getAs[Array[Byte]]("bf")
     // ONE pass over the probe shingle stream computes both halves of the
     // bound: the bloom probe (per-row expression against the plan

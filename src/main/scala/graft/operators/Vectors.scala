@@ -472,9 +472,35 @@ object Vectors {
       iters: Int = 3, shortlist: Int = 200): DataFrame = {
     val coarse = kmeansCentroids(corpus, nlist, iters)
     val books = pqCodebooks(corpus, m, ksub, iters)
-    val sub = dim / m
-    val encoded = pqEncode(assignCluster(corpus, coarse), books)
+    pqSearchIndex(queries, encodeForIndex(corpus, coarse, books),
+      coarse, books, k, nprobe, shortlist)
+  }
+
+  /** The index-side half of [[pqSearch]], factored so the incremental
+    * maintainer (T16, [[graft.streaming.Streams.vectorIndexBatch]]) can
+    * encode micro-batches against the SAME frozen models the batch
+    * index used: coarse-assign + PQ-encode, projected to the stored
+    * index row (cluster, vec_id, codes, embedding). Pure per-row
+    * expression work — no shuffle, nothing leaves the executor.
+    */
+  def encodeForIndex(vectors: DataFrame, coarse: Array[Array[Float]],
+      books: Array[Array[Array[Float]]]): DataFrame =
+    pqEncode(assignCluster(vectors, coarse), books)
       .select(col("cluster"), col("vec_id"), col("codes"), col("embedding"))
+
+  /** The searcher half of [[pqSearch]]: coarse routing, ADC over the
+    * stored codes, exact re-rank — over a PRE-ENCODED index frame
+    * (cluster, vec_id, codes, embedding), which may come from the batch
+    * encode or from the T16 incrementally-maintained store; the search
+    * plan is identical either way, which is what makes the stream≡batch
+    * equivalence (`x3l`, T16 spec) exact rather than approximate.
+    */
+  def pqSearchIndex(queries: DataFrame, index: DataFrame,
+      coarse: Array[Array[Float]], books: Array[Array[Array[Float]]],
+      k: Int, nprobe: Int = 4, shortlist: Int = 200): DataFrame = {
+    val nlist = coarse.length
+    val m = books.length
+    val sub = dim / m
     // query side: nprobe nearest coarse lists + the m×ksub ADC table
     val qDots = coarse.map(c =>
       VectorFunctions.dotF32(col("embedding"), typedlit(c.toSeq)))
@@ -497,7 +523,7 @@ object Vectors {
     val wFinal = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("vec_id").asc)
     broadcast(probes)
-      .join(encoded, Seq("cluster"))
+      .join(index, Seq("cluster"))
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("q_emb"), col("vec_id"), col("embedding"),
         expr("aggregate(zip_with(codes, lut, (c, l) -> element_at(l, c + 1)), " +
@@ -530,6 +556,80 @@ object Vectors {
   }
   val x3jSql: String =
     """SELECT vec_id AS q_id, true AS recall_ok
+      |FROM embeddings WHERE vec_id < 10 ORDER BY 1""".stripMargin
+
+  // ------------------------------------- X3l incremental index maintenance
+  /** X3l — the T16 incremental-index contract as oracle booleans (the
+    * x3f pattern): the embeddings table arrives as three staged
+    * increments plus a LATER re-embed batch (every `vec_id % 10 == 0`
+    * vector re-arrives with a CHANGED embedding — the negation, still
+    * unit-norm), each encoded against models FROZEN before any
+    * increment arrived (the production cadence: quantizers refit
+    * offline, rarely; increments upsert continuously). The incremental
+    * index is the batch-tagged union folded latest-batch-wins per
+    * vec_id — exactly what [[graft.streaming.Streams.readVectorIndex]]
+    * computes over the durable store, here expressed inline so the
+    * driver oracle can check it.
+    *
+    * Per query, two oracle-checked booleans: `same_ok` — the
+    * incrementally-built index serves IDENTICAL top-k to an all-at-once
+    * batch encode of the latest corpus under the same frozen models
+    * (exact equivalence, not approximate: same rows in, same
+    * deterministic expressions — and NOT vacuous: an unfolded duplicate
+    * or a stale encoding of a re-embedded vector changes the served
+    * ranks) — and `recall_ok`, recall@5 ≥ 0.6 vs exact brute force over
+    * the latest corpus (the serving-quality floor, x3f's bound).
+    */
+  val x3lIncrIndex: Q = (spark, dir) => {
+    val e = Tables.embeddings(spark, dir)
+    // models frozen on the pre-re-embed corpus
+    val coarse = kmeansCentroids(e, 16, 3)
+    val books = pqCodebooks(e, 8, 16, 3)
+    val reemb = e.filter(col("vec_id") % 10 === 0)
+      .withColumn("embedding", expr("transform(embedding, v -> -v)"))
+    val latest = e.filter(col("vec_id") % 10 =!= 0).unionByName(reemb)
+    // increments 0..2 carry the original vectors; batch 3 re-embeds
+    val tagged = (Seq(
+      e.filter(col("vec_id") % 3 === 0),
+      e.filter(col("vec_id") % 3 === 1),
+      e.filter(col("vec_id") % 3 === 2)) :+ reemb).zipWithIndex
+      .map { case (inc, i) =>
+        encodeForIndex(inc, coarse, books).withColumn("b", lit(i.toLong)) }
+    val wUp = Window.partitionBy(col("vec_id")).orderBy(col("b").desc)
+    val incrIndex = tagged.reduce(_ unionByName _)
+      .withColumn("__rn", row_number().over(wUp))
+      .filter(col("__rn") === 1).drop("__rn", "b")
+    val batchIndex = encodeForIndex(latest, coarse, books)
+    val q = latest.filter(col("vec_id") < 10)
+    // wider routing than x3j (nprobe 8/16, shortlist 400): re-embedded
+    // vectors are quantized by codebooks FROZEN before they existed, so
+    // their ADC error is the worst in the index — the realistic cost of
+    // the frozen-model cadence, paid in probe width until the next
+    // offline refit (production refits when recall drifts; the bound
+    // here is the drift alarm made into an oracle check)
+    val si = pqSearchIndex(q, incrIndex, coarse, books, k = 5,
+      nprobe = 8, shortlist = 400)
+    val sb = pqSearchIndex(q, batchIndex, coarse, books, k = 5,
+      nprobe = 8, shortlist = 400)
+    val same = si.select(col("q_id"), col("rank"), col("vec_id").as("iv"))
+      .join(sb.select(col("q_id"), col("rank"), col("vec_id").as("bv")),
+        Seq("q_id", "rank"), "full")
+      .groupBy(col("q_id"))
+      .agg(min(col("iv") <=> col("bv")).as("same_ok"))
+    val brute = cosineTopK(q, latest, 5).select(col("q_id"), col("vec_id"))
+    val hits = brute.join(si.select(col("q_id"), col("vec_id")),
+        Seq("q_id", "vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+    q.select(col("vec_id").as("q_id"))
+      .join(same, Seq("q_id"), "left")
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("same_ok"), lit(false)).as("same_ok"),
+        (coalesce(col("n_hit"), lit(0L)) * 10 >= 30).as("recall_ok")) // ≥3/5
+      .orderBy(col("q_id"))
+  }
+  val x3lSql: String =
+    """SELECT vec_id AS q_id, true AS same_ok, true AS recall_ok
       |FROM embeddings WHERE vec_id < 10 ORDER BY 1""".stripMargin
 
   // ------------------------------------------------ X3g int8 quantization
@@ -852,6 +952,7 @@ object Vectors {
     "x3e_cosine_ivf" -> x3eCosineIvf,
     "x3f_ivf_recall" -> x3fIvfRecall,
     "x3j_pq_recall" -> x3jPqRecall,
+    "x3l_incr_index" -> x3lIncrIndex,
     "x5c_media_features" -> x5cMediaFeatures,
     "x3b_cosine_lsh" -> x3bCosineLsh,
     "x3c_embed_neardup" -> x3cEmbedNearDup,
@@ -868,6 +969,7 @@ object Vectors {
     "x3d_topk_agg" -> x3Sql, // same contract as x3 — value-identical by design
     "x3f_ivf_recall" -> x3fSql,
     "x3j_pq_recall" -> x3jSql,
+    "x3l_incr_index" -> x3lSql,
     "x3b_cosine_lsh" -> x3bSql,
     "x3c_embed_neardup" -> x3cSql,
     "x5_multimodal_join" -> x5Sql,

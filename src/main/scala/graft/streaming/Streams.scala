@@ -18,7 +18,9 @@ import graft.Schemas.{CdcEvent, CdcRow}
   * .option("subscribe", topic)` — no broker ships in this environment, so
   * tests drive MemoryStream (S2 stand-in per SURVEY.md §2.2).
   */
-object Streams {
+// Serializable: stateful-operator closures (the expiring gate's keyed
+// function) capture this module when they call its private helpers
+object Streams extends Serializable {
 
   /** T1 — tumbling-window counts per event type. */
   def tumblingCounts(events: DataFrame, width: String = "10 minutes"): DataFrame =
@@ -557,34 +559,191 @@ object Streams {
     * satisfies this; the same barrier every streaming-store compaction
     * (RocksDB, Delta OPTIMIZE) requires.
     *
-    * Crash-safe: the merged content is staged to a `_compact_b=<upTo>`
-    * temp dir (invisible to readers — only `b=*` dirs are listed) and
-    * the batch dirs are deleted only once the stage carries its
-    * `_SUCCESS` marker; a re-run after a crash mid-delete ADOPTS the
-    * completed stage instead of re-merging the (now partial) directory
-    * set, so no state is lost at any crash point.
+    * Crash-safe via [[compactStore]]'s staged-merge protocol.
     */
   def compactBandStore(spark: org.apache.spark.sql.SparkSession,
-      bandDir: String, upTo: Long, maxBucket: Int = Int.MaxValue): Unit = {
+      bandDir: String, upTo: Long, maxBucket: Int = Int.MaxValue): Unit =
+    compactStore(spark, bandDir, upTo,
+      df => if (maxBucket == Int.MaxValue) df
+            else graft.operators.Text.capBuckets(df, maxBucket))
+
+  /** Compact the PAIR store: [[nearDupBatch]] grows one `pairDir`
+    * directory per micro-batch forever and [[readNearDupPairs]] unions
+    * all of them — the same small-files pathology the band side has.
+    * Pairs are globally unique (each discovered exactly once, in the
+    * batch where its later member arrived), so compaction is pure
+    * concatenation under the same staged protocol: afterwards the
+    * consumer reads ONE directory. Same quiescent-barrier requirement
+    * as [[compactBandStore]] — no in-flight batch, no possible replay
+    * of an id ≤ `upTo` (a replayed batch would overwrite the compacted
+    * `b=upTo` dir with only its own pairs).
+    */
+  def compactPairStore(spark: org.apache.spark.sql.SparkSession,
+      pairDir: String, upTo: Long): Unit =
+    compactStore(spark, pairDir, upTo, identity)
+
+  /** Staged-merge compaction shared by every batchId-keyed directory
+    * store here (bands, pairs, vector index): merge every `b=<id>` dir
+    * with id ≤ `upTo` into ONE dir keyed `b=upTo`, `transform` applied
+    * to the merged frame (bucket re-cap for bands; identity for pairs).
+    *
+    * Protocol: (1) merge into a `_compact_b=<upTo>` staging dir —
+    * invisible to readers, which list only `b=*` dirs — then record the
+    * merged batch-id set in a `_MANIFEST` file written AFTER the data
+    * (parquet `_SUCCESS` + manifest together mark a COMPLETE stage);
+    * (2) delete the source batch dirs; (3) rename the stage into place.
+    * The rename result is CHECKED: Hadoop FileSystem.rename reports
+    * failure by returning false, not by throwing, and ignoring it would
+    * leave the merged store invisible in the staging dir — every later
+    * probe would then silently see an empty prior index and emit wrong
+    * (missing) pairs. A failed rename aborts loudly with the staged
+    * data retained; the re-run adopts the completed stage.
+    *
+    * Crash/staleness rules (a stage can be left over from a crash at
+    * any point, or from an ABANDONED compaction after which new batches
+    * landed): a re-run ADOPTS a completed stage iff its manifest COVERS
+    * the batch dirs still present (⊇ — a mid-delete crash leaves a
+    * subset of what was merged); a completed stage whose manifest
+    * misses a present batch dir is STALE — adopting it verbatim would
+    * delete data it never merged — so it is discarded and re-merged.
+    * Incomplete stages (no `_SUCCESS`/manifest) and stages at other
+    * `upTo` values are likewise deleted on entry.
+    */
+  private def compactStore(spark: org.apache.spark.sql.SparkSession,
+      dir: String, upTo: Long, transform: DataFrame => DataFrame): Unit = {
     import org.apache.hadoop.fs.Path
-    val fs = new Path(bandDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(bandDir, s"_compact_b=$upTo")
-    val staged = fs.exists(new Path(tmp, "_SUCCESS"))
-    if (!staged) {
-      val dirs = bandBatchDirs(spark, bandDir).filter(_._1 <= upTo)
-      require(dirs.nonEmpty, s"no band batches ≤ $upTo under $bandDir")
-      val merged = spark.read.parquet(dirs.map(_._2): _*)
-      val capped =
-        if (maxBucket == Int.MaxValue) merged
-        else graft.operators.Text.capBuckets(merged, maxBucket)
-      capped.write.mode("overwrite").parquet(tmp.toString)
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // GC stages abandoned at OTHER upTo values — never adoptable here,
+    // and left alone they accumulate forever
+    if (fs.exists(root))
+      fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("_compact_b=")
+          && s.getPath.getName != s"_compact_b=$upTo")
+        .foreach(s => fs.delete(s.getPath, true))
+    val tmp = new Path(dir, s"_compact_b=$upTo")
+    val manifest = new Path(tmp, "_MANIFEST")
+    def manifestIds(): Option[Set[Long]] =
+      if (!fs.exists(manifest)) None
+      else {
+        val in = fs.open(manifest)
+        try Some(new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+          .trim.split(",").filter(_.nonEmpty).map(_.toLong).toSet)
+        finally in.close()
+      }
+    val present = bandBatchDirs(spark, dir).filter(_._1 <= upTo)
+    // empty `present` adopts even without a manifest: a crash between
+    // the manifest delete and the rename leaves the stage as the ONLY
+    // copy of the merged data
+    val adoptable = fs.exists(new Path(tmp, "_SUCCESS")) &&
+      (present.isEmpty ||
+        manifestIds().exists(ids => present.map(_._1).toSet.subsetOf(ids)))
+    if (!adoptable) {
+      require(present.nonEmpty, s"no batches ≤ $upTo under $dir")
+      if (fs.exists(tmp)) fs.delete(tmp, true) // incomplete or stale stage
+      transform(spark.read.parquet(present.map(_._2): _*))
+        .write.mode("overwrite").parquet(tmp.toString)
+      val out = fs.create(manifest, true)
+      try out.write(present.map(_._1).sorted.mkString(",").getBytes("UTF-8"))
+      finally out.close()
     }
-    bandBatchDirs(spark, bandDir).filter(_._1 <= upTo)
+    bandBatchDirs(spark, dir).filter(_._1 <= upTo)
       .foreach { case (_, p) => fs.delete(new Path(p), true) }
-    fs.rename(tmp, new Path(bandDir, s"b=$upTo"))
+    fs.delete(manifest, false) // keep the published layout parquet-only
+    require(fs.rename(tmp, new Path(dir, s"b=$upTo")),
+      s"compaction rename of $tmp failed; staged data retained — re-run adopts it")
     ()
   }
+
+  // --------------------------------- T16 incremental vector-index upsert
+  /** T16 — incremental ANN-index maintenance: the T13 increment pattern
+    * applied to X3, closing the gap where the CDC half maintained
+    * everything incrementally while embeddings were indexed batch-only.
+    * A real 100 TB deployment re-embeds changed documents and UPSERTS
+    * them into the serving index — re-fitting and re-encoding the
+    * corpus per increment would rescan the world. Each micro-batch of
+    * (vec_id, embedding) rows — new docs or re-embedded ones — is
+    * coarse-assigned against the EXISTING centroids and PQ-encoded
+    * against the EXISTING codebooks (frozen models: production refits
+    * them offline, rarely — [[graft.operators.Vectors.encodeForIndex]],
+    * shuffle-free per-row expression work over the increment only) and
+    * written under `indexDir/b=<batchId>`, each row tagged with its
+    * batch id.
+    *
+    * UPSERT semantics ride the layout: [[readVectorIndex]] folds
+    * latest-batch-wins per vec_id, so a re-embedded doc's newest
+    * encoding shadows every earlier one — the CDC winner-per-key fold,
+    * keyed by batch id instead of lsn. Serving reads the folded index
+    * through [[graft.operators.Vectors.pqSearchIndex]] — the IDENTICAL
+    * search plan the batch path uses, so stream-built ≡ batch-encoded
+    * exactly (T16 spec; `x3l` oracle-checks the same equivalence
+    * inline).
+    *
+    * IDEMPOTENT REPLAY, the [[nearDupBatch]] contract: a batch's write
+    * is a full overwrite of its own subdirectory, derived only from its
+    * own rows and the frozen models, so an at-least-once replay
+    * rewrites identical bytes.
+    */
+  def vectorIndexBatch(batch: DataFrame, batchId: Long, indexDir: String,
+      coarse: Array[Array[Float]],
+      books: Array[Array[Array[Float]]]): Unit = {
+    graft.operators.Vectors.encodeForIndex(batch, coarse, books)
+      .withColumn("b", lit(batchId))
+      .write.mode("overwrite").parquet(s"$indexDir/b=$batchId")
+    ()
+  }
+
+  def vectorIndexStream(embStream: DataFrame, indexDir: String,
+      coarse: Array[Array[Float]], books: Array[Array[Array[Float]]])
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    embStream.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      vectorIndexBatch(batch.toDF, batchId, indexDir, coarse, books)
+    }
+
+  /** Seed the index with a pre-built corpus encode (reserved batch id
+    * −1, below every real micro-batch id — [[seedBandStore]]'s
+    * convention).
+    */
+  def seedVectorIndex(corpus: DataFrame, indexDir: String,
+      coarse: Array[Array[Float]],
+      books: Array[Array[Array[Float]]]): Unit =
+    vectorIndexBatch(corpus, -1L, indexDir, coarse, books)
+
+  /** Consumer view of the incremental index: one row per vec_id, the
+    * encoding from its HIGHEST batch id (a vec_id appears at most once
+    * per batch dir, so the winner is unique). One keyed window over the
+    * stored rows; the result feeds `pqSearchIndex` directly.
+    */
+  def readVectorIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame = {
+    val paths = bandBatchDirs(spark, indexDir).map(_._2)
+    require(paths.nonEmpty, s"no committed index batches under $indexDir")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("b").desc)
+    spark.read.parquet(paths: _*)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", "b")
+  }
+
+  /** Compact the vector index: merge batch dirs ≤ `upTo` into one AND
+    * drop shadowed rows (superseded encodings of re-embedded vec_ids) —
+    * the winner fold moved from read time into storage, so a
+    * long-running index stops paying the read-side window over every
+    * historical version. Rows keep their `b` tag (the fold keys on the
+    * COLUMN, not the directory), so reads before and after compaction
+    * are identical. Same staged protocol and quiescent-barrier
+    * requirement as [[compactBandStore]].
+    */
+  def compactVectorIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, upTo: Long): Unit =
+    compactStore(spark, indexDir, upTo, df => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("b").desc)
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    })
 
   // ------------------------------------------- T12 / C14 streaming gate
   /** One unit of the cross-table transaction gate's input stream: either a
@@ -625,45 +784,51 @@ object Streams {
     * (table, lsn) so downstream folds see a deterministic order.
     * Redelivered events (at-least-once source) dedup by (table, lsn)
     * identity so they can never satisfy the marker's count in place of a
-    * missing distinct event. A production deployment adds a
-    * GroupStateTimeout to spill/abandon state that cannot complete — a
-    * transaction whose END never arrives (producer crash), or the
-    * expected-less stub a post-release redelivery re-creates — policy,
-    * not mechanism, so the combinator keeps NoTimeout.
+    * missing distinct event. This combinator keeps NoTimeout (pure
+    * mechanism); [[txGateExpiring]] is the production variant that
+    * spills state that cannot complete to a dead-letter stream.
     */
   def txGateKey(txId: String, in: Iterator[TxInput],
       state: GroupState[TxGateState]): Iterator[GatedEvent] = {
-    val st0 = state.getOption.getOrElse(TxGateState(None, Nil))
     val ins = in.toList
-    val fresh = ins.flatMap(i =>
-      for { t <- i.table; e <- i.event } yield GatedEvent(t, txId, e))
-    val expected = ins.flatMap(_.endCount).lastOption.orElse(st0.expected)
-    // dedup by event identity, not raw count: the production source is
-    // at-least-once Kafka, and a REDELIVERED event must not satisfy the
-    // marker's count while a distinct event is still missing — that would
-    // release exactly the torn cross-table state this gate exists to
-    // prevent. Identity is (table, lsn, ts_ms, op), NOT (table, lsn)
-    // alone: a source that omits lsn (or reuses one across a tx's events
-    // on the same table) would otherwise collapse distinct events into
-    // one buffered entry and stall the transaction forever under
-    // NoTimeout — silent data withholding. A redelivery replays the same
-    // message bytes, so all four fields match; distinct events sharing
-    // all four (same table, absent lsn, same millisecond, same op) are
-    // indistinguishable without a payload hash — the residual risk is
-    // confined to lsn-less sources and documented here.
+    gateStep(txId, state.getOption.getOrElse(TxGateState(None, Nil)),
+      ins.flatMap(i => for { t <- i.table; e <- i.event } yield GatedEvent(t, txId, e)),
+      ins.flatMap(_.endCount)) match {
+      case Right(released) => state.remove(); released.iterator
+      case Left(next) => state.update(next); Iterator.empty
+    }
+  }
+
+  /** The gate's pure state transition, shared by the NoTimeout and the
+    * expiring forms so they cannot drift: Right(released) when the
+    * commit completed, Left(next buffered state) otherwise.
+    *
+    * Dedup is by event identity, not raw count: the production source is
+    * at-least-once Kafka, and a REDELIVERED event must not satisfy the
+    * marker's count while a distinct event is still missing — that would
+    * release exactly the torn cross-table state this gate exists to
+    * prevent. Identity is (table, lsn, ts_ms, op), NOT (table, lsn)
+    * alone: a source that omits lsn (or reuses one across a tx's events
+    * on the same table) would otherwise collapse distinct events into
+    * one buffered entry and stall the transaction forever — silent data
+    * withholding. A redelivery replays the same message bytes, so all
+    * four fields match; distinct events sharing all four (same table,
+    * absent lsn, same millisecond, same op) are indistinguishable
+    * without a payload hash — the residual risk is confined to lsn-less
+    * sources and documented here.
+    */
+  private def gateStep(txId: String, st0: TxGateState,
+      fresh: Seq[GatedEvent], endCounts: Seq[Long])
+      : Either[TxGateState, Seq[GatedEvent]] = {
+    val expected = endCounts.lastOption.orElse(st0.expected)
     def ident(g: GatedEvent) =
       (g.table, g.event.source.lsn, g.event.ts_ms, g.event.op)
     val have = st0.buffered.map(ident).to(scala.collection.mutable.Set)
     val buffered = st0.buffered ++ fresh.filter(g => have.add(ident(g)))
-    if (expected.exists(_ <= buffered.size)) {
-      state.remove()
-      buffered.sortBy(g => (g.table,
-        g.event.source.lsn.getOrElse(Long.MinValue), g.event.ts_ms))
-        .iterator
-    } else {
-      state.update(TxGateState(expected, buffered))
-      Iterator.empty
-    }
+    if (expected.exists(_ <= buffered.size))
+      Right(buffered.sortBy(g => (g.table,
+        g.event.source.lsn.getOrElse(Long.MinValue), g.event.ts_ms)))
+    else Left(TxGateState(expected, buffered))
   }
 
   def txGate(inputs: Dataset[TxInput]): Dataset[GatedEvent] = {
@@ -673,6 +838,79 @@ object Streams {
       .groupByKey(_.txId)
       .flatMapGroupsWithState[TxGateState, GatedEvent](
         OutputMode.Update, GroupStateTimeout.NoTimeout)(txGateKey)
+  }
+
+  /** [[TxInput]] plus the record's event time (the Kafka record
+    * timestamp / envelope ts_ms), which drives the watermark that
+    * expires abandoned transactions in [[txGateExpiring]].
+    */
+  case class TxInputT(ts: java.sql.Timestamp, txId: String,
+      table: Option[String], event: Option[graft.Schemas.CdcEvent],
+      endCount: Option[Long])
+
+  /** One output row of the expiring gate: `kind` is `"release"` for a
+    * completed commit's events and `"deadletter"` for an expired
+    * (abandoned) transaction's buffered events — route the latter to
+    * the C8 dead-letter sink; they carry everything needed for
+    * offline repair (tx id, table, full envelope).
+    */
+  case class GatedOut(kind: String, table: String, txId: String,
+      event: graft.Schemas.CdcEvent)
+
+  /** T12 with bounded state — the production form of [[txGate]] (whose
+    * own scaladoc promised this): a transaction whose END marker never
+    * arrives (producer crash mid-commit, an aborted tx whose marker was
+    * filtered, the expected-less stub a post-release redelivery
+    * re-creates) would otherwise buffer its events FOREVER. Here every
+    * state update arms an event-time timer `graceMs` past the current
+    * watermark; a transaction that makes no progress while the
+    * watermark advances past its timer EXPIRES: its buffered events
+    * emit as `kind="deadletter"` (nothing of the commit is ever
+    * released half-applied — the gate's invariant survives expiry) and
+    * the state frees. Completed commits release exactly as in
+    * [[txGate]], tagged `kind="release"` — the shared [[gateStep]]
+    * transition guarantees the two forms cannot drift.
+    *
+    * Event-time, not processing-time: expiry is then deterministic
+    * under replay (a crash-recovered query re-derives the same
+    * watermark from the same data and expires the same transactions),
+    * which a wall-clock timer cannot promise.
+    */
+  def txGateExpiring(inputs: Dataset[TxInputT],
+      delay: String = "10 minutes",
+      graceMs: Long = 60L * 60 * 1000): Dataset[GatedOut] = {
+    val spark = inputs.sparkSession
+    import spark.implicits._
+    def key(txId: String, in: Iterator[TxInputT],
+        state: GroupState[TxGateState]): Iterator[GatedOut] = {
+      if (state.hasTimedOut) {
+        val st = state.get
+        state.remove()
+        st.buffered.sortBy(g => (g.table,
+          g.event.source.lsn.getOrElse(Long.MinValue), g.event.ts_ms))
+          .map(g => GatedOut("deadletter", g.table, txId, g.event)).iterator
+      } else {
+        val ins = in.toList
+        gateStep(txId, state.getOption.getOrElse(TxGateState(None, Nil)),
+          ins.flatMap(i =>
+            for { t <- i.table; e <- i.event } yield GatedEvent(t, txId, e)),
+          ins.flatMap(_.endCount)) match {
+          case Right(released) =>
+            state.remove()
+            released.map(g => GatedOut("release", g.table, txId, g.event)).iterator
+          case Left(next) =>
+            state.update(next)
+            // re-armed on every batch that touches this tx: expiry means
+            // "no progress for graceMs of event time", not a hard TTL
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + graceMs)
+            Iterator.empty
+        }
+      }
+    }
+    inputs.withWatermark("ts", delay)
+      .groupByKey(_.txId)
+      .flatMapGroupsWithState[TxGateState, GatedOut](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(key)
   }
 
   /** T9 — streaming schema-drift alerts: emit one row the FIRST time each

@@ -136,6 +136,45 @@ class FunctionsSpec extends AnyFunSuite {
     assert(fps <= 200L, s"false-positive rate ${fps / 10000.0} above bound")
   }
 
+  test("bloom sizing: bitsFor holds the formula over n/p ranges and the measured fpp tracks the target") {
+    import graft.functions.BloomMembership
+    val ln2sq = math.log(2.0) * math.log(2.0)
+    // property over the n/p grid: ≥ the theoretical minimum, byte-aligned,
+    // monotone in n and in 1/p
+    val ns = Seq(100L, 10000L, 1000000L, 1000000000L)
+    val ps = Seq(0.1, 0.01, 1e-4, 1e-8)
+    for (n <- ns; p <- ps) {
+      val bits = BloomMembership.bitsFor(n, p)
+      assert(bits >= -n * math.log(p) / ln2sq, s"n=$n p=$p under formula")
+      assert(bits % 8 === 0L, s"n=$n p=$p not byte-aligned")
+    }
+    for (p <- ps; Seq(a, b) <- ns.sliding(2))
+      assert(BloomMembership.bitsFor(a, p) <= BloomMembership.bitsFor(b, p))
+    for (n <- ns; Seq(pHi, pLo) <- ps.sliding(2))
+      assert(BloomMembership.bitsFor(n, pHi) <= BloomMembership.bitsFor(n, pLo))
+    // degenerate inputs fail loudly instead of sizing a broken sketch
+    intercept[IllegalArgumentException](BloomMembership.bitsFor(0L, 0.01))
+    intercept[IllegalArgumentException](BloomMembership.bitsFor(100L, 0.0))
+    // measured fpp at the derived size stays near the target (≤3x covers
+    // byte-rounding + integer-k quantization) for two target rates
+    for (p <- Seq(0.01, 0.001)) {
+      val n = 2000L
+      val members = (0 until n.toInt).map(i => s"in-$p-$i")
+      val sketch = members.toDF("t")
+        .agg(BloomMembership.bloomAgg(col("t"), n,
+          BloomMembership.bitsFor(n, p)).as("bf"))
+        .head.getAs[Array[Byte]]("bf")
+      val probes = 20000
+      val fps = (0 until probes).map(i => s"out-$p-$i").toDF("t")
+        .filter(BloomMembership.mightContain(sketch, col("t"))).count()
+      assert(fps <= (3 * p * probes).ceil.toLong,
+        s"p=$p measured fpp ${fps.toDouble / probes}")
+      val misses = members.toDF("t")
+        .filter(!BloomMembership.mightContain(sketch, col("t"))).count()
+      assert(misses === 0L) // sizing never touches the no-false-negative theorem
+    }
+  }
+
   test("TopK aggregator matches the window row_number formulation exactly") {
     val viaAgg = Vectors.x3dTopKAgg(spark, TestSpark.sf).collect()
     val viaWindow = Vectors.x3CosineTopK(spark, TestSpark.sf).collect()

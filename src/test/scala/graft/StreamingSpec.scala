@@ -1007,6 +1007,213 @@ class StreamingSpec extends AnyFunSuite {
     assert(recovered === preTorn)
   }
 
+  test("T13 pair-store compaction: identical reads, collapsed layout, torn/partial-delete resume, stale stage re-merged") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "text").as[DocE].collect().toSeq
+    val inc0 = docs.filter(_.doc_id % 3 == 0)
+    val inc1 = docs.filter(_.doc_id % 3 == 1)
+    val inc2 = docs.filter(_.doc_id % 3 == 2)
+    // two identical stores; B's PAIR side gets compacted between batches
+    val dirA = java.nio.file.Files.createTempDirectory("pcA").toString
+    val dirB = java.nio.file.Files.createTempDirectory("pcB").toString
+    for (d <- Seq(dirA, dirB)) {
+      Streams.nearDupBatch(inc0.toDF, 0L, s"$d/bands", s"$d/pairs")
+      Streams.nearDupBatch(inc1.toDF, 1L, s"$d/bands", s"$d/pairs")
+    }
+    val before = Streams.readNearDupPairs(spark, s"$dirB/pairs")
+      .as[(Long, Long)].collect().toSet
+    Streams.compactPairStore(spark, s"$dirB/pairs", upTo = 1L)
+    val after = Streams.readNearDupPairs(spark, s"$dirB/pairs")
+      .as[(Long, Long)].collect().toSet
+    assert(after === before) // compaction is layout-only
+    val layout = new java.io.File(s"$dirB/pairs").listFiles
+      .map(_.getName).filter(!_.startsWith("_")).toSeq.sorted
+    assert(layout === Seq("b=1"))
+    assert(!new java.io.File(s"$dirB/pairs/b=1/_MANIFEST").exists)
+    // the next increment discovers the same pairs on both stores
+    Streams.nearDupBatch(inc2.toDF, 2L, s"$dirA/bands", s"$dirA/pairs")
+    Streams.nearDupBatch(inc2.toDF, 2L, s"$dirB/bands", s"$dirB/pairs")
+    val pa = Streams.readNearDupPairs(spark, s"$dirA/pairs")
+      .as[(Long, Long)].collect().toSet
+    val pb = Streams.readNearDupPairs(spark, s"$dirB/pairs")
+      .as[(Long, Long)].collect().toSet
+    assert(pa === pb && pa.nonEmpty)
+    // PARTIAL-delete crash: stage complete (manifest covers {0,1}), only
+    // b=0 deleted before the crash — the re-run must ADOPT (the stage
+    // covers the surviving b=1), not re-merge the partial set
+    def mkStage(root: String, df: org.apache.spark.sql.DataFrame,
+        ids: String): Unit = {
+      df.write.parquet(s"$root/_compact_b=1")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$root/_compact_b=1/_MANIFEST"), ids)
+      ()
+    }
+    val dirC = java.nio.file.Files.createTempDirectory("pcC").toString
+    Streams.nearDupBatch(inc0.toDF, 0L, s"$dirC/bands", s"$dirC/pairs")
+    Streams.nearDupBatch(inc1.toDF, 1L, s"$dirC/bands", s"$dirC/pairs")
+    mkStage(s"$dirC/pairs",
+      spark.read.parquet(s"$dirC/pairs/b=0", s"$dirC/pairs/b=1"), "0,1")
+    locally { val f = new java.io.File(s"$dirC/pairs/b=0")
+      f.listFiles.foreach(_.delete()); f.delete(); () }
+    Streams.compactPairStore(spark, s"$dirC/pairs", upTo = 1L)
+    assert(Streams.readNearDupPairs(spark, s"$dirC/pairs")
+      .as[(Long, Long)].collect().toSet === before)
+    // STALE stage: manifest covers only {0} while b=0 AND b=1 are present
+    // (an abandoned compaction predating batch 1) — adopting it verbatim
+    // would delete b=1's pairs; the re-run must discard it and re-merge
+    val dirD = java.nio.file.Files.createTempDirectory("pcD").toString
+    Streams.nearDupBatch(inc0.toDF, 0L, s"$dirD/bands", s"$dirD/pairs")
+    Streams.nearDupBatch(inc1.toDF, 1L, s"$dirD/bands", s"$dirD/pairs")
+    mkStage(s"$dirD/pairs", spark.read.parquet(s"$dirD/pairs/b=0"), "0")
+    Streams.compactPairStore(spark, s"$dirD/pairs", upTo = 1L)
+    assert(Streams.readNearDupPairs(spark, s"$dirD/pairs")
+      .as[(Long, Long)].collect().toSet === before)
+  }
+
+  test("T16 incremental vector index: stream-built upsert index ≡ batch encode of the latest corpus; replay idempotent; compaction drops shadowed rows") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.Vectors
+    val e = Tables.embeddings(spark, TestSpark.sf).select("vec_id", "embedding")
+    // models FROZEN before any increment arrives (the offline fit cadence)
+    val coarse = Vectors.kmeansCentroids(e, 8, 2)
+    val books = Vectors.pqCodebooks(e, 8, 8, 2)
+    val dir = java.nio.file.Files.createTempDirectory("vidx").toString
+    // the "existing index": the static corpus slice, seeded at b=-1
+    val static0 = e.filter(col("vec_id") % 3 === 0)
+    Streams.seedVectorIndex(static0, dir, coarse, books)
+    // increment 1: new docs. increment 2: more new docs PLUS re-embeds of
+    // %9==0 ids (a subset of the seeded corpus) with CHANGED embeddings
+    // (negation — still unit-norm): the upsert case
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Seq[Float])].collect().toSeq
+    val negated = e.filter(col("vec_id") % 9 === 0)
+      .withColumn("embedding", expr("transform(embedding, v -> -v)"))
+    val inc1 = rows(e.filter(col("vec_id") % 3 === 1))
+    val inc2 = rows(e.filter(col("vec_id") % 3 === 2)) ++ rows(negated)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = Streams.vectorIndexStream(
+        mem.toDF.toDF("vec_id", "embedding"), dir, coarse, books)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt16").toString)
+      .start()
+    mem.addData(inc1: _*)
+    q.processAllAvailable()
+    mem.addData(inc2: _*)
+    q.processAllAvailable(); q.stop()
+    // batch twin: all-at-once encode of the LATEST corpus under the same
+    // frozen models
+    val latest = e.filter(col("vec_id") % 9 =!= 0).unionByName(negated)
+    val batchIdx = Vectors.encodeForIndex(latest, coarse, books)
+    def content(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("cluster"), col("codes"))
+        .as[(Long, Int, Seq[Int])].collect().toSet
+    val idx = Streams.readVectorIndex(spark, dir)
+    assert(content(idx) === content(batchIdx)) // the index IS the batch index
+    // ...and SERVES identically: same top-k rows from either side
+    val qs = latest.filter(col("vec_id") < 8)
+    def served(index: org.apache.spark.sql.DataFrame) =
+      Vectors.pqSearchIndex(qs, index, coarse, books, k = 3)
+        .orderBy("q_id", "rank")
+        .select("q_id", "rank", "vec_id").as[(Long, Int, Long)].collect().toSeq
+    assert(served(idx) === served(batchIdx))
+    assert(served(idx).nonEmpty)
+    // a re-embedded vector is served at its NEW encoding: query 0's own
+    // negated vector must rank its exact self-match... 0 is excluded as
+    // self; instead assert no STALE encoding survives — every %9==0 id's
+    // stored codes equal the batch (latest) encode, already covered by
+    // content equality above, so just assert the re-embeds actually
+    // changed something vs the original encode (non-vacuous upsert)
+    val orig = content(Vectors.encodeForIndex(e, coarse, books))
+    assert(content(idx) !== orig)
+    // CRASH REPLAY: re-running the last micro-batch (id 1 = inc2) leaves
+    // the store identical — batchId-keyed overwrite, frozen models
+    Streams.vectorIndexBatch(inc2.toDF("vec_id", "embedding"), 1L,
+      dir, coarse, books)
+    assert(content(Streams.readVectorIndex(spark, dir)) === content(batchIdx))
+    // COMPACTION: reads identical, layout collapses, shadowed encodings
+    // (the re-embedded ids' seed-era rows) are physically dropped
+    Streams.compactVectorIndex(spark, dir, upTo = 1L)
+    assert(content(Streams.readVectorIndex(spark, dir)) === content(batchIdx))
+    val layout = new java.io.File(dir).listFiles
+      .map(_.getName).filter(!_.startsWith("_")).toSeq.sorted
+    assert(layout === Seq("b=1"))
+    assert(spark.read.parquet(s"$dir/b=1").count() === latest.count())
+  }
+
+  test("T12b expiring tx gate: an abandoned transaction times out to the dead-letter store; complete and active txs unaffected") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.Streams.{GatedOut, TxInputT}
+    val t0 = 1700000000000L
+    def ev(tx: String, tbl: String, id: Long, lsn: Long, at: Long) =
+      TxInputT(new Timestamp(at), tx, Some(tbl),
+        Some(CdcEvent(None, row(id, s"e$id@x"), src(lsn), "c", lsn)), None)
+    def end(tx: String, n: Long, at: Long) =
+      TxInputT(new Timestamp(at), tx, None, None, Some(n))
+    val dl = java.nio.file.Files.createTempDirectory("dl").toString
+    val released = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    val mem = MemoryStream[TxInputT]
+    val q = Streams.txGateExpiring(mem.toDS,
+        delay = "1 minute", graceMs = 5L * 60 * 1000)
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[GatedOut], id: Long) =>
+        val rows = b.collect()
+        released ++= rows.filter(_.kind == "release")
+          .map(g => (g.txId, g.table, g.event.ts_ms))
+        // C8 routing: expired txs land in the dead-letter store,
+        // batch-keyed for idempotent replay (the nearDupBatch discipline)
+        val dead = rows.filter(_.kind == "deadletter")
+        if (dead.nonEmpty) {
+          val spark2 = b.sparkSession
+          import spark2.implicits._
+          dead.toSeq.toDS.write.mode("overwrite").parquet(s"$dl/b=$id")
+        }
+        ()
+      }.start()
+    def sec(n: Long) = t0 + n * 1000
+    // grace 300s, watermark delay 60s. Watermark updates at the END of
+    // each data batch to max(ts) - 60s; Spark may then run a no-data
+    // batch that fires any expired timers immediately, so the timeline
+    // below keeps the active tx's timer strictly ahead of the watermark
+    // at every point — only tx-stuck may ever expire.
+    // batch 1: tx-ok completes -> released; wm := t0-60s
+    mem.addData(ev("tx-ok", "customers", 1, 100, t0),
+      ev("tx-ok", "orders", 2, 150, t0), end("tx-ok", 2, t0))
+    q.processAllAvailable()
+    // batch 2: tx-stuck — marker says 3, only 2 events ever arrive.
+    // Timer arms at wm(t0-60s) + 300s = sec(240). wm := sec(0).
+    mem.addData(ev("tx-stuck", "customers", 3, 1100, sec(60)),
+      ev("tx-stuck", "orders", 4, 1150, sec(60)), end("tx-stuck", 3, sec(60)))
+    q.processAllAvailable()
+    // batch 3: an ACTIVE (also incomplete) tx arrives; its timer arms at
+    // wm(sec 0) + 300s = sec(300). wm := sec(60) < sec(240): nothing may
+    // have expired yet.
+    mem.addData(ev("tx-later", "customers", 5, 2100, sec(120)))
+    q.processAllAvailable()
+    assert(!new java.io.File(dl).exists || new java.io.File(dl).listFiles.isEmpty,
+      "tx-stuck expired before its grace elapsed")
+    // batch 4: tx-later touched again at sec(350) -> re-arms to
+    // wm(sec 60) + 300s = sec(360); wm := sec(290), which passes
+    // tx-stuck's sec(240) timer but NOT tx-later's sec(360)
+    mem.addData(ev("tx-later", "orders", 6, 2150, sec(350)))
+    q.processAllAvailable()
+    // batch 5: guarantees a batch runs under wm sec(290) even if no
+    // no-data batch fired the timer already; tx-later is touched (input
+    // precedence — a group with data never takes the timeout path) and
+    // re-arms to sec(590)
+    mem.addData(ev("tx-later", "customers", 7, 2200, sec(360)))
+    q.processAllAvailable(); q.stop()
+    // only the complete commit ever released, all of it
+    assert(released.toSet === Set(
+      ("tx-ok", "customers", 100L), ("tx-ok", "orders", 150L)))
+    // the abandoned tx's buffered events are in the dead-letter store
+    val dead = spark.read.parquet(
+      new java.io.File(dl).listFiles.map(_.getPath): _*)
+      .as[GatedOut].collect().toSeq
+    assert(dead.map(_.kind).toSet === Set("deadletter"))
+    assert(dead.map(g => (g.txId, g.table, g.event.source.lsn.get)).toSet ===
+      Set(("tx-stuck", "customers", 1100L), ("tx-stuck", "orders", 1150L)))
+  }
+
   test("T9 schema drift alerts: first sight of each payload shape, once, as it arrives") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[(String, Long, String)]

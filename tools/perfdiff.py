@@ -47,7 +47,13 @@ def seg_normalized(new_doc, cal_o):
             seg = cals[min(i // every, len(cals) - 1)]
             if seg > 0:
                 cands.append(t / (seg / cal_o))
-        out[q] = min(cands) if cands else -1.0
+        # no usable segment sample (kernel run failed in both passes):
+        # leave the query OUT so main() falls back to the global-scale
+        # normalization — a -1 here would misreport a query that actually
+        # SUCCEEDED as FAILED, contradicting Bench's contract that a
+        # calibration failure must never abort the comparison
+        if cands:
+            out[q] = min(cands)
     return out
 
 
@@ -90,8 +96,8 @@ def main(old_path, new_path, ratio=2.0):
         print(f"REGRESSED {q}: {o:.3f}s -> {n:.3f}s(norm) ({tag})")
     tot_o = sum(v for v in old.values() if v > 0)
     tot_n = sum(v for v in new.values() if v > 0)
-    tot_norm = (sum(v for v in seg.values() if v > 0) if seg is not None
-                else tot_n / scale)
+    tot_norm = (sum(seg.get(q, n / scale) for q, n in new.items() if n > 0)
+                if seg is not None else tot_n / scale)
     print(f"total: {tot_o:.1f}s -> {tot_n:.1f}s raw"
           + (f", {tot_norm:.1f}s normalized" if abs(tot_norm - tot_n) > 1e-9 else "")
           + f" ({len(old)} -> {len(new)} queries)")

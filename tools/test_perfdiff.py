@@ -88,6 +88,14 @@ def main():
     if run(old, new3) != 1:
         failures.append("real regression NOT flagged under series")
 
+    # 3b. calibration kernel failed (-1) in a query's segment in BOTH
+    # passes: the query still SUCCEEDED — it must fall back to the
+    # global-scale normalization, not be reported FAILED (exit 1)
+    new3b = doc(dict(base), cold_q=dict(base), p2=dict(base), cal=0.5,
+                series=[[0.5, -1.0], [0.5, -1.0]])
+    if run(old, new3b) != 0:
+        failures.append("failed-calibration segment misreported as FAILED")
+
     # 4. legacy docs without series: global normalization still applies
     new4 = doc(dict(slow), cal=1.0)
     if run(old, new4) != 0:
@@ -99,7 +107,7 @@ def main():
     if failures:
         print("FAIL:", "; ".join(failures))
         return 1
-    print("perfdiff self-test: all 6 scenarios behave correctly")
+    print("perfdiff self-test: all 7 scenarios behave correctly")
     return 0
 
 
