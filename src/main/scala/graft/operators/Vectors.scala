@@ -488,6 +488,31 @@ object Vectors {
     pqEncode(assignCluster(vectors, coarse), books)
       .select(col("cluster"), col("vec_id"), col("codes"), col("embedding"))
 
+  /** Deterministic stub embedder (the X5 stub discipline: no embedding
+    * model ships in this environment, so the MODEL is a deterministic
+    * fake while the Spark-side plumbing — schema, normalization,
+    * batching — is real): `dim` pseudo-random floats derived from
+    * `xxhash64(text, dim-index)`, L2-normalized onto the unit sphere so
+    * every downstream cosine path applies unchanged. Pure codegen'd
+    * expression work, embarrassingly parallel — the exact shape a real
+    * `mapInPandas` model call slots into. Same text ⇒ same embedding
+    * (re-embedding an UNCHANGED doc is a no-op upsert); any text change
+    * ⇒ a fresh direction.
+    */
+  def stubEmbed(df: DataFrame, textCol: String = "text",
+      out: String = "embedding"): DataFrame =
+    df.withColumn("__raw", expr(
+        s"transform(sequence(0, ${dim - 1}), i -> " +
+          s"CAST(pmod(xxhash64(`$textCol`, i), 2001) - 1000 AS DOUBLE) / 1000.0)"))
+      .withColumn("__norm", expr(
+        "sqrt(aggregate(__raw, CAST(0.0 AS DOUBLE), (a, v) -> a + v * v))"))
+      // an (astronomically unlikely) all-zero draw falls back to the
+      // uniform unit vector: 64 · (1/8)² = 1
+      .withColumn(out, expr(
+        "transform(__raw, v -> CAST(CASE WHEN __norm > 0 THEN v / __norm " +
+          "ELSE 0.125 END AS FLOAT))"))
+      .drop("__raw", "__norm")
+
   /** The searcher half of [[pqSearch]]: coarse routing, ADC over the
     * stored codes, exact re-rank — over a PRE-ENCODED index frame
     * (cluster, vec_id, codes, embedding), which may come from the batch

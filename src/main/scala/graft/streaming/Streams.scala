@@ -702,6 +702,31 @@ object Streams extends Serializable {
       vectorIndexBatch(batch.toDF, batchId, indexDir, coarse, books)
     }
 
+  /** The full CDC → re-embed → index pipeline in one micro-batch: a
+    * DOCUMENT changelog batch (envelope-shaped, `after.id`/`after.text`)
+    * folds to its winners (latest live image per key — the C4 fold), the
+    * winning texts re-embed ([[graft.operators.Vectors.stubEmbed]]: the
+    * model is a deterministic stub, the plumbing is real), and the fresh
+    * embeddings upsert into the index via [[vectorIndexBatch]] — so an
+    * upstream `UPDATE documents SET text=…` propagates to ANN serving as
+    * one increment-sized pass, never a corpus re-encode. This is the
+    * integration the T16 machinery exists for: the same changelog that
+    * maintains replicas/aggregates now maintains the vector index.
+    * Document DELETIONS are not yet reflected (the index fold has no
+    * tombstone row; a production deployment adds an embedding-less
+    * marker through the same upsert path) — the spec pins the
+    * insert/update semantics.
+    */
+  def reembedIndexBatch(changelog: DataFrame, batchId: Long,
+      indexDir: String, coarse: Array[Array[Float]],
+      books: Array[Array[Array[Float]]]): Unit = {
+    val winners = graft.operators.Cdc.materializeLatest(changelog)
+    val embedded = graft.operators.Vectors.stubEmbed(
+      winners.select(col("id").as("vec_id"), col("text")))
+    vectorIndexBatch(embedded.select(col("vec_id"), col("embedding")),
+      batchId, indexDir, coarse, books)
+  }
+
   /** Seed the index with a pre-built corpus encode (reserved batch id
     * −1, below every real micro-batch id — [[seedBandStore]]'s
     * convention).

@@ -193,4 +193,13 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("x7e_decontamination")
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("x3l incremental-index search keeps the IVF-PQ probe shape: broadcast routing, no cartesian, no index-side sort join") {
+    // the served index (batch or incremental) joins the broadcast probe
+    // explode on the cluster key — a corpus-side SortMergeJoin or a
+    // CartesianProduct here would mean routing degraded to a full scan
+    val p = plan("x3l_incr_index")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

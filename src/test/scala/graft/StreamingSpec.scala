@@ -1140,6 +1140,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/b=1").count() === latest.count())
   }
 
+  test("T16b CDC-driven re-embed: a document UPDATE propagates to the served index; untouched docs keep their encodings") {
+    import graft.operators.Vectors
+    def chg(rows: Seq[(Long, String, Long, String)]) =
+      rows.toDF("id", "text", "lsn", "op").selectExpr(
+        "CASE WHEN op <> 'd' THEN named_struct('id', id, 'text', text) END AS after",
+        "CASE WHEN op <> 'c' THEN named_struct('id', id, 'text', text) END AS before",
+        "named_struct('lsn', lsn) AS source",
+        "op")
+    val texts0 = (1L to 40L).map(i => i -> s"document $i body alpha ${i % 7} beta")
+    val emb0 = Vectors.stubEmbed(texts0.toDF("id", "text"))
+      .select(col("id").as("vec_id"), col("embedding"))
+    val coarse = Vectors.kmeansCentroids(emb0, 4, 2)
+    val books = Vectors.pqCodebooks(emb0, 8, 4, 2)
+    val dir = java.nio.file.Files.createTempDirectory("reemb").toString
+    // batch 0: the initial load (all creates)
+    Streams.reembedIndexBatch(
+      chg(texts0.map { case (i, t) => (i, t, 100 + i, "c") }), 0L,
+      dir, coarse, books)
+    // batch 1: upstream UPDATE of doc 2's text + one new doc — the batch
+    // carries ONLY the changed keys (increment, not snapshot)
+    val rev2 = "document 2 entirely revised gamma"
+    Streams.reembedIndexBatch(
+      chg(Seq((2L, rev2, 1000L, "u"), (41L, "document 41 fresh", 1001L, "c"))),
+      1L, dir, coarse, books)
+    def content(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("cluster"), col("codes"))
+        .as[(Long, Int, Seq[Int])].collect().toSet
+    // batch twin: the latest document snapshot re-embedded all at once
+    val latestDocs = (texts0.toMap + (2L -> rev2) +
+      (41L -> "document 41 fresh")).toSeq.toDF("id", "text")
+    val batchIdx = Vectors.encodeForIndex(
+      Vectors.stubEmbed(latestDocs)
+        .select(col("id").as("vec_id"), col("embedding")), coarse, books)
+    val idx = content(Streams.readVectorIndex(spark, dir))
+    assert(idx === content(batchIdx))
+    // the update genuinely re-encoded doc 2 (stub: new text ⇒ new
+    // direction): its stored row differs from the original text's encode
+    val orig = content(Vectors.encodeForIndex(emb0, coarse, books))
+    assert(idx.filter(_._1 == 2L) !== orig.filter(_._1 == 2L))
+    // ...while untouched docs kept their batch-0 encodings verbatim
+    assert(idx.filter(t => t._1 != 2L && t._1 != 41L) ===
+      orig.filter(_._1 != 2L))
+  }
+
   test("T12b expiring tx gate: an abandoned transaction times out to the dead-letter store; complete and active txs unaffected") {
     implicit val ctx = spark.sqlContext
     import graft.streaming.Streams.{GatedOut, TxInputT}
