@@ -687,9 +687,37 @@ object Streams extends Serializable {
     */
   def vectorIndexBatch(batch: DataFrame, batchId: Long, indexDir: String,
       coarse: Array[Array[Float]],
+      books: Array[Array[Array[Float]]]): Unit =
+    writeIndexEpoch(
+      graft.operators.Vectors.encodeForIndex(batch, coarse, books)
+        .withColumn("live", lit(true)),
+      batchId, indexDir)
+
+  /** Upserts AND deletions in one index epoch: a deletion rides as a
+    * TOMBSTONE row (live=false, cluster −1, null codes/embedding)
+    * through the same latest-batch-wins fold — exactly the CDC
+    * tombstone discipline (C8/`latestWithTombstonesBy`): the marker
+    * must WIN over every earlier encoding of its vec_id, or a replayed
+    * older batch could resurrect a deleted document into ANN serving.
+    * [[readVectorIndex]] folds first, filters `live` second; a later
+    * re-create simply upserts over the tombstone.
+    */
+  def vectorIndexApplyBatch(upserts: DataFrame, deleteIds: DataFrame,
+      batchId: Long, indexDir: String, coarse: Array[Array[Float]],
       books: Array[Array[Array[Float]]]): Unit = {
-    graft.operators.Vectors.encodeForIndex(batch, coarse, books)
-      .withColumn("b", lit(batchId))
+    val enc = graft.operators.Vectors.encodeForIndex(upserts, coarse, books)
+      .withColumn("live", lit(true))
+    val dead = deleteIds.select(
+      lit(-1).as("cluster"), col("vec_id"),
+      lit(null).cast("array<int>").as("codes"),
+      lit(null).cast("array<float>").as("embedding"),
+      lit(false).as("live"))
+    writeIndexEpoch(enc.unionByName(dead), batchId, indexDir)
+  }
+
+  private def writeIndexEpoch(rows: DataFrame, batchId: Long,
+      indexDir: String): Unit = {
+    rows.withColumn("b", lit(batchId))
       .write.mode("overwrite").parquet(s"$indexDir/b=$batchId")
     ()
   }
@@ -712,18 +740,24 @@ object Streams extends Serializable {
     * one increment-sized pass, never a corpus re-encode. This is the
     * integration the T16 machinery exists for: the same changelog that
     * maintains replicas/aggregates now maintains the vector index.
-    * Document DELETIONS are not yet reflected (the index fold has no
-    * tombstone row; a production deployment adds an embedding-less
-    * marker through the same upsert path) — the spec pins the
-    * insert/update semantics.
+    * Document DELETIONS propagate too: the batch fold keeps tombstone
+    * winners (`latestWithTombstonesBy`) and they write through
+    * [[vectorIndexApplyBatch]] as index tombstones, so a deleted
+    * document leaves ANN serving in the same epoch and cannot be
+    * resurrected by older encodings; a re-created document upserts
+    * over its own tombstone.
     */
   def reembedIndexBatch(changelog: DataFrame, batchId: Long,
       indexDir: String, coarse: Array[Array[Float]],
       books: Array[Array[Array[Float]]]): Unit = {
-    val winners = graft.operators.Cdc.materializeLatest(changelog)
+    val winners = graft.operators.Cdc.latestWithTombstonesBy(
+      changelog, Seq("id"))
     val embedded = graft.operators.Vectors.stubEmbed(
-      winners.select(col("id").as("vec_id"), col("text")))
-    vectorIndexBatch(embedded.select(col("vec_id"), col("embedding")),
+      winners.filter(col("live"))
+        .select(col("id").as("vec_id"), col("text")))
+    vectorIndexApplyBatch(
+      embedded.select(col("vec_id"), col("embedding")),
+      winners.filter(!col("live")).select(col("id").as("vec_id")),
       batchId, indexDir, coarse, books)
   }
 
@@ -738,8 +772,10 @@ object Streams extends Serializable {
 
   /** Consumer view of the incremental index: one row per vec_id, the
     * encoding from its HIGHEST batch id (a vec_id appears at most once
-    * per batch dir, so the winner is unique). One keyed window over the
-    * stored rows; the result feeds `pqSearchIndex` directly.
+    * per batch dir, so the winner is unique), tombstone winners
+    * filtered AFTER the fold — fold-then-filter is what makes a delete
+    * irreversible by older encodings. The result feeds `pqSearchIndex`
+    * directly.
     */
   def readVectorIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): DataFrame = {
@@ -749,17 +785,22 @@ object Streams extends Serializable {
       .partitionBy(col("vec_id")).orderBy(col("b").desc)
     spark.read.parquet(paths: _*)
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn", "b")
+      .filter(col("__rn") === 1 && col("live"))
+      .drop("__rn", "b", "live")
   }
 
   /** Compact the vector index: merge batch dirs ≤ `upTo` into one AND
     * drop shadowed rows (superseded encodings of re-embedded vec_ids) —
     * the winner fold moved from read time into storage, so a
     * long-running index stops paying the read-side window over every
-    * historical version. Rows keep their `b` tag (the fold keys on the
-    * COLUMN, not the directory), so reads before and after compaction
-    * are identical. Same staged protocol and quiescent-barrier
-    * requirement as [[compactBandStore]].
+    * historical version. Winning TOMBSTONES are dropped too: every
+    * batch ≤ `upTo` participates in the same fold, so nothing older
+    * remains for a tombstone to suppress, and any batch > `upTo`
+    * out-ranks it anyway — deleted vec_ids simply vanish from storage.
+    * Surviving rows keep their `b` tag (the fold keys on the COLUMN,
+    * not the directory), so reads before and after compaction are
+    * identical. Same staged protocol and quiescent-barrier requirement
+    * as [[compactBandStore]].
     */
   def compactVectorIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, upTo: Long): Unit =
@@ -767,7 +808,7 @@ object Streams extends Serializable {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("vec_id")).orderBy(col("b").desc)
       df.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn")
+        .filter(col("__rn") === 1 && col("live")).drop("__rn")
     })
 
   // ------------------------------------------- T12 / C14 streaming gate

@@ -1140,7 +1140,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/b=1").count() === latest.count())
   }
 
-  test("T16b CDC-driven re-embed: a document UPDATE propagates to the served index; untouched docs keep their encodings") {
+  test("T16b CDC-driven re-embed: document UPDATE and DELETE propagate to the served index; re-create upserts over the tombstone") {
     import graft.operators.Vectors
     def chg(rows: Seq[(Long, String, Long, String)]) =
       rows.toDF("id", "text", "lsn", "op").selectExpr(
@@ -1182,6 +1182,33 @@ class StreamingSpec extends AnyFunSuite {
     // ...while untouched docs kept their batch-0 encodings verbatim
     assert(idx.filter(t => t._1 != 2L && t._1 != 41L) ===
       orig.filter(_._1 != 2L))
+    // batch 2: upstream DELETE of doc 7 — the tombstone propagates and
+    // the doc leaves ANN serving in the same epoch
+    Streams.reembedIndexBatch(chg(Seq((7L, "x", 2000L, "d"))), 2L,
+      dir, coarse, books)
+    val afterDel = content(Streams.readVectorIndex(spark, dir))
+    assert(!afterDel.exists(_._1 == 7L))
+    assert(afterDel === content(batchIdx).filterNot(_._1 == 7L))
+    // batch 3: doc 7 re-created with NEW text — upserts over its own
+    // tombstone and serves at the fresh encoding
+    val reborn = "document 7 reborn entirely"
+    Streams.reembedIndexBatch(chg(Seq((7L, reborn, 3000L, "c"))), 3L,
+      dir, coarse, books)
+    val afterRecreate = content(Streams.readVectorIndex(spark, dir))
+    val expected7 = content(Vectors.encodeForIndex(
+      Vectors.stubEmbed(Seq((7L, reborn)).toDF("id", "text"))
+        .select(col("id").as("vec_id"), col("embedding")), coarse, books))
+    assert(afterRecreate.filter(_._1 == 7L) === expected7)
+    // batch 4: delete doc 9, then COMPACT — the tombstone and every
+    // shadowed encoding vanish from storage, reads unchanged
+    Streams.reembedIndexBatch(chg(Seq((9L, "x", 4000L, "d"))), 4L,
+      dir, coarse, books)
+    val preCompact = content(Streams.readVectorIndex(spark, dir))
+    Streams.compactVectorIndex(spark, dir, upTo = 4L)
+    assert(content(Streams.readVectorIndex(spark, dir)) === preCompact)
+    val stored = spark.read.parquet(s"$dir/b=4")
+    assert(stored.filter(col("vec_id") === 9L || !col("live")).count() === 0)
+    assert(stored.count() === preCompact.size)
   }
 
   test("T12b expiring tx gate: an abandoned transaction times out to the dead-letter store; complete and active txs unaffected") {
