@@ -561,6 +561,36 @@ object Vectors {
       .select(col("q_id"), col("rank"), col("vec_id"), col("sim"))
   }
 
+  /** Per-vector PQ reconstruction error ‖v − v̂‖² against FROZEN
+    * codebooks — the index-health statistic that schedules the offline
+    * refit behind the T16 frozen-model cadence: vectors from a
+    * distribution the codebooks were fit on reconstruct with low error,
+    * while a drifted increment (new embedding model, new domain — the
+    * spec uses the negated-vector worst case) reconstructs measurably
+    * worse, and a rising per-batch mean is the refit alarm BEFORE
+    * serving recall degrades. Pure per-row expression work over the
+    * increment (codebooks ride as plan literals): monitoring costs what
+    * encoding costs, nothing more.
+    */
+  def pqReconstructionError(vectors: DataFrame,
+      books: Array[Array[Array[Float]]]): DataFrame = {
+    val m = books.length
+    val sub = dim / m
+    val encoded = pqEncode(vectors, books)
+    val errCols: Seq[Column] = books.toSeq.zipWithIndex.map { case (book, j) =>
+      val bookLit = typedlit(book.map(_.toSeq).toSeq)
+      aggregate(
+        zip_with(
+          slice(col("embedding"), j * sub + 1, sub),
+          element_at(bookLit, element_at(col("codes"), j + 1) + 1),
+          (v, c) => {
+            val d = v.cast("double") - c.cast("double"); d * d
+          }),
+        lit(0.0), (a, x) => a + x)
+    }
+    encoded.withColumn("recon_err", errCols.reduce(_ + _))
+  }
+
   /** X3j — the IVF-PQ accuracy contract as an oracle-checked boolean
     * (the x3f pattern): per query, recall@5 of the full
     * coarse-route × ADC-shortlist × re-rank pipeline against the exact

@@ -700,7 +700,10 @@ object Streams extends Serializable {
     * must WIN over every earlier encoding of its vec_id, or a replayed
     * older batch could resurrect a deleted document into ANN serving.
     * [[readVectorIndex]] folds first, filters `live` second; a later
-    * re-create simply upserts over the tombstone.
+    * re-create simply upserts over the tombstone. `upserts` and
+    * `deleteIds` must be key-disjoint within one epoch (the changelog
+    * fold guarantees this — one winner per key); two same-batch rows
+    * for one vec_id would tie the fold.
     */
   def vectorIndexApplyBatch(upserts: DataFrame, deleteIds: DataFrame,
       batchId: Long, indexDir: String, coarse: Array[Array[Float]],
@@ -735,7 +738,7 @@ object Streams extends Serializable {
     * folds to its winners (latest live image per key — the C4 fold), the
     * winning texts re-embed ([[graft.operators.Vectors.stubEmbed]]: the
     * model is a deterministic stub, the plumbing is real), and the fresh
-    * embeddings upsert into the index via [[vectorIndexBatch]] — so an
+    * embeddings upsert into the index via [[vectorIndexApplyBatch]] — so an
     * upstream `UPDATE documents SET text=…` propagates to ANN serving as
     * one increment-sized pass, never a corpus re-encode. This is the
     * integration the T16 machinery exists for: the same changelog that
@@ -778,9 +781,27 @@ object Streams extends Serializable {
     * directly.
     */
   def readVectorIndex(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String): DataFrame = {
-    val paths = bandBatchDirs(spark, indexDir).map(_._2)
-    require(paths.nonEmpty, s"no committed index batches under $indexDir")
+      indexDir: String): DataFrame =
+    readVectorIndexAsOf(spark, indexDir, Long.MaxValue)
+
+  /** The index AS OF epoch `batchId` (inclusive) — byte-reproducible
+    * historical serving for lineage and debugging ("which index
+    * answered this training job's queries"): the fold runs over only
+    * the batch dirs with id ≤ `batchId`. Compaction collapses history:
+    * after `compactVectorIndex(upTo)` the merged dir carries id `upTo`,
+    * so as-of reads at t ≥ upTo stay exact (the merged rows are the
+    * fold of everything ≤ upTo) while t < upTo is outside the retention
+    * window and REFUSED loudly — the same retention contract as
+    * `PartitionedSnapshotStore.readAsOf`, never a silently-partial
+    * answer.
+    */
+  def readVectorIndexAsOf(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, batchId: Long): DataFrame = {
+    val paths = bandBatchDirs(spark, indexDir)
+      .filter(_._1 <= batchId).map(_._2)
+    require(paths.nonEmpty,
+      s"no index batches ≤ $batchId under $indexDir " +
+        "(outside the compaction retention window, or before the seed)")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("b").desc)
     spark.read.parquet(paths: _*)

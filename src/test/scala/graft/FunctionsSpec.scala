@@ -210,6 +210,37 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("pqReconstructionError: exact vs sequential reference; drifted increments read measurably worse (the refit alarm)") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val books = Vectors.pqCodebooks(e, 8, 16, 3)
+    val sub = Vectors.dim / 8
+    // exactness: the expression error equals a plain-Scala recompute
+    val got = Vectors.pqReconstructionError(e.limit(50), books)
+      .select("vec_id", "embedding", "codes", "recon_err").collect()
+    got.foreach { r =>
+      val v = r.getSeq[Float](1).toArray
+      val cs = r.getSeq[Int](2)
+      var ref = 0.0
+      for (j <- 0 until 8; i <- 0 until sub) {
+        val d = v(j * sub + i).toDouble - books(j)(cs(j))(i).toDouble
+        ref += d * d
+      }
+      assert(math.abs(r.getDouble(3) - ref) < 1e-12,
+        s"vec ${r.getLong(0)}: expr ${r.getDouble(3)} vs ref $ref")
+    }
+    // drift detection: an out-of-model increment (negated vectors — the
+    // T16 worst case) reconstructs worse under the FROZEN codebooks than
+    // the in-model corpus, so a per-batch mean is a refit signal
+    def meanErr(df: org.apache.spark.sql.DataFrame): Double =
+      Vectors.pqReconstructionError(df, books)
+        .agg(avg(col("recon_err"))).head.getDouble(0)
+    val inModel = meanErr(e)
+    val drifted = meanErr(e.withColumn("embedding",
+      expr("transform(embedding, v -> -v)")))
+    assert(drifted > inModel,
+      s"drifted increment ($drifted) should reconstruct worse than in-model ($inModel)")
+  }
+
   test("pqEncode expression path equals a sequential reference encoder") {
     // the distributed encode runs argmax(v.c - |c|^2/2) through dotF32 +
     // array_position; a plain-Scala argmin ||v-c||^2 over the same

@@ -1130,6 +1130,11 @@ class StreamingSpec extends AnyFunSuite {
     Streams.vectorIndexBatch(inc2.toDF("vec_id", "embedding"), 1L,
       dir, coarse, books)
     assert(content(Streams.readVectorIndex(spark, dir)) === content(batchIdx))
+    // AS-OF (time travel): the index as of batch 0 = seed + inc1 only,
+    // with the seed-era encodings of the later-re-embedded ids intact
+    val asOf0 = content(Streams.readVectorIndexAsOf(spark, dir, 0L))
+    val corpus0 = e.filter(col("vec_id") % 3 === 0 || col("vec_id") % 3 === 1)
+    assert(asOf0 === content(Vectors.encodeForIndex(corpus0, coarse, books)))
     // COMPACTION: reads identical, layout collapses, shadowed encodings
     // (the re-embedded ids' seed-era rows) are physically dropped
     Streams.compactVectorIndex(spark, dir, upTo = 1L)
@@ -1138,6 +1143,13 @@ class StreamingSpec extends AnyFunSuite {
       .map(_.getName).filter(!_.startsWith("_")).toSeq.sorted
     assert(layout === Seq("b=1"))
     assert(spark.read.parquet(s"$dir/b=1").count() === latest.count())
+    // ...and as-of INSIDE the compacted range is refused (retention
+    // window), not answered partially; as-of AT the compaction point
+    // still serves the exact folded state
+    intercept[IllegalArgumentException](
+      Streams.readVectorIndexAsOf(spark, dir, 0L).collect())
+    assert(content(Streams.readVectorIndexAsOf(spark, dir, 1L)) ===
+      content(batchIdx))
   }
 
   test("T16b CDC-driven re-embed: document UPDATE and DELETE propagate to the served index; re-create upserts over the tombstone") {
@@ -1283,6 +1295,83 @@ class StreamingSpec extends AnyFunSuite {
     assert(dead.map(_.kind).toSet === Set("deadletter"))
     assert(dead.map(g => (g.txId, g.table, g.event.source.lsn.get)).toSet ===
       Set(("tx-stuck", "customers", 1100L), ("tx-stuck", "orders", 1150L)))
+  }
+
+  test("compaction protocol: a crash at EVERY protocol step converges to the identical store on re-run") {
+    // exhaustive crash-point walk of compactStore's staged-merge protocol
+    // (via compactPairStore): stage written without manifest, stage
+    // complete, each partial-delete prefix, all-deleted, manifest
+    // deleted pre-rename. From every crash state the re-run must
+    // converge to the same final store a crash-free compaction produces.
+    def seed(root: String): Unit =
+      for ((ids, b) <- Seq(Seq(1L, 2L), Seq(3L), Seq(4L, 5L)).zipWithIndex)
+        ids.map(i => (i, i * 10)).toDF("doc_a", "doc_b")
+          .coalesce(1).write.parquet(s"$root/b=$b")
+    def readAll(root: String) = Streams.readNearDupPairs(spark, root)
+      .as[(Long, Long)].collect().toSet
+    val expected = Set(1L, 2L, 3L, 4L, 5L).map(i => (i, i * 10))
+    // the crash-free reference
+    val ref = java.nio.file.Files.createTempDirectory("ccREF").toString
+    seed(ref)
+    Streams.compactPairStore(spark, ref, upTo = 2L)
+    assert(readAll(ref) === expected)
+    def stage(root: String, withManifest: Boolean, withSuccess: Boolean = true): Unit = {
+      spark.read.parquet(s"$root/b=0", s"$root/b=1", s"$root/b=2")
+        .coalesce(1).write.parquet(s"$root/_compact_b=2")
+      if (!withSuccess)
+        new java.io.File(s"$root/_compact_b=2/_SUCCESS").delete()
+      if (withManifest) {
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$root/_compact_b=2/_MANIFEST"), "0,1,2")
+        ()
+      }
+    }
+    def rmDir(p: String): Unit = {
+      val f = new java.io.File(p)
+      if (f.exists) { f.listFiles.foreach(_.delete()); f.delete(); () }
+    }
+    // crash points: (name, how to mangle a freshly-seeded store)
+    val crashes: Seq[(String, String => Unit)] = Seq(
+      ("mid-merge, no _SUCCESS yet", r => stage(r, withManifest = false, withSuccess = false)),
+      ("stage written, manifest not yet", r => stage(r, withManifest = false)),
+      ("stage complete, nothing deleted", r => stage(r, withManifest = true)),
+      ("stage complete, b=0 deleted", { r =>
+        stage(r, withManifest = true); rmDir(s"$r/b=0") }),
+      ("stage complete, b=0 and b=1 deleted", { r =>
+        stage(r, withManifest = true); rmDir(s"$r/b=0"); rmDir(s"$r/b=1") }),
+      ("all batch dirs deleted", { r =>
+        stage(r, withManifest = true)
+        rmDir(s"$r/b=0"); rmDir(s"$r/b=1"); rmDir(s"$r/b=2") }),
+      ("manifest deleted, rename pending", { r =>
+        stage(r, withManifest = true)
+        rmDir(s"$r/b=0"); rmDir(s"$r/b=1"); rmDir(s"$r/b=2")
+        new java.io.File(s"$r/_compact_b=2/_MANIFEST").delete(); () }),
+      ("stale foreign-upTo stage lying around", { r =>
+        spark.read.parquet(s"$r/b=0")
+          .coalesce(1).write.parquet(s"$r/_compact_b=1") }))
+    for ((name, mangle) <- crashes) {
+      val root = java.nio.file.Files.createTempDirectory("ccp").toString
+      seed(root)
+      mangle(root)
+      Streams.compactPairStore(spark, root, upTo = 2L)
+      assert(readAll(root) === expected, s"crash point [$name] lost data")
+      val layout = new java.io.File(root).listFiles.map(_.getName)
+        .filterNot(_.startsWith("_compact")).toSeq.sorted
+      assert(layout === Seq("b=2"), s"crash point [$name] layout $layout")
+    }
+  }
+
+  test("T15 bloom decontamination holds its oracle booleans at a 4x larger benchmark slice (sized-from-measurement)") {
+    // the r8 ADVICE failure mode: a fixed-size sketch goes red when the
+    // bench set outgrows its design count; sized from the measured count,
+    // the bounds must hold regardless of the slice
+    val rows = graft.operators.Text.bloomDecontaminate(
+      Tables.documents(spark, TestSpark.sf),
+      graft.operators.Text.stagedShingles(spark, TestSpark.sf),
+      benchMax = 200L).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("no_miss_ok")))
+    assert(rows.forall(_.getAs[Boolean]("overflag_ok")))
   }
 
   test("T9 schema drift alerts: first sight of each payload shape, once, as it arrives") {
