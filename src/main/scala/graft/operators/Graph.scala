@@ -86,6 +86,88 @@ object Graph {
     labels
   }
 
+  /** One increment of INCREMENTAL connected-components maintenance: the
+    * delta from folding a batch of NEW edges into an existing flat label
+    * map (`prior`: (node, cluster), cluster = component-min node id — the
+    * invariant [[connectedComponents]] establishes and this function
+    * preserves). The batch near-dup clustering (x7) recomputes CC over
+    * ALL pairs; a 100 TB crawl increment cannot — T13 already discovers
+    * each pair exactly once, in the batch where its later member arrives,
+    * so the cluster map should advance by exactly those pairs.
+    *
+    * Algorithm (the classic union-find merge, expressed as dataflow):
+    * (1) map each new edge's endpoints through `prior` — an endpoint's
+    * current label IS its component representative because the map is
+    * flat, so no find-root chase is needed; (2) run [[connectedComponents]]
+    * on the LABEL-level graph (nodes = touched cluster ids + brand-new
+    * node ids — a graph proportional to the INCREMENT, never the corpus);
+    * (3) emit delta rows for (a) every member of a cluster whose label
+    * changed and (b) every brand-new node. Folding the delta over `prior`
+    * latest-wins yields exactly `connectedComponents(allEdgesSoFar)`:
+    * min-label CC is arrival-order-independent (min is commutative /
+    * associative / idempotent), so the incremental fixpoint and the batch
+    * fixpoint coincide — which is what lets `x7j_incr_clusters` be
+    * hash-exact against the same DuckDB closure oracle as x7, not merely
+    * bounded.
+    *
+    * Scale: step 1 is an equi-join of the increment against the store
+    * keyed by node; step 2's CC runs on O(increment) edges; step 3 joins
+    * the store against a BROADCAST of the changed-label map (bounded by
+    * the increment's touched clusters) — the full map is scanned, never
+    * shuffled, and the delta is bounded by affected-cluster membership,
+    * not corpus size.
+    *
+    * @param prior    flat (node, cluster) map; empty on the first batch.
+    * @param newEdges two-column (src, dst) increment, any orientation.
+    * @return delta rows (node, cluster): new nodes + renamed members only.
+    */
+  def incrementDelta(prior: DataFrame, newEdges: DataFrame,
+      maxRounds: Int = 20): DataFrame = {
+    val src = newEdges.columns(0)
+    val dst = newEdges.columns(1)
+    val e = newEdges.select(col(src).as("u"), col(dst).as("v"))
+    val labels = prior.select(col("node"), col("cluster"))
+    val mapped = e
+      .join(labels.select(col("node").as("u"), col("cluster").as("lu")),
+        Seq("u"), "left")
+      .join(labels.select(col("node").as("v"), col("cluster").as("lv")),
+        Seq("v"), "left")
+      .localCheckpoint() // read 2x (cluster edges + new-node scan); cut lineage
+    val clusterEdges = mapped.select(
+      coalesce(col("lu"), col("u")).as("a"),
+      coalesce(col("lv"), col("v")).as("b"))
+    val relabel = connectedComponents(clusterEdges, maxRounds)
+      .select(col("node").as("old_label"), col("cluster").as("new_label"))
+    val changed = relabel.filter(col("new_label") =!= col("old_label"))
+    val renamed = labels
+      .join(broadcast(changed), labels("cluster") === changed("old_label"))
+      .select(col("node"), col("new_label").as("cluster"))
+    val newNodes = mapped.select(col("u").as("node"), col("lu").as("had"))
+      .union(mapped.select(col("v").as("node"), col("lv").as("had")))
+      .filter(col("had").isNull).select(col("node")).distinct()
+    val fresh = newNodes
+      .join(broadcast(relabel), newNodes("node") === relabel("old_label"), "left")
+      .select(col("node"), coalesce(col("new_label"), col("node")).as("cluster"))
+    renamed.unionByName(fresh)
+  }
+
+  /** Fold an [[incrementDelta]] over the prior map: delta rows win per
+    * node, untouched rows carry forward. The durable-store twin keys the
+    * same fold by batch id ([[graft.streaming.Streams.readClusterMap]]).
+    */
+  def applyDelta(prior: DataFrame, delta: DataFrame): DataFrame =
+    prior.join(delta.select(col("node")), Seq("node"), "left_anti")
+      .unionByName(delta)
+
+  /** An empty flat label map typed after `edges`' first column — the
+    * fold seed for the first increment.
+    */
+  def emptyLabels(edges: DataFrame): DataFrame = {
+    val src = edges.columns(0)
+    edges.select(col(src).as("node")).filter(lit(false))
+      .withColumn("cluster", col("node"))
+  }
+
   /** X7 — near-dup cluster formation over the verified Jaccard pair graph
     * (same staged pair table as x2c/x6): each document in any near-dup pair
     * gets its component's min doc_id as cluster id, plus the component
@@ -164,11 +246,40 @@ object Graph {
       |WHERE node IS NULL OR doc_id = cluster
       |ORDER BY doc_id""".stripMargin
 
+  /** X7j — INCREMENTAL cluster maintenance equals batch CC, oracle-exact:
+    * the same verified Jaccard pair graph arrives as three increments
+    * (split by `pmod(da + db, 3)`, so chains routinely span increments
+    * and clusters MERGE across batches — the case that breaks naive
+    * append-only labeling), folded through [[incrementDelta]] /
+    * [[applyDelta]]. Because min-label CC is arrival-order-independent,
+    * the incrementally-maintained map must be IDENTICAL to x7's
+    * all-at-once clustering — checked hash-exact against the very same
+    * recursive-CTE closure oracle, not a weakened bound. This is the
+    * inline batch expression of the durable T17 store
+    * ([[graft.streaming.Streams.clusterIndexBatch]]), exactly as x3l is
+    * of T16.
+    */
+  val x7jIncrClusters: Q = (spark, dir) => {
+    val pairs = Text.stagedJaccardPairs(spark, dir)
+      .select(col("da"), col("db"))
+    val folded = (0 until 3).foldLeft(emptyLabels(pairs)) { (prior, i) =>
+      val inc = pairs.filter(pmod(col("da") + col("db"), lit(3)) === i)
+      applyDelta(prior, incrementDelta(prior, inc)).localCheckpoint()
+    }
+    val sizes = folded.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"))
+    folded.join(broadcast(sizes), "cluster")
+      .select(col("node").as("doc_id"), col("cluster"), col("n_members"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "x7_neardup_clusters" -> x7NeardupClusters,
-    "x7f_dedup_apply" -> x7fDedupApply)
+    "x7f_dedup_apply" -> x7fDedupApply,
+    "x7j_incr_clusters" -> x7jIncrClusters)
 
   val oracle: Map[String, String] = Map(
     "x7_neardup_clusters" -> x7Sql,
-    "x7f_dedup_apply" -> x7fSql)
+    "x7f_dedup_apply" -> x7fSql,
+    "x7j_incr_clusters" -> x7Sql)
 }

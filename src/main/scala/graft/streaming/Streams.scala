@@ -832,6 +832,238 @@ object Streams extends Serializable {
         .filter(col("__rn") === 1 && col("live")).drop("__rn")
     })
 
+  // ------------------------------ T18 index generation retrain + cutover
+  /** T18 — the ACTION the quantization-drift monitor
+    * ([[graft.operators.Vectors.pqReconstructionError]]) schedules: when
+    * drifted increments push reconstruction error past threshold, the
+    * quantizer models must be REFIT and the corpus re-encoded — but a
+    * serving index cannot be rebuilt in place (readers would see old
+    * codes scored against new codebooks: silent garbage, not an error).
+    * A GENERATION bundles everything that must stay mutually consistent
+    * — coarse centroids, PQ codebooks, and the batchId-keyed index
+    * encoded against exactly those models — under one `g=<n>` directory:
+    *
+    * {{{
+    *   root/g=<n>/models/coarse     (cid, vector) parquet
+    *   root/g=<n>/models/books      (subspace, code, vector) parquet
+    *   root/g=<n>/index/b=<batch>   the T16 store, THIS generation's codes
+    *   root/_LATEST                 committed generation number
+    * }}}
+    *
+    * The cutover is [[SnapshotStore.commitPointer]]'s atomic small-object
+    * write: the next generation is fit, fully encoded, and seeded while
+    * generation n serves unperturbed; flipping `_LATEST` is the commit
+    * point; [[gcGenerations]] keeps the predecessor as the reader grace
+    * window (a reader that resolved gen n before the flip finishes its
+    * query against files that still exist). A crash mid-build leaves a
+    * dangling uncommitted `g=<n+1>` and a fully-served gen n — repaired
+    * by re-running the retrain; the same crash calculus as
+    * [[SnapshotStore]], because it IS that protocol, one level up.
+    *
+    * Scale: the refit itself is the bounded-sample fit + one full-corpus
+    * encode pass (per-row expression work) — the expensive, rare path;
+    * this module makes it SAFE, not cheap. Ongoing increments resolve
+    * the generation per micro-batch ([[vectorIndexStreamGen]]), so a
+    * swap between batches redirects the stream automatically; the
+    * retrain must run at a quiescent barrier (no in-flight batch), the
+    * compaction discipline.
+    */
+  def generationDir(root: String, gen: Long): String = s"$root/g=$gen"
+
+  /** Persist the frozen models so serving, later increments, and audits
+    * read the EXACT floats the index was encoded with (re-fitting "the
+    * same" model is not the same model).
+    */
+  def writeGenerationModels(spark: org.apache.spark.sql.SparkSession,
+      root: String, gen: Long, coarse: Array[Array[Float]],
+      books: Array[Array[Array[Float]]]): Unit = {
+    import spark.implicits._
+    coarse.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("cid", "vector").coalesce(1)
+      .write.mode("overwrite")
+      .parquet(s"${generationDir(root, gen)}/models/coarse")
+    books.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (v, c) => (j, c, v.toSeq) } }.toSeq
+      .toDF("subspace", "code", "vector").coalesce(1)
+      .write.mode("overwrite")
+      .parquet(s"${generationDir(root, gen)}/models/books")
+    ()
+  }
+
+  def readGenerationModels(spark: org.apache.spark.sql.SparkSession,
+      root: String, gen: Long)
+      : (Array[Array[Float]], Array[Array[Array[Float]]]) = {
+    val coarse = spark.read
+      .parquet(s"${generationDir(root, gen)}/models/coarse")
+      .orderBy(col("cid")).collect()
+      .map(r => r.getSeq[Float](1).toArray)
+    val books = spark.read
+      .parquet(s"${generationDir(root, gen)}/models/books")
+      .orderBy(col("subspace"), col("code")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](2).toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1).map(_._2.map(_._2)).toArray
+    (coarse, books)
+  }
+
+  /** Build generation `gen` from `corpus` and ATOMICALLY cut serving
+    * over to it: fit fresh models, persist them, seed the generation's
+    * index with the full corpus encoded against them, then flip the
+    * pointer. Everything before the flip is invisible to readers.
+    */
+  def retrainGeneration(corpus: DataFrame, root: String, gen: Long,
+      nlist: Int = 16, m: Int = 8, ksub: Int = 16, iters: Int = 3): Unit = {
+    val spark = corpus.sparkSession
+    val coarse = graft.operators.Vectors.kmeansCentroids(corpus, nlist, iters)
+    val books = graft.operators.Vectors.pqCodebooks(corpus, m, ksub, iters)
+    writeGenerationModels(spark, root, gen, coarse, books)
+    seedVectorIndex(corpus, s"${generationDir(root, gen)}/index",
+      coarse, books)
+    SnapshotStore.commitPointer(spark, root, gen)
+  }
+
+  def currentGeneration(spark: org.apache.spark.sql.SparkSession,
+      root: String): Option[Long] =
+    SnapshotStore.latestVersion(spark, root)
+
+  /** Drop committed-over generations, keeping `current` and its
+    * predecessor (the reader grace window).
+    */
+  def gcGenerations(spark: org.apache.spark.sql.SparkSession,
+      root: String, current: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens =
+      if (!fs.exists(p)) Seq.empty[Long]
+      else fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("g="))
+        .flatMap(_.stripPrefix("g=").toLongOption)
+    val keep = gens.filter(_ <= current).sorted.takeRight(2).toSet
+    gens.filter(g => g <= current && !keep(g)).foreach { g =>
+      fs.delete(new org.apache.hadoop.fs.Path(generationDir(root, g)), true)
+    }
+  }
+
+  /** One consistent serving view: resolve the pointer ONCE, then read
+    * models and folded index from that generation — a swap between the
+    * resolve and the reads cannot tear the pair, because a generation
+    * directory is immutable-once-committed except for its own index
+    * increments (encoded against the same models by construction).
+    */
+  def readServingIndex(spark: org.apache.spark.sql.SparkSession,
+      root: String): (Long, Array[Array[Float]], Array[Array[Array[Float]]],
+      DataFrame) = {
+    val gen = currentGeneration(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed generation under $root"))
+    val (coarse, books) = readGenerationModels(spark, root, gen)
+    (gen, coarse, books,
+      readVectorIndex(spark, s"${generationDir(root, gen)}/index"))
+  }
+
+  /** Generation-aware T16 increment stream: each micro-batch resolves
+    * the CURRENT generation and encodes against ITS models into ITS
+    * index — after a retrain cutover, the next batch lands in the new
+    * generation with no coordination beyond the pointer read. (An
+    * increment arriving during the grace window may land in the OLD
+    * generation's index: harmless — that generation still serves until
+    * gc, and the retrain corpus for the new generation already folded
+    * the store as of the barrier.)
+    */
+  def vectorIndexStreamGen(embStream: DataFrame, root: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    embStream.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      val spark = batch.sparkSession
+      val gen = currentGeneration(spark, root).getOrElse(
+        throw new IllegalStateException(
+          s"no committed generation under $root — seed with retrainGeneration first"))
+      val (coarse, books) = readGenerationModels(spark, root, gen)
+      vectorIndexBatch(batch.toDF, batchId,
+        s"${generationDir(root, gen)}/index", coarse, books)
+    }
+
+  // ----------------------------- T17 incremental cluster-map maintenance
+  /** T17 — incremental near-dup CLUSTER maintenance: T13 discovers pairs
+    * incrementally, but turning pairs into dedup decisions needs
+    * connected components (x7), and recomputing CC over the full pair
+    * graph per crawl increment rescans the world. Each micro-batch of
+    * newly-discovered pairs advances a durable flat label map by
+    * [[graft.operators.Graph.incrementDelta]] — CC runs on the
+    * increment-sized label graph only, and the delta (new nodes +
+    * members of merged clusters) is written under
+    * `clusterDir/b=<batchId>`, rows tagged with the batch id.
+    * [[readClusterMap]] folds latest-batch-wins per node: exactly the
+    * T16 layout, so the store inherits its compaction and as-of
+    * machinery unchanged.
+    *
+    * Because min-label CC is arrival-order-independent, the folded map
+    * is IDENTICAL to `Graph.connectedComponents` over every pair seen —
+    * the T17 spec asserts equality and `x7j_incr_clusters` oracle-checks
+    * the same fold inline against DuckDB's transitive closure.
+    *
+    * IDEMPOTENT REPLAY, the [[nearDupBatch]] contract: "prior" is the
+    * fold of batch dirs strictly below the current id, and the batch's
+    * write overwrites its own subdirectory — an at-least-once replay
+    * recomputes the identical delta from identical inputs.
+    */
+  def clusterIndexBatch(pairs: DataFrame, batchId: Long,
+      clusterDir: String): Unit = {
+    val spark = pairs.sparkSession
+    val priorPaths = bandBatchDirs(spark, clusterDir)
+      .collect { case (id, p) if id < batchId => p }
+    val prior =
+      if (priorPaths.isEmpty) graft.operators.Graph.emptyLabels(pairs)
+      else foldClusterMap(spark.read.parquet(priorPaths: _*))
+    graft.operators.Graph.incrementDelta(prior, pairs)
+      .withColumn("b", lit(batchId))
+      .write.mode("overwrite").parquet(s"$clusterDir/b=$batchId")
+    ()
+  }
+
+  def clusterIndexStream(pairStream: DataFrame, clusterDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    pairStream.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      clusterIndexBatch(batch.toDF, batchId, clusterDir)
+    }
+
+  /** The latest-batch-wins fold shared by the read view, the prior of
+    * the next batch, and compaction. A node appears at most once per
+    * batch dir, so the winner is unique.
+    */
+  private def foldClusterMap(df: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("node")).orderBy(col("b").desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", "b")
+  }
+
+  /** Consumer view of the incremental cluster map: one (node, cluster)
+    * row per node ever seen in a pair — byte-equal to
+    * `Graph.connectedComponents` over all discovered pairs.
+    */
+  def readClusterMap(spark: org.apache.spark.sql.SparkSession,
+      clusterDir: String): DataFrame = {
+    val paths = bandBatchDirs(spark, clusterDir).map(_._2)
+    require(paths.nonEmpty, s"no cluster batches under $clusterDir")
+    foldClusterMap(spark.read.parquet(paths: _*))
+  }
+
+  /** Compact the cluster store: merge batch dirs ≤ `upTo` into one,
+    * dropping shadowed label rows (a node relabeled by a later merge
+    * supersedes every earlier row). Surviving rows keep their `b` tag —
+    * the fold keys on the COLUMN — so reads and subsequent batch priors
+    * are identical before and after. Same staged protocol and
+    * quiescent-barrier requirement as [[compactBandStore]].
+    */
+  def compactClusterIndex(spark: org.apache.spark.sql.SparkSession,
+      clusterDir: String, upTo: Long): Unit =
+    compactStore(spark, clusterDir, upTo, df => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("node")).orderBy(col("b").desc)
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    })
+
   // ------------------------------------------- T12 / C14 streaming gate
   /** One unit of the cross-table transaction gate's input stream: either a
     * data event of `table` (table + event set) or a Debezium-style

@@ -87,6 +87,53 @@ class GraphMixingSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("did not converge"))
   }
 
+  private def incrFold(increments: Seq[Seq[(Long, Long)]])
+      : org.apache.spark.sql.DataFrame =
+    increments.foldLeft(Graph.emptyLabels(Seq.empty[(Long, Long)].toDF("src", "dst"))) {
+      (prior, inc) =>
+        Graph.applyDelta(prior,
+          Graph.incrementDelta(prior, inc.toDF("src", "dst"))).localCheckpoint()
+    }
+
+  test("incremental CC fold equals batch CC on random graphs under random increment splits") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 30 + trial * 15
+      val edges = Seq.fill(n)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      val k = 2 + rnd.nextInt(3)
+      val incs = edges.groupBy(_ => rnd.nextInt(k)).values.toSeq
+      val folded = incrFold(incs).as[(Long, Long)].collect().toMap
+      assert(folded === ufComponents(edges), s"trial $trial")
+    }
+  }
+
+  test("incremental CC: cross-increment merges relabel absorbed members; untouched clusters emit no delta") {
+    // batch 0: three islands; batch 1 merges two of them via a NEW smaller id
+    val inc0 = Seq((5L, 6L), (6L, 7L), (10L, 11L), (20L, 21L))
+    val prior = incrFold(Seq(inc0))
+    assert(prior.as[(Long, Long)].collect().toMap ===
+      Map(5L -> 5L, 6L -> 5L, 7L -> 5L, 10L -> 10L, 11L -> 10L,
+        20L -> 20L, 21L -> 20L))
+    val delta = Graph.incrementDelta(prior, Seq((2L, 7L), (2L, 10L)).toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    // every member of {5,6,7} and {10,11} relabels to 2; node 2 is new;
+    // the untouched {20,21} island contributes NO delta rows
+    assert(delta === Map(2L -> 2L, 5L -> 2L, 6L -> 2L, 7L -> 2L,
+      10L -> 2L, 11L -> 2L))
+    val after = Graph.applyDelta(prior, delta.toSeq.toDF("node", "cluster"))
+      .as[(Long, Long)].collect().toMap
+    assert(after === ufComponents(inc0 ++ Seq((2L, 7L), (2L, 10L))))
+  }
+
+  test("x7j incremental fold is identical to x7 batch clustering at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = Graph.x7NeardupClusters(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val incr = Graph.x7jIncrClusters(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(incr === batch)
+  }
+
   test("x7 clusters: every pair member is labeled, label is component min") {
     val dir = "/root/testdata/sf0.001"
     val pairs = Text.stagedJaccardPairs(spark, dir)

@@ -1007,6 +1007,122 @@ class StreamingSpec extends AnyFunSuite {
     assert(recovered === preTorn)
   }
 
+  test("T18 generation cutover: retrain swaps atomically, stream follows the pointer, grace window then gc, crash mid-build invisible") {
+    import graft.operators.Vectors
+    implicit val ctx = spark.sqlContext
+    val e = Tables.embeddings(spark, TestSpark.sf)
+      .select("vec_id", "embedding")
+    val initial = e.filter(col("vec_id") % 3 =!= 2)
+    val increment = e.filter(col("vec_id") % 3 === 2)
+      .as[(Long, Seq[Float])].collect().toSeq
+    val root = java.nio.file.Files.createTempDirectory("t18").toString
+    // gen 0: fit + seed + commit
+    Streams.retrainGeneration(initial, root, 0L)
+    assert(Streams.currentGeneration(spark, root) === Some(0L))
+    // persisted models are the exact floats the seed encoded with
+    val (c0, b0) = Streams.readGenerationModels(spark, root, 0L)
+    // increments stream in, resolving the generation per batch
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = Streams.vectorIndexStreamGen(
+      mem.toDF.selectExpr("_1 AS vec_id", "CAST(_2 AS array<float>) AS embedding"), root)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt18").toString)
+      .start()
+    mem.addData(increment: _*)
+    q.processAllAvailable()
+    // serving view = batch encode of the FULL corpus under gen-0 models
+    val (gen, cs, bs, idx) = Streams.readServingIndex(spark, root)
+    assert(gen === 0L)
+    val probe = e.filter(col("vec_id") < 5)
+    def searched(index: org.apache.spark.sql.DataFrame,
+        cc: Array[Array[Float]], bb: Array[Array[Array[Float]]]) =
+      Vectors.pqSearchIndex(probe, index, cc, bb, k = 3)
+        .select("q_id", "rank", "vec_id").as[(Long, Int, Long)].collect().toSet
+    val servedG0 = searched(idx, cs, bs)
+    assert(servedG0 === searched(Vectors.encodeForIndex(e, c0, b0), c0, b0))
+    // DRIFT → retrain gen 1 on the latest corpus at a quiescent barrier
+    val latest = e // (fold of everything the store has seen)
+    Streams.retrainGeneration(latest, root, 1L)
+    assert(Streams.currentGeneration(spark, root) === Some(1L))
+    val (gen1, c1, b1, idx1) = Streams.readServingIndex(spark, root)
+    assert(gen1 === 1L)
+    assert(searched(idx1, c1, b1) ===
+      searched(Vectors.encodeForIndex(e, c1, b1), c1, b1))
+    // grace window: gen 0 still fully readable after the flip
+    assert(Streams.readVectorIndex(spark,
+      s"${Streams.generationDir(root, 0L)}/index").count() === e.count())
+    // the NEXT streamed batch follows the pointer into gen 1
+    mem.addData((increment.head._1, increment.head._2))
+    q.processAllAvailable(); q.stop()
+    val g1Dirs = new java.io.File(s"${Streams.generationDir(root, 1L)}/index")
+      .listFiles.map(_.getName).filter(_.startsWith("b=")).toSet
+    assert(g1Dirs.size === 2, s"expected seed + new batch in gen 1, got $g1Dirs")
+    // crash mid-build of gen 2: models staged, pointer NOT flipped —
+    // readers are untouched; re-running the retrain repairs
+    Streams.writeGenerationModels(spark, root, 2L, c1, b1)
+    assert(Streams.readServingIndex(spark, root)._1 === 1L)
+    Streams.retrainGeneration(latest, root, 2L)
+    assert(Streams.readServingIndex(spark, root)._1 === 2L)
+    // gc keeps current + predecessor only
+    Streams.gcGenerations(spark, root, 2L)
+    val gens = new java.io.File(root).listFiles.map(_.getName)
+      .filter(_.startsWith("g=")).toSet
+    assert(gens === Set("g=1", "g=2"))
+  }
+
+  test("T17 incremental cluster map: stream equals batch CC, cross-batch merges, replay-idempotent, compaction-transparent") {
+    import graft.operators.Graph
+    implicit val ctx = spark.sqlContext
+    // three pair increments engineered so clusters MERGE across batches:
+    // batch 0 builds islands {1,2},{5,6,7},{10,11}; batch 1 chains 2–3 and
+    // starts {20,21}; batch 2 merges {1,2,3} with {5,6,7} via (3,5) and
+    // absorbs {10,11} into a NEW smaller id 4
+    val inc0 = Seq((1L, 2L), (5L, 6L), (6L, 7L), (10L, 11L))
+    val inc1 = Seq((2L, 3L), (20L, 21L))
+    val inc2 = Seq((3L, 5L), (4L, 10L))
+    val all = inc0 ++ inc1 ++ inc2
+    val dir = java.nio.file.Files.createTempDirectory("t17").toString
+    val mem = MemoryStream[(Long, Long)]
+    val q = Streams.clusterIndexStream(mem.toDF, dir)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt17").toString)
+      .start()
+    mem.addData(inc0: _*); q.processAllAvailable()
+    mem.addData(inc1: _*); q.processAllAvailable()
+    mem.addData(inc2: _*); q.processAllAvailable(); q.stop()
+    val streamed = Streams.readClusterMap(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    val batch = Graph.connectedComponents(all.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(streamed === batch)
+    assert(streamed(7L) === 1L && streamed(11L) === 4L) // the merges happened
+    // CRASH REPLAY: re-running the LAST batch must leave the store
+    // byte-identical — the replay's "prior" excludes its own b=2 dir
+    val rawBefore = spark.read.parquet(s"$dir/b=0", s"$dir/b=1", s"$dir/b=2")
+      .as[(Long, Long, Long)].collect().toSet
+    Streams.clusterIndexBatch(inc2.toDF("src", "dst"), 2L, dir)
+    val rawAfter = spark.read.parquet(s"$dir/b=0", s"$dir/b=1", s"$dir/b=2")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(rawAfter === rawBefore, "replayed batch changed the cluster store")
+    // COMPACTION between batches is invisible: a second store compacted
+    // after batch 1 sees identical reads AND identical final map
+    val dirB = java.nio.file.Files.createTempDirectory("t17b").toString
+    Streams.clusterIndexBatch(inc0.toDF("src", "dst"), 0L, dirB)
+    Streams.clusterIndexBatch(inc1.toDF("src", "dst"), 1L, dirB)
+    val midBefore = Streams.readClusterMap(spark, dirB)
+      .as[(Long, Long)].collect().toMap
+    Streams.compactClusterIndex(spark, dirB, upTo = 1L)
+    val midAfter = Streams.readClusterMap(spark, dirB)
+      .as[(Long, Long)].collect().toMap
+    assert(midAfter === midBefore)
+    val layout = new java.io.File(dirB).listFiles
+      .map(_.getName).filter(!_.startsWith("_")).toSeq.sorted
+    assert(layout === Seq("b=1")) // collapsed, shadowed rows folded away
+    Streams.clusterIndexBatch(inc2.toDF("src", "dst"), 2L, dirB)
+    assert(Streams.readClusterMap(spark, dirB)
+      .as[(Long, Long)].collect().toMap === batch)
+  }
+
   test("T13 pair-store compaction: identical reads, collapsed layout, torn/partial-delete resume, stale stage re-merged") {
     val docs = Tables.documents(spark, TestSpark.sf)
       .select("doc_id", "text").as[DocE].collect().toSeq
