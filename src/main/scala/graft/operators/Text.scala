@@ -1173,6 +1173,67 @@ object Text {
       | LEFT JOIN hits ON d.doc_id = hits.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  // ------------------------------- X7k contamination severity (fraction)
+  /** X7k — contamination SEVERITY: the fraction of a document's distinct
+    * shingles present in the benchmark set, with the removal decision at
+    * a threshold (the PaLM/Llama-style "fraction of n-grams seen" rule)
+    * rather than x7e's any-hit flag. The distinction matters for data
+    * economics: an incidental single-phrase collision (a common idiom, a
+    * quoted headline) is not contamination, and the any-hit rule
+    * over-removes exactly the long documents most valuable for training;
+    * the fractional rule keeps them while still removing true copies and
+    * near-copies of eval items.
+    *
+    * One fused probe pass (the x7i discipline): the broadcast bench set
+    * rides a LEFT join so a single map-side-combined aggregation yields
+    * both the total shingle count and the hit count — the corpus is
+    * scanned once, never shuffled for the join. The `dirty` gate uses
+    * integer arithmetic (`2·hits ≥ total`), not a float compare, so the
+    * committed decision cannot drift across engines.
+    */
+  def contaminationFraction(docs: DataFrame, sh: DataFrame,
+      benchMax: Long): DataFrame = {
+    val bench = sh.filter(col("doc_id") < benchMax)
+      .select(col("hs")).distinct().withColumn("__b", lit(1))
+    val stats = sh.filter(col("doc_id") >= benchMax)
+      .join(broadcast(bench), Seq("hs"), "left")
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_shingles"),
+        count(col("__b")).as("n_hits"))
+    docs.filter(col("doc_id") >= benchMax).select(col("doc_id"))
+      .join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(coalesce(col("n_shingles"), lit(0L)) === 0, lit(0.0))
+          .otherwise(round(col("n_hits") / col("n_shingles"), 4))
+          .as("frac"),
+        (coalesce(col("n_hits"), lit(0L)) * 2 >=
+          coalesce(col("n_shingles"), lit(0L))
+          && coalesce(col("n_hits"), lit(0L)) > 0).as("dirty"))
+  }
+
+  val x7kContamFraction: Q = (spark, dir) =>
+    contaminationFraction(Tables.documents(spark, dir),
+      stagedShingles(spark, dir), benchMax = 50L)
+      .orderBy(col("doc_id"))
+  val x7kSql: String = shinglesCte() + """,
+      |bench AS (SELECT DISTINCT hs FROM sh WHERE doc_id < 50),
+      |st AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+      |        CAST(count(b.hs) AS BIGINT) AS n_hits
+      |       FROM sh s LEFT JOIN bench b USING (hs)
+      |       WHERE s.doc_id >= 50 GROUP BY 1)
+      |SELECT d.doc_id,
+      | coalesce(n_shingles, 0) AS n_shingles,
+      | coalesce(n_hits, 0) AS n_hits,
+      | CASE WHEN coalesce(n_shingles, 0) = 0 THEN 0.0
+      |  ELSE round(n_hits / n_shingles, 4) END AS frac,
+      | coalesce(n_hits, 0) * 2 >= coalesce(n_shingles, 0)
+      |  AND coalesce(n_hits, 0) > 0 AS dirty
+      |FROM (SELECT doc_id FROM documents WHERE doc_id >= 50) d
+      | LEFT JOIN st ON d.doc_id = st.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   // -------------------------------------- X7i Bloom decontamination bound
   /** The BROADCAST-FREE scale path of [[decontaminate]]: when the
     * benchmark shingle set outgrows what an exact broadcast set can
@@ -1346,6 +1407,7 @@ object Text {
   val queries: Map[String, Q] = Map(
     "x7d_bigram_familiarity" -> x7dBigramFamiliarity,
     "x7e_decontamination" -> x7eDecontamination,
+    "x7k_contam_fraction" -> x7kContamFraction,
     "x7i_bloom_decontaminate" -> x7iBloomDecontaminate,
     "x7h_dsir_select" -> x7hDsirSelect,
     "x4e_term_freq" -> x4eTermFreq,
@@ -1375,6 +1437,7 @@ object Text {
     "x4h_novelty_growth" -> x4hSql,
     "x7d_bigram_familiarity" -> x7dSql,
     "x7e_decontamination" -> x7eSql,
+    "x7k_contam_fraction" -> x7kSql,
     "x7i_bloom_decontaminate" -> x7iSql,
     "x7h_dsir_select" -> x7hSql,
     "x4e_term_freq" -> x4eSql,

@@ -362,6 +362,123 @@ object Vectors {
     """SELECT vec_id AS q_id, true AS recall_ok
       |FROM embeddings WHERE vec_id < 10 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------- X3m/X3n filtered ANN
+  /** FILTERED similarity search — top-k under a metadata predicate (the
+    * production "vector search with filters" shape: same-tenant,
+    * same-language, same-license neighbors only; every serving stack
+    * grew this because global neighbors of a query are useless when the
+    * consumer may only read its own partition of the corpus).
+    *
+    * Exact form: the filter columns BECOME the join key — the broadcast
+    * query set equi-joins the corpus on `filterCols`, so a corpus row
+    * that fails the predicate is never scored, never shuffled, never
+    * even hash-probed more than once. This is strictly cheaper than the
+    * unfiltered brute path (whose crossJoin scores everything), and at
+    * 100 TB it composes with partition pruning: a corpus laid out by the
+    * filter column reads only matching files.
+    */
+  def filteredCosineTopK(queries: DataFrame, corpus: DataFrame,
+      filterCols: Seq[String], k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val qSide = queries.select(col("vec_id").as("q_id")
+      +: col("embedding").as("q_emb") +: filterCols.map(col): _*)
+    broadcast(qSide)
+      .join(corpus.select(col("vec_id") +: col("embedding")
+        +: filterCols.map(col): _*), filterCols)
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        VectorFunctions.dotF32(col("q_emb"), col("embedding")).as("sim"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** The scale path of filtered ANN: IVF routing with the predicate
+    * COMPOSED into the probe key — candidates must match (cluster,
+    * filterCols), so the probe join touches only the intersection of
+    * the nprobe nearest lists and the query's metadata partition.
+    * Pre-filtering (shrink corpus, then route) would need one quantizer
+    * per predicate value; post-filtering (route, then filter) starves k
+    * when the predicate is selective — keying the join on both is the
+    * standard resolution, and the plan shape is identical to
+    * [[ivfSearch]] with a wider equi-key.
+    */
+  def ivfSearchFiltered(queries: DataFrame, corpus: DataFrame,
+      filterCols: Seq[String], k: Int, nlist: Int = 16, nprobe: Int = 12,
+      iters: Int = 3): DataFrame = {
+    val centroids = kmeansCentroids(corpus, nlist, iters)
+    val assignedCorpus = assignCluster(corpus, centroids)
+    val qDots = centroids.map(c =>
+      VectorFunctions.dotF32(col("embedding"), typedlit(c.toSeq)))
+    val probes = queries
+      .withColumn("__dots", array(qDots: _*))
+      .select(col("vec_id").as("q_id") +: col("embedding").as("q_emb")
+        +: filterCols.map(col) :+
+        explode(expr(
+          s"""transform(
+             | slice(array_sort(zip_with(__dots, sequence(0, ${nlist - 1}),
+             |   (d, i) -> struct(-d AS nd, i AS ci))), 1, $nprobe),
+             | s -> s.ci)""".stripMargin)).as("cluster"): _*)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    broadcast(probes)
+      .join(assignedCorpus, "cluster" +: filterCols)
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        VectorFunctions.dotF32(col("q_emb"), col("embedding")).as("sim"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("sim"))
+  }
+
+  /** X3m — exact filtered ANN, hash-exact: per query, top-3 cosine
+    * neighbors restricted to the query's own `label` partition.
+    */
+  val x3mFilteredAnn: Q = (spark, dir) => {
+    val e = Tables.embeddings(spark, dir)
+    filteredCosineTopK(e.filter(col("vec_id") < 10), e, Seq("label"), 3)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+  val x3mSql: String =
+    s"""WITH sims AS (
+       | SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+       |  ${Portable.dotSql("q.embedding", "c.embedding", dim)} AS sim
+       | FROM embeddings q JOIN embeddings c ON q.label = c.label
+       | WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+       |SELECT q_id, CAST(row_number() OVER w AS INT) AS rank, vec_id, sim
+       |FROM sims WINDOW w AS (PARTITION BY q_id ORDER BY sim DESC, vec_id)
+       |QUALIFY rank <= 3
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** X3n — the filtered-IVF accuracy contract as oracle booleans (the
+    * x3f pattern): per query, recall@5 of the (cluster, label)-keyed
+    * probe against the exact label-restricted brute-force top-5 is
+    * ≥ 0.6. Routing error compounds with the filter (a true neighbor
+    * must share BOTH a probed list and the label — measured at nprobe=8
+    * one sf0.01 query recalls only 2/5), so the filtered probe defaults
+    * to nprobe=12: the filtered-search analogue of x3l's wider routing
+    * under frozen models, and the standard production response to
+    * selective filters (probe wider, or fall back to an exact scan of
+    * the predicate partition — which [[filteredCosineTopK]] IS).
+    */
+  val x3nFilteredIvf: Q = (spark, dir) => {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 10)
+    val brute = filteredCosineTopK(q, e, Seq("label"), 5)
+      .select(col("q_id"), col("vec_id"))
+    val ivf = ivfSearchFiltered(q, e, Seq("label"), k = 5)
+      .select(col("q_id"), col("vec_id"))
+    val hits = brute.join(ivf, Seq("q_id", "vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+    q.select(col("vec_id").as("q_id"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        (coalesce(col("n_hit"), lit(0L)) * 10 >= 30).as("recall_ok")) // ≥3/5
+      .orderBy(col("q_id"))
+  }
+  val x3nSql: String =
+    """SELECT vec_id AS q_id, true AS recall_ok
+      |FROM embeddings WHERE vec_id < 10 ORDER BY 1""".stripMargin
+
   // ---------------------------------------------------------- X3j IVF-PQ
   /** Product-quantization codebooks: split the 64-d space into `m`
     * subspaces of `dim/m` dims and Lloyd-fit `ksub` L2 centroids per
@@ -1008,6 +1125,8 @@ object Vectors {
     "x3f_ivf_recall" -> x3fIvfRecall,
     "x3j_pq_recall" -> x3jPqRecall,
     "x3l_incr_index" -> x3lIncrIndex,
+    "x3m_filtered_ann" -> x3mFilteredAnn,
+    "x3n_filtered_ivf" -> x3nFilteredIvf,
     "x5c_media_features" -> x5cMediaFeatures,
     "x3b_cosine_lsh" -> x3bCosineLsh,
     "x3c_embed_neardup" -> x3cEmbedNearDup,
@@ -1025,6 +1144,8 @@ object Vectors {
     "x3f_ivf_recall" -> x3fSql,
     "x3j_pq_recall" -> x3jSql,
     "x3l_incr_index" -> x3lSql,
+    "x3m_filtered_ann" -> x3mSql,
+    "x3n_filtered_ivf" -> x3nSql,
     "x3b_cosine_lsh" -> x3bSql,
     "x3c_embed_neardup" -> x3cSql,
     "x5_multimodal_join" -> x5Sql,

@@ -474,6 +474,59 @@ class TextVectorsSpec extends AnyFunSuite {
     }
   }
 
+  test("contamination fraction: full copies gate dirty, incidental overlap stays clean, short docs score 0") {
+    // bench doc 1; training docs: 10 = verbatim copy (frac 1), 11 = one
+    // shared 5-gram in a long doc (frac < 0.5 → clean under the severity
+    // rule though x7e's any-hit would flag it), 12 = disjoint, 13 = too
+    // short for any shingle
+    val bench = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, bench),
+      (10L, bench),
+      (11L, "alpha beta gamma delta epsilon x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12"),
+      (12L, "k1 k2 k3 k4 k5 k6 k7 k8"),
+      (13L, "too short")).toDF("doc_id", "text")
+    val out = Text.contaminationFraction(docs, Text.shingles(docs), benchMax = 5L)
+      .orderBy("doc_id")
+      .select("doc_id", "n_shingles", "n_hits", "dirty")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(out === Seq(
+      (10L, 4L, 4L, true),   // 8 tokens → 4 shingles, all in bench
+      (11L, 13L, 1L, false), // 17 tokens → 13 shingles, 1 shared
+      (12L, 4L, 0L, false),
+      (13L, 0L, 0L, false)))
+  }
+
+  test("filtered ANN: neighbors respect the label predicate; exact form matches a sequential reference") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val rows = e.select("vec_id", "label", "embedding")
+      .as[(Long, Int, Seq[Float])].collect()
+    val byId = rows.map(r => r._1 -> r).toMap
+    def dot(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+    val got = Vectors.x3mFilteredAnn(spark, TestSpark.sf)
+      .select("q_id", "rank", "vec_id").as[(Long, Int, Long)].collect()
+    assert(got.nonEmpty)
+    // every hit shares its query's label
+    assert(got.forall { case (q, _, v) => byId(q)._2 === byId(v)._2 })
+    // sequential reference: per query, top-3 among same-label rows
+    val expected = rows.filter(_._1 < 10).flatMap { case (q, lbl, qe) =>
+      rows.filter(r => r._2 == lbl && r._1 != q)
+        .map(r => (r._1, dot(qe, r._3)))
+        .sortBy { case (id, s) => (-s, id) }.take(3)
+        .zipWithIndex.map { case ((v, _), i) => (q, i + 1, v) }
+    }.toSet
+    assert(got.toSet === expected)
+    // the filtered-IVF scale path honors the same predicate and keeps
+    // the recall floor its oracle twin commits to
+    val ivf = Vectors.ivfSearchFiltered(
+      e.filter(col("vec_id") < 10), e, Seq("label"), k = 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+    assert(ivf.forall { case (q, v) => byId(q)._2 === byId(v)._2 })
+    val ok = Vectors.x3nFilteredIvf(spark, TestSpark.sf).collect()
+    assert(ok.nonEmpty && ok.forall(_.getBoolean(1)), "recall bound failed")
+  }
+
   test("x3g int8 quantization: every vector reconstructs within half a step") {
     val out = Vectors.x3gQuantize(spark, TestSpark.sf).collect()
     assert(out.length === Tables.embeddings(spark, TestSpark.sf).count())
