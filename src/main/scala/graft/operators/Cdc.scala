@@ -370,6 +370,105 @@ object Cdc {
       |WHERE rn = 1 AND op <> 'd'
       |ORDER BY id""".stripMargin
 
+  // ------------------------------- C19 snapshot diff → changelog export
+  /** Snapshot DIFF → changelog re-derivation (the replica as a
+    * PRODUCER): given the same table's materialized snapshot at two
+    * points, re-derive the net change events between them — `c` for
+    * keys born after the first, `d` for keys gone by the second, `u`
+    * for keys whose image changed (null-safe per column), no row for
+    * untouched keys. This closes the CDC loop in the producing
+    * direction: a consumer that materializes snapshots can re-publish
+    * a downstream changelog (the re-emission half of the Debezium
+    * ecosystem the reference sits in) without access to the upstream
+    * WAL, at the cost of collapsing intermediate states — the NET
+    * diff, the same semantics as an incremental-snapshot chunk. The
+    * output's `b_`/`a_` columns are exactly the envelope's
+    * before/after images, so `CdcSources.envelopeWire` can serialize
+    * the result straight back onto the wire.
+    *
+    * Scale: one full outer join keyed by PK — each side shuffles once
+    * (or not at all when both snapshots come bucketed from the same
+    * keyed store, the [[graft.streaming.PartitionedSnapshotStore]]
+    * layout), and the per-column null-safe comparison is codegen'd
+    * row work. Nothing concentrates; nothing is driver-side.
+    */
+  def snapshotDiff(prev: DataFrame, next: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val dataCols = next.columns.filterNot(keys.contains).toSeq
+    val p = prev.select(keys.map(col) ++
+      dataCols.map(c => col(c).as(s"b_$c")) :+ lit(1).as("__p"): _*)
+    val n = next.select(keys.map(col) ++
+      dataCols.map(c => col(c).as(s"a_$c")) :+ lit(1).as("__n"): _*)
+    val changed = dataCols.map(c => !(col(s"b_$c") <=> col(s"a_$c")))
+      .reduce(_ || _)
+    p.join(n, keys, "full")
+      .withColumn("op",
+        when(col("__p").isNull, lit("c"))
+          .when(col("__n").isNull, lit("d"))
+          .when(changed, lit("u")))
+      .filter(col("op").isNotNull)
+      .drop("__p", "__n")
+      .select(keys.map(col) ++ (col("op") +:
+        dataCols.flatMap(c => Seq(col(s"b_$c"), col(s"a_$c")))): _*)
+  }
+
+  val cdcSnapshotDiff: Q = (spark, dir) => {
+    val chg = changelog(spark, dir)
+    // the replica as of 60% of the stream vs the final replica — the
+    // same deterministic mid-stream cutoff idiom as cdc_tx_snapshot
+    val cutoff = chg.agg(expr("max(source.lsn) * 6 DIV 10").as("cutoff"))
+    val prev = snapshot(
+      chg.crossJoin(broadcast(cutoff))
+        .filter(col("source.lsn") <= col("cutoff")).drop("cutoff"))
+    snapshotDiff(prev, snapshot(chg), Seq("id")).orderBy(col("id"))
+  }
+  val cdcSnapshotDiffSql: String = changelogCte +
+    """,
+      |cut AS (SELECT (max(lsn) * 6) // 10 AS cutoff FROM chg),
+      |snap1 AS (SELECT id, a_fn, a_ln, a_em
+      | FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY lsn DESC) AS rn
+      |       FROM chg, cut WHERE lsn <= cutoff)
+      | WHERE rn = 1 AND op <> 'd'),
+      |snap2 AS (SELECT id, a_fn, a_ln, a_em
+      | FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY lsn DESC) AS rn
+      |       FROM chg)
+      | WHERE rn = 1 AND op <> 'd')
+      |SELECT coalesce(p.id, n.id) AS id,
+      | CASE WHEN p.id IS NULL THEN 'c' WHEN n.id IS NULL THEN 'd'
+      |  WHEN p.a_fn IS DISTINCT FROM n.a_fn OR p.a_ln IS DISTINCT FROM n.a_ln
+      |   OR p.a_em IS DISTINCT FROM n.a_em THEN 'u' END AS op,
+      | p.a_fn AS b_first_name, n.a_fn AS a_first_name,
+      | p.a_ln AS b_last_name, n.a_ln AS a_last_name,
+      | p.a_em AS b_email, n.a_em AS a_email
+      |FROM snap1 p FULL JOIN snap2 n ON p.id = n.id
+      |WHERE CASE WHEN p.id IS NULL THEN 'c' WHEN n.id IS NULL THEN 'd'
+      |  WHEN p.a_fn IS DISTINCT FROM n.a_fn OR p.a_ln IS DISTINCT FROM n.a_ln
+      |   OR p.a_em IS DISTINCT FROM n.a_em THEN 'u' END IS NOT NULL
+      |ORDER BY id""".stripMargin
+
+  /** Re-wrap a [[snapshotDiff]] result as a minimal envelope-shaped
+    * changelog (before/after structs, op, source.lsn) — the b_/a_
+    * columns ARE the envelope images, so the exported diff feeds every
+    * downstream consumer in this library (C4 folds, keyed stores,
+    * gates) unchanged: a replica can CHAIN from another replica's
+    * export with no upstream WAL access. Debezium conventions kept:
+    * inserts carry null `before`, deletes null `after`.
+    */
+  def diffAsChangelog(diff: DataFrame, keys: Seq[String],
+      lsn: Column): DataFrame = {
+    val dataCols = diff.columns.filter(_.startsWith("b_"))
+      .map(_.stripPrefix("b_")).toSeq
+    val beforeS = struct(keys.map(col) ++
+      dataCols.map(c => col(s"b_$c").as(c)): _*)
+    val afterS = struct(keys.map(col) ++
+      dataCols.map(c => col(s"a_$c").as(c)): _*)
+    diff.select(
+      when(col("op") === "c", lit(null)).otherwise(beforeS).as("before"),
+      when(col("op") === "d", lit(null)).otherwise(afterS).as("after"),
+      struct(lsn.cast("long").as("lsn")).as("source"),
+      col("op"))
+  }
+
   // ------------------------------- C14 multi-table consistent snapshot
   /** Envelope changelog for a SECOND captured table (`orders`), with
     * transactions SHARED with the customers changelog: order events for
@@ -1372,6 +1471,7 @@ object Cdc {
     "cdc_tx_blocks" -> cdcTxBlocks,
     "cdc_tx_total_order" -> cdcTxTotalOrder,
     "cdc_tx_snapshot" -> cdcTxSnapshot,
+    "cdc_snapshot_diff" -> cdcSnapshotDiff,
     "cdc_multitable_snapshot" -> cdcMultitableSnapshot,
     "cdc_snapshot_composite" -> cdcSnapshotComposite,
     "cdc_scd2" -> cdcScd2,
@@ -1394,6 +1494,7 @@ object Cdc {
     "cdc_tx_blocks" -> cdcTxBlocksSql,
     "cdc_tx_total_order" -> cdcTxTotalOrderSql,
     "cdc_tx_snapshot" -> cdcTxSnapshotSql,
+    "cdc_snapshot_diff" -> cdcSnapshotDiffSql,
     "cdc_multitable_snapshot" -> cdcMultitableSnapshotSql,
     "cdc_snapshot_composite" -> cdcSnapshotCompositeSql,
     "cdc_scd2" -> cdcScd2Sql,

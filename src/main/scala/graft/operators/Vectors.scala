@@ -362,6 +362,49 @@ object Vectors {
     """SELECT vec_id AS q_id, true AS recall_ok
       |FROM embeddings WHERE vec_id < 10 ORDER BY 1""".stripMargin
 
+  // -------------------------------------- X3o multi-vector doc retrieval
+  /** X3o — MULTI-VECTOR document retrieval (the late-interaction shape:
+    * long documents embed as a GROUP of chunk vectors, and a document's
+    * score against a query is the MAX similarity over its chunks —
+    * MaxSim, which with a single-vector query is exactly "the doc's
+    * best-matching passage"). Whole-doc single-vector retrieval dilutes
+    * a strong passage inside an average; chunk-max finds it. Here the
+    * chunk grouping is `vec_id DIV 8` (8 chunk vectors per document);
+    * the query's own document is excluded.
+    *
+    * Scale: aggregation-BEFORE-ranking — chunk similarities reduce
+    * map-side per (query, doc) (max is an ordinary partial agg), so
+    * the shuffle and the top-k window carry one row per (query, doc),
+    * never per chunk; the scoring itself is the broadcast-query brute
+    * pass (or any ANN path of this file — the MaxSim reduction
+    * composes with whichever candidate generator runs upstream).
+    */
+  val x3oMaxsimDocs: Q = (spark, dir) => {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 10)
+    val scored = bruteCandidates(q, e)
+      .withColumn("doc_id", expr("vec_id DIV 8"))
+      .filter(col("doc_id") =!= expr("q_id DIV 8"))
+      .groupBy(col("q_id"), col("doc_id")).agg(max(col("sim")).as("sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("doc_id"), col("sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+  val x3oSql: String =
+    s"""WITH sims AS (
+       | SELECT q.vec_id AS q_id, c.vec_id // 8 AS doc_id,
+       |  ${Portable.dotSql("q.embedding", "c.embedding", dim)} AS sim
+       | FROM embeddings q CROSS JOIN embeddings c
+       | WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+       |  AND c.vec_id // 8 <> q.vec_id // 8),
+       |agg AS (SELECT q_id, doc_id, max(sim) AS sim FROM sims GROUP BY 1, 2)
+       |SELECT q_id, CAST(row_number() OVER w AS INT) AS rank, doc_id, sim
+       |FROM agg WINDOW w AS (PARTITION BY q_id ORDER BY sim DESC, doc_id)
+       |QUALIFY rank <= 3
+       |ORDER BY q_id, rank""".stripMargin
+
   // ------------------------------------------------- X3m/X3n filtered ANN
   /** FILTERED similarity search — top-k under a metadata predicate (the
     * production "vector search with filters" shape: same-tenant,
@@ -1127,6 +1170,7 @@ object Vectors {
     "x3l_incr_index" -> x3lIncrIndex,
     "x3m_filtered_ann" -> x3mFilteredAnn,
     "x3n_filtered_ivf" -> x3nFilteredIvf,
+    "x3o_maxsim_docs" -> x3oMaxsimDocs,
     "x5c_media_features" -> x5cMediaFeatures,
     "x3b_cosine_lsh" -> x3bCosineLsh,
     "x3c_embed_neardup" -> x3cEmbedNearDup,
@@ -1146,6 +1190,7 @@ object Vectors {
     "x3l_incr_index" -> x3lSql,
     "x3m_filtered_ann" -> x3mSql,
     "x3n_filtered_ivf" -> x3nSql,
+    "x3o_maxsim_docs" -> x3oSql,
     "x3b_cosine_lsh" -> x3bSql,
     "x3c_embed_neardup" -> x3cSql,
     "x5_multimodal_join" -> x5Sql,

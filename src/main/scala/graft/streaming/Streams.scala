@@ -233,6 +233,55 @@ object Streams extends Serializable {
     }
   }
 
+  /** T19 — [[snapshotForeachBatch]] that also EXPORTS a downstream
+    * changelog: after each epoch commits version v, diff the committed
+    * live view against its predecessor
+    * ([[graft.operators.Cdc.snapshotDiff]]) and publish the net change
+    * events under `exportDir/b=<v>` — the replica becomes a PRODUCER,
+    * re-emitting c/u/d events per epoch with no access to the upstream
+    * WAL (the re-emission half of the CDC ecosystem; R4's wire sink
+    * serializes the exported images directly). The [[SnapshotStore]] GC
+    * grace window (current + predecessor) retains EXACTLY the version
+    * each epoch's diff needs, so export costs one keyed full-outer join
+    * per epoch and no extra retention.
+    *
+    * IDEMPOTENT REPLAY: the diff derives from strictly-before state
+    * (`readBefore`) and the batch's own merge, and overwrites its own
+    * `b=<v>` dir — a crash-replayed epoch re-exports identical events.
+    * Downstream convergence is the C19 producer contract, spec'd: the
+    * exported epochs, re-wrapped as an envelope changelog
+    * ([[graft.operators.Cdc.diffAsChangelog]], lsn = epoch) and folded
+    * by C4, reproduce the upstream live view exactly.
+    */
+  def snapshotForeachBatchExport(events: Dataset[CdcEvent],
+      snapshotRoot: String, exportDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[CdcEvent] = {
+    val spark = events.sparkSession
+    events.writeStream.foreachBatch { (batch: Dataset[CdcEvent], batchId: Long) =>
+      val incoming = graft.operators.Cdc.snapshotWithTombstones(batch.toDF)
+      val prior = SnapshotStore.readBefore(spark, snapshotRoot, batchId)
+      val next = mergeEpoch(prior, incoming)
+      SnapshotStore.commit(next, snapshotRoot, batchId)
+      def live(df: DataFrame) =
+        df.filter(col("live")).drop("live", "lsn")
+      val prevLive = prior.map(live)
+        .getOrElse(live(next).filter(lit(false)))
+      graft.operators.Cdc.snapshotDiff(prevLive, live(next), Seq("id"))
+        .write.mode("overwrite").parquet(s"$exportDir/b=$batchId")
+      ()
+    }
+  }
+
+  /** The exported changelog (every epoch's net events, epoch in `b`). */
+  def readChangelogExport(spark: org.apache.spark.sql.SparkSession,
+      exportDir: String): DataFrame = {
+    val dirs = bandBatchDirs(spark, exportDir)
+    require(dirs.nonEmpty, s"no exported epochs under $exportDir")
+    dirs.map { case (id, p) =>
+      spark.read.parquet(p).withColumn("b", lit(id)) }
+      .reduce(_ unionByName _)
+  }
+
   /** T6-merge — keyed-merge variant of [[snapshotForeachBatch]]: the
     * snapshot is hash-partitioned by key into `buckets` directories
     * ([[PartitionedSnapshotStore]]) and an epoch REWRITES ONLY the
@@ -831,6 +880,78 @@ object Streams extends Serializable {
       df.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1 && col("live")).drop("__rn")
     })
+
+  // ------------------------------- T20 durable streaming heavy hitters
+  /** T20 — heavy hitters over an UNBOUNDED token stream with O(k) state:
+    * each micro-batch reduces to a ≤(k−1)-counter Misra–Gries summary
+    * (the batch Aggregator, map-side combined — the vocabulary never
+    * shuffles), and the stored summary merges with the batch's under
+    * the mergeable-summaries rule — the SAME `merge` the Aggregator
+    * runs between partitions, so the stream path cannot drift from the
+    * batch path; it IS the batch code applied one level up. The MG
+    * theorem survives arbitrary merge trees: estimates only
+    * undercount, by at most N/k total, so every token with true count
+    * > N/k is present in the summary after ANY number of epochs —
+    * streaming-vocabulary tracking (hot URLs, emerging tokens) whose
+    * state stays ≤ k−1 counters forever.
+    *
+    * Durability is [[SnapshotStore]]'s pointer protocol (the T14
+    * discipline): the merged summary commits as version=batchId; a
+    * crash replay merges the batch's summary against strictly-before
+    * state (`readBefore`), so the running total N is never
+    * double-counted and the recommitted summary satisfies the same
+    * bound. (Replay idempotence is at the CONTRACT level, not the byte
+    * level: MG estimates are partition-order-dependent — the x4l
+    * documented property — and a replayed batch may repartition; the
+    * store's one-committed-summary-per-version makes the estimate
+    * variance invisible to readers.) The driver-side merge is the
+    * bounded-materialization tier by construction: ≤ 2(k−1) counters
+    * ever cross the wire.
+    *
+    * `tokens` must carry one string column `token`; the summary stores
+    * (token, cnt) plus the running total as `n_total` on every row.
+    */
+  def heavyHittersBatch(tokens: DataFrame, batchId: Long, root: String,
+      k: Int): Unit = {
+    val spark = tokens.sparkSession
+    import spark.implicits._
+    val agg = graft.functions.MisraGries.mg(k)
+    val batchSummary = tokens.select(col("token").as[String])
+      .select(agg.toColumn).head()
+    val batchN = tokens.count()
+    val (priorCounters, priorN) =
+      SnapshotStore.readBefore(spark, root, batchId) match {
+        case Some(df) =>
+          val rows = df.select(col("token"), col("cnt"), col("n_total"))
+            .as[(String, Long, Long)].collect()
+          (rows.map(r => r._1 -> r._2).toMap,
+            rows.headOption.map(_._3).getOrElse(0L))
+        case None => (Map.empty[String, Long], 0L)
+      }
+    val merged = agg.merge(
+      graft.functions.MisraGries.Buf(priorCounters),
+      graft.functions.MisraGries.Buf(batchSummary)).counters
+    val n = priorN + batchN
+    SnapshotStore.commit(
+      merged.toSeq.sortBy(_._1).toDF("token", "cnt")
+        .withColumn("n_total", lit(n)).coalesce(1),
+      root, batchId)
+  }
+
+  def heavyHittersStream(tokenStream: DataFrame, root: String, k: Int)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    tokenStream.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      heavyHittersBatch(batch.toDF, batchId, root, k)
+    }
+
+  /** The committed summary: (token, cnt) estimates + total stream count
+    * `n_total`. Estimates undercount by ≤ n_total/k in sum.
+    */
+  def readHeavyHitters(spark: org.apache.spark.sql.SparkSession,
+      root: String): DataFrame =
+    SnapshotStore.read(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed summary under $root"))
 
   // ------------------------------ T18 index generation retrain + cutover
   /** T18 — the ACTION the quantization-drift monitor

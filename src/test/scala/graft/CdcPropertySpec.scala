@@ -155,4 +155,31 @@ object CdcPropertySpec extends Properties("CdcSnapshot") {
         Prop(once == dup) :| s"dup delivery changed the snapshot"
       }
     }
+
+  /** C19 producer roundtrip: for ANY two random snapshots, applying the
+    * derived diff onto the first reproduces the second exactly, and the
+    * diff is MINIMAL (no row for an unchanged key).
+    */
+  property("snapshotDiff applied to prev reproduces next; unchanged keys emit nothing") = {
+    val genSnap: Gen[Map[Long, (String, String)]] = Gen.mapOfN(8,
+      Gen.zip(Gen.choose(1L, 12L),
+        Gen.zip(Gen.oneOf("a", "b", "c"), Gen.oneOf("x", "y"))))
+    forAll(genSnap, genSnap) { (prevM, nextM) =>
+      import spark.implicits._
+      def df(m: Map[Long, (String, String)]) =
+        m.toSeq.map { case (id, (f, e)) => (id, f, e) }.toDF("id", "fn", "em")
+      val diff = Cdc.snapshotDiff(df(prevM), df(nextM), Seq("id"))
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          Option(r.getString(3)), Option(r.getString(5)))).toSeq
+      // (id, op, a_fn, a_em)
+      val unchanged = prevM.keySet.intersect(nextM.keySet)
+        .filter(k => prevM(k) == nextM(k))
+      val minimal = diff.forall { case (id, _, _, _) => !unchanged(id) }
+      val applied = (prevM -- diff.map(_._1)) ++
+        diff.collect { case (id, op, Some(f), Some(e)) if op != "d" =>
+          id -> (f, e) }
+      Prop(minimal && applied == nextM) :|
+        s"diff=$diff applied=$applied next=$nextM"
+    }
+  }
 }

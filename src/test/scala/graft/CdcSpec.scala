@@ -504,4 +504,40 @@ class CdcSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(ivm === snap)
   }
+
+  test("snapshotDiff re-derives the net changelog: c/u/d per key, null-safe compare, untouched keys silent") {
+    val prev = Seq(
+      (1L, Some("a"), Some("e1")),         // unchanged → no row
+      (2L, Some("b"), Some("e2")),         // email changes → u
+      (4L, Some("d"), Some("e4")),         // gone in next → d
+      (5L, None: Option[String], Some("e5"))) // null fn gains a value → u
+      .toDF("id", "fn", "em")
+    val next = Seq(
+      (1L, Some("a"), Some("e1")),
+      (2L, Some("b"), Some("e2x")),
+      (3L, Some("c"), Some("e3")),         // born after prev → c
+      (5L, Some("z"), Some("e5")))
+      .toDF("id", "fn", "em")
+    val diff = Cdc.snapshotDiff(prev, next, Seq("id")).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)), Option(r.getString(4)),
+        Option(r.getString(3)), Option(r.getString(5)))).toSeq
+    // (id, op, b_fn, b_em, a_fn, a_em)
+    assert(diff === Seq(
+      (2L, "u", Some("b"), Some("e2"), Some("b"), Some("e2x")),
+      (3L, "c", None, None, Some("c"), Some("e3")),
+      (4L, "d", Some("d"), Some("e4"), None, None),
+      (5L, "u", None, Some("e5"), Some("z"), Some("e5"))))
+    // applying the diff onto prev reproduces next exactly (the producer
+    // contract: a downstream replica folding these events converges)
+    val applied = prev.join(
+        Cdc.snapshotDiff(prev, next, Seq("id")).select("id"),
+        Seq("id"), "left_anti")
+      .unionByName(
+        Cdc.snapshotDiff(prev, next, Seq("id")).filter(col("op") =!= "d")
+          .select(col("id"), col("a_fn").as("fn"), col("a_em").as("em")))
+      .as[(Long, Option[String], Option[String])].collect().toSet
+    assert(applied ===
+      next.as[(Long, Option[String], Option[String])].collect().toSet)
+  }
 }

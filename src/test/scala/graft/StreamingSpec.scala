@@ -379,6 +379,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(raw.length === 2 && !raw(1).getBoolean(1) && raw(1).getLong(2) === 311L)
   }
 
+  test("T19 changelog export: per-epoch net events, downstream fold converges, replay re-exports identical bytes") {
+    import graft.operators.Cdc
+    implicit val ctx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("exp").toString
+    val snap = s"$root/snap"; val out = s"$root/changelog"
+    val mem = MemoryStream[CdcEvent]
+    val q = Streams.snapshotForeachBatchExport(mem.toDS, snap, out)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt19").toString)
+      .start()
+    mem.addData(
+      CdcEvent(None, row(40, "a@x"), src(400), "c", 400),
+      CdcEvent(None, row(41, "b@x"), src(410), "c", 410))
+    q.processAllAvailable()
+    mem.addData(
+      CdcEvent(row(40, "a@x"), row(40, "a2@x"), src(401), "u", 401),
+      CdcEvent(row(41, "b@x"), None, src(411), "d", 411),
+      CdcEvent(None, row(42, "c@x"), src(420), "c", 420))
+    q.processAllAvailable(); q.stop()
+    // epoch 0 exports two creates; epoch 1 exports u(40), d(41), c(42)
+    val byEpoch = Streams.readChangelogExport(spark, out)
+      .select("b", "id", "op").as[(Long, Long, String)].collect().toSet
+    assert(byEpoch === Set(
+      (0L, 40L, "c"), (0L, 41L, "c"),
+      (1L, 40L, "u"), (1L, 41L, "d"), (1L, 42L, "c")))
+    // the producer contract: the exported epochs re-wrapped as an
+    // envelope changelog (lsn = epoch) and folded by C4 reproduce the
+    // upstream live view EXACTLY — a replica can chain from a replica
+    val chained = Cdc.diffAsChangelog(
+      Streams.readChangelogExport(spark, out), Seq("id"), col("b"))
+    val downstream = Cdc.materializeLatest(chained)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val upstream = Streams.readSnapshot(spark, snap)
+      .drop("live", "lsn").orderBy("id").collect().map(_.toSeq).toSeq
+    assert(downstream === upstream && downstream.nonEmpty)
+    // replaying the last epoch re-exports identical rows (readBefore
+    // still sees epoch 0 thanks to the GC grace window)
+    val before = Streams.readChangelogExport(spark, out)
+      .collect().map(_.toSeq).toSet
+    val replay = Seq(
+      CdcEvent(row(40, "a@x"), row(40, "a2@x"), src(401), "u", 401),
+      CdcEvent(row(41, "b@x"), None, src(411), "d", 411),
+      CdcEvent(None, row(42, "c@x"), src(420), "c", 420))
+    // drive the same batch id through the batch body
+    val incoming = Cdc.snapshotWithTombstones(replay.toDS.toDF)
+    val prior = SnapshotStore.readBefore(spark, snap, 1L)
+    val next = Streams.mergeEpoch(prior, incoming)
+    SnapshotStore.commit(next, snap, 1L)
+    def live(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("live")).drop("live", "lsn")
+    Cdc.snapshotDiff(live(prior.get), live(next), Seq("id"))
+      .write.mode("overwrite").parquet(s"$out/b=1")
+    val after = Streams.readChangelogExport(spark, out)
+      .collect().map(_.toSeq).toSet
+    assert(after === before, "replayed epoch changed the export")
+  }
+
   test("T6-merge keyed sink rewrites only touched partitions and matches the full-overwrite fold") {
     implicit val ctx = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("psnap").toString + "/snap"
@@ -1005,6 +1062,57 @@ class StreamingSpec extends AnyFunSuite {
     val recovered = Streams.readBandStore(spark, s"$dirC/bands")
       .select("doc_id", "band", "key").as[(Long, Int, String)].collect().toSet
     assert(recovered === preTorn)
+  }
+
+  test("T20 durable streaming heavy hitters: MG guarantee survives epochs, O(k) state, replay-idempotent") {
+    implicit val ctx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("hh").toString + "/mg"
+    val k = 5
+    // three batches; "hot" is heavy (60 of 125 > N/k = 25), "warm" is not;
+    // 40 distinct cold tokens pressure the k-1 counter budget every batch
+    def colds(lo: Int, hi: Int) = (lo until hi).map(i => s"cold$i")
+    val b0 = Seq.fill(25)("hot") ++ Seq.fill(10)("warm") ++ colds(0, 13)
+    val b1 = Seq.fill(20)("hot") ++ Seq.fill(10)("warm") ++ colds(13, 27)
+    val b2 = Seq.fill(15)("hot") ++ Seq.fill(5)("warm") ++ colds(27, 40)
+    val all = b0 ++ b1 ++ b2
+    val mem = MemoryStream[String]
+    val q = Streams.heavyHittersStream(mem.toDF.toDF("token"), root, k)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt20").toString)
+      .start()
+    mem.addData(b0: _*); q.processAllAvailable()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable(); q.stop()
+    val summary = Streams.readHeavyHitters(spark, root)
+      .as[(String, Long, Long)].collect()
+    val n = summary.head._3
+    assert(n === all.size.toLong)
+    assert(summary.length <= k - 1, s"state exceeded k-1: ${summary.length}")
+    val est = summary.map(r => r._1 -> r._2).toMap
+    val truth = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // the MG theorem, post-merge: every token with true count > N/k is
+    // present; estimates only undercount, by at most N/k
+    assert(est.contains("hot"), s"heavy token missing from $est")
+    est.foreach { case (t, e) =>
+      assert(e <= truth(t), s"$t overcounted: $e > ${truth(t)}")
+      assert(truth(t) - e <= n / k, s"$t undercount exceeds N/k")
+    }
+    // crash replay: the merge reads strictly-before state (readBefore,
+    // grace window), so N is NOT double-counted and the guarantee holds
+    // for the recommitted summary. (MG estimates are partition-order-
+    // dependent — x4l's documented property — so replay idempotence is
+    // at the CONTRACT level, not the byte level: same version, same N,
+    // same theorem; the store's one-committed-summary-per-version makes
+    // the estimate variance invisible to readers.)
+    Streams.heavyHittersBatch(b2.toDF("token"), 2L, root, k)
+    val replayed = Streams.readHeavyHitters(spark, root)
+      .as[(String, Long, Long)].collect()
+    assert(replayed.head._3 === n, "replay double-counted the stream")
+    assert(replayed.length <= k - 1)
+    assert(replayed.map(_._1).contains("hot"))
+    replayed.foreach { case (t, e, _) =>
+      assert(e <= truth(t) && truth(t) - e <= n / k)
+    }
   }
 
   test("T18 generation cutover: retrain swaps atomically, stream follows the pointer, grace window then gc, crash mid-build invisible") {

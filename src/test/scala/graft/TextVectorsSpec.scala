@@ -527,6 +527,23 @@ class TextVectorsSpec extends AnyFunSuite {
     assert(ok.nonEmpty && ok.forall(_.getBoolean(1)), "recall bound failed")
   }
 
+  test("max-sim doc retrieval: chunk-max scoring matches a sequential reference, own doc excluded") {
+    val rows = Tables.embeddings(spark, TestSpark.sf)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    def dot(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+    val expected = rows.filter(_._1 < 10).flatMap { case (qid, qe) =>
+      rows.filter(r => r._1 != qid && r._1 / 8 != qid / 8)
+        .groupBy(_._1 / 8).view
+        .mapValues(ms => ms.map(r => dot(qe, r._2)).max).toSeq
+        .sortBy { case (d, s) => (-s, d) }.take(3)
+        .zipWithIndex.map { case ((d, _), i) => (qid, i + 1, d) }
+    }.toSet
+    val got = Vectors.x3oMaxsimDocs(spark, TestSpark.sf)
+      .select("q_id", "rank", "doc_id").as[(Long, Int, Long)].collect().toSet
+    assert(got === expected && got.nonEmpty)
+  }
+
   test("x3g int8 quantization: every vector reconstructs within half a step") {
     val out = Vectors.x3gQuantize(spark, TestSpark.sf).collect()
     assert(out.length === Tables.embeddings(spark, TestSpark.sf).count())
