@@ -469,6 +469,167 @@ object Cdc {
       col("op"))
   }
 
+  // --------------------------- C20 replica reconciliation (audit + repair)
+  /** Order-independent bucket checksums over a materialized state — the
+    * replica-verification half of the CDC contract ("maintaining data
+    * replicas", reference README.md:62-63): a consumer that folds the
+    * changelog can silently diverge from the source (dropped events,
+    * torn restore, operator error), and the only scalable detector is a
+    * checksum pass, not a row-level compare. The pt-table-checksum /
+    * data-validation shape: each row canonicalizes to one string (null
+    * sentinel, '|' separators), hashes to a 60-bit integer (15 md5 hex
+    * digits — DuckDB-portable, XOR-safe under BIGINT), and buckets by an
+    * md5 hash of its key; per bucket the engine keeps only a row count
+    * and the XOR of the row hashes. XOR is commutative/associative, so
+    * the aggregation is map-side combined and partition-order
+    * independent — at 100 TB the pass is one full scan with an
+    * nBuckets-row shuffle, and the comparison with the source's
+    * checksum table moves nBuckets rows per side, not the tables.
+    */
+  def bucketChecksums(state: DataFrame, keys: Seq[String],
+      nBuckets: Int): DataFrame = {
+    val dataCols = state.columns.toSeq
+    val canon = concat_ws("|",
+      dataCols.map(c => coalesce(col(c).cast("string"), lit("\u0001"))): _*)
+    val keyCanon = concat_ws("|", keys.map(c => col(c).cast("string")): _*)
+    state
+      .withColumn("__kc", keyCanon)
+      .withColumn("__canon", canon)
+      .withColumn("bucket", expr(
+        s"CAST(conv(substr(md5(CAST(__kc AS BINARY)), 1, 8), 16, 10) AS BIGINT) % $nBuckets"))
+      .withColumn("__h", expr(
+        "CAST(conv(substr(md5(CAST(__canon AS BINARY)), 1, 15), 16, 10) AS BIGINT)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(__h)").as("checksum"))
+  }
+
+  /** Audit a replica against the source of truth: full outer join of the
+    * two nBuckets-row checksum tables → per bucket, both row counts and
+    * a match verdict. A bucket differing in ANY row (content or
+    * presence) mismatches: the XOR of 60-bit md5 hashes only collides if
+    * the differing rows' hashes cancel exactly. Buckets absent on one
+    * side read as 0 rows (a replica missing a whole key range still
+    * audits, it doesn't NPE).
+    */
+  def reconcileChecksums(src: DataFrame, replica: DataFrame,
+      keys: Seq[String], nBuckets: Int): DataFrame = {
+    val s = bucketChecksums(src, keys, nBuckets)
+      .withColumnRenamed("n_rows", "src_rows")
+      .withColumnRenamed("checksum", "src_sum")
+    val r = bucketChecksums(replica, keys, nBuckets)
+      .withColumnRenamed("n_rows", "rep_rows")
+      .withColumnRenamed("checksum", "rep_sum")
+    s.join(r, Seq("bucket"), "full")
+      .select(col("bucket"),
+        coalesce(col("src_rows"), lit(0L)).as("src_rows"),
+        coalesce(col("rep_rows"), lit(0L)).as("rep_rows"),
+        (coalesce(col("src_rows"), lit(0L)) === coalesce(col("rep_rows"), lit(0L)) &&
+          col("src_sum") <=> col("rep_sum")).as("is_match"))
+  }
+
+  private def withAuditBucket(df: DataFrame, keys: Seq[String],
+      nBuckets: Int): DataFrame =
+    df.withColumn("__kc",
+        concat_ws("|", keys.map(c => col(c).cast("string")): _*))
+      .withColumn("bucket", expr(
+        s"CAST(conv(substr(md5(CAST(__kc AS BINARY)), 1, 8), 16, 10) AS BIGINT) % $nBuckets"))
+      .drop("__kc")
+
+  /** The repair half: restrict BOTH states to the audit's mismatched
+    * buckets (a tiny bucket-id list, broadcast), then compute the exact
+    * per-key repair events with [[snapshotDiff]]. This is the chunked
+    * re-sync pattern: the row-level compare — the expensive part — scans
+    * only divergent buckets, so a replica that is 99.9% consistent
+    * repairs by reading 0.1% of the keyspace instead of re-snapshotting
+    * the table. The emitted diff rewraps via [[diffAsChangelog]] and
+    * folds back through C4, which is how the spec closes the loop
+    * (replica + repair ≡ source).
+    */
+  def repairFromAudit(src: DataFrame, replica: DataFrame, audit: DataFrame,
+      keys: Seq[String], nBuckets: Int): DataFrame = {
+    val bad = audit.filter(!col("is_match")).select(col("bucket"))
+    def restrict(df: DataFrame): DataFrame =
+      withAuditBucket(df, keys, nBuckets)
+        .join(broadcast(bad), Seq("bucket"), "left_semi")
+        .drop("bucket")
+    snapshotDiff(restrict(replica), restrict(src), keys)
+  }
+
+  /** C20 audit query: the replica lost every second-update event (op='u'
+    * at lsn ≡ 3 mod 100 — a consumer outage window), so keys with id % 9
+    * = 0 that survive to the final state diverge. 16-bucket audit; the
+    * oracle recomputes both folds, both checksum tables, and the
+    * verdicts — counts, XORs, and booleans all hash-exact cross-engine.
+    */
+  val cdcReplicaAudit: Q = (spark, dir) => {
+    val chg = changelog(spark, dir)
+    val lost = chg.filter(!(col("op") === "u" && col("source.lsn") % 100 === 3))
+    reconcileChecksums(snapshot(chg), snapshot(lost), Seq("id"), 16)
+      .orderBy(col("bucket"))
+  }
+  private def auditCs(src: String): String =
+    s"""SELECT bucket, CAST(count(*) AS BIGINT) AS n, bit_xor(h) AS s FROM (
+       | SELECT CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 AS bucket,
+       |  CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || '|' ||
+       |    coalesce(a_fn, chr(1)) || '|' || coalesce(a_ln, chr(1)) || '|' ||
+       |    coalesce(a_em, chr(1))), 1, 15)) AS BIGINT) AS h
+       | FROM $src) GROUP BY 1""".stripMargin
+  val cdcReplicaAuditSql: String = changelogCte +
+    s""",
+       |snap_src AS (SELECT id, a_fn, a_ln, a_em
+       | FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY lsn DESC) AS rn
+       |       FROM chg)
+       | WHERE rn = 1 AND op <> 'd'),
+       |snap_rep AS (SELECT id, a_fn, a_ln, a_em
+       | FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY lsn DESC) AS rn
+       |       FROM chg WHERE NOT (op = 'u' AND lsn % 100 = 3))
+       | WHERE rn = 1 AND op <> 'd'),
+       |cs_src AS (${auditCs("snap_src")}),
+       |cs_rep AS (${auditCs("snap_rep")})
+       |SELECT coalesce(s.bucket, r.bucket) AS bucket,
+       | coalesce(s.n, 0) AS src_rows, coalesce(r.n, 0) AS rep_rows,
+       | (coalesce(s.n, 0) = coalesce(r.n, 0)
+       |   AND s.s IS NOT DISTINCT FROM r.s) AS is_match
+       |FROM cs_src s FULL JOIN cs_rep r ON s.bucket = r.bucket
+       |ORDER BY bucket""".stripMargin
+
+  /** C20 repair query: the exact per-key repair events for the audit
+    * scenario above, computed only over mismatched buckets. Every repair
+    * here is an update (the lost events were updates), and the oracle is
+    * the UNRESTRICTED fold-vs-fold diff — equality proves the bucket
+    * restriction loses nothing.
+    */
+  val cdcReplicaRepair: Q = (spark, dir) => {
+    val chg = changelog(spark, dir)
+    val lost = chg.filter(!(col("op") === "u" && col("source.lsn") % 100 === 3))
+    val src = snapshot(chg)
+    val rep = snapshot(lost)
+    val audit = reconcileChecksums(src, rep, Seq("id"), 16)
+    repairFromAudit(src, rep, audit, Seq("id"), 16).orderBy(col("id"))
+  }
+  val cdcReplicaRepairSql: String = changelogCte +
+    """,
+      |snap_src AS (SELECT id, a_fn, a_ln, a_em
+      | FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY lsn DESC) AS rn
+      |       FROM chg)
+      | WHERE rn = 1 AND op <> 'd'),
+      |snap_rep AS (SELECT id, a_fn, a_ln, a_em
+      | FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY lsn DESC) AS rn
+      |       FROM chg WHERE NOT (op = 'u' AND lsn % 100 = 3))
+      | WHERE rn = 1 AND op <> 'd')
+      |SELECT coalesce(p.id, n.id) AS id,
+      | CASE WHEN p.id IS NULL THEN 'c' WHEN n.id IS NULL THEN 'd'
+      |  WHEN p.a_fn IS DISTINCT FROM n.a_fn OR p.a_ln IS DISTINCT FROM n.a_ln
+      |   OR p.a_em IS DISTINCT FROM n.a_em THEN 'u' END AS op,
+      | p.a_fn AS b_first_name, n.a_fn AS a_first_name,
+      | p.a_ln AS b_last_name, n.a_ln AS a_last_name,
+      | p.a_em AS b_email, n.a_em AS a_email
+      |FROM snap_rep p FULL JOIN snap_src n ON p.id = n.id
+      |WHERE CASE WHEN p.id IS NULL THEN 'c' WHEN n.id IS NULL THEN 'd'
+      |  WHEN p.a_fn IS DISTINCT FROM n.a_fn OR p.a_ln IS DISTINCT FROM n.a_ln
+      |   OR p.a_em IS DISTINCT FROM n.a_em THEN 'u' END IS NOT NULL
+      |ORDER BY id""".stripMargin
+
   // ------------------------------- C14 multi-table consistent snapshot
   /** Envelope changelog for a SECOND captured table (`orders`), with
     * transactions SHARED with the customers changelog: order events for
@@ -1472,6 +1633,8 @@ object Cdc {
     "cdc_tx_total_order" -> cdcTxTotalOrder,
     "cdc_tx_snapshot" -> cdcTxSnapshot,
     "cdc_snapshot_diff" -> cdcSnapshotDiff,
+    "cdc_replica_audit" -> cdcReplicaAudit,
+    "cdc_replica_repair" -> cdcReplicaRepair,
     "cdc_multitable_snapshot" -> cdcMultitableSnapshot,
     "cdc_snapshot_composite" -> cdcSnapshotComposite,
     "cdc_scd2" -> cdcScd2,
@@ -1495,6 +1658,8 @@ object Cdc {
     "cdc_tx_total_order" -> cdcTxTotalOrderSql,
     "cdc_tx_snapshot" -> cdcTxSnapshotSql,
     "cdc_snapshot_diff" -> cdcSnapshotDiffSql,
+    "cdc_replica_audit" -> cdcReplicaAuditSql,
+    "cdc_replica_repair" -> cdcReplicaRepairSql,
     "cdc_multitable_snapshot" -> cdcMultitableSnapshotSql,
     "cdc_snapshot_composite" -> cdcSnapshotCompositeSql,
     "cdc_scd2" -> cdcScd2Sql,

@@ -540,4 +540,47 @@ class CdcSpec extends AnyFunSuite {
     assert(applied ===
       next.as[(Long, Option[String], Option[String])].collect().toSet)
   }
+
+  test("C20 replica reconciliation: audit flags exactly the diverged buckets; bucket-restricted repair closes the loop") {
+    // upstream truth: 12 creates, updates on ids % 3 == 0, one delete
+    val all =
+      (1L to 12L).map(id => ev(id, "c", id * 100, None,
+        row(id, s"f$id", "l", s"$id@x"))) ++
+      Seq(3L, 6L, 9L, 12L).map(id => ev(id, "u", id * 100 + 1,
+        row(id, s"f$id", "l", s"$id@x"), row(id, s"F$id", "l", s"$id@x"))) ++
+      Seq(ev(9L, "d", 902 + 1, row(9L, "F9", "l", "9@x"), None))
+    val chg = all.toDS.toDF
+    // the replica's consumer dropped every update event
+    val rep = Cdc.snapshot(chg.filter(col("op") =!= "u"))
+    val srcState = Cdc.snapshot(chg)
+    val nB = 8
+    val audit = Cdc.reconcileChecksums(srcState, rep, Seq("id"), nB)
+    // diverged keys: 3, 6, 12 (9 was deleted on both sides)
+    val bucketOf = (Seq(3L, 6L, 12L).toDF("id")
+      .withColumn("b", expr(
+        s"CAST(conv(substr(md5(CAST(CAST(id AS STRING) AS BINARY)), 1, 8), 16, 10) AS BIGINT) % $nB"))
+      .select("b").as[Long].collect().toSet)
+    val flagged = audit.filter(!col("is_match")).select("bucket")
+      .as[Long].collect().toSet
+    assert(flagged === bucketOf)
+    // the repair equals the UNRESTRICTED state diff — restriction loses nothing
+    val repair = Cdc.repairFromAudit(srcState, rep, audit, Seq("id"), nB)
+    val fullDiff = Cdc.snapshotDiff(rep, srcState, Seq("id"))
+    assert(repair.orderBy("id").collect().toSeq ===
+      fullDiff.orderBy("id").collect().toSeq)
+    // applying the repair to the replica reproduces the source exactly
+    val repaired = rep.join(repair.select("id"), Seq("id"), "left_anti")
+      .unionByName(repair.filter(col("op") =!= "d").select(col("id"),
+        col("a_first_name").as("first_name"), col("a_last_name").as("last_name"),
+        col("a_email").as("email")))
+    assert(repaired.orderBy("id").collect().toSeq ===
+      srcState.orderBy("id").collect().toSeq)
+    val reAudit = Cdc.reconcileChecksums(srcState, repaired, Seq("id"), nB)
+    assert(reAudit.filter(!col("is_match")).count() === 0)
+    // a consistent replica audits clean and repairs to zero rows
+    val clean = Cdc.reconcileChecksums(srcState, srcState, Seq("id"), nB)
+    assert(clean.filter(!col("is_match")).count() === 0)
+    assert(Cdc.repairFromAudit(srcState, srcState, clean, Seq("id"), nB)
+      .count() === 0)
+  }
 }
