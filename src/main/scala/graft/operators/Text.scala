@@ -1404,7 +1404,111 @@ object Text {
       |FROM pd JOIN dq USING (bg) WHERE doc_id >= 50
       |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------ X4n BPE merge training
+  /** Byte-pair-encoding merge training (the subword-tokenizer learning
+    * step, Sennrich et al. 2016, arXiv:1508.07909) — learn the first
+    * `nMerges` merge rules from the corpus. Trains on the WORD-COUNT
+    * DICTIONARY, not the token stream: ONE corpus pass aggregates
+    * (word, count) — map-side combined, output bounded by vocabulary
+    * size, not corpus size — and is locally checkpointed; every
+    * iteration after that runs over the dictionary only (millions of
+    * rows at 100 TB, not the 100 TB). Per iteration: adjacent-symbol
+    * pair counts weighted by word count (one vocabulary-sized map-side
+    * combined aggregation), the argmax pair round-trips the driver as
+    * ONE row (the x3k centroid-loop discipline — the loop is driver
+    * control flow, rows never are), and the merge applies as a literal
+    * string replace over the delimited symbol sequence: every symbol
+    * is space-PREFIXED and semicolon-SUFFIXED (`[a, bb]` ⇒ `" a; bb;"`)
+    * and the merge rewrites `' l; r;' → ' lr;'`. Both delimiters are in
+    * the pattern, so a match anchors on whole symbols — `' a; b;'`
+    * cannot fire on `[a, bb]`, whose text is `" a; bb;"` (a bare
+    * space-prefix scheme DOES false-match there, eating the first `b`
+    * of `bb`) — and the consumed trailing `;` belongs to the matched
+    * symbol, so back-to-back occurrences still merge left-to-right
+    * non-overlapping, exactly BPE's application rule. DuckDB's
+    * `replace` scans identically, which is what makes the unrolled-CTE
+    * oracle hash-exact; symbols are [a-z0-9]+ (never a delimiter) and
+    * ASCII, so lexicographic tie-breaks are collation-safe.
+    */
+  def bpeMerges(spark: SparkSession, docs: DataFrame,
+      nMerges: Int): DataFrame = {
+    import spark.implicits._
+    val dict0 = docs
+      .select(explode(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), regexp_replace(col("word"), "(.)", " $1;").as("seq"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var cur = dict0
+    var exhausted = false
+    for (k <- 1 to nMerges if !exhausted) {
+      val top = cur
+        .withColumn("t", expr(
+          "transform(slice(split(seq, ' '), 2, size(split(seq, ' ')) - 1), " +
+            "s -> replace(s, ';', ''))"))
+        .select(col("cnt"), explode(expr(
+          "CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t) - 1), " +
+            "i -> struct(t[i-1] AS l, t[i] AS r)) " +
+            "ELSE CAST(array() AS ARRAY<STRUCT<l: STRING, r: STRING>>) END"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("pc"))
+        .orderBy(col("pc").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, pc) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((k, l, r, l + r, pc))
+        // symbols are [a-z0-9]+ — safe to inline in the SQL literal
+        cur = cur.withColumn("seq", expr(s"replace(seq, ' $l; $r;', ' $l$r;')"))
+      }
+    }
+    merges.toSeq.toDF("iteration", "left", "right", "merged", "pair_count")
+  }
+
+  val defaultBpeMerges = 12
+
+  val x4nBpeMerges: Q = (spark, dir) =>
+    bpeMerges(spark, Tables.documents(spark, dir), defaultBpeMerges)
+
+  /** Oracle twin: the full training loop unrolled as a CTE chain (the
+    * x3k pattern). Each iteration's dictionary is referenced twice
+    * (pair counting AND the next rewrite), so the carrier CTEs are
+    * `MATERIALIZED` — without it DuckDB inlines the chain and
+    * re-evaluates d0 2^N times.
+    */
+  val x4nSql: String = {
+    val parts = Seq(
+      """w AS (SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS word
+        |      FROM documents)""".stripMargin,
+      """d0 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS cnt,
+        |        regexp_replace(word, '(.)', ' \1;', 'g') AS seq
+        |       FROM w GROUP BY word)""".stripMargin) ++
+      (1 to defaultBpeMerges).flatMap { k => Seq(
+        s"""t$k AS MATERIALIZED (SELECT cnt, seq,
+           |        list_transform(string_split(seq, ' ')[2:],
+           |                       s -> replace(s, ';', '')) AS t
+           |       FROM d${k - 1})""".stripMargin,
+        s"""p$k AS (SELECT t[i] AS l, t[i+1] AS r, sum(cnt) AS pc
+           |       FROM (SELECT cnt, t, unnest(generate_series(1, len(t)-1)) AS i
+           |             FROM t$k)
+           |       GROUP BY 1, 2)""".stripMargin,
+        s"""m$k AS (SELECT $k AS iteration, l AS "left", r AS "right",
+           |        l || r AS merged, pc AS pair_count
+           |       FROM p$k ORDER BY pc DESC, l, r LIMIT 1)""".stripMargin,
+        s"""d$k AS (SELECT cnt, replace(seq, ' ' || "left" || '; ' || "right" || ';',
+           |         ' ' || merged || ';') AS seq
+           |       FROM t$k, m$k)""".stripMargin)
+      }
+    "WITH " + parts.mkString(",\n") + "\n" +
+      (1 to defaultBpeMerges).map(k => s"SELECT * FROM m$k")
+        .mkString(" UNION ALL ") +
+      " ORDER BY iteration"
+  }
+
   val queries: Map[String, Q] = Map(
+    "x4n_bpe_merges" -> x4nBpeMerges,
     "x7d_bigram_familiarity" -> x7dBigramFamiliarity,
     "x7e_decontamination" -> x7eDecontamination,
     "x7k_contam_fraction" -> x7kContamFraction,
@@ -1433,6 +1537,7 @@ object Text {
     "x4m_cms_bound" -> x4mCmsBound)
 
   val oracle: Map[String, String] = Map(
+    "x4n_bpe_merges" -> x4nSql,
     "x4g_domains" -> x4gSql,
     "x4h_novelty_growth" -> x4hSql,
     "x7d_bigram_familiarity" -> x7dSql,

@@ -206,4 +206,65 @@ object TextPropertySpec extends Properties("TextOps") {
         }) :| rows.mkString(";")
       }
     }
+
+  // ---------------------------------------------------------- X4n BPE
+  val genBpeWord: Gen[String] =
+    Gen.choose(1, 4).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString))
+  val genBpeCorpus: Gen[List[String]] = Gen.choose(1, 8).flatMap(n =>
+    Gen.listOfN(n, Gen.choose(1, 8).flatMap(m =>
+      Gen.listOfN(m, genBpeWord).map(_.mkString(" ")))))
+
+  /** Sequential Sennrich BPE over the word-count dictionary: count
+    * adjacent symbol pairs weighted by word count, take the (count desc,
+    * pair asc) argmax, merge left-to-right non-overlapping, repeat.
+    */
+  def bpeRef(texts: List[String], n: Int)
+      : List[(Int, String, String, String, Long)] = {
+    var dict: Map[List[String], Long] = texts
+      .flatMap(_.split(" ").filter(_.nonEmpty))
+      .groupBy(identity)
+      .map { case (w, xs) => w.map(_.toString).toList -> xs.size.toLong }
+    val out = scala.collection.mutable.ListBuffer
+      .empty[(Int, String, String, String, Long)]
+    var k = 1
+    var done = false
+    while (k <= n && !done) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      dict.foreach { case (toks, c) =>
+        toks.zip(toks.drop(1)).foreach(p =>
+          pairs(p) = pairs.getOrElse(p, 0L) + c)
+      }
+      if (pairs.isEmpty) done = true
+      else {
+        val ((l, r), pc) = pairs.toList
+          .sortBy { case ((l, r), c) => (-c, l, r) }.head
+        out += ((k, l, r, l + r, pc))
+        dict = dict.toList.map { case (toks, c) =>
+          val b = scala.collection.mutable.ListBuffer.empty[String]
+          var i = 0
+          while (i < toks.length) {
+            if (i < toks.length - 1 && toks(i) == l && toks(i + 1) == r) {
+              b += (l + r); i += 2
+            } else { b += toks(i); i += 1 }
+          }
+          b.toList -> c
+        }.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sum }
+        k += 1
+      }
+    }
+    out.toList
+  }
+
+  property("BPE merge training == sequential Sennrich reference on random corpora") =
+    forAll(genBpeCorpus, Gen.choose(1, 5)) { (texts, n) =>
+      val sp = spark
+      import sp.implicits._
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = Text.bpeMerges(sp, docs, n).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toList
+      got == bpeRef(texts, n)
+    }
 }
