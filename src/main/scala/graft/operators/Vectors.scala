@@ -537,15 +537,23 @@ object Vectors {
     */
   def pqCodebooks(corpus: DataFrame, m: Int, ksub: Int, iters: Int,
       fitSampleMax: Int = 100000): Array[Array[Array[Float]]] = {
-    // a non-divisor m would silently drop the trailing dim % m dimensions
-    // from every codebook, code, and ADC score — fail loudly instead
-    require(dim % m == 0, s"PQ subspace count m=$m must divide dim=$dim")
-    val sub = dim / m
     val sample: Array[Array[Float]] = corpus
       .select(col("vec_id"), col("embedding"))
       .orderBy(col("vec_id")).limit(fitSampleMax)
       .collect()
       .map(r => r.getSeq[Float](1).toArray)
+    fitSubspaceBooks(sample, m, ksub, iters)
+  }
+
+  /** Per-subspace L2 Lloyd fit shared by the raw ([[pqCodebooks]]) and
+    * residual ([[pqCodebooksResidual]]) PQ trainers.
+    */
+  private def fitSubspaceBooks(sample: Array[Array[Float]], m: Int,
+      ksub: Int, iters: Int): Array[Array[Array[Float]]] = {
+    // a non-divisor m would silently drop the trailing dim % m dimensions
+    // from every codebook, code, and ADC score — fail loudly instead
+    require(dim % m == 0, s"PQ subspace count m=$m must divide dim=$dim")
+    val sub = dim / m
     Array.tabulate(m) { j =>
       val xs = sample.map(_.slice(j * sub, (j + 1) * sub))
       var cents = xs.take(ksub).map(_.clone())
@@ -582,14 +590,15 @@ object Vectors {
     * array_position (first match — deterministic tie-break). Pure
     * per-row expression work: no shuffle, nothing leaves the executor.
     */
-  def pqEncode(vectors: DataFrame, codebooks: Array[Array[Array[Float]]]): DataFrame = {
+  def pqEncode(vectors: DataFrame, codebooks: Array[Array[Array[Float]]],
+      on: String = "embedding"): DataFrame = {
     val m = codebooks.length
     val sub = dim / m
     val codeCols = codebooks.zipWithIndex.map { case (book, j) =>
       val scores = array(book.map { c =>
         val half = c.map(x => x.toDouble * x.toDouble).sum / 2.0
         VectorFunctions.dotF32(
-          slice(col("embedding"), j * sub + 1, sub), typedlit(c.toSeq)) - lit(half)
+          slice(col(on), j * sub + 1, sub), typedlit(c.toSeq)) - lit(half)
       }: _*)
       val sc = s"__pq_s$j"
       (sc, scores)
@@ -733,15 +742,16 @@ object Vectors {
     * encoding costs, nothing more.
     */
   def pqReconstructionError(vectors: DataFrame,
-      books: Array[Array[Array[Float]]]): DataFrame = {
+      books: Array[Array[Array[Float]]],
+      on: String = "embedding"): DataFrame = {
     val m = books.length
     val sub = dim / m
-    val encoded = pqEncode(vectors, books)
+    val encoded = pqEncode(vectors, books, on)
     val errCols: Seq[Column] = books.toSeq.zipWithIndex.map { case (book, j) =>
       val bookLit = typedlit(book.map(_.toSeq).toSeq)
       aggregate(
         zip_with(
-          slice(col("embedding"), j * sub + 1, sub),
+          slice(col(on), j * sub + 1, sub),
           element_at(bookLit, element_at(col("codes"), j + 1) + 1),
           (v, c) => {
             val d = v.cast("double") - c.cast("double"); d * d
@@ -750,6 +760,161 @@ object Vectors {
     }
     encoded.withColumn("recon_err", errCols.reduce(_ + _))
   }
+
+  /** Residual-space twin of [[pqReconstructionError]]: ‖r − r̂‖² where
+    * r = v − c(v). Because v̂ = c + r̂, this IS the full-vector
+    * reconstruction error of the residual index — the drift monitor for
+    * X3p-encoded stores, same cost as encoding.
+    */
+  def pqReconstructionErrorResidual(vectors: DataFrame,
+      coarse: Array[Array[Float]],
+      books: Array[Array[Array[Float]]]): DataFrame =
+    pqReconstructionError(
+      assignCluster(vectors, coarse).withColumn("__resid", residCol(coarse)),
+      books, on = "__resid").drop("__resid")
+
+  // --------------------------------------- X3p residual IVF-PQ (FAISS form)
+  /** Residual PQ codebooks: fit the per-subspace quantizers on
+    * r = v − c(v) (each sample vector minus its nearest coarse
+    * centroid) instead of on raw vectors — the FAISS IndexIVFPQ
+    * default, and the reason it wins on clustered data: residuals
+    * concentrate near the origin with per-subspace variance bounded by
+    * WITHIN-cluster spread, so the same ksub entries quantize finer
+    * than raw-space books that must also span the BETWEEN-cluster
+    * layout. Codebooks are global (shared across clusters), which is
+    * what keeps the query-side ADC table cluster-independent. Same
+    * bounded deterministic driver sample as every other fit; coarse
+    * assignment uses the dot-product argmax so it matches
+    * [[assignCluster]] exactly.
+    */
+  def pqCodebooksResidual(corpus: DataFrame, coarse: Array[Array[Float]],
+      m: Int, ksub: Int, iters: Int,
+      fitSampleMax: Int = 100000): Array[Array[Array[Float]]] = {
+    val sample: Array[Array[Float]] = corpus
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(fitSampleMax)
+      .collect()
+      .map(r => r.getSeq[Float](1).toArray)
+    val resids = sample.map { v =>
+      var best = 0; var bestDot = Double.MinValue
+      for (c <- coarse.indices) {
+        var d = 0.0
+        for (i <- 0 until dim) d += v(i).toDouble * coarse(c)(i).toDouble
+        if (d > bestDot) { bestDot = d; best = c }
+      }
+      Array.tabulate(dim)(i => v(i) - coarse(best)(i))
+    }
+    fitSubspaceBooks(resids, m, ksub, iters)
+  }
+
+  /** The per-row residual v − c(cluster): float-exact elementwise
+    * subtraction against the broadcast centroid table.
+    */
+  private def residCol(coarse: Array[Array[Float]]): Column =
+    zip_with(col("embedding"),
+      element_at(typedlit(coarse.map(_.toSeq).toSeq), col("cluster") + 1),
+      (v, c) => v - c)
+
+  /** Residual-encode for the index store: coarse-assign, subtract the
+    * assigned centroid, PQ-encode the residual. Same stored row shape
+    * as [[encodeForIndex]] (cluster, vec_id, codes, embedding) — the
+    * T16 incremental maintainer and the staged-store protocol work
+    * unchanged over residual codes; only fit and search must agree on
+    * the residual convention.
+    */
+  def encodeForIndexResidual(vectors: DataFrame, coarse: Array[Array[Float]],
+      books: Array[Array[Array[Float]]]): DataFrame =
+    pqEncode(
+      assignCluster(vectors, coarse).withColumn("__resid", residCol(coarse)),
+      books, on = "__resid")
+      .select(col("cluster"), col("vec_id"), col("codes"), col("embedding"))
+
+  /** Residual IVF-PQ search. ADC still decomposes exactly:
+    * dot(q, x̂) = dot(q, c + r̂) = dot(q, c) + Σⱼ lut[j][codeⱼ] — the
+    * first term is the SAME per-cluster dot the routing pass already
+    * computes (carried through the probe explode instead of dropped),
+    * and the residual LUT is one m×ksub table per query, shared across
+    * probed clusters because codebooks are global. Identical scan
+    * bytes, shuffle shape, and re-rank as [[pqSearchIndex]]; the only
+    * new arithmetic is one add per candidate.
+    */
+  def pqSearchIndexResidual(queries: DataFrame, index: DataFrame,
+      coarse: Array[Array[Float]], books: Array[Array[Array[Float]]],
+      k: Int, nprobe: Int = 4, shortlist: Int = 200): DataFrame = {
+    val nlist = coarse.length
+    val m = books.length
+    val sub = dim / m
+    val qDots = coarse.map(c =>
+      VectorFunctions.dotF32(col("embedding"), typedlit(c.toSeq)))
+    val lut = array(books.zipWithIndex.map { case (book, j) =>
+      array(book.map(c => VectorFunctions.dotF32(
+        slice(col("embedding"), j * sub + 1, sub), typedlit(c.toSeq))): _*)
+    }: _*)
+    val probes = queries
+      .withColumn("__dots", array(qDots: _*))
+      .withColumn("__lut", lut)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("__lut").as("lut"),
+        explode(expr(
+          s"""transform(
+             | slice(array_sort(zip_with(__dots, sequence(0, ${nlist - 1}),
+             |   (d, i) -> struct(-d AS nd, i AS ci))), 1, $nprobe),
+             | s -> struct(s.ci AS cluster, -s.nd AS cdot))""".stripMargin))
+          .as("p"))
+      .select(col("q_id"), col("q_emb"), col("lut"),
+        col("p.cluster").as("cluster"), col("p.cdot").as("cdot"))
+    val wShort = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").desc, col("vec_id").asc)
+    val wFinal = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    broadcast(probes)
+      .join(index, Seq("cluster"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("q_emb"), col("vec_id"), col("embedding"),
+        (col("cdot") +
+          expr("aggregate(zip_with(codes, lut, (c, l) -> element_at(l, c + 1)), " +
+            "CAST(0.0 AS DOUBLE), (a, x) -> a + x)")).as("adc"))
+      .withColumn("srank", row_number().over(wShort))
+      .filter(col("srank") <= shortlist)
+      .select(col("q_id"), col("vec_id"),
+        VectorFunctions.dotF32(col("q_emb"), col("embedding")).as("sim"))
+      .withColumn("rank", row_number().over(wFinal)).filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("sim"))
+  }
+
+  /** Fit + encode + search in one call — the batch twin of the stored
+    * residual index.
+    */
+  def pqSearchResidual(queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
+      iters: Int = 3, shortlist: Int = 200): DataFrame = {
+    val coarse = kmeansCentroids(corpus, nlist, iters)
+    val books = pqCodebooksResidual(corpus, coarse, m, ksub, iters)
+    pqSearchIndexResidual(queries, encodeForIndexResidual(corpus, coarse, books),
+      coarse, books, k, nprobe, shortlist)
+  }
+
+  /** X3p — residual IVF-PQ's accuracy contract as an oracle-checked
+    * boolean (the x3j/x3f pattern): per query, recall@5 vs exact brute
+    * force ≥ 0.6, through the full residual fit → encode → route → ADC
+    * → re-rank pipeline.
+    */
+  val x3pPqResidualRecall: Q = (spark, dir) => {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 10)
+    val brute = cosineTopK(q, e, 5).select(col("q_id"), col("vec_id"))
+    val pq = pqSearchResidual(q, e, k = 5).select(col("q_id"), col("vec_id"))
+    val hits = brute.join(pq, Seq("q_id", "vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+    q.select(col("vec_id").as("q_id"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        (coalesce(col("n_hit"), lit(0L)) * 10 >= 30).as("recall_ok")) // ≥3/5
+      .orderBy(col("q_id"))
+  }
+  val x3pSql: String =
+    """SELECT vec_id AS q_id, true AS recall_ok
+      |FROM embeddings WHERE vec_id < 10 ORDER BY 1""".stripMargin
 
   /** X3j — the IVF-PQ accuracy contract as an oracle-checked boolean
     * (the x3f pattern): per query, recall@5 of the full
@@ -1167,6 +1332,7 @@ object Vectors {
     "x3e_cosine_ivf" -> x3eCosineIvf,
     "x3f_ivf_recall" -> x3fIvfRecall,
     "x3j_pq_recall" -> x3jPqRecall,
+    "x3p_pq_residual" -> x3pPqResidualRecall,
     "x3l_incr_index" -> x3lIncrIndex,
     "x3m_filtered_ann" -> x3mFilteredAnn,
     "x3n_filtered_ivf" -> x3nFilteredIvf,
@@ -1187,6 +1353,7 @@ object Vectors {
     "x3d_topk_agg" -> x3Sql, // same contract as x3 — value-identical by design
     "x3f_ivf_recall" -> x3fSql,
     "x3j_pq_recall" -> x3jSql,
+    "x3p_pq_residual" -> x3pSql,
     "x3l_incr_index" -> x3lSql,
     "x3m_filtered_ann" -> x3mSql,
     "x3n_filtered_ivf" -> x3nSql,

@@ -580,4 +580,45 @@ class TextVectorsSpec extends AnyFunSuite {
       assert(got === expected, s"parts=$parts")
     }
   }
+
+  test("x3p residual PQ: finer reconstruction than raw PQ on clustered data; codes stay in range") {
+    // 4 well-separated unit clusters in 64-d: block centers + small jitter.
+    // Raw codebooks must span the BETWEEN-cluster layout with the same 16
+    // entries the residual books spend entirely on within-cluster spread.
+    val rnd = new scala.util.Random(7)
+    val pts = for (c <- 0 until 4; i <- 0 until 60) yield {
+      val raw = Array.tabulate(64) { d =>
+        val base = if (d / 16 == c) 0.25f else 0.0f
+        base + (rnd.nextFloat() - 0.5f) * 0.1f
+      }
+      val n = math.sqrt(raw.map(x => x.toDouble * x).sum).toFloat
+      ((c * 60 + i).toLong, raw.map(_ / n))
+    }
+    val corpus = pts.toDF("vec_id", "embedding")
+    val coarse = Vectors.kmeansCentroids(corpus, 4, 3)
+    val rawBooks = Vectors.pqCodebooks(corpus, 8, 16, 3)
+    val resBooks = Vectors.pqCodebooksResidual(corpus, coarse, 8, 16, 3)
+    val rawErr = Vectors.pqReconstructionError(corpus, rawBooks)
+      .agg(avg(col("recon_err"))).head.getDouble(0)
+    val resErr = Vectors.pqReconstructionErrorResidual(corpus, coarse, resBooks)
+      .agg(avg(col("recon_err"))).head.getDouble(0)
+    assert(resErr < rawErr,
+      s"residual mean recon err $resErr should beat raw $rawErr on clustered data")
+    // stored-index row invariants: m codes, each a valid codebook id
+    val enc = Vectors.encodeForIndexResidual(corpus, coarse, resBooks)
+    assert(enc.filter(size(col("codes")) =!= 8).count() === 0)
+    assert(enc.filter(exists(col("codes"),
+      c => c < 0 || c >= 16)).count() === 0)
+    // served result: residual search finds the planted nearest neighbor
+    // (each vector's own cluster-mates dominate) for every probe
+    val q = corpus.filter(col("vec_id") % 60 === 0)
+    val got = Vectors.pqSearchIndexResidual(q, enc, coarse, resBooks,
+        k = 5, nprobe = 2, shortlist = 50)
+      .filter(col("rank") === 1)
+      .select(col("q_id"), col("vec_id")).collect()
+    got.foreach { r =>
+      assert(r.getLong(0) / 60 === r.getLong(1) / 60,
+        s"top hit for ${r.getLong(0)} left its cluster: ${r.getLong(1)}")
+    }
+  }
 }
