@@ -345,6 +345,35 @@ object Relational {
       |   <= count(DISTINCT user_id) * 5 AS within_5pct
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Q9d — the DataSketches HLL surface (`hll_sketch_agg` /
+    * `hll_union_agg` / `hll_sketch_estimate`), distinct from q9b/q9c's
+    * HyperLogLog++ `approx_count_distinct`: here the SKETCH is a
+    * first-class mergeable value. Eight shard-level sketches union to
+    * the corpus estimate without touching a row again — the
+    * mergeable-summaries property the durable streaming distinct count
+    * (T21) commits through the versioned store. Exact distinct + the 5%
+    * accuracy bound checked cross-engine (the q9c boolean pattern; at
+    * lgK=12 the expected error is ~1.6%).
+    */
+  val q9dHllUnionBound: Q = (spark, dir) => {
+    val e = Tables.events(spark, dir)
+    val approx = e
+      .withColumn("shard", pmod(col("event_id"), lit(8)))
+      .groupBy(col("shard"))
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      .agg(expr("CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT)")
+        .as("approx"))
+    e.agg(countDistinct(col("user_id")).as("n_exact"))
+      .crossJoin(approx)
+      .select(col("n_exact"),
+        (abs(col("approx") - col("n_exact")) * 100 <= col("n_exact") * 5)
+          .as("within_5pct"))
+  }
+  val q9dSql: String =
+    """SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+      | true AS within_5pct
+      |FROM events""".stripMargin
+
   /** Approximate percentile (Spark: KLL-style quantile summaries; DuckDB:
     * t-digest) with the accuracy contract checked as a cross-engine
     * boolean, like q9c/x3f: each engine's own sketch must land within 5%
@@ -1136,6 +1165,7 @@ object Relational {
     "q8e_approx_pct_bound" -> q8eApproxPercentileBound,
     "q8f_quantile_rank_bound" -> q8fQuantileRankBound,
     "q9c_approx_bound" -> q9cApproxBound,
+    "q9d_hll_union_bound" -> q9dHllUnionBound,
     "q10_rollup" -> q10Rollup,
     "q10b_cube" -> q10bCube,
     "q11_window_rank" -> q11WindowRank,
@@ -1184,6 +1214,7 @@ object Relational {
     "q8_agg_stats" -> q8Sql,
     "q9_distinct" -> q9Sql,
     "q9c_approx_bound" -> q9cSql,
+    "q9d_hll_union_bound" -> q9dSql,
     "q10_rollup" -> q10Sql,
     "q10b_cube" -> q10bSql,
     "q11_window_rank" -> q11Sql,

@@ -953,6 +953,80 @@ object Streams extends Serializable {
     SnapshotStore.read(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed summary under $root"))
 
+  // ---------------------- T21 durable streaming distinct count (HLL union)
+  /** T21 — durable approximate distinct counting over an unbounded
+    * stream: the T20 shape with a DataSketches HLL sketch as the
+    * mergeable summary (Spark's `hll_sketch_agg` / `hll_union` /
+    * `hll_sketch_estimate`, the SPARK-16484 lineage). Per batch, ONE
+    * codegen'd aggregation pass reduces the increment to a ≤ ~2^lgK-byte
+    * sketch (internally merged map-side under the same union rule), and
+    * the committed sketch merges with it through the versioned store's
+    * pointer protocol — state is O(2^lgK) bytes forever, the classic
+    * "how many distinct users/tokens/URLs has this stream ever seen"
+    * without storing the key set. Replay derives from strictly-before
+    * state (`readBefore`), and — unlike T20's partition-order-dependent
+    * MG estimates — HLL register merges are order-insensitive, so a
+    * replayed batch recommits a BYTE-identical sketch. The q9d oracle
+    * query is the batch twin of exactly this union rule.
+    */
+  def distinctCountBatch(items: DataFrame, batchId: Long, root: String,
+      itemCol: String = "item", lgK: Int = 12): Unit = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    val batchSk: Option[Array[Byte]] = Option(
+      items.select(expr(s"hll_sketch_agg(`$itemCol`, $lgK)").as("sk"))
+        .head().getAs[Array[Byte]]("sk"))
+    val priorSk: Option[Array[Byte]] =
+      SnapshotStore.readBefore(spark, root, batchId)
+        .flatMap(_.collect().headOption)
+        .flatMap(r => Option(r.getAs[Array[Byte]]("sketch")))
+    val merged: Option[Array[Byte]] = (priorSk, batchSk) match {
+      case (Some(p), Some(b)) =>
+        // one-row plan: the union itself is the engine's own expression,
+        // not a reimplementation
+        Some(Seq((p, b)).toDF("a", "b")
+          .select(expr("hll_union(a, b)").as("u"))
+          .head().getAs[Array[Byte]]("u"))
+      case (p, b) => b.orElse(p)
+    }
+    SnapshotStore.commit(
+      merged.map(m => Seq(Tuple1(m)).toDF("sketch"))
+        .getOrElse(Seq.empty[Tuple1[Array[Byte]]].toDF("sketch"))
+        .coalesce(1),
+      root, batchId)
+  }
+
+  def distinctCountStream(itemStream: DataFrame, root: String,
+      itemCol: String = "item", lgK: Int = 12)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    itemStream.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      distinctCountBatch(batch.toDF, batchId, root, itemCol, lgK)
+    }
+
+  /** The committed estimate (0 for a never-fed stream). Relative error
+    * ~1.04/√2^lgK (≈1.6% at the default lgK=12).
+    */
+  def readDistinctCount(spark: org.apache.spark.sql.SparkSession,
+      root: String): Long =
+    SnapshotStore.read(spark, root) match {
+      case Some(df) if !df.isEmpty =>
+        df.select(expr("CAST(hll_sketch_estimate(sketch) AS BIGINT)").as("n"))
+          .head().getLong(0)
+      case _ => 0L
+    }
+
+  /** The raw committed sketch bytes — for the replay byte-identity
+    * contract and for cross-store unions (a fleet of per-shard streams
+    * each committing its own sketch unions into a global count with
+    * `hll_union_agg`, no re-scan).
+    */
+  def readDistinctSketch(spark: org.apache.spark.sql.SparkSession,
+      root: String): Option[Array[Byte]] =
+    SnapshotStore.read(spark, root)
+      .flatMap(_.collect().headOption)
+      .flatMap(r => Option(r.getAs[Array[Byte]]("sketch")))
+
   // ------------------------------ T18 index generation retrain + cutover
   /** T18 — the ACTION the quantization-drift monitor
     * ([[graft.operators.Vectors.pqReconstructionError]]) schedules: when

@@ -1115,6 +1115,44 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("T21 durable streaming distinct count: HLL union across epochs, O(sketch) state, replay byte-identical, empty batch no-op") {
+    implicit val ctx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("hll").toString + "/dc"
+    // overlapping epochs: 80 distinct items ever seen
+    val b0 = (0 until 40).map(i => s"u$i")
+    val b1 = (20 until 60).map(i => s"u$i")
+    val b2 = (50 until 80).map(i => s"u$i")
+    val mem = MemoryStream[String]
+    val q = Streams.distinctCountStream(mem.toDF.toDF("item"), root)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt21").toString)
+      .start()
+    mem.addData(b0: _*); q.processAllAvailable()
+    val est0 = Streams.readDistinctCount(spark, root)
+    mem.addData(b1: _*); q.processAllAvailable()
+    val est1 = Streams.readDistinctCount(spark, root)
+    mem.addData(b2: _*); q.processAllAvailable(); q.stop()
+    val est2 = Streams.readDistinctCount(spark, root)
+    // distinct-count estimates are monotone across epochs and within the
+    // 5% bound (at these cardinalities the sketch is in its exact regime)
+    assert(est0 <= est1 && est1 <= est2)
+    assert(math.abs(est2 - 80L) * 100 <= 80L * 5, s"estimate $est2 off 80")
+    // replay of the last batch derives from strictly-before state: the
+    // recommitted sketch is BYTE-identical (HLL register merges are
+    // order-insensitive, unlike T20's MG counters)
+    val before = Streams.readDistinctSketch(spark, root).get
+    Streams.distinctCountBatch(b2.toDF("item"), 2L, root)
+    val after = Streams.readDistinctSketch(spark, root).get
+    assert(java.util.Arrays.equals(before, after), "replay changed the sketch")
+    assert(Streams.readDistinctCount(spark, root) === est2)
+    // an empty batch commits the carried state unchanged
+    Streams.distinctCountBatch(
+      spark.emptyDataset[String].toDF("item"), 3L, root)
+    assert(java.util.Arrays.equals(
+      Streams.readDistinctSketch(spark, root).get, after))
+    assert(Streams.readDistinctCount(spark, root) === est2)
+  }
+
   test("T18 generation cutover: retrain swaps atomically, stream follows the pointer, grace window then gc, crash mid-build invisible") {
     import graft.operators.Vectors
     implicit val ctx = spark.sqlContext
