@@ -150,6 +150,42 @@ object PartitionedSnapshotStore {
       else Some(readVintages(spark, paths))
     }
 
+  /** Point lookup — the replica SERVING path ("maintaining data
+    * replicas", the reference's own motivation): resolve the committed
+    * rows for a bounded key set by reading ONLY the buckets those keys
+    * hash to. The store's layout IS the index: the key recomputes its
+    * bucket with the same persisted modulus every writer used (which is
+    * why `_BUCKETS` is load-bearing, [[ensureBucketCount]]), so a keyed
+    * GET against a 16k-bucket 100 TB replica opens one bucket's latest
+    * version directory — a directory listing plus a few file reads —
+    * instead of scanning the table. `keys` must be a BOUNDED lookup set
+    * (that is what a point lookup is); its distinct buckets round-trip
+    * the driver to prune the path list, then the stored rows semi-join
+    * the broadcast key set so only matching keys survive. Tombstone
+    * rows (live=false) are returned as stored — the caller applies the
+    * same fold-then-filter its full-read path uses.
+    */
+  def lookup(spark: SparkSession, root: String, keys: DataFrame,
+      keyCols: Seq[String]): Option[DataFrame] = {
+    val n = bucketCount(spark, root).getOrElse(
+      throw new IllegalStateException(s"no _BUCKETS under $root"))
+    val wanted: Set[Int] = keys
+      .select(bucketOfKeys(keyCols.map(keys(_)), n).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    SnapshotStore.latestVersion(spark, root).flatMap { e =>
+      val paths = listBuckets(spark, root).filter(wanted)
+        .flatMap { b =>
+          bucketVersions(spark, root, b).filter(_ <= e).maxOption
+            .map(v => versionDir(root, b, v).toString)
+        }
+      if (paths.isEmpty) None
+      else Some(readVintages(spark, paths)
+        .join(org.apache.spark.sql.functions.broadcast(
+          keys.select(keyCols.map(keys(_)): _*).distinct()),
+          keyCols, "left_semi"))
+    }
+  }
+
   /** The store's key→bucket modulus is LOAD-BEARING for correctness: a
     * key's prior row is found by recomputing its bucket, so every writer
     * across the store's lifetime must use the same count. It is persisted

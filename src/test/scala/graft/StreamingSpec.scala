@@ -491,6 +491,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(live.find(_.getLong(0) == 4L).get.getString(4) === "e4b@x")
   }
 
+  test("store point lookup touches only the keys' buckets: every other bucket can vanish mid-serve") {
+    import spark.implicits._
+    import graft.streaming.PartitionedSnapshotStore
+    val root = java.nio.file.Files.createTempDirectory("plookup").toString + "/s"
+    val n = 8
+    PartitionedSnapshotStore.ensureBucketCount(spark, root, n)
+    def df(rows: (Long, String)*) = rows.toDF("id", "v")
+      .withColumn(PartitionedSnapshotStore.bucketColName,
+        PartitionedSnapshotStore.bucketOf(col("id"), n))
+    PartitionedSnapshotStore.commit(
+      df((0 until 32).map(i => (i.toLong, s"v$i")): _*), root, 0L)
+    // epoch 1 rewrites two keys — lookup must serve the latest version
+    PartitionedSnapshotStore.commit(df((5L, "v5b"), (13L, "v13b")), root, 1L)
+    def get(ids: Long*): Seq[(Long, String)] =
+      PartitionedSnapshotStore.lookup(spark, root, ids.toDF("id"), Seq("id"))
+        .map(_.select("id", "v").orderBy("id").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSeq)
+        .getOrElse(Seq.empty)
+    assert(get(5L, 12L) === Seq((5L, "v5b"), (12L, "v12")))
+    // equals the full-read path filtered to the same keys
+    val full = PartitionedSnapshotStore.read(spark, root).get
+      .filter(col("id").isin(5L, 12L)).select("id", "v").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(get(5L, 12L) === full)
+    // pruning proof: physically delete every bucket EXCEPT 5 and 12's
+    // (ids are single numeric keys, so bucket = id mod n) — the lookup
+    // result is unchanged because those directories were never read
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    val keep = Set((5L % n).toInt, (12L % n).toInt)
+    (0 until n).filterNot(keep).foreach { b =>
+      val d = new java.io.File(s"$root/p=$b")
+      if (d.exists()) rm(d)
+    }
+    assert(get(5L, 12L) === Seq((5L, "v5b"), (12L, "v12")))
+    // a key whose bucket is gone simply doesn't appear — no error
+    assert(get(5L, 999L) === Seq((5L, "v5b")))
+  }
+
   test("partitioned commit protocol: staged buckets above the pointer stay invisible until the epoch commits") {
     import spark.implicits._
     import graft.streaming.PartitionedSnapshotStore
