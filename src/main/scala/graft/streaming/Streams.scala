@@ -1027,6 +1027,85 @@ object Streams extends Serializable {
       .flatMap(_.collect().headOption)
       .flatMap(r => Option(r.getAs[Array[Byte]]("sketch")))
 
+  // ------------------- T22 durable streaming frequency oracle (CMS merge)
+  /** T22 — durable point-frequency estimation, completing the streaming
+    * sketch tier: MG heavy hitters undercount-bounded (T20), HLL
+    * distinct counts (T21), and now a Count–Min grid answering "how
+    * often has item x occurred on this stream, ever" for ANY x, with
+    * the x4m overcount-only contract (est ≥ true; est ≤ true + ε·N
+    * w.h.p.) surviving every merge — CMS merge is elementwise counter
+    * addition, so the committed grid after any epoch sequence equals
+    * the single-pass grid over the concatenated stream EXACTLY. Per
+    * batch: one codegen'd `count_min_sketch` aggregation (map-side
+    * merged), then the committed ~10 KB sketch merges with the batch's
+    * via Spark's own `CountMinSketch.mergeInPlace` (same eps/confidence/
+    * seed ⇒ same grid shape — the store carries one sketch config for
+    * its lifetime, like `_BUCKETS`). Replay derives from strictly-before
+    * state and counter addition is deterministic, so a re-delivered
+    * batch recommits BYTE-identical state (the T21 contract, stronger
+    * than T20's). Reads probe the grid with the codegen'd `cms_probe`
+    * expression — the sketch is a plan literal, no broadcast, no join.
+    */
+  def cmsBatch(items: DataFrame, batchId: Long, root: String,
+      itemCol: String = "item", eps: Double = 0.01,
+      confidence: Double = 0.99, seed: Int = 42): Unit = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    val batchSk: Option[Array[Byte]] = Option(
+      items.agg(count_min_sketch(col(itemCol), lit(eps), lit(confidence),
+        lit(seed)).as("s")).head().getAs[Array[Byte]]("s"))
+    val priorSk: Option[Array[Byte]] =
+      SnapshotStore.readBefore(spark, root, batchId)
+        .flatMap(_.collect().headOption)
+        .flatMap(r => Option(r.getAs[Array[Byte]]("sketch")))
+    val merged: Option[Array[Byte]] = (priorSk, batchSk) match {
+      case (Some(p), Some(b)) =>
+        val acc = org.apache.spark.util.sketch.CountMinSketch.readFrom(p)
+        acc.mergeInPlace(
+          org.apache.spark.util.sketch.CountMinSketch.readFrom(b))
+        val bos = new java.io.ByteArrayOutputStream()
+        acc.writeTo(bos)
+        Some(bos.toByteArray)
+      case (p, b) => b.orElse(p)
+    }
+    SnapshotStore.commit(
+      merged.map(m => Seq(Tuple1(m)).toDF("sketch"))
+        .getOrElse(Seq.empty[Tuple1[Array[Byte]]].toDF("sketch"))
+        .coalesce(1),
+      root, batchId)
+  }
+
+  def cmsStream(itemStream: DataFrame, root: String,
+      itemCol: String = "item", eps: Double = 0.01,
+      confidence: Double = 0.99, seed: Int = 42)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    itemStream.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      cmsBatch(batch.toDF, batchId, root, itemCol, eps, confidence, seed)
+    }
+
+  /** Probe the committed grid for each row of `probes`: adds an `est`
+    * column via the codegen'd `cms_probe` expression (grid as plan
+    * literal — the probe side can be a billion-row vocabulary, nothing
+    * broadcasts or joins). A never-fed store estimates 0 everywhere.
+    */
+  def readCmsEstimates(spark: org.apache.spark.sql.SparkSession,
+      root: String, probes: DataFrame,
+      itemCol: String = "item"): DataFrame =
+    readCmsSketch(spark, root) match {
+      case Some(bytes) =>
+        val grid = graft.functions.CountMinProbe.parse(bytes)
+        probes.withColumn("est",
+          graft.functions.CountMinProbe.probe(grid, col(itemCol)))
+      case None => probes.withColumn("est", lit(0L))
+    }
+
+  def readCmsSketch(spark: org.apache.spark.sql.SparkSession,
+      root: String): Option[Array[Byte]] =
+    SnapshotStore.read(spark, root)
+      .flatMap(_.collect().headOption)
+      .flatMap(r => Option(r.getAs[Array[Byte]]("sketch")))
+
   // ------------------------------ T18 index generation retrain + cutover
   /** T18 — the ACTION the quantization-drift monitor
     * ([[graft.operators.Vectors.pqReconstructionError]]) schedules: when

@@ -1194,6 +1194,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(Streams.readDistinctCount(spark, root) === est2)
   }
 
+  test("T22 durable streaming CMS: merged grid == single-pass grid, x4m bounds hold after epochs, replay byte-identical") {
+    implicit val ctx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("cms").toString + "/fq"
+    val eps = 0.1 // width 28 < vocabulary so collisions are exercised
+    def colds(lo: Int, hi: Int) = (lo until hi).map(i => s"c$i")
+    val b0 = Seq.fill(30)("hot") ++ Seq.fill(8)("warm") ++ colds(0, 20)
+    val b1 = Seq.fill(25)("hot") ++ colds(20, 40)
+    val b2 = Seq.fill(12)("warm") ++ colds(40, 60)
+    val all = b0 ++ b1 ++ b2
+    val mem = MemoryStream[String]
+    val q = Streams.cmsStream(mem.toDF.toDF("item"), root, eps = eps)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt22").toString)
+      .start()
+    mem.addData(b0: _*); q.processAllAvailable()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable(); q.stop()
+    // CMS merge is counter addition: the committed grid after three
+    // epochs equals ONE count_min_sketch pass over the whole stream
+    val single = all.toDF("item")
+      .agg(count_min_sketch(col("item"), lit(eps), lit(0.99), lit(42)).as("s"))
+      .head().getAs[Array[Byte]]("s")
+    val committed = Streams.readCmsSketch(spark, root).get
+    assert(java.util.Arrays.equals(committed, single),
+      "merged epochs diverged from the single-pass sketch")
+    // the x4m contract on the durable grid: no undercount, overcount
+    // bounded by 2 eps N for every distinct item; an absent item probes >= 0
+    val truth = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = all.size.toLong
+    val probes = (truth.keySet + "never_seen").toSeq.sorted.toDF("item")
+    val est = Streams.readCmsEstimates(spark, root, probes)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    truth.foreach { case (t, c) =>
+      assert(est(t) >= c, s"$t undercounted: ${est(t)} < $c")
+      assert(est(t) - c <= (2 * eps * n).toLong, s"$t overcount unbounded")
+    }
+    assert(est("never_seen") >= 0L)
+    // replay: strictly-before state + deterministic addition -> identical bytes
+    Streams.cmsBatch(b2.toDF("item"), 2L, root, eps = eps)
+    assert(java.util.Arrays.equals(
+      Streams.readCmsSketch(spark, root).get, committed))
+    // an empty batch carries the state unchanged
+    Streams.cmsBatch(spark.emptyDataset[String].toDF("item"), 3L, root, eps = eps)
+    assert(java.util.Arrays.equals(
+      Streams.readCmsSketch(spark, root).get, committed))
+  }
+
   test("T18 generation cutover: retrain swaps atomically, stream follows the pointer, grace window then gc, crash mid-build invisible") {
     import graft.operators.Vectors
     implicit val ctx = spark.sqlContext
