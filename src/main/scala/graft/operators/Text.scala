@@ -1469,8 +1469,48 @@ object Text {
 
   val defaultBpeMerges = 12
 
-  val x4nBpeMerges: Q = (spark, dir) =>
-    bpeMerges(spark, Tables.documents(spark, dir), defaultBpeMerges)
+  /** Staged merge table (one training run per session, shared by x4n and
+    * the x4o encoder — the tokenizer-model analogue of the staged shingle
+    * table).
+    */
+  def stagedBpeMerges(spark: SparkSession, dir: String): DataFrame =
+    Staged(spark, s"bpe_merges:$defaultBpeMerges:$dir")(
+      bpeMerges(spark, Tables.documents(spark, dir), defaultBpeMerges))
+
+  val x4nBpeMerges: Q = (spark, dir) => stagedBpeMerges(spark, dir)
+
+  /** X4o — tokenizer APPLY: encode every document with the merges x4n
+    * learned. The merge table rides the driver (nMerges rows — the
+    * models-are-small discipline), and the whole encode is ONE corpus
+    * pass of pure per-row expression work, zero shuffle: each document
+    * becomes its delimited symbol sequence (per-word, words joined with
+    * `|` so a merge pattern — which always has the shape `' l; r;'` —
+    * can never fire across a word boundary), then the nMerges replaces
+    * apply IN TRAINING ORDER, which is exactly how a BPE tokenizer runs
+    * at inference. Emitted per document: the post-merge symbol count
+    * (the sequence-length statistic a token-budget planner needs) and
+    * the md5 fingerprint of the full encoded sequence, which pins every
+    * symbol boundary cross-engine.
+    */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val seq0 = expr(
+      "array_join(transform(regexp_extract_all(text, '[a-z0-9]+', 0), " +
+        "w -> regexp_replace(w, '(.)', ' $1;')), '|')")
+    val encoded = merges.foldLeft(docs.withColumn("seq", seq0)) {
+      case (df, (l, r)) =>
+        df.withColumn("seq", expr(s"replace(seq, ' $l; $r;', ' $l$r;')"))
+    }
+    encoded.select(col("doc_id"),
+      (size(split(col("seq"), " ")) - 1).cast("long").as("n_bpe_tokens"),
+      md5(col("seq").cast("binary")).as("fp"))
+  }
+
+  val x4oBpeEncode: Q = (spark, dir) => {
+    val merges = stagedBpeMerges(spark, dir)
+      .orderBy("iteration").select("left", "right").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    bpeEncode(Tables.documents(spark, dir), merges).orderBy(col("doc_id"))
+  }
 
   /** Oracle twin: the full training loop unrolled as a CTE chain (the
     * x3k pattern). Each iteration's dictionary is referenced twice
@@ -1478,7 +1518,7 @@ object Text {
     * `MATERIALIZED` — without it DuckDB inlines the chain and
     * re-evaluates d0 2^N times.
     */
-  val x4nSql: String = {
+  private def bpeCteParts: Seq[String] = {
     val parts = Seq(
       """w AS (SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS word
         |      FROM documents)""".stripMargin,
@@ -1494,21 +1534,48 @@ object Text {
            |       FROM (SELECT cnt, t, unnest(generate_series(1, len(t)-1)) AS i
            |             FROM t$k)
            |       GROUP BY 1, 2)""".stripMargin,
-        s"""m$k AS (SELECT $k AS iteration, l AS "left", r AS "right",
-           |        l || r AS merged, pc AS pair_count
+        s"""m$k AS MATERIALIZED (SELECT $k AS iteration, l AS "left",
+           |        r AS "right", l || r AS merged, pc AS pair_count
            |       FROM p$k ORDER BY pc DESC, l, r LIMIT 1)""".stripMargin,
         s"""d$k AS (SELECT cnt, replace(seq, ' ' || "left" || '; ' || "right" || ';',
            |         ' ' || merged || ';') AS seq
            |       FROM t$k, m$k)""".stripMargin)
       }
-    "WITH " + parts.mkString(",\n") + "\n" +
+    parts
+  }
+
+  val x4nSql: String =
+    "WITH " + bpeCteParts.mkString(",\n") + "\n" +
       (1 to defaultBpeMerges).map(k => s"SELECT * FROM m$k")
         .mkString(" UNION ALL ") +
       " ORDER BY iteration"
+
+  /** x4o oracle: the training chain (shared CTEs) plus the encode chain
+    * — documents re-sequenced, then each learned merge applied in
+    * training order; symbol count and full-sequence md5 must match
+    * byte-for-byte.
+    */
+  val x4oSql: String = {
+    val enc = Seq(
+      """e0 AS (SELECT doc_id, array_to_string(list_transform(
+        |        regexp_extract_all(text, '[a-z0-9]+'),
+        |        w -> regexp_replace(w, '(.)', ' \1;', 'g')), '|') AS seq
+        |       FROM documents)""".stripMargin) ++
+      (1 to defaultBpeMerges).map { k =>
+        s"""e$k AS (SELECT doc_id, replace(seq, ' ' || "left" || '; ' || "right" || ';',
+           |         ' ' || merged || ';') AS seq
+           |       FROM e${k - 1}, m$k)""".stripMargin
+      }
+    "WITH " + (bpeCteParts ++ enc).mkString(",\n") + "\n" +
+      s"""SELECT doc_id,
+         | CAST(len(string_split(seq, ' ')) - 1 AS BIGINT) AS n_bpe_tokens,
+         | md5(seq) AS fp
+         |FROM e$defaultBpeMerges ORDER BY doc_id""".stripMargin
   }
 
   val queries: Map[String, Q] = Map(
     "x4n_bpe_merges" -> x4nBpeMerges,
+    "x4o_bpe_encode" -> x4oBpeEncode,
     "x7d_bigram_familiarity" -> x7dBigramFamiliarity,
     "x7e_decontamination" -> x7eDecontamination,
     "x7k_contam_fraction" -> x7kContamFraction,
@@ -1538,6 +1605,7 @@ object Text {
 
   val oracle: Map[String, String] = Map(
     "x4n_bpe_merges" -> x4nSql,
+    "x4o_bpe_encode" -> x4oSql,
     "x4g_domains" -> x4gSql,
     "x4h_novelty_growth" -> x4hSql,
     "x7d_bigram_familiarity" -> x7dSql,

@@ -215,6 +215,19 @@ object TextPropertySpec extends Properties("TextOps") {
     Gen.listOfN(n, Gen.choose(1, 8).flatMap(m =>
       Gen.listOfN(m, genBpeWord).map(_.mkString(" ")))))
 
+
+  /** Left-to-right non-overlapping application of one merge rule. */
+  def bpeApplyMerge(toks: List[String], l: String, r: String): List[String] = {
+    val b = scala.collection.mutable.ListBuffer.empty[String]
+    var i = 0
+    while (i < toks.length) {
+      if (i < toks.length - 1 && toks(i) == l && toks(i + 1) == r) {
+        b += (l + r); i += 2
+      } else { b += toks(i); i += 1 }
+    }
+    b.toList
+  }
+
   /** Sequential Sennrich BPE over the word-count dictionary: count
     * adjacent symbol pairs weighted by word count, take the (count desc,
     * pair asc) argmax, merge left-to-right non-overlapping, repeat.
@@ -240,16 +253,9 @@ object TextPropertySpec extends Properties("TextOps") {
         val ((l, r), pc) = pairs.toList
           .sortBy { case ((l, r), c) => (-c, l, r) }.head
         out += ((k, l, r, l + r, pc))
-        dict = dict.toList.map { case (toks, c) =>
-          val b = scala.collection.mutable.ListBuffer.empty[String]
-          var i = 0
-          while (i < toks.length) {
-            if (i < toks.length - 1 && toks(i) == l && toks(i + 1) == r) {
-              b += (l + r); i += 2
-            } else { b += toks(i); i += 1 }
-          }
-          b.toList -> c
-        }.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sum }
+        dict = dict.toList
+          .map { case (toks, c) => bpeApplyMerge(toks, l, r) -> c }
+          .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sum }
         k += 1
       }
     }
@@ -266,5 +272,25 @@ object TextPropertySpec extends Properties("TextOps") {
         .map(r => (r.getInt(0), r.getString(1), r.getString(2),
           r.getString(3), r.getLong(4))).toList
       got == bpeRef(texts, n)
+    }
+
+  property("BPE encode == sequential merge application on random corpora") =
+    forAll(genBpeCorpus, Gen.choose(1, 5)) { (texts, n) =>
+      val sp = spark
+      import sp.implicits._
+      val merges = bpeRef(texts, n).map(m => (m._2, m._3))
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = Text.bpeEncode(docs, merges).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val ref = texts.zipWithIndex.map { case (t, i) =>
+        val total = t.split(" ").filter(_.nonEmpty).toSeq.map { w =>
+          var cur = w.map(_.toString).toList
+          merges.foreach { case (l, r) => cur = bpeApplyMerge(cur, l, r) }
+          cur.length.toLong
+        }.sum
+        i.toLong -> total
+      }.toMap
+      got == ref
     }
 }
