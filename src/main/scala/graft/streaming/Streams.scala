@@ -736,9 +736,11 @@ object Streams extends Serializable {
     */
   def vectorIndexBatch(batch: DataFrame, batchId: Long, indexDir: String,
       coarse: Array[Array[Float]],
-      books: Array[Array[Array[Float]]]): Unit =
+      books: Array[Array[Array[Float]]],
+      encoder: (DataFrame, Array[Array[Float]], Array[Array[Array[Float]]])
+        => DataFrame = graft.operators.Vectors.encodeForIndex): Unit =
     writeIndexEpoch(
-      graft.operators.Vectors.encodeForIndex(batch, coarse, books)
+      encoder(batch, coarse, books)
         .withColumn("live", lit(true)),
       batchId, indexDir)
 

@@ -491,6 +491,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(live.find(_.getLong(0) == 4L).get.getString(4) === "e4b@x")
   }
 
+  test("C20 x T6: the replica store audits against upstream, repair rewrites only the diverged key's bucket, re-audit is clean") {
+    import spark.implicits._
+    import graft.streaming.PartitionedSnapshotStore
+    import graft.operators.Cdc
+    val root = java.nio.file.Files.createTempDirectory("paudit").toString + "/s"
+    val n = 8
+    PartitionedSnapshotStore.ensureBucketCount(spark, root, n)
+    def wb(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn(PartitionedSnapshotStore.bucketColName,
+        PartitionedSnapshotStore.bucketOf(col("id"), n))
+    // upstream truth vs a replica that silently lost key 13's last update
+    val src = (0 until 32).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    val stale = (0 until 32)
+      .map(i => (i.toLong, if (i == 13) "STALE" else s"v$i")).toDF("id", "v")
+    PartitionedSnapshotStore.commit(wb(stale), root, 0L)
+    val rep = PartitionedSnapshotStore.read(spark, root).get
+    // the checksum audit sees the divergence without a row-level compare
+    val audit = Cdc.reconcileChecksums(src, rep, Seq("id"), n)
+    assert(audit.filter(!col("is_match")).count() === 1)
+    // the bucket-restricted repair names exactly the lost update
+    val repair = Cdc.repairFromAudit(src, rep, audit, Seq("id"), n)
+    val fixes = repair.collect()
+    assert(fixes.length === 1 && fixes(0).getLong(0) === 13L
+      && fixes(0).getString(1) === "u")
+    // apply as ONE store epoch: rewrite only the diverged key's STORE
+    // bucket (13 mod 8 = 5) with its repaired content — untouched
+    // buckets keep their epoch-0 files
+    val storeBuckets = Set((13L % n).toInt)
+    val bucketRows = stale
+      .withColumn("__b", PartitionedSnapshotStore.bucketOf(col("id"), n))
+      .filter(col("__b").isin(storeBuckets.toSeq.map(Integer.valueOf): _*))
+      .drop("__b")
+    val repaired = bucketRows.join(repair.select("id"), Seq("id"), "left_anti")
+      .unionByName(repair.filter(col("op") =!= "d")
+        .select(col("id"), col("a_v").as("v")))
+    PartitionedSnapshotStore.commit(wb(repaired), root, 1L)
+    assert(new java.io.File(s"$root/p=${(14L % n).toInt}/v=1").exists() === false)
+    // clean audit, and the serving path returns the repaired value
+    val rep2 = PartitionedSnapshotStore.read(spark, root).get
+    assert(Cdc.reconcileChecksums(src, rep2, Seq("id"), n)
+      .filter(!col("is_match")).count() === 0)
+    val got = PartitionedSnapshotStore
+      .lookup(spark, root, Seq(13L).toDF("id"), Seq("id")).get
+      .select("id", "v").collect()
+    assert(got.length === 1 && got(0).getString(1) === "v13")
+  }
+
   test("store point lookup touches only the keys' buckets: every other bucket can vanish mid-serve") {
     import spark.implicits._
     import graft.streaming.PartitionedSnapshotStore
@@ -1500,6 +1547,42 @@ class StreamingSpec extends AnyFunSuite {
       Streams.readVectorIndexAsOf(spark, dir, 0L).collect())
     assert(content(Streams.readVectorIndexAsOf(spark, dir, 1L)) ===
       content(batchIdx))
+  }
+
+  test("T16c residual codes flow through the incremental maintainer: stream-built residual index == batch residual encode, serves identically") {
+    import graft.operators.Vectors
+    import spark.implicits._
+    val e = Tables.embeddings(spark, TestSpark.sf).select("vec_id", "embedding")
+    // models frozen offline: coarse quantizer + RESIDUAL codebooks
+    val coarse = Vectors.kmeansCentroids(e, 8, 2)
+    val books = Vectors.pqCodebooksResidual(e, coarse, 8, 8, 2)
+    val dir = java.nio.file.Files.createTempDirectory("vidxr").toString
+    val enc = Vectors.encodeForIndexResidual _
+    // seed + two increments, the last re-embedding %9==0 ids (negated)
+    val negated = e.filter(col("vec_id") % 9 === 0)
+      .withColumn("embedding", expr("transform(embedding, v -> -v)"))
+    Streams.vectorIndexBatch(
+      e.filter(col("vec_id") % 3 === 0), -1L, dir, coarse, books, enc)
+    Streams.vectorIndexBatch(
+      e.filter(col("vec_id") % 3 === 1), 0L, dir, coarse, books, enc)
+    Streams.vectorIndexBatch(
+      e.filter(col("vec_id") % 3 === 2).unionByName(negated),
+      1L, dir, coarse, books, enc)
+    val latest = e.filter(col("vec_id") % 9 =!= 0).unionByName(negated)
+    val batchIdx = Vectors.encodeForIndexResidual(latest, coarse, books)
+    def content(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("cluster"), col("codes"))
+        .as[(Long, Int, Seq[Int])].collect().toSet
+    val idx = Streams.readVectorIndex(spark, dir)
+    assert(content(idx) === content(batchIdx))
+    // and the RESIDUAL searcher serves the same top-k from either side
+    val qs = latest.filter(col("vec_id") < 8)
+    def served(index: org.apache.spark.sql.DataFrame) =
+      Vectors.pqSearchIndexResidual(qs, index, coarse, books, k = 3)
+        .orderBy("q_id", "rank")
+        .select("q_id", "rank", "vec_id").as[(Long, Int, Long)].collect().toSeq
+    assert(served(idx) === served(batchIdx))
+    assert(served(idx).nonEmpty)
   }
 
   test("T16b CDC-driven re-embed: document UPDATE and DELETE propagate to the served index; re-create upserts over the tombstone") {
