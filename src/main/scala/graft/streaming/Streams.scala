@@ -955,6 +955,87 @@ object Streams extends Serializable {
     SnapshotStore.read(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed summary under $root"))
 
+  // ------------------------- T23 incremental SCD2 history maintenance
+  /** T23 — the OTHER classic CDC materialization (C4 keeps latest
+    * state; SCD2 keeps every version with its validity interval),
+    * maintained incrementally through the partitioned store. The
+    * insight that makes this exact rather than approximate: a key's
+    * interval history is a LOSSLESS compression of its event stream —
+    * every row re-expands to an upsert event at `valid_from`, and a
+    * closed interval whose `valid_to` is NOT the next row's
+    * `valid_from` re-expands a delete at the gap (that is precisely
+    * where a delete-then-recreate left one). So each epoch rebuilds
+    * ONLY the touched buckets' histories from compact state + the
+    * increment and re-runs the same per-key window fold as the batch
+    * operator — which also makes LATE events (an lsn older than the
+    * key's open interval) land correctly, where a close-and-append
+    * incremental form would corrupt the history. Apply cost: the
+    * touched buckets' histories, never the table; same crash calculus
+    * as every keyed-merge sink (strictly-before read, epoch-keyed
+    * commit).
+    */
+  def scd2Batch(batch: DataFrame, batchId: Long, root: String,
+      buckets: Int = 16): Unit = {
+    val spark = batch.sparkSession
+    val bcol = PartitionedSnapshotStore.bucketColName
+    PartitionedSnapshotStore.ensureBucketCount(spark, root, buckets)
+    val ev = batch
+      .withColumn("id", coalesce(col("after.id"), col("before.id")))
+      .select(col("id"), col("op"), col("source.lsn").as("lsn"),
+        col("after.email").as("email"))
+      .withColumn(bcol, PartitionedSnapshotStore.bucketOf(col("id"), buckets))
+    val affected = ev.select(col(bcol)).distinct()
+    val prior = PartitionedSnapshotStore.readBefore(spark, root, batchId)
+      .map(_.withColumn(bcol,
+          PartitionedSnapshotStore.bucketOf(col("id"), buckets))
+        .join(broadcast(affected), bcol))
+    // re-expand prior intervals to events (upsert per row + delete per gap)
+    val priorEvents = prior.map { h =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id")).orderBy(col("valid_from"))
+      val withNext = h.withColumn("next_from",
+        lead(col("valid_from"), 1).over(w))
+      withNext.select(col(bcol), col("id"), lit("u").as("op"),
+          col("valid_from").as("lsn"), col("email"))
+        .unionByName(withNext
+          .filter(col("valid_to").isNotNull &&
+            !(col("valid_to") <=> col("next_from")))
+          .select(col(bcol), col("id"), lit("d").as("op"),
+            col("valid_to").as("lsn"),
+            lit(null).cast("string").as("email")))
+    }
+    val all = priorEvents.map(_.unionByName(ev)).getOrElse(ev)
+    // deterministic (id, lsn) dedup: replays and producer double-sends
+    // collapse to one event, never a zero-width interval
+    val dedup = all.groupBy(col(bcol), col("id"), col("lsn"))
+      .agg(max(struct(col("op"), col("email"))).as("s"))
+      .select(col(bcol), col("id"), col("s.op").as("op"), col("lsn"),
+        col("s.email").as("email"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("lsn").asc)
+    val next = dedup
+      .withColumn("valid_to", lead(col("lsn"), 1).over(w))
+      .filter(col("op") =!= "d")
+      .select(col(bcol), col("id"), col("lsn").as("valid_from"),
+        col("valid_to"), col("email"))
+    PartitionedSnapshotStore.commit(next, root, batchId)
+  }
+
+  def scd2ForeachBatch(events: Dataset[graft.Schemas.CdcEvent], root: String,
+      buckets: Int = 16)
+      : org.apache.spark.sql.streaming.DataStreamWriter[graft.Schemas.CdcEvent] =
+    events.writeStream.foreachBatch {
+      (batch: Dataset[graft.Schemas.CdcEvent], batchId: Long) =>
+      scd2Batch(batch.toDF, batchId, root, buckets)
+    }
+
+  /** The committed history (every version of every key with its
+    * validity interval; open versions have null valid_to).
+    */
+  def readScd2(spark: org.apache.spark.sql.SparkSession,
+      root: String): Option[DataFrame] =
+    PartitionedSnapshotStore.read(spark, root)
+
   // ---------------------- T21 durable streaming distinct count (HLL union)
   /** T21 — durable approximate distinct counting over an unbounded
     * stream: the T20 shape with a DataSketches HLL sketch as the

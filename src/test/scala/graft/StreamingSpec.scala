@@ -1203,6 +1203,51 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("T23 incremental SCD2: history == batch fold over concatenated changelog; late events and delete-then-recreate exact; untouched buckets untouched") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.Cdc
+    val root = java.nio.file.Files.createTempDirectory("scd2").toString + "/h"
+    def e(id: Long, op: String, lsn: Long, em: String): CdcEvent = op match {
+      case "c" => CdcEvent(None, row(id, em), src(lsn), "c", lsn)
+      case "u" => CdcEvent(row(id, "old"), row(id, em), src(lsn), "u", lsn)
+      case "d" => CdcEvent(row(id, em), None, src(lsn), "d", lsn)
+    }
+    val b0 = Seq(e(1, "c", 100, "a1"), e(2, "c", 200, "b1"), e(3, "c", 300, "c1"))
+    val b1 = Seq(e(1, "u", 110, "a2"), e(2, "d", 210, "b1"), e(3, "u", 310, "c2"))
+    // b2: key 2 re-created AFTER its delete; key 1 gets a LATE event
+    // (lsn 105, older than the open interval's 110) plus a fresh update
+    val b2 = Seq(e(2, "c", 230, "b2"), e(1, "u", 105, "a1b"), e(1, "u", 120, "a3"))
+    val mem = MemoryStream[CdcEvent]
+    val q = Streams.scd2ForeachBatch(mem.toDS, root, buckets = 4)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt23").toString)
+      .start()
+    mem.addData(b0: _*); q.processAllAvailable()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable(); q.stop()
+    def hist(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "valid_from", "valid_to", "email")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getString(3)))
+        .toSet
+    val got = hist(Streams.readScd2(spark, root).get)
+    // the batch operator over the concatenated changelog is the oracle —
+    // including the late event, which a close-and-append form would corrupt
+    val expected = hist(Cdc.scd2((b0 ++ b1 ++ b2).toDS.toDF))
+    assert(got === expected)
+    // the re-created key's history shows the gap: [200,210) then [230,)
+    assert(got.contains((2L, 200L, Some(210L), "b1")))
+    assert(got.contains((2L, 230L, None, "b2")))
+    // the late event landed inside key 1's history
+    assert(got.contains((1L, 105L, Some(110L), "a1b")))
+    // b2 touched keys 1 and 2 only -> bucket 3 (key 3) has no v=2 epoch
+    assert(!new java.io.File(s"$root/p=3/v=2").exists())
+    assert(new java.io.File(s"$root/p=1/v=2").exists())
+    // crash replay: strictly-before state makes the rebuild idempotent
+    Streams.scd2Batch(b2.toDS.toDF, 2L, root, buckets = 4)
+    assert(hist(Streams.readScd2(spark, root).get) === expected)
+  }
+
   test("T21 durable streaming distinct count: HLL union across epochs, O(sketch) state, replay byte-identical, empty batch no-op") {
     implicit val ctx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("hll").toString + "/dc"
