@@ -284,28 +284,75 @@ object Cdc {
     * (C4) — "maintaining data replicas" per the reference's motivation
     * (README.md:56-63). Key-partitioned window: one shuffle on the PK.
     */
-  def scd2(changelog: DataFrame): DataFrame = {
+  def scd2(changelog: DataFrame,
+      attrs: Seq[String] = Seq("email")): DataFrame = {
     changelog
       .withColumn("key", coalesce(col("after.id"), col("before.id")))
-      .select(col("key").as("id"), col("op"), col("source.lsn").as("lsn"),
-        col("after.email").as("email"))
+      .select(Seq(col("key").as("id"), col("op"),
+        col("source.lsn").as("lsn")) ++
+        attrs.map(a => col(s"after.$a").as(a)): _*)
       .withColumn("valid_to", lead(col("lsn"), 1).over(
         Window.partitionBy(col("id")).orderBy(col("lsn").asc)))
       .filter(col("op") =!= "d")
-      .select(col("id"), col("lsn").as("valid_from"), col("valid_to"), col("email"))
+      .select(Seq(col("id"), col("lsn").as("valid_from"),
+        col("valid_to")) ++ attrs.map(col): _*)
   }
 
+  /** Point-in-time read over an SCD2 history: the table's state as of
+    * `asOfLsn` is the version row whose interval covers it — one
+    * FILTER over the history, no changelog re-fold. This is why SCD2
+    * is kept at all: any historical state is a predicate, and with the
+    * history in the partitioned store the filter composes with bucket
+    * pruning. Interval semantics make the boundary exact: a version
+    * created AT the cutoff is visible, a delete AT the cutoff has
+    * already closed its interval (matching C4's fold, where the delete
+    * wins at its own lsn).
+    */
+  def scd2AsOf(history: DataFrame, asOfLsn: Column): DataFrame =
+    history
+      .filter(col("valid_from") <= asOfLsn &&
+        (col("valid_to").isNull || col("valid_to") > asOfLsn))
+      .drop("valid_from", "valid_to")
+
   val cdcScd2: Q = (spark, dir) =>
-    scd2(changelog(spark, dir)).orderBy(col("id"), col("valid_from"))
+    scd2(changelog(spark, dir),
+      Seq("first_name", "last_name", "email"))
+      .orderBy(col("id"), col("valid_from"))
   val cdcScd2Sql: String = changelogCte +
     """
-      |SELECT id, valid_from, valid_to, email FROM (
+      |SELECT id, valid_from, valid_to, first_name, last_name, email FROM (
       | SELECT id, op, lsn AS valid_from,
       |  lead(lsn, 1) OVER (PARTITION BY id ORDER BY lsn) AS valid_to,
-      |  a_em AS email
+      |  a_fn AS first_name, a_ln AS last_name, a_em AS email
       | FROM chg)
       |WHERE op <> 'd'
       |ORDER BY id, valid_from""".stripMargin
+
+  /** C21 — the SCD2 time-travel contract as an oracle query: the state
+    * the history reports at a mid-stream cutoff must equal the C4
+    * snapshot fold of the changelog truncated at that cutoff. The
+    * oracle computes the truncated fold directly; Spark travels through
+    * the history — agreement proves interval semantics carry exactly
+    * the information the fold does.
+    */
+  val cdcScd2AsOf: Q = (spark, dir) => {
+    val chg = changelog(spark, dir)
+    val cutoff = chg.agg(expr("max(source.lsn) * 6 DIV 10").as("cutoff"))
+    scd2AsOf(
+      scd2(chg, Seq("first_name", "last_name", "email"))
+        .crossJoin(broadcast(cutoff)),
+      col("cutoff"))
+      .drop("cutoff")
+      .orderBy(col("id"))
+  }
+  val cdcScd2AsOfSql: String = changelogCte +
+    """,
+      |cut AS (SELECT (max(lsn) * 6) // 10 AS cutoff FROM chg)
+      |SELECT id, a_fn AS first_name, a_ln AS last_name, a_em AS email
+      |FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY lsn DESC) AS rn
+      |      FROM chg, cut WHERE lsn <= cutoff)
+      |WHERE rn = 1 AND op <> 'd'
+      |ORDER BY id""".stripMargin
 
   // ------------------------------------------------- transaction blocks
   /** Per-transaction atomic change sets: group envelope events by
@@ -1638,6 +1685,7 @@ object Cdc {
     "cdc_multitable_snapshot" -> cdcMultitableSnapshot,
     "cdc_snapshot_composite" -> cdcSnapshotComposite,
     "cdc_scd2" -> cdcScd2,
+    "cdc_scd2_asof" -> cdcScd2AsOf,
     "cdc_rate" -> cdcRate,
     "cdc_snapshot" -> cdcSnapshot,
     "cdc_op_route" -> cdcOpRoute,
@@ -1663,6 +1711,7 @@ object Cdc {
     "cdc_multitable_snapshot" -> cdcMultitableSnapshotSql,
     "cdc_snapshot_composite" -> cdcSnapshotCompositeSql,
     "cdc_scd2" -> cdcScd2Sql,
+    "cdc_scd2_asof" -> cdcScd2AsOfSql,
     "cdc_rate" -> cdcRateSql,
     "cdc_snapshot" -> cdcSnapshotSql,
     "cdc_op_route" -> cdcOpRouteSql,
