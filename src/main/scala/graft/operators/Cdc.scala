@@ -354,6 +354,51 @@ object Cdc {
       |WHERE rn = 1 AND op <> 'd'
       |ORDER BY id""".stripMargin
 
+  // ---------------------- C22 temporal dimension join (SCD2 consumer)
+  /** The Kimball type-2 dimension join — the reason warehouses keep
+    * SCD2 at all: each fact row joins the dimension VERSION that was
+    * valid at the fact's own time, so last year's order reports last
+    * year's customer attributes. Equi-key (custkey = id) plus the
+    * interval containment as a join residual: Catalyst plans the
+    * equi-key join (sort-merge / shuffled-hash — never a cartesian)
+    * and evaluates the range predicate on matched pairs; intervals are
+    * disjoint per key, so each fact matches AT MOST one version and
+    * the left join preserves fact cardinality exactly (facts dated
+    * before the key's first version or after its delete carry null
+    * attributes — visible history, not an error). Synthetic fact time:
+    * `custkey·100 + orderkey % 7` lands orders across the customer's
+    * whole lsn range, exercising before-create, every version, and
+    * after-delete.
+    */
+  val cdcScd2Join: Q = (spark, dir) => {
+    val hist = scd2(changelog(spark, dir), Seq("email"))
+    val facts = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("orderkey"),
+        col("o_custkey").as("custkey"))
+      .withColumn("flsn", col("custkey") * 100 + col("orderkey") % 7)
+    facts.join(hist,
+        facts("custkey") === hist("id") &&
+          col("flsn") >= col("valid_from") &&
+          (col("valid_to").isNull || col("flsn") < col("valid_to")),
+        "left")
+      .select(col("orderkey"), col("custkey"), col("flsn"), col("email"))
+      .orderBy(col("orderkey"))
+  }
+  val cdcScd2JoinSql: String = changelogCte +
+    """,
+      |hist AS (SELECT id, valid_from, valid_to, email FROM (
+      | SELECT id, op, lsn AS valid_from,
+      |  lead(lsn, 1) OVER (PARTITION BY id ORDER BY lsn) AS valid_to,
+      |  a_em AS email
+      | FROM chg) WHERE op <> 'd')
+      |SELECT o_orderkey AS orderkey, o_custkey AS custkey,
+      | o_custkey * 100 + o_orderkey % 7 AS flsn, email
+      |FROM orders LEFT JOIN hist
+      | ON o_custkey = hist.id
+      | AND o_custkey * 100 + o_orderkey % 7 >= valid_from
+      | AND (valid_to IS NULL OR o_custkey * 100 + o_orderkey % 7 < valid_to)
+      |ORDER BY orderkey""".stripMargin
+
   // ------------------------------------------------- transaction blocks
   /** Per-transaction atomic change sets: group envelope events by
     * `transaction.id`, order within the group by `transaction.total_order`
@@ -1686,6 +1731,7 @@ object Cdc {
     "cdc_snapshot_composite" -> cdcSnapshotComposite,
     "cdc_scd2" -> cdcScd2,
     "cdc_scd2_asof" -> cdcScd2AsOf,
+    "cdc_scd2_join" -> cdcScd2Join,
     "cdc_rate" -> cdcRate,
     "cdc_snapshot" -> cdcSnapshot,
     "cdc_op_route" -> cdcOpRoute,
@@ -1712,6 +1758,7 @@ object Cdc {
     "cdc_snapshot_composite" -> cdcSnapshotCompositeSql,
     "cdc_scd2" -> cdcScd2Sql,
     "cdc_scd2_asof" -> cdcScd2AsOfSql,
+    "cdc_scd2_join" -> cdcScd2JoinSql,
     "cdc_rate" -> cdcRateSql,
     "cdc_snapshot" -> cdcSnapshotSql,
     "cdc_op_route" -> cdcOpRouteSql,

@@ -582,6 +582,40 @@ object Relational {
       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_revenue
       |FROM orders ORDER BY o_custkey, od_ms, o_orderkey""".stripMargin
 
+  /** Q13b — VALUE-range frame (`RANGE BETWEEN 29 PRECEDING AND CURRENT
+    * ROW` over epoch-day), the complement of q13's positional ROWS
+    * frame: the trailing-30-day revenue per customer, the canonical
+    * sliding-window-by-time aggregate. RANGE frames include ALL peers
+    * of the current order value, so same-day orders see each other's
+    * revenue symmetrically — deterministic without a tiebreak column,
+    * where a ROWS frame over a tied sort would be partition-order
+    * dependent. Revenue sums in integer CENTS: the frame's float
+    * accumulation order is engine-internal, but 64-bit integer addition
+    * commutes, so the totals compare hash-exact.
+    */
+  val q13bRangeFrame: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("d"))
+      .rangeBetween(-29, 0)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        (unix_millis(col("o_orderdate").cast("timestamp")) /
+          lit(86400000L)).cast("long").as("d"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .withColumn("trail30_cents", sum(col("cents")).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("d"),
+        col("trail30_cents"))
+      .orderBy(col("o_custkey"), col("d"), col("o_orderkey"))
+  }
+  val q13bSql: String =
+    """WITH o AS (SELECT o_custkey, o_orderkey,
+      |  epoch_ms(o_orderdate) // 86400000 AS d,
+      |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      | FROM orders)
+      |SELECT o_custkey, o_orderkey, d,
+      | sum(cents) OVER (PARTITION BY o_custkey ORDER BY d
+      |   RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS trail30_cents
+      |FROM o ORDER BY o_custkey, d, o_orderkey""".stripMargin
+
   // Q14 — global top-k: Spark plans orderBy+limit as TakeOrderedAndProject
   // (per-partition heaps + driver merge of k rows — no global sort), which
   // is exactly the 100 TB-safe plan.
@@ -1173,6 +1207,7 @@ object Relational {
     "q12_window_lag" -> q12WindowLag,
     "q12b_window_pos" -> q12bWindowPos,
     "q13_window_frame" -> q13WindowFrame,
+    "q13b_range_frame" -> q13bRangeFrame,
     "q14_topk" -> q14TopK,
     "q15_setops" -> q15SetOps,
     "q16_string" -> q16String,
@@ -1222,6 +1257,7 @@ object Relational {
     "q12_window_lag" -> q12Sql,
     "q12b_window_pos" -> q12bSql,
     "q13_window_frame" -> q13Sql,
+    "q13b_range_frame" -> q13bSql,
     "q14_topk" -> q14Sql,
     "q15_setops" -> q15Sql,
     "q16_string" -> q16Sql,
