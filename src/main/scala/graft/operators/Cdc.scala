@@ -354,6 +354,64 @@ object Cdc {
       |WHERE rn = 1 AND op <> 'd'
       |ORDER BY id""".stripMargin
 
+  // ----------------------------------- C23 outbox event router
+  /** The transactional-outbox router (Debezium's outbox event router
+    * SMT, the public pattern for exactly-once domain events): the
+    * application INSERTs one row per domain event into an outbox table
+    * inside its business transaction; CDC captures that table; the
+    * router turns each INSERT envelope into a publishable record —
+    * topic derived from `aggregatetype`, partition key from
+    * `aggregateid` (all events of one aggregate stay ordered on one
+    * partition), value = the payload verbatim. Everything that is NOT
+    * an outbox insert is dropped: updates/deletes to the outbox table
+    * (housekeeping jobs purging published rows) must not re-publish —
+    * the SMT's documented behavior. Pure per-row projection + filter:
+    * embarrassingly parallel, runs identically inside foreachBatch.
+    */
+  def outboxRoute(outbox: DataFrame,
+      topicPrefix: String = "outbox.event"): DataFrame =
+    outbox.filter(col("op") === "c")
+      .select(
+        concat(lit(topicPrefix + "."), col("after.aggregatetype")).as("topic"),
+        col("after.aggregateid").cast("string").as("key"),
+        col("after.payload").as("value"),
+        col("source.lsn").as("lsn"))
+
+  /** C23 query: an outbox changelog synthesized from `orders` — one
+    * insert per order (aggregate type from the status, aggregate id =
+    * the customer, payload a deterministic string), plus one UPDATE
+    * per `% 5 == 0` order (the purge job's touch) that the router must
+    * drop. Routed records hash-exact.
+    */
+  val cdcOutboxRoute: Q = (spark, dir) => {
+    val o = Tables.orders(spark, dir)
+    val after = struct(
+      col("o_orderkey").as("id"),
+      when(col("o_orderstatus") === "O", lit("OrderCreated"))
+        .when(col("o_orderstatus") === "P", lit("OrderPending"))
+        .otherwise(lit("OrderFulfilled")).as("aggregatetype"),
+      col("o_custkey").as("aggregateid"),
+      concat(lit("order-"), col("o_orderkey"),
+        lit(":cents-"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("payload"))
+    val inserts = o.select(
+      lit("c").as("op"), after.as("after"),
+      struct((col("o_orderkey") * 10).as("lsn")).as("source"))
+    val purges = o.filter(col("o_orderkey") % 5 === 0).select(
+      lit("u").as("op"), after.as("after"),
+      struct((col("o_orderkey") * 10 + 1).as("lsn")).as("source"))
+    outboxRoute(inserts.unionByName(purges)).orderBy(col("lsn"))
+  }
+  val cdcOutboxRouteSql: String =
+    """SELECT 'outbox.event.' ||
+      |  CASE o_orderstatus WHEN 'O' THEN 'OrderCreated'
+      |   WHEN 'P' THEN 'OrderPending' ELSE 'OrderFulfilled' END AS topic,
+      | CAST(o_custkey AS VARCHAR) AS "key",
+      | 'order-' || o_orderkey || ':cents-' ||
+      |  CAST(round(o_totalprice * 100) AS BIGINT) AS "value",
+      | o_orderkey * 10 AS lsn
+      |FROM orders ORDER BY lsn""".stripMargin
+
   // ---------------------- C22 temporal dimension join (SCD2 consumer)
   /** The Kimball type-2 dimension join — the reason warehouses keep
     * SCD2 at all: each fact row joins the dimension VERSION that was
@@ -1732,6 +1790,7 @@ object Cdc {
     "cdc_scd2" -> cdcScd2,
     "cdc_scd2_asof" -> cdcScd2AsOf,
     "cdc_scd2_join" -> cdcScd2Join,
+    "cdc_outbox_route" -> cdcOutboxRoute,
     "cdc_rate" -> cdcRate,
     "cdc_snapshot" -> cdcSnapshot,
     "cdc_op_route" -> cdcOpRoute,
@@ -1759,6 +1818,7 @@ object Cdc {
     "cdc_scd2" -> cdcScd2Sql,
     "cdc_scd2_asof" -> cdcScd2AsOfSql,
     "cdc_scd2_join" -> cdcScd2JoinSql,
+    "cdc_outbox_route" -> cdcOutboxRouteSql,
     "cdc_rate" -> cdcRateSql,
     "cdc_snapshot" -> cdcSnapshotSql,
     "cdc_op_route" -> cdcOpRouteSql,

@@ -583,4 +583,24 @@ class CdcSpec extends AnyFunSuite {
     assert(Cdc.repairFromAudit(srcState, srcState, clean, Seq("id"), nB)
       .count() === 0)
   }
+
+  test("C23 outbox router: only inserts publish; updates, deletes, and foreign ops are dropped") {
+    val rows = Seq(
+      ("c", "OrderCreated", 7L, "p1", 10L),
+      ("c", "InvoiceIssued", 7L, "p2", 20L),
+      ("u", "OrderCreated", 7L, "p1", 30L),   // purge-job touch: dropped
+      ("d", "OrderCreated", 7L, "p1", 40L),   // outbox cleanup: dropped
+      ("c", "OrderCreated", 9L, "p3", 50L))
+    val outbox = rows.toDF("op", "at", "aid", "payload", "lsn")
+      .select(col("op"),
+        struct(col("at").as("aggregatetype"), col("aid").as("aggregateid"),
+          col("payload").as("payload")).as("after"),
+        struct(col("lsn").as("lsn")).as("source"))
+    val routed = Cdc.outboxRoute(outbox).orderBy("lsn").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(routed.toSeq === Seq(
+      ("outbox.event.OrderCreated", "7", "p1", 10L),
+      ("outbox.event.InvoiceIssued", "7", "p2", 20L),
+      ("outbox.event.OrderCreated", "9", "p3", 50L)))
+  }
 }
