@@ -1492,17 +1492,73 @@ object Text {
     * the md5 fingerprint of the full encoded sequence, which pins every
     * symbol boundary cross-engine.
     */
-  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+  /** The delimited symbol sequence after all merges — shared by the
+    * x4o statistics and the x4q id encoder.
+    */
+  private def bpeSeq(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
     val seq0 = expr(
       "array_join(transform(regexp_extract_all(text, '[a-z0-9]+', 0), " +
         "w -> regexp_replace(w, '(.)', ' $1;')), '|')")
-    val encoded = merges.foldLeft(docs.withColumn("seq", seq0)) {
+    merges.foldLeft(docs.withColumn("seq", seq0)) {
       case (df, (l, r)) =>
         df.withColumn("seq", expr(s"replace(seq, ' $l; $r;', ' $l$r;')"))
     }
-    encoded.select(col("doc_id"),
+  }
+
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    bpeSeq(docs, merges).select(col("doc_id"),
       (size(split(col("seq"), " ")) - 1).cast("long").as("n_bpe_tokens"),
       md5(col("seq").cast("binary")).as("fp"))
+
+  /** X4p — the trained tokenizer's VOCABULARY as data: base symbols
+    * (the corpus's distinct characters, id'd in sorted order) followed
+    * by merged symbols in training order — the standard BPE id layout,
+    * where a tokenizer file is exactly this table. Driver-side by
+    * construction: the alphabet is ≤ 36 symbols and merges are the
+    * bounded merge budget; nothing corpus-sized moves.
+    */
+  def bpeVocab(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base: Seq[String] = Tables.documents(spark, dir)
+      .select(explode(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("word"))
+      .select(explode(expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+        .as("sym"))
+      .distinct().as[String].collect().sorted.toSeq
+    val merges = stagedBpeMerges(spark, dir)
+      .orderBy("iteration").select("iteration", "merged").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    val b = base.size
+    (base.zipWithIndex.map { case (s, i) => (i.toLong, s, "base") } ++
+      merges.map { case (k, m) => ((b + k - 1).toLong, m, "merged") })
+      .toDF("id", "sym", "kind")
+  }
+
+  val x4pBpeVocab: Q = (spark, dir) => bpeVocab(spark, dir).orderBy("id")
+
+  /** X4q — encode the corpus to TOKEN-ID ARRAYS: the final artifact a
+    * training pipeline feeds the data loader. The x4o symbol sequence
+    * maps through the vocabulary as a plan-literal map (≤ alphabet +
+    * merges entries — no join, no broadcast table, pure per-row
+    * expression work). Word separators drop out; empty documents
+    * encode to the empty array, not a missing row.
+    */
+  val x4qBpeIds: Q = (spark, dir) => {
+    val vocabMap: Map[String, Long] = bpeVocab(spark, dir)
+      .collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+    val merges = stagedBpeMerges(spark, dir)
+      .orderBy("iteration").select("left", "right").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    bpeSeq(Tables.documents(spark, dir), merges)
+      .withColumn("__syms", expr(
+        "transform(slice(split(replace(seq, '|', ''), ' '), 2, " +
+          "size(split(replace(seq, '|', ''), ' ')) - 1), " +
+          "s -> replace(s, ';', ''))"))
+      .select(col("doc_id"),
+        transform(col("__syms"),
+          s => element_at(typedlit(vocabMap), s)).as("ids"))
+      .orderBy(col("doc_id"))
   }
 
   val x4oBpeEncode: Q = (spark, dir) => {
@@ -1573,9 +1629,59 @@ object Text {
          |FROM e$defaultBpeMerges ORDER BY doc_id""".stripMargin
   }
 
+  /** Shared vocabulary CTEs: base chars id'd in sorted order, merged
+    * symbols at base-count + iteration − 1.
+    */
+  private def bpeVocabCtes: Seq[String] = Seq(
+    """base AS (SELECT DISTINCT unnest(list_transform(
+      |        generate_series(1, length(word)), i -> word[i])) AS sym
+      |       FROM w)""".stripMargin,
+    """baseid AS (SELECT sym,
+      |        CAST(row_number() OVER (ORDER BY sym) - 1 AS BIGINT) AS id
+      |       FROM base)""".stripMargin,
+    "nb AS (SELECT CAST(count(*) AS BIGINT) AS b FROM baseid)",
+    s"""mergedid AS (SELECT merged AS sym, b + iteration - 1 AS id
+       |       FROM (${(1 to defaultBpeMerges)
+                .map(k => s"SELECT merged, iteration FROM m$k")
+                .mkString(" UNION ALL ")}), nb)""".stripMargin,
+    """vocab AS (SELECT sym, id, 'base' AS kind FROM baseid
+      |       UNION ALL SELECT sym, id, 'merged' AS kind FROM mergedid)""".stripMargin)
+
+  val x4pSql: String =
+    "WITH " + (bpeCteParts ++ bpeVocabCtes).mkString(",\n") + "\n" +
+      "SELECT id, sym, kind FROM vocab ORDER BY id"
+
+  val x4qSql: String = {
+    val enc = Seq(
+      """e0 AS (SELECT doc_id, array_to_string(list_transform(
+        |        regexp_extract_all(text, '[a-z0-9]+'),
+        |        w -> regexp_replace(w, '(.)', ' \1;', 'g')), '|') AS seq
+        |       FROM documents)""".stripMargin) ++
+      (1 to defaultBpeMerges).map { k =>
+        s"""e$k AS (SELECT doc_id, replace(seq, ' ' || "left" || '; ' || "right" || ';',
+           |         ' ' || merged || ';') AS seq
+           |       FROM e${k - 1}, m$k)""".stripMargin
+      } ++ Seq(
+      s"""toks AS (SELECT doc_id, list_transform(
+         |        string_split(replace(seq, '|', ''), ' ')[2:],
+         |        s -> replace(s, ';', '')) AS t
+         |       FROM e$defaultBpeMerges)""".stripMargin,
+      """pos AS (SELECT doc_id, t[i] AS sym, i
+        |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+        |             FROM toks))""".stripMargin,
+      """encd AS (SELECT doc_id, list(id ORDER BY i) AS ids
+        |       FROM pos JOIN vocab USING (sym) GROUP BY doc_id)""".stripMargin)
+    "WITH " + (bpeCteParts ++ bpeVocabCtes ++ enc).mkString(",\n") + "\n" +
+      """SELECT d.doc_id, coalesce(ids, CAST([] AS BIGINT[])) AS ids
+        |FROM documents d LEFT JOIN encd ON d.doc_id = encd.doc_id
+        |ORDER BY d.doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "x4n_bpe_merges" -> x4nBpeMerges,
     "x4o_bpe_encode" -> x4oBpeEncode,
+    "x4p_bpe_vocab" -> x4pBpeVocab,
+    "x4q_bpe_ids" -> x4qBpeIds,
     "x7d_bigram_familiarity" -> x7dBigramFamiliarity,
     "x7e_decontamination" -> x7eDecontamination,
     "x7k_contam_fraction" -> x7kContamFraction,
@@ -1606,6 +1712,8 @@ object Text {
   val oracle: Map[String, String] = Map(
     "x4n_bpe_merges" -> x4nSql,
     "x4o_bpe_encode" -> x4oSql,
+    "x4p_bpe_vocab" -> x4pSql,
+    "x4q_bpe_ids" -> x4qSql,
     "x4g_domains" -> x4gSql,
     "x4h_novelty_growth" -> x4hSql,
     "x7d_bigram_familiarity" -> x7dSql,
