@@ -220,6 +220,42 @@ object Graph {
       | CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS n_members
       |FROM cc ORDER BY doc_id""".stripMargin
 
+  /** X7l — the cluster-size DISTRIBUTION: how many clusters of each
+    * size, plus the largest component's size and share of clustered
+    * docs. This is the dedup pipeline's skew ALARM read before any
+    * apply step: a shingling bug (width too small for the vocabulary, a
+    * boilerplate header that survived line-dedup) shows up as one giant
+    * component absorbing the corpus — and x7f would then "dedup" almost
+    * everything away. The histogram is tiny (≤ distinct sizes rows)
+    * and the aggregation is two map-side-combined groupBys over the
+    * bounded cluster map; nothing corpus-proportional moves.
+    */
+  val x7lClusterStats: Q = (spark, dir) => {
+    val sizes = stagedClusters(spark, dir)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
+    val tot = sizes.agg(
+      sum(col("n_members")).as("n_clustered"),
+      max(col("n_members")).as("max_size"))
+    sizes.groupBy(col("n_members").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .crossJoin(broadcast(tot))
+      .select(col("cluster_size"), col("n_clusters"),
+        col("max_size"),
+        // integer-exact giant-component share: permille of clustered docs
+        expr("CAST(max_size * 1000 DIV n_clustered AS LONG)")
+          .as("giant_permille"))
+      .orderBy(col("cluster_size"))
+  }
+  val x7lSql: String = ccCtes + """,
+      |sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members
+      |       FROM cc GROUP BY 1),
+      |tot AS (SELECT sum(n_members) AS n_clustered, max(n_members) AS max_size
+      |        FROM sz)
+      |SELECT n_members AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+      | max_size, CAST(max_size * 1000 // n_clustered AS BIGINT) AS giant_permille
+      |FROM sz, tot GROUP BY 1, 3, 4 ORDER BY 1""".stripMargin
+
+
   /** X7f — cluster-representative dedup of the corpus: keep every document
     * that is either in no near-dup cluster or is its cluster's min-id
     * representative. This is the semantically-correct dedup apply — the
@@ -275,11 +311,13 @@ object Graph {
 
   val queries: Map[String, Q] = Map(
     "x7_neardup_clusters" -> x7NeardupClusters,
+    "x7l_cluster_stats" -> x7lClusterStats,
     "x7f_dedup_apply" -> x7fDedupApply,
     "x7j_incr_clusters" -> x7jIncrClusters)
 
   val oracle: Map[String, String] = Map(
     "x7_neardup_clusters" -> x7Sql,
+    "x7l_cluster_stats" -> x7lSql,
     "x7f_dedup_apply" -> x7fSql,
     "x7j_incr_clusters" -> x7Sql)
 }
