@@ -202,6 +202,37 @@ object Curation {
       .select(Seq(col("shard"), col("pos"), col("doc_id")) ++ carried: _*)
   }
 
+  /** X6g — curriculum ORDER: a deterministic short-to-long training
+    * order (the classic length-based curriculum — models see easy/short
+    * sequences first), with an md5 coin breaking length ties so
+    * same-length documents interleave pseudo-randomly instead of by
+    * ingest order. Global positions come from the two-phase
+    * partition-offset ranking ([[Partitioning.ordinalIds]]), so no
+    * single task ever sorts the corpus — the `row_number() OVER (ORDER
+    * BY ...)` the oracle uses IS the formulation this replaces at
+    * 100 TB. Composes with x6f: curriculum for epoch 0, seeded shuffle
+    * for later epochs.
+    */
+  val x6gCurriculum: Q = (spark, dir) => {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("coin",
+        md5(concat(lit("cur:"), col("doc_id").cast("string")).cast("binary")))
+    graft.operators.Partitioning.ordinalIds(d,
+        Seq(col("n_tokens"), col("coin"), col("doc_id")), "pos")
+      .select(col("doc_id"), col("n_tokens"), col("pos"))
+      .orderBy(col("pos"))
+  }
+  val x6gSql: String =
+    """WITH d AS (SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  md5('cur:' || CAST(doc_id AS VARCHAR)) AS coin
+      | FROM documents)
+      |SELECT doc_id, n_tokens,
+      | CAST(row_number() OVER (ORDER BY n_tokens, coin, doc_id) AS BIGINT) AS pos
+      |FROM d ORDER BY pos""".stripMargin
+
   val x6fCorpusShuffle: Q = (spark, dir) =>
     corpusShuffle(Tables.documents(spark, dir), shards = 8)
       .select(col("shard"), col("pos"), col("doc_id")) // prune the payload
@@ -320,6 +351,7 @@ object Curation {
     "x6c_token_packing" -> x6cTokenPacking,
     "x6e_weighted_sample" -> x6eWeightedSample,
     "x6f_corpus_shuffle" -> x6fCorpusShuffle,
+    "x6g_curriculum" -> x6gCurriculum,
     "x9_pipeline" -> x9Pipeline,
     "x9b_shuffle_manifest" -> x9bShuffleManifest)
 
@@ -329,6 +361,7 @@ object Curation {
     "x6c_token_packing" -> x6cSql,
     "x6e_weighted_sample" -> x6eSql,
     "x6f_corpus_shuffle" -> x6fSql,
+    "x6g_curriculum" -> x6gSql,
     "x9_pipeline" -> x9Sql,
     "x9b_shuffle_manifest" -> x9bSql)
 }
