@@ -298,6 +298,34 @@ object Cdc {
         col("valid_to")) ++ attrs.map(col): _*)
   }
 
+  /** Composite-key, schema-derived SCD2 — the C17 discipline (every
+    * fold takes `Seq[String]` keys) extended to the history
+    * materialization: version rows keyed by the FULL tuple (emitted as
+    * `key_<col>` columns, the crossCollectionOrder convention), with
+    * the tracked attributes derived from the after-image schema (every
+    * non-key field) instead of a caller-supplied list. One window over
+    * the key tuple — the same single keyed shuffle as the single-key
+    * form.
+    */
+  def scd2By(changelog: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "scd2By needs at least one key column")
+    val attrs = changelog.select(col("after.*")).columns.toSeq
+      .filterNot(keyCols.contains)
+    val keyed = keyCols.foldLeft(changelog)((df, k) =>
+      df.withColumn(s"key_$k", coalesce(col(s"after.`$k`"), col(s"before.`$k`"))))
+      .select(keyCols.map(k => col(s"key_$k")) ++
+        Seq(col("op"), col("source.lsn").as("lsn")) ++
+        attrs.map(a => col(s"after.`$a`").as(a)): _*)
+    val w = Window.partitionBy(keyCols.map(k => col(s"key_$k")): _*)
+      .orderBy(col("lsn").asc)
+    keyed
+      .withColumn("valid_to", lead(col("lsn"), 1).over(w))
+      .filter(col("op") =!= "d")
+      .select(keyCols.map(k => col(s"key_$k")) ++
+        Seq(col("lsn").as("valid_from"), col("valid_to")) ++
+        attrs.map(col): _*)
+  }
+
   /** Point-in-time read over an SCD2 history: the table's state as of
     * `asOfLsn` is the version row whose interval covers it — one
     * FILTER over the history, no changelog re-fold. This is why SCD2

@@ -603,4 +603,45 @@ class CdcSpec extends AnyFunSuite {
       ("outbox.event.InvoiceIssued", "7", "p2", 20L),
       ("outbox.event.OrderCreated", "9", "p3", 50L)))
   }
+
+  test("composite-key SCD2: (tenant, id) histories stay independent; attributes schema-derived; single-key form agrees") {
+    // CdcRow has (id, first_name, last_name, email) — reuse first_name as
+    // the tenant column for a (first_name, id) composite key
+    def ev2(t: String, id: Long, op: String, lsn: Long, em: String): CdcEvent = {
+      val img = Some(CdcRow(id, Some(t), Some("l"), Some(em)))
+      op match {
+        case "c" => CdcEvent(None, img, src(lsn), "c", lsn)
+        case "u" => CdcEvent(img, img, src(lsn), "u", lsn)
+        case "d" => CdcEvent(img, None, src(lsn), "d", lsn)
+      }
+    }
+    val events = Seq(
+      // tenant "a", id 1: two versions then delete
+      ev2("a", 1, "c", 100, "e1"),
+      ev2("a", 1, "u", 110, "e2"),
+      ev2("a", 1, "d", 120, "e2"),
+      // tenant "b", SAME id 1: independent history
+      ev2("b", 1, "c", 105, "f1"),
+      ev2("b", 1, "u", 130, "f2"))
+    val chg = events.toDS.toDF
+    val hist = Cdc.scd2By(chg, Seq("first_name", "id"))
+      .orderBy("key_first_name", "key_id", "valid_from")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getString(5)))
+    // attrs derived from schema: last_name then email (id, first_name are keys)
+    assert(hist.toSeq === Seq(
+      ("a", 1L, 100L, Some(110L), "e1"),
+      ("a", 1L, 110L, Some(120L), "e2"),   // closed by the delete
+      ("b", 1L, 105L, Some(130L), "f1"),   // NOT closed by tenant a's events
+      ("b", 1L, 130L, None, "f2")))
+    // single-key form agrees with scd2 modulo the key_ column convention
+    val single = Cdc.scd2By(chg, Seq("id"))
+      .select(col("key_id").as("id"), col("valid_from"), col("valid_to"),
+        col("email"))
+      .orderBy("id", "valid_from").collect().toSeq
+    val classic = Cdc.scd2(chg, Seq("email"))
+      .orderBy("id", "valid_from").collect().toSeq
+    assert(single === classic)
+  }
 }
