@@ -1535,7 +1535,14 @@ object Text {
       .toDF("id", "sym", "kind")
   }
 
-  val x4pBpeVocab: Q = (spark, dir) => bpeVocab(spark, dir).orderBy("id")
+  /** Staged vocabulary (one alphabet scan + merge read per session,
+    * shared by x4p and the x4q encoder).
+    */
+  def stagedBpeVocab(spark: SparkSession, dir: String): DataFrame =
+    Staged(spark, s"bpe_vocab:$defaultBpeMerges:$dir")(bpeVocab(spark, dir))
+
+  val x4pBpeVocab: Q = (spark, dir) =>
+    stagedBpeVocab(spark, dir).orderBy("id")
 
   /** X4q — encode the corpus to TOKEN-ID ARRAYS: the final artifact a
     * training pipeline feeds the data loader. The x4o symbol sequence
@@ -1545,7 +1552,7 @@ object Text {
     * encode to the empty array, not a missing row.
     */
   val x4qBpeIds: Q = (spark, dir) => {
-    val vocabMap: Map[String, Long] = bpeVocab(spark, dir)
+    val vocabMap: Map[String, Long] = stagedBpeVocab(spark, dir)
       .collect().map(r => r.getString(1) -> r.getLong(0)).toMap
     val merges = stagedBpeMerges(spark, dir)
       .orderBy("iteration").select("left", "right").collect()
