@@ -63,14 +63,16 @@ object CollapseAudit {
     * the identical query-side probe explode with the label filter
     * composed into the key (still |Q|·nprobe rows); x3p_pq_residual is
     * x3j's probe explode verbatim — same |Q|·nprobe broadcast, the
-    * cluster dot merely rides along in the exploded struct. A NEW query
-    * landing here must either justify itself into this list or get a
-    * shuffle_hash pin.
+    * cluster dot merely rides along in the exploded struct;
+    * x3q_filtered_index broadcasts the same probe explode with the
+    * filter columns appended to the join key. A NEW query landing here
+    * must either justify itself into this list or get a shuffle_hash
+    * pin.
     */
   val boundedByDesign: Set[String] = Set("q24_salted_join",
     "x2d_simhash_neardup", "x3e_cosine_ivf", "x3f_ivf_recall",
     "x3j_pq_recall", "x3l_incr_index", "x3n_filtered_ivf",
-    "x3p_pq_residual")
+    "x3p_pq_residual", "x3q_filtered_index")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -654,8 +654,24 @@ object Vectors {
     */
   def encodeForIndex(vectors: DataFrame, coarse: Array[Array[Float]],
       books: Array[Array[Array[Float]]]): DataFrame =
+    encodeForIndexCarry(vectors, coarse, books, Nil)
+
+  /** [[encodeForIndex]] with CARRIED metadata columns: filterable
+    * attributes (label, language, license tier …) ride in the stored
+    * index row itself, which is what makes FILTERED serving possible
+    * without a metadata join at query time — at 100 TB the filter
+    * column must live WITH the codes, not in a side table the probe
+    * would have to join per search. The T16 maintainer accepts this as
+    * its encoder parameter unchanged (the store layout is
+    * schema-tolerant), so a carried column survives the fold,
+    * compaction, and replay like any other index field.
+    */
+  def encodeForIndexCarry(vectors: DataFrame, coarse: Array[Array[Float]],
+      books: Array[Array[Array[Float]]],
+      carry: Seq[String]): DataFrame =
     pqEncode(assignCluster(vectors, coarse), books)
-      .select(col("cluster"), col("vec_id"), col("codes"), col("embedding"))
+      .select((Seq("cluster", "vec_id", "codes", "embedding") ++ carry)
+        .map(col): _*)
 
   /** Deterministic stub embedder (the X5 stub discipline: no embedding
     * model ships in this environment, so the MODEL is a deterministic
@@ -729,6 +745,88 @@ object Vectors {
       .withColumn("rank", row_number().over(wFinal)).filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("vec_id"), col("sim"))
   }
+
+  /** FILTERED search over a PRE-ENCODED index (x3n × T16): the
+    * predicate columns compose into the probe key — candidates must
+    * match (cluster, filterCols...) — so non-matching index rows are
+    * never ADC-scored, and the index may be the batch encode OR the
+    * incrementally-maintained store (same plan either way, the T16
+    * property). Requires the index rows to CARRY the filter columns
+    * ([[encodeForIndexCarry]]); the query side takes its own values of
+    * those columns as the predicate, the metadata-constrained-search
+    * convention shared with [[filteredCosineTopK]]. nprobe defaults to
+    * 12, the x3n lesson: routing error compounds with the filter.
+    */
+  def pqSearchIndexFiltered(queries: DataFrame, index: DataFrame,
+      filterCols: Seq[String], coarse: Array[Array[Float]],
+      books: Array[Array[Array[Float]]], k: Int,
+      nprobe: Int = 12, shortlist: Int = 200): DataFrame = {
+    val nlist = coarse.length
+    val m = books.length
+    val sub = dim / m
+    val qDots = coarse.map(c =>
+      VectorFunctions.dotF32(col("embedding"), typedlit(c.toSeq)))
+    val lut = array(books.zipWithIndex.map { case (book, j) =>
+      array(book.map(c => VectorFunctions.dotF32(
+        slice(col("embedding"), j * sub + 1, sub), typedlit(c.toSeq))): _*)
+    }: _*)
+    val probes = queries
+      .withColumn("__dots", array(qDots: _*))
+      .withColumn("__lut", lut)
+      .select(Seq(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("__lut").as("lut"),
+        explode(expr(
+          s"""transform(
+             | slice(array_sort(zip_with(__dots, sequence(0, ${nlist - 1}),
+             |   (d, i) -> struct(-d AS nd, i AS ci))), 1, $nprobe),
+             | s -> s.ci)""".stripMargin)).as("cluster")) ++
+        filterCols.map(col): _*)
+    val wShort = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").desc, col("vec_id").asc)
+    val wFinal = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    broadcast(probes)
+      .join(index, "cluster" +: filterCols)
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("q_emb"), col("vec_id"), col("embedding"),
+        expr("aggregate(zip_with(codes, lut, (c, l) -> element_at(l, c + 1)), " +
+          "CAST(0.0 AS DOUBLE), (a, x) -> a + x)").as("adc"))
+      .withColumn("srank", row_number().over(wShort))
+      .filter(col("srank") <= shortlist)
+      .select(col("q_id"), col("vec_id"),
+        VectorFunctions.dotF32(col("q_emb"), col("embedding")).as("sim"))
+      .withColumn("rank", row_number().over(wFinal)).filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("sim"))
+  }
+
+  /** X3q — filtered serving over the (maintainable) index as an
+    * oracle-checked bound: per query, recall@5 of the filtered
+    * index search vs the exact label-restricted brute force ≥ 0.6
+    * (the x3n pattern, one level deeper: the predicate now composes
+    * into the probe key of the PQ-coded index, not a full-vector
+    * corpus scan).
+    */
+  val x3qFilteredIndex: Q = (spark, dir) => {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 10)
+    val coarse = kmeansCentroids(e, 16, 3)
+    val books = pqCodebooks(e, 8, 16, 3)
+    val index = encodeForIndexCarry(e, coarse, books, Seq("label"))
+    val brute = filteredCosineTopK(q, e, Seq("label"), 5)
+      .select(col("q_id"), col("vec_id"))
+    val got = pqSearchIndexFiltered(q, index, Seq("label"), coarse, books,
+        k = 5).select(col("q_id"), col("vec_id"))
+    val hits = brute.join(got, Seq("q_id", "vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+    q.select(col("vec_id").as("q_id"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        (coalesce(col("n_hit"), lit(0L)) * 10 >= 30).as("recall_ok")) // ≥3/5
+      .orderBy(col("q_id"))
+  }
+  val x3qSql: String =
+    """SELECT vec_id AS q_id, true AS recall_ok
+      |FROM embeddings WHERE vec_id < 10 ORDER BY 1""".stripMargin
 
   /** Per-vector PQ reconstruction error ‖v − v̂‖² against FROZEN
     * codebooks — the index-health statistic that schedules the offline
@@ -1333,6 +1431,7 @@ object Vectors {
     "x3f_ivf_recall" -> x3fIvfRecall,
     "x3j_pq_recall" -> x3jPqRecall,
     "x3p_pq_residual" -> x3pPqResidualRecall,
+    "x3q_filtered_index" -> x3qFilteredIndex,
     "x3l_incr_index" -> x3lIncrIndex,
     "x3m_filtered_ann" -> x3mFilteredAnn,
     "x3n_filtered_ivf" -> x3nFilteredIvf,
@@ -1354,6 +1453,7 @@ object Vectors {
     "x3f_ivf_recall" -> x3fSql,
     "x3j_pq_recall" -> x3jSql,
     "x3p_pq_residual" -> x3pSql,
+    "x3q_filtered_index" -> x3qSql,
     "x3l_incr_index" -> x3lSql,
     "x3m_filtered_ann" -> x3mSql,
     "x3n_filtered_ivf" -> x3nSql,

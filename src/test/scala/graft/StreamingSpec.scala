@@ -1630,6 +1630,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(served(idx).nonEmpty)
   }
 
+  test("T16d filtered serving over the maintained index: carried metadata survives the fold, filtered search == batch form") {
+    import graft.operators.Vectors
+    import spark.implicits._
+    val e = Tables.embeddings(spark, TestSpark.sf)
+      .select("vec_id", "embedding", "label")
+    val coarse = Vectors.kmeansCentroids(e, 8, 2)
+    val books = Vectors.pqCodebooks(e, 8, 8, 2)
+    val enc = (df: org.apache.spark.sql.DataFrame, c: Array[Array[Float]],
+        b: Array[Array[Array[Float]]]) =>
+      Vectors.encodeForIndexCarry(df, c, b, Seq("label"))
+    val dir = java.nio.file.Files.createTempDirectory("vidxf").toString
+    Streams.vectorIndexBatch(
+      e.filter(col("vec_id") % 2 === 0), -1L, dir, coarse, books, enc)
+    Streams.vectorIndexBatch(
+      e.filter(col("vec_id") % 2 === 1), 0L, dir, coarse, books, enc)
+    val idx = Streams.readVectorIndex(spark, dir)
+    // the carried column is in the folded store, value-correct per vec_id
+    val carried = idx.select("vec_id", "label")
+      .as[(Long, Int)].collect().toMap
+    val truth = e.select("vec_id", "label").as[(Long, Int)].collect().toMap
+    assert(carried === truth)
+    // filtered search over the STORE equals the all-at-once batch encode
+    val batchIdx = Vectors.encodeForIndexCarry(e, coarse, books, Seq("label"))
+    val qs = e.filter(col("vec_id") < 8)
+    def served(index: org.apache.spark.sql.DataFrame) =
+      Vectors.pqSearchIndexFiltered(qs, index, Seq("label"), coarse, books,
+          k = 3).orderBy("q_id", "rank")
+        .select("q_id", "rank", "vec_id").as[(Long, Int, Long)].collect().toSeq
+    assert(served(idx) === served(batchIdx))
+    assert(served(idx).nonEmpty)
+    // and every hit honors the predicate
+    val hits = Vectors.pqSearchIndexFiltered(qs, idx, Seq("label"), coarse,
+        books, k = 3)
+      .join(e.select(col("vec_id").as("q_id"), col("label").as("q_label")), "q_id")
+      .join(e.select(col("vec_id"), col("label").as("hit_label")), "vec_id")
+    assert(hits.filter(col("q_label") =!= col("hit_label")).count() === 0)
+  }
+
   test("T16b CDC-driven re-embed: document UPDATE and DELETE propagate to the served index; re-create upserts over the tombstone") {
     import graft.operators.Vectors
     def chg(rows: Seq[(Long, String, Long, String)]) =
