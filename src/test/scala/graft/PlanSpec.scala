@@ -142,6 +142,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") || p.contains("Join"), p)
   }
 
+  test("temporal dimension join keeps the custkey equi-key: never a cartesian or nested-loop over facts") {
+    val p = plan("cdc_scd2_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the interval containment rides as a join residual on the equi-key
+    // join, so SOME hash/merge join on the key must be present
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"), p)
+  }
+
   test("as-of join window rewrite equals a naive per-group scan") {
     import org.apache.spark.sql.functions._
     val e = Tables.events(spark, TestSpark.sf)
