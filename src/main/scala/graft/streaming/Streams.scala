@@ -959,17 +959,22 @@ object Streams extends Serializable {
   /** T23 — the OTHER classic CDC materialization (C4 keeps latest
     * state; SCD2 keeps every version with its validity interval),
     * maintained incrementally through the partitioned store. The
-    * insight that makes this exact rather than approximate: a key's
-    * interval history is a LOSSLESS compression of its event stream —
-    * every row re-expands to an upsert event at `valid_from`, and a
-    * closed interval whose `valid_to` is NOT the next row's
-    * `valid_from` re-expands a delete at the gap (that is precisely
-    * where a delete-then-recreate left one). So each epoch rebuilds
-    * ONLY the touched buckets' histories from compact state + the
-    * increment and re-runs the same per-key window fold as the batch
-    * operator — which also makes LATE events (an lsn older than the
-    * key's open interval) land correctly, where a close-and-append
-    * incremental form would corrupt the history. Apply cost: the
+    * insight that makes this exact rather than approximate: the STORED
+    * history is a lossless compression of the key's event stream —
+    * every version row re-expands to an upsert at `valid_from`, and
+    * every delete persists as a ZERO-WIDTH marker row (valid_to =
+    * valid_from, null attributes) that re-expands to its `d` event. The
+    * marker is load-bearing: the random-split property test caught that
+    * a gap-based encoding (infer deletes from valid_to ≠ next
+    * valid_from) silently LOSES a dangling delete — one whose key has
+    * no earlier live version in the store yet because the create is
+    * still in flight in a later batch — and the fold then resurrects
+    * the row the delete should have killed. With markers, each epoch
+    * rebuilds ONLY the touched buckets' histories from compact state +
+    * the increment and re-runs the same per-key window fold as the
+    * batch operator, so late events (an lsn older than the key's open
+    * interval) land exactly where a close-and-append form would corrupt
+    * the history. [[readScd2]] hides the markers. Apply cost: the
     * touched buckets' histories, never the table; same crash calculus
     * as every keyed-merge sink (strictly-before read, epoch-keyed
     * commit).
@@ -989,20 +994,13 @@ object Streams extends Serializable {
       .map(_.withColumn(bcol,
           PartitionedSnapshotStore.bucketOf(col("id"), buckets))
         .join(broadcast(affected), bcol))
-    // re-expand prior intervals to events (upsert per row + delete per gap)
+    // re-expand stored rows to events: version rows are upserts at
+    // valid_from, zero-width marker rows are the deletes themselves
     val priorEvents = prior.map { h =>
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("id")).orderBy(col("valid_from"))
-      val withNext = h.withColumn("next_from",
-        lead(col("valid_from"), 1).over(w))
-      withNext.select(col(bcol), col("id"), lit("u").as("op"),
-          col("valid_from").as("lsn"), col("email"))
-        .unionByName(withNext
-          .filter(col("valid_to").isNotNull &&
-            !(col("valid_to") <=> col("next_from")))
-          .select(col(bcol), col("id"), lit("d").as("op"),
-            col("valid_to").as("lsn"),
-            lit(null).cast("string").as("email")))
+      h.select(col(bcol), col("id"),
+        when(col("valid_to") <=> col("valid_from"), lit("d"))
+          .otherwise(lit("u")).as("op"),
+        col("valid_from").as("lsn"), col("email"))
     }
     val all = priorEvents.map(_.unionByName(ev)).getOrElse(ev)
     // deterministic (id, lsn) dedup: replays and producer double-sends
@@ -1015,7 +1013,13 @@ object Streams extends Serializable {
       .partitionBy(col("id")).orderBy(col("lsn").asc)
     val next = dedup
       .withColumn("valid_to", lead(col("lsn"), 1).over(w))
-      .filter(col("op") =!= "d")
+      // deletes persist as zero-width markers (valid_to = own lsn, null
+      // attributes) so a dangling delete survives the compact state
+      .withColumn("valid_to",
+        when(col("op") === "d", col("lsn")).otherwise(col("valid_to")))
+      .withColumn("email",
+        when(col("op") === "d", lit(null).cast("string"))
+          .otherwise(col("email")))
       .select(col(bcol), col("id"), col("lsn").as("valid_from"),
         col("valid_to"), col("email"))
     PartitionedSnapshotStore.commit(next, root, batchId)
@@ -1030,11 +1034,13 @@ object Streams extends Serializable {
     }
 
   /** The committed history (every version of every key with its
-    * validity interval; open versions have null valid_to).
+    * validity interval; open versions have null valid_to). Zero-width
+    * delete markers are storage detail, not history — hidden here.
     */
   def readScd2(spark: org.apache.spark.sql.SparkSession,
       root: String): Option[DataFrame] =
     PartitionedSnapshotStore.read(spark, root)
+      .map(_.filter(!(col("valid_to") <=> col("valid_from"))))
 
   // ---------------------- T21 durable streaming distinct count (HLL union)
   /** T21 — durable approximate distinct counting over an unbounded

@@ -182,4 +182,83 @@ object CdcPropertySpec extends Properties("CdcSnapshot") {
         s"diff=$diff applied=$applied next=$nextM"
     }
   }
+
+  // ------------------------------------------------ T23 incremental SCD2
+  /** Random batch splits (including out-of-order delivery ACROSS
+    * batches) folded through the durable store must equal the batch
+    * SCD2 over the concatenated changelog — the compact-state rebuild
+    * is exact for any arrival order.
+    */
+  property("incremental SCD2 over random batch splits == batch fold") =
+    forAll(genChangelog, Gen.choose(0, 2), Gen.long) { (keyed, nExtra, seed) =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val events = materialize(keyed)
+      if (events.isEmpty) Prop.passed
+      else {
+        val rnd = new scala.util.Random(seed)
+        val nBatches = 1 + nExtra
+        val batches = Array.fill(nBatches)(
+          scala.collection.mutable.Buffer.empty[CdcEvent])
+        // random assignment scatters a key's events across batches in
+        // random order — late events are the norm here, not the edge
+        events.foreach(e => batches(rnd.nextInt(nBatches)) += e)
+        val root = java.nio.file.Files.createTempDirectory("scd2p")
+          .toString + "/h"
+        batches.zipWithIndex.foreach { case (b, i) =>
+          graft.streaming.Streams.scd2Batch(
+            b.toSeq.toDS.toDF, i.toLong, root, buckets = 4)
+        }
+        def hist(df: org.apache.spark.sql.DataFrame) =
+          df.select("id", "valid_from", "valid_to", "email").collect()
+            .map(r => (r.getLong(0), r.getLong(1),
+              if (r.isNullAt(2)) None else Some(r.getLong(2)),
+              r.getString(3))).toSet
+        val got = graft.streaming.Streams.readScd2(spark, root)
+          .map(hist).getOrElse(Set.empty)
+        val expected = hist(Cdc.scd2(events.toDS.toDF))
+        Prop(got == expected) :| s"got=$got expected=$expected"
+      }
+    }
+
+  // -------------------------------------------- C20 audit/repair closure
+  /** For ANY corruption of the replica (rows dropped, modified, or
+    * invented), the checksum audit + bucket-restricted repair restores
+    * the source exactly, and a clean replica always audits clean.
+    */
+  property("C20 audit+repair closes the loop under random replica corruption") =
+    forAll(genChangelog, Gen.long) { (keyed, seed) =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val events = materialize(keyed)
+      if (events.isEmpty) Prop.passed
+      else {
+        val rnd = new scala.util.Random(seed)
+        val srcState = Cdc.snapshot(events.toDS.toDF).localCheckpoint()
+        val rows = srcState.as[(Long, String, String, String)].collect().toSeq
+        // corrupt: each row independently kept / dropped / modified, plus
+        // possibly one invented row the source never had
+        val corrupted = rows.flatMap { r =>
+          rnd.nextInt(4) match {
+            case 0 => None                                // dropped
+            case 1 => Some(r.copy(_4 = r._4 + ".corrupt")) // modified
+            case _ => Some(r)                              // kept
+          }
+        } ++ (if (rnd.nextBoolean()) Seq((999L, "ghost", "g", "g@x")) else Nil)
+        val rep = corrupted.toDF("id", "first_name", "last_name", "email")
+        val nB = 4
+        val audit = Cdc.reconcileChecksums(srcState, rep, Seq("id"), nB)
+        val repair = Cdc.repairFromAudit(srcState, rep, audit, Seq("id"), nB)
+        val repaired = rep.join(repair.select("id"), Seq("id"), "left_anti")
+          .unionByName(repair.filter(col("op") =!= "d").select(col("id"),
+            col("a_first_name").as("first_name"),
+            col("a_last_name").as("last_name"),
+            col("a_email").as("email")))
+        val ok1 = repaired.orderBy("id").collect().toSeq ==
+          srcState.orderBy("id").collect().toSeq
+        val ok2 = Cdc.reconcileChecksums(srcState, repaired, Seq("id"), nB)
+          .filter(!col("is_match")).count() == 0
+        Prop(ok1 && ok2) :| "repair did not reconcile"
+      }
+    }
 }
