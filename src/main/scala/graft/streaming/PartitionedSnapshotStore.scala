@@ -150,6 +150,30 @@ object PartitionedSnapshotStore {
       else Some(readVintages(spark, paths))
     }
 
+  /** Offline REBUCKET migration — the escape hatch from the "modulus
+    * is forever" contract ([[ensureBucketCount]]): a store sized for
+    * last year's keyspace eventually needs more buckets, and the
+    * modulus cannot change in place (keys would split across two
+    * placements). The migration is the T18 generation pattern one
+    * level up: read the COMMITTED state of `oldRoot`, rewrite it under
+    * a fresh `newRoot` with the new modulus as the seed epoch
+    * (`seedEpoch` = −1, strictly before any stream batch id, so the
+    * first post-cutover micro-batch's strictly-before read sees the
+    * migrated state), copy nothing else — the consumer swap (pointing
+    * readers and the sink at `newRoot`) is the cutover, and the old
+    * store is never touched, remaining the rollback. Must run at a
+    * quiescent barrier: an epoch committed to `oldRoot` after the copy
+    * starts is not migrated.
+    */
+  def rebucket(spark: SparkSession, oldRoot: String, newRoot: String,
+      newN: Int, keyCols: Seq[String], seedEpoch: Long = -1L): Unit = {
+    val state = read(spark, oldRoot).getOrElse(
+      throw new IllegalStateException(s"no committed state under $oldRoot"))
+    ensureBucketCount(spark, newRoot, newN)
+    commit(state.withColumn(bucketColName,
+      bucketOfKeys(keyCols.map(state(_)), newN)), newRoot, seedEpoch)
+  }
+
   /** Point lookup — the replica SERVING path ("maintaining data
     * replicas", the reference's own motivation): resolve the committed
     * rows for a bounded key set by reading ONLY the buckets those keys

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.sql.functions._
+import graft.operators.Vectors
+import graft.streaming.Streams
+
+/** Random-split properties for the durable incremental stores: for ANY
+  * partition of the input into batches (including re-delivered content
+  * and re-embedded keys), the folded store must equal the all-at-once
+  * batch computation — the T16 analogue of the T23/C20 closure
+  * properties in CdcPropertySpec.
+  */
+object StorePropertySpec extends Properties("Stores") {
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5)
+
+  lazy val spark = TestSpark.spark
+
+  // models frozen ONCE for the whole property run (the production
+  // cadence; also keeps each trial to encode+fold work only)
+  lazy val corpus = Tables.embeddings(spark, TestSpark.sf)
+    .select("vec_id", "embedding").localCheckpoint()
+  lazy val coarse = Vectors.kmeansCentroids(corpus, 8, 2)
+  lazy val books = Vectors.pqCodebooks(corpus, 8, 8, 2)
+
+  property("T16 index fold over random batch splits == all-at-once encode of the latest corpus") =
+    forAll(Gen.choose(1, 3), Gen.long) { (nBatches, seed) =>
+      import spark.implicits._
+      val rnd = new scala.util.Random(seed)
+      val rows = corpus.as[(Long, Seq[Float])].collect().toSeq
+      // random subset re-embeds LATER (negated — still unit-norm): its
+      // newest encoding must shadow the original
+      val reembedIds = rows.map(_._1).filter(_ => rnd.nextInt(5) == 0).toSet
+      val reembeds = rows.filter(r => reembedIds(r._1))
+        .map { case (id, v) => (id, v.map(x => -x)) }
+      val batches = Array.fill(nBatches)(
+        scala.collection.mutable.Buffer.empty[(Long, Seq[Float])])
+      rows.foreach(r => batches(rnd.nextInt(nBatches)) += r)
+      // re-embeds always land in a batch AFTER their original (append to
+      // a final extra batch) — the upsert discipline the changelog fold
+      // guarantees upstream
+      val dir = java.nio.file.Files.createTempDirectory("vprop").toString
+      batches.zipWithIndex.foreach { case (b, i) =>
+        Streams.vectorIndexBatch(b.toSeq.toDF("vec_id", "embedding"),
+          i.toLong, dir, coarse, books)
+      }
+      Streams.vectorIndexBatch(reembeds.toDF("vec_id", "embedding"),
+        nBatches.toLong, dir, coarse, books)
+      val latest = rows.filterNot(r => reembedIds(r._1)) ++ reembeds
+      val batchIdx = Vectors.encodeForIndex(
+        latest.toDF("vec_id", "embedding"), coarse, books)
+      def content(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("vec_id"), col("cluster"), col("codes"))
+          .as[(Long, Int, Seq[Int])].collect().toSet
+      val got = content(Streams.readVectorIndex(spark, dir))
+      val expected = content(batchIdx)
+      Prop(got == expected) :| s"fold diverged: ${got.size} vs ${expected.size}"
+    }
+}

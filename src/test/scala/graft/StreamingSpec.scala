@@ -538,6 +538,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.length === 1 && got(0).getString(1) === "v13")
   }
 
+  test("store rebucket: migrated state identical, new modulus serves lookups, old store untouched, next epoch merges on top") {
+    import spark.implicits._
+    import graft.streaming.PartitionedSnapshotStore
+    val oldRoot = java.nio.file.Files.createTempDirectory("rb_old").toString + "/s"
+    val newRoot = java.nio.file.Files.createTempDirectory("rb_new").toString + "/s"
+    PartitionedSnapshotStore.ensureBucketCount(spark, oldRoot, 4)
+    def wb(df: org.apache.spark.sql.DataFrame, n: Int) =
+      df.withColumn(PartitionedSnapshotStore.bucketColName,
+        PartitionedSnapshotStore.bucketOf(col("id"), n))
+    PartitionedSnapshotStore.commit(
+      wb((0 until 24).map(i => (i.toLong, s"v$i")).toDF("id", "v"), 4),
+      oldRoot, 0L)
+    // keyed-merge contract: an epoch's bucket dir holds the FULL bucket
+    // content — epoch 1 updates key 5, so it rewrites all of bucket 1
+    PartitionedSnapshotStore.commit(
+      wb(Seq(1L, 5L, 9L, 13L, 17L, 21L)
+        .map(i => (i, if (i == 5L) "v5b" else s"v$i")).toDF("id", "v"), 4),
+      oldRoot, 1L)
+    val before = PartitionedSnapshotStore.read(spark, oldRoot).get
+      .orderBy("id").collect().toSeq
+    PartitionedSnapshotStore.rebucket(spark, oldRoot, newRoot, 16, Seq("id"))
+    // contents identical under the new layout
+    assert(PartitionedSnapshotStore.read(spark, newRoot).get
+      .orderBy("id").collect().toSeq === before)
+    assert(PartitionedSnapshotStore.bucketCount(spark, newRoot) === Some(16))
+    // lookups recompute buckets with the NEW modulus
+    val got = PartitionedSnapshotStore
+      .lookup(spark, newRoot, Seq(5L, 13L).toDF("id"), Seq("id")).get
+      .select("id", "v").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq((5L, "v5b"), (13L, "v13")))
+    // the old store is byte-untouched (still 4 buckets, same rows)
+    assert(PartitionedSnapshotStore.bucketCount(spark, oldRoot) === Some(4))
+    assert(PartitionedSnapshotStore.read(spark, oldRoot).get
+      .orderBy("id").collect().toSeq === before)
+    // the seed sits strictly before batch 0: the first post-cutover
+    // epoch's strictly-before read sees the migrated state and merges
+    assert(PartitionedSnapshotStore.readBefore(spark, newRoot, 0L).get
+      .orderBy("id").collect().toSeq === before)
+    // at 16 buckets, id 13 is alone in bucket 13 among ids 0..23, so a
+    // full-bucket epoch write is exactly its one updated row
+    PartitionedSnapshotStore.commit(
+      wb(Seq((13L, "v13c")).toDF("id", "v"), 16), newRoot, 0L)
+    val after = PartitionedSnapshotStore.read(spark, newRoot).get
+    assert(after.filter(col("id") === 13L).head().getString(1) === "v13c")
+    assert(after.count() === before.size)
+  }
+
   test("store point lookup touches only the keys' buckets: every other bucket can vanish mid-serve") {
     import spark.implicits._
     import graft.streaming.PartitionedSnapshotStore
