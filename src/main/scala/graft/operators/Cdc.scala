@@ -690,11 +690,22 @@ object Cdc {
     * audits, it doesn't NPE).
     */
   def reconcileChecksums(src: DataFrame, replica: DataFrame,
-      keys: Seq[String], nBuckets: Int): DataFrame = {
-    val s = bucketChecksums(src, keys, nBuckets)
+      keys: Seq[String], nBuckets: Int): DataFrame =
+    reconcileChecksumTables(
+      bucketChecksums(src, keys, nBuckets),
+      bucketChecksums(replica, keys, nBuckets))
+
+  /** The comparison half alone, over two PRECOMPUTED checksum tables
+    * (bucket, n_rows, checksum) — the shape the continuous audit (T24)
+    * needs, where the source side arrives as published data rather
+    * than being recomputed from a local copy of the source.
+    */
+  def reconcileChecksumTables(srcCs: DataFrame,
+      repCs: DataFrame): DataFrame = {
+    val s = srcCs
       .withColumnRenamed("n_rows", "src_rows")
       .withColumnRenamed("checksum", "src_sum")
-    val r = bucketChecksums(replica, keys, nBuckets)
+    val r = repCs
       .withColumnRenamed("n_rows", "rep_rows")
       .withColumnRenamed("checksum", "rep_sum")
     s.join(r, Seq("bucket"), "full")

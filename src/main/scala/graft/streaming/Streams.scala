@@ -1042,6 +1042,34 @@ object Streams extends Serializable {
     PartitionedSnapshotStore.read(spark, root)
       .map(_.filter(!(col("valid_to") <=> col("valid_from"))))
 
+  // ---------------------- T24 continuous replica audit (C20 streaming)
+  /** T24 — C20 as a monitoring LOOP instead of a quarterly full
+    * compare: the producer publishes its own nBuckets-row checksum
+    * table per epoch (tiny — `Cdc.bucketChecksums` over its state,
+    * riding the same channel as the data), and after applying the
+    * epoch the consumer audits its replica VIEW against it and commits
+    * the per-bucket verdicts to an alert store. Divergence surfaces
+    * one epoch after it happens, at the bucket granularity the repair
+    * path ([[graft.operators.Cdc.repairFromAudit]]) consumes directly.
+    * The alert store is itself versioned, so "when did we diverge" is
+    * a readBefore walk, not archaeology. Cost per epoch: one replica
+    * scan (map-side combined to nBuckets rows) + an nBuckets-row join.
+    */
+  def auditReplicaBatch(srcChecksums: DataFrame, replicaView: DataFrame,
+      batchId: Long, alertRoot: String, keys: Seq[String],
+      nBuckets: Int): Unit = {
+    val verdicts = graft.operators.Cdc.reconcileChecksumTables(
+        srcChecksums,
+        graft.operators.Cdc.bucketChecksums(replicaView, keys, nBuckets))
+      .withColumn("epoch", lit(batchId))
+    SnapshotStore.commit(verdicts.coalesce(1), alertRoot, batchId)
+  }
+
+  /** Latest verdicts (filter `!is_match` for the alerts). */
+  def readAuditVerdicts(spark: org.apache.spark.sql.SparkSession,
+      alertRoot: String): Option[DataFrame] =
+    SnapshotStore.read(spark, alertRoot)
+
   // ---------------------- T21 durable streaming distinct count (HLL union)
   /** T21 — durable approximate distinct counting over an unbounded
     * stream: the T20 shape with a DataSketches HLL sketch as the

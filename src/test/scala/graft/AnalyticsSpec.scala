@@ -58,4 +58,24 @@ class AnalyticsSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().sorted.toSeq
     assert(got === Seq((0L, 0L, 2L), (0L, 1L, 1L), (0L, 2L, 1L), (1L, 0L, 1L)))
   }
+
+  test("pipeline observability: Observation metrics ride the action itself, no extra jobs") {
+    // the production monitoring idiom for batch pipelines: per-stage row
+    // counts and quality tallies collected DURING the write/collect action
+    // via the Observation API — no second pass, no .count() side jobs
+    import org.apache.spark.sql.Observation
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val obs = Observation("gate")
+    val gated = docs
+      .observe(obs,
+        count(lit(1)).as("n_in"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+      .filter(col("lang").isin("en", "de"))
+    val kept = gated.count()
+    val m = obs.get
+    assert(m("n_in").asInstanceOf[Long] === docs.count())
+    assert(m("n_en").asInstanceOf[Long] ===
+      docs.filter(col("lang") === "en").count())
+    assert(kept === docs.filter(col("lang").isin("en", "de")).count())
+  }
 }

@@ -491,6 +491,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(live.find(_.getLong(0) == 4L).get.getString(4) === "e4b@x")
   }
 
+  test("T24 continuous audit: per-epoch verdicts committed; divergence surfaces the epoch it happens; history answers when") {
+    import spark.implicits._
+    import graft.operators.Cdc
+    val alertRoot = java.nio.file.Files.createTempDirectory("t24").toString + "/a"
+    val nB = 4
+    def cs(df: org.apache.spark.sql.DataFrame) =
+      Cdc.bucketChecksums(df, Seq("id"), nB)
+    val state0 = (0 until 16).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    // epoch 0: replica consistent
+    Streams.auditReplicaBatch(cs(state0), state0, 0L, alertRoot, Seq("id"), nB)
+    val v0 = Streams.readAuditVerdicts(spark, alertRoot).get
+    assert(v0.filter(!col("is_match")).count() === 0)
+    assert(v0.select("epoch").distinct().head().getLong(0) === 0L)
+    // epoch 1: upstream updated key 6, the replica MISSED the event
+    val state1 = (0 until 16)
+      .map(i => (i.toLong, if (i == 6) "v6b" else s"v$i")).toDF("id", "v")
+    Streams.auditReplicaBatch(cs(state1), state0, 1L, alertRoot, Seq("id"), nB)
+    val v1 = Streams.readAuditVerdicts(spark, alertRoot).get
+    val bad = v1.filter(!col("is_match")).select("bucket").as[Long].collect()
+    val expectBucket = state1.filter(col("id") === 6L)
+      .select(org.apache.spark.sql.functions.expr(
+        s"CAST(conv(substr(md5(CAST(CAST(id AS STRING) AS BINARY)), 1, 8), 16, 10) AS BIGINT) % $nB"))
+      .head().getLong(0)
+    assert(bad.toSeq === Seq(expectBucket))
+    // the alert store is versioned: epoch 0's clean verdicts still readable
+    val prior = graft.streaming.SnapshotStore.readBefore(spark, alertRoot, 1L).get
+    assert(prior.filter(!col("is_match")).count() === 0)
+  }
+
   test("C20 x T6: the replica store audits against upstream, repair rewrites only the diverged key's bucket, re-audit is clean") {
     import spark.implicits._
     import graft.streaming.PartitionedSnapshotStore
