@@ -101,9 +101,16 @@ object Curation {
     * formulation — same oracle SQL.
     */
   def tokenPacking(docs: DataFrame, budget: Long,
-      bucketWidth: Long = 500L): DataFrame = {
-    val keyed = docs
-      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      bucketWidth: Long = 500L,
+      nTokensCol: Option[String] = None): DataFrame = {
+    val counted = nTokensCol match {
+      // a precomputed per-doc count (e.g. the BPE tokenizer's actual
+      // sequence length, x9c) replaces the whitespace proxy
+      case Some(c) => docs.withColumn("n_tokens", col(c).cast("long"))
+      case None =>
+        docs.withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+    }
+    val keyed = counted
       .withColumn("bkt", (col("doc_id") / bucketWidth).cast("long"))
     val w1 = Window.partitionBy(col("lang"), col("bkt")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -345,6 +352,53 @@ object Curation {
       | arg_min(doc_id, coin) AS first_doc
       |FROM sshuf GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** X9c — the pipeline's TOKENIZER-TRUE terminal: pack the kept set
+    * into shards by the trained BPE tokenizer's ACTUAL sequence lengths
+    * (x4o's per-doc symbol counts) instead of the whitespace proxy x6c
+    * and x9 use. The proxy systematically misprices documents whose
+    * words fragment into many subwords, so proxy-budgeted shards
+    * overflow the real token budget downstream; packing by tokenizer
+    * counts is what a training pipeline actually ships. Same two-phase
+    * prefix sum (no per-language sort task), encode is the x4o
+    * shuffle-free pass over the kept set only.
+    */
+  val x9cBpePacking: Q = (spark, dir) => {
+    val kept = keptDocs(spark, dir)
+    val merges = Text.stagedBpeMerges(spark, dir)
+      .orderBy("iteration").select("left", "right").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val enc = Text.bpeEncode(kept.select(col("doc_id"), col("text")), merges)
+      .select(col("doc_id"), col("n_bpe_tokens"))
+    tokenPacking(kept.join(enc, "doc_id"), budget = 1500L,
+        nTokensCol = Some("n_bpe_tokens"))
+      .orderBy(col("lang"), col("shard"))
+  }
+  val x9cSql: String = {
+    val enc = Seq(
+      """e0k AS (SELECT k.lang, k.doc_id, array_to_string(list_transform(
+        |        regexp_extract_all(d.text, '[a-z0-9]+'),
+        |        w2 -> regexp_replace(w2, '(.)', ' \1;', 'g')), '|') AS seq
+        |       FROM documents d JOIN kept k ON d.doc_id = k.doc_id)""".stripMargin) ++
+      (1 to Text.defaultBpeMerges).map { k =>
+        s"""e${k}k AS (SELECT lang, doc_id, replace(seq, ' ' || "left" || '; ' || "right" || ';',
+           |         ' ' || merged || ';') AS seq
+           |       FROM e${k - 1}k, m$k)""".stripMargin
+      } ++ Seq(
+      s"""bt AS (SELECT lang, doc_id,
+         |        CAST(len(string_split(seq, ' ')) - 1 AS BIGINT) AS n_bpe
+         |       FROM e${Text.defaultBpeMerges}k)""".stripMargin,
+      """cbt AS (SELECT lang, doc_id, n_bpe,
+        |        sum(n_bpe) OVER (PARTITION BY lang ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |       FROM bt)""".stripMargin)
+    x9Ctes + ",\n" + Text.bpeCteParts.mkString(",\n") + ",\n" +
+      enc.mkString(",\n") + "\n" +
+      """SELECT lang, CAST((cum - 1) // 1500 AS BIGINT) AS shard,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_bpe) AS BIGINT) AS shard_tokens
+        |FROM cbt GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "x6_curation" -> x6Curation,
     "x6b_stratified_sample" -> x6bStratifiedSample,
@@ -353,7 +407,8 @@ object Curation {
     "x6f_corpus_shuffle" -> x6fCorpusShuffle,
     "x6g_curriculum" -> x6gCurriculum,
     "x9_pipeline" -> x9Pipeline,
-    "x9b_shuffle_manifest" -> x9bShuffleManifest)
+    "x9b_shuffle_manifest" -> x9bShuffleManifest,
+    "x9c_bpe_packing" -> x9cBpePacking)
 
   val oracle: Map[String, String] = Map(
     "x6_curation" -> x6Sql,
@@ -363,5 +418,6 @@ object Curation {
     "x6f_corpus_shuffle" -> x6fSql,
     "x6g_curriculum" -> x6gSql,
     "x9_pipeline" -> x9Sql,
-    "x9b_shuffle_manifest" -> x9bSql)
+    "x9b_shuffle_manifest" -> x9bSql,
+    "x9c_bpe_packing" -> x9cSql)
 }

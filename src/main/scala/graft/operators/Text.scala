@@ -1581,7 +1581,7 @@ object Text {
     * `MATERIALIZED` — without it DuckDB inlines the chain and
     * re-evaluates d0 2^N times.
     */
-  private def bpeCteParts: Seq[String] = {
+  private[operators] def bpeCteParts: Seq[String] = {
     val parts = Seq(
       """w AS (SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS word
         |      FROM documents)""".stripMargin,
