@@ -575,7 +575,17 @@ object Text {
     * buys: the candidate self-join emits ≤ maxDf²/2 pairs per shingle.
     */
   def jaccardPairs(sh: DataFrame, maxDf: Int = defaultMaxDf,
-      jNum: Int = 7, jDen: Int = 10): DataFrame = {
+      jNum: Int = 7, jDen: Int = 10): DataFrame =
+    verifiedSharedCounts(sh, maxDf)
+      .filter(col("shared") * jDen >= (col("na") + col("nb") - col("shared")) * jNum)
+
+  /** The prune-then-verify middle shared by the symmetric (Jaccard,
+    * [[jaccardPairs]]) and asymmetric (containment,
+    * [[containmentPairs]]) verifiers: candidate pairs via rare shingles
+    * only, then exact shared-shingle counts with both set sizes.
+    * Output: (da, db, shared, na, nb), da < db.
+    */
+  private def verifiedSharedCounts(sh: DataFrame, maxDf: Int): DataFrame = {
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // df via groupBy+join (partial-agg count is skew-safe; hot shingles are
     // dropped by the df filter BEFORE the self-join, so no reducer ever
@@ -600,8 +610,27 @@ object Text {
       .join(cnt.as("cb"), col("db") === col("cb.doc_id"))
       .select(col("da"), col("db"), col("shared"),
         col("ca.n").as("na"), col("cb.n").as("nb"))
-      .filter(col("shared") * jDen >= (col("na") + col("nb") - col("shared")) * jNum)
   }
+
+  /** X2e — CONTAINMENT detection, the ASYMMETRIC near-dup case
+    * symmetric Jaccard structurally misses: a document quoted or
+    * embedded inside a much larger one shares nearly all of ITS OWN
+    * shingles but few of the host's, so shared/union stays far below
+    * any x2c threshold while shared/min(|A|,|B|) — the containment of
+    * the smaller set — is ≈ 1. Training corpora are full of this shape
+    * (aggregator pages embedding articles, quote-heavy forum posts),
+    * and pair-dedup that only runs Jaccard keeps both copies. Same
+    * rare-shingle prune-then-verify as x2c (one shared middle —
+    * [[verifiedSharedCounts]] — so the two verifiers cannot drift),
+    * different final predicate, plus the contained side named so the
+    * apply step knows WHICH doc is the duplicate.
+    */
+  def containmentPairs(sh: DataFrame, maxDf: Int = defaultMaxDf,
+      cNum: Int = 4, cDen: Int = 5): DataFrame =
+    verifiedSharedCounts(sh, maxDf)
+      .filter(col("shared") * cDen >= least(col("na"), col("nb")) * cNum)
+      .withColumn("contained",
+        when(col("na") <= col("nb"), col("da")).otherwise(col("db")))
 
   /** Staged verified near-dup pair table — shared by x2c and the x6
     * curation anti-join (which previously re-ran this whole pipeline).
@@ -634,6 +663,15 @@ object Text {
       |SELECT da, db, shared, ca.n AS na, cb.n AS nb
       |FROM shared JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
       |WHERE shared * 10 >= (ca.n + cb.n - shared) * 7
+      |ORDER BY da, db""".stripMargin
+
+  val x2eContainment: Q = (spark, dir) =>
+    containmentPairs(stagedShingles(spark, dir)).orderBy(col("da"), col("db"))
+  val x2eSql: String = x2cCtePrefix() + """
+      |SELECT da, db, shared, ca.n AS na, cb.n AS nb,
+      | CASE WHEN ca.n <= cb.n THEN da ELSE db END AS contained
+      |FROM shared JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
+      |WHERE shared * 5 >= least(ca.n, cb.n) * 4
       |ORDER BY da, db""".stripMargin
 
   // ------------------------------------------------------------------- X4
@@ -1704,6 +1742,7 @@ object Text {
     "x2_minhash_lsh" -> x2MinhashLsh,
     "x2b_simhash" -> x2bSimhash,
     "x2c_ngram_jaccard" -> x2cNgramJaccard,
+    "x2e_containment" -> x2eContainment,
     "x2d_simhash_neardup" -> x2dSimhashNearDup,
     "x4_text_quality" -> x4TextQuality,
     "x4b_langid" -> x4bLangId,
@@ -1738,6 +1777,7 @@ object Text {
     "x2_minhash_lsh" -> x2Sql,
     "x2b_simhash" -> x2bSql,
     "x2c_ngram_jaccard" -> x2cSql,
+    "x2e_containment" -> x2eSql,
     "x2d_simhash_neardup" -> x2dSql,
     "x4_text_quality" -> x4Sql,
     "x4b_langid" -> x4bSql,

@@ -621,4 +621,25 @@ class TextVectorsSpec extends AnyFunSuite {
         s"top hit for ${r.getLong(0)} left its cluster: ${r.getLong(1)}")
     }
   }
+
+  test("containment pairs catch a quoted document that symmetric Jaccard misses; contained side named") {
+    // doc 1: a short article. doc 2: a much larger host page embedding the
+    // article verbatim. doc 3: unrelated. Jaccard(1,2) = 6/56 — far below
+    // any near-dup threshold — while containment(1 in 2) = 6/6.
+    val article = (1 to 10).map(i => s"w$i").mkString(" ")
+    val host = ((1 to 10).map(i => s"w$i") ++ (11 to 60).map(i => s"z$i"))
+      .mkString(" ")
+    val unrelated = (100 to 130).map(i => s"q$i").mkString(" ")
+    val docs = Seq((1L, article), (2L, host), (3L, unrelated))
+      .toDF("doc_id", "text")
+    val sh = Text.shingles(docs)
+    assert(Text.jaccardPairs(sh).count() === 0,
+      "symmetric Jaccard should NOT fire on the quote-embedding pair")
+    val cont = Text.containmentPairs(sh).collect()
+    assert(cont.length === 1)
+    val r = cont(0)
+    assert((r.getLong(0), r.getLong(1)) === (1L, 2L))
+    assert(r.getLong(2) === 6L)                      // all of the article's shingles
+    assert(r.getAs[Long]("contained") === 1L)        // the article is the duplicate
+  }
 }
