@@ -309,15 +309,95 @@ object Graph {
       .orderBy(col("doc_id"))
   }
 
+  /** X7m — CONTAINMENT-AWARE dedup apply, the integration of x2e into the
+    * cluster-representative pass. x7f alone keeps both sides of a
+    * quote-embedding pair (symmetric Jaccard never fires on it, so neither
+    * doc joins a cluster); running containment as a separate report and
+    * hand-merging is how duplicates slip through. The two-stage apply used
+    * in production corpus dedup:
+    *
+    *   1. Drop every VERBATIM-EMBEDDED document outright (containment ≥
+    *      19/20 — the quote/mirror case) — the HOST survives regardless of
+    *      id order, because the host carries content the contained copy
+    *      does not. Transitive nesting (A ⊂ B ⊂ C) resolves correctly: A
+    *      and B are each named contained somewhere, C never is.
+    *   2. Cluster-representative dedup (exactly x7f) over the Jaccard
+    *      graph RESTRICTED to survivors — edges touching a dropped doc are
+    *      removed first, so a cluster whose min-id member was contained
+    *      still elects a surviving representative instead of silently
+    *      losing all members to the "not the representative" filter.
+    *
+    * The stage-1 threshold is deliberately ABOVE x2e's default 4/5:
+    * J ≥ 7/10 forces shared/min ≥ 14/17 ≈ 0.82 on EVERY Jaccard pair
+    * (shared ≥ 0.7·(na+nb−shared) and na+nb ≥ 2·min), so at 4/5 every
+    * Jaccard pair is also a containment pair, stage 1 would swallow one
+    * side of every near-dup pair and stage 2 would be vacuous. At 19/20
+    * stage 1 fires only on true embeds and the fuzzy near-dup mass still
+    * flows through clustering.
+    *
+    * Scale: both the contained-id set and the cluster map are bounded by
+    * near-dup membership (≪ corpus) so every corpus-side join is a
+    * broadcast probe; the edge restriction is two anti-joins over the
+    * already-pruned pair table, and both pair sets are threshold filters
+    * over the SAME staged verified-counts middle — one prune-verify pass
+    * total.
+    */
+  def containmentDedup(docs: DataFrame, contained: DataFrame,
+      jaccard: DataFrame): DataFrame = {
+    val dropIds = contained.select(col("contained").as("drop_id")).distinct()
+    val jp = jaccard.select(col("da"), col("db"))
+    val edges = jp
+      .join(broadcast(dropIds), jp("da") === dropIds("drop_id"), "left_anti")
+      .join(broadcast(dropIds), col("db") === dropIds("drop_id"), "left_anti")
+    val cc = connectedComponents(edges)
+    docs
+      .join(broadcast(dropIds), docs("doc_id") === dropIds("drop_id"), "left_anti")
+      .join(broadcast(cc), col("doc_id") === cc("node"), "left")
+      .filter(col("node").isNull || col("doc_id") === col("cluster"))
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      .drop("node")
+  }
+
+  val x7mContainmentApply: Q = (spark, dir) => {
+    val vc = Text.stagedVerifiedCounts(spark, dir)
+    containmentDedup(Tables.documents(spark, dir),
+        Text.containmentOf(vc, cNum = 19, cDen = 20), Text.jaccardOf(vc))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("cluster"))
+      .orderBy(col("doc_id"))
+  }
+
+  val x7mSql: String = Text.x2cCtePrefix("WITH RECURSIVE") + """,
+      |con AS (SELECT DISTINCT CASE WHEN ca.n <= cb.n THEN da ELSE db END AS doc_id
+      |        FROM shared JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
+      |        WHERE shared * 20 >= least(ca.n, cb.n) * 19),
+      |pairs AS (SELECT da, db
+      |          FROM shared JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
+      |          WHERE shared * 10 >= (ca.n + cb.n - shared) * 7
+      |            AND da NOT IN (SELECT doc_id FROM con)
+      |            AND db NOT IN (SELECT doc_id FROM con)),
+      |edges AS (SELECT da AS u, db AS v FROM pairs
+      |          UNION SELECT db AS u, da AS v FROM pairs),
+      |walk AS (SELECT u AS node, u AS reach FROM edges
+      |         UNION
+      |         SELECT w.node, e.v AS reach FROM walk w JOIN edges e ON e.u = w.reach),
+      |cc AS (SELECT node, min(reach) AS cluster FROM walk GROUP BY 1)
+      |SELECT doc_id, lang, n_chars, coalesce(cluster, doc_id) AS cluster
+      |FROM documents LEFT JOIN cc ON doc_id = node
+      |WHERE doc_id NOT IN (SELECT doc_id FROM con)
+      |  AND (node IS NULL OR doc_id = cluster)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "x7_neardup_clusters" -> x7NeardupClusters,
     "x7l_cluster_stats" -> x7lClusterStats,
     "x7f_dedup_apply" -> x7fDedupApply,
+    "x7m_containment_apply" -> x7mContainmentApply,
     "x7j_incr_clusters" -> x7jIncrClusters)
 
   val oracle: Map[String, String] = Map(
     "x7_neardup_clusters" -> x7Sql,
     "x7l_cluster_stats" -> x7lSql,
     "x7f_dedup_apply" -> x7fSql,
+    "x7m_containment_apply" -> x7mSql,
     "x7j_incr_clusters" -> x7Sql)
 }

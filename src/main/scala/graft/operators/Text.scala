@@ -576,8 +576,14 @@ object Text {
     */
   def jaccardPairs(sh: DataFrame, maxDf: Int = defaultMaxDf,
       jNum: Int = 7, jDen: Int = 10): DataFrame =
-    verifiedSharedCounts(sh, maxDf)
-      .filter(col("shared") * jDen >= (col("na") + col("nb") - col("shared")) * jNum)
+    jaccardOf(verifiedSharedCounts(sh, maxDf), jNum, jDen)
+
+  /** Jaccard predicate over a verified-counts table — split out so the
+    * staged counts ([[stagedVerifiedCounts]]) are filtered, not recomputed,
+    * per consumer. */
+  private[graft] def jaccardOf(vc: DataFrame,
+      jNum: Int = 7, jDen: Int = 10): DataFrame =
+    vc.filter(col("shared") * jDen >= (col("na") + col("nb") - col("shared")) * jNum)
 
   /** The prune-then-verify middle shared by the symmetric (Jaccard,
     * [[jaccardPairs]]) and asymmetric (containment,
@@ -627,17 +633,34 @@ object Text {
     */
   def containmentPairs(sh: DataFrame, maxDf: Int = defaultMaxDf,
       cNum: Int = 4, cDen: Int = 5): DataFrame =
-    verifiedSharedCounts(sh, maxDf)
-      .filter(col("shared") * cDen >= least(col("na"), col("nb")) * cNum)
+    containmentOf(verifiedSharedCounts(sh, maxDf), cNum, cDen)
+
+  /** Containment predicate over a verified-counts table (see
+    * [[jaccardOf]]). */
+  private[graft] def containmentOf(vc: DataFrame,
+      cNum: Int = 4, cDen: Int = 5): DataFrame =
+    vc.filter(col("shared") * cDen >= least(col("na"), col("nb")) * cNum)
       .withColumn("contained",
         when(col("na") <= col("nb"), col("da")).otherwise(col("db")))
+
+  /** Staged verified shared-counts table — ONE prune-then-verify pass per
+    * session feeds every pair consumer (x2c Jaccard, x2e containment, the
+    * x6/x9 anti-joins, x7's cluster graph, x7m's two-stage apply): each
+    * applies its own threshold predicate to the same (da, db, shared, na,
+    * nb) middle instead of re-running the candidate join. The counts table
+    * is a superset of any one verifier's pairs but still candidate-bounded
+    * (rare-shingle prune), so staging it costs what staging the Jaccard
+    * pairs alone used to.
+    */
+  def stagedVerifiedCounts(spark: SparkSession, dir: String): DataFrame =
+    Staged(spark, s"verified_counts:$dir")(
+      verifiedSharedCounts(stagedShingles(spark, dir), defaultMaxDf))
 
   /** Staged verified near-dup pair table — shared by x2c and the x6
     * curation anti-join (which previously re-ran this whole pipeline).
     */
   def stagedJaccardPairs(spark: SparkSession, dir: String): DataFrame =
-    Staged(spark, s"jaccard_pairs:$dir")(
-      jaccardPairs(stagedShingles(spark, dir)))
+    jaccardOf(stagedVerifiedCounts(spark, dir))
 
   val x2cNgramJaccard: Q = (spark, dir) =>
     stagedJaccardPairs(spark, dir).orderBy(col("da"), col("db"))
@@ -666,7 +689,7 @@ object Text {
       |ORDER BY da, db""".stripMargin
 
   val x2eContainment: Q = (spark, dir) =>
-    containmentPairs(stagedShingles(spark, dir)).orderBy(col("da"), col("db"))
+    containmentOf(stagedVerifiedCounts(spark, dir)).orderBy(col("da"), col("db"))
   val x2eSql: String = x2cCtePrefix() + """
       |SELECT da, db, shared, ca.n AS na, cb.n AS nb,
       | CASE WHEN ca.n <= cb.n THEN da ELSE db END AS contained

@@ -36,7 +36,43 @@ class GraphMixingSpec extends AnyFunSuite {
     assert(Curation.x6Sql.startsWith(Text.x2cCtePrefix()))
     assert(Graph.x7Sql.startsWith(Graph.ccCtes))
     assert(Graph.x7fSql.startsWith(Graph.ccCtes))
+    assert(Graph.x7mSql.startsWith(Text.x2cCtePrefix("WITH RECURSIVE")))
     assert(Curation.x9Sql.startsWith(Graph.ccCtes))
+  }
+
+  test("x7m containment-aware apply: verbatim embeds dropped, restricted " +
+      "jaccard graph still elects surviving representatives") {
+    val article = (1 to 10).map(i => s"w$i").mkString(" ")
+    val host = ((1 to 10).map(i => s"w$i") ++ (11 to 60).map(i => s"z$i"))
+      .mkString(" ")
+    val unrelated = (100 to 130).map(i => s"q$i").mkString(" ")
+    // 4 ⊂ 5 verbatim AND Jaccard-similar: 16 shared of 16/20 shingles —
+    // J = 16/20 = 0.8 fires, containment(4 in 5) = 1 fires. x7f alone
+    // would keep 4 (the min-id "representative") and drop 5: exactly
+    // backwards, 5 is the host with MORE content.
+    val sub = (1 to 20).map(i => s"a$i").mkString(" ")
+    val sup = ((1 to 20).map(i => s"a$i") ++ (1 to 4).map(i => s"b$i"))
+      .mkString(" ")
+    // 6/7: fuzzy near-dups, NOT an embed — 17 shared of 20/20 shingles,
+    // J = 17/23 ≈ 0.74 fires, containment = 17/20 = 0.85 < 19/20 silent.
+    val near1 = (1 to 24).map(i => s"c$i").mkString(" ")
+    val near2 = ((1 to 21).map(i => s"c$i") ++ (1 to 3).map(i => s"d$i"))
+      .mkString(" ")
+    val docs = Seq((1L, article), (2L, host), (3L, unrelated), (4L, sub),
+      (5L, sup), (6L, near1), (7L, near2)).toDF("doc_id", "text")
+    val sh = Text.shingles(docs)
+    val cont = Text.containmentPairs(sh, cNum = 19, cDen = 20)
+    assert(cont.select("contained").as[Long].collect().toSet === Set(1L, 4L))
+    val jac = Text.jaccardPairs(sh)
+    assert(jac.select(col("da"), col("db")).as[(Long, Long)].collect().toSet
+      === Set((4L, 5L), (6L, 7L)))
+    val kept = Graph.containmentDedup(docs, cont, jac)
+      .select("doc_id").as[Long].collect().toSet
+    // host 2 survives its embed; 5 survives BECAUSE the (4,5) edge is
+    // restricted away after 4 drops — unrestricted, cluster {4,5} would
+    // name dropped 4 as representative and 5 would vanish too; {6,7}
+    // clusters normally and keeps min-id 6
+    assert(kept === Set(2L, 3L, 5L, 6L))
   }
 
   private def ccMap(edges: Seq[(Long, Long)]): Map[Long, Long] =
