@@ -75,6 +75,62 @@ class GraphMixingSpec extends AnyFunSuite {
     assert(kept === Set(2L, 3L, 5L, 6L))
   }
 
+  test("x7m containment-aware apply matches a sequential reference on " +
+      "random embed-heavy corpora") {
+    val rnd = new scala.util.Random(7)
+    val vocab = ('a' to 'h').map(_.toString)
+    def rndText(n: Int): String =
+      (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+
+    // pure-Scala reference of the full two-stage semantics, including the
+    // rare-shingle candidate prune (width 5, maxDf 10 — the engine
+    // defaults), containment at 19/20, Jaccard at 7/10
+    def ref(texts: List[String]): Set[Long] = {
+      val (width, maxDf) = (Text.defaultShingleWidth, Text.defaultMaxDf)
+      val shSets: Map[Long, Set[String]] = texts.zipWithIndex.map {
+        case (t, i) =>
+          val tok = t.split(" ")
+          i.toLong -> (if (tok.length >= width)
+            tok.sliding(width).map(_.mkString(" ")).toSet
+          else Set.empty[String])
+      }.toMap
+      val df = shSets.values.toList.flatMap(_.toList)
+        .groupBy(identity).map { case (s, xs) => s -> xs.size }
+      val ids = shSets.keys.toList.sorted
+      val pairs = for {
+        a <- ids; b <- ids if a < b
+        inter = shSets(a) intersect shSets(b)
+        if inter.exists(s => df(s) <= maxDf)
+      } yield (a, b, inter.size.toLong, shSets(a).size.toLong,
+        shSets(b).size.toLong)
+      val contained = pairs
+        .filter { case (_, _, sh, na, nb) => sh * 20 >= math.min(na, nb) * 19 }
+        .map { case (da, db, _, na, nb) => if (na <= nb) da else db }.toSet
+      val edges = pairs
+        .filter { case (_, _, sh, na, nb) => sh * 10 >= (na + nb - sh) * 7 }
+        .collect { case (da, db, _, _, _) if !contained(da) && !contained(db) =>
+          (da, db) }
+      val cc = ufComponents(edges)
+      ids.filter(i => !contained(i) && cc.get(i).forall(_ == i)).toSet
+    }
+
+    for (trial <- 1 to 5) {
+      val base = List.fill(4 + rnd.nextInt(4))(rndText(5 + rnd.nextInt(16)))
+      // hosts EMBED a random earlier doc verbatim and append their own tail
+      val hosts = List.fill(1 + rnd.nextInt(3))(
+        base(rnd.nextInt(base.size)) + " " + rndText(8 + rnd.nextInt(20)))
+      val texts = base ++ hosts
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val sh = Text.shingles(docs)
+      val kept = Graph.containmentDedup(docs,
+          Text.containmentPairs(sh, cNum = 19, cDen = 20),
+          Text.jaccardPairs(sh))
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept === ref(texts), s"trial $trial corpus: $texts")
+    }
+  }
+
   private def ccMap(edges: Seq[(Long, Long)]): Map[Long, Long] =
     Graph.connectedComponents(edges.toDF("src", "dst"))
       .as[(Long, Long)].collect().toMap
