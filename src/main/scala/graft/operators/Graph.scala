@@ -342,20 +342,71 @@ object Graph {
     * over the SAME staged verified-counts middle — one prune-verify pass
     * total.
     */
-  def containmentDedup(docs: DataFrame, contained: DataFrame,
-      jaccard: DataFrame): DataFrame = {
+  /** The shared middle of the two-stage apply: (contained-id set, CC over
+    * the Jaccard graph restricted to survivors). */
+  private def restrictedClusters(contained: DataFrame,
+      jaccard: DataFrame): (DataFrame, DataFrame) = {
     val dropIds = contained.select(col("contained").as("drop_id")).distinct()
     val jp = jaccard.select(col("da"), col("db"))
     val edges = jp
       .join(broadcast(dropIds), jp("da") === dropIds("drop_id"), "left_anti")
       .join(broadcast(dropIds), col("db") === dropIds("drop_id"), "left_anti")
-    val cc = connectedComponents(edges)
+    (dropIds, connectedComponents(edges))
+  }
+
+  def containmentDedup(docs: DataFrame, contained: DataFrame,
+      jaccard: DataFrame): DataFrame = {
+    val (dropIds, cc) = restrictedClusters(contained, jaccard)
     docs
       .join(broadcast(dropIds), docs("doc_id") === dropIds("drop_id"), "left_anti")
       .join(broadcast(cc), col("doc_id") === cc("node"), "left")
       .filter(col("node").isNull || col("doc_id") === col("cluster"))
       .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
       .drop("node")
+  }
+
+  /** X7n — dedup DECISION LINEAGE: one row per dropped document saying WHY
+    * it was dropped and which document it lost to. (Under transitive
+    * nesting A ⊂ B ⊂ C the loser's `kept_id` may itself be dropped —
+    * B's row points to C; provenance resolves by following the chain,
+    * and `cluster_dup` rows always point to a survivor.) The apply
+    * steps (x7f/x7m) emit only survivors; a production corpus build also
+    * has to answer "where did doc X go?" — for audits, for takedown
+    * propagation (removing a kept host must also surface the copies that
+    * were deduped INTO it), and for debugging over-aggressive dedup. Two
+    * reasons, mirroring x7m's stages exactly:
+    *
+    *   - `contained`: the doc was verbatim-embedded in a host (x2e at
+    *     19/20); `kept_id` = the min-id host among the pairs that named
+    *     it (deterministic when a doc is quoted by several hosts).
+    *   - `cluster_dup`: a non-representative member of a restricted-graph
+    *     Jaccard cluster; `kept_id` = the elected representative.
+    *
+    * The two sets are disjoint by construction (a contained doc's edges
+    * are restricted away, so it never appears in the cluster map), and
+    * x7m's kept set ∪ x7n's dropped set partitions the corpus — spec'd.
+    *
+    * Scale: everything here is arithmetic over the pair/cluster tables,
+    * which are bounded by near-dup membership; the corpus is never
+    * scanned — lineage is a report over the (small) dedup state itself.
+    */
+  def dedupLineage(contained: DataFrame, jaccard: DataFrame): DataFrame = {
+    val containedRows = contained.select(col("contained").as("doc_id"),
+        when(col("contained") === col("da"), col("db")).otherwise(col("da"))
+          .as("host"))
+      .groupBy(col("doc_id")).agg(min(col("host")).as("kept_id"))
+      .withColumn("reason", lit("contained"))
+    val (_, cc) = restrictedClusters(contained, jaccard)
+    val clusterRows = cc.filter(col("node") =!= col("cluster"))
+      .select(col("node").as("doc_id"), col("cluster").as("kept_id"),
+        lit("cluster_dup").as("reason"))
+    containedRows.unionByName(clusterRows)
+  }
+
+  val x7nDedupLineage: Q = (spark, dir) => {
+    val vc = Text.stagedVerifiedCounts(spark, dir)
+    dedupLineage(Text.containmentOf(vc, cNum = 19, cDen = 20),
+      Text.jaccardOf(vc)).orderBy(col("doc_id"))
   }
 
   val x7mContainmentApply: Q = (spark, dir) => {
@@ -366,10 +417,16 @@ object Graph {
       .orderBy(col("doc_id"))
   }
 
-  val x7mSql: String = Text.x2cCtePrefix("WITH RECURSIVE") + """,
-      |con AS (SELECT DISTINCT CASE WHEN ca.n <= cb.n THEN da ELSE db END AS doc_id
-      |        FROM shared JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
-      |        WHERE shared * 20 >= least(ca.n, cb.n) * 19),
+  /** Shared CTE chain for the two-stage apply's oracles (x7m final state,
+    * x7n lineage) — extends x2c's pair chain with containment naming, the
+    * survivor-restricted pair graph, and its closure. */
+  private[graft] val x7mCtes: String =
+    Text.x2cCtePrefix("WITH RECURSIVE") + """,
+      |con2 AS (SELECT CASE WHEN ca.n <= cb.n THEN da ELSE db END AS doc_id,
+      |                CASE WHEN ca.n <= cb.n THEN db ELSE da END AS host
+      |         FROM shared JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
+      |         WHERE shared * 20 >= least(ca.n, cb.n) * 19),
+      |con AS (SELECT DISTINCT doc_id FROM con2),
       |pairs AS (SELECT da, db
       |          FROM shared JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
       |          WHERE shared * 10 >= (ca.n + cb.n - shared) * 7
@@ -380,11 +437,21 @@ object Graph {
       |walk AS (SELECT u AS node, u AS reach FROM edges
       |         UNION
       |         SELECT w.node, e.v AS reach FROM walk w JOIN edges e ON e.u = w.reach),
-      |cc AS (SELECT node, min(reach) AS cluster FROM walk GROUP BY 1)
+      |cc AS (SELECT node, min(reach) AS cluster FROM walk GROUP BY 1)""".stripMargin
+
+  val x7mSql: String = x7mCtes + """
       |SELECT doc_id, lang, n_chars, coalesce(cluster, doc_id) AS cluster
       |FROM documents LEFT JOIN cc ON doc_id = node
       |WHERE doc_id NOT IN (SELECT doc_id FROM con)
       |  AND (node IS NULL OR doc_id = cluster)
+      |ORDER BY doc_id""".stripMargin
+
+  val x7nSql: String = x7mCtes + """,
+      |conmin AS (SELECT doc_id, min(host) AS kept_id FROM con2 GROUP BY 1)
+      |SELECT doc_id, kept_id, 'contained' AS reason FROM conmin
+      |UNION ALL
+      |SELECT node AS doc_id, cluster AS kept_id, 'cluster_dup' AS reason
+      |FROM cc WHERE node <> cluster
       |ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, Q] = Map(
@@ -392,6 +459,7 @@ object Graph {
     "x7l_cluster_stats" -> x7lClusterStats,
     "x7f_dedup_apply" -> x7fDedupApply,
     "x7m_containment_apply" -> x7mContainmentApply,
+    "x7n_dedup_lineage" -> x7nDedupLineage,
     "x7j_incr_clusters" -> x7jIncrClusters)
 
   val oracle: Map[String, String] = Map(
@@ -399,5 +467,6 @@ object Graph {
     "x7l_cluster_stats" -> x7lSql,
     "x7f_dedup_apply" -> x7fSql,
     "x7m_containment_apply" -> x7mSql,
+    "x7n_dedup_lineage" -> x7nSql,
     "x7j_incr_clusters" -> x7Sql)
 }

@@ -37,6 +37,8 @@ class GraphMixingSpec extends AnyFunSuite {
     assert(Graph.x7Sql.startsWith(Graph.ccCtes))
     assert(Graph.x7fSql.startsWith(Graph.ccCtes))
     assert(Graph.x7mSql.startsWith(Text.x2cCtePrefix("WITH RECURSIVE")))
+    assert(Graph.x7mSql.startsWith(Graph.x7mCtes))
+    assert(Graph.x7nSql.startsWith(Graph.x7mCtes))
     assert(Curation.x9Sql.startsWith(Graph.ccCtes))
   }
 
@@ -73,6 +75,17 @@ class GraphMixingSpec extends AnyFunSuite {
     // name dropped 4 as representative and 5 would vanish too; {6,7}
     // clusters normally and keeps min-id 6
     assert(kept === Set(2L, 3L, 5L, 6L))
+    // x7n lineage: every dropped doc names its reason and survivor, and
+    // kept ∪ dropped partitions the corpus
+    val lineage = Graph.dedupLineage(cont, jac)
+      .select(col("doc_id"), col("kept_id"), col("reason"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(lineage === Set(
+      (1L, 2L, "contained"),     // the article lost to its host page
+      (4L, 5L, "contained"),     // the subset doc lost to its superset
+      (7L, 6L, "cluster_dup"))) // the fuzzy near-dup lost to its rep
+    assert(kept ++ lineage.map(_._1) === (1L to 7L).toSet)
+    assert(lineage.forall { case (_, keptId, _) => kept(keptId) })
   }
 
   test("x7m containment-aware apply matches a sequential reference on " +
