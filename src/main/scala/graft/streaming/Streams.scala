@@ -631,6 +631,111 @@ object Streams extends Serializable {
       pairDir: String, upTo: Long): Unit =
     compactStore(spark, pairDir, upTo, identity)
 
+  /** T25 — INCREMENTAL containment detection: the x2e/x7m verbatim-embed
+    * verifier applied to a crawl increment against a durable SHINGLE
+    * store, exactly as T13 ([[nearDupBatch]]) applies the banded Jaccard
+    * candidates against the band store. Containment cannot ride the band
+    * store: minhash signatures estimate Jaccard, and a short doc embedded
+    * in a long host has near-zero Jaccard — the asymmetric case needs the
+    * exact shared-shingle counts, so the durable state is the increment's
+    * (doc_id, hs) shingle table itself. Each micro-batch:
+    *
+    *   1. shingles the INCREMENT only;
+    *   2. probes the store by hs equi-join for prior docs sharing any of
+    *      the increment's shingles — with the rare-shingle prune
+    *      evaluated at CURRENT corpus state: df(hs) over store+increment,
+    *      computed only for the increment's shingles (the only ones that
+    *      can form new pairs), so the df aggregation is bounded by the
+    *      probe hits and never scans the store beyond the equi-join;
+    *   3. retrieves the FULL shingle sets of just the candidate prior
+    *      docs (join bounded by candidates) and verifies exact shared
+    *      counts — emitted verdicts are exact regardless of the prune;
+    *   4. adds in-batch pairs via the batch verifier on the increment;
+    *   5. writes pairs and the increment's shingles to batchId-keyed
+    *      overwrite dirs — T13's idempotent-replay protocol; compaction
+    *      via [[compactShingleStore]]/[[compactPairStore]].
+    *
+    * Each pair is discovered exactly once, in the batch where its later
+    * member arrives, so [[readNearDupPairs]] is the consumer here too.
+    * Under the df cap the incremental form discovers a SUPERSET of the
+    * end-state batch run (a shingle rare at discovery time may be hot by
+    * corpus end; T13's bucket cap has the same property) — the cap is a
+    * skew guard, not a semantic gate, and with no capped shingles the two
+    * are spec'd EQUAL.
+    *
+    * Scale: per batch, one shingle pass over the increment, one hs
+    * equi-join against the store (bucket the store by hs on a cluster),
+    * and verify joins bounded by candidate membership. The corpus-sized
+    * store is never re-shingled and never moves except through the
+    * pruned equi-join.
+    */
+  def containmentBatch(batch: DataFrame, batchId: Long, shingleDir: String,
+      pairDir: String, maxDf: Int = graft.operators.Text.defaultMaxDf,
+      cNum: Int = 19, cDen: Int = 20): Unit = {
+    val spark = batch.sparkSession
+    val T = graft.operators.Text
+    val sh = T.shingles(batch).persist()
+    val priorPaths = bandBatchDirs(spark, shingleDir)
+      .collect { case (id, p) if id < batchId => p }
+    val inBatch = T.containmentPairs(sh, maxDf, cNum, cDen)
+    var hitRef: Option[DataFrame] = None
+    val pairs = if (priorPaths.isEmpty) inBatch else {
+      val store = spark.read.parquet(priorPaths: _*)
+      // prior-doc rows sharing any shingle with the increment (equi-join;
+      // read twice below: df + candidates — persist the pruned hit set)
+      val hit = store.join(sh.select(col("hs")).distinct(), Seq("hs"))
+        .withColumnRenamed("doc_id", "prior_id").persist()
+      hitRef = Some(hit)
+      // df at current state, for the increment's shingles only
+      val dfTab = sh.groupBy(col("hs")).agg(count(lit(1)).as("n_inc"))
+        .join(hit.groupBy(col("hs")).agg(count(lit(1)).as("n_prior")),
+          Seq("hs"), "left")
+        .select(col("hs"),
+          (col("n_inc") + coalesce(col("n_prior"), lit(0L))).as("df"))
+      val rare = dfTab.filter(col("df") <= maxDf).select(col("hs"))
+      val cand = sh.join(rare, Seq("hs")).join(hit, Seq("hs"))
+        .filter(col("doc_id") =!= col("prior_id"))
+        .select(col("doc_id"), col("prior_id")).distinct()
+      // full shingle sets of candidate prior docs only
+      val priorSh = store.join(
+        cand.select(col("prior_id").as("doc_id")).distinct(), Seq("doc_id"))
+      val cntInc = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ni"))
+      val cntPrior = priorSh.groupBy(col("doc_id")).agg(count(lit(1)).as("np"))
+      val shared = cand.as("c")
+        .join(sh.as("x"), col("c.doc_id") === col("x.doc_id"))
+        .join(priorSh.as("y"),
+          col("c.prior_id") === col("y.doc_id") && col("x.hs") === col("y.hs"))
+        .groupBy(col("c.doc_id").as("i"), col("c.prior_id").as("p"))
+        .agg(count(lit(1)).as("shared"))
+      val cross = shared
+        .join(cntInc.as("ci"), col("i") === col("ci.doc_id"))
+        .join(cntPrior.as("cp"), col("p") === col("cp.doc_id"))
+        .select(least(col("i"), col("p")).as("da"),
+          greatest(col("i"), col("p")).as("db"),
+          col("shared"),
+          when(col("i") < col("p"), col("ni")).otherwise(col("np")).as("na"),
+          when(col("i") < col("p"), col("np")).otherwise(col("ni")).as("nb"))
+        .filter(col("shared") * cDen >= least(col("na"), col("nb")) * cNum)
+        .withColumn("contained",
+          when(col("na") <= col("nb"), col("da")).otherwise(col("db")))
+      inBatch.unionByName(cross)
+    }
+    pairs.write.mode("overwrite").parquet(s"$pairDir/b=$batchId")
+    sh.write.mode("overwrite").parquet(s"$shingleDir/b=$batchId")
+    hitRef.foreach(_.unpersist())
+    sh.unpersist()
+    ()
+  }
+
+  /** Compact the T25 shingle store: per-batch dirs are disjoint by
+    * doc_id (each doc shingled once, in its arrival batch), so the merge
+    * is pure concatenation under [[compactStore]]'s staged protocol.
+    * Same quiescent-barrier requirement as [[compactBandStore]].
+    */
+  def compactShingleStore(spark: org.apache.spark.sql.SparkSession,
+      shingleDir: String, upTo: Long): Unit =
+    compactStore(spark, shingleDir, upTo, identity)
+
   /** Staged-merge compaction shared by every batchId-keyed directory
     * store here (bands, pairs, vector index): merge every `b=<id>` dir
     * with id ≤ `upTo` into ONE dir keyed `b=upTo`, `transform` applied

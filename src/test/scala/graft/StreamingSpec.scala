@@ -1526,6 +1526,65 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap === batch)
   }
 
+  test("T25 incremental containment: batched discovery equals the batch " +
+      "verifier, replay idempotent, compaction transparent") {
+    import graft.operators.Text
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "text").as[DocE].collect().toSeq
+    val inc0 = docs.filter(_.doc_id % 3 == 0)
+    val inc1 = docs.filter(_.doc_id % 3 == 1)
+    val inc2 = docs.filter(_.doc_id % 3 == 2)
+    // precondition for incremental ≡ batch: no full-corpus shingle df
+    // exceeds the prune cap (prune timing differs otherwise — the
+    // incremental form discovers a superset under the cap)
+    val fullSh = Text.shingles(docs.toDF)
+    val maxDf = fullSh.groupBy("hs").count().agg(max("count"))
+      .collect()(0).getLong(0)
+    assert(maxDf <= Text.defaultMaxDf,
+      s"fixture shingle df $maxDf exceeds cap — pick a different split")
+    val dir = java.nio.file.Files.createTempDirectory("t25").toString
+    val shDir = s"$dir/shingles"; val pairDir = s"$dir/pairs"
+    Streams.containmentBatch(inc0.toDF, 0L, shDir, pairDir)
+    Streams.containmentBatch(inc1.toDF, 1L, shDir, pairDir)
+    Streams.containmentBatch(inc2.toDF, 2L, shDir, pairDir)
+    def pairSet() = Streams.readNearDupPairs(spark, pairDir)
+      .select("da", "db", "shared", "na", "nb", "contained")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val streamed = pairSet()
+    // the union of per-batch discoveries IS the batch verifier's output:
+    // cross-batch pairs found when the later member arrived, in-batch
+    // pairs by the batch verifier on the increment, exact counts both ways
+    val batch = Text.containmentPairs(fullSh, cNum = 19, cDen = 20)
+      .select("da", "db", "shared", "na", "nb", "contained")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(streamed === batch,
+      s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    assert(streamed.nonEmpty)
+    // at-least-once replay of the LAST batch: overwrite dirs + strictly-
+    // earlier prior make it idempotent on both stores
+    val shBefore = Streams.readBandStore(spark, shDir)
+      .select("doc_id", "hs").as[(Long, String)].collect().toSet
+    Streams.containmentBatch(inc2.toDF, 2L, shDir, pairDir)
+    assert(pairSet() === streamed, "replayed batch changed the pair set")
+    assert(Streams.readBandStore(spark, shDir)
+      .select("doc_id", "hs").as[(Long, String)].collect().toSet === shBefore,
+      "replayed batch changed the shingle store")
+    // compaction of both stores is layout-only
+    Streams.compactShingleStore(spark, shDir, upTo = 2L)
+    Streams.compactPairStore(spark, pairDir, upTo = 2L)
+    assert(Streams.readBandStore(spark, shDir)
+      .select("doc_id", "hs").as[(Long, String)].collect().toSet === shBefore)
+    assert(pairSet() === streamed)
+    // and the NEXT increment (a fresh embed of an existing doc) probes
+    // the compacted store correctly: the new host pairs with its source
+    val src = docs.maxBy(_.doc_id)
+    val embed = DocE(src.doc_id + 1000, src.text + " zq1 zq2 zq3 zq4 zq5")
+    Streams.containmentBatch(Seq(embed).toDF, 3L, shDir, pairDir)
+    val after = pairSet()
+    assert(after.exists(p => p._1 == src.doc_id && p._2 == embed.doc_id),
+      "post-compaction increment failed to pair with the stored corpus")
+  }
+
   test("T13 pair-store compaction: identical reads, collapsed layout, torn/partial-delete resume, stale stage re-merged") {
     val docs = Tables.documents(spark, TestSpark.sf)
       .select("doc_id", "text").as[DocE].collect().toSeq
