@@ -212,4 +212,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("x7m containment apply probes the corpus by broadcast only: anti-join on the contained set and the cluster map both build-right") {
+    // the corpus side must be scan + hash-probe (contained-id set and
+    // cluster map are near-dup-bounded); a SortMergeJoin in the FINAL
+    // consumer would mean the corpus shuffles for a bounded-side join
+    val df = SparkEntry.queries("x7m_containment_apply")(spark, TestSpark.sf)
+    df.collect() // finalize AQE — the initial plan shows pre-broadcast SMJs
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") &&
+      p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
