@@ -612,8 +612,9 @@ object Relational {
       |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
       | FROM orders)
       |SELECT o_custkey, o_orderkey, d,
-      | sum(cents) OVER (PARTITION BY o_custkey ORDER BY d
-      |   RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS trail30_cents
+      | CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY d
+      |   RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS BIGINT)
+      |   AS trail30_cents
       |FROM o ORDER BY o_custkey, d, o_orderkey""".stripMargin
 
   // Q14 — global top-k: Spark plans orderBy+limit as TakeOrderedAndProject

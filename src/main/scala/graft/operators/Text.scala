@@ -1542,29 +1542,50 @@ object Text {
 
   /** X4o — tokenizer APPLY: encode every document with the merges x4n
     * learned. The merge table rides the driver (nMerges rows — the
-    * models-are-small discipline), and the whole encode is ONE corpus
-    * pass of pure per-row expression work, zero shuffle: each document
-    * becomes its delimited symbol sequence (per-word, words joined with
-    * `|` so a merge pattern — which always has the shape `' l; r;'` —
-    * can never fire across a word boundary), then the nMerges replaces
-    * apply IN TRAINING ORDER, which is exactly how a BPE tokenizer runs
-    * at inference. Emitted per document: the post-merge symbol count
-    * (the sequence-length statistic a token-budget planner needs) and
-    * the md5 fingerprint of the full encoded sequence, which pins every
-    * symbol boundary cross-engine.
+    * models-are-small discipline). Emitted per document: the post-merge
+    * symbol count (the sequence-length statistic a token-budget planner
+    * needs) and the md5 fingerprint of the full encoded sequence, which
+    * pins every symbol boundary cross-engine.
     */
   /** The delimited symbol sequence after all merges — shared by the
-    * x4o statistics and the x4q id encoder.
+    * x4o statistics and the x4q id encoder. Returns exactly
+    * `(doc_id, seq)`.
+    *
+    * DICTIONARY-MEMOIZED encode (the standard tokenizer trick): merges
+    * never cross a word boundary (each per-word sequence is framed
+    * `' a; b;'` and words join with `'|'`, which no merge pattern
+    * `' l; r;'` can span — the boundary text is `';|'`, never `'; '`),
+    * so the nMerges `replace` chain folds over the DISTINCT-WORD
+    * dictionary only (|vocab| rows), and the corpus pass is one
+    * explode + hash join + per-doc ordered reassembly. At a real 50k
+    * vocabulary the merge-chain expression depth rides the
+    * dictionary-sized branch, not a corpus-sized projection — plan
+    * cost is O(vocab) once, corpus cost is O(words) joins. Reassembly
+    * sorts `struct(pos, wseq)` per doc (positions are unique within a
+    * doc, so the sort is total); empty documents keep their row with
+    * `seq = ''` via the outer position-explode.
     */
-  private def bpeSeq(docs: DataFrame,
+  private[operators] def bpeSeq(docs: DataFrame,
       merges: Seq[(String, String)]): DataFrame = {
-    val seq0 = expr(
-      "array_join(transform(regexp_extract_all(text, '[a-z0-9]+', 0), " +
-        "w -> regexp_replace(w, '(.)', ' $1;')), '|')")
-    merges.foldLeft(docs.withColumn("seq", seq0)) {
+    val dict = docs
+      .select(explode(expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
+        .as("word"))
+      .distinct()
+      .withColumn("wseq", expr("regexp_replace(word, '(.)', ' $1;')"))
+    val encDict = merges.foldLeft(dict) {
       case (df, (l, r)) =>
-        df.withColumn("seq", expr(s"replace(seq, ' $l; $r;', ' $l$r;')"))
+        df.withColumn("wseq", expr(s"replace(wseq, ' $l; $r;', ' $l$r;')"))
     }
+    docs
+      .select(col("doc_id"),
+        posexplode_outer(expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
+          .as(Seq("pos", "word")))
+      .join(encDict, Seq("word"), "left")
+      .groupBy(col("doc_id"))
+      .agg(array_join(expr(
+        "transform(array_sort(collect_list(" +
+          "if(pos IS NULL, NULL, struct(pos, wseq)))), s -> s.wseq)"),
+        "|").as("seq"))
   }
 
   def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
@@ -1605,14 +1626,19 @@ object Text {
   val x4pBpeVocab: Q = (spark, dir) =>
     stagedBpeVocab(spark, dir).orderBy("id")
 
-  /** X4q — encode the corpus to TOKEN-ID ARRAYS: the final artifact a
+  /** X4q — encode the corpus to TOKEN IDS: the final artifact a
     * training pipeline feeds the data loader. The x4o symbol sequence
     * maps through the vocabulary as a plan-literal map (≤ alphabet +
     * merges entries — no join, no broadcast table, pure per-row
     * expression work). Word separators drop out; empty documents
     * encode to the empty array, not a missing row.
+    *
+    * `bpeIdsArray` is the true `array<bigint>` artifact (spec-covered);
+    * the REGISTERED x4q emits the space-joined scalar form because the
+    * driver's result hasher cannot sort top-level array columns
+    * (SURVEY §5.2 registration rule: atomic output columns only).
     */
-  val x4qBpeIds: Q = (spark, dir) => {
+  def bpeIdsArray(spark: SparkSession, dir: String): DataFrame = {
     val vocabMap: Map[String, Long] = stagedBpeVocab(spark, dir)
       .collect().map(r => r.getString(1) -> r.getLong(0)).toMap
     val merges = stagedBpeMerges(spark, dir)
@@ -1626,8 +1652,14 @@ object Text {
       .select(col("doc_id"),
         transform(col("__syms"),
           s => element_at(typedlit(vocabMap), s)).as("ids"))
-      .orderBy(col("doc_id"))
   }
+
+  val x4qBpeIds: Q = (spark, dir) =>
+    bpeIdsArray(spark, dir)
+      .select(col("doc_id"),
+        array_join(transform(col("ids"), i => i.cast("string")), " ")
+          .as("ids"))
+      .orderBy(col("doc_id"))
 
   val x4oBpeEncode: Q = (spark, dir) => {
     val merges = stagedBpeMerges(spark, dir)
@@ -1659,7 +1691,8 @@ object Text {
            |             FROM t$k)
            |       GROUP BY 1, 2)""".stripMargin,
         s"""m$k AS MATERIALIZED (SELECT $k AS iteration, l AS "left",
-           |        r AS "right", l || r AS merged, pc AS pair_count
+           |        r AS "right", l || r AS merged,
+           |        CAST(pc AS BIGINT) AS pair_count
            |       FROM p$k ORDER BY pc DESC, l, r LIMIT 1)""".stripMargin,
         s"""d$k AS (SELECT cnt, replace(seq, ' ' || "left" || '; ' || "right" || ';',
            |         ' ' || merged || ';') AS seq
@@ -1740,7 +1773,8 @@ object Text {
       """encd AS (SELECT doc_id, list(id ORDER BY i) AS ids
         |       FROM pos JOIN vocab USING (sym) GROUP BY doc_id)""".stripMargin)
     "WITH " + (bpeCteParts ++ bpeVocabCtes ++ enc).mkString(",\n") + "\n" +
-      """SELECT d.doc_id, coalesce(ids, CAST([] AS BIGINT[])) AS ids
+      """SELECT d.doc_id,
+        | array_to_string(coalesce(ids, CAST([] AS BIGINT[])), ' ') AS ids
         |FROM documents d LEFT JOIN encd ON d.doc_id = encd.doc_id
         |ORDER BY d.doc_id""".stripMargin
   }

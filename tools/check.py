@@ -87,14 +87,33 @@ def main(sf_dir, out_dir):
         # type strictness: compare normalized logical types per column, in
         # case the driver's compare is schema-sensitive
         try:
-            gt = {r[0]: norm_type(r[1]) for r in con.execute(
-                f"DESCRIBE SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchall()}
-            et = {r[0]: norm_type(r[1]) for r in con.execute(
-                f"DESCRIBE {sql}").fetchall()}
+            gd = con.execute(
+                f"DESCRIBE SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchall()
+            ed = con.execute(f"DESCRIBE {sql}").fetchall()
+            gt = {r[0]: norm_type(r[1]) for r in gd}
+            et = {r[0]: norm_type(r[1]) for r in ed}
             tdiff = {c: (gt.get(c), et.get(c)) for c in gt
                      if gt.get(c) != et.get(c)}
             if tdiff:
                 print(f"WARN {name}: type mismatch {tdiff}")
+            # Output contract (r9 lesson, VERDICT r9 §What's wrong): the
+            # driver's hasher is RAW-type-strict (norm_type forgives
+            # HUGEINT→BIGINT; the driver does not) and its pandas sorter
+            # crashes on nested values. So HUGEINT/DECIMAL (DuckDB
+            # sum(BIGINT) leaks HUGEINT) and LIST/STRUCT/MAP at top level,
+            # on EITHER side, are hard registration errors — FAIL, not WARN.
+            contract = {}
+            for side, desc in (("oracle", ed), ("spark", gd)):
+                for row in desc:
+                    t = str(row[1]).upper()
+                    if (t.startswith(("HUGEINT", "UHUGEINT", "DECIMAL",
+                                      "STRUCT", "MAP", "UNION"))
+                            or t.endswith("[]")):
+                        contract[f"{side}.{row[0]}"] = t
+            if contract:
+                print(f"FAIL {name}: output-contract violation {contract}")
+                n_fail += 1
+                continue
         except Exception as e:
             print(f"WARN {name}: type check failed: {e}")
         if len(got) != len(exp):
