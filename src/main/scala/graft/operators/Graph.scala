@@ -317,9 +317,12 @@ object Graph {
     * in production corpus dedup:
     *
     *   1. Drop every VERBATIM-EMBEDDED document outright (containment ≥
-    *      19/20 — the quote/mirror case) — the HOST survives regardless of
-    *      id order, because the host carries content the contained copy
-    *      does not. Transitive nesting (A ⊂ B ⊂ C) resolves correctly: A
+    *      `Text.ContainmentVerbatim` = 19/20 — the quote/mirror case) —
+    *      the HOST survives regardless of id order, because the host
+    *      carries content the contained copy does not; on an equal-size
+    *      tie (exact duplicates) the min-id doc survives, matching the
+    *      cluster-representative convention (see `Text.containmentOf`).
+    *      Transitive nesting (A ⊂ B ⊂ C) resolves correctly: A
     *      and B are each named contained somewhere, C never is.
     *   2. Cluster-representative dedup (exactly x7f) over the Jaccard
     *      graph RESTRICTED to survivors — edges touching a dropped doc are
@@ -354,16 +357,39 @@ object Graph {
     (dropIds, connectedComponents(edges))
   }
 
+  /** Staged form of the shared middle for the REGISTERED x7m/x7n queries:
+    * the survivor-restricted CC map is the session's second iterative
+    * propagation job, and both queries need it — staging it under
+    * `restricted_cc:$dir` (the `stagedClusters` convention: iterative
+    * propagation runs once per session) keeps a session running x7m AND
+    * x7n from executing the multi-round label propagation twice.
+    * Returns (contained pairs, drop-id set, restricted CC map).
+    */
+  private def stagedRestrictedClusters(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val vc = Text.stagedVerifiedCounts(spark, dir)
+    val contained = Text.containmentOf(vc,
+      Text.ContainmentVerbatim._1, Text.ContainmentVerbatim._2)
+    val cc = Staged(spark, s"restricted_cc:$dir")(
+      restrictedClusters(contained, Text.jaccardOf(vc))._2)
+    val dropIds = contained.select(col("contained").as("drop_id")).distinct()
+    (contained, dropIds, cc)
+  }
+
   def containmentDedup(docs: DataFrame, contained: DataFrame,
       jaccard: DataFrame): DataFrame = {
     val (dropIds, cc) = restrictedClusters(contained, jaccard)
+    containmentDedupWith(docs, dropIds, cc)
+  }
+
+  private def containmentDedupWith(docs: DataFrame, dropIds: DataFrame,
+      cc: DataFrame): DataFrame =
     docs
       .join(broadcast(dropIds), docs("doc_id") === dropIds("drop_id"), "left_anti")
       .join(broadcast(cc), col("doc_id") === cc("node"), "left")
       .filter(col("node").isNull || col("doc_id") === col("cluster"))
       .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
       .drop("node")
-  }
 
   /** X7n — dedup DECISION LINEAGE: one row per dropped document saying WHY
     * it was dropped and which document it lost to. (Under transitive
@@ -390,13 +416,16 @@ object Graph {
     * which are bounded by near-dup membership; the corpus is never
     * scanned — lineage is a report over the (small) dedup state itself.
     */
-  def dedupLineage(contained: DataFrame, jaccard: DataFrame): DataFrame = {
+  def dedupLineage(contained: DataFrame, jaccard: DataFrame): DataFrame =
+    dedupLineageWith(contained, restrictedClusters(contained, jaccard)._2)
+
+  private def dedupLineageWith(contained: DataFrame,
+      cc: DataFrame): DataFrame = {
     val containedRows = contained.select(col("contained").as("doc_id"),
         when(col("contained") === col("da"), col("db")).otherwise(col("da"))
           .as("host"))
       .groupBy(col("doc_id")).agg(min(col("host")).as("kept_id"))
       .withColumn("reason", lit("contained"))
-    val (_, cc) = restrictedClusters(contained, jaccard)
     val clusterRows = cc.filter(col("node") =!= col("cluster"))
       .select(col("node").as("doc_id"), col("cluster").as("kept_id"),
         lit("cluster_dup").as("reason"))
@@ -404,15 +433,13 @@ object Graph {
   }
 
   val x7nDedupLineage: Q = (spark, dir) => {
-    val vc = Text.stagedVerifiedCounts(spark, dir)
-    dedupLineage(Text.containmentOf(vc, cNum = 19, cDen = 20),
-      Text.jaccardOf(vc)).orderBy(col("doc_id"))
+    val (contained, _, cc) = stagedRestrictedClusters(spark, dir)
+    dedupLineageWith(contained, cc).orderBy(col("doc_id"))
   }
 
   val x7mContainmentApply: Q = (spark, dir) => {
-    val vc = Text.stagedVerifiedCounts(spark, dir)
-    containmentDedup(Tables.documents(spark, dir),
-        Text.containmentOf(vc, cNum = 19, cDen = 20), Text.jaccardOf(vc))
+    val (_, dropIds, cc) = stagedRestrictedClusters(spark, dir)
+    containmentDedupWith(Tables.documents(spark, dir), dropIds, cc)
       .select(col("doc_id"), col("lang"), col("n_chars"), col("cluster"))
       .orderBy(col("doc_id"))
   }
@@ -422,8 +449,8 @@ object Graph {
     * survivor-restricted pair graph, and its closure. */
   private[graft] val x7mCtes: String =
     Text.x2cCtePrefix("WITH RECURSIVE") + """,
-      |con2 AS (SELECT CASE WHEN ca.n <= cb.n THEN da ELSE db END AS doc_id,
-      |                CASE WHEN ca.n <= cb.n THEN db ELSE da END AS host
+      |con2 AS (SELECT CASE WHEN ca.n < cb.n THEN da ELSE db END AS doc_id,
+      |                CASE WHEN ca.n < cb.n THEN db ELSE da END AS host
       |         FROM shared JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
       |         WHERE shared * 20 >= least(ca.n, cb.n) * 19),
       |con AS (SELECT DISTINCT doc_id FROM con2),

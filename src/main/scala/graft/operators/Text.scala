@@ -243,7 +243,7 @@ object Text {
 
   /** Span table staged once per (session, sfDir): x1c reads it ordered,
     * x1d's removal probes it — the producer-once/consumers-fan-out shape
-    * the other staged intermediates (shingles, jaccard_pairs) use.
+    * the other staged intermediates (shingles, verified_counts) use.
     */
   def stagedSpans(spark: SparkSession, dir: String): DataFrame =
     Staged(spark, s"dup_spans:5:$dir")(
@@ -631,17 +631,42 @@ object Text {
     * different final predicate, plus the contained side named so the
     * apply step knows WHICH doc is the duplicate.
     */
+  /** The two containment thresholds, named in ONE place so x2e, x7m/x7n
+    * and the streaming T25 path cannot silently drift apart:
+    *
+    *   - [[ContainmentDetect]] = 4/5 — the REPORT threshold (x2e): loose
+    *     enough to surface partial quoting worth reviewing.
+    *   - [[ContainmentVerbatim]] = 19/20 — the DROP threshold (x7m stage
+    *     1, x7n lineage, T25's incremental detector): fires only on true
+    *     verbatim embeds. It must sit ABOVE the J ≥ 7/10 Jaccard band
+    *     (which forces shared/min ≥ 14/17 ≈ 0.82 on every Jaccard pair) —
+    *     at 4/5 stage 1 would swallow one side of every near-dup pair and
+    *     the cluster stage would be vacuous.
+    *
+    * Both are (numerator, denominator) integer ratios — thresholds apply
+    * as cross-multiplied integer arithmetic, never floats.
+    */
+  val ContainmentDetect: (Int, Int) = (4, 5)
+  val ContainmentVerbatim: (Int, Int) = (19, 20)
+
   def containmentPairs(sh: DataFrame, maxDf: Int = defaultMaxDf,
-      cNum: Int = 4, cDen: Int = 5): DataFrame =
+      cNum: Int = ContainmentDetect._1,
+      cDen: Int = ContainmentDetect._2): DataFrame =
     containmentOf(verifiedSharedCounts(sh, maxDf), cNum, cDen)
 
   /** Containment predicate over a verified-counts table (see
-    * [[jaccardOf]]). */
+    * [[jaccardOf]]). The CONTAINED side is the smaller shingle set; on
+    * equal sizes (an exact-duplicate pair, na == nb, shared == na) the
+    * tie breaks toward dropping the LARGER doc_id (`db`, since da < db),
+    * so the min-id document survives — the same representative
+    * convention x7/x7f's min-label clustering uses.
+    */
   private[graft] def containmentOf(vc: DataFrame,
-      cNum: Int = 4, cDen: Int = 5): DataFrame =
+      cNum: Int = ContainmentDetect._1,
+      cDen: Int = ContainmentDetect._2): DataFrame =
     vc.filter(col("shared") * cDen >= least(col("na"), col("nb")) * cNum)
       .withColumn("contained",
-        when(col("na") <= col("nb"), col("da")).otherwise(col("db")))
+        when(col("na") < col("nb"), col("da")).otherwise(col("db")))
 
   /** Staged verified shared-counts table — ONE prune-then-verify pass per
     * session feeds every pair consumer (x2c Jaccard, x2e containment, the
@@ -692,10 +717,61 @@ object Text {
     containmentOf(stagedVerifiedCounts(spark, dir)).orderBy(col("da"), col("db"))
   val x2eSql: String = x2cCtePrefix() + """
       |SELECT da, db, shared, ca.n AS na, cb.n AS nb,
-      | CASE WHEN ca.n <= cb.n THEN da ELSE db END AS contained
+      | CASE WHEN ca.n < cb.n THEN da ELSE db END AS contained
       |FROM shared JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
       |WHERE shared * 5 >= least(ca.n, cb.n) * 4
       |ORDER BY da, db""".stripMargin
+
+  /** X2f — the df-cap BLIND-SPOT bound for containment detection,
+    * quantified (the x4m theorem-as-measurement pattern). Candidate
+    * pairs come only from shingles with df ≤ maxDf, so a short document
+    * made entirely of hot boilerplate shingles can be verbatim-embedded
+    * and never generate a candidate. The guarantee that survives the
+    * cap: for a contained pair at threshold ≥ cNum/cDen, the host
+    * misses at most floor(n·(cDen−cNum)/cDen) of the contained doc's n
+    * shingles — so if the contained doc carries MORE rare shingles than
+    * that budget (r·cDen > n·(cDen−cNum)), at least one rare shingle is
+    * shared and the pair is guaranteed detected. Docs violating that
+    * inequality are the ONLY possible misses. This query measures the
+    * split at the verbatim (19/20) threshold: one summary row —
+    * docs-with-shingles, guaranteed-detectable count, at-risk count,
+    * and the at-risk permille — so a corpus build can alarm when
+    * boilerplate growth erodes the detection guarantee, the same way
+    * x7l alarms on cluster skew. Cost: two map-side-combined groupBys
+    * over the staged shingle table; nothing corpus-proportional beyond
+    * the one pass every pair query already makes.
+    */
+  val x2fContainmentBlindspot: Q = (spark, dir) => {
+    val (cNum, cDen) = ContainmentVerbatim
+    val sh = stagedShingles(spark, dir)
+    val dfT = sh.groupBy(col("hs")).agg(count(lit(1)).as("df"))
+    val per = sh.join(dfT, "hs")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("df") <= lit(defaultMaxDf), 1L).otherwise(0L)).as("r"))
+    per.agg(
+        count(lit(1)).as("docs_with_shingles"),
+        sum(when(col("r") * cDen > col("n") * (cDen - cNum), 1L)
+          .otherwise(0L)).as("guaranteed_docs"),
+        sum(when(col("r") * cDen <= col("n") * (cDen - cNum), 1L)
+          .otherwise(0L)).as("at_risk_docs"))
+      .withColumn("at_risk_permille",
+        expr("at_risk_docs * 1000 div docs_with_shingles"))
+  }
+  val x2fSql: String = {
+    val (cNum, cDen) = ContainmentVerbatim
+    shinglesCte() + s""",
+      |dft AS (SELECT hs, count(*) AS df FROM sh GROUP BY 1),
+      |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(CASE WHEN df <= $defaultMaxDf THEN 1 ELSE 0 END) AS BIGINT) AS r
+      |        FROM sh JOIN dft USING (hs) GROUP BY 1)
+      |SELECT CAST(count(*) AS BIGINT) AS docs_with_shingles,
+      | CAST(sum(CASE WHEN r * $cDen > n * ${cDen - cNum} THEN 1 ELSE 0 END) AS BIGINT) AS guaranteed_docs,
+      | CAST(sum(CASE WHEN r * $cDen <= n * ${cDen - cNum} THEN 1 ELSE 0 END) AS BIGINT) AS at_risk_docs,
+      | CAST(sum(CASE WHEN r * $cDen <= n * ${cDen - cNum} THEN 1 ELSE 0 END) AS BIGINT) * 1000
+      |   // CAST(count(*) AS BIGINT) AS at_risk_permille
+      |FROM per""".stripMargin
+  }
 
   // ------------------------------------------------------------------- X4
   /** Quality scoring: token counts, stopword ratio, average token length —
@@ -1800,6 +1876,7 @@ object Text {
     "x2b_simhash" -> x2bSimhash,
     "x2c_ngram_jaccard" -> x2cNgramJaccard,
     "x2e_containment" -> x2eContainment,
+    "x2f_containment_blindspot" -> x2fContainmentBlindspot,
     "x2d_simhash_neardup" -> x2dSimhashNearDup,
     "x4_text_quality" -> x4TextQuality,
     "x4b_langid" -> x4bLangId,
@@ -1835,6 +1912,7 @@ object Text {
     "x2b_simhash" -> x2bSql,
     "x2c_ngram_jaccard" -> x2cSql,
     "x2e_containment" -> x2eSql,
+    "x2f_containment_blindspot" -> x2fSql,
     "x2d_simhash_neardup" -> x2dSql,
     "x4_text_quality" -> x4Sql,
     "x4b_langid" -> x4bSql,

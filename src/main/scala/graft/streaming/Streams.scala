@@ -671,7 +671,8 @@ object Streams extends Serializable {
     */
   def containmentBatch(batch: DataFrame, batchId: Long, shingleDir: String,
       pairDir: String, maxDf: Int = graft.operators.Text.defaultMaxDf,
-      cNum: Int = 19, cDen: Int = 20): Unit = {
+      cNum: Int = graft.operators.Text.ContainmentVerbatim._1,
+      cDen: Int = graft.operators.Text.ContainmentVerbatim._2): Unit = {
     val spark = batch.sparkSession
     val T = graft.operators.Text
     val sh = T.shingles(batch).persist()
@@ -681,18 +682,25 @@ object Streams extends Serializable {
     var hitRef: Option[DataFrame] = None
     val pairs = if (priorPaths.isEmpty) inBatch else {
       val store = spark.read.parquet(priorPaths: _*)
-      // prior-doc rows sharing any shingle with the increment (equi-join;
-      // read twice below: df + candidates — persist the pruned hit set)
-      val hit = store.join(sh.select(col("hs")).distinct(), Seq("hs"))
-        .withColumnRenamed("doc_id", "prior_id").persist()
-      hitRef = Some(hit)
+      // prior-doc rows sharing any shingle with the increment (equi-join).
+      // df is computed FIRST, over the unpersisted hit stream (column-
+      // pruned to hs), and the hit set is pruned to rare shingles BEFORE
+      // it is persisted or joined — a hot boilerplate shingle with df far
+      // above maxDf can never form a candidate pair, so caching its
+      // store-row explosion would be pure memory/skew cost (the batch
+      // path prunes hot shingles before its self-join for the same
+      // reason).
+      val hit0 = store.join(sh.select(col("hs")).distinct(), Seq("hs"))
+        .withColumnRenamed("doc_id", "prior_id")
       // df at current state, for the increment's shingles only
       val dfTab = sh.groupBy(col("hs")).agg(count(lit(1)).as("n_inc"))
-        .join(hit.groupBy(col("hs")).agg(count(lit(1)).as("n_prior")),
+        .join(hit0.groupBy(col("hs")).agg(count(lit(1)).as("n_prior")),
           Seq("hs"), "left")
         .select(col("hs"),
           (col("n_inc") + coalesce(col("n_prior"), lit(0L))).as("df"))
       val rare = dfTab.filter(col("df") <= maxDf).select(col("hs"))
+      val hit = hit0.join(rare, Seq("hs")).persist()
+      hitRef = Some(hit)
       val cand = sh.join(rare, Seq("hs")).join(hit, Seq("hs"))
         .filter(col("doc_id") =!= col("prior_id"))
         .select(col("doc_id"), col("prior_id")).distinct()
@@ -716,8 +724,10 @@ object Streams extends Serializable {
           when(col("i") < col("p"), col("ni")).otherwise(col("np")).as("na"),
           when(col("i") < col("p"), col("np")).otherwise(col("ni")).as("nb"))
         .filter(col("shared") * cDen >= least(col("na"), col("nb")) * cNum)
+        // tie-break matches Text.containmentOf: equal sizes drop the
+        // larger doc_id, the min-id doc survives
         .withColumn("contained",
-          when(col("na") <= col("nb"), col("da")).otherwise(col("db")))
+          when(col("na") < col("nb"), col("da")).otherwise(col("db")))
       inBatch.unionByName(cross)
     }
     pairs.write.mode("overwrite").parquet(s"$pairDir/b=$batchId")

@@ -1585,6 +1585,52 @@ class StreamingSpec extends AnyFunSuite {
       "post-compaction increment failed to pair with the stored corpus")
   }
 
+  test("T25/x2f blind-spot bound: guaranteed docs always detected under the " +
+      "df cap; hot-shingle-only embeds are flagged at-risk, never silently trusted") {
+    import graft.operators.Text
+    // Corpus shaped for the documented blind spot (VERDICT r9 What's
+    // missing #5): 12 hosts share one boilerplate paragraph, so every
+    // boilerplate shingle has df 13 > maxDf 10; doc A IS the boilerplate
+    // (contained in every host, zero rare shingles — the miss case); doc
+    // B is distinctive text embedded in one host (all-rare — the
+    // guaranteed case).
+    val boiler = (1 to 9).map(i => s"b$i").mkString(" ")
+    val hosts = (1 to 12).map(i =>
+      DocE(100L + i, boiler + s" u${i}a u${i}b u${i}c u${i}d u${i}e"))
+    val a = DocE(1L, boiler)
+    val bTxt = "z1 z2 z3 z4 z5 z6 z7 z8 z9"
+    val b = DocE(2L, bTxt)
+    val hostB = DocE(200L, bTxt + " w1 w2 w3 w4 w5")
+    val sh = Text.shingles((hosts :+ a :+ b :+ hostB).toDF)
+    val (cNum, cDen) = Text.ContainmentVerbatim
+    def pairs(maxDf: Int) = Text.containmentPairs(sh, maxDf, cNum, cDen)
+      .select("da", "db", "contained")
+      .as[(Long, Long, Long)].collect().toSet
+    val capped = pairs(Text.defaultMaxDf)
+    val uncapped = pairs(Int.MaxValue)
+    // B ⊂ hostB: all of B's shingles are rare — detected under the cap
+    assert(capped.exists(p => p._1 == 2L && p._2 == 200L))
+    // A ⊂ every host in ground truth, invisible under the cap
+    assert(uncapped.exists(_._3 == 1L))
+    assert(!capped.exists(p => p._1 == 1L || p._2 == 1L))
+    // the x2f inequality classifies exactly this split: r·cDen >
+    // n·(cDen−cNum) ⇒ guaranteed detected; every miss is at-risk
+    val dfT = sh.groupBy(col("hs")).agg(count(lit(1)).as("df"))
+    val per = sh.join(dfT, "hs").groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("df") <= Text.defaultMaxDf, 1L).otherwise(0L)).as("r"))
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    def guaranteed(id: Long) = {
+      val (n, r) = per(id); r * cDen > n * (cDen - cNum)
+    }
+    assert(guaranteed(2L) && !guaranteed(1L))
+    (uncapped -- capped).foreach { case (da, db, contained) =>
+      assert(!guaranteed(contained),
+        s"theorem violated: guaranteed doc $contained missed in ($da,$db)")
+    }
+  }
+
   test("T13 pair-store compaction: identical reads, collapsed layout, torn/partial-delete resume, stale stage re-merged") {
     val docs = Tables.documents(spark, TestSpark.sf)
       .select("doc_id", "text").as[DocE].collect().toSeq
