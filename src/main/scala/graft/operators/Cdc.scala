@@ -1810,7 +1810,108 @@ object Cdc {
       |WHERE rn = 1 AND op <> 'd'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ----------------------------------------------------------------- C24
+  /** C24 — replication-sequence CONTINUITY AUDIT: the operational monitor
+    * every CDC deployment runs against its slot/offset stream. The
+    * envelope's `source.lsn` (reference `README.md:331` — `"lsn":
+    * 37094192`) is the WAL position: consumers expect it to advance with
+    * bounded gaps (table-filtered WAL positions skip, but a jump past the
+    * slot's confirmed-flush horizon means lost events) and to never
+    * repeat (a duplicate lsn is a replay bug upstream of at-least-once
+    * handling). Emits the TOP-100 largest gaps (prev_lsn, next_lsn, gap,
+    * kind='gap') plus every duplicated lsn (kind='dup', gap=0), ordered
+    * by severity.
+    *
+    * Scale: a global lag() would plan a single-partition window over the
+    * whole stream. Instead, two-phase: (1) intra-bucket gaps via a
+    * window PARTITIONED by the commit bucket (`lsn DIV 1000` — the same
+    * synthetic tx bucketing the changelog's transaction block uses), (2)
+    * cross-bucket boundary gaps via lag over the per-bucket (min, max)
+    * table — #buckets rows, the documented tiny-window pattern. Union is
+    * exactly the global consecutive-pair set; top-k plans as
+    * TakeOrderedAndProject.
+    */
+  val cdcSeqAudit: Q = (spark, dir) => {
+    val lsns = changelog(spark, dir).select(col("source.lsn").as("lsn"))
+    val bucketed = lsns.withColumn("b", expr("lsn DIV 1000"))
+    val wIn = Window.partitionBy(col("b")).orderBy(col("lsn"))
+    val intra = bucketed.withColumn("prev_lsn", lag(col("lsn"), 1).over(wIn))
+      .filter(col("prev_lsn").isNotNull)
+      .select(col("prev_lsn"), col("lsn").as("next_lsn"))
+    val bounds = bucketed.groupBy(col("b"))
+      .agg(min(col("lsn")).as("lo"), max(col("lsn")).as("hi"))
+    val wB = Window.orderBy(col("b")) // #buckets rows — tiny by construction
+    val cross = bounds.withColumn("prev_lsn", lag(col("hi"), 1).over(wB))
+      .filter(col("prev_lsn").isNotNull)
+      .select(col("prev_lsn"), col("lo").as("next_lsn"))
+    val dups = lsns.groupBy(col("lsn")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .select(col("lsn").as("prev_lsn"), col("lsn").as("next_lsn"),
+        lit(0L).as("gap"), lit("dup").as("kind"))
+    intra.unionByName(cross)
+      .select(col("prev_lsn"), col("next_lsn"),
+        (col("next_lsn") - col("prev_lsn") - 1).as("gap"),
+        lit("gap").as("kind"))
+      .filter(col("gap") > 0)
+      .unionByName(dups)
+      .orderBy(col("gap").desc, col("prev_lsn"))
+      .limit(100)
+  }
+  val cdcSeqAuditSql: String = changelogCte + """,
+      |l AS (SELECT lsn FROM chg),
+      |g AS (SELECT lag(lsn) OVER (ORDER BY lsn) AS prev_lsn, lsn AS next_lsn FROM l),
+      |gaps AS (SELECT prev_lsn, next_lsn, next_lsn - prev_lsn - 1 AS gap,
+      |          'gap' AS kind
+      |         FROM g WHERE prev_lsn IS NOT NULL AND next_lsn - prev_lsn - 1 > 0),
+      |dups AS (SELECT lsn AS prev_lsn, lsn AS next_lsn, CAST(0 AS BIGINT) AS gap,
+      |          'dup' AS kind
+      |         FROM l GROUP BY lsn HAVING count(*) > 1)
+      |SELECT * FROM (SELECT * FROM gaps UNION ALL SELECT * FROM dups)
+      |ORDER BY gap DESC, prev_lsn LIMIT 100""".stripMargin
+
+  // ----------------------------------------------------------------- C25
+  /** C25 — COMPACTED-TOPIC materialization with tombstone retention: the
+    * Kafka log-compaction contract the reference's topic would get with
+    * `cleanup.policy=compact` (its `KAFKA_CREATE_TOPICS` pipe,
+    * `docker-compose.yml:36`). After compaction a topic holds, per key,
+    * only the LATEST record; a delete's tombstone survives only within
+    * the delete-retention horizon (so lagging consumers still observe
+    * the deletion), after which the key vanishes entirely. This operator
+    * computes that post-compaction view from the changelog: latest event
+    * per key, live rows always kept, tombstones kept iff their position
+    * is past the retention watermark (here the midpoint of the observed
+    * lsn span — a scalar aggregate, broadcast as a literal join, never a
+    * shuffle).
+    *
+    * Scale: one key-partitioned window (the same shuffle C4 already
+    * pays) + a scalar agg; the watermark cross-join is a 1-row
+    * broadcast.
+    */
+  def compactedTopic(changelog: DataFrame): DataFrame = {
+    val wTab = changelog.agg(
+      expr("(min(source.lsn) + max(source.lsn)) DIV 2").as("w"))
+    snapshotWithTombstones(changelog)
+      .crossJoin(broadcast(wTab))
+      .filter(col("live") || col("lsn") >= col("w"))
+      .select(col("id"), col("live"), col("lsn"),
+        col("first_name"), col("last_name"), col("email"))
+  }
+  val cdcCompactedTopic: Q = (spark, dir) =>
+    compactedTopic(changelog(spark, dir)).orderBy(col("id"))
+  val cdcCompactedTopicSql: String = changelogCte + """,
+      |last AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY lsn DESC) AS rn
+      |         FROM chg),
+      |snap AS (SELECT id, op <> 'd' AS live, lsn, a_fn AS first_name,
+      |          a_ln AS last_name, a_em AS email
+      |         FROM last WHERE rn = 1),
+      |w AS (SELECT (min(lsn) + max(lsn)) // 2 AS w FROM chg)
+      |SELECT id, live, lsn, first_name, last_name, email
+      |FROM snap, w WHERE live OR lsn >= w
+      |ORDER BY id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "cdc_seq_audit" -> cdcSeqAudit,
+    "cdc_compacted_topic" -> cdcCompactedTopic,
     "cdc_agg_maintain" -> cdcAggMaintain,
     "cdc_incr_snapshot" -> cdcIncrSnapshot,
     "cdc_toast_fill" -> cdcToastFill,
@@ -1839,6 +1940,8 @@ object Cdc {
     "cdc_table_filter" -> cdcTableFilter)
 
   val oracle: Map[String, String] = Map(
+    "cdc_seq_audit" -> cdcSeqAuditSql,
+    "cdc_compacted_topic" -> cdcCompactedTopicSql,
     "cdc_agg_maintain" -> cdcAggMaintainSql,
     "cdc_incr_snapshot" -> cdcIncrSnapshotSql,
     "cdc_toast_fill" -> cdcToastFillSql,

@@ -451,6 +451,57 @@ object Relational {
       |                           CAST(0.75 AS DOUBLE)]) AS phi) p
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Q8g — the LIBRARY'S OWN mergeable quantile digest's rank contract
+    * (q8e/q8f bound Spark's built-in GK sketch; this bounds
+    * [[graft.functions.QDigest]], the deterministic Q-digest the durable
+    * streaming quantile tier T26 commits through the versioned store).
+    * Orders' totalprice maps into the digest's 2^16 universe (floor
+    * dollars ÷ 10 — order-preserving, no clamp reached at TPC-H price
+    * ranges), the digest builds from the ≤U-row per-leaf count table
+    * (constant-bounded collect — the T26 shape exactly), and for each
+    * φ ∈ {1,5,25,50,75,95,99}% the returned value's exact rank interval
+    * must intersect `target ± 2·log2(U)·(n/k)` — the Q-digest theorem
+    * with the x4m 2× slack discipline (the bound is deterministic here,
+    * the slack guards fixture regeneration). The digest VALUE stays out
+    * of the compared output (SQL cannot replay the digest); the rank
+    * contract and the ceil-rank target are cross-engine-exact.
+    *
+    * Scale: one map-side-combined leaf-count aggregation (≤65536 rows by
+    * construction), driver compress over ≤3k nodes, then ONE pass for
+    * all seven exact ranks via a 7-row broadcast — no window, no sort.
+    */
+  val q8gQdigestBound: Q = (spark, dir) => {
+    import spark.implicits._
+    val Q = graft.functions.QDigest
+    val k = 512
+    val mapped = Tables.orders(spark, dir)
+      .select(expr("CAST(floor(o_totalprice / 10) AS BIGINT)").as("v"))
+    val leafCounts = mapped.groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .as[(Long, Long)].collect()
+      .map { case (v, c) => Q.leaf(v) -> c }.toMap
+    val n = leafCounts.valuesIterator.sum
+    val digest = Q.compress(leafCounts, n, k)
+    val bound = 2L * Q.logU * math.max(1L, n / k)
+    val qtab = Seq(1L, 5L, 25L, 50L, 75L, 95L, 99L).map { p =>
+      (p, Q.quantile(digest, n, p, 100L), (p * n + 99L) / 100L)
+    }.toDF("q_pct", "dv", "target")
+    mapped.crossJoin(broadcast(qtab))
+      .groupBy(col("q_pct"), col("dv"), col("target"))
+      .agg(
+        sum(when(col("v") < col("dv"), 1L).otherwise(0L)).as("r_lo"),
+        sum(when(col("v") <= col("dv"), 1L).otherwise(0L)).as("r_hi"))
+      .select(col("q_pct"), col("target"),
+        (col("r_hi") >= col("target") - bound &&
+          col("r_lo") <= col("target") + bound).as("rank_ok"))
+      .orderBy(col("q_pct"))
+  }
+  val q8gSql: String =
+    """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders),
+      |q(q_pct) AS (VALUES (1), (5), (25), (50), (75), (95), (99))
+      |SELECT CAST(q_pct AS BIGINT) AS q_pct,
+      | (q_pct * n + 99) // 100 AS target, TRUE AS rank_ok
+      |FROM q, nn ORDER BY q_pct""".stripMargin
+
   // Q10 — ROLLUP hierarchy (group keys COALESCEd so the subtotal rows have
   // non-null sort keys in both engines).
   val q10Rollup: Q = (spark, dir) => {
@@ -1199,6 +1250,7 @@ object Relational {
     "q9b_approx_distinct" -> q9bApproxDistinct,
     "q8e_approx_pct_bound" -> q8eApproxPercentileBound,
     "q8f_quantile_rank_bound" -> q8fQuantileRankBound,
+    "q8g_qdigest_bound" -> q8gQdigestBound,
     "q9c_approx_bound" -> q9cApproxBound,
     "q9d_hll_union_bound" -> q9dHllUnionBound,
     "q10_rollup" -> q10Rollup,
@@ -1228,6 +1280,7 @@ object Relational {
     "q23_zorder" -> q23Sql,
     "q8e_approx_pct_bound" -> q8eSql,
     "q8f_quantile_rank_bound" -> q8fSql,
+    "q8g_qdigest_bound" -> q8gSql,
     "q8b_percentile" -> q8bSql,
     "q8c_stats" -> q8cSql,
     "q8d_stringagg" -> q8dSql,

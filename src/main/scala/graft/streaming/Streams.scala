@@ -1338,6 +1338,85 @@ object Streams extends Serializable {
       .flatMap(_.collect().headOption)
       .flatMap(r => Option(r.getAs[Array[Byte]]("sketch")))
 
+  // -------------------- T26 durable streaming quantiles (Q-digest merge)
+  /** T26 — durable QUANTILE estimation, the last member of the streaming
+    * sketch tier (T20 heavy hitters, T21 distinct, T22 frequency —
+    * this answers "what is the p99 of everything this stream has ever
+    * carried"). The summary is a [[graft.functions.QDigest]]: a
+    * DETERMINISTIC mergeable quantile digest over a fixed 2^16 integer
+    * universe, rank error ≤ log2(U)·n/k after ANY merge tree
+    * (thresholds scale with n, so the digest invariant survives epoch
+    * folding — see QDigest's scaladoc).
+    *
+    * Per batch: one map-side-combined `groupBy(v).count()` reduces the
+    * increment to per-leaf counts — ≤ U = 65536 rows by construction, a
+    * CONSTANT bound independent of batch size (the bounded-
+    * materialization tier; c.f. T22's ~10 KB grid) — compressed
+    * driver-side to ≤ 3k nodes and merged with the committed digest
+    * under the store's pointer protocol. Count addition and the sorted
+    * compress are deterministic, so a replayed batch recommits
+    * BYTE-identical state (the T21/T22 contract). The committed NODE
+    * MAP after an epoch sequence is not in general byte-equal to the
+    * single-pass digest (compression decisions depend on intermediate
+    * thresholds), but both satisfy the same rank bound and hold the
+    * same total — which is the digest's contract, and what the spec
+    * asserts.
+    *
+    * `values` must carry one long column `v` (caller maps its domain
+    * into [0, U); [[QDigest.leaf]] clamps). The q8g batch twin checks
+    * the same digest's rank bound against exact SQL quantiles
+    * cross-engine.
+    */
+  def quantileBatch(values: DataFrame, batchId: Long, root: String,
+      k: Int = 512): Unit = {
+    val spark = values.sparkSession
+    import spark.implicits._
+    val Q = graft.functions.QDigest
+    val leafCounts: Map[Long, Long] = values
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .select(col("v"), col("c")).as[(Long, Long)].collect()
+      .map { case (v, c) => Q.leaf(v) -> c }.toMap
+    val batchN = leafCounts.valuesIterator.sum
+    val (priorDigest, priorN) =
+      SnapshotStore.readBefore(spark, root, batchId) match {
+        case Some(df) =>
+          val rows = df.select(col("node"), col("cnt"), col("n_total"))
+            .as[(Long, Long, Long)].collect()
+          (rows.map(r => r._1 -> r._2).toMap,
+            rows.headOption.map(_._3).getOrElse(0L))
+        case None => (Map.empty[Long, Long], 0L)
+      }
+    val n = priorN + batchN
+    val merged = Q.merge(priorDigest, leafCounts, n, k)
+    SnapshotStore.commit(
+      merged.toSeq.sorted.toDF("node", "cnt")
+        .withColumn("n_total", lit(n)).coalesce(1),
+      root, batchId)
+  }
+
+  def quantileStream(valueStream: DataFrame, root: String, k: Int = 512)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    valueStream.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      quantileBatch(batch.toDF, batchId, root, k)
+    }
+
+  /** The committed digest as (nodes map, n_total); empty for a never-fed
+    * stream.
+    */
+  def readQuantileDigest(spark: org.apache.spark.sql.SparkSession,
+      root: String): (Map[Long, Long], Long) = {
+    import spark.implicits._
+    SnapshotStore.read(spark, root) match {
+      case Some(df) if !df.isEmpty =>
+        val rows = df.select(col("node"), col("cnt"), col("n_total"))
+          .as[(Long, Long, Long)].collect()
+        (rows.map(r => r._1 -> r._2).toMap,
+          rows.headOption.map(_._3).getOrElse(0L))
+      case _ => (Map.empty[Long, Long], 0L)
+    }
+  }
+
   // ------------------------------ T18 index generation retrain + cutover
   /** T18 — the ACTION the quantization-drift monitor
     * ([[graft.operators.Vectors.pqReconstructionError]]) schedules: when

@@ -339,6 +339,49 @@ class FunctionsSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(grid(toks), grid(toks.repartition(7))))
   }
 
+  test("QDigest: totals preserved, size <= 3k, rank bound on deterministic " +
+      "streams under arbitrary split points, q8g booleans all true") {
+    val Q = graft.functions.QDigest
+    val k = 128
+    val vals: Seq[Long] = (0 until 5000).map(i => (i * i % 3777).toLong)
+    val n = vals.size.toLong
+    def leafCounts(vs: Seq[Long]) = vs.groupBy(identity).view
+      .mapValues(_.size.toLong).map { case (v, c) => Q.leaf(v) -> c }.toMap
+    val single = Q.compress(leafCounts(vals), n, k)
+    assert(Q.total(single) === n)
+    assert(single.size <= 3 * k)
+    val sorted = vals.sorted
+    val bound = Q.logU * math.max(1L, n / k)
+    def assertBound(digest: Map[Long, Long], label: String): Unit =
+      for (p <- Seq(1L, 25L, 50L, 75L, 99L)) {
+        val dv = Q.quantile(digest, n, p, 100L)
+        val target = (p * n + 99L) / 100L
+        val rLo = sorted.count(_ < dv).toLong
+        val rHi = sorted.count(_ <= dv).toLong
+        assert(rHi >= target - bound && rLo <= target + bound,
+          s"$label p$p: dv=$dv rank[$rLo,$rHi] target=$target bound=$bound")
+      }
+    assertBound(single, "single-pass")
+    // the bound survives ANY merge tree: fold at several split points
+    for (splits <- Seq(Seq(1000), Seq(100, 2500), Seq(700, 1400, 4000))) {
+      val cuts = (0 +: splits :+ vals.size).sliding(2)
+        .map { case Seq(a, b) => vals.slice(a, b) }.toSeq
+      val merged = cuts.zipWithIndex.map { case (c, i) =>
+        (leafCounts(c), c.size.toLong)
+      }.reduceLeft[(Map[Long, Long], Long)] { case ((d1, n1), (lc2, n2)) =>
+        (Q.merge(d1, lc2, n1 + n2, k), n1 + n2)
+      }
+      assert(Q.total(merged._1) === n)
+      assert(merged._1.size <= 3 * k)
+      assertBound(merged._1, s"merged@$splits")
+    }
+    // the registered q8g booleans
+    val rows = operators.Relational.q8gQdigestBound(spark, TestSpark.sf)
+      .collect()
+    assert(rows.length === 7)
+    rows.foreach(r => assert(r.getBoolean(2), s"q8g rank_ok false at $r"))
+  }
+
   test("S3 JSON-lines changelog source roundtrips the envelope") {
     val dir = java.nio.file.Files.createTempDirectory("chg").toString
     val chg = operators.Cdc.changelog(spark, TestSpark.sf).limit(50)

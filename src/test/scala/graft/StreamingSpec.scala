@@ -1410,6 +1410,66 @@ class StreamingSpec extends AnyFunSuite {
       Streams.readCmsSketch(spark, root).get, committed))
   }
 
+  test("T26 durable streaming quantiles: Q-digest rank bound survives epochs, " +
+      "O(digest) state, replay byte-identical, merge commutes, empty batch no-op") {
+    implicit val ctx = spark.sqlContext
+    val Q = graft.functions.QDigest
+    val root = java.nio.file.Files.createTempDirectory("qd26").toString + "/qd"
+    val k = 256
+    // skewed, overlapping epochs over a 0..1999 domain
+    val b0 = (0 until 400).map(i => (i * 7 % 1000).toLong)
+    val b1 = (0 until 300).map(i => (i * 13 % 500 + 200).toLong)
+    val b2 = (0 until 300).map(i => (i * 31 % 2000).toLong)
+    val all = b0 ++ b1 ++ b2
+    val mem = MemoryStream[Long]
+    val q = Streams.quantileStream(mem.toDF.toDF("v"), root, k)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt26").toString)
+      .start()
+    mem.addData(b0: _*); q.processAllAvailable()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable(); q.stop()
+    val (digest, n) = Streams.readQuantileDigest(spark, root)
+    assert(n === all.size.toLong)
+    assert(Q.total(digest) === n) // no count lost through any epoch fold
+    assert(digest.size <= 3 * k, s"digest ${digest.size} nodes exceeds 3k")
+    // the Q-digest theorem on the committed state: rank error within
+    // log2(U) * floor(n/k) at every quantile, NO slack factor
+    val sorted = all.sorted
+    val bound = Q.logU * math.max(1L, n / k)
+    for (p <- Seq(1L, 10L, 25L, 50L, 75L, 90L, 99L)) {
+      val dv = Q.quantile(digest, n, p, 100L)
+      val target = (p * n + 99L) / 100L
+      val rLo = sorted.count(_ < dv).toLong
+      val rHi = sorted.count(_ <= dv).toLong
+      assert(rHi >= target - bound && rLo <= target + bound,
+        s"p$p: dv=$dv rank[$rLo,$rHi] target=$target bound=$bound")
+    }
+    // replay derives from strictly-before state; sorted compress is
+    // deterministic -> byte-identical recommit
+    def stateRows() = graft.streaming.SnapshotStore.read(spark, root).get
+      .select("node", "cnt", "n_total").orderBy("node")
+      .as[(Long, Long, Long)].collect().toSeq
+    val before = stateRows()
+    // replay the LAST batch at its true id (the engine may have burned a
+    // batch id on an initial empty batch — read it from the pointer)
+    val lastId = graft.streaming.SnapshotStore.latestVersion(spark, root).get
+    Streams.quantileBatch(b2.toDF("v"), lastId, root, k)
+    assert(stateRows() === before, "replay changed the committed digest")
+    // an empty batch carries the state unchanged
+    Streams.quantileBatch(spark.emptyDataset[Long].toDF("v"), lastId + 1, root, k)
+    assert(stateRows() === before)
+    // mergeability is count addition: merge commutes byte-for-byte
+    val dA = Q.compress(b0.groupBy(identity).view
+      .mapValues(_.size.toLong).map { case (v, c) => Q.leaf(v) -> c }
+      .toMap, b0.size.toLong, k)
+    val dB = Q.compress(b1.groupBy(identity).view
+      .mapValues(_.size.toLong).map { case (v, c) => Q.leaf(v) -> c }
+      .toMap, b1.size.toLong, k)
+    val nAB = (b0.size + b1.size).toLong
+    assert(Q.merge(dA, dB, nAB, k) === Q.merge(dB, dA, nAB, k))
+  }
+
   test("T18 generation cutover: retrain swaps atomically, stream follows the pointer, grace window then gc, crash mid-build invisible") {
     import graft.operators.Vectors
     implicit val ctx = spark.sqlContext
