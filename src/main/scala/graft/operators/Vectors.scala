@@ -218,6 +218,80 @@ object Vectors {
     """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS payload_md5
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** X5e — PERCEPTUAL-fingerprint dedup over the binary media payload:
+    * the media-modality analogue of x2d's token SimHash, and the
+    * image-dedup stand-in while codecs are stubbed (a production pHash
+    * would feed DCT coefficients into the same sign-sum; the banding /
+    * verify plumbing here is exactly what it would ride). The payload
+    * byte stream shingles into OVERLAPPING 4-byte windows — a byte-level
+    * feature space, so near-identical payloads with insertions/padding
+    * still collide, where x5b's whole-payload md5 only catches exact
+    * copies — each window hashes, ±1 sign-sums produce a 16-bit
+    * fingerprint, Manku banding (4 bands of 4 bits: exact recall for
+    * hamming ≤ 3) generates candidates, and the true hamming distance
+    * verifies ([[Text.simhashPairs]] — the shared pairing machinery, so
+    * media and text fingerprints cannot drift). Every expression runs on
+    * the BINARY column (substring/length/md5 over bytes); the oracle
+    * mirrors them on the ASCII text the payload derives from — same
+    * bytes, the x5b convention.
+    *
+    * Scale: one explode pass bounded by payload bytes (the shingle
+    * staging cost every dedup path pays), fingerprints are 16 chars/doc,
+    * and the band join is bucket-capped — nothing pairwise ever touches
+    * the corpus.
+    */
+  def payloadFingerprint(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(col("doc_id"), col("payload"), explode(expr(
+        "CASE WHEN length(payload) >= 4 THEN sequence(1, length(payload) - 3) " +
+          "ELSE CAST(array() AS ARRAY<INT>) END")).as("i"))
+      .select(col("doc_id"), md5(expr("substring(payload, i, 4)")).as("h"))
+    val hi = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val sums = (1 to 16).map(p =>
+      sum(when(substring(col("h"), p, 1).isin(hi: _*), 1).otherwise(-1))
+        .as(s"s$p"))
+    val bits = (1 to 16).map(p => when(col(s"s$p") > 0, "1").otherwise("0"))
+    grams.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), concat(bits: _*).as("simhash"))
+  }
+
+  def stagedPayloadFingerprint(spark: SparkSession, dir: String): DataFrame =
+    graft.Staged(spark, s"media_phash:$dir")(
+      payloadFingerprint(Tables.documents(spark, dir)))
+
+  val x5ePhashPairs: Q = (spark, dir) =>
+    Text.simhashPairs(stagedPayloadFingerprint(spark, dir))
+      .orderBy(col("da"), col("db"))
+
+  val x5eSql: String = {
+    val sums = (1 to 16).map(p =>
+      s"sum(CASE WHEN substr(h, $p, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s$p")
+      .mkString(", ")
+    val bits = (1 to 16)
+      .map(p => s"CASE WHEN s$p > 0 THEN '1' ELSE '0' END").mkString(" || ")
+    val bandSelects = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, substr(simhash, ${4 * b + 1}, 4) AS key FROM sig")
+      .mkString(" UNION ALL ")
+    val ham = (1 to 16)
+      .map(p => s"CASE WHEN substr(sa.simhash, $p, 1) <> substr(sb.simhash, $p, 1) THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH g0 AS (SELECT doc_id, text, unnest(generate_series(1, strlen(text) - 3)) AS i
+       |      FROM documents WHERE strlen(text) >= 4),
+       |g AS (SELECT doc_id, md5(substr(text, i, 4)) AS h FROM g0),
+       |sums AS (SELECT doc_id, $sums FROM g GROUP BY 1),
+       |sig AS (SELECT doc_id, $bits AS simhash FROM sums),
+       |bands AS ($bandSelects),
+       |capped AS (SELECT * FROM bands
+       |  QUALIFY count(*) OVER (PARTITION BY band, key) <= ${Text.defaultMaxBucket}),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |         FROM capped a JOIN capped b
+       |          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |h AS (SELECT da, db, CAST($ham AS BIGINT) AS hamming
+       |      FROM cand JOIN sig sa ON da = sa.doc_id JOIN sig sb ON db = sb.doc_id)
+       |SELECT da, db, hamming FROM h WHERE hamming <= 3 ORDER BY da, db""".stripMargin
+  }
+
   /** X3 via the typed top-k [[graft.functions.TopK.TopKAgg]] Aggregator:
     * map-side partial aggregation ships at most k hits per partition to the
     * shuffle — the scale-preferred formulation vs the row_number window
@@ -1425,6 +1499,7 @@ object Vectors {
     "x3k_kmeans_converge" -> x3kKmeansConverge,
     "x3g_quantize" -> x3gQuantize,
     "x5d_media_bound" -> x5dMediaBound,
+    "x5e_phash_pairs" -> x5ePhashPairs,
     "x3_cosine_topk" -> x3CosineTopK,
     "x3d_topk_agg" -> x3dTopKAgg,
     "x3e_cosine_ivf" -> x3eCosineIvf,
@@ -1462,5 +1537,6 @@ object Vectors {
     "x3c_embed_neardup" -> x3cSql,
     "x5_multimodal_join" -> x5Sql,
     "x5b_multimodal_binary" -> x5bSql,
+    "x5e_phash_pairs" -> x5eSql,
     "x5d_media_bound" -> x5dSql)
 }

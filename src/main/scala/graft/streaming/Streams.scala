@@ -1185,6 +1185,66 @@ object Streams extends Serializable {
       alertRoot: String): Option[DataFrame] =
     SnapshotStore.read(spark, alertRoot)
 
+  // ----------- T27 streaming temporal enrichment join (C22 streaming)
+  /** T27 — the canonical production CDC CONSUMER: a fact stream
+    * enriched with the dimension attributes valid AT THE FACT'S OWN
+    * TIME, read from the SCD2 history T23 maintains. C22 answers this
+    * for a batch fact table; real fact streams (orders, clicks,
+    * payments) arrive continuously while the dimension history advances
+    * underneath — so each micro-batch joins against the COMMITTED
+    * history as of its own read (the pointer protocol makes that a
+    * consistent snapshot, never a half-applied epoch), equi-key plus
+    * the interval residual — Catalyst plans SMJ/SHJ on the key, never a
+    * cartesian, the C22 plan shape exactly. Facts with no valid version
+    * (out-of-history times, unknown keys) carry nulls rather than
+    * dropping — the left-join audit trail.
+    *
+    * Consistency contract: enrichment is AS-OF the batch's committed
+    * history — a dimension update that lands after the fact's batch was
+    * enriched does NOT retro-enrich (that is C22's batch re-run; the
+    * spec drives dimensions fully first, making stream ≡ batch exact).
+    * Output lands in batchId-keyed overwrite dirs — the T13 idempotent
+    * replay protocol: a re-delivered batch rewrites its own dir
+    * byte-identically because the history it reads is versioned.
+    *
+    * Scale: per batch, one broadcast-or-shuffle equi-join of the batch
+    * against the history's touched keys; the history is bucketed by key
+    * (PartitionedSnapshotStore), so a cluster deployment prunes to the
+    * buckets the batch's keys hash into.
+    */
+  def enrichFactsBatch(facts: DataFrame, batchId: Long, scd2Root: String,
+      outDir: String, keyCol: String = "custkey",
+      timeCol: String = "flsn"): Unit = {
+    val spark = facts.sparkSession
+    val enriched = readScd2(spark, scd2Root) match {
+      case Some(hist) =>
+        facts.join(hist,
+          facts(keyCol) === hist("id") &&
+            facts(timeCol) >= hist("valid_from") &&
+            (hist("valid_to").isNull || facts(timeCol) < hist("valid_to")),
+          "left")
+          .select(facts.columns.map(facts(_)) :+ hist("email"): _*)
+      case None => facts.withColumn("email", lit(null).cast("string"))
+    }
+    enriched.write.mode("overwrite").parquet(s"$outDir/b=$batchId")
+  }
+
+  def enrichFactsStream(factStream: DataFrame, scd2Root: String,
+      outDir: String, keyCol: String = "custkey", timeCol: String = "flsn")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    factStream.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      enrichFactsBatch(batch.toDF, batchId, scd2Root, outDir, keyCol, timeCol)
+    }
+
+  /** Every enriched fact across all committed batches. */
+  def readEnrichedFacts(spark: org.apache.spark.sql.SparkSession,
+      outDir: String): DataFrame = {
+    val paths = bandBatchDirs(spark, outDir).map(_._2)
+    require(paths.nonEmpty, s"no enriched batches under $outDir")
+    spark.read.parquet(paths: _*)
+  }
+
   // ---------------------- T21 durable streaming distinct count (HLL union)
   /** T21 — durable approximate distinct counting over an unbounded
     * stream: the T20 shape with a DataSketches HLL sketch as the

@@ -1470,6 +1470,70 @@ class StreamingSpec extends AnyFunSuite {
     assert(Q.merge(dA, dB, nAB, k) === Q.merge(dB, dA, nAB, k))
   }
 
+  test("T27 streaming temporal enrichment: stream == C22 batch join when dims " +
+      "lead, delete-gap and unknown keys carry nulls, replay idempotent") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.Cdc
+    val root = java.nio.file.Files.createTempDirectory("t27").toString + "/h"
+    val outDir = java.nio.file.Files.createTempDirectory("t27o").toString
+    def e(id: Long, op: String, lsn: Long, em: String): CdcEvent = op match {
+      case "c" => CdcEvent(None, row(id, em), src(lsn), "c", lsn)
+      case "u" => CdcEvent(row(id, "old"), row(id, em), src(lsn), "u", lsn)
+      case "d" => CdcEvent(row(id, em), None, src(lsn), "d", lsn)
+    }
+    // same dimension schedule as T23: late event, delete, re-create
+    val dims = Seq(
+      e(1, "c", 100, "a1"), e(2, "c", 200, "b1"), e(3, "c", 300, "c1"),
+      e(1, "u", 110, "a2"), e(2, "d", 210, "b1"), e(3, "u", 310, "c2"),
+      e(2, "c", 230, "b2"), e(1, "u", 105, "a1b"), e(1, "u", 120, "a3"))
+    val dmem = MemoryStream[CdcEvent]
+    val dq = Streams.scd2ForeachBatch(dmem.toDS, root, buckets = 4)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt27d").toString)
+      .start()
+    dmem.addData(dims: _*); dq.processAllAvailable(); dq.stop()
+    // facts: in-version, late-version, delete-gap, unknown-key,
+    // before-history — every left-join audit case
+    val fb0 = Seq((1L, 1L, 102L), (2L, 1L, 115L), (3L, 2L, 205L))
+    val fb1 = Seq((4L, 2L, 215L), (5L, 2L, 240L), (6L, 3L, 305L),
+      (7L, 99L, 100L), (8L, 1L, 50L))
+    val fmem = MemoryStream[(Long, Long, Long)]
+    val fq = Streams.enrichFactsStream(
+        fmem.toDF.toDF("orderkey", "custkey", "flsn"), root, outDir)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt27f").toString)
+      .start()
+    fmem.addData(fb0: _*); fq.processAllAvailable()
+    fmem.addData(fb1: _*); fq.processAllAvailable(); fq.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("orderkey", "custkey", "flsn", "email").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          Option(r.getString(3)))).toSet
+    val got = rows(Streams.readEnrichedFacts(spark, outDir))
+    // C22 batch oracle: the same interval join against the batch fold
+    val factsDf = (fb0 ++ fb1).toDF("orderkey", "custkey", "flsn")
+    val hist = Cdc.scd2(dims.toDS.toDF)
+    val exp = rows(factsDf.join(hist,
+      factsDf("custkey") === hist("id") &&
+        factsDf("flsn") >= hist("valid_from") &&
+        (hist("valid_to").isNull || factsDf("flsn") < hist("valid_to")),
+      "left"))
+    assert(got === exp)
+    // the audit cases, pinned: delete gap, unknown key, pre-history
+    assert(got.contains((4L, 2L, 215L, None)))
+    assert(got.contains((7L, 99L, 100L, None)))
+    assert(got.contains((8L, 1L, 50L, None)))
+    // the late dimension event (lsn 105) is visible to facts in [105,110)
+    assert(got.contains((1L, 1L, 102L, Some("a1"))))
+    assert(got.contains((2L, 1L, 115L, Some("a2"))))
+    // replay of the last fact batch rewrites its dir with identical rows
+    val lastDir = new java.io.File(outDir).listFiles.map(_.getName)
+      .filter(_.startsWith("b=")).map(_.stripPrefix("b=").toLong).max
+    Streams.enrichFactsBatch(fb1.toDF("orderkey", "custkey", "flsn"),
+      lastDir, root, outDir)
+    assert(rows(Streams.readEnrichedFacts(spark, outDir)) === got)
+  }
+
   test("T18 generation cutover: retrain swaps atomically, stream follows the pointer, grace window then gc, crash mid-build invisible") {
     import graft.operators.Vectors
     implicit val ctx = spark.sqlContext
