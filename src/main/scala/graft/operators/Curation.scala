@@ -367,7 +367,8 @@ object Curation {
     val merges = Text.stagedBpeMerges(spark, dir)
       .orderBy("iteration").select("left", "right").collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq
-    val enc = Text.bpeEncode(kept.select(col("doc_id"), col("text")), merges)
+    val enc = Text.bpeEncode(kept.select(col("doc_id"), col("text")), merges,
+      Some(Text.stagedBpeDictMap(spark, dir)))
       .select(col("doc_id"), col("n_bpe_tokens"))
     tokenPacking(kept.join(enc, "doc_id"), budget = 1500L,
         nTokensCol = Some("n_bpe_tokens"))

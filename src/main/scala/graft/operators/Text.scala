@@ -1627,21 +1627,31 @@ object Text {
     * x4o statistics and the x4q id encoder. Returns exactly
     * `(doc_id, seq)`.
     *
-    * DICTIONARY-MEMOIZED encode (the standard tokenizer trick): merges
-    * never cross a word boundary (each per-word sequence is framed
-    * `' a; b;'` and words join with `'|'`, which no merge pattern
-    * `' l; r;'` can span — the boundary text is `';|'`, never `'; '`),
-    * so the nMerges `replace` chain folds over the DISTINCT-WORD
-    * dictionary only (|vocab| rows), and the corpus pass is one
-    * explode + hash join + per-doc ordered reassembly. At a real 50k
-    * vocabulary the merge-chain expression depth rides the
-    * dictionary-sized branch, not a corpus-sized projection — plan
-    * cost is O(vocab) once, corpus cost is O(words) joins. Reassembly
-    * sorts `struct(pos, wseq)` per doc (positions are unique within a
-    * doc, so the sort is total); empty documents keep their row with
-    * `seq = ''` via the outer position-explode.
+    * DICTIONARY-MEMOIZED encode (the standard tokenizer trick — HF fast
+    * tokenizers memoize word→ids exactly this way): merges never cross
+    * a word boundary (each per-word sequence is framed `' a; b;'` and
+    * words join with `'|'`, which no merge pattern `' l; r;'` can span
+    * — the boundary text is `';|'`, never `'; '`), so the nMerges
+    * `replace` chain folds over the DISTINCT-WORD dictionary only
+    * (|vocab| rows), and the corpus pass is pure per-row expression
+    * work: the encoded dictionary aggregates to a single map row,
+    * broadcasts (a 1-row BNLJ, the x4m sketch-literal shape), and each
+    * document encodes by per-word map lookup — zero corpus shuffle,
+    * zero driver collect. At a real 50k vocabulary the merge-chain
+    * expression depth rides the dictionary-sized branch, not a
+    * corpus-sized projection. If a corpus's word-form dictionary ever
+    * outgrew the broadcast budget, the same `encDict` feeds a hash
+    * join + per-doc ordered reassembly instead — the shape is a
+    * one-line swap; the broadcast map is the right default because
+    * tokenizer dictionaries are vocabulary-bounded, not
+    * corpus-proportional. Empty documents encode to `seq = ''`.
     */
-  private[operators] def bpeSeq(docs: DataFrame,
+  /** The 1-row encoded-dictionary map for `docs` — split out so a
+    * session can stage it once ([[stagedBpeDictMap]]): the distinct-word
+    * aggregation is the only corpus-shuffle in the whole encode path,
+    * and x4o/x4q/x9c would otherwise each re-run it.
+    */
+  private[operators] def bpeDictMap(docs: DataFrame,
       merges: Seq[(String, String)]): DataFrame = {
     val dict = docs
       .select(explode(expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
@@ -1652,20 +1662,35 @@ object Text {
       case (df, (l, r)) =>
         df.withColumn("wseq", expr(s"replace(wseq, ' $l; $r;', ' $l$r;')"))
     }
-    docs
-      .select(col("doc_id"),
-        posexplode_outer(expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
-          .as(Seq("pos", "word")))
-      .join(encDict, Seq("word"), "left")
-      .groupBy(col("doc_id"))
-      .agg(array_join(expr(
-        "transform(array_sort(collect_list(" +
-          "if(pos IS NULL, NULL, struct(pos, wseq)))), s -> s.wseq)"),
-        "|").as("seq"))
+    encDict.agg(map_from_entries(
+      collect_list(struct(col("word"), col("wseq")))).as("__bpe_dict"))
   }
 
-  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
-    bpeSeq(docs, merges).select(col("doc_id"),
+  /** Staged dictionary map over the FULL documents table: any subset
+    * corpus (x9c's kept docs) encodes through the same map — lookups of
+    * a subset's words are identical, and the superset dictionary is the
+    * production shape anyway (the tokenizer's word cache is trained
+    * once, not per-slice).
+    */
+  def stagedBpeDictMap(spark: SparkSession, dir: String): DataFrame = {
+    val merges = stagedBpeMerges(spark, dir)
+      .orderBy("iteration").select("left", "right").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    Staged(spark, s"bpe_dict:$defaultBpeMerges:$dir")(
+      bpeDictMap(Tables.documents(spark, dir), merges))
+  }
+
+  private[operators] def bpeSeq(docs: DataFrame,
+      merges: Seq[(String, String)],
+      dictMap: Option[DataFrame] = None): DataFrame =
+    docs.join(broadcast(dictMap.getOrElse(bpeDictMap(docs, merges))))
+      .select(col("doc_id"), expr(
+        "array_join(transform(regexp_extract_all(text, '[a-z0-9]+', 0), " +
+          "w -> element_at(__bpe_dict, w)), '|')").as("seq"))
+
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)],
+      dictMap: Option[DataFrame] = None): DataFrame =
+    bpeSeq(docs, merges, dictMap).select(col("doc_id"),
       (size(split(col("seq"), " ")) - 1).cast("long").as("n_bpe_tokens"),
       md5(col("seq").cast("binary")).as("fp"))
 
@@ -1720,7 +1745,8 @@ object Text {
     val merges = stagedBpeMerges(spark, dir)
       .orderBy("iteration").select("left", "right").collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq
-    bpeSeq(Tables.documents(spark, dir), merges)
+    bpeSeq(Tables.documents(spark, dir), merges,
+        Some(stagedBpeDictMap(spark, dir)))
       .withColumn("__syms", expr(
         "transform(slice(split(replace(seq, '|', ''), ' '), 2, " +
           "size(split(replace(seq, '|', ''), ' ')) - 1), " +
@@ -1741,7 +1767,8 @@ object Text {
     val merges = stagedBpeMerges(spark, dir)
       .orderBy("iteration").select("left", "right").collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq
-    bpeEncode(Tables.documents(spark, dir), merges).orderBy(col("doc_id"))
+    bpeEncode(Tables.documents(spark, dir), merges,
+      Some(stagedBpeDictMap(spark, dir))).orderBy(col("doc_id"))
   }
 
   /** Oracle twin: the full training loop unrolled as a CTE chain (the
