@@ -65,14 +65,19 @@ object CollapseAudit {
     * x3j's probe explode verbatim — same |Q|·nprobe broadcast, the
     * cluster dot merely rides along in the exploded struct;
     * x3q_filtered_index broadcasts the same probe explode with the
-    * filter columns appended to the join key. A NEW query landing here
-    * must either justify itself into this list or get a shuffle_hash
-    * pin.
+    * filter columns appended to the join key; x5e_phash_pairs (r10) is
+    * x2d's banded self-join verbatim over the payload fingerprint — the
+    * broadcast side is the CAPPED band table, bounded by construction
+    * at #bands × keyspace × cap = 4·16·100 = 6400 rows regardless of
+    * corpus size (a 16-bit fingerprint has 16 possible 4-bit band
+    * keys, and capBuckets drops over-cap buckets entirely). A NEW
+    * query landing here must either justify itself into this list or
+    * get a shuffle_hash pin.
     */
   val boundedByDesign: Set[String] = Set("q24_salted_join",
     "x2d_simhash_neardup", "x3e_cosine_ivf", "x3f_ivf_recall",
     "x3j_pq_recall", "x3l_incr_index", "x3n_filtered_ivf",
-    "x3p_pq_residual", "x3q_filtered_index")
+    "x3p_pq_residual", "x3q_filtered_index", "x5e_phash_pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
