@@ -1831,8 +1831,10 @@ object Cdc {
     * exactly the global consecutive-pair set; top-k plans as
     * TakeOrderedAndProject.
     */
-  val cdcSeqAudit: Q = (spark, dir) => {
-    val lsns = changelog(spark, dir).select(col("source.lsn").as("lsn"))
+  /** The audit over an arbitrary one-column `lsn` frame (property-tested
+    * against the naive global-sort computation on random multisets).
+    */
+  def seqAudit(lsns: DataFrame, topK: Int = 100): DataFrame = {
     val bucketed = lsns.withColumn("b", expr("lsn DIV 1000"))
     val wIn = Window.partitionBy(col("b")).orderBy(col("lsn"))
     val intra = bucketed.withColumn("prev_lsn", lag(col("lsn"), 1).over(wIn))
@@ -1855,8 +1857,11 @@ object Cdc {
       .filter(col("gap") > 0)
       .unionByName(dups)
       .orderBy(col("gap").desc, col("prev_lsn"))
-      .limit(100)
+      .limit(topK)
   }
+
+  val cdcSeqAudit: Q = (spark, dir) =>
+    seqAudit(changelog(spark, dir).select(col("source.lsn").as("lsn")))
   val cdcSeqAuditSql: String = changelogCte + """,
       |l AS (SELECT lsn FROM chg),
       |g AS (SELECT lag(lsn) OVER (ORDER BY lsn) AS prev_lsn, lsn AS next_lsn FROM l),

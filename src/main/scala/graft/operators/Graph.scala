@@ -481,7 +481,84 @@ object Graph {
       |FROM cc WHERE node <> cluster
       |ORDER BY doc_id""".stripMargin
 
+  /** Q32 — HIERARCHY closure with path enumeration: every node of a
+    * parent-pointer forest resolved to (root, depth, root-to-node path) —
+    * the org-chart / category-tree / BOM-rollup query families, and the
+    * one recursive-CTE workload class this engine hadn't yet re-expressed
+    * (connectedComponents is the UNDIRECTED min-label case; this is the
+    * DIRECTED rooted case where the path itself is the answer).
+    *
+    * Algorithm: pointer DOUBLING over (node → ancestor) state carrying
+    * (depth-so-far, path-segment). Each round composes every node's
+    * segment with its current ancestor's segment — ancestor jumps to the
+    * ancestor's ancestor, depth adds, path prepends — so a depth-D chain
+    * resolves in ⌈log2 D⌉ rounds, each one equi-join keyed on the
+    * ancestor id + a localCheckpoint lineage cut (the CC discipline,
+    * including the THROW on round exhaustion rather than returning
+    * partially-resolved paths). DuckDB's WITH RECURSIVE walks the same
+    * forest top-down as the oracle.
+    *
+    * Scale: per round one keyed shuffle of the still-unresolved rows
+    * (halving each round); no driver state, no single-partition window.
+    * `nodes` must be parent-CLOSED (every non-null parent appears as a
+    * node) — dangling parents would compose null paths.
+    */
+  def hierarchyPaths(nodes: DataFrame, maxRounds: Int = 20): DataFrame = {
+    var state = nodes.select(col("node"), col("parent").as("anc"),
+        when(col("parent").isNull, 0L).otherwise(1L).as("depth"),
+        col("node").cast("string").as("path"))
+      .localCheckpoint()
+    var round = 0
+    var unresolved = !state.filter(col("anc").isNotNull).isEmpty
+    while (unresolved && round < maxRounds) {
+      val anc = state.select(col("node").as("a_node"), col("anc").as("a_anc"),
+        col("depth").as("a_depth"), col("path").as("a_path"))
+      state = state.join(anc, state("anc") === anc("a_node"), "left")
+        .select(col("node"),
+          when(col("anc").isNull, col("anc")).otherwise(col("a_anc")).as("anc"),
+          when(col("anc").isNull, col("depth"))
+            .otherwise(col("depth") + col("a_depth")).as("depth"),
+          when(col("anc").isNull, col("path"))
+            .otherwise(concat(col("a_path"), lit("/"), col("path"))).as("path"))
+        .localCheckpoint()
+      unresolved = !state.filter(col("anc").isNotNull).isEmpty
+      round += 1
+    }
+    if (unresolved) throw new IllegalStateException(
+      s"hierarchyPaths did not resolve within $maxRounds rounds — cycle, " +
+        "dangling parent, or depth > 2^maxRounds; partial paths would be " +
+        "silently wrong downstream.")
+    state.select(col("node"),
+      split(col("path"), "/").getItem(0).cast("long").as("root"),
+      col("depth"), col("path"))
+  }
+
+  /** The registered instance: a synthetic decimal forest over customers
+    * (parent(k) = k DIV 10, roots k < 10 — depth ≈ log10(maxkey), so the
+    * doubling converges in ~3 rounds at any SF).
+    */
+  val q32Hierarchy: Q = (spark, dir) =>
+    hierarchyPaths(Tables.customer(spark, dir).select(
+        col("c_custkey").as("node"),
+        when(col("c_custkey") < 10, lit(null).cast("long"))
+          .otherwise(expr("c_custkey DIV 10")).as("parent")))
+      .orderBy(col("node"))
+  val q32Sql: String =
+    """WITH RECURSIVE base AS (
+      | SELECT c_custkey AS node,
+      |  CASE WHEN c_custkey < 10 THEN NULL ELSE c_custkey // 10 END AS parent
+      | FROM customer),
+      |walk AS (
+      | SELECT node, node AS root, CAST(0 AS BIGINT) AS depth,
+      |  CAST(node AS VARCHAR) AS path
+      | FROM base WHERE parent IS NULL
+      | UNION ALL
+      | SELECT b.node, w.root, w.depth + 1, w.path || '/' || CAST(b.node AS VARCHAR)
+      | FROM base b JOIN walk w ON b.parent = w.node)
+      |SELECT node, root, depth, path FROM walk ORDER BY node""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q32_hierarchy" -> q32Hierarchy,
     "x7_neardup_clusters" -> x7NeardupClusters,
     "x7l_cluster_stats" -> x7lClusterStats,
     "x7f_dedup_apply" -> x7fDedupApply,
@@ -490,6 +567,7 @@ object Graph {
     "x7j_incr_clusters" -> x7jIncrClusters)
 
   val oracle: Map[String, String] = Map(
+    "q32_hierarchy" -> q32Sql,
     "x7_neardup_clusters" -> x7Sql,
     "x7l_cluster_stats" -> x7lSql,
     "x7f_dedup_apply" -> x7fSql,

@@ -1245,6 +1245,65 @@ object Streams extends Serializable {
     spark.read.parquet(paths: _*)
   }
 
+  // ------------- T28 exactly-once outbox publisher (C23 streaming)
+  /** T28 — C23's outbox router under AT-LEAST-ONCE delivery with an
+    * EXACTLY-ONCE publish guarantee: foreachBatch re-delivers on
+    * failure, and a replayed or overlapping batch must not re-publish a
+    * domain event (the whole point of the outbox pattern is that
+    * downstream consumers see each event once). The dedup ledger is
+    * O(1), not a published-id set: outbox lsns arrive in order across
+    * batches (the reference's single-partition topic semantics —
+    * `docker-compose.yml:36` — and any per-partition Kafka consumer),
+    * so "already published" is exactly "lsn ≤ the committed high-water
+    * mark". Per batch: route inserts ([[graft.operators.Cdc
+    * .outboxRoute]] — purges never publish), keep lsn > hwm (in-batch
+    * duplicates collapse on lsn), append to a batchId-keyed overwrite
+    * dir, commit max(lsn) as the new hwm through the versioned store.
+    * Replay derives from strictly-before state → identical publish set
+    * → same dir overwritten: exactly-once survives both re-delivered
+    * batches AND overlapping re-sends inside later batches.
+    *
+    * Scale: the ledger is ONE row; the batch pass is a filter + distinct
+    * on the increment. (A multi-partition source keys the hwm by
+    * partition — same shape, nPartitions rows.)
+    */
+  def outboxPublishBatch(outbox: DataFrame, batchId: Long, root: String,
+      outDir: String, topicPrefix: String = "outbox.event"): Unit = {
+    val spark = outbox.sparkSession
+    import spark.implicits._
+    val hwm: Long = SnapshotStore.readBefore(spark, root, batchId) match {
+      case Some(df) => df.select(col("hwm")).as[Long].collect()
+        .headOption.getOrElse(Long.MinValue)
+      case None => Long.MinValue
+    }
+    val fresh = graft.operators.Cdc.outboxRoute(outbox, topicPrefix)
+      .filter(col("lsn") > hwm)
+      .dropDuplicates("lsn")
+      .localCheckpoint() // read twice: publish + new hwm
+    fresh.write.mode("overwrite").parquet(s"$outDir/b=$batchId")
+    val newHwm = Option(fresh.agg(max(col("lsn"))).head().get(0))
+      .map(_.asInstanceOf[Long]).map(math.max(_, hwm)).getOrElse(hwm)
+    SnapshotStore.commit(Seq(newHwm).toDF("hwm").coalesce(1), root, batchId)
+  }
+
+  def outboxPublishStream(outboxStream: DataFrame, root: String,
+      outDir: String, topicPrefix: String = "outbox.event")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    outboxStream.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      outboxPublishBatch(batch.toDF, batchId, root, outDir, topicPrefix)
+    }
+
+  /** Every published record across all committed batches — each event
+    * lsn appears exactly once by the hwm contract.
+    */
+  def readPublished(spark: org.apache.spark.sql.SparkSession,
+      outDir: String): DataFrame = {
+    val paths = bandBatchDirs(spark, outDir).map(_._2)
+    require(paths.nonEmpty, s"no published batches under $outDir")
+    spark.read.parquet(paths: _*)
+  }
+
   // ---------------------- T21 durable streaming distinct count (HLL union)
   /** T21 — durable approximate distinct counting over an unbounded
     * stream: the T20 shape with a DataSketches HLL sketch as the

@@ -142,6 +142,28 @@ object CdcPropertySpec extends Properties("CdcSnapshot") {
       Prop(orderInv && dupInv && monotone) :| s"lattice violated for $ws -> $w"
     }
 
+  property("seqAudit two-phase == naive global-sort on random lsn multisets") =
+    forAll(Gen.listOfN(60,
+        Gen.frequency(5 -> Gen.choose(0L, 5000L), 1 -> Gen.choose(0L, 50L))),
+      Gen.choose(1, 20)) { (lsns0: List[Long], topK: Int) =>
+      val lsns = if (lsns0.isEmpty) List(0L) else lsns0
+      val sp = spark
+      import sp.implicits._
+      val got = Cdc.seqAudit(lsns.toDF("lsn"), topK).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toList
+      // naive: sort the multiset, consecutive positive gaps + dup values
+      val sorted = lsns.sorted
+      val gaps = sorted.zip(sorted.tail)
+        .map { case (a, b) => (a, b, b - a - 1, "gap") }
+        .filter(_._3 > 0).distinct
+      val dups = lsns.groupBy(identity).filter(_._2.size > 1).keys.toList
+        .map(v => (v, v, 0L, "dup"))
+      val expected = (gaps ++ dups)
+        .sortBy { case (p, _, g, _) => (-g, p) }.take(topK)
+      Prop(got == expected) :| s"got=$got expected=$expected"
+    }
+
   property("snapshot is idempotent under event duplication (at-least-once)") =
     forAll(genChangelog) { keyed =>
       import spark.implicits._

@@ -1534,6 +1534,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(Streams.readEnrichedFacts(spark, outDir)) === got)
   }
 
+  test("T28 exactly-once outbox publish: overlapping at-least-once batches " +
+      "never re-publish, replay idempotent, purges dropped, hwm is O(1)") {
+    val root = java.nio.file.Files.createTempDirectory("t28").toString + "/hwm"
+    val outDir = java.nio.file.Files.createTempDirectory("t28o").toString
+    def toDf(evs: Seq[(String, Long, Long, String)]) =
+      evs.toDF("op", "lsn", "agg", "pay").select(col("op"),
+        struct(col("lsn").as("id"), lit("OrderCreated").as("aggregatetype"),
+          col("agg").as("aggregateid"), col("pay").as("payload")).as("after"),
+        struct(col("lsn")).as("source"))
+    // b1 re-delivers lsn 20 (at-least-once overlap) and carries an
+    // in-batch duplicate of 30; b2 re-delivers 30; purges (op=u) never
+    // publish at any point
+    val b0 = Seq(("c", 10L, 1L, "p10"), ("c", 20L, 2L, "p20"),
+      ("u", 21L, 2L, "purge"))
+    val b1 = Seq(("c", 20L, 2L, "p20"), ("c", 30L, 3L, "p30"),
+      ("c", 30L, 3L, "p30"), ("c", 40L, 4L, "p40"))
+    val b2 = Seq(("c", 30L, 3L, "p30"), ("c", 50L, 5L, "p50"))
+    Streams.outboxPublishBatch(toDf(b0), 0L, root, outDir)
+    Streams.outboxPublishBatch(toDf(b1), 1L, root, outDir)
+    Streams.outboxPublishBatch(toDf(b2), 2L, root, outDir)
+    def published() = Streams.readPublished(spark, outDir)
+      .select("lsn", "key", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      .sortBy(_._1)
+    val got = published()
+    // each event exactly once, purge lsn 21 absent, payloads intact
+    assert(got.map(_._1) === Seq(10L, 20L, 30L, 40L, 50L))
+    assert(got === Seq((10L, "1", "p10"), (20L, "2", "p20"),
+      (30L, "3", "p30"), (40L, "4", "p40"), (50L, "5", "p50")))
+    // the ledger is ONE row
+    assert(graft.streaming.SnapshotStore.read(spark, root).get.count() === 1L)
+    // crash replay of the last batch: strictly-before hwm -> same
+    // publish set, same dir overwritten, ledger recommits same value
+    Streams.outboxPublishBatch(toDf(b2), 2L, root, outDir)
+    assert(published() === got)
+    // an empty batch advances nothing
+    Streams.outboxPublishBatch(toDf(Seq.empty), 3L, root, outDir)
+    assert(published() === got)
+  }
+
   test("T18 generation cutover: retrain swaps atomically, stream follows the pointer, grace window then gc, crash mid-build invisible") {
     import graft.operators.Vectors
     implicit val ctx = spark.sqlContext
