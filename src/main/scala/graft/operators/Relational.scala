@@ -1142,6 +1142,46 @@ object Relational {
   val q26Cohort: Q = (spark, dir) =>
     cohortRetention(Tables.events(spark, dir).select(col("user_id"), col("ts_ms")))
       .orderBy(col("cohort_wk"), col("week_offset"))
+
+  /** Q33 — rolling active users: DAU plus the trailing-7-day distinct
+    * count per day (the DAU/WAU pair every product dashboard runs).
+    * Rolling DISTINCT does not decompose into window-frame aggregation
+    * (sets don't subtract), and the naive form is a per-day self-join
+    * over the activity table. The scale shape used here: dedup to
+    * (user, day) once, then EXPLODE each row to the 7 window-ends it
+    * contributes to — a map-side 7× multiplier, no join — and run one
+    * two-phase distinct per window_end. Cost: one dedup shuffle + one
+    * 7×-amplified distinct shuffle, both map-side combined; no window,
+    * no range join, nothing per-day-quadratic. (The streaming analogue
+    * at unbounded scale swaps the exact distinct for T21's HLL union
+    * per window — the documented trade.)
+    */
+  val q33RollingActive: Q = (spark, dir) => {
+    val dayMs = 86400000L
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), expr(s"ts_ms DIV $dayMs").as("day"))
+      .distinct()
+    val dau = ud.groupBy(col("day"))
+      .agg(count(lit(1)).as("dau")) // rows already (user, day)-distinct
+    val wau = ud
+      .select(col("user_id"),
+        explode(expr("sequence(day, day + 6)")).as("window_end"))
+      .distinct()
+      .groupBy(col("window_end")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, dau("day") === wau("window_end"))
+      .select(col("day"), col("dau"), col("wau"))
+      .orderBy(col("day"))
+  }
+  val q33Sql: String =
+    """WITH ud AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day
+      |           FROM events),
+      |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+      |w7 AS (SELECT DISTINCT user_id, day + u AS window_end
+      |       FROM ud CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS u)),
+      |wau AS (SELECT window_end, CAST(count(*) AS BIGINT) AS wau
+      |        FROM w7 GROUP BY 1)
+      |SELECT day, dau, wau FROM dau JOIN wau ON day = window_end
+      |ORDER BY day""".stripMargin
   val q26Sql: String =
     s"""WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
        |f AS (SELECT user_id, min(ts_ms) // $weekMs AS cohort_wk
@@ -1251,6 +1291,7 @@ object Relational {
     "q8e_approx_pct_bound" -> q8eApproxPercentileBound,
     "q8f_quantile_rank_bound" -> q8fQuantileRankBound,
     "q8g_qdigest_bound" -> q8gQdigestBound,
+    "q33_rolling_active" -> q33RollingActive,
     "q9c_approx_bound" -> q9cApproxBound,
     "q9d_hll_union_bound" -> q9dHllUnionBound,
     "q10_rollup" -> q10Rollup,
@@ -1281,6 +1322,7 @@ object Relational {
     "q8e_approx_pct_bound" -> q8eSql,
     "q8f_quantile_rank_bound" -> q8fSql,
     "q8g_qdigest_bound" -> q8gSql,
+    "q33_rolling_active" -> q33Sql,
     "q8b_percentile" -> q8bSql,
     "q8c_stats" -> q8cSql,
     "q8d_stringagg" -> q8dSql,

@@ -1304,6 +1304,76 @@ object Streams extends Serializable {
     spark.read.parquet(paths: _*)
   }
 
+  // ------------- T29 bucketed sketch store (per-day HLL, range-union reads)
+  /** T29 — the BUCKETED form of the durable sketch tier: one HLL sketch
+    * PER TIME BUCKET (day), maintained through the versioned store, so
+    * any trailing-window distinct count — q33's DAU/WAU pair at
+    * unbounded scale — reads as a UNION OF SKETCHES over the bucket
+    * range instead of a rescan of raw events. This is the documented
+    * trade in q33's scaladoc made concrete: exact rolling distinct costs
+    * a 7×-amplified shuffle per refresh and cannot decompose
+    * incrementally (sets don't subtract), while per-bucket sketches
+    * merge in O(#buckets × sketch bytes) for ANY window placement, with
+    * T21's ~1.6% error at lgK=12.
+    *
+    * Per batch: ONE codegen'd `hll_sketch_agg` pass grouped by bucket
+    * (map-side merged), then per-bucket `hll_union` against the
+    * committed sketch table — state is O(#buckets × 2^lgK bytes),
+    * additions are register-max so replay recommits BYTE-identical rows
+    * (the T21 contract, per bucket). The strictly-before read is what
+    * carries that contract: re-unioning already-included data into a
+    * sketch is semantically idempotent but NOT byte-canonical in the
+    * DataSketches serialization (the HIP accumulator moves), so a
+    * replay that merged against its own epoch's output would commit
+    * different bytes for identical estimates. Reads union the committed rows
+    * with `hll_union_agg` — nothing rescans events, and a dashboard
+    * asking for any [d−w, d] window touches w rows.
+    *
+    * `events` must carry (`bucket`: long, `item`: string-castable).
+    */
+  def bucketSketchBatch(events: DataFrame, batchId: Long, root: String,
+      lgK: Int = 12): Unit = {
+    val spark = events.sparkSession
+    val batchSk = events
+      .groupBy(col("bucket"))
+      .agg(expr(s"hll_sketch_agg(CAST(item AS STRING), $lgK)").as("sk"))
+    val merged = SnapshotStore.readBefore(spark, root, batchId) match {
+      case Some(prior) =>
+        prior.select(col("bucket"), col("sketch").as("prior_sk"))
+          .join(batchSk, Seq("bucket"), "full_outer")
+          .select(col("bucket"),
+            when(col("prior_sk").isNull, col("sk"))
+              .when(col("sk").isNull, col("prior_sk"))
+              .otherwise(expr("hll_union(prior_sk, sk)")).as("sketch"))
+      case None => batchSk.select(col("bucket"), col("sk").as("sketch"))
+    }
+    SnapshotStore.commit(merged.orderBy(col("bucket")).coalesce(1),
+      root, batchId)
+  }
+
+  def bucketSketchStream(eventStream: DataFrame, root: String, lgK: Int = 12)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    eventStream.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      bucketSketchBatch(batch.toDF, batchId, root, lgK)
+    }
+
+  /** Distinct-count estimate over any bucket range [lo, hi] — a union of
+    * ≤ (hi−lo+1) committed sketch rows; 0 for an empty range or
+    * never-fed store.
+    */
+  def readRangeDistinct(spark: org.apache.spark.sql.SparkSession,
+      root: String, lo: Long, hi: Long): Long =
+    SnapshotStore.read(spark, root) match {
+      case Some(df) =>
+        val in = df.filter(col("bucket") >= lo && col("bucket") <= hi)
+        if (in.isEmpty) 0L
+        else in.agg(expr(
+          "CAST(hll_sketch_estimate(hll_union_agg(sketch)) AS BIGINT)"))
+          .head().getLong(0)
+      case None => 0L
+    }
+
   // ---------------------- T21 durable streaming distinct count (HLL union)
   /** T21 — durable approximate distinct counting over an unbounded
     * stream: the T20 shape with a DataSketches HLL sketch as the

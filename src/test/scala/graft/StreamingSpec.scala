@@ -1574,6 +1574,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(published() === got)
   }
 
+  test("T29 bucketed sketch store: per-day HLL unions give any trailing-window " +
+      "distinct within bound, replay byte-identical, empty batch no-op") {
+    implicit val ctx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("t29").toString + "/sk"
+    // (day, user) activity: 10 days, overlapping user sets, users split
+    // across batches so per-bucket sketches must MERGE across epochs
+    def acts(days: Range, salt: Int) = for {
+      d <- days; u <- 0 until 60
+    } yield (d.toLong, s"u${(u * salt + d) % 150}")
+    val b0 = acts(0 until 4, 1)
+    val b1 = acts(2 until 7, 7)
+    val b2 = acts(5 until 10, 11)
+    val all = b0 ++ b1 ++ b2
+    // direct batch drive (precise epoch ids — the byte-identity contract
+    // is per-id; the foreachBatch wrapper is smoke-tested below)
+    Streams.bucketSketchBatch(b0.toDF("bucket", "item"), 0L, root)
+    Streams.bucketSketchBatch(b1.toDF("bucket", "item"), 1L, root)
+    Streams.bucketSketchBatch(b2.toDF("bucket", "item"), 2L, root)
+    // every trailing-7-day window estimate within 5% of exact (these
+    // cardinalities sit in HLL's near-exact regime)
+    for (d <- 0L until 10L) {
+      val exact = all.filter(t => t._1 >= d - 6 && t._1 <= d)
+        .map(_._2).distinct.size.toLong
+      val est = Streams.readRangeDistinct(spark, root, d - 6, d)
+      assert(math.abs(est - exact) * 100 <= exact * 5,
+        s"window [${d - 6},$d]: est=$est exact=$exact")
+    }
+    // single-bucket (DAU) reads too
+    val exact3 = all.filter(_._1 == 3L).map(_._2).distinct.size.toLong
+    val est3 = Streams.readRangeDistinct(spark, root, 3L, 3L)
+    assert(math.abs(est3 - exact3) * 100 <= exact3 * 5)
+    // out-of-range and never-written buckets read 0
+    assert(Streams.readRangeDistinct(spark, root, 100L, 200L) === 0L)
+    // replay of the last batch recommits byte-identical sketch rows
+    def stateRows() = graft.streaming.SnapshotStore.read(spark, root).get
+      .select("bucket", "sketch").orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toSeq
+    val before = stateRows()
+    Streams.bucketSketchBatch(b2.toDF("bucket", "item"), 2L, root)
+    assert(stateRows() === before, "replay changed the sketch store")
+    Streams.bucketSketchBatch(
+      spark.emptyDataset[(Long, String)].toDF("bucket", "item"), 3L, root)
+    assert(stateRows() === before)
+    // foreachBatch wrapper smoke: a fresh store fed through the stream
+    // reads sane estimates
+    val root2 = java.nio.file.Files.createTempDirectory("t29b").toString + "/sk"
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.bucketSketchStream(mem.toDF.toDF("bucket", "item"), root2)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt29").toString)
+      .start()
+    mem.addData(b0: _*); q.processAllAvailable(); q.stop()
+    val e0 = b0.filter(_._1 == 0L).map(_._2).distinct.size.toLong
+    val g0 = Streams.readRangeDistinct(spark, root2, 0L, 0L)
+    assert(math.abs(g0 - e0) * 100 <= e0 * 5)
+  }
+
   test("T18 generation cutover: retrain swaps atomically, stream follows the pointer, grace window then gc, crash mid-build invisible") {
     import graft.operators.Vectors
     implicit val ctx = spark.sqlContext
