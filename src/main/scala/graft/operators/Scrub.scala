@@ -144,13 +144,41 @@ object Scrub {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** X8d — k-ANONYMITY audit over the corpus's publishable metadata: a
+    * released training set carries per-document metadata (language,
+    * source, size), and a quasi-identifier combination isolating fewer
+    * than k documents is a re-identification risk the release process
+    * must suppress or generalize (Sweeney's k-anonymity — the standard
+    * privacy gate alongside x8's PII scrub, because scrubbing TEXT does
+    * not help when the METADATA fingerprint is unique). One row per
+    * quasi-identifier group (lang, source, 50-char length bucket) with
+    * its population and the at-risk verdict at k=5.
+    *
+    * Scale: one map-side-combined groupBy; output is bounded by the
+    * metadata domain, not the corpus.
+    */
+  val anonK = 5
+  val x8dKAnonymity: Q = (spark, dir) =>
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source"),
+        expr("n_chars DIV 50").as("len_bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("at_risk", col("n") < anonK)
+      .orderBy(col("lang"), col("source"), col("len_bucket"))
+  val x8dSql: String =
+    s"""SELECT lang, source, n_chars // 50 AS len_bucket,
+       | CAST(count(*) AS BIGINT) AS n, count(*) < $anonK AS at_risk
+       |FROM documents GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "x8_pii_scrub" -> x8PiiScrub,
     "x8b_repetition" -> x8bRepetition,
-    "x8c_repetition_gate" -> x8cRepetitionGate)
+    "x8c_repetition_gate" -> x8cRepetitionGate,
+    "x8d_k_anonymity" -> x8dKAnonymity)
 
   val oracle: Map[String, String] = Map(
     "x8_pii_scrub" -> x8Sql,
     "x8b_repetition" -> x8bSql,
-    "x8c_repetition_gate" -> x8cSql)
+    "x8c_repetition_gate" -> x8cSql,
+    "x8d_k_anonymity" -> x8dSql)
 }

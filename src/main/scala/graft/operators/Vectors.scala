@@ -264,6 +264,44 @@ object Vectors {
     Text.simhashPairs(stagedPayloadFingerprint(spark, dir))
       .orderBy(col("da"), col("db"))
 
+  /** X5f — frame-sample MANIFEST, oracle-gated: the declarative twin of
+    * `Multimodal.sampleFrames`'s typed flatMap path. Video payloads
+    * (`attachPayload`'s format rule: doc_id % 3 == 2 → mp4) slice into
+    * 4 contiguous frames `[len·k/4, len·(k+1)/4)`; emitted per frame:
+    * byte count + content md5 — the manifest a frame-extraction job
+    * ships to the decode fleet (workers fetch byte ranges, the md5 is
+    * the integrity check). Every expression runs on the BINARY column
+    * and the oracle mirrors it on the source bytes (the x5b
+    * convention); a spec pins this row-identical to the typed
+    * mapPartitions path, so the Dataset implementation is transitively
+    * oracle-gated — the x5 family's last spec-only surface closed.
+    * Scale: pure per-row expression work after a 4× explode; no
+    * shuffle.
+    */
+  val x5fFrameManifest: Q = (spark, dir) =>
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(col("doc_id"), expr("length(payload)").as("len"),
+        col("payload"), explode(expr("sequence(0L, 3L)")).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        expr("substring(payload, CAST(len * frame_idx DIV 4 AS INT) + 1, " +
+          "CAST(len * (frame_idx + 1) DIV 4 - len * frame_idx DIV 4 AS INT))")
+          .as("fb"))
+      .select(col("doc_id"), col("frame_idx"),
+        expr("CAST(length(fb) AS BIGINT)").as("n_bytes"),
+        md5(col("fb")).as("frame_md5"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  val x5fSql: String =
+    """SELECT doc_id, frame_idx, CAST(strlen(fb) AS BIGINT) AS n_bytes,
+      | md5(fb) AS frame_md5
+      |FROM (SELECT doc_id, u AS frame_idx,
+      |  substr(text, (strlen(text) * u) // 4 + 1,
+      |    (strlen(text) * (u + 1)) // 4 - (strlen(text) * u) // 4) AS fb
+      | FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS u)
+      | WHERE doc_id % 3 = 2)
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   val x5eSql: String = {
     val sums = (1 to 16).map(p =>
       s"sum(CASE WHEN substr(h, $p, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s$p")
@@ -1500,6 +1538,7 @@ object Vectors {
     "x3g_quantize" -> x3gQuantize,
     "x5d_media_bound" -> x5dMediaBound,
     "x5e_phash_pairs" -> x5ePhashPairs,
+    "x5f_frame_manifest" -> x5fFrameManifest,
     "x3_cosine_topk" -> x3CosineTopK,
     "x3d_topk_agg" -> x3dTopKAgg,
     "x3e_cosine_ivf" -> x3eCosineIvf,
@@ -1538,5 +1577,6 @@ object Vectors {
     "x5_multimodal_join" -> x5Sql,
     "x5b_multimodal_binary" -> x5bSql,
     "x5e_phash_pairs" -> x5eSql,
+    "x5f_frame_manifest" -> x5fSql,
     "x5d_media_bound" -> x5dSql)
 }

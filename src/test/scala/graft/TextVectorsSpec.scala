@@ -128,6 +128,22 @@ class TextVectorsSpec extends AnyFunSuite {
     assert(frames.nonEmpty)
   }
 
+  test("x5f manifest row-identical to the typed sampleFrames mapPartitions path") {
+    def md5hex(b: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5").digest(b)
+        .map("%02x".format(_)).mkString
+    val media = Multimodal.attachPayload(Tables.documents(spark, TestSpark.sf))
+    val typed = Multimodal.sampleFrames(media, n = 4).collect()
+      .map(f => (f.doc_id, f.frame_idx.toLong,
+        f.frame_bytes.length.toLong, md5hex(f.frame_bytes))).toSet
+    val decl = SparkEntry.queries("x5f_frame_manifest")(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(typed.nonEmpty)
+    assert(decl === typed)
+  }
+
   test("x5d media bound holds at the largest fixture (worst-case float accumulation)") {
     // sf0.1 has the longest documents (~577 bytes → ~37 terms/bucket); the
     // decode_ok bound must hold with margin there, not just at sf0.001.
