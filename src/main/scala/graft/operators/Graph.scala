@@ -498,37 +498,49 @@ object Graph {
     * partially-resolved paths). DuckDB's WITH RECURSIVE walks the same
     * forest top-down as the oracle.
     *
-    * Scale: per round one keyed shuffle of the still-unresolved rows
-    * (halving each round); no driver state, no single-partition window.
-    * `nodes` must be parent-CLOSED (every non-null parent appears as a
-    * node) — dangling parents would compose null paths.
+    * Scale: per round one keyed shuffle whose PROBE side is only the
+    * still-unresolved rows (halving each round); no driver state, no
+    * single-partition window. `nodes` must be parent-CLOSED (every
+    * non-null parent appears as a node) — a dangling parent THROWS
+    * rather than composing a silent null-rooted row.
     */
   def hierarchyPaths(nodes: DataFrame, maxRounds: Int = 20): DataFrame = {
-    var state = nodes.select(col("node"), col("parent").as("anc"),
+    val init = nodes.select(col("node"), col("parent").as("anc"),
         when(col("parent").isNull, 0L).otherwise(1L).as("depth"),
         col("node").cast("string").as("path"))
       .localCheckpoint()
+    // resolved rows leave the loop: only the PENDING remainder (halving
+    // each round) probes the join; the lookup side is the full current
+    // state (an ancestor may itself be resolved). Resolved pieces are
+    // each already checkpointed, so the accumulator union is cheap.
+    var resolved = init.filter(col("anc").isNull)
+    var pending = init.filter(col("anc").isNotNull)
     var round = 0
-    var unresolved = !state.filter(col("anc").isNotNull).isEmpty
-    while (unresolved && round < maxRounds) {
-      val anc = state.select(col("node").as("a_node"), col("anc").as("a_anc"),
-        col("depth").as("a_depth"), col("path").as("a_path"))
-      state = state.join(anc, state("anc") === anc("a_node"), "left")
-        .select(col("node"),
-          when(col("anc").isNull, col("anc")).otherwise(col("a_anc")).as("anc"),
-          when(col("anc").isNull, col("depth"))
-            .otherwise(col("depth") + col("a_depth")).as("depth"),
-          when(col("anc").isNull, col("path"))
-            .otherwise(concat(col("a_path"), lit("/"), col("path"))).as("path"))
+    while (!pending.isEmpty && round < maxRounds) {
+      val lookup = resolved.unionByName(pending)
+        .select(col("node").as("a_node"), col("anc").as("a_anc"),
+          col("depth").as("a_depth"), col("path").as("a_path"))
+      val stepped = pending.join(lookup,
+          pending("anc") === lookup("a_node"), "left")
+        .select(col("node"), col("a_anc").as("anc"),
+          (col("depth") + col("a_depth")).as("depth"),
+          concat(col("a_path"), lit("/"), col("path")).as("path"))
         .localCheckpoint()
-      unresolved = !state.filter(col("anc").isNotNull).isEmpty
+      // a join miss (dangling parent) composes a null path — fail loudly
+      // instead of emitting a null-rooted row
+      if (!stepped.filter(col("path").isNull).isEmpty)
+        throw new IllegalStateException(
+          "hierarchyPaths: dangling parent — a non-null parent id does " +
+            "not appear as a node; the input must be parent-closed.")
+      resolved = resolved.unionByName(stepped.filter(col("anc").isNull))
+      pending = stepped.filter(col("anc").isNotNull)
       round += 1
     }
-    if (unresolved) throw new IllegalStateException(
-      s"hierarchyPaths did not resolve within $maxRounds rounds — cycle, " +
-        "dangling parent, or depth > 2^maxRounds; partial paths would be " +
-        "silently wrong downstream.")
-    state.select(col("node"),
+    if (!pending.isEmpty) throw new IllegalStateException(
+      s"hierarchyPaths did not resolve within $maxRounds rounds — cycle " +
+        "or depth > 2^maxRounds; partial paths would be silently wrong " +
+        "downstream.")
+    resolved.select(col("node"),
       split(col("path"), "/").getItem(0).cast("long").as("root"),
       col("depth"), col("path"))
   }

@@ -467,32 +467,40 @@ object Relational {
     * contract and the ceil-rank target are cross-engine-exact.
     *
     * Scale: one map-side-combined leaf-count aggregation (≤65536 rows by
-    * construction), driver compress over ≤3k nodes, then ONE pass for
-    * all seven exact ranks via a 7-row broadcast — no window, no sort.
+    * construction) is the ONLY corpus pass; the digest compresses over
+    * ≤3k nodes and the seven exact ranks read off the same collected
+    * leaf table driver-side — no window, no sort, no second scan.
     */
   val q8gQdigestBound: Q = (spark, dir) => {
     import spark.implicits._
     val Q = graft.functions.QDigest
     val k = 512
-    val mapped = Tables.orders(spark, dir)
+    // sum on leaf collision (out-of-domain values clamp to edge leaves —
+    // a plain .toMap would nondeterministically drop counts)
+    val leafCounts = Tables.orders(spark, dir)
       .select(expr("CAST(floor(o_totalprice / 10) AS BIGINT)").as("v"))
-    val leafCounts = mapped.groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
       .as[(Long, Long)].collect()
-      .map { case (v, c) => Q.leaf(v) -> c }.toMap
+      .groupMapReduce { case (v, _) => Q.leaf(v) } { case (_, c) => c }(_ + _)
     val n = leafCounts.valuesIterator.sum
     val digest = Q.compress(leafCounts, n, k)
     val bound = 2L * Q.logU * math.max(1L, n / k)
-    val qtab = Seq(1L, 5L, 25L, 50L, 75L, 95L, 99L).map { p =>
-      (p, Q.quantile(digest, n, p, 100L), (p * n + 99L) / 100L)
-    }.toDF("q_pct", "dv", "target")
-    mapped.crossJoin(broadcast(qtab))
-      .groupBy(col("q_pct"), col("dv"), col("target"))
-      .agg(
-        sum(when(col("v") < col("dv"), 1L).otherwise(0L)).as("r_lo"),
-        sum(when(col("v") <= col("dv"), 1L).otherwise(0L)).as("r_hi"))
-      .select(col("q_pct"), col("target"),
-        (col("r_hi") >= col("target") - bound &&
-          col("r_lo") <= col("target") + bound).as("rank_ok"))
+    // exact ranks straight from the already-collected leaf table (the
+    // leaf ↔ value map is order-preserving over the clamped domain, and
+    // the table IS the complete per-value count) — the corpus is scanned
+    // exactly once, by the leaf-count aggregation above
+    val sortedLeaves = leafCounts.toSeq.sorted
+    def rankUpTo(leafId: Long, inclusive: Boolean): Long =
+      sortedLeaves.iterator
+        .takeWhile { case (id, _) => if (inclusive) id <= leafId else id < leafId }
+        .map(_._2).sum
+    Seq(1L, 5L, 25L, 50L, 75L, 95L, 99L).map { p =>
+      val dv = Q.quantile(digest, n, p, 100L)
+      val target = (p * n + 99L) / 100L
+      val rLo = rankUpTo(Q.leaf(dv), inclusive = false)
+      val rHi = rankUpTo(Q.leaf(dv), inclusive = true)
+      (p, target, rHi >= target - bound && rLo <= target + bound)
+    }.toDF("q_pct", "target", "rank_ok")
       .orderBy(col("q_pct"))
   }
   val q8gSql: String =

@@ -567,25 +567,28 @@ object Streams extends Serializable {
       .sortBy(_._1)
   }
 
+  /** Union of every committed `b=*` directory under a batch-keyed store
+    * — the one reader shape every such store shares (pairs, bands,
+    * enriched facts, published events).
+    */
+  private def readBatchStore(spark: org.apache.spark.sql.SparkSession,
+      dir: String, what: String): DataFrame = {
+    val paths = bandBatchDirs(spark, dir).map(_._2)
+    require(paths.nonEmpty, s"no committed $what batches under $dir")
+    spark.read.parquet(paths: _*)
+  }
+
   /** All discovered pairs (the consumer view of [[nearDupStream]]'s
     * pair store): the union of every batch's pair directory. Pairs are
     * already globally unique — each is discovered exactly once, in the
     * batch where its later member arrived.
     */
   def readNearDupPairs(spark: org.apache.spark.sql.SparkSession,
-      pairDir: String): DataFrame = {
-    val paths = bandBatchDirs(spark, pairDir).map(_._2)
-    require(paths.nonEmpty, s"no committed pair batches under $pairDir")
-    spark.read.parquet(paths: _*)
-  }
+      pairDir: String): DataFrame = readBatchStore(spark, pairDir, "pair")
 
   /** The full band index (seed + every committed batch). */
   def readBandStore(spark: org.apache.spark.sql.SparkSession,
-      bandDir: String): DataFrame = {
-    val paths = bandBatchDirs(spark, bandDir).map(_._2)
-    require(paths.nonEmpty, s"no band batches under $bandDir")
-    spark.read.parquet(paths: _*)
-  }
+      bandDir: String): DataFrame = readBatchStore(spark, bandDir, "band")
 
   /** Compact the band store: merge every batch directory with id ≤
     * `upTo` into ONE directory keyed `b=upTo`, optionally RE-CAPPING
@@ -1239,11 +1242,8 @@ object Streams extends Serializable {
 
   /** Every enriched fact across all committed batches. */
   def readEnrichedFacts(spark: org.apache.spark.sql.SparkSession,
-      outDir: String): DataFrame = {
-    val paths = bandBatchDirs(spark, outDir).map(_._2)
-    require(paths.nonEmpty, s"no enriched batches under $outDir")
-    spark.read.parquet(paths: _*)
-  }
+      outDir: String): DataFrame =
+    readBatchStore(spark, outDir, "enriched-fact")
 
   // ------------- T28 exactly-once outbox publisher (C23 streaming)
   /** T28 — C23's outbox router under AT-LEAST-ONCE delivery with an
@@ -1298,11 +1298,8 @@ object Streams extends Serializable {
     * lsn appears exactly once by the hwm contract.
     */
   def readPublished(spark: org.apache.spark.sql.SparkSession,
-      outDir: String): DataFrame = {
-    val paths = bandBatchDirs(spark, outDir).map(_._2)
-    require(paths.nonEmpty, s"no published batches under $outDir")
-    spark.read.parquet(paths: _*)
-  }
+      outDir: String): DataFrame =
+    readBatchStore(spark, outDir, "published")
 
   // ------------- T29 bucketed sketch store (per-day HLL, range-union reads)
   /** T29 — the BUCKETED form of the durable sketch tier: one HLL sketch
@@ -1561,10 +1558,14 @@ object Streams extends Serializable {
     val spark = values.sparkSession
     import spark.implicits._
     val Q = graft.functions.QDigest
+    // sum on collision: out-of-domain values CLAMP to the edge leaves
+    // (QDigest.leaf), so two distinct v can share a leaf — a plain
+    // .toMap would keep only one row (collect order — nondeterministic),
+    // losing counts and breaking the byte-identical replay contract
     val leafCounts: Map[Long, Long] = values
       .groupBy(col("v")).agg(count(lit(1)).as("c"))
       .select(col("v"), col("c")).as[(Long, Long)].collect()
-      .map { case (v, c) => Q.leaf(v) -> c }.toMap
+      .groupMapReduce { case (v, _) => Q.leaf(v) } { case (_, c) => c }(_ + _)
     val batchN = leafCounts.valuesIterator.sum
     val (priorDigest, priorN) =
       SnapshotStore.readBefore(spark, root, batchId) match {

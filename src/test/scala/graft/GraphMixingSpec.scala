@@ -249,6 +249,27 @@ class GraphMixingSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("hierarchyPaths: deep chain resolves in log rounds, dangling parent throws") {
+    val sp = spark
+    import sp.implicits._
+    // a 200-deep chain (node k's parent is k-1, root 0): needs pointer
+    // doubling — a per-round single-step walk would blow the round budget
+    val chain = (0L to 200L).map(k =>
+      (k, if (k == 0) None else Some(k - 1))).toDF("node", "parent")
+    val got = Graph.hierarchyPaths(chain).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(200L) === (0L, 200L))
+    assert(got(0L) === (0L, 0L))
+    assert(got(7L) === (0L, 7L))
+    // dangling parent: node 5 points at absent node 99 -> loud failure,
+    // never a silent null-rooted row
+    val dangling = Seq((1L, None), (5L, Some(99L)))
+      .toDF("node", "parent")
+    val e = intercept[IllegalStateException](
+      Graph.hierarchyPaths(dangling).collect())
+    assert(e.getMessage.contains("dangling"))
+  }
+
   test("label centroids are invariant to input partitioning") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val a = Mixing.labelCentroids(e.repartition(1))
