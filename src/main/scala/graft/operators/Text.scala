@@ -108,6 +108,67 @@ object Text {
       |  row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
       | FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------- X1e fuzzy linkage
+  /** X1e — FUZZY record linkage (entity resolution): match a dirty feed
+    * against a clean vocabulary by edit distance — the data-cleaning
+    * sibling of exact dedup (x1 catches byte-identical records; this
+    * catches the typo'd near-identical ones that survive it). The dirty
+    * feed is synthesized IN-QUERY (the x8 precedent: deterministic
+    * perturbations so matches exist at every SF) by dropping each name's
+    * 4th character — one edit, the classic fat-finger deletion.
+    *
+    * Shape: BLOCKING + bounded verify, the standard linkage scale
+    * discipline — candidates only form inside a 3-char-prefix block (a
+    * single-character edit past position 3 preserves the block key, the
+    * documented recall contract of the blocking choice), and
+    * `levenshtein` verifies ≤ 2 inside blocks only. Linkage runs at the
+    * DICTIONARY level (distinct names + their record counts), never
+    * record×record — the same vocabulary-memoization discipline as the
+    * BPE encode: resolve the name table, map records back by hash join.
+    *
+    * Scale: the dictionary is metadata-domain-bounded; blocks are
+    * prefix-partitioned so the verify join is per-block quadratic in
+    * DICTIONARY entries, not records. Both engines implement the same
+    * Wagner–Fischer levenshtein, so distances compare hash-exact.
+    */
+  val x1eFuzzyLinkage: Q = (spark, dir) => {
+    val base = Tables.part(spark, dir)
+      .groupBy(lower(col("p_name")).as("name"))
+      .agg(count(lit(1)).as("cnt"))
+    val clean = base.withColumn("src", lit("clean"))
+    val dirty = base.select(
+      concat(substring(col("name"), 1, 3), expr("substring(name, 5)"))
+        .as("name"),
+      col("cnt")).withColumn("src", lit("dirty"))
+    val all = clean.unionByName(dirty)
+      .withColumn("blk", substring(col("name"), 1, 3))
+    all.as("a").join(all.as("b"),
+        col("a.blk") === col("b.blk") &&
+          (col("a.name") < col("b.name") ||
+            (col("a.name") === col("b.name") && col("a.src") < col("b.src"))))
+      .filter(levenshtein(col("a.name"), col("b.name")) <= 2)
+      .select(col("a.name").as("name_a"), col("a.src").as("src_a"),
+        col("b.name").as("name_b"), col("b.src").as("src_b"),
+        levenshtein(col("a.name"), col("b.name")).cast("long").as("lev"),
+        col("a.cnt").as("cnt_a"), col("b.cnt").as("cnt_b"))
+      .orderBy(col("name_a"), col("src_a"), col("name_b"), col("src_b"))
+  }
+  val x1eSql: String =
+    """WITH base AS (SELECT lower(p_name) AS name,
+      |         CAST(count(*) AS BIGINT) AS cnt
+      |        FROM part GROUP BY 1),
+      |al AS (SELECT name, cnt, 'clean' AS src FROM base
+      |       UNION ALL
+      |       SELECT substr(name, 1, 3) || substr(name, 5), cnt, 'dirty' FROM base),
+      |blk AS (SELECT name, cnt, src, substr(name, 1, 3) AS blk FROM al)
+      |SELECT a.name AS name_a, a.src AS src_a, b.name AS name_b,
+      | b.src AS src_b, CAST(levenshtein(a.name, b.name) AS BIGINT) AS lev,
+      | a.cnt AS cnt_a, b.cnt AS cnt_b
+      |FROM blk a JOIN blk b ON a.blk = b.blk
+      | AND (a.name < b.name OR (a.name = b.name AND a.src < b.src))
+      |WHERE levenshtein(a.name, b.name) <= 2
+      |ORDER BY name_a, src_a, name_b, src_b""".stripMargin
+
   // ------------------------------------------------------- X1b line dedup
   /** Non-overlapping `width`-token segments per document — the "line" unit
     * for corpus-level repeated-line removal on a wire format with no
@@ -1895,6 +1956,7 @@ object Text {
     "x4e_term_freq" -> x4eTermFreq,
     "x4f_tfidf" -> x4fTfIdf,
     "x1_dedup_exact" -> x1DedupExact,
+    "x1e_fuzzy_linkage" -> x1eFuzzyLinkage,
     "x1b_line_dedup" -> x1bLineDedup,
     "x1c_span_dedup" -> x1cSpanDedup,
     "x1d_span_apply" -> x1dSpanApply,
@@ -1931,6 +1993,7 @@ object Text {
     "x4e_term_freq" -> x4eSql,
     "x4f_tfidf" -> x4fSql,
     "x1_dedup_exact" -> x1Sql,
+    "x1e_fuzzy_linkage" -> x1eSql,
     "x1b_line_dedup" -> x1bSql,
     "x1c_span_dedup" -> x1cSql,
     "x1d_span_apply" -> x1dSql,
