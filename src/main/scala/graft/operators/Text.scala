@@ -131,7 +131,10 @@ object Text {
     * DICTIONARY entries, not records. Both engines implement the same
     * Wagner–Fischer levenshtein, so distances compare hash-exact.
     */
-  val x1eFuzzyLinkage: Q = (spark, dir) => {
+  /** The linkage dictionary: clean vocabulary + the synthetic dirty
+    * feed, blocked by 3-char prefix — shared by x1e (detect) and x1f
+    * (apply). */
+  private def fuzzyDictionary(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.part(spark, dir)
       .groupBy(lower(col("p_name")).as("name"))
       .agg(count(lit(1)).as("cnt"))
@@ -140,8 +143,12 @@ object Text {
       concat(substring(col("name"), 1, 3), expr("substring(name, 5)"))
         .as("name"),
       col("cnt")).withColumn("src", lit("dirty"))
-    val all = clean.unionByName(dirty)
+    clean.unionByName(dirty)
       .withColumn("blk", substring(col("name"), 1, 3))
+  }
+
+  val x1eFuzzyLinkage: Q = (spark, dir) => {
+    val all = fuzzyDictionary(spark, dir)
     all.as("a").join(all.as("b"),
         col("a.blk") === col("b.blk") &&
           (col("a.name") < col("b.name") ||
@@ -153,6 +160,52 @@ object Text {
         col("a.cnt").as("cnt_a"), col("b.cnt").as("cnt_b"))
       .orderBy(col("name_a"), col("src_a"), col("name_b"), col("src_b"))
   }
+
+  /** X1f — linkage APPLY: the x1e match pairs resolved to CANONICAL
+    * entities (connected components over the name graph — min-label CC
+    * works unchanged on STRING keys, the lexicographic min name becomes
+    * the canonical form), with every dictionary row folded in: matched
+    * names collapse onto their canonical entity, unmatched names stand
+    * alone, and record counts ride along — the master-data table an
+    * entity-resolution pass actually ships. Completes the detect→apply
+    * arc the other dedup families have (x1c/x1d, x2e/x7m).
+    */
+  val x1fLinkageApply: Q = (spark, dir) => {
+    val all = fuzzyDictionary(spark, dir)
+    val pairs = all.as("a").join(all.as("b"),
+        col("a.blk") === col("b.blk") && col("a.name") < col("b.name"))
+      .filter(levenshtein(col("a.name"), col("b.name")) <= 2)
+      .select(col("a.name").as("na"), col("b.name").as("nb"))
+      .distinct()
+    val cc = graft.operators.Graph.connectedComponents(pairs)
+    all.join(cc, all("name") === cc("node"), "left")
+      .withColumn("canonical", coalesce(col("cluster"), col("name")))
+      .groupBy(col("canonical"))
+      .agg(countDistinct(col("name")).as("n_names"),
+        sum(col("cnt")).as("n_records"))
+      .orderBy(col("canonical"))
+  }
+  val x1fSql: String =
+    """WITH RECURSIVE base AS (SELECT lower(p_name) AS name,
+      |         CAST(count(*) AS BIGINT) AS cnt
+      |        FROM part GROUP BY 1),
+      |al AS (SELECT name, cnt, 'clean' AS src FROM base
+      |       UNION ALL
+      |       SELECT substr(name, 1, 3) || substr(name, 5), cnt, 'dirty' FROM base),
+      |blk AS (SELECT name, cnt, src, substr(name, 1, 3) AS blk FROM al),
+      |p AS (SELECT DISTINCT a.name AS na, b.name AS nb
+      |      FROM blk a JOIN blk b ON a.blk = b.blk AND a.name < b.name
+      |      WHERE levenshtein(a.name, b.name) <= 2),
+      |edges AS (SELECT na AS u, nb AS v FROM p UNION SELECT nb, na FROM p),
+      |walk AS (SELECT u AS node, u AS reach FROM edges
+      |         UNION
+      |         SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.reach),
+      |cc AS (SELECT node, min(reach) AS cluster FROM walk GROUP BY 1)
+      |SELECT coalesce(cluster, name) AS canonical,
+      | CAST(count(DISTINCT name) AS BIGINT) AS n_names,
+      | CAST(sum(cnt) AS BIGINT) AS n_records
+      |FROM al LEFT JOIN cc ON al.name = cc.node
+      |GROUP BY 1 ORDER BY 1""".stripMargin
   val x1eSql: String =
     """WITH base AS (SELECT lower(p_name) AS name,
       |         CAST(count(*) AS BIGINT) AS cnt
@@ -1957,6 +2010,7 @@ object Text {
     "x4f_tfidf" -> x4fTfIdf,
     "x1_dedup_exact" -> x1DedupExact,
     "x1e_fuzzy_linkage" -> x1eFuzzyLinkage,
+    "x1f_linkage_apply" -> x1fLinkageApply,
     "x1b_line_dedup" -> x1bLineDedup,
     "x1c_span_dedup" -> x1cSpanDedup,
     "x1d_span_apply" -> x1dSpanApply,
@@ -1994,6 +2048,7 @@ object Text {
     "x4f_tfidf" -> x4fSql,
     "x1_dedup_exact" -> x1Sql,
     "x1e_fuzzy_linkage" -> x1eSql,
+    "x1f_linkage_apply" -> x1fSql,
     "x1b_line_dedup" -> x1bSql,
     "x1c_span_dedup" -> x1cSql,
     "x1d_span_apply" -> x1dSql,
