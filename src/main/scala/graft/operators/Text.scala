@@ -109,6 +109,48 @@ object Text {
       | FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------- X1e fuzzy linkage
+  /** The linkage dictionary: clean vocabulary + the synthetic dirty
+    * feed, blocked by 3-char prefix — staged once per session, shared
+    * by x1e (detect) and x1f (apply).
+    */
+  private def stagedFuzzyDictionary(spark: SparkSession,
+      dir: String): DataFrame =
+    Staged(spark, s"fuzzy_dict:$dir") {
+      val base = Tables.part(spark, dir)
+        .groupBy(lower(col("p_name")).as("name"))
+        .agg(count(lit(1)).as("cnt"))
+      val clean = base.withColumn("src", lit("clean"))
+      val dirty = base.select(
+        concat(substring(col("name"), 1, 3), expr("substring(name, 5)"))
+          .as("name"),
+        col("cnt")).withColumn("src", lit("dirty"))
+      clean.unionByName(dirty)
+        .withColumn("blk", substring(col("name"), 1, 3))
+    }
+
+  /** The staged verify middle: every blocked candidate pair with its
+    * edit distance, computed ONCE per session (the X2 prune-verify
+    * staging discipline) — x1e reads it ordered, x1f derives the
+    * name-level CC edges from it. The distance is projected as a column
+    * BEFORE the filter so each surviving pair pays ONE Wagner–Fischer
+    * evaluation (Catalyst does not common-subexpression a filter-and-
+    * project duplicate).
+    */
+  def stagedFuzzyPairs(spark: SparkSession, dir: String): DataFrame =
+    Staged(spark, s"fuzzy_pairs:$dir") {
+      val all = stagedFuzzyDictionary(spark, dir)
+      all.as("a").join(all.as("b"),
+          col("a.blk") === col("b.blk") &&
+            (col("a.name") < col("b.name") ||
+              (col("a.name") === col("b.name") && col("a.src") < col("b.src"))))
+        .withColumn("lev",
+          levenshtein(col("a.name"), col("b.name")).cast("long"))
+        .filter(col("lev") <= 2)
+        .select(col("a.name").as("name_a"), col("a.src").as("src_a"),
+          col("b.name").as("name_b"), col("b.src").as("src_b"), col("lev"),
+          col("a.cnt").as("cnt_a"), col("b.cnt").as("cnt_b"))
+    }
+
   /** X1e — FUZZY record linkage (entity resolution): match a dirty feed
     * against a clean vocabulary by edit distance — the data-cleaning
     * sibling of exact dedup (x1 catches byte-identical records; this
@@ -126,40 +168,33 @@ object Text {
     * record×record — the same vocabulary-memoization discipline as the
     * BPE encode: resolve the name table, map records back by hash join.
     *
-    * Scale: the dictionary is metadata-domain-bounded; blocks are
-    * prefix-partitioned so the verify join is per-block quadratic in
-    * DICTIONARY entries, not records. Both engines implement the same
-    * Wagner–Fischer levenshtein, so distances compare hash-exact.
+    * Scale: the fixture's name domain is generator-bounded (64 names at
+    * every SF), so the dictionary is metadata-domain-sized here; for a
+    * HIGH-cardinality name domain (real TPC-H p_name is near-unique)
+    * the per-block verify grows quadratically in block membership and
+    * needs the x2d bucket-cap guard (`capBuckets`) or a longer blocking
+    * key — the blocking contract, not this operator, is the scale
+    * lever. Both engines implement the same Wagner–Fischer levenshtein,
+    * so distances compare hash-exact.
     */
-  /** The linkage dictionary: clean vocabulary + the synthetic dirty
-    * feed, blocked by 3-char prefix — shared by x1e (detect) and x1f
-    * (apply). */
-  private def fuzzyDictionary(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.part(spark, dir)
-      .groupBy(lower(col("p_name")).as("name"))
-      .agg(count(lit(1)).as("cnt"))
-    val clean = base.withColumn("src", lit("clean"))
-    val dirty = base.select(
-      concat(substring(col("name"), 1, 3), expr("substring(name, 5)"))
-        .as("name"),
-      col("cnt")).withColumn("src", lit("dirty"))
-    clean.unionByName(dirty)
-      .withColumn("blk", substring(col("name"), 1, 3))
-  }
-
-  val x1eFuzzyLinkage: Q = (spark, dir) => {
-    val all = fuzzyDictionary(spark, dir)
-    all.as("a").join(all.as("b"),
-        col("a.blk") === col("b.blk") &&
-          (col("a.name") < col("b.name") ||
-            (col("a.name") === col("b.name") && col("a.src") < col("b.src"))))
-      .filter(levenshtein(col("a.name"), col("b.name")) <= 2)
-      .select(col("a.name").as("name_a"), col("a.src").as("src_a"),
-        col("b.name").as("name_b"), col("b.src").as("src_b"),
-        levenshtein(col("a.name"), col("b.name")).cast("long").as("lev"),
-        col("a.cnt").as("cnt_a"), col("b.cnt").as("cnt_b"))
+  val x1eFuzzyLinkage: Q = (spark, dir) =>
+    stagedFuzzyPairs(spark, dir)
       .orderBy(col("name_a"), col("src_a"), col("name_b"), col("src_b"))
-  }
+  val x1eSql: String =
+    """WITH base AS (SELECT lower(p_name) AS name,
+      |         CAST(count(*) AS BIGINT) AS cnt
+      |        FROM part GROUP BY 1),
+      |al AS (SELECT name, cnt, 'clean' AS src FROM base
+      |       UNION ALL
+      |       SELECT substr(name, 1, 3) || substr(name, 5), cnt, 'dirty' FROM base),
+      |blk AS (SELECT name, cnt, src, substr(name, 1, 3) AS blk FROM al)
+      |SELECT a.name AS name_a, a.src AS src_a, b.name AS name_b,
+      | b.src AS src_b, CAST(levenshtein(a.name, b.name) AS BIGINT) AS lev,
+      | a.cnt AS cnt_a, b.cnt AS cnt_b
+      |FROM blk a JOIN blk b ON a.blk = b.blk
+      | AND (a.name < b.name OR (a.name = b.name AND a.src < b.src))
+      |WHERE levenshtein(a.name, b.name) <= 2
+      |ORDER BY name_a, src_a, name_b, src_b""".stripMargin
 
   /** X1f — linkage APPLY: the x1e match pairs resolved to CANONICAL
     * entities (connected components over the name graph — min-label CC
@@ -168,14 +203,15 @@ object Text {
     * names collapse onto their canonical entity, unmatched names stand
     * alone, and record counts ride along — the master-data table an
     * entity-resolution pass actually ships. Completes the detect→apply
-    * arc the other dedup families have (x1c/x1d, x2e/x7m).
+    * arc the other dedup families have (x1c/x1d, x2e/x7m). Both the
+    * dictionary and the verify middle are the STAGED tables x1e reads —
+    * the session pays the blocked levenshtein join once.
     */
   val x1fLinkageApply: Q = (spark, dir) => {
-    val all = fuzzyDictionary(spark, dir)
-    val pairs = all.as("a").join(all.as("b"),
-        col("a.blk") === col("b.blk") && col("a.name") < col("b.name"))
-      .filter(levenshtein(col("a.name"), col("b.name")) <= 2)
-      .select(col("a.name").as("na"), col("b.name").as("nb"))
+    val all = stagedFuzzyDictionary(spark, dir)
+    val pairs = stagedFuzzyPairs(spark, dir)
+      .filter(col("name_a") =!= col("name_b"))
+      .select(col("name_a").as("na"), col("name_b").as("nb"))
       .distinct()
     val cc = graft.operators.Graph.connectedComponents(pairs)
     all.join(cc, all("name") === cc("node"), "left")
@@ -206,21 +242,6 @@ object Text {
       | CAST(sum(cnt) AS BIGINT) AS n_records
       |FROM al LEFT JOIN cc ON al.name = cc.node
       |GROUP BY 1 ORDER BY 1""".stripMargin
-  val x1eSql: String =
-    """WITH base AS (SELECT lower(p_name) AS name,
-      |         CAST(count(*) AS BIGINT) AS cnt
-      |        FROM part GROUP BY 1),
-      |al AS (SELECT name, cnt, 'clean' AS src FROM base
-      |       UNION ALL
-      |       SELECT substr(name, 1, 3) || substr(name, 5), cnt, 'dirty' FROM base),
-      |blk AS (SELECT name, cnt, src, substr(name, 1, 3) AS blk FROM al)
-      |SELECT a.name AS name_a, a.src AS src_a, b.name AS name_b,
-      | b.src AS src_b, CAST(levenshtein(a.name, b.name) AS BIGINT) AS lev,
-      | a.cnt AS cnt_a, b.cnt AS cnt_b
-      |FROM blk a JOIN blk b ON a.blk = b.blk
-      | AND (a.name < b.name OR (a.name = b.name AND a.src < b.src))
-      |WHERE levenshtein(a.name, b.name) <= 2
-      |ORDER BY name_a, src_a, name_b, src_b""".stripMargin
 
   // ------------------------------------------------------- X1b line dedup
   /** Non-overlapping `width`-token segments per document — the "line" unit

@@ -270,6 +270,43 @@ class GraphMixingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("dangling"))
   }
 
+  test("connectedComponents is type-generic: string keys cluster to the " +
+      "lexicographic min; x1e/x1f linkage invariants hold on the fixture") {
+    val sp = spark
+    import sp.implicits._
+    val cc = Graph.connectedComponents(
+        Seq(("b", "c"), ("a", "b"), ("x", "y")).toDF("u", "v"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cc === Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "x"))
+    // linkage invariants on the fixture: every pair shares its 3-prefix
+    // block and verifies lev <= 2; every clean name links to its
+    // 4th-char-dropped variant; the canonical table conserves records
+    val pairs = SparkEntry.queries("x1e_fuzzy_linkage")(spark, TestSpark.sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (na, _, nb, _, lev) =>
+      assert(na.take(3) === nb.take(3))
+      assert(lev <= 2L)
+    }
+    val names = Tables.part(spark, TestSpark.sf)
+      .selectExpr("lower(p_name) AS n", "1L AS one")
+      .collect().map(_.getString(0))
+    val pairSet = pairs.map(p => (p._1, p._3)).toSet
+    names.distinct.foreach { n =>
+      val dropped = n.take(3) + n.drop(4)
+      val (a, b) = if (n <= dropped) (n, dropped) else (dropped, n)
+      assert(pairSet.contains((a, b)),
+        s"clean '$n' not linked to its variant '$dropped'")
+    }
+    val ents = SparkEntry.queries("x1f_linkage_apply")(spark, TestSpark.sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // record conservation: dictionary carries clean + dirty copies
+    assert(ents.map(_._3).sum === 2L * names.length)
+    assert(ents.forall(_._2 >= 1L))
+  }
+
   test("label centroids are invariant to input partitioning") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val a = Mixing.labelCentroids(e.repartition(1))
