@@ -1338,6 +1338,266 @@ object Text {
       |FROM tfc JOIN dfc ON tfc.token = dfc.token
       |ORDER BY doc_id, tfc.token""".stripMargin
 
+  // ------------------------------------------------------- X4r BM25 retrieval
+  /** BM25 ranked retrieval for a fixed query term set — the scoring half of
+    * a search index, run directly over the corpus (a production deployment
+    * materializes the postings once; the per-query plan below is exactly
+    * what it would serve from that index).
+    *
+    * Candidate discipline — lead with the rarest postings list: `terms.head`
+    * must be the rarest query term, and only documents containing it are
+    * scored (the classic term-at-a-time optimization: the candidate set is
+    * bounded by the shortest postings list, so common terms like stopwords
+    * never inflate the scored set). The candidate join is a plain equi-join
+    * Catalyst is free to broadcast at small candidate counts or
+    * sort-merge at scale — candidates scale with the rarest term's df, not
+    * the corpus.
+    *
+    * Determinism: every floating subexpression (idf, length norm) is one
+    * mirrored IEEE formula over exact integer inputs (tf, df, dl, N, Σdl),
+    * so the per-term contribution double is bit-identical in both engines;
+    * it is then floored to integer micro-units (×1e6) BEFORE the per-doc
+    * sum — the cross-term reduction is exact BIGINT addition, immune to
+    * float summation order (the x3k quantization discipline). Output:
+    * (doc_id, n_terms, score_u6), total order by doc_id.
+    *
+    * 100 TB shape: one corpus scan; the only shuffles carry postings for
+    * the query terms (map-side combined tf partials) and the |terms|-row
+    * df table rides a broadcast; N/Σdl is a 1-row broadcast aggregate.
+    */
+  def bm25Retrieve(docs: DataFrame, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
+        explode(col("t")).as("token"))
+    val tfs = toks.filter(col("token").isin(terms: _*))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl")) // dl constant per doc
+    val stats = docs.select(size(split(col("text"), " ")).cast("long").as("dl0"))
+      .agg(count(lit(1)).as("n"), sum(col("dl0")).as("sdl"))
+    bm25FromPostings(tfs, stats, terms, k1, b)
+  }
+
+  /** The BM25 scoring tail shared by the batch path ([[bm25Retrieve]]) and
+    * the maintained-index paths (`x4t` inline fold,
+    * [[graft.streaming.Streams.servedBm25]]): `postings` carries one row
+    * per (doc_id, token) with exact tf and dl (extra non-query tokens and
+    * null-token META rows are dropped by the term filter), `stats` is the
+    * 1-row (n, Σdl) corpus aggregate. df is recomputed from the postings'
+    * own query-term rows, so every consumer scores against the SAME
+    * formula over the same exact integers — served results cannot drift
+    * from batch results by construction.
+    */
+  def bm25FromPostings(postings: DataFrame, stats: DataFrame,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tfs = postings.filter(col("token").isin(terms: _*))
+    val dfreq = tfs.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val cand = tfs.filter(col("token") === terms.head).select(col("doc_id"))
+    val idf = log(lit(1.0) +
+      ((col("n") - col("df")) + lit(0.5)) / (col("df") + lit(0.5)))
+    val denom = col("tf") + lit(k1) * (lit(1.0) - lit(b) +
+      lit(b) * col("dl").cast("double") / (col("sdl").cast("double") / col("n")))
+    tfs.join(cand, Seq("doc_id"))
+      .join(broadcast(dfreq), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", idf).withColumn("denom", denom)
+      .select(col("doc_id"),
+        floor(col("idf") * (col("tf") * lit(k1 + 1.0)) / col("denom") *
+          lit(1000000.0)).as("c6"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("c6")).as("score_u6"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Full inverted-index rows for a document batch — the unit the T30
+    * postings store persists per epoch: one row per (doc_id, DISTINCT
+    * token) with exact tf and the doc's length, PLUS one META row per doc
+    * (token NULL, tf 0) carrying dl — the doc-exists marker that keeps
+    * corpus statistics (N, Σdl) exact even for docs none of whose tokens
+    * match a query, and the carrier a delete tombstone replaces. Columns:
+    * (doc_id, token, tf, dl).
+    */
+  def docPostings(docs: DataFrame): DataFrame = {
+    val tokRows = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
+        explode(col("t")).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .select(col("doc_id"), col("token"), col("tf"), col("dl"))
+    val meta = docs.select(col("doc_id"),
+      lit(null).cast("string").as("token"), lit(0L).as("tf"),
+      size(split(col("text"), " ")).cast("long").as("dl"))
+    meta.unionByName(tokRows)
+  }
+
+  /** Fixture query: 'dup' is the one rare token in the synthetic vocabulary
+    * (df ≈ 5% of docs vs ~78% for every other term) — the gate term; the
+    * two common terms contribute scores only for gated candidates. */
+  val bm25Terms: Seq[String] = Seq("dup", "spark", "vector")
+  val x4rBm25: Q = (spark, dir) =>
+    bm25Retrieve(Tables.documents(spark, dir), bm25Terms)
+
+  val x4rSql: String = {
+    val inList = bm25Terms.map(t => s"'$t'").mkString(", ")
+    val k1 = 1.2; val b = 0.75
+    s"""WITH toks AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+       |        unnest(string_split(text, ' ')) AS token FROM documents),
+       |qt AS (SELECT * FROM toks WHERE token IN ($inList)),
+       |tfs AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf,
+       |        CAST(max(dl) AS BIGINT) AS dl FROM qt GROUP BY 1, 2),
+       |dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+       |        FROM (SELECT DISTINCT doc_id, token FROM qt) GROUP BY 1),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sdl
+       |       FROM documents),
+       |cand AS (SELECT doc_id FROM tfs WHERE token = '${bm25Terms.head}'),
+       |sc AS (SELECT t.doc_id, t.tf,
+       |        ln(1.0 + ((n - df) + 0.5) / (df + 0.5)) AS idf,
+       |        t.tf + $k1 * (1.0 - $b + $b * CAST(t.dl AS DOUBLE)
+       |          / (CAST(sdl AS DOUBLE) / n)) AS denom
+       |       FROM tfs t JOIN cand USING (doc_id) JOIN dfq USING (token)
+       |       CROSS JOIN st)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       | CAST(sum(CAST(floor(idf * (tf * ${k1 + 1.0}) / denom * 1000000.0)
+       |   AS BIGINT)) AS BIGINT) AS score_u6
+       |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------- X4t maintained BM25 index
+  /** X4t — BM25 served from a MAINTAINED postings index: the corpus
+    * arrives as seven epochs of an incremental index build — three
+    * insert waves, a corrupting rewrite of the %10 docs, their restore,
+    * tombstone deletes of the %7 docs, and their re-insert — and the
+    * query is answered from the winner-batch-per-doc fold of the epoch
+    * union, through the SAME [[bm25FromPostings]] tail as `x4r`. The
+    * oracle is `x4rSql` VERBATIM: because the epochs converge to the
+    * original corpus, the folded index must reproduce the batch answer
+    * hash-exactly — shadowing, restore, delete, and resurrect all have
+    * to compose correctly for a single row to match. This is the
+    * in-plan twin of the durable T30 store
+    * ([[graft.streaming.Streams.postingsApplyBatch]]), whose fold and
+    * serve are spec-checked against the same batch path.
+    *
+    * Scale: per-epoch postings are increment-sized expression work; the
+    * fold is one window keyed by doc_id (high-cardinality, never a
+    * single-partition window); everything downstream is the audited
+    * x4r plan.
+    */
+  val x4tBm25Index: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    def ep(d: DataFrame, i: Int): DataFrame =
+      docPostings(d).withColumn("live", lit(true)).withColumn("b", lit(i.toLong))
+    def tomb(d: DataFrame, i: Int): DataFrame =
+      d.select(col("doc_id"), lit(null).cast("string").as("token"),
+        lit(0L).as("tf"), lit(0L).as("dl"),
+        lit(false).as("live"), lit(i.toLong).as("b"))
+    val mod = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("text", concat(col("text"), lit(" corrupted")))
+    val all = Seq(
+      ep(docs.filter(col("doc_id") % 3 === 0), 0),
+      ep(docs.filter(col("doc_id") % 3 === 1), 1),
+      ep(docs.filter(col("doc_id") % 3 === 2), 2),
+      ep(mod, 3),
+      ep(docs.filter(col("doc_id") % 10 === 0), 4),
+      tomb(docs.filter(col("doc_id") % 7 === 0).select(col("doc_id")), 5),
+      ep(docs.filter(col("doc_id") % 7 === 0), 6)).reduce(_ unionByName _)
+    val folded = all.withColumn("mb",
+        max(col("b")).over(Window.partitionBy(col("doc_id"))))
+      .filter(col("b") === col("mb") && col("live"))
+      .drop("mb", "b", "live")
+    val stats = folded.filter(col("token").isNull)
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+    bm25FromPostings(folded, stats, bm25Terms)
+  }
+
+  /** The maintained index must reproduce the batch answer exactly. */
+  val x4tSql: String = x4rSql
+
+  // --------------------------------------------------- X4s quality probe
+  /** Closed-form linear quality probe: fit least-squares weights for
+    * `P(lang = en)` on two surface features (token count, char count) and
+    * score a doc slice — the fasttext-classifier-shaped quality-filter
+    * stage of a training-data pipeline, reduced to its distributable core.
+    *
+    * Training is ONE corpus pass producing nine exact-integer sufficient
+    * statistics (n, Σx, Σx², Σxy — map-side-combined BIGINT sums, a 1-row
+    * result); the 3×3 normal equations are solved on the DRIVER by
+    * Cramer's rule over those exact integers (the x3k discipline: the
+    * driver touches O(d²) numbers, never rows). Because every input is an
+    * exact integer and the solve is a fixed-order scalar formula, the
+    * weights — and therefore every prediction — are bit-identical doubles
+    * in both engines; the oracle replays the identical Cramer expansion in
+    * SQL. No gradient loop: for a linear probe the normal equations ARE
+    * the optimum, so there is nothing to iterate (and nothing to drift).
+    *
+    * 100 TB shape: the stats aggregation is the only corpus-proportional
+    * work (9 longs per partition after partial agg); the scored slice is a
+    * pushed-down `doc_id < sliceMax` scan with the weights as plan
+    * literals. BIGINT headroom: Σx² at 5·10⁸ docs × (10³ tokens)² ≈ 5e14,
+    * three orders below overflow.
+    */
+  def qualityProbe(docs: DataFrame, sliceMax: Long = 100L): DataFrame = {
+    val feats = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("x1"),
+      col("n_chars").as("x2"),
+      when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    val r = feats.agg(
+      count(lit(1)).as("n"), sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+      sum(col("x1") * col("x1")).as("s11"), sum(col("x1") * col("x2")).as("s12"),
+      sum(col("x2") * col("x2")).as("s22"), sum(col("y")).as("sy"),
+      sum(col("x1") * col("y")).as("s1y"), sum(col("x2") * col("y")).as("s2y"))
+      .collect()(0)
+    val v = (0 until 9).map(i => r.getLong(i).toDouble)
+    val (n, s1, s2, s11, s12, s22, sy, s1y, s2y) =
+      (v(0), v(1), v(2), v(3), v(4), v(5), v(6), v(7), v(8))
+    // Cramer's rule, first-row cofactor expansion — the SQL oracle carries
+    // this exact expression text; association order must not change.
+    val det = n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2)
+    val w0 = (sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y)) / det
+    val w1 = (n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2)) / det
+    val w2 = (n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2)) / det
+    val score = lit(w0) + lit(w1) * col("x1") + lit(w2) * col("x2")
+    feats.filter(col("doc_id") < sliceMax)
+      .select(col("doc_id"), col("y").as("label"),
+        round(score, 6).as("score"), (score >= lit(0.5)).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val x4sQualityProbe: Q = (spark, dir) =>
+    qualityProbe(Tables.documents(spark, dir))
+
+  val x4sSql: String =
+    """WITH f AS (SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
+      |    n_chars AS x2,
+      |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y
+      |  FROM documents),
+      |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+      |    CAST(sum(x1*x1) AS BIGINT) AS s11, CAST(sum(x1*x2) AS BIGINT) AS s12,
+      |    CAST(sum(x2*x2) AS BIGINT) AS s22, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x1*y) AS BIGINT) AS s1y, CAST(sum(x2*y) AS BIGINT) AS s2y
+      |  FROM f),
+      |d AS (SELECT CAST(n AS DOUBLE) AS n, CAST(s1 AS DOUBLE) AS s1,
+      |    CAST(s2 AS DOUBLE) AS s2, CAST(s11 AS DOUBLE) AS s11,
+      |    CAST(s12 AS DOUBLE) AS s12, CAST(s22 AS DOUBLE) AS s22,
+      |    CAST(sy AS DOUBLE) AS sy, CAST(s1y AS DOUBLE) AS s1y,
+      |    CAST(s2y AS DOUBLE) AS s2y FROM s),
+      |w AS (SELECT
+      |    (sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y))
+      |      / (n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2)) AS w0,
+      |    (n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2))
+      |      / (n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2)) AS w1,
+      |    (n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2))
+      |      / (n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2)) AS w2
+      |  FROM d)
+      |SELECT doc_id, y AS label,
+      |  round(w0 + w1*x1 + w2*x2, 6) AS score,
+      |  (w0 + w1*x1 + w2*x2 >= 0.5) AS keep
+      |FROM f CROSS JOIN w WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------- X7d bigram familiarity
   /** Language-model-ish familiarity score without a model: each document is
     * scored by the mean corpus frequency of its bigram occurrences — high
@@ -2029,6 +2289,9 @@ object Text {
     "x7h_dsir_select" -> x7hDsirSelect,
     "x4e_term_freq" -> x4eTermFreq,
     "x4f_tfidf" -> x4fTfIdf,
+    "x4r_bm25" -> x4rBm25,
+    "x4s_quality_probe" -> x4sQualityProbe,
+    "x4t_bm25_index" -> x4tBm25Index,
     "x1_dedup_exact" -> x1DedupExact,
     "x1e_fuzzy_linkage" -> x1eFuzzyLinkage,
     "x1f_linkage_apply" -> x1fLinkageApply,
@@ -2067,6 +2330,9 @@ object Text {
     "x7h_dsir_select" -> x7hSql,
     "x4e_term_freq" -> x4eSql,
     "x4f_tfidf" -> x4fSql,
+    "x4r_bm25" -> x4rSql,
+    "x4s_quality_probe" -> x4sSql,
+    "x4t_bm25_index" -> x4tSql,
     "x1_dedup_exact" -> x1Sql,
     "x1e_fuzzy_linkage" -> x1eSql,
     "x1f_linkage_apply" -> x1fSql,

@@ -1001,6 +1001,130 @@ object Streams extends Serializable {
         .filter(col("__rn") === 1 && col("live")).drop("__rn")
     })
 
+  // ------------------------------- T30 incremental BM25 postings index
+  /** T30 — incremental SEARCH-index maintenance: the T16 upsert/tombstone
+    * discipline applied to the x4r BM25 postings. Each epoch writes the
+    * FULL inverted-index rows of just its own documents
+    * ([[graft.operators.Text.docPostings]]: per-(doc, token) tf rows plus
+    * one META row per doc carrying dl — the doc-exists marker that keeps
+    * corpus statistics exact), under `postingsDir/b=<batchId>`; a delete
+    * rides as a dead META row through the same fold.
+    *
+    * The fold is winner-BATCH-per-doc, not winner-row: a rewritten
+    * document may LOSE tokens, so folding per (doc, token) would leak
+    * stale postings from superseded versions — the whole posting set of
+    * the doc's highest epoch wins atomically ([[readPostings]]).
+    * Serving ([[servedBm25]]) recomputes (N, Σdl) from the folded META
+    * rows and scores through the SAME
+    * [[graft.operators.Text.bm25FromPostings]] tail as batch `x4r`, so
+    * stream-maintained ≡ batch is exact, not approximate (spec; the
+    * `x4t` oracle checks the identical fold in-plan).
+    *
+    * IDEMPOTENT REPLAY: a batch's write is a full overwrite of its own
+    * subdirectory derived only from its own rows (the [[nearDupBatch]]
+    * contract). 100 TB shape: per-epoch work is increment-sized
+    * expression + one map-side-combined groupBy; the read fold is one
+    * window keyed by doc_id; production compacts with
+    * [[compactPostings]] so the fold stops paying for history.
+    */
+  def postingsApplyBatch(upserts: DataFrame, deleteIds: DataFrame,
+      batchId: Long, postingsDir: String): Unit = {
+    val live = graft.operators.Text.docPostings(upserts)
+      .withColumn("live", lit(true))
+    val dead = deleteIds.select(col("doc_id"),
+      lit(null).cast("string").as("token"), lit(0L).as("tf"),
+      lit(0L).as("dl"), lit(false).as("live"))
+    live.unionByName(dead).withColumn("b", lit(batchId))
+      .write.mode("overwrite").parquet(s"$postingsDir/b=$batchId")
+    ()
+  }
+
+  /** Seed the postings store from a pre-built corpus (reserved id −1,
+    * below every real micro-batch id — [[seedBandStore]]'s convention).
+    */
+  def seedPostings(corpus: DataFrame, postingsDir: String): Unit =
+    postingsApplyBatch(corpus, corpus.select(col("doc_id")).limit(0),
+      -1L, postingsDir)
+
+  /** CDC → search-index integration (the [[reembedIndexBatch]] twin for
+    * the text index): a DOCUMENT changelog batch folds to its winners
+    * (latest live image per key, tombstones kept —
+    * [[graft.operators.Cdc.latestWithTombstonesBy]]), winning texts
+    * re-index as postings upserts, and deletes write through as dead
+    * META rows — an upstream `UPDATE documents SET text=…` reaches BM25
+    * serving as one increment-sized pass, and a deleted document leaves
+    * search results in the same epoch.
+    */
+  def bm25IndexBatch(changelog: DataFrame, batchId: Long,
+      postingsDir: String): Unit = {
+    val winners = graft.operators.Cdc.latestWithTombstonesBy(
+      changelog, Seq("id"))
+    postingsApplyBatch(
+      winners.filter(col("live")).select(col("id").as("doc_id"), col("text")),
+      winners.filter(!col("live")).select(col("id").as("doc_id")),
+      batchId, postingsDir)
+  }
+
+  def postingsStream(docChangelogStream: DataFrame, postingsDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docChangelogStream.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      bm25IndexBatch(batch.toDF, batchId, postingsDir)
+    }
+
+  /** Consumer view: all postings rows of each doc's HIGHEST epoch, dead
+    * docs dropped AFTER the fold (fold-then-filter makes a delete
+    * irreversible by older epochs; a re-create upserts over it).
+    */
+  def readPostings(spark: org.apache.spark.sql.SparkSession,
+      postingsDir: String): DataFrame =
+    readPostingsAsOf(spark, postingsDir, Long.MaxValue)
+
+  /** The postings index AS OF epoch `batchId` (inclusive) — same
+    * retention contract as [[readVectorIndexAsOf]]: reads inside a
+    * compacted range are refused loudly, never answered partially.
+    */
+  def readPostingsAsOf(spark: org.apache.spark.sql.SparkSession,
+      postingsDir: String, batchId: Long): DataFrame = {
+    val paths = bandBatchDirs(spark, postingsDir)
+      .filter(_._1 <= batchId).map(_._2)
+    require(paths.nonEmpty,
+      s"no postings batches ≤ $batchId under $postingsDir " +
+        "(outside the compaction retention window, or before the seed)")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    spark.read.parquet(paths: _*)
+      .withColumn("__mb", max(col("b")).over(w))
+      .filter(col("b") === col("__mb") && col("live"))
+      .drop("__mb", "b", "live")
+  }
+
+  /** BM25 over the maintained index — the serving path: corpus stats
+    * (N, Σdl) from the folded META rows, scoring through the identical
+    * [[graft.operators.Text.bm25FromPostings]] tail as batch x4r.
+    */
+  def servedBm25(spark: org.apache.spark.sql.SparkSession,
+      postingsDir: String, terms: Seq[String]): DataFrame = {
+    val folded = readPostings(spark, postingsDir)
+    val stats = folded.filter(col("token").isNull)
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+    graft.operators.Text.bm25FromPostings(folded, stats, terms)
+  }
+
+  /** Compact the postings store: merge epochs ≤ `upTo` into one dir,
+    * keeping only each doc's winning epoch rows and dropping dead docs
+    * (nothing older remains for a tombstone to suppress; anything newer
+    * out-ranks it). Rows keep their `b` tag so reads before and after
+    * compaction are identical. Same staged protocol and
+    * quiescent-barrier requirement as [[compactBandStore]].
+    */
+  def compactPostings(spark: org.apache.spark.sql.SparkSession,
+      postingsDir: String, upTo: Long): Unit =
+    compactStore(spark, postingsDir, upTo, df => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      df.withColumn("__mb", max(col("b")).over(w))
+        .filter(col("b") === col("__mb") && col("live")).drop("__mb")
+    })
+
   // ------------------------------- T20 durable streaming heavy hitters
   /** T20 — heavy hitters over an UNBOUNDED token stream with O(k) state:
     * each micro-batch reduces to a ≤(k−1)-counter Misra–Gries summary

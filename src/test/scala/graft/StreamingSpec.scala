@@ -2344,4 +2344,78 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
     assert(batch === streamed)
   }
+
+  test("T30 incremental BM25 postings: served ≡ batch retrieve; update that LOSES the gate token, delete, re-create all propagate; replay idempotent; compaction collapses layout") {
+    import graft.operators.Text
+    val terms = Seq("rare", "common")
+    def chg(rows: Seq[(Long, String, Long, String)]) =
+      rows.toDF("id", "text", "lsn", "op").selectExpr(
+        "CASE WHEN op <> 'd' THEN named_struct('id', id, 'text', text) END AS after",
+        "CASE WHEN op <> 'c' THEN named_struct('id', id, 'text', text) END AS before",
+        "named_struct('lsn', lsn) AS source",
+        "op")
+    def textOf(i: Long): String =
+      (if (i % 3 == 1) "rare common filler" else "common filler filler") +
+        s" pad${i % 5} pad${i % 4}" + (" filler" * (i % 4).toInt)
+    val corpus0 = (1L to 8L).map(i => i -> textOf(i))
+    val dir = java.nio.file.Files.createTempDirectory("postings").toString
+    Streams.seedPostings(corpus0.toDF("doc_id", "text"), dir)
+    def served() = Streams.servedBm25(spark, dir, terms)
+      .as[(Long, Long, Long)].collect().toSeq
+    def batch(c: Seq[(Long, String)]) =
+      Text.bm25Retrieve(c.toDF("doc_id", "text"), terms)
+        .as[(Long, Long, Long)].collect().toSeq
+    assert(served() === batch(corpus0))
+    assert(served().nonEmpty)
+    // batch 0: inserts 9..12, doc 1 REWRITTEN to lose the gate token
+    // (the stale-posting trap a per-(doc,token) fold would fail), doc 4
+    // deleted. Winner-batch-per-doc must retire doc 1's 'rare' posting.
+    val rew1 = "common filler only now"
+    Streams.bm25IndexBatch(chg(
+      (9L to 12L).map(i => (i, textOf(i), 100 + i, "c")) ++
+        Seq((1L, rew1, 200L, "u"), (4L, "x", 201L, "d"))), 0L, dir)
+    val corpus1 = (corpus0.toMap + (1L -> rew1) - 4L).toSeq ++
+      (9L to 12L).map(i => i -> textOf(i))
+    assert(served() === batch(corpus1))
+    assert(!served().map(_._1).contains(1L)) // gate token gone → unranked
+    // CRASH REPLAY: same batch id, same rows → identical store read
+    Streams.bm25IndexBatch(chg(
+      (9L to 12L).map(i => (i, textOf(i), 100 + i, "c")) ++
+        Seq((1L, rew1, 200L, "u"), (4L, "x", 201L, "d"))), 0L, dir)
+    assert(served() === batch(corpus1))
+    // batch 1: doc 4 re-created over its tombstone, WITH the gate token
+    val reborn = "rare common reborn"
+    Streams.bm25IndexBatch(chg(Seq((4L, reborn, 300L, "c"))), 1L, dir)
+    val corpus2 = corpus1 :+ (4L -> reborn)
+    assert(served() === batch(corpus2))
+    assert(served().map(_._1).contains(4L))
+    // COMPACTION: layout collapses to the highest id, reads identical,
+    // as-of inside the compacted range refused
+    Streams.compactPostings(spark, dir, upTo = 1L)
+    assert(served() === batch(corpus2))
+    val layout = new java.io.File(dir).listFiles
+      .map(_.getName).filter(!_.startsWith("_")).toSeq.sorted
+    assert(layout === Seq("b=1"))
+    intercept[IllegalArgumentException](
+      Streams.readPostingsAsOf(spark, dir, 0L).collect())
+    // stream wrapper smoke on a FRESH store (a MemoryStream query numbers
+    // its own batches from 0 — driving it at the direct-batch store would
+    // collide with the hand-assigned ids; the T29 pattern)
+    implicit val ctx = spark.sqlContext
+    val dir2 = java.nio.file.Files.createTempDirectory("postings2").toString
+    val mem = MemoryStream[(Long, String, Long, String)]
+    val stream = mem.toDS().toDF("id", "text", "lsn", "op").selectExpr(
+      "CASE WHEN op <> 'd' THEN named_struct('id', id, 'text', text) END AS after",
+      "CASE WHEN op <> 'c' THEN named_struct('id', id, 'text', text) END AS before",
+      "named_struct('lsn', lsn) AS source", "op")
+    val q = Streams.postingsStream(stream, dir2)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt30").toString)
+      .start()
+    val mini = Seq(1L -> "rare common fresh", 2L -> "common alone")
+    mem.addData(mini.map { case (i, s) => (i, s, 100 + i, "c") }: _*)
+    q.processAllAvailable(); q.stop()
+    assert(Streams.servedBm25(spark, dir2, terms)
+      .as[(Long, Long, Long)].collect().toSeq === batch(mini))
+  }
 }

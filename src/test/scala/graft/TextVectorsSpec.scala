@@ -282,6 +282,38 @@ class TextVectorsSpec extends AnyFunSuite {
       (2L, 0L, 0L, "no contact info here at all")))
   }
 
+  test("bm25: rarest-term gate bounds candidates, tf raises the score at equal length") {
+    val docs = Seq(
+      (1L, "rare common zz zz"),          // tf(common)=1
+      (2L, "rare common common zz"),      // tf(common)=2, same dl
+      (3L, "common common common common"), // no gate term -> never scored
+      (4L, "zz zz zz zz"))
+      .toDF("doc_id", "text")
+    val got = Text.bm25Retrieve(docs, Seq("rare", "common"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._1) === Seq(1L, 2L)) // candidate set = docs holding 'rare'
+    assert(got.map(_._2) === Seq(2L, 2L)) // both match both query terms
+    val score = got.map(g => g._1 -> g._3).toMap
+    assert(score(2L) > score(1L)) // higher tf, identical dl and idf
+    assert(score(1L) > 0L)        // Lucene-style idf is always positive
+  }
+
+  test("quality probe: exactly-interpolable groups score their labels, keep matches") {
+    // three distinct (x1, x2) feature points, three parameters -> the
+    // least-squares optimum interpolates exactly; scores equal labels
+    val docs = Seq(
+      (1L, "w w w w w w", "en", 12L),
+      (2L, "w w w w w w", "en", 12L),
+      (3L, "w w", "de", 4L),
+      (4L, "w w w", "fr", 9L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val got = Text.qualityProbe(docs)
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._2) === Seq(1L, 1L, 0L, 0L))
+    assert(got.map(_._3) === Seq(1.0, 1.0, 0.0, 0.0))
+    assert(got.map(_._4) === Seq(true, true, false, false))
+  }
+
   test("repetition metrics: degenerate repeats score 1.0, varied text scores low, single token safe") {
     val docs = Seq(
       (1L, "spam spam spam spam"), // 4 tokens, 3 dups; 3 bigrams all equal
