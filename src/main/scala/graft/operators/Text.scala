@@ -1439,10 +1439,13 @@ object Text {
   val x4rBm25: Q = (spark, dir) =>
     bm25Retrieve(Tables.documents(spark, dir), bm25Terms)
 
-  val x4rSql: String = {
+  /** The x4r oracle's CTE body ("toks" … "sc"), shared verbatim with the
+    * x4u hybrid oracle so the two SQL twins cannot drift.
+    */
+  private val bm25SqlCtes: String = {
     val inList = bm25Terms.map(t => s"'$t'").mkString(", ")
     val k1 = 1.2; val b = 0.75
-    s"""WITH toks AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+    s"""toks AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
        |        unnest(string_split(text, ' ')) AS token FROM documents),
        |qt AS (SELECT * FROM toks WHERE token IN ($inList)),
        |tfs AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf,
@@ -1458,12 +1461,16 @@ object Text {
        |        t.tf + $k1 * (1.0 - $b + $b * CAST(t.dl AS DOUBLE)
        |          / (CAST(sdl AS DOUBLE) / n)) AS denom
        |       FROM tfs t JOIN cand USING (doc_id) JOIN dfq USING (token)
-       |       CROSS JOIN st)
-       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       |       CROSS JOIN st),
+       |bm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
        | CAST(sum(CAST(floor(idf * (tf * ${k1 + 1.0}) / denom * 1000000.0)
        |   AS BIGINT)) AS BIGINT) AS score_u6
-       |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin
+       | FROM sc GROUP BY 1)""".stripMargin
   }
+
+  val x4rSql: String =
+    s"WITH $bm25SqlCtes\n" +
+      "SELECT doc_id, n_terms, score_u6 FROM bm ORDER BY doc_id"
 
   // ------------------------------------------- X4t maintained BM25 index
   /** X4t — BM25 served from a MAINTAINED postings index: the corpus
@@ -1514,6 +1521,84 @@ object Text {
 
   /** The maintained index must reproduce the batch answer exactly. */
   val x4tSql: String = x4rSql
+
+  // ------------------------------------------- X4u hybrid retrieval (RRF)
+  /** X4u — hybrid retrieval: the x4r BM25 list and a dense cosine top-k
+    * list fused by Reciprocal Rank Fusion (Cormack et al., SIGIR'09) —
+    * the standard modern search stack (lexical + vector, rank-fused)
+    * composed from this repo's two audited retrieval primitives over the
+    * 1:1 doc_id ↔ vec_id fixture correspondence (the x5 join contract).
+    *
+    * Determinism: RRF is rank-based, and both input ranks order on
+    * integer score (BM25 micro-units) or the x3-proven mirrored float
+    * dot with an id tie-break; the fusion term 1e9 div (60 + rank) is
+    * PURE INTEGER ARITHMETIC — no floats anywhere in the fusion, so the
+    * fused ordering is exact in both engines. Docs absent from one list
+    * contribute 0 from that side (the standard convention).
+    *
+    * Scale: each side's top-k is TakeOrderedAndProject (per-partition
+    * heaps); the only windows run over ≤k and ≤2k rows (the documented
+    * benign tiny-window class); the fusion join touches 2k rows total.
+    */
+  val rrfK = 60
+  val hybridTopK = 10
+  val x4uHybridRrf: Q = (spark, dir) => {
+    val bw = Window.orderBy(col("score_u6").desc, col("doc_id"))
+    val bmr = bm25Retrieve(Tables.documents(spark, dir), bm25Terms)
+      .orderBy(col("score_u6").desc, col("doc_id")).limit(hybridTopK)
+      .withColumn("brank", row_number().over(bw).cast("long"))
+      .select(col("doc_id"), col("brank"))
+    val emb = Tables.embeddings(spark, dir)
+    val vr = Vectors.cosineTopK(emb.filter(col("vec_id") === 0), emb, hybridTopK)
+      .select(col("vec_id").as("doc_id"), col("rank").cast("long").as("vrank"))
+    rrfFuse(bmr, vr)
+  }
+
+  /** Fuse two rank lists — (doc_id, brank) and (doc_id, vrank), ranks
+    * 1-based — by integer-exact RRF; see [[x4uHybridRrf]]. */
+  def rrfFuse(bmr: DataFrame, vr: DataFrame): DataFrame = {
+    val fused = bmr.join(vr, Seq("doc_id"), "full")
+      .select(col("doc_id"),
+        coalesce(col("brank"), lit(0L)).as("bm25_rank"),
+        coalesce(col("vrank"), lit(0L)).as("vec_rank"))
+      .withColumn("rrf_u",
+        when(col("bm25_rank") > 0,
+          expr(s"1000000000 div ($rrfK + bm25_rank)")).otherwise(lit(0L)) +
+        when(col("vec_rank") > 0,
+          expr(s"1000000000 div ($rrfK + vec_rank)")).otherwise(lit(0L)))
+    val fw = Window.orderBy(col("rrf_u").desc, col("doc_id"))
+    fused.withColumn("fused_rank", row_number().over(fw).cast("long"))
+      .select(col("fused_rank"), col("doc_id"), col("bm25_rank"),
+        col("vec_rank"), col("rrf_u"))
+      .orderBy(col("fused_rank"))
+  }
+
+  val x4uSql: String =
+    s"""WITH $bm25SqlCtes,
+       |bmt AS (SELECT doc_id, score_u6 FROM bm
+       |        ORDER BY score_u6 DESC, doc_id LIMIT $hybridTopK),
+       |bmr AS (SELECT doc_id, CAST(row_number() OVER (
+       |          ORDER BY score_u6 DESC, doc_id) AS BIGINT) AS brank FROM bmt),
+       |sims AS (SELECT c.vec_id AS doc_id,
+       |  ${graft.Portable.dotSql("q.embedding", "c.embedding", Vectors.dim)} AS sim
+       | FROM embeddings q CROSS JOIN embeddings c
+       | WHERE q.vec_id = 0 AND c.vec_id <> 0),
+       |vr AS (SELECT doc_id, CAST(row_number() OVER (
+       |         ORDER BY sim DESC, doc_id) AS BIGINT) AS vrank FROM sims
+       |       QUALIFY vrank <= $hybridTopK),
+       |f AS (SELECT coalesce(b.doc_id, v.doc_id) AS doc_id,
+       |       coalesce(b.brank, 0) AS bm25_rank,
+       |       coalesce(v.vrank, 0) AS vec_rank,
+       |       (CASE WHEN b.brank IS NULL THEN 0
+       |             ELSE 1000000000 // ($rrfK + b.brank) END
+       |        + CASE WHEN v.vrank IS NULL THEN 0
+       |              ELSE 1000000000 // ($rrfK + v.vrank) END) AS rrf_u
+       |      FROM bmr b FULL JOIN vr v ON b.doc_id = v.doc_id)
+       |SELECT CAST(row_number() OVER (ORDER BY rrf_u DESC, doc_id) AS BIGINT)
+       |   AS fused_rank,
+       | doc_id, CAST(bm25_rank AS BIGINT) AS bm25_rank,
+       | CAST(vec_rank AS BIGINT) AS vec_rank, CAST(rrf_u AS BIGINT) AS rrf_u
+       |FROM f ORDER BY fused_rank""".stripMargin
 
   // --------------------------------------------------- X4s quality probe
   /** Closed-form linear quality probe: fit least-squares weights for
@@ -2292,6 +2377,7 @@ object Text {
     "x4r_bm25" -> x4rBm25,
     "x4s_quality_probe" -> x4sQualityProbe,
     "x4t_bm25_index" -> x4tBm25Index,
+    "x4u_hybrid_rrf" -> x4uHybridRrf,
     "x1_dedup_exact" -> x1DedupExact,
     "x1e_fuzzy_linkage" -> x1eFuzzyLinkage,
     "x1f_linkage_apply" -> x1fLinkageApply,
@@ -2333,6 +2419,7 @@ object Text {
     "x4r_bm25" -> x4rSql,
     "x4s_quality_probe" -> x4sSql,
     "x4t_bm25_index" -> x4tSql,
+    "x4u_hybrid_rrf" -> x4uSql,
     "x1_dedup_exact" -> x1Sql,
     "x1e_fuzzy_linkage" -> x1eSql,
     "x1f_linkage_apply" -> x1fSql,

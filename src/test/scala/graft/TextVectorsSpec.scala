@@ -314,6 +314,18 @@ class TextVectorsSpec extends AnyFunSuite {
     assert(got.map(_._4) === Seq(true, true, false, false))
   }
 
+  test("rrf fusion: both-list docs outrank single-list peers, absent side ranks 0, values integer-exact") {
+    val bmr = Seq((10L, 1L), (20L, 2L)).toDF("doc_id", "brank")
+    val vr = Seq((20L, 1L), (30L, 2L)).toDF("doc_id", "vrank")
+    val got = Text.rrfFuse(bmr, vr)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val d61 = 1000000000L / 61; val d62 = 1000000000L / 62
+    assert(got === Seq(
+      (1L, 20L, 2L, 1L, d62 + d61), // in both lists → top
+      (2L, 10L, 1L, 0L, d61),
+      (3L, 30L, 0L, 2L, d62)))
+  }
+
   test("repetition metrics: degenerate repeats score 1.0, varied text scores low, single token safe") {
     val docs = Seq(
       (1L, "spam spam spam spam"), // 4 tokens, 3 dups; 3 bigrams all equal
