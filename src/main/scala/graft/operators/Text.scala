@@ -1418,6 +1418,21 @@ object Text {
     * match a query, and the carrier a delete tombstone replaces. Columns:
     * (doc_id, token, tf, dl).
     */
+  /** Winner-BATCH-per-doc fold — the ONE definition shared by the x4t
+    * inline twin, [[graft.streaming.Streams.readPostingsAsOf]], and
+    * [[graft.streaming.Streams.compactPostings]], so the documented
+    * "served ≡ batch ≡ compacted" invariant cannot desynchronize: keep
+    * every posting row of each doc's HIGHEST batch id, then keep only
+    * live rows (fold-then-filter makes a delete irreversible by older
+    * epochs). Retains the `b`/`live` columns; callers drop what their
+    * layout no longer needs.
+    */
+  def foldWinnerBatch(postings: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id"))
+    postings.withColumn("__mb", max(col("b")).over(w))
+      .filter(col("b") === col("__mb") && col("live")).drop("__mb")
+  }
+
   def docPostings(docs: DataFrame): DataFrame = {
     val tokRows = docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
@@ -1463,8 +1478,8 @@ object Text {
        |       FROM tfs t JOIN cand USING (doc_id) JOIN dfq USING (token)
        |       CROSS JOIN st),
        |bm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
-       | CAST(sum(CAST(floor(idf * (tf * ${k1 + 1.0}) / denom * 1000000.0)
-       |   AS BIGINT)) AS BIGINT) AS score_u6
+       | CAST(sum(CAST(floor(idf * (tf * CAST(${k1 + 1.0} AS DOUBLE))
+       |   / denom * 1000000.0) AS BIGINT)) AS BIGINT) AS score_u6
        | FROM sc GROUP BY 1)""".stripMargin
   }
 
@@ -1510,10 +1525,7 @@ object Text {
       ep(docs.filter(col("doc_id") % 10 === 0), 4),
       tomb(docs.filter(col("doc_id") % 7 === 0).select(col("doc_id")), 5),
       ep(docs.filter(col("doc_id") % 7 === 0), 6)).reduce(_ unionByName _)
-    val folded = all.withColumn("mb",
-        max(col("b")).over(Window.partitionBy(col("doc_id"))))
-      .filter(col("b") === col("mb") && col("live"))
-      .drop("mb", "b", "live")
+    val folded = foldWinnerBatch(all).drop("b", "live")
     val stats = folded.filter(col("token").isNull)
       .agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
     bm25FromPostings(folded, stats, bm25Terms)
@@ -1634,12 +1646,15 @@ object Text {
       sum(col("x2") * col("x2")).as("s22"), sum(col("y")).as("sy"),
       sum(col("x1") * col("y")).as("s1y"), sum(col("x2") * col("y")).as("s2y"))
       .collect()(0)
+    require(!r.isNullAt(1), "qualityProbe needs a non-empty corpus")
     val v = (0 until 9).map(i => r.getLong(i).toDouble)
     val (n, s1, s2, s11, s12, s22, sy, s1y, s2y) =
       (v(0), v(1), v(2), v(3), v(4), v(5), v(6), v(7), v(8))
     // Cramer's rule, first-row cofactor expansion — the SQL oracle carries
     // this exact expression text; association order must not change.
     val det = n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2)
+    require(det != 0.0, "qualityProbe: singular normal matrix " +
+      "(collinear features — e.g. every doc identical); refusing NaN weights")
     val w0 = (sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y)) / det
     val w1 = (n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2)) / det
     val w2 = (n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2)) / det

@@ -1091,11 +1091,8 @@ object Streams extends Serializable {
     require(paths.nonEmpty,
       s"no postings batches ≤ $batchId under $postingsDir " +
         "(outside the compaction retention window, or before the seed)")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-    spark.read.parquet(paths: _*)
-      .withColumn("__mb", max(col("b")).over(w))
-      .filter(col("b") === col("__mb") && col("live"))
-      .drop("__mb", "b", "live")
+    graft.operators.Text.foldWinnerBatch(spark.read.parquet(paths: _*))
+      .drop("b", "live")
   }
 
   /** BM25 over the maintained index — the serving path: corpus stats
@@ -1119,11 +1116,8 @@ object Streams extends Serializable {
     */
   def compactPostings(spark: org.apache.spark.sql.SparkSession,
       postingsDir: String, upTo: Long): Unit =
-    compactStore(spark, postingsDir, upTo, df => {
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-      df.withColumn("__mb", max(col("b")).over(w))
-        .filter(col("b") === col("__mb") && col("live")).drop("__mb")
-    })
+    compactStore(spark, postingsDir, upTo,
+      graft.operators.Text.foldWinnerBatch)
 
   // ------------------------------- T20 durable streaming heavy hitters
   /** T20 — heavy hitters over an UNBOUNDED token stream with O(k) state:
