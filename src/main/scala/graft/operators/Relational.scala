@@ -11,6 +11,10 @@ import graft.{Tables, Portable}
   * the input's fixed-decimal precision (so float jitter from differing
   * summation order is absorbed), integer sums kept integral, timestamps
   * compared as epoch milliseconds (events.ts is ns parquet — SURVEY.md §7.4).
+  * Float literals that MULTIPLY a column in oracle SQL must be cast
+  * `CAST(x AS DOUBLE)` — DuckDB parses bare `2.2` as DECIMAL and computes
+  * the product in exact decimal before converting, a last-ulp divergence
+  * from Spark's IEEE multiply (r10 review finding on the BM25 oracle).
   *
   * Scale notes (100 TB): all queries are pure declarative plans — predicate
   * pushdown and column pruning reach the parquet scan; dimension joins are
