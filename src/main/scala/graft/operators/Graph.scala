@@ -569,8 +569,173 @@ object Graph {
       | FROM base b JOIN walk w ON b.parent = w.node)
       |SELECT node, root, depth, path FROM walk ORDER BY node""".stripMargin
 
+  // ------------------------------------------------------- Q34 PageRank
+  /** Q34 — PageRank over the customer–supplier co-purchase graph (edges =
+    * distinct (custkey, suppkey) pairs through orders×lineitem,
+    * symmetrized so suppliers are not sinks; node ids disambiguated as
+    * custkey·2 / suppkey·2+1): the canonical iterative graph-analytics
+    * workload, run in EXACT INTEGER arithmetic so the result is
+    * engine-portable — rank mass lives in nano-units (`scale` total),
+    * each node's contribution is `rank_u div deg`, the damping update is
+    * `(scale div n)·15 div 100 + Σin·85 div 100`, and every per-node sum
+    * is BIGINT addition (order- and partition-invariant; the tiny mass
+    * leaked by integer division is identical in both engines). The
+    * oracle unrolls the same three iterations as MATERIALIZED CTEs.
+    *
+    * Scale: per iteration ONE shuffle join keyed by node plus a
+    * map-side-combined sum — the standard Pregel-on-DataFrames shape
+    * with no driver-side graph state; the 1-row node count rides a
+    * broadcast; output is top-k via TakeOrderedAndProject. (GraphX/
+    * GraphFrames express the same loop; declaring it as joins keeps
+    * Catalyst in charge of the physical plan.)
+    */
+  val prIters = 3
+  val prScale = 1000000000000L
+  val prTopK = 50
+  def pageRank(edgesIn: DataFrame, iters: Int = prIters,
+      scale: Long = prScale, topK: Int = prTopK,
+      presymmetrized: Boolean = false): DataFrame = {
+    val edges =
+      if (presymmetrized) edgesIn.select(col("src"), col("dst"))
+      else edgesIn.select(col("src"), col("dst"))
+        .unionByName(edgesIn.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val n1 = deg.agg(count(lit(1)).as("n"))
+    var ranks = deg.select(col("src").as("node")).crossJoin(broadcast(n1))
+      .select(col("node"), expr(s"$scale div n").as("rank_u"))
+    for (_ <- 1 to iters) {
+      val contribs = edges
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst").as("node"), expr("rank_u div deg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("insum"))
+      ranks = deg.select(col("src").as("node"))
+        .join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(n1))
+        .select(col("node"),
+          (expr(s"($scale div n) * 15 div 100") +
+            expr("coalesce(insum, 0L) * 85 div 100")).as("rank_u"))
+    }
+    ranks.orderBy(col("rank_u").desc, col("node")).limit(topK)
+  }
+
+  /** Staged SYMMETRIC co-purchase edge table: the iterative consumer
+    * references the edge set ~2× per iteration (contribution join +
+    * degree), so without staging the orders⋈lineitem distinct re-derives
+    * ~8× — the Staged convention (one producer pass per session, cheap
+    * consumers) is exactly the production shape for an iterated graph.
+    */
+  def stagedCopurchaseEdges(spark: SparkSession, dir: String): DataFrame =
+    Staged(spark, s"copurchase_edges:$dir") {
+      val e0 = Tables.lineitem(spark, dir)
+        .join(Tables.orders(spark, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+    }
+
+  val q34PageRank: Q = (spark, dir) =>
+    pageRank(stagedCopurchaseEdges(spark, dir), presymmetrized = true)
+
+  val q34Sql: String = {
+    val s = prScale
+    def iter(i: Int): String =
+      s"""r$i AS MATERIALIZED (
+         | SELECT d.src AS node,
+         |  ($s // n) * 15 // 100 + coalesce(sm.insum, 0) * 85 // 100 AS rank_u
+         | FROM deg d CROSS JOIN nn
+         | LEFT JOIN (SELECT e.dst AS node,
+         |    CAST(sum(r.rank_u // dg.deg) AS BIGINT) AS insum
+         |   FROM e JOIN r${i - 1} r ON e.src = r.node
+         |   JOIN deg dg ON e.src = dg.src
+         |   GROUP BY 1) sm ON d.src = sm.node)""".stripMargin
+    s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src,
+       |        l_suppkey * 2 + 1 AS dst
+       |       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |e AS MATERIALIZED (SELECT src, dst FROM e0
+       |     UNION SELECT dst AS src, src AS dst FROM e0),
+       |deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg
+       |     FROM e GROUP BY 1),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+       |r0 AS MATERIALIZED (SELECT src AS node, $s // n AS rank_u
+       |     FROM deg CROSS JOIN nn),
+       |${(1 to prIters).map(iter).mkString(",\n")}
+       |SELECT node, rank_u FROM r$prIters
+       |ORDER BY rank_u DESC, node LIMIT $prTopK""".stripMargin
+  }
+
+  // -------------------------------------------- X7o triangle counting
+  /** X7o — per-document TRIANGLE counts over the verified near-dup pair
+    * graph: triangles are the cliqueness signal the cluster-size alarm
+    * (x7l) cannot see — a size-k component can be a harmless chain (k−1
+    * edges, zero triangles) or a boilerplate clique (k·(k−1)·(k−2)/6
+    * triangles); high triangle density marks template families worth a
+    * representative-only drop.
+    *
+    * Algorithm: DEGREE-ORDERED edge orientation (Suri–Vassilvitskii,
+    * WWW'11): orient every edge from its (degree, id)-smaller endpoint
+    * to the larger, making the orientation a DAG under a total order, so
+    * each triangle has exactly one node with two out-edges and is
+    * counted exactly once by the path join ab⋈bc⋈ac — and the join's
+    * intermediate is bounded by Σ outdeg² = O(m^1.5) instead of a hot
+    * node's deg² (the giant-clique guard; a min-id orientation would
+    * put the whole clique's fan-out on its smallest id). Exact integer
+    * counts; the oracle runs the identical orientation.
+    */
+  val x7oTriangles: Q = (spark, dir) =>
+    triangleCounts(
+      Text.stagedJaccardPairs(spark, dir).select(col("da"), col("db")))
+
+  /** Per-node triangle counts for an undirected edge list (da, db),
+    * da ≠ db, each edge once — see [[x7oTriangles]] for the algorithm. */
+  def triangleCounts(e: DataFrame): DataFrame = {
+    val dg = e.select(col("da").as("v")).unionAll(e.select(col("db").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+    val withDeg = e
+      .join(dg.select(col("v").as("da"), col("dg").as("dga")), "da")
+      .join(dg.select(col("v").as("db"), col("dg").as("dgb")), "db")
+    val aFirst = struct(col("dga"), col("da")) < struct(col("dgb"), col("db"))
+    val ort = withDeg.select(
+      when(aFirst, col("da")).otherwise(col("db")).as("src"),
+      when(aFirst, col("db")).otherwise(col("da")).as("dst"))
+    val tri = ort.as("ab")
+      .join(ort.as("bc"), col("ab.dst") === col("bc.src"))
+      .join(ort.as("ac"),
+        col("ab.src") === col("ac.src") && col("bc.dst") === col("ac.dst"))
+      .select(col("ab.src").as("a"), col("ab.dst").as("b"),
+        col("bc.dst").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_tri"))
+      .orderBy(col("doc_id"))
+  }
+
+  val x7oSql: String = Text.x2cCtePrefix() + """,
+      |prs AS MATERIALIZED (SELECT da, db
+      |      FROM shared JOIN cnt ca ON da = ca.doc_id
+      |      JOIN cnt cb ON db = cb.doc_id
+      |      WHERE shared * 10 >= (ca.n + cb.n - shared) * 7),
+      |dgt AS (SELECT v, CAST(count(*) AS BIGINT) AS dg FROM (
+      |       SELECT da AS v FROM prs UNION ALL SELECT db AS v FROM prs)
+      |      GROUP BY 1),
+      |ort AS MATERIALIZED (
+      |      SELECT CASE WHEN (d1.dg, da) < (d2.dg, db) THEN da ELSE db END AS src,
+      |             CASE WHEN (d1.dg, da) < (d2.dg, db) THEN db ELSE da END AS dst
+      |      FROM prs JOIN dgt d1 ON da = d1.v JOIN dgt d2 ON db = d2.v),
+      |tri AS (SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+      |      FROM ort ab JOIN ort bc ON ab.dst = bc.src
+      |      JOIN ort ac ON ab.src = ac.src AND bc.dst = ac.dst)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri
+      |FROM (SELECT unnest([a, b, c]) AS doc_id FROM tri)
+      |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q32_hierarchy" -> q32Hierarchy,
+    "q34_pagerank" -> q34PageRank,
+    "x7o_triangles" -> x7oTriangles,
     "x7_neardup_clusters" -> x7NeardupClusters,
     "x7l_cluster_stats" -> x7lClusterStats,
     "x7f_dedup_apply" -> x7fDedupApply,
@@ -580,6 +745,8 @@ object Graph {
 
   val oracle: Map[String, String] = Map(
     "q32_hierarchy" -> q32Sql,
+    "q34_pagerank" -> q34Sql,
+    "x7o_triangles" -> x7oSql,
     "x7_neardup_clusters" -> x7Sql,
     "x7l_cluster_stats" -> x7lSql,
     "x7f_dedup_apply" -> x7fSql,

@@ -329,4 +329,51 @@ class GraphMixingSpec extends AnyFunSuite {
     // exceeds its raw 10% share
     assert(w("fr")._2 > 0.24 && w("fr")._2 < 0.26)
   }
+
+  /** Reference: the SAME integer PageRank recurrence over in-memory maps —
+    * an independent sequential implementation of the contract, not a
+    * replay of the DataFrame plan. */
+  private def pageRankRef(edges: Seq[(Long, Long)], iters: Int,
+      scale: Long): Map[Long, Long] = {
+    val sym = (edges ++ edges.map(_.swap)).distinct
+    val adjIn = sym.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val deg = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nodes = deg.keySet
+    val n = nodes.size.toLong
+    var r: Map[Long, Long] = nodes.map(_ -> scale / n).toMap
+    for (_ <- 1 to iters) {
+      r = nodes.map { v =>
+        val in = adjIn.getOrElse(v, Nil).map(u => r(u) / deg(u)).sum
+        v -> ((scale / n) * 15 / 100 + in * 85 / 100)
+      }.toMap
+    }
+    r
+  }
+
+  test("pageRank matches the sequential integer reference; hub outranks leaves; repartition-invariant") {
+    // star (1 hub, 3 leaves) plus a disjoint pair
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (10L, 11L))
+    val df = edges.toDF("src", "dst")
+    val got = Graph.pageRank(df, iters = 3, scale = 1000000000000L, topK = 10)
+      .as[(Long, Long)].collect().toSeq
+    val ref = pageRankRef(edges, 3, 1000000000000L)
+    assert(got === ref.toSeq.sortBy { case (v, r) => (-r, v) })
+    val byNode = got.toMap
+    assert(byNode(1L) > byNode(2L))              // hub concentrates mass
+    assert(byNode(2L) === byNode(3L))            // symmetric leaves tie
+    assert(byNode(10L) === byNode(11L))          // disjoint pair symmetric
+    val reGot = Graph.pageRank(df.repartition(7), iters = 3,
+      scale = 1000000000000L, topK = 10).as[(Long, Long)].collect().toSeq
+    assert(reGot === got)                        // integer sums: order-free
+  }
+
+  test("triangleCounts: K4 clique gives 3 per node, chains give none, counted once") {
+    // K4 on 1..4 (4 triangles, each node in 3) + a chain 10-11-12 (none)
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val edges = (k4 ++ Seq((10L, 11L), (11L, 12L))).toDF("da", "db")
+    val got = Graph.triangleCounts(edges)
+      .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got === Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+    assert(got.map(_._2).sum === 4L * 3) // 4 triangles × 3 corners, once each
+  }
 }
