@@ -58,4 +58,43 @@ object StorePropertySpec extends Properties("Stores") {
       val expected = content(batchIdx)
       Prop(got == expected) :| s"fold diverged: ${got.size} vs ${expected.size}"
     }
+
+  property("T30 postings fold over random batch splits (rewrites + deletes) serves == batch BM25 of the latest corpus") =
+    forAll(Gen.choose(1, 3), Gen.long) { (nBatches, seed) =>
+      import spark.implicits._
+      import graft.operators.Text
+      val terms = Seq("rare", "common")
+      val rnd = new scala.util.Random(seed)
+      val docs = (1L to 24L).map { i =>
+        val gate = if (rnd.nextInt(3) == 0) "rare " else ""
+        i -> (gate + "common " + Seq.fill(1 + rnd.nextInt(6))(
+          s"w${rnd.nextInt(5)}").mkString(" "))
+      }
+      // random subset REWRITTEN later (may gain or lose the gate token —
+      // the stale-posting trap), random disjoint subset DELETED later
+      val rewriteIds = docs.map(_._1).filter(_ => rnd.nextInt(4) == 0).toSet
+      val deleteIds = docs.map(_._1)
+        .filter(i => !rewriteIds(i) && rnd.nextInt(5) == 0).toSet
+      val rewrites = docs.filter(d => rewriteIds(d._1)).map { case (i, _) =>
+        i -> (if (rnd.nextBoolean()) "rare common rewritten"
+              else "common rewritten only") }
+      val batches = Array.fill(nBatches)(
+        scala.collection.mutable.Buffer.empty[(Long, String)])
+      docs.foreach(d => batches(rnd.nextInt(nBatches)) += d)
+      val dir = java.nio.file.Files.createTempDirectory("pprop").toString
+      batches.zipWithIndex.foreach { case (b, i) =>
+        Streams.postingsApplyBatch(b.toSeq.toDF("doc_id", "text"),
+          Seq.empty[Long].toDF("doc_id"), i.toLong, dir)
+      }
+      // rewrites and deletes land AFTER every original (the changelog
+      // fold guarantees this ordering upstream)
+      Streams.postingsApplyBatch(rewrites.toDF("doc_id", "text"),
+        deleteIds.toSeq.toDF("doc_id"), nBatches.toLong, dir)
+      val latest = (docs.toMap ++ rewrites.toMap -- deleteIds).toSeq
+      val served = Streams.servedBm25(spark, dir, terms)
+        .as[(Long, Long, Long)].collect().toSeq
+      val batch = Text.bm25Retrieve(latest.toDF("doc_id", "text"), terms)
+        .as[(Long, Long, Long)].collect().toSeq
+      Prop(served == batch) :| s"served $served != batch $batch"
+    }
 }
