@@ -1184,6 +1184,49 @@ object Relational {
       .select(col("day"), col("dau"), col("wau"))
       .orderBy(col("day"))
   }
+  // Q36 — per-user anomaly detection via exact integer moment arithmetic.
+  /** Q36 — per-entity outlier flagging (|z| > 3 against the user's own
+    * value distribution), the ops/fraud anomaly workload — computed
+    * WITHOUT a single floating-point operation: values quantize to
+    * cents (the fixture's true precision), per-user (n, Σv, Σv²) are
+    * exact BIGINT map-side-combined sums, and the z-test clears its
+    * denominators — `z² > 9` becomes `(v·n − Σv)² > 9·(n·Σv² − (Σv)²)`
+    * — so the flag is partition-invariant and engine-portable
+    * (population variance; single-point degenerate users flag nothing
+    * since both sides are 0). One groupBy(user) plus one user-keyed
+    * join back — the x4d fingerprint discipline, never a per-user
+    * window. BIGINT headroom: safe while a user's n·max_cents < ~3·10⁹
+    * (the squared deviation term); beyond that, production bounds n by
+    * windowing stats per day — which is also the semantically right
+    * baseline at unbounded history.
+    */
+  val q36Outliers: Q = (spark, dir) =>
+    outliersByKey(Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v_c")))
+
+  /** Integer z-test core of [[q36Outliers]]: input (event_id, user_id,
+    * v_c) with v_c already quantized to exact integer units. */
+  def outliersByKey(ev: DataFrame): DataFrame = {
+    val st = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n"),
+      sum(col("v_c")).as("s"), sum(col("v_c") * col("v_c")).as("q"))
+    ev.join(st, "user_id")
+      .filter(expr("(v_c * n - s) * (v_c * n - s) > 9 * (n * q - s * s)"))
+      .select(col("event_id"), col("user_id"), col("v_c"))
+      .orderBy(col("event_id"))
+  }
+  val q36Sql: String =
+    """WITH ev AS (SELECT event_id, user_id,
+      |        CAST(round(value * 100) AS BIGINT) AS v_c FROM events),
+      |st AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(v_c) AS BIGINT) AS s,
+      |        CAST(sum(v_c * v_c) AS BIGINT) AS q
+      |       FROM ev GROUP BY 1)
+      |SELECT event_id, ev.user_id, v_c
+      |FROM ev JOIN st ON ev.user_id = st.user_id
+      |WHERE (v_c * n - s) * (v_c * n - s) > 9 * (n * q - s * s)
+      |ORDER BY event_id""".stripMargin
+
   val q33Sql: String =
     """WITH ud AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day
       |           FROM events),
@@ -1304,6 +1347,7 @@ object Relational {
     "q8f_quantile_rank_bound" -> q8fQuantileRankBound,
     "q8g_qdigest_bound" -> q8gQdigestBound,
     "q33_rolling_active" -> q33RollingActive,
+    "q36_outliers" -> q36Outliers,
     "q9c_approx_bound" -> q9cApproxBound,
     "q9d_hll_union_bound" -> q9dHllUnionBound,
     "q10_rollup" -> q10Rollup,
@@ -1335,6 +1379,7 @@ object Relational {
     "q8f_quantile_rank_bound" -> q8fSql,
     "q8g_qdigest_bound" -> q8gSql,
     "q33_rolling_active" -> q33Sql,
+    "q36_outliers" -> q36Sql,
     "q8b_percentile" -> q8bSql,
     "q8c_stats" -> q8cSql,
     "q8d_stringagg" -> q8dSql,

@@ -78,4 +78,24 @@ class AnalyticsSpec extends AnyFunSuite {
       docs.filter(col("lang") === "en").count())
     assert(kept === docs.filter(col("lang").isin("en", "de")).count())
   }
+
+  test("outliers: integer z-test matches a sequential double reference; degenerate users flag nothing") {
+    // user 1: 12 baseline values + one spike (z > 3 at n = 13);
+    // user 2: constant values (variance 0 — nothing flags);
+    // user 3: a single event (n = 1 — both test sides are 0)
+    val rows = (1L to 12L).map(i => (i, 1L, 1000L)) ++
+      Seq((13L, 1L, 30000L), (21L, 2L, 500L), (22L, 2L, 500L), (31L, 3L, 7L))
+    val got = operators.Relational.outliersByKey(
+        rows.toDF("event_id", "user_id", "v_c"))
+      .as[(Long, Long, Long)].collect().toSeq
+    // sequential reference in plain doubles: |v - mean| > 3 * population sd
+    val ref = rows.groupBy(_._2).toSeq.flatMap { case (_, es) =>
+      val vs = es.map(_._3.toDouble)
+      val mean = vs.sum / vs.size
+      val sd = math.sqrt(vs.map(v => (v - mean) * (v - mean)).sum / vs.size)
+      es.filter(e => math.abs(e._3 - mean) > 3 * sd)
+    }.map(e => (e._1, e._2, e._3)).sortBy(_._1)
+    assert(got === ref)
+    assert(got === Seq((13L, 1L, 30000L))) // only the spike flags
+  }
 }
