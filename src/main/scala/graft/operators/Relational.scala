@@ -1205,16 +1205,26 @@ object Relational {
       .select(col("event_id"), col("user_id"),
         expr("CAST(round(value * 100) AS BIGINT)").as("v_c")))
 
+  /** The cleared-denominator integer z-test (z² > 9 with population
+    * variance) — the ONE predicate shared by batch q36 and the T31
+    * streaming flagger, so the twins cannot drift. */
+  val outlierTest: String =
+    "(v_c * n - s) * (v_c * n - s) > 9 * (n * q - s * s)"
+
+  /** Per-user exact integer moments (n, Σv, Σv²) — the sufficient
+    * statistics of the z-test; additively mergeable, which is what makes
+    * the T31 streaming maintenance exact. */
+  def momentsByKey(ev: DataFrame): DataFrame =
+    ev.groupBy(col("user_id")).agg(count(lit(1)).as("n"),
+      sum(col("v_c")).as("s"), sum(col("v_c") * col("v_c")).as("q"))
+
   /** Integer z-test core of [[q36Outliers]]: input (event_id, user_id,
     * v_c) with v_c already quantized to exact integer units. */
-  def outliersByKey(ev: DataFrame): DataFrame = {
-    val st = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n"),
-      sum(col("v_c")).as("s"), sum(col("v_c") * col("v_c")).as("q"))
-    ev.join(st, "user_id")
-      .filter(expr("(v_c * n - s) * (v_c * n - s) > 9 * (n * q - s * s)"))
+  def outliersByKey(ev: DataFrame): DataFrame =
+    ev.join(momentsByKey(ev), "user_id")
+      .filter(expr(outlierTest))
       .select(col("event_id"), col("user_id"), col("v_c"))
       .orderBy(col("event_id"))
-  }
   val q36Sql: String =
     """WITH ev AS (SELECT event_id, user_id,
       |        CAST(round(value * 100) AS BIGINT) AS v_c FROM events),

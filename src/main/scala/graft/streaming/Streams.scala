@@ -1191,6 +1191,55 @@ object Streams extends Serializable {
     SnapshotStore.read(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed summary under $root"))
 
+  // --------------------- T31 durable streaming anomaly moments (q36 twin)
+  /** T31 — q36's streaming half: per-user exact integer moments
+    * (n, Σv, Σv²) maintained ADDITIVELY through the versioned store (the
+    * T14 aggregate-maintenance shape) — moments are the z-test's
+    * sufficient statistics and merge by plain BIGINT addition, so the
+    * committed state after any batch split equals the all-at-once
+    * aggregation exactly, and flagging events against it
+    * ([[flagOutliers]]) runs the IDENTICAL
+    * [[graft.operators.Relational.outlierTest]] predicate as batch q36 —
+    * flags against full-history state match the batch operator by
+    * construction (spec). Per batch: one map-side-combined groupBy over
+    * the increment, a #users-row union + re-sum against committed state,
+    * an epoch-keyed commit; crash replay reads strictly-before state.
+    * The serving join is user-keyed; committed state is user-count-
+    * proportional, never event-proportional.
+    */
+  def momentsBatch(ev: DataFrame, batchId: Long, root: String): Unit = {
+    val spark = ev.sparkSession
+    val delta = graft.operators.Relational.momentsByKey(ev)
+    val merged = SnapshotStore.readBefore(spark, root, batchId) match {
+      case Some(p) => p.unionByName(delta).groupBy(col("user_id"))
+        .agg(sum(col("n")).as("n"), sum(col("s")).as("s"),
+          sum(col("q")).as("q"))
+      case None => delta
+    }
+    SnapshotStore.commit(merged, root, batchId)
+  }
+
+  def momentsStream(evStream: DataFrame, root: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    evStream.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      momentsBatch(batch.toDF, batchId, root)
+    }
+
+  def readMoments(spark: org.apache.spark.sql.SparkSession,
+      root: String): DataFrame =
+    SnapshotStore.read(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed moments under $root"))
+
+  /** Flag a (possibly historical) event set against the COMMITTED
+    * per-user moments — the serving read of the T31 store. With the
+    * store fed by the same events, output ≡ batch q36 exactly. */
+  def flagOutliers(ev: DataFrame, root: String): DataFrame =
+    ev.join(readMoments(ev.sparkSession, root), "user_id")
+      .filter(expr(graft.operators.Relational.outlierTest))
+      .select(col("event_id"), col("user_id"), col("v_c"))
+      .orderBy(col("event_id"))
+
   // ------------------------- T23 incremental SCD2 history maintenance
   /** T23 — the OTHER classic CDC materialization (C4 keeps latest
     * state; SCD2 keeps every version with its validity interval),

@@ -2418,4 +2418,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(Streams.servedBm25(spark, dir2, terms)
       .as[(Long, Long, Long)].collect().toSeq === batch(mini))
   }
+
+  test("T31 per-user moments: additive store merge over batch splits flags ≡ batch q36; replay idempotent; stream wrapper smoke") {
+    import graft.operators.Relational
+    // user 1: spike at n=13 (flags); user 2: constant; user 3: singleton
+    val rows = (1L to 12L).map(i => (i, 1L, 1000L)) ++
+      Seq((13L, 1L, 30000L), (21L, 2L, 500L), (22L, 2L, 500L), (31L, 3L, 7L))
+    val all = rows.toDF("event_id", "user_id", "v_c")
+    val root = java.nio.file.Files.createTempDirectory("moments").toString
+    val batches = rows.grouped(6).toSeq // deterministic 3-way split
+    batches.zipWithIndex.foreach { case (b, i) =>
+      Streams.momentsBatch(b.toDF("event_id", "user_id", "v_c"), i.toLong, root)
+    }
+    def moments(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id", "n", "s", "q")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    assert(moments(Streams.readMoments(spark, root)) ===
+      moments(Relational.momentsByKey(all)))
+    val flagged = Streams.flagOutliers(all, root)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(flagged === Relational.outliersByKey(all)
+      .as[(Long, Long, Long)].collect().toSeq)
+    assert(flagged === Seq((13L, 1L, 30000L)))
+    // CRASH REPLAY: re-committing the last batch reads strictly-before
+    // state, so the merged result is identical
+    Streams.momentsBatch(batches.last.toDF("event_id", "user_id", "v_c"),
+      (batches.size - 1).toLong, root)
+    assert(moments(Streams.readMoments(spark, root)) ===
+      moments(Relational.momentsByKey(all)))
+    // stream wrapper smoke on a fresh root
+    implicit val ctx = spark.sqlContext
+    val root2 = java.nio.file.Files.createTempDirectory("moments2").toString
+    val mem = MemoryStream[(Long, Long, Long)]
+    val q = Streams.momentsStream(
+        mem.toDS().toDF("event_id", "user_id", "v_c"), root2)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt31").toString)
+      .start()
+    mem.addData(rows: _*)
+    q.processAllAvailable(); q.stop()
+    assert(moments(Streams.readMoments(spark, root2)) ===
+      moments(Relational.momentsByKey(all)))
+  }
 }
