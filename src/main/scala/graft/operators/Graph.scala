@@ -605,10 +605,13 @@ object Graph {
     var ranks = deg.select(col("src").as("node")).crossJoin(broadcast(n1))
       .select(col("node"), expr(s"$scale div n").as("rank_u"))
     for (_ <- 1 to iters) {
-      val contribs = edges
-        .join(ranks.withColumnRenamed("node", "src"), "src")
+      // per-node contribution FIRST (|V| rows), then the one edge-sized
+      // join — the degree lookup runs |V| times per iteration, not |E|
+      val perNode = ranks.withColumnRenamed("node", "src")
         .join(deg, "src")
-        .select(col("dst").as("node"), expr("rank_u div deg").as("c"))
+        .select(col("src"), expr("rank_u div deg").as("c"))
+      val contribs = edges.join(perNode, "src")
+        .select(col("dst").as("node"), col("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("insum"))
       ranks = deg.select(col("src").as("node"))
         .join(contribs, Seq("node"), "left")
@@ -634,8 +637,9 @@ object Graph {
         .select((col("o_custkey") * 2).as("src"),
           (col("l_suppkey") * 2 + 1).as("dst"))
         .distinct()
+      // no trailing distinct: the two branches are disjoint by parity
+      // (even→odd vs odd→even) and e0 is already distinct
       e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct()
     }
 
   val q34PageRank: Q = (spark, dir) =>
@@ -693,7 +697,8 @@ object Graph {
   /** Per-node triangle counts for an undirected edge list (da, db),
     * da ≠ db, each edge once — see [[x7oTriangles]] for the algorithm. */
   def triangleCounts(e: DataFrame): DataFrame = {
-    val dg = e.select(col("da").as("v")).unionAll(e.select(col("db").as("v")))
+    val dg = e.select(col("da").as("v"))
+      .unionByName(e.select(col("db").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("dg"))
     val withDeg = e
       .join(dg.select(col("v").as("da"), col("dg").as("dga")), "da")

@@ -1195,10 +1195,14 @@ object Relational {
     * (population variance; single-point degenerate users flag nothing
     * since both sides are 0). One groupBy(user) plus one user-keyed
     * join back — the x4d fingerprint discipline, never a per-user
-    * window. BIGINT headroom: safe while a user's n·max_cents < ~3·10⁹
-    * (the squared deviation term); beyond that, production bounds n by
-    * windowing stats per day — which is also the semantically right
-    * baseline at unbounded history.
+    * window. BIGINT headroom: the binding term is the RHS
+    * `9·(n·Σv² − (Σv)²) = 9·n²·σ²` — with σ² ≤ max_cents²/4 for
+    * bounded values, safe while a user's n·max_cents < ~2·10⁹
+    * (conservatively 10⁹; the LHS square is then < 4.2·10¹⁸ too). Past
+    * that Spark wraps silently while DuckDB throws on BIGINT overflow —
+    * an engine ASYMMETRY, not just a wrong answer — so production
+    * bounds n by windowing stats per day, which is also the
+    * semantically right baseline at unbounded history.
     */
   val q36Outliers: Q = (spark, dir) =>
     outliersByKey(Tables.events(spark, dir)
@@ -1218,13 +1222,20 @@ object Relational {
     ev.groupBy(col("user_id")).agg(count(lit(1)).as("n"),
       sum(col("v_c")).as("s"), sum(col("v_c") * col("v_c")).as("q"))
 
-  /** Integer z-test core of [[q36Outliers]]: input (event_id, user_id,
-    * v_c) with v_c already quantized to exact integer units. */
-  def outliersByKey(ev: DataFrame): DataFrame =
-    ev.join(momentsByKey(ev), "user_id")
+  /** The WHOLE serving tail — join, predicate, projection, ordering —
+    * shared by batch q36 and T31's [[graft.streaming.Streams
+    * .flagOutliers]], so the twins cannot drift anywhere, not just at
+    * the predicate. `moments` carries (user_id, n, s, q). */
+  def flagAgainst(ev: DataFrame, moments: DataFrame): DataFrame =
+    ev.join(moments, "user_id")
       .filter(expr(outlierTest))
       .select(col("event_id"), col("user_id"), col("v_c"))
       .orderBy(col("event_id"))
+
+  /** Integer z-test core of [[q36Outliers]]: input (event_id, user_id,
+    * v_c) with v_c already quantized to exact integer units. */
+  def outliersByKey(ev: DataFrame): DataFrame =
+    flagAgainst(ev, momentsByKey(ev))
   val q36Sql: String =
     """WITH ev AS (SELECT event_id, user_id,
       |        CAST(round(value * 100) AS BIGINT) AS v_c FROM events),

@@ -1235,10 +1235,8 @@ object Streams extends Serializable {
     * per-user moments — the serving read of the T31 store. With the
     * store fed by the same events, output ≡ batch q36 exactly. */
   def flagOutliers(ev: DataFrame, root: String): DataFrame =
-    ev.join(readMoments(ev.sparkSession, root), "user_id")
-      .filter(expr(graft.operators.Relational.outlierTest))
-      .select(col("event_id"), col("user_id"), col("v_c"))
-      .orderBy(col("event_id"))
+    graft.operators.Relational.flagAgainst(
+      ev, readMoments(ev.sparkSession, root))
 
   // ------------------------- T23 incremental SCD2 history maintenance
   /** T23 — the OTHER classic CDC materialization (C4 keeps latest
