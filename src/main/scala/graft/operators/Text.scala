@@ -1344,14 +1344,17 @@ object Text {
     * materializes the postings once; the per-query plan below is exactly
     * what it would serve from that index).
     *
-    * Candidate discipline — lead with the rarest postings list: `terms.head`
-    * must be the rarest query term, and only documents containing it are
-    * scored (the classic term-at-a-time optimization: the candidate set is
-    * bounded by the shortest postings list, so common terms like stopwords
-    * never inflate the scored set). The candidate join is a plain equi-join
-    * Catalyst is free to broadcast at small candidate counts or
-    * sort-merge at scale — candidates scale with the rarest term's df, not
-    * the corpus.
+    * Candidate discipline — lead with the rarest postings list: the gate
+    * term is COMPUTED as the minimum-df query term (from the postings' own
+    * df table, ties broken on token asc), and only documents containing it
+    * are scored (the classic term-at-a-time optimization: the candidate
+    * set is bounded by the shortest postings list, so common terms like
+    * stopwords never inflate the scored set). Because the gate is
+    * data-derived — a 1-row broadcast argmin, never `terms.head` — the
+    * caller's term ORDER can change neither the semantics nor the plan.
+    * The candidate join is a plain equi-join Catalyst is free to broadcast
+    * at small candidate counts or sort-merge at scale — candidates scale
+    * with the rarest term's df, not the corpus.
     *
     * Determinism: every floating subexpression (idf, length norm) is one
     * mirrored IEEE formula over exact integer inputs (tf, df, dl, N, Σdl),
@@ -1393,7 +1396,12 @@ object Text {
       terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val tfs = postings.filter(col("token").isin(terms: _*))
     val dfreq = tfs.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val cand = tfs.filter(col("token") === terms.head).select(col("doc_id"))
+    // the rarest-term gate, computed not caller-ordered: argmin-df over
+    // the |terms|-row df table (1 row, broadcast) — see the scaladoc above
+    val gate = dfreq.orderBy(col("df").asc, col("token").asc).limit(1)
+      .select(col("token").as("__gate_token"))
+    val cand = tfs.join(broadcast(gate), col("token") === col("__gate_token"))
+      .select(col("doc_id"))
     val idf = log(lit(1.0) +
       ((col("n") - col("df")) + lit(0.5)) / (col("df") + lit(0.5)))
     val denom = col("tf") + lit(k1) * (lit(1.0) - lit(b) +
@@ -1448,8 +1456,9 @@ object Text {
   }
 
   /** Fixture query: 'dup' is the one rare token in the synthetic vocabulary
-    * (df ≈ 5% of docs vs ~78% for every other term) — the gate term; the
-    * two common terms contribute scores only for gated candidates. */
+    * (df ≈ 5% of docs vs ~78% for every other term) — so the computed
+    * argmin-df gate selects it regardless of the order here; the two
+    * common terms contribute scores only for gated candidates. */
   val bm25Terms: Seq[String] = Seq("dup", "spark", "vector")
   val x4rBm25: Q = (spark, dir) =>
     bm25Retrieve(Tables.documents(spark, dir), bm25Terms)
@@ -1470,7 +1479,8 @@ object Text {
        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
        |        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sdl
        |       FROM documents),
-       |cand AS (SELECT doc_id FROM tfs WHERE token = '${bm25Terms.head}'),
+       |cand AS (SELECT doc_id FROM tfs WHERE token =
+       |         (SELECT token FROM dfq ORDER BY df, token LIMIT 1)),
        |sc AS (SELECT t.doc_id, t.tf,
        |        ln(1.0 + ((n - df) + 0.5) / (df + 0.5)) AS idf,
        |        t.tf + $k1 * (1.0 - $b + $b * CAST(t.dl AS DOUBLE)

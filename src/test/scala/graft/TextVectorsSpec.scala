@@ -298,6 +298,24 @@ class TextVectorsSpec extends AnyFunSuite {
     assert(score(1L) > 0L)        // Lucene-style idf is always positive
   }
 
+  test("bm25: gate term is the computed argmin-df — a shuffled term order changes nothing") {
+    val docs = Seq(
+      (1L, "rare common zz zz"),
+      (2L, "rare common common zz"),
+      (3L, "common common common common"),
+      (4L, "zz zz zz zz"))
+      .toDF("doc_id", "text")
+    // 'common' listed first: a caller-ordered gate (the old terms.head)
+    // would flip the semantics to "docs containing 'common'" and score
+    // doc 3; the computed argmin-df gate still selects 'rare'
+    val shuffled = Text.bm25Retrieve(docs, Seq("common", "rare"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val canon = Text.bm25Retrieve(docs, Seq("rare", "common"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(shuffled === canon)
+    assert(shuffled.map(_._1) === Seq(1L, 2L)) // gated on 'rare', not 'common'
+  }
+
   test("quality probe: exactly-interpolable groups score their labels, keep matches") {
     // three distinct (x1, x2) feature points, three parameters -> the
     // least-squares optimum interpolates exactly; scores equal labels
