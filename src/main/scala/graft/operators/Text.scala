@@ -1564,12 +1564,26 @@ object Text {
     */
   val rrfK = 60
   val hybridTopK = 10
-  val x4uHybridRrf: Q = (spark, dir) => {
+
+  /** The lexical head of the hybrid stack: BM25 top-k as a 1-based rank
+    * list (doc_id, brank). The window runs over ≤ k rows post-limit (the
+    * documented benign tiny-window class). */
+  def bm25TopRanks(docs: DataFrame, terms: Seq[String] = bm25Terms,
+      k: Int = hybridTopK): DataFrame =
+    rankBm25(bm25Retrieve(docs, terms), k)
+
+  /** Rank an already-scored BM25 list (doc_id, …, score_u6) — the entry
+    * the serving stack uses over [[graft.streaming.Streams.servedBm25]]'s
+    * maintained-index output. */
+  def rankBm25(scored: DataFrame, k: Int = hybridTopK): DataFrame = {
     val bw = Window.orderBy(col("score_u6").desc, col("doc_id"))
-    val bmr = bm25Retrieve(Tables.documents(spark, dir), bm25Terms)
-      .orderBy(col("score_u6").desc, col("doc_id")).limit(hybridTopK)
+    scored.orderBy(col("score_u6").desc, col("doc_id")).limit(k)
       .withColumn("brank", row_number().over(bw).cast("long"))
       .select(col("doc_id"), col("brank"))
+  }
+
+  val x4uHybridRrf: Q = (spark, dir) => {
+    val bmr = bm25TopRanks(Tables.documents(spark, dir))
     val emb = Tables.embeddings(spark, dir)
     val vr = Vectors.cosineTopK(emb.filter(col("vec_id") === 0), emb, hybridTopK)
       .select(col("vec_id").as("doc_id"), col("rank").cast("long").as("vrank"))
@@ -1621,6 +1635,91 @@ object Text {
        | doc_id, CAST(bm25_rank AS BIGINT) AS bm25_rank,
        | CAST(vec_rank AS BIGINT) AS vec_rank, CAST(rrf_u AS BIGINT) AS rrf_u
        |FROM f ORDER BY fused_rank""".stripMargin
+
+  // ----------------------------------- X4v ANN-backed hybrid retrieval
+  /** Per-QUERY RRF fusion — [[rrfFuse]] generalized to many query
+    * vectors sharing one lexical list: `vr` carries (q_id, doc_id,
+    * vrank) for every query, `bmr` the single (doc_id, brank) lexical
+    * list, replicated per q_id via a broadcast (≤ k rows × |queries| —
+    * driver-bounded, never corpus-sized). Same integer-exact fusion
+    * term; the rank window partitions by q_id (high-cardinality at real
+    * query volume, never single-partition).
+    */
+  def rrfFuseBy(bmr: DataFrame, vr: DataFrame): DataFrame = {
+    val qids = vr.select(col("q_id")).distinct()
+    val fused = qids.crossJoin(broadcast(bmr))
+      .join(vr, Seq("q_id", "doc_id"), "full")
+      .select(col("q_id"), col("doc_id"),
+        coalesce(col("brank"), lit(0L)).as("bm25_rank"),
+        coalesce(col("vrank"), lit(0L)).as("vec_rank"))
+      .withColumn("rrf_u",
+        when(col("bm25_rank") > 0,
+          expr(s"1000000000 div ($rrfK + bm25_rank)")).otherwise(lit(0L)) +
+        when(col("vec_rank") > 0,
+          expr(s"1000000000 div ($rrfK + vec_rank)")).otherwise(lit(0L)))
+    val fw = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf_u").desc, col("doc_id"))
+    fused.withColumn("fused_rank", row_number().over(fw).cast("long"))
+  }
+
+  /** X4v — the 100 TB SERVING form of x4u: hybrid retrieval whose dense
+    * head is the IVF-PQ INDEX PROBE (coarse route → ADC over stored
+    * codes → exact re-rank, [[graft.operators.Vectors.pqSearchIndex]])
+    * instead of x4u's brute full-corpus cosine scan, fused with the
+    * BM25 list by the same integer-exact RRF. The index layout here is
+    * exactly what the T16 maintainer stores (`x3l` proves stream-built
+    * ≡ batch-encoded; the T30 x4t oracle proves maintained BM25 ≡ batch
+    * BM25), so this query IS the end-to-end serving stack — index →
+    * probe → fusion — with every component independently audited; the
+    * spec composes the DURABLE stores across epochs.
+    *
+    * Correctness is an oracle-checked recall BOUND against the exact
+    * fusion (the x3f/x3q pattern): per query vector, ≥6 of the exact
+    * fused top-10 must survive in the ANN fused top-10. The two fusions
+    * share the lexical ranks, so a recall miss localizes to the dense
+    * probe. nprobe=8 of 16 cells: fused recall compounds routing error
+    * on TOP of ADC error (the x3n lesson, one level up), and 4/16
+    * probes measurably under-recalls at sf0.01.
+    *
+    * Scale: probe cost is nprobe/nlist of the corpus per query (ADC
+    * over codes, 8 bytes/vector here vs 256 for full vectors) + an
+    * O(shortlist) exact re-rank — the brute head this retires scanned
+    * the full corpus per query. The exact-fusion reference half exists
+    * only to FEED THE BOUND at fixture scale; production serves the ANN
+    * half alone.
+    */
+  val x4vHybridAnn: Q = (spark, dir) => {
+    val q = (e: DataFrame) => e.filter(col("vec_id") < 10)
+    val docs = Tables.documents(spark, dir)
+    val e = Tables.embeddings(spark, dir)
+    val bmr = bm25TopRanks(docs)
+    val exactVr = Vectors.cosineTopK(q(e), e, hybridTopK)
+      .select(col("q_id"), col("vec_id").as("doc_id"),
+        col("rank").cast("long").as("vrank"))
+    val coarse = Vectors.kmeansCentroids(e, 16, 3)
+    val books = Vectors.pqCodebooks(e, 8, 16, 3)
+    val index = Vectors.encodeForIndex(e, coarse, books)
+    val annVr = Vectors.pqSearchIndex(q(e), index, coarse, books,
+        k = hybridTopK, nprobe = 8)
+      .select(col("q_id"), col("vec_id").as("doc_id"),
+        col("rank").cast("long").as("vrank"))
+    val exactF = rrfFuseBy(bmr, exactVr)
+      .filter(col("fused_rank") <= hybridTopK)
+      .select(col("q_id"), col("doc_id"))
+    val annF = rrfFuseBy(bmr, annVr)
+      .filter(col("fused_rank") <= hybridTopK)
+      .select(col("q_id"), col("doc_id"))
+    val hits = exactF.join(annF, Seq("q_id", "doc_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+    q(e).select(col("vec_id").as("q_id"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        (coalesce(col("n_hit"), lit(0L)) >= 6).as("recall_ok"))
+      .orderBy(col("q_id"))
+  }
+  val x4vSql: String =
+    """SELECT vec_id AS q_id, true AS recall_ok
+      |FROM embeddings WHERE vec_id < 10 ORDER BY 1""".stripMargin
 
   // --------------------------------------------------- X4s quality probe
   /** Closed-form linear quality probe: fit least-squares weights for
@@ -2403,6 +2502,7 @@ object Text {
     "x4s_quality_probe" -> x4sQualityProbe,
     "x4t_bm25_index" -> x4tBm25Index,
     "x4u_hybrid_rrf" -> x4uHybridRrf,
+    "x4v_hybrid_ann" -> x4vHybridAnn,
     "x1_dedup_exact" -> x1DedupExact,
     "x1e_fuzzy_linkage" -> x1eFuzzyLinkage,
     "x1f_linkage_apply" -> x1fLinkageApply,
@@ -2445,6 +2545,7 @@ object Text {
     "x4s_quality_probe" -> x4sSql,
     "x4t_bm25_index" -> x4tSql,
     "x4u_hybrid_rrf" -> x4uSql,
+    "x4v_hybrid_ann" -> x4vSql,
     "x1_dedup_exact" -> x1Sql,
     "x1e_fuzzy_linkage" -> x1eSql,
     "x1f_linkage_apply" -> x1fSql,

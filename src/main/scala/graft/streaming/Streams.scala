@@ -876,14 +876,19 @@ object Streams extends Serializable {
     */
   def vectorIndexApplyBatch(upserts: DataFrame, deleteIds: DataFrame,
       batchId: Long, indexDir: String, coarse: Array[Array[Float]],
-      books: Array[Array[Array[Float]]]): Unit = {
-    val enc = graft.operators.Vectors.encodeForIndex(upserts, coarse, books)
-      .withColumn("live", lit(true))
-    val dead = deleteIds.select(
-      lit(-1).as("cluster"), col("vec_id"),
-      lit(null).cast("array<int>").as("codes"),
-      lit(null).cast("array<float>").as("embedding"),
-      lit(false).as("live"))
+      books: Array[Array[Array[Float]]],
+      encoder: (DataFrame, Array[Array[Float]], Array[Array[Array[Float]]])
+        => DataFrame = graft.operators.Vectors.encodeForIndex): Unit = {
+    val enc = encoder(upserts, coarse, books).withColumn("live", lit(true))
+    // tombstone columns derive from the encoder's own output schema so a
+    // CARRYING encoder (encodeForIndexCarry: label, license tier, …)
+    // keeps every epoch schema-identical — carried attributes are typed
+    // nulls on a tombstone, which the fold never serves (live=false)
+    val fixed: Map[String, org.apache.spark.sql.Column] = Map(
+      "cluster" -> lit(-1), "vec_id" -> col("vec_id"))
+    val dead = deleteIds.select(enc.drop("live").schema.fields.map(f =>
+      fixed.getOrElse(f.name, lit(null).cast(f.dataType)).as(f.name))
+      :+ lit(false).as("live"): _*)
     writeIndexEpoch(enc.unionByName(dead), batchId, indexDir)
   }
 

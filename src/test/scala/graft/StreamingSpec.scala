@@ -2419,6 +2419,90 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSeq === batch(mini))
   }
 
+  test("x4v serving stack end-to-end: maintained postings + maintained carried IVF-PQ index → filtered probe → RRF fusion ≡ the exact fusion across epochs") {
+    import graft.operators.{Text, Vectors}
+    val terms = Seq("rare", "common")
+    val k = 5
+    def textOf(i: Long): String =
+      (if (i % 3 == 1) "rare common topic" else "common topic filler") +
+        s" w${i} w${i % 7} w${i % 5}" + (" pad" * (i % 4).toInt)
+    def labelOf(i: Long): String = if (i % 2 == 0) "a" else "b"
+    def docsDf(c: Seq[(Long, String)]) =
+      c.map { case (i, s) => (i, s, labelOf(i)) }
+        .toDF("doc_id", "text", "label")
+    def embOf(c: Seq[(Long, String)]) = Vectors.stubEmbed(
+      docsDf(c).select(col("doc_id").as("vec_id"), col("text"), col("label")))
+      .select("vec_id", "embedding", "label")
+    val corpus0 = (1L to 24L).map(i => i -> textOf(i))
+    // frozen models, fit on the seed corpus (the T16 cadence)
+    val coarse = Vectors.kmeansCentroids(embOf(corpus0).toDF, 4, 3)
+    val books = Vectors.pqCodebooks(embOf(corpus0).toDF, 8, 16, 3)
+    val carryEnc = (v: org.apache.spark.sql.DataFrame,
+        c: Array[Array[Float]], b: Array[Array[Array[Float]]]) =>
+      Vectors.encodeForIndexCarry(v, c, b, Seq("label"))
+    val pdir = java.nio.file.Files.createTempDirectory("x4v-post").toString
+    val vdir = java.nio.file.Files.createTempDirectory("x4v-vec").toString
+    Streams.seedPostings(docsDf(corpus0).select("doc_id", "text"), pdir)
+    Streams.vectorIndexBatch(embOf(corpus0).toDF, -1L, vdir, coarse, books,
+      carryEnc)
+    // serve from the two MAINTAINED stores; reference = the same stack
+    // over the current batch corpus. nprobe=12 ≥ nlist=4 and shortlist ≥
+    // |corpus|: the probe covers every cell and the exact re-rank sees
+    // every filtered candidate, so the ANN head EQUALS the exact head
+    // here and the fused lists must match exactly — composition bugs
+    // (stale postings, unfolded index, lost carry column) can't hide
+    // behind recall slack.
+    def fusedServed(c: Seq[(Long, String)]) = {
+      val bmr = Text.rankBm25(Streams.servedBm25(spark, pdir, terms), k)
+      val q = embOf(c).filter(col("vec_id").isin(1L, 5L))
+      val ann = Vectors.pqSearchIndexFiltered(q,
+          Streams.readVectorIndex(spark, vdir), Seq("label"), coarse, books, k)
+        .select(col("q_id"), col("vec_id").as("doc_id"),
+          col("rank").cast("long").as("vrank"))
+      Text.rrfFuseBy(bmr, ann).filter(col("fused_rank") <= k)
+        .select("q_id", "fused_rank", "doc_id")
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+    }
+    def fusedExact(c: Seq[(Long, String)]) = {
+      val bmr = Text.bm25TopRanks(docsDf(c).select("doc_id", "text"), terms, k)
+      val q = embOf(c).filter(col("vec_id").isin(1L, 5L))
+      val ex = Vectors.filteredCosineTopK(q, embOf(c).toDF, Seq("label"), k)
+        .select(col("q_id"), col("vec_id").as("doc_id"),
+          col("rank").cast("long").as("vrank"))
+      Text.rrfFuseBy(bmr, ex).filter(col("fused_rank") <= k)
+        .select("q_id", "fused_rank", "doc_id")
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+    }
+    assert(fusedServed(corpus0) === fusedExact(corpus0))
+    assert(fusedServed(corpus0).nonEmpty)
+    // epoch 0: docs 25..30 arrive, doc 2 is REWRITTEN to gain the gate
+    // token (lexical rank changes; embedding direction changes), doc 4
+    // (in the lexical list: 4 % 3 == 1) is DELETED from both stores
+    val rew2 = "rare common rewritten w2 fresh"
+    val ups = (25L to 30L).map(i => i -> textOf(i)) :+ (2L -> rew2)
+    Streams.postingsApplyBatch(docsDf(ups).select("doc_id", "text"),
+      Seq(4L).toDF("doc_id"), 0L, pdir)
+    Streams.vectorIndexApplyBatch(embOf(ups).toDF,
+      Seq(4L).toDF("vec_id"), 0L, vdir, coarse, books, carryEnc)
+    val corpus1 = (corpus0.toMap ++ ups.toMap - 4L).toSeq.sortBy(_._1)
+    assert(fusedServed(corpus1) === fusedExact(corpus1))
+    assert(!fusedServed(corpus1).map(_._3).contains(4L)) // deleted doc gone
+    // epoch 1: doc 5's rewrite LOSES the gate token — it must leave the
+    // lexical list while remaining a dense candidate (it still exists)
+    val rew5 = "common topic only w5"
+    Streams.postingsApplyBatch(Seq(5L -> rew5).toDF("doc_id", "text"),
+      spark.emptyDataset[Long].toDF("doc_id"), 1L, pdir)
+    Streams.vectorIndexApplyBatch(embOf(Seq(5L -> rew5)).toDF,
+      spark.emptyDataset[Long].toDF("vec_id"), 1L, vdir, coarse, books,
+      carryEnc)
+    val corpus2 = (corpus1.toMap + (5L -> rew5)).toSeq.sortBy(_._1)
+    assert(fusedServed(corpus2) === fusedExact(corpus2))
+    val servedBmDocs = Text.rankBm25(
+      Streams.servedBm25(spark, pdir, terms), k)
+      .as[(Long, Long)].collect().map(_._1).toSet
+    assert(!servedBmDocs.contains(5L)) // lost the gate token
+  }
+
   test("T31 per-user moments: additive store merge over batch splits flags ≡ batch q36; replay idempotent; stream wrapper smoke") {
     import graft.operators.Relational
     // user 1: spike at n=13 (flags); user 2: constant; user 3: singleton
