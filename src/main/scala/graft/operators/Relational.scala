@@ -1196,13 +1196,15 @@ object Relational {
     * since both sides are 0). One groupBy(user) plus one user-keyed
     * join back — the x4d fingerprint discipline, never a per-user
     * window. BIGINT headroom: the binding term is the RHS
-    * `9·(n·Σv² − (Σv)²) = 9·n²·σ²` — with σ² ≤ max_cents²/4 for
-    * bounded values, safe while a user's n·max_cents < ~2·10⁹
-    * (conservatively 10⁹; the LHS square is then < 4.2·10¹⁸ too). Past
-    * that Spark wraps silently while DuckDB throws on BIGINT overflow —
-    * an engine ASYMMETRY, not just a wrong answer — so production
-    * bounds n by windowing stats per day, which is also the
-    * semantically right baseline at unbounded history.
+    * `9·(n·Σv² − (Σv)²) = 9·n²·σ²` — safe while a user's n·max_cents
+    * ≤ 10⁹ ([[q36Headroom]]: then s² ≤ 10¹⁸, n·q ≤ 10¹⁸,
+    * 9·(n·q − s²) ≤ 9·10¹⁸ and the LHS square ≤ 4·10¹⁸, all inside
+    * BIGINT). Past that Spark would wrap silently while DuckDB throws —
+    * an engine ASYMMETRY, not just a wrong answer — so [[momentsBy]]
+    * ENFORCES the bound in-plan and THROWS (the hierarchyPaths
+    * discipline: loud, never silently wrong); the unbounded-history fix
+    * is the per-day windowed baseline [[q36bWindowedOutliers]], which
+    * is also the semantically right baseline at unbounded history.
     */
   val q36Outliers: Q = (spark, dir) =>
     outliersByKey(Tables.events(spark, dir)
@@ -1215,27 +1217,97 @@ object Relational {
   val outlierTest: String =
     "(v_c * n - s) * (v_c * n - s) > 9 * (n * q - s * s)"
 
-  /** Per-user exact integer moments (n, Σv, Σv²) — the sufficient
-    * statistics of the z-test; additively mergeable, which is what makes
+  /** BIGINT headroom bound for the cleared-denominator z-test — see the
+    * q36 scaladoc for the derivation. */
+  val q36Headroom = 1000000000L
+
+  /** Per-user exact integer moments (n, Σv, Σv², max|v|) — the
+    * sufficient statistics of the z-test plus the overflow witness;
+    * additively mergeable (n/s/q by sum, m by max), which is what makes
     * the T31 streaming maintenance exact. */
-  def momentsByKey(ev: DataFrame): DataFrame =
-    ev.groupBy(col("user_id")).agg(count(lit(1)).as("n"),
-      sum(col("v_c")).as("s"), sum(col("v_c") * col("v_c")).as("q"))
+  def momentsByKey(ev: DataFrame): DataFrame = momentsBy(ev, Seq("user_id"))
+
+  /** [[momentsByKey]] grouped by arbitrary key columns — the q36b
+    * windowed baseline groups by (user_id, day), bounding n per key. */
+  def momentsBy(ev: DataFrame, keys: Seq[String]): DataFrame =
+    guardMoments(ev.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col("v_c")).as("s"),
+        sum(col("v_c") * col("v_c")).as("q"),
+        max(abs(col("v_c"))).as("m")))
+
+  /** The in-plan overflow guard: THROW when any key's n·m approaches
+    * the BIGINT headroom, instead of letting the z-test wrap silently.
+    * The compare runs in DOUBLE — exact below 2^53 and immune to the
+    * very wrap it guards against (n·m as BIGINT could itself wrap past
+    * the bound). Applied by [[momentsBy]] (batch) and re-applied by the
+    * T31 store on its MERGED state, so an unbounded stream walks into a
+    * loud failure at the merge that crosses the bound, never a wrong
+    * flag. */
+  def guardMoments(moments: DataFrame): DataFrame =
+    moments.filter(coalesce(
+      assert_true(
+        col("n").cast("double") * col("m").cast("double")
+          <= lit(q36Headroom.toDouble),
+        concat(lit("q36 overflow guard: a key's n*max|v_c| exceeds the " +
+            s"BIGINT headroom ($q36Headroom) — window the baseline " +
+            "(q36b) or rescale units; n="), col("n"), lit(" m="), col("m"))
+      ).cast("boolean"), lit(true)))
 
   /** The WHOLE serving tail — join, predicate, projection, ordering —
     * shared by batch q36 and T31's [[graft.streaming.Streams
     * .flagOutliers]], so the twins cannot drift anywhere, not just at
-    * the predicate. `moments` carries (user_id, n, s, q). */
+    * the predicate. `moments` carries (user_id, n, s, q, m). */
   def flagAgainst(ev: DataFrame, moments: DataFrame): DataFrame =
-    ev.join(moments, "user_id")
+    flagAgainstBy(ev, moments, Seq("user_id"))
+
+  /** [[flagAgainst]] on arbitrary keys; `extraCols` ride into the
+    * output between user_id and v_c (q36b emits its window day). */
+  def flagAgainstBy(ev: DataFrame, moments: DataFrame, keys: Seq[String],
+      extraCols: Seq[String] = Nil): DataFrame =
+    ev.join(moments, keys)
       .filter(expr(outlierTest))
-      .select(col("event_id"), col("user_id"), col("v_c"))
+      .select((Seq("event_id", "user_id") ++ extraCols :+ "v_c").map(col): _*)
       .orderBy(col("event_id"))
 
   /** Integer z-test core of [[q36Outliers]]: input (event_id, user_id,
     * v_c) with v_c already quantized to exact integer units. */
   def outliersByKey(ev: DataFrame): DataFrame =
     flagAgainst(ev, momentsByKey(ev))
+
+  /** Q36b — the WINDOWED anomaly baseline (per-user-per-WEEK moments):
+    * an event is flagged against its user's SAME-WEEK distribution, the
+    * semantically right baseline at unbounded history (last month's
+    * regime shift should not dilute this week's z-test) and the
+    * overflow fix the q36 scaladoc prescribes — n per key is bounded by
+    * one week's events, so n·max|v_c| stays far inside [[q36Headroom]]
+    * for any stream lifetime. Window width is a calibration choice: a
+    * |z| > 3 flag needs n ≥ 11 in the window (max attainable z² is
+    * n−1+…), and the fixture runs ~2.5 events/user/day vs ~13/user/week
+    * — daily windows would never flag here; weekly windows keep the
+    * operator exercised at every SF. Identical shape to q36: one
+    * groupBy + one keyed join-back, both now keyed (user, wk) — still
+    * never a per-user window; the week column prunes both sides of the
+    * join at scale (partition-by-time storage joins co-located). */
+  val q36bWindowedOutliers: Q = (spark, dir) => {
+    val weekMs = 604800000L
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        expr(s"ts_ms DIV $weekMs").as("wk"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v_c"))
+    flagAgainstBy(ev, momentsBy(ev, Seq("user_id", "wk")),
+      Seq("user_id", "wk"), Seq("wk"))
+  }
+  val q36bSql: String =
+    """WITH ev AS (SELECT event_id, user_id, epoch_ms(ts) // 604800000 AS wk,
+      |        CAST(round(value * 100) AS BIGINT) AS v_c FROM events),
+      |st AS (SELECT user_id, wk, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(v_c) AS BIGINT) AS s,
+      |        CAST(sum(v_c * v_c) AS BIGINT) AS q
+      |       FROM ev GROUP BY 1, 2)
+      |SELECT event_id, ev.user_id, ev.wk, v_c
+      |FROM ev JOIN st ON ev.user_id = st.user_id AND ev.wk = st.wk
+      |WHERE (v_c * n - s) * (v_c * n - s) > 9 * (n * q - s * s)
+      |ORDER BY event_id""".stripMargin
   val q36Sql: String =
     """WITH ev AS (SELECT event_id, user_id,
       |        CAST(round(value * 100) AS BIGINT) AS v_c FROM events),
@@ -1369,6 +1441,7 @@ object Relational {
     "q8g_qdigest_bound" -> q8gQdigestBound,
     "q33_rolling_active" -> q33RollingActive,
     "q36_outliers" -> q36Outliers,
+    "q36b_windowed_outliers" -> q36bWindowedOutliers,
     "q9c_approx_bound" -> q9cApproxBound,
     "q9d_hll_union_bound" -> q9dHllUnionBound,
     "q10_rollup" -> q10Rollup,
@@ -1401,6 +1474,7 @@ object Relational {
     "q8g_qdigest_bound" -> q8gSql,
     "q33_rolling_active" -> q33Sql,
     "q36_outliers" -> q36Sql,
+    "q36b_windowed_outliers" -> q36bSql,
     "q8b_percentile" -> q8bSql,
     "q8c_stats" -> q8cSql,
     "q8d_stringagg" -> q8dSql,

@@ -1198,7 +1198,8 @@ object Streams extends Serializable {
 
   // --------------------- T31 durable streaming anomaly moments (q36 twin)
   /** T31 — q36's streaming half: per-user exact integer moments
-    * (n, Σv, Σv²) maintained ADDITIVELY through the versioned store (the
+    * (n, Σv, Σv², max|v| for the overflow guard) maintained ADDITIVELY
+    * (sums; max|v| by max) through the versioned store (the
     * T14 aggregate-maintenance shape) — moments are the z-test's
     * sufficient statistics and merge by plain BIGINT addition, so the
     * committed state after any batch split equals the all-at-once
@@ -1218,10 +1219,14 @@ object Streams extends Serializable {
     val merged = SnapshotStore.readBefore(spark, root, batchId) match {
       case Some(p) => p.unionByName(delta).groupBy(col("user_id"))
         .agg(sum(col("n")).as("n"), sum(col("s")).as("s"),
-          sum(col("q")).as("q"))
+          sum(col("q")).as("q"), max(col("m")).as("m"))
       case None => delta
     }
-    SnapshotStore.commit(merged, root, batchId)
+    // re-guard the MERGED state: each increment can pass the headroom
+    // bound while the lifetime sum crosses it — the commit that crosses
+    // THROWS (and commits nothing) instead of storing wrap-prone moments
+    SnapshotStore.commit(
+      graft.operators.Relational.guardMoments(merged), root, batchId)
   }
 
   def momentsStream(evStream: DataFrame, root: String)

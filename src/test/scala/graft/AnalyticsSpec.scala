@@ -98,4 +98,32 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got === ref)
     assert(got === Seq((13L, 1L, 30000L))) // only the spike flags
   }
+
+  test("windowed outliers (q36b): events are judged against the SAME-DAY baseline only") {
+    // user 1, day 0: baseline + spike (flags); day 1: the SPIKE VALUE is
+    // that day's constant norm — a same-day baseline stays silent where
+    // an all-time baseline would blur the two regimes together
+    val rows = (1L to 12L).map(i => (i, 1L, 0L, 1000L)) ++
+      Seq((13L, 1L, 0L, 30000L)) ++
+      (21L to 25L).map(i => (i, 1L, 1L, 30000L))
+    val ev = rows.toDF("event_id", "user_id", "day", "v_c")
+    val got = operators.Relational.flagAgainstBy(ev,
+        operators.Relational.momentsBy(ev, Seq("user_id", "day")),
+        Seq("user_id", "day"), Seq("day"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((13L, 1L, 0L, 30000L)))
+  }
+
+  test("q36 overflow guard: adversarial magnitudes THROW instead of wrapping; boundary cases stay exact") {
+    val bound = operators.Relational.q36Headroom
+    // n=2, m=2e9 → n·m = 4e9 > bound: the old code wrapped s*s silently
+    val hot = Seq((1L, 9L, 2000000000L), (2L, 9L, 2000000001L))
+      .toDF("event_id", "user_id", "v_c")
+    val e = intercept[Exception](
+      operators.Relational.outliersByKey(hot).collect())
+    assert(e.getMessage != null)
+    // exactly AT the bound is safe (n=1, m=bound) and flags nothing
+    val atBound = Seq((1L, 9L, bound)).toDF("event_id", "user_id", "v_c")
+    assert(operators.Relational.outliersByKey(atBound).collect().isEmpty)
+  }
 }

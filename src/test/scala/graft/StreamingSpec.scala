@@ -2543,5 +2543,17 @@ class StreamingSpec extends AnyFunSuite {
     q.processAllAvailable(); q.stop()
     assert(moments(Streams.readMoments(spark, root2)) ===
       moments(Relational.momentsByKey(all)))
+    // OVERFLOW GUARD on the merged state: a batch whose magnitudes push
+    // a user's lifetime n·max|v_c| past the headroom bound must THROW at
+    // commit (never store wrap-prone moments) — and the failed commit
+    // must leave the store at its prior state
+    intercept[Exception] {
+      Streams.momentsBatch(
+        Seq((99L, 9L, 2000000000L), (100L, 9L, 2000000001L))
+          .toDF("event_id", "user_id", "v_c"),
+        batches.size.toLong, root)
+    }
+    assert(moments(Streams.readMoments(spark, root)) ===
+      moments(Relational.momentsByKey(all)))
   }
 }
