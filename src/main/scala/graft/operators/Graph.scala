@@ -737,10 +737,82 @@ object Graph {
       |FROM (SELECT unnest([a, b, c]) AS doc_id FROM tri)
       |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------- X7p incremental triangle maintenance
+  /** X7p — INCREMENTAL triangle maintenance equals batch x7o,
+    * oracle-exact: the verified pair graph arrives as three increments
+    * (the x7j split, `pmod(da + db, 3)`, so triangles routinely close
+    * ACROSS increments) and per-document triangle counts are maintained
+    * by counting only the triangles each increment CREATES
+    * ([[triangleDelta]]), merged additively. A crawl increment costs the
+    * wedges incident to its new edges — Σ deg over the increment's
+    * endpoints — never a full-graph recount (the T17 delta discipline
+    * applied to x7o). Because every triangle is created exactly once (by
+    * its last-arriving edge), the folded counts equal the batch count of
+    * the final edge set IDENTICALLY, and the oracle is x7oSql verbatim —
+    * hash-exact, not a bound.
+    */
+  val x7pIncrTriangles: Q = (spark, dir) => {
+    val pairs = Text.stagedJaccardPairs(spark, dir)
+      .select(col("da"), col("db"))
+    val seed = (pairs.limit(0).select(col("da").as("doc_id"),
+        lit(0L).as("n_tri")), pairs.limit(0))
+    val (counts, _) = (0 until 3).foldLeft(seed) { case ((cnt, stored), i) =>
+      val inc = pairs.filter(pmod(col("da") + col("db"), lit(3)) === i)
+      val fresh = inc.distinct()
+        .join(stored, Seq("da", "db"), "left_anti")
+        .localCheckpoint() // read twice: wedge probe + edge-set fold
+      (mergeTriangleCounts(cnt, triangleDelta(stored, fresh))
+          .localCheckpoint(),
+        stored.unionByName(fresh).localCheckpoint())
+    }
+    counts.orderBy(col("doc_id"))
+  }
+
+  /** Per-node counts of the triangles CREATED by `newEdges` on top of
+    * `stored`: a triangle closing with 1, 2, or 3 in-batch edges is
+    * attributed to exactly ONE of them — its MAX new edge under the
+    * canonical (da, db) total order — so the delta is exactly-once with
+    * no inclusion–exclusion. Both inputs must be canonical (da < db),
+    * distinct, and mutually disjoint (the caller anti-joins). Cost: the
+    * wedge join fans out from the NEW edges' endpoints only —
+    * O(Σ deg(ΔE endpoints)) candidates, independent of graph size for a
+    * bounded increment; the stored set is probed, never re-joined with
+    * itself (batch x7o's ab⋈bc self-join is what this avoids).
+    */
+  def triangleDelta(stored: DataFrame, newEdges: DataFrame): DataFrame = {
+    val all = stored.select(col("da"), col("db"), lit(false).as("nw"))
+      .unionByName(newEdges.select(col("da"), col("db"), lit(true).as("nw")))
+    // adjacency in both directions, each row carrying its edge's
+    // canonical key — the max-new-edge rule needs to compare edges
+    val adj = all.select(col("da").as("u"), col("db").as("v"),
+        col("da").as("ka"), col("db").as("kb"), col("nw"))
+      .unionByName(all.select(col("db").as("u"), col("da").as("v"),
+        col("da").as("ka"), col("db").as("kb"), col("nw")))
+    val ab = newEdges.select(col("da").as("a"), col("db").as("b"))
+    val ac = adj.select(col("u").as("a"), col("v").as("c"),
+      struct(col("ka"), col("kb")).as("k_ac"), col("nw").as("nw_ac"))
+    val bc = adj.select(col("u").as("b"), col("v").as("c"),
+      struct(col("ka"), col("kb")).as("k_bc"), col("nw").as("nw_bc"))
+    val kAb = struct(col("a").as("ka"), col("b").as("kb"))
+    val tri = ab.join(ac, Seq("a")).join(bc, Seq("b", "c"))
+      .filter((!col("nw_ac") || col("k_ac") < kAb) &&
+        (!col("nw_bc") || col("k_bc") < kAb))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** Additive fold of a [[triangleDelta]] into the maintained counts —
+    * the same merge rule as the T31 moments (BIGINT addition, order-
+    * and split-invariant). */
+  def mergeTriangleCounts(prior: DataFrame, delta: DataFrame): DataFrame =
+    prior.unionByName(delta).groupBy(col("doc_id"))
+      .agg(sum(col("n_tri")).as("n_tri"))
+
   val queries: Map[String, Q] = Map(
     "q32_hierarchy" -> q32Hierarchy,
     "q34_pagerank" -> q34PageRank,
     "x7o_triangles" -> x7oTriangles,
+    "x7p_incr_triangles" -> x7pIncrTriangles,
     "x7_neardup_clusters" -> x7NeardupClusters,
     "x7l_cluster_stats" -> x7lClusterStats,
     "x7f_dedup_apply" -> x7fDedupApply,
@@ -752,6 +824,7 @@ object Graph {
     "q32_hierarchy" -> q32Sql,
     "q34_pagerank" -> q34Sql,
     "x7o_triangles" -> x7oSql,
+    "x7p_incr_triangles" -> x7oSql,
     "x7_neardup_clusters" -> x7Sql,
     "x7l_cluster_stats" -> x7lSql,
     "x7f_dedup_apply" -> x7fSql,

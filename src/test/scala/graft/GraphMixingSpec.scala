@@ -376,4 +376,41 @@ class GraphMixingSpec extends AnyFunSuite {
     assert(got === Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
     assert(got.map(_._2).sum === 4L * 3) // 4 triangles × 3 corners, once each
   }
+
+  test("triangleDelta: incremental fold over random edge splits ≡ batch triangleCounts (triangles closing with 1, 2, or 3 in-batch edges)") {
+    def batchRef(edges: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      Graph.triangleCounts(edges.toDF("da", "db"))
+        .as[(Long, Long)].collect().toSeq.sorted
+    def fold(incs: Seq[Seq[(Long, Long)]]): Seq[(Long, Long)] = {
+      val seed = (Seq.empty[(Long, Long)].toDF("doc_id", "n_tri"),
+        Seq.empty[(Long, Long)].toDF("da", "db"))
+      val (cnt, _) = incs.foldLeft(seed) { case ((c, stored), inc) =>
+        val fresh = inc.toDF("da", "db").distinct()
+          .join(stored, Seq("da", "db"), "left_anti").localCheckpoint()
+        (Graph.mergeTriangleCounts(c, Graph.triangleDelta(stored, fresh))
+            .localCheckpoint(),
+          stored.unionByName(fresh).localCheckpoint())
+      }
+      cnt.as[(Long, Long)].collect().toSeq.sorted
+    }
+    // K4 arriving one edge at a time: every triangle closes on a LATER
+    // batch (the 1-new-edge case), including the last edge closing two
+    val k4 = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)).toSeq
+    assert(fold(k4.map(Seq(_))) === batchRef(k4))
+    // whole K4 in ONE increment: triangles with 3 in-batch edges must
+    // still count exactly once (the max-new-edge attribution rule)
+    assert(fold(Seq(k4)) === batchRef(k4))
+    // random graphs, random 3-way splits — duplicate edges across
+    // increments exercise the anti-join guard
+    for (seedN <- 1 to 4) {
+      val rnd = new scala.util.Random(seedN)
+      val edges = (0 until 40).map { _ =>
+        val a = rnd.nextInt(10).toLong; val b = rnd.nextInt(10).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      val withDups = edges ++ edges.take(5) // re-sends across batches
+      val incs = withDups.groupBy(_ => rnd.nextInt(3)).values.toSeq
+      assert(fold(incs) === batchRef(edges))
+    }
+  }
 }
