@@ -1168,22 +1168,80 @@ object Relational {
     * at unbounded scale swaps the exact distinct for T21's HLL union
     * per window — the documented trade.)
     */
-  val q33RollingActive: Q = (spark, dir) => {
-    val dayMs = 86400000L
-    val ud = Tables.events(spark, dir)
-      .select(col("user_id"), expr(s"ts_ms DIV $dayMs").as("day"))
-      .distinct()
+  /** Width-w rolling distinct actives over a (user_id, day)-DISTINCT
+    * frame — q33's explode-to-window-ends shape parameterized by window
+    * width: each activity row contributes to the w window-ends it is
+    * visible from (a map-side w× multiplier, no self-join), then one
+    * two-phase distinct per window_end. Output (day, dau, <outCol>) for
+    * every OBSERVED day. Cost scales linearly in w — the documented
+    * trade vs the T29 per-day-sketch store, whose range-union read is
+    * O(w × sketch bytes) per window regardless of data volume (q33b
+    * checks that twin's bound in-plan). */
+  def rollingActive(ud: DataFrame, w: Int, outCol: String): DataFrame = {
     val dau = ud.groupBy(col("day"))
       .agg(count(lit(1)).as("dau")) // rows already (user, day)-distinct
-    val wau = ud
+    val roll = ud
       .select(col("user_id"),
-        explode(expr("sequence(day, day + 6)")).as("window_end"))
+        explode(expr(s"sequence(day, day + ${w - 1})")).as("window_end"))
       .distinct()
-      .groupBy(col("window_end")).agg(count(lit(1)).as("wau"))
-    dau.join(wau, dau("day") === wau("window_end"))
-      .select(col("day"), col("dau"), col("wau"))
+      .groupBy(col("window_end")).agg(count(lit(1)).as(outCol))
+    dau.join(roll, dau("day") === roll("window_end"))
+      .select(col("day"), col("dau"), col(outCol))
+  }
+
+  /** The (user_id, day)-distinct activity frame both rolling queries
+    * start from. */
+  private def userDays(spark: SparkSession, dir: String): DataFrame = {
+    val dayMs = 86400000L
+    Tables.events(spark, dir)
+      .select(col("user_id"), expr(s"ts_ms DIV $dayMs").as("day"))
+      .distinct()
+  }
+
+  val q33RollingActive: Q = (spark, dir) =>
+    rollingActive(userDays(spark, dir), 7, "wau").orderBy(col("day"))
+
+  /** Q33b — the PARAMETERIZED rolling window at monthly width (w = 28)
+    * plus the scale-path twin checked in-plan: per-day HLL sketches
+    * union over each trailing-28 range (the batch analogue of T29's
+    * [[graft.streaming.Streams.readRangeDistinct]] — same lgK, same
+    * union rule) and the estimate must land within 5% of the exact
+    * count (the q9c boolean pattern: each engine runs ITS OWN sketch,
+    * the bound holds in both, the booleans hash-match). At unbounded
+    * scale the exact half is the one you retire: the sketch path reads
+    * w sketch rows per window instead of re-shuffling w days of
+    * activity, and this query is the standing proof the swap stays
+    * inside its error budget. */
+  val q33bRollingActive28: Q = (spark, dir) => {
+    val ud = userDays(spark, dir).localCheckpoint() // feeds both halves
+    val exact = rollingActive(ud, 28, "rolling_28")
+    val daySk = ud.groupBy(col("day"))
+      .agg(expr("hll_sketch_agg(CAST(user_id AS STRING), 12)").as("sk"))
+    val approx = daySk
+      .select(explode(expr("sequence(day, day + 27)")).as("window_end"),
+        col("sk"))
+      .groupBy(col("window_end"))
+      .agg(expr("CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT)")
+        .as("approx"))
+    exact.join(approx, exact("day") === approx("window_end"))
+      .select(col("day"), col("dau"), col("rolling_28"),
+        (abs(col("approx") - col("rolling_28")) * 100
+          <= col("rolling_28") * 5).as("within_5pct"))
       .orderBy(col("day"))
   }
+  val q33bSql: String =
+    """WITH ud AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day
+      |           FROM events),
+      |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+      |w AS (SELECT DISTINCT user_id, day + u AS window_end
+      |      FROM ud CROSS JOIN (SELECT unnest(generate_series(0, 27)) AS u)),
+      |r AS (SELECT window_end, CAST(count(*) AS BIGINT) AS rolling_28,
+      |       approx_count_distinct(user_id) AS approx
+      |      FROM w GROUP BY 1)
+      |SELECT day, dau, rolling_28,
+      | abs(approx - rolling_28) * 100 <= rolling_28 * 5 AS within_5pct
+      |FROM dau JOIN r ON day = window_end
+      |ORDER BY day""".stripMargin
   // Q36 — per-user anomaly detection via exact integer moment arithmetic.
   /** Q36 — per-entity outlier flagging (|z| > 3 against the user's own
     * value distribution), the ops/fraud anomaly workload — computed
@@ -1440,6 +1498,7 @@ object Relational {
     "q8f_quantile_rank_bound" -> q8fQuantileRankBound,
     "q8g_qdigest_bound" -> q8gQdigestBound,
     "q33_rolling_active" -> q33RollingActive,
+    "q33b_rolling_active_28" -> q33bRollingActive28,
     "q36_outliers" -> q36Outliers,
     "q36b_windowed_outliers" -> q36bWindowedOutliers,
     "q9c_approx_bound" -> q9cApproxBound,
@@ -1473,6 +1532,7 @@ object Relational {
     "q8f_quantile_rank_bound" -> q8fSql,
     "q8g_qdigest_bound" -> q8gSql,
     "q33_rolling_active" -> q33Sql,
+    "q33b_rolling_active_28" -> q33bSql,
     "q36_outliers" -> q36Sql,
     "q36b_windowed_outliers" -> q36bSql,
     "q8b_percentile" -> q8bSql,

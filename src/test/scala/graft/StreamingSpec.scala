@@ -1605,6 +1605,12 @@ class StreamingSpec extends AnyFunSuite {
     val exact3 = all.filter(_._1 == 3L).map(_._2).distinct.size.toLong
     val est3 = Streams.readRangeDistinct(spark, root, 3L, 3L)
     assert(math.abs(est3 - exact3) * 100 <= exact3 * 5)
+    // the q33b MONTHLY window (w = 28): a range wider than the stored
+    // bucket span unions every committed sketch and must stay in bound
+    val exactAll = all.map(_._2).distinct.size.toLong
+    val est28 = Streams.readRangeDistinct(spark, root, 9L - 27, 9L)
+    assert(math.abs(est28 - exactAll) * 100 <= exactAll * 5,
+      s"window [-18,9]: est=$est28 exact=$exactAll")
     // out-of-range and never-written buckets read 0
     assert(Streams.readRangeDistinct(spark, root, 100L, 200L) === 0L)
     // replay of the last batch recommits byte-identical sketch rows
