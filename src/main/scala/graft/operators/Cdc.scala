@@ -1834,34 +1834,83 @@ object Cdc {
   /** The audit over an arbitrary one-column `lsn` frame (property-tested
     * against the naive global-sort computation on random multisets).
     */
-  def seqAudit(lsns: DataFrame, topK: Int = 100): DataFrame = {
+  def seqAudit(lsns: DataFrame, topK: Int = 100): DataFrame =
+    seqAuditBy(lsns, Nil, topK)
+
+  /** [[seqAudit]] generalized to KEYED sequence streams — one audited
+    * lsn sequence per key tuple (per captured table, per topic
+    * partition: the C17 composite convention applied to the monitor;
+    * every real deployment's WAL offsets advance independently per
+    * slot/partition). All three passes key on the tuple: the
+    * intra-bucket window partitions by (keys, bucket), the cross-bucket
+    * lag by keys over per-bucket bounds (#keys × #buckets rows — still
+    * the documented tiny-window class per key; with Nil keys this IS
+    * the global seqAudit), and duplicates group by (keys, lsn). Output
+    * rows carry the key columns; severity order breaks ties on the full
+    * (gap desc, keys, prev_lsn) tuple so the top-K cutoff is
+    * deterministic in both engines. */
+  def seqAuditBy(lsns: DataFrame, keys: Seq[String],
+      topK: Int = 100): DataFrame = {
+    val kc = keys.map(col)
     val bucketed = lsns.withColumn("b", expr("lsn DIV 1000"))
-    val wIn = Window.partitionBy(col("b")).orderBy(col("lsn"))
+    val wIn = Window.partitionBy(kc :+ col("b"): _*).orderBy(col("lsn"))
     val intra = bucketed.withColumn("prev_lsn", lag(col("lsn"), 1).over(wIn))
       .filter(col("prev_lsn").isNotNull)
-      .select(col("prev_lsn"), col("lsn").as("next_lsn"))
-    val bounds = bucketed.groupBy(col("b"))
+      .select(kc ++ Seq(col("prev_lsn"), col("lsn").as("next_lsn")): _*)
+    val bounds = bucketed.groupBy(kc :+ col("b"): _*)
       .agg(min(col("lsn")).as("lo"), max(col("lsn")).as("hi"))
-    val wB = Window.orderBy(col("b")) // #buckets rows — tiny by construction
+    // per-key #buckets rows — tiny by construction
+    val wB = Window.partitionBy(kc: _*).orderBy(col("b"))
     val cross = bounds.withColumn("prev_lsn", lag(col("hi"), 1).over(wB))
       .filter(col("prev_lsn").isNotNull)
-      .select(col("prev_lsn"), col("lo").as("next_lsn"))
-    val dups = lsns.groupBy(col("lsn")).agg(count(lit(1)).as("c"))
+      .select(kc ++ Seq(col("prev_lsn"), col("lo").as("next_lsn")): _*)
+    val dups = lsns.groupBy(kc :+ col("lsn"): _*).agg(count(lit(1)).as("c"))
       .filter(col("c") > 1)
-      .select(col("lsn").as("prev_lsn"), col("lsn").as("next_lsn"),
-        lit(0L).as("gap"), lit("dup").as("kind"))
+      .select(kc ++ Seq(col("lsn").as("prev_lsn"), col("lsn").as("next_lsn"),
+        lit(0L).as("gap"), lit("dup").as("kind")): _*)
     intra.unionByName(cross)
-      .select(col("prev_lsn"), col("next_lsn"),
+      .select(kc ++ Seq(col("prev_lsn"), col("next_lsn"),
         (col("next_lsn") - col("prev_lsn") - 1).as("gap"),
-        lit("gap").as("kind"))
+        lit("gap").as("kind")): _*)
       .filter(col("gap") > 0)
       .unionByName(dups)
-      .orderBy(col("gap").desc, col("prev_lsn"))
+      .orderBy(col("gap").desc +: (kc :+ col("prev_lsn")): _*)
       .limit(topK)
   }
 
   val cdcSeqAudit: Q = (spark, dir) =>
     seqAudit(changelog(spark, dir).select(col("source.lsn").as("lsn")))
+
+  /** Registered keyed instance: the customers and orders logs audited as
+    * independent sequences keyed by the envelope's own `source.table` —
+    * the two collections interleave heavily in the shared WAL (orders
+    * events sit inside their customer's centi-block), so a GLOBAL audit
+    * of the union would see small gaps everywhere while missing that
+    * each table's own offset stream has large ones; per-table is the
+    * semantics a slot monitor needs. The orders fixture's documented
+    * same-lsn collisions (two orders of one customer) surface as real
+    * kind='dup' rows — value-checked by the oracle. */
+  val cdcSeqAuditBy: Q = (spark, dir) => {
+    val both = changelog(spark, dir)
+      .select(col("source.table").as("tab"), col("source.lsn").as("lsn"))
+      .unionByName(ordersChangelog(spark, dir)
+        .select(col("source.table").as("tab"), col("source.lsn").as("lsn")))
+    seqAuditBy(both, Seq("tab"))
+  }
+  val cdcSeqAuditBySql: String = changelogCte + ",\n" +
+    ordersChangelogCte + """,
+      |l AS (SELECT 'customers' AS tab, lsn FROM chg
+      |      UNION ALL SELECT 'orders' AS tab, lsn FROM ochg),
+      |g AS (SELECT tab, lag(lsn) OVER (PARTITION BY tab ORDER BY lsn) AS prev_lsn,
+      |       lsn AS next_lsn FROM l),
+      |gaps AS (SELECT tab, prev_lsn, next_lsn, next_lsn - prev_lsn - 1 AS gap,
+      |          'gap' AS kind
+      |         FROM g WHERE prev_lsn IS NOT NULL AND next_lsn - prev_lsn - 1 > 0),
+      |dups AS (SELECT tab, lsn AS prev_lsn, lsn AS next_lsn,
+      |          CAST(0 AS BIGINT) AS gap, 'dup' AS kind
+      |         FROM l GROUP BY tab, lsn HAVING count(*) > 1)
+      |SELECT * FROM (SELECT * FROM gaps UNION ALL SELECT * FROM dups)
+      |ORDER BY gap DESC, tab, prev_lsn LIMIT 100""".stripMargin
   val cdcSeqAuditSql: String = changelogCte + """,
       |l AS (SELECT lsn FROM chg),
       |g AS (SELECT lag(lsn) OVER (ORDER BY lsn) AS prev_lsn, lsn AS next_lsn FROM l),
@@ -1892,15 +1941,48 @@ object Cdc {
     * pays) + a scalar agg; the watermark cross-join is a 1-row
     * broadcast.
     */
-  def compactedTopic(changelog: DataFrame): DataFrame = {
-    val wTab = changelog.agg(
-      expr("(min(source.lsn) + max(source.lsn)) DIV 2").as("w"))
-    snapshotWithTombstones(changelog)
-      .crossJoin(broadcast(wTab))
-      .filter(col("live") || col("lsn") >= col("w"))
+  def compactedTopic(changelog: DataFrame): DataFrame =
+    compactedTopicBy(changelog, Seq("id"))
       .select(col("id"), col("live"), col("lsn"),
         col("first_name"), col("last_name"), col("email"))
+
+  /** [[compactedTopic]] generalized to COMPOSITE record keys via the
+    * same [[latestWithTombstonesBy]] fold every other C17-convention
+    * operator uses — Kafka compacts on the full message key, and
+    * Debezium keys multi-column-PK topics by the whole tuple, so the
+    * per-key winner and the tombstone-retention filter must key
+    * identically. Output: key columns, live, lsn, non-key after-image
+    * fields (schema-derived), retention-filtered against the observed
+    * lsn-span midpoint (1-row broadcast, as before). */
+  def compactedTopicBy(changelog: DataFrame, keys: Seq[String]): DataFrame = {
+    val wTab = changelog.agg(
+      expr("(min(source.lsn) + max(source.lsn)) DIV 2").as("w"))
+    latestWithTombstonesBy(changelog, keys)
+      .crossJoin(broadcast(wTab))
+      .filter(col("live") || col("lsn") >= col("w"))
+      .drop("w")
   }
+
+  /** Registered composite instance: the orders log compacted on its
+    * (custkey, id) tuple — the multi-tenant topic-key layout
+    * (cdc_snapshot_composite's fixture, now through the retention
+    * filter: %9 deletes survive as tombstones only past the watermark).
+    */
+  val cdcCompactedTopicBy: Q = (spark, dir) =>
+    compactedTopicBy(ordersChangelog(spark, dir), Seq("custkey", "id"))
+      .select(col("custkey"), col("id").as("orderkey"), col("live"),
+        col("lsn"), col("status"), col("total"))
+      .orderBy(col("custkey"), col("orderkey"))
+  val cdcCompactedTopicBySql: String = "WITH " + ordersChangelogCte + """,
+      |last AS (SELECT *, row_number()
+      |          OVER (PARTITION BY ck, oid ORDER BY lsn DESC) AS rn
+      |         FROM ochg),
+      |snap AS (SELECT ck, oid, op <> 'd' AS live, lsn, status, total
+      |         FROM last WHERE rn = 1),
+      |w AS (SELECT (min(lsn) + max(lsn)) // 2 AS w FROM ochg)
+      |SELECT ck AS custkey, oid AS orderkey, live, lsn, status, total
+      |FROM snap, w WHERE live OR lsn >= w
+      |ORDER BY custkey, orderkey""".stripMargin
   val cdcCompactedTopic: Q = (spark, dir) =>
     compactedTopic(changelog(spark, dir)).orderBy(col("id"))
   val cdcCompactedTopicSql: String = changelogCte + """,
@@ -1916,7 +1998,9 @@ object Cdc {
 
   val queries: Map[String, Q] = Map(
     "cdc_seq_audit" -> cdcSeqAudit,
+    "cdc_seq_audit_by" -> cdcSeqAuditBy,
     "cdc_compacted_topic" -> cdcCompactedTopic,
+    "cdc_compacted_topic_by" -> cdcCompactedTopicBy,
     "cdc_agg_maintain" -> cdcAggMaintain,
     "cdc_incr_snapshot" -> cdcIncrSnapshot,
     "cdc_toast_fill" -> cdcToastFill,
@@ -1946,7 +2030,9 @@ object Cdc {
 
   val oracle: Map[String, String] = Map(
     "cdc_seq_audit" -> cdcSeqAuditSql,
+    "cdc_seq_audit_by" -> cdcSeqAuditBySql,
     "cdc_compacted_topic" -> cdcCompactedTopicSql,
+    "cdc_compacted_topic_by" -> cdcCompactedTopicBySql,
     "cdc_agg_maintain" -> cdcAggMaintainSql,
     "cdc_incr_snapshot" -> cdcIncrSnapshotSql,
     "cdc_toast_fill" -> cdcToastFillSql,

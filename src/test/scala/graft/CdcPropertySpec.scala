@@ -164,6 +164,32 @@ object CdcPropertySpec extends Properties("CdcSnapshot") {
       Prop(got == expected) :| s"got=$got expected=$expected"
     }
 
+  property("seqAuditBy keyed == independent per-key naive audits merged by severity") =
+    forAll(Gen.listOfN(40, Gen.zip(Gen.oneOf("a", "b"),
+        Gen.frequency(5 -> Gen.choose(0L, 4000L), 1 -> Gen.choose(0L, 40L)))),
+      Gen.choose(1, 15)) { (rows0, topK) =>
+      val rows = if (rows0.isEmpty) List(("a", 0L)) else rows0
+      val sp = spark
+      import sp.implicits._
+      val got = Cdc.seqAuditBy(rows.toDF("tab", "lsn"), Seq("tab"), topK)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4))).toList
+      def naive(k: String) = {
+        val ls = rows.filter(_._1 == k).map(_._2)
+        val sorted = ls.sorted
+        val gaps = sorted.zip(sorted.drop(1))
+          .map { case (a, b) => (k, a, b, b - a - 1, "gap") }
+          .filter(_._4 > 0).distinct
+        val dups = ls.groupBy(identity).filter(_._2.size > 1).keys.toList
+          .map(v => (k, v, v, 0L, "dup"))
+        gaps ++ dups
+      }
+      val expected = (naive("a") ++ naive("b"))
+        .sortBy { case (t, p, _, g, _) => (-g, t, p) }.take(topK)
+      Prop(got == expected) :| s"got=$got expected=$expected"
+    }
+
   property("snapshot is idempotent under event duplication (at-least-once)") =
     forAll(genChangelog) { keyed =>
       import spark.implicits._
