@@ -526,12 +526,9 @@ object Graph {
           (col("depth") + col("a_depth")).as("depth"),
           concat(col("a_path"), lit("/"), col("path")).as("path"))
         .localCheckpoint()
-      // a join miss (dangling parent) composes a null path — fail loudly
-      // instead of emitting a null-rooted row
-      if (!stepped.filter(col("path").isNull).isEmpty)
-        throw new IllegalStateException(
-          "hierarchyPaths: dangling parent — a non-null parent id does " +
-            "not appear as a node; the input must be parent-closed.")
+      // a join miss (dangling parent) composes anc=null/path=null and
+      // falls into `resolved` below; it is validated ONCE after the loop
+      // — one Spark action per round (the loop guard), not two
       resolved = resolved.unionByName(stepped.filter(col("anc").isNull))
       pending = stepped.filter(col("anc").isNotNull)
       round += 1
@@ -540,6 +537,12 @@ object Graph {
       s"hierarchyPaths did not resolve within $maxRounds rounds — cycle " +
         "or depth > 2^maxRounds; partial paths would be silently wrong " +
         "downstream.")
+    // dangling parents (and rows that walked through one) carry a null
+    // path — fail loudly instead of emitting null-rooted rows
+    if (!resolved.filter(col("path").isNull).isEmpty)
+      throw new IllegalStateException(
+        "hierarchyPaths: dangling parent — a non-null parent id does " +
+          "not appear as a node; the input must be parent-closed.")
     resolved.select(col("node"),
       split(col("path"), "/").getItem(0).cast("long").as("root"),
       col("depth"), col("path"))

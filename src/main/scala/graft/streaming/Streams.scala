@@ -879,6 +879,13 @@ object Streams extends Serializable {
       books: Array[Array[Array[Float]]],
       encoder: (DataFrame, Array[Array[Float]], Array[Array[Array[Float]]])
         => DataFrame = graft.operators.Vectors.encodeForIndex): Unit = {
+    // same-batch key overlap would TIE the winner-per-vec_id fold (both
+    // rows share `b`) — refuse loudly, as postingsApplyBatch does
+    require(deleteIds.join(upserts.select(col("vec_id")), Seq("vec_id"))
+        .isEmpty,
+      "vectorIndexApplyBatch: a vec_id appears in both upserts and " +
+        "deleteIds of one epoch — the fold would tie; pre-fold the " +
+        "changelog to one winner per key (reembedIndexBatch does).")
     val enc = encoder(upserts, coarse, books).withColumn("live", lit(true))
     // tombstone columns derive from the encoder's own output schema so a
     // CARRYING encoder (encodeForIndexCarry: label, license tier, …)
@@ -1034,6 +1041,17 @@ object Streams extends Serializable {
     */
   def postingsApplyBatch(upserts: DataFrame, deleteIds: DataFrame,
       batchId: Long, postingsDir: String): Unit = {
+    // key-disjointness is load-bearing: a doc_id in BOTH sides of one
+    // batch would share one `b`, and the winner-batch fold keeps live
+    // rows — the tombstone would silently lose. A changelog-fed caller
+    // cannot produce this (bm25IndexBatch folds to one winner per key);
+    // the public API refuses it loudly.
+    require(deleteIds.join(upserts.select(col("doc_id")), Seq("doc_id"))
+        .isEmpty,
+      "postingsApplyBatch: a doc_id appears in both upserts and " +
+        "deleteIds of one batch — the in-batch tombstone would silently " +
+        "lose to the upsert; pre-fold the changelog to one winner per " +
+        "key (bm25IndexBatch does) or split across batches.")
     val live = graft.operators.Text.docPostings(upserts)
       .withColumn("live", lit(true))
     val dead = deleteIds.select(col("doc_id"),
@@ -1436,14 +1454,18 @@ object Streams extends Serializable {
     * dir, commit max(lsn) as the new hwm through the versioned store.
     * Replay derives from strictly-before state → identical publish set
     * → same dir overwritten: exactly-once survives both re-delivered
-    * batches AND overlapping re-sends inside later batches.
+    * batches AND overlapping re-sends inside later batches. The ordered-
+    * arrival ASSUMPTION is audited per batch (skipped lsns must exist in
+    * the published store, else THROW — see the inline note), so a
+    * reordered source degrades to a loud failure, not at-most-once.
     *
     * Scale: the ledger is ONE row; the batch pass is a filter + distinct
     * on the increment. (A multi-partition source keys the hwm by
     * partition — same shape, nPartitions rows.)
     */
   def outboxPublishBatch(outbox: DataFrame, batchId: Long, root: String,
-      outDir: String, topicPrefix: String = "outbox.event"): Unit = {
+      outDir: String, topicPrefix: String = "outbox.event",
+      auditOrdering: Boolean = true): Unit = {
     val spark = outbox.sparkSession
     import spark.implicits._
     val hwm: Long = SnapshotStore.readBefore(spark, root, batchId) match {
@@ -1451,10 +1473,33 @@ object Streams extends Serializable {
         .headOption.getOrElse(Long.MinValue)
       case None => Long.MinValue
     }
-    val fresh = graft.operators.Cdc.outboxRoute(outbox, topicPrefix)
+    val routed = graft.operators.Cdc.outboxRoute(outbox, topicPrefix)
+      .localCheckpoint() // read twice: fresh split + ordering audit
+    val fresh = routed
       .filter(col("lsn") > hwm)
       .dropDuplicates("lsn")
       .localCheckpoint() // read twice: publish + new hwm
+    // ORDERING AUDIT: "lsn ≤ hwm ⇒ already published" is the load-bearing
+    // assumption of the O(1) ledger — under reordered delivery it silently
+    // degrades exactly-once to at-most-once (a never-published low lsn is
+    // dropped as a duplicate). Enforce it: every skipped lsn must exist in
+    // the published store, else THROW. Cost: the probe side is only the
+    // batch's skipped lsns (empty outside replay/overlap); the store side
+    // is a scan of published epochs — increment-sized stores fine; a
+    // deployment whose store outgrows this audit disables it after its
+    // broker guarantees per-partition order (`auditOrdering = false`).
+    if (auditOrdering && hwm > Long.MinValue) {
+      val skipped = routed.filter(col("lsn") <= hwm)
+        .select(col("lsn")).distinct()
+      val missing = skipped.join(
+        readPublished(spark, outDir).select(col("lsn")), Seq("lsn"),
+        "left_anti")
+      if (!missing.isEmpty) throw new IllegalStateException(
+        "outboxPublishBatch: out-of-order delivery — lsn(s) at or below " +
+          "the committed high-water mark were never published and would " +
+          "be silently dropped; restore ordered delivery or key the hwm " +
+          "by source partition.")
+    }
     fresh.write.mode("overwrite").parquet(s"$outDir/b=$batchId")
     val newHwm = Option(fresh.agg(max(col("lsn"))).head().get(0))
       .map(_.asInstanceOf[Long]).map(math.max(_, hwm)).getOrElse(hwm)

@@ -1572,6 +1572,14 @@ class StreamingSpec extends AnyFunSuite {
     // an empty batch advances nothing
     Streams.outboxPublishBatch(toDf(Seq.empty), 3L, root, outDir)
     assert(published() === got)
+    // ORDERING AUDIT: lsn 25 sits below the hwm (50) but was never
+    // delivered before — the O(1) ledger would drop it as a duplicate
+    // forever; the audit must THROW instead (at-least-once overlaps
+    // above passed it, so the audit fires only on true reordering)
+    val e = intercept[Exception](Streams.outboxPublishBatch(
+      toDf(Seq(("c", 25L, 9L, "p25"))), 4L, root, outDir))
+    assert(e.getMessage.contains("out-of-order"))
+    assert(published() === got) // failed batch published nothing
   }
 
   test("T29 bucketed sketch store: per-day HLL unions give any trailing-window " +
@@ -2404,6 +2412,11 @@ class StreamingSpec extends AnyFunSuite {
     assert(layout === Seq("b=1"))
     intercept[IllegalArgumentException](
       Streams.readPostingsAsOf(spark, dir, 0L).collect())
+    // same-batch upsert+delete of one doc is refused loudly (the winner-
+    // batch fold would silently drop the tombstone)
+    intercept[IllegalArgumentException](Streams.postingsApplyBatch(
+      Seq(7L -> "rare common x").toDF("doc_id", "text"),
+      Seq(7L).toDF("doc_id"), 9L, dir))
     // stream wrapper smoke on a FRESH store (a MemoryStream query numbers
     // its own batches from 0 — driving it at the direct-batch store would
     // collide with the hand-assigned ids; the T29 pattern)
@@ -2507,6 +2520,10 @@ class StreamingSpec extends AnyFunSuite {
       Streams.servedBm25(spark, pdir, terms), k)
       .as[(Long, Long)].collect().map(_._1).toSet
     assert(!servedBmDocs.contains(5L)) // lost the gate token
+    // same-epoch upsert+delete of one vec_id would tie the fold — refused
+    intercept[IllegalArgumentException](Streams.vectorIndexApplyBatch(
+      embOf(Seq(5L -> rew5)).toDF, Seq(5L).toDF("vec_id"), 9L, vdir,
+      coarse, books, carryEnc))
   }
 
   test("T31 per-user moments: additive store merge over batch splits flags ≡ batch q36; replay idempotent; stream wrapper smoke") {

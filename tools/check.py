@@ -86,36 +86,47 @@ def main(sf_dir, out_dir):
             continue
         # type strictness: compare normalized logical types per column, in
         # case the driver's compare is schema-sensitive
+        # DESCRIBE both sides FIRST, in its own try: the query itself
+        # already executed above, so a DESCRIBE failure is exceptional —
+        # and it must be a FAIL (contract unverifiable), never a WARN
+        # that silently waves a contract violation through (r10 advice).
         try:
             gd = con.execute(
                 f"DESCRIBE SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchall()
             ed = con.execute(f"DESCRIBE {sql}").fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: DESCRIBE failed - contract unverifiable: {e}")
+            n_fail += 1
+            continue
+        try:
             gt = {r[0]: norm_type(r[1]) for r in gd}
             et = {r[0]: norm_type(r[1]) for r in ed}
             tdiff = {c: (gt.get(c), et.get(c)) for c in gt
                      if gt.get(c) != et.get(c)}
             if tdiff:
                 print(f"WARN {name}: type mismatch {tdiff}")
-            # Output contract (r9 lesson, VERDICT r9 §What's wrong): the
-            # driver's hasher is RAW-type-strict (norm_type forgives
-            # HUGEINT→BIGINT; the driver does not) and its pandas sorter
-            # crashes on nested values. So HUGEINT/DECIMAL (DuckDB
-            # sum(BIGINT) leaks HUGEINT) and LIST/STRUCT/MAP at top level,
-            # on EITHER side, are hard registration errors — FAIL, not WARN.
-            contract = {}
-            for side, desc in (("oracle", ed), ("spark", gd)):
-                for row in desc:
-                    t = str(row[1]).upper()
-                    if (t.startswith(("HUGEINT", "UHUGEINT", "DECIMAL",
-                                      "STRUCT", "MAP", "UNION"))
-                            or t.endswith("[]")):
-                        contract[f"{side}.{row[0]}"] = t
-            if contract:
-                print(f"FAIL {name}: output-contract violation {contract}")
-                n_fail += 1
-                continue
         except Exception as e:
-            print(f"WARN {name}: type check failed: {e}")
+            print(f"WARN {name}: type diff failed: {e}")
+        # Output contract (r9 lesson, VERDICT r9 §What's wrong): the
+        # driver's hasher is RAW-type-strict (norm_type forgives
+        # HUGEINT→BIGINT; the driver does not) and its pandas sorter
+        # crashes on nested values. So HUGEINT/DECIMAL (DuckDB
+        # sum(BIGINT) leaks HUGEINT) and LIST/STRUCT/MAP at top level,
+        # on EITHER side, are hard registration errors — FAIL, not WARN.
+        # Pure python over the fetched rows — outside any try, so nothing
+        # can downgrade it.
+        contract = {}
+        for side, desc in (("oracle", ed), ("spark", gd)):
+            for row in desc:
+                t = str(row[1]).upper()
+                if (t.startswith(("HUGEINT", "UHUGEINT", "DECIMAL",
+                                  "STRUCT", "MAP", "UNION"))
+                        or t.endswith("[]")):
+                    contract[f"{side}.{row[0]}"] = t
+        if contract:
+            print(f"FAIL {name}: output-contract violation {contract}")
+            n_fail += 1
+            continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows spark={len(got)} duck={len(exp)}")
             n_fail += 1
