@@ -58,9 +58,20 @@ object Bench {
     })
     if (warmDir != sfDir && new java.io.File(warmDir).isDirectory) {
       System.err.println(s"[bench] warmup=catalog dir=$warmDir")
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      // the warmup pass doubles as the unpartitioned-window audit: plans
+      // are AQE-finalized here, and a query with a NEW global window
+      // (outside WindowAudit.justified) FAILS the bench loudly — the
+      // known-benign tiny-table warnings can no longer hide an offender
+      val winViolations = scala.collection.mutable.ArrayBuffer.empty[String]
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        try {
+          val df = fn(spark, warmDir)
+          df.count()
+          WindowAudit.violation(name, df).foreach(winViolations += _)
+        } catch { case _: Throwable => () }
       }
+      require(winViolations.isEmpty,
+        "unpartitioned-window audit failed:\n" + winViolations.mkString("\n"))
     } else {
       System.err.println("[bench] warmup=kernel-only (no smaller fixture)")
       // benching the smallest fixture itself (or it's absent): fall back

@@ -16,8 +16,11 @@ object CdcSources {
   /** S2 — Kafka envelope stream: subscribe to a Debezium topic and parse
     * the self-describing JSON envelopes. The null guard drops tombstones
     * before the parse (`main.py:42` semantics). Requires the Kafka
-    * connector on the classpath at runtime; tests substitute MemoryStream
-    * (no broker ships in this environment).
+    * connector on the classpath at runtime; streaming-semantics tests
+    * substitute MemoryStream, and `KafkaWireSpec` exercises THIS path
+    * live over a real broker whenever its availability gate opens
+    * (GRAFT_KAFKA_BOOTSTRAP + connector present — neither ships in this
+    * environment, so it cancels here).
     *
     * Exactly-once: pair with a checkpointed sink — the replacement for the
     * reference consumer's at-least-once autocommit (`main.py:52-53`).
