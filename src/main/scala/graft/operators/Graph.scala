@@ -597,13 +597,18 @@ object Graph {
   val prTopK = 50
   def pageRank(edgesIn: DataFrame, iters: Int = prIters,
       scale: Long = prScale, topK: Int = prTopK,
-      presymmetrized: Boolean = false): DataFrame = {
+      presymmetrized: Boolean = false,
+      degIn: Option[DataFrame] = None): DataFrame = {
     val edges =
       if (presymmetrized) edgesIn.select(col("src"), col("dst"))
       else edgesIn.select(col("src"), col("dst"))
         .unionByName(edgesIn.select(col("dst").as("src"), col("src").as("dst")))
         .distinct()
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // degIn: a MAINTAINED out-degree table (src, deg) — must equal the
+    // edge-derived counts (the x7q store guarantees this additively);
+    // passing it skips the per-session groupBy over |E|
+    val deg = degIn.getOrElse(
+      edges.groupBy(col("src")).agg(count(lit(1)).as("deg")))
     val n1 = deg.agg(count(lit(1)).as("n"))
     var ranks = deg.select(col("src").as("node")).crossJoin(broadcast(n1))
       .select(col("node"), expr(s"$scale div n").as("rank_u"))
@@ -771,6 +776,50 @@ object Graph {
     counts.orderBy(col("doc_id"))
   }
 
+  // -------------------------------------- X7q incremental PageRank serve
+  /** X7q — PageRank SERVED FROM MAINTAINED GRAPH STORES: the q34 power
+    * loop run over an incrementally-folded symmetric edge store and an
+    * additively-maintained degree store, instead of re-deriving the
+    * orders⋈lineitem distinct on every refresh.
+    *
+    * Honest scope (mirrors x4t's serve-from-maintained-index pattern):
+    * rank mass is NOT incrementally decomposable — one new edge can
+    * shift every rank, so the iteration must re-run. What IS
+    * incremental at 100 TB is the expensive part the iteration consumes
+    * twice per round: the co-purchase edge join+distinct (a full
+    * lineitem⋈orders pass, the dominant cost on a crawl increment) and
+    * the degree table. Each increment folds NEW edges only (anti-join
+    * guard, the x7p/T13 idempotent protocol — re-sent edges are no-ops)
+    * and bumps degrees additively (BIGINT counts, order- and
+    * split-invariant, the T31 merge rule); the serve then runs the SAME
+    * fixed-iteration integer recurrence over the maintained state.
+    * Result ≡ batch q34 by construction — the oracle IS q34Sql
+    * verbatim, so the driver hash-checks store-served ≡ re-derived.
+    *
+    * The pmod(src+dst) split keys both directed rows of an undirected
+    * edge into the same increment, so every increment is symmetric by
+    * construction and the stored edge set stays symmetric without a
+    * re-symmetrization pass.
+    */
+  val x7qIncrPagerank: Q = (spark, dir) => {
+    val sym = stagedCopurchaseEdges(spark, dir)
+    val seed = (sym.limit(0),
+      sym.limit(0).select(col("src"), lit(0L).as("deg")))
+    val (edgeStore, degStore) = (0 until 3).foldLeft(seed) {
+      case ((stored, deg), i) =>
+        val inc = sym.filter(pmod(col("src") + col("dst"), lit(3)) === i)
+        val fresh = inc.distinct()
+          .join(stored, Seq("src", "dst"), "left_anti")
+          .localCheckpoint() // read twice: edge fold + degree delta
+        val degDelta = fresh.groupBy(col("src"))
+          .agg(count(lit(1)).as("deg"))
+        (stored.unionByName(fresh).localCheckpoint(),
+          deg.unionByName(degDelta).groupBy(col("src"))
+            .agg(sum(col("deg")).as("deg")).localCheckpoint())
+    }
+    pageRank(edgeStore, presymmetrized = true, degIn = Some(degStore))
+  }
+
   /** Per-node counts of the triangles CREATED by `newEdges` on top of
     * `stored`: a triangle closing with 1, 2, or 3 in-batch edges is
     * attributed to exactly ONE of them — its MAX new edge under the
@@ -816,6 +865,7 @@ object Graph {
     "q34_pagerank" -> q34PageRank,
     "x7o_triangles" -> x7oTriangles,
     "x7p_incr_triangles" -> x7pIncrTriangles,
+    "x7q_incr_pagerank" -> x7qIncrPagerank,
     "x7_neardup_clusters" -> x7NeardupClusters,
     "x7l_cluster_stats" -> x7lClusterStats,
     "x7f_dedup_apply" -> x7fDedupApply,
@@ -828,6 +878,7 @@ object Graph {
     "q34_pagerank" -> q34Sql,
     "x7o_triangles" -> x7oSql,
     "x7p_incr_triangles" -> x7oSql,
+    "x7q_incr_pagerank" -> q34Sql,
     "x7_neardup_clusters" -> x7Sql,
     "x7l_cluster_stats" -> x7lSql,
     "x7f_dedup_apply" -> x7fSql,

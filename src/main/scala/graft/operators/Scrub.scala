@@ -170,15 +170,126 @@ object Scrub {
        | CAST(count(*) AS BIGINT) AS n, count(*) < $anonK AS at_risk
        |FROM documents GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  /** X8e — l-DIVERSITY audit, k-anonymity's companion gate
+    * (Machanavajjhala et al., ICDE'06): a quasi-identifier class can
+    * satisfy k-anonymity (population ≥ k) yet still leak — if every row
+    * in the class shares ONE sensitive value, membership alone reveals
+    * it. Here the event log's publishable shape is the QI (event_type,
+    * event day) and the sensitive attribute is the user behind the
+    * event: a class whose events all come from fewer than l distinct
+    * users lets an observer who can place a user in that (type, day)
+    * cell attribute the activity to them. One row per QI class with
+    * population, distinct-sensitive count, and the verdict at l=3.
+    *
+    * Scale: one groupBy with an exact count_distinct — Spark plans it
+    * as the two-phase partial-distinct aggregate (map-side combined);
+    * output is bounded by the QI domain (types × days), never the event
+    * volume. At 100 TB the same audit swaps count_distinct for the HLL
+    * tier (q9c/T29) when ±2% on n_users is acceptable.
+    */
+  val diversityL = 3
+  val x8eLDiversity: Q = (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr("ts_ms DIV 86400000").as("day"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"))
+      .withColumn("at_risk", col("n_users") < diversityL)
+      .orderBy(col("event_type"), col("day"))
+  val x8eSql: String =
+    s"""SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+       | CAST(count(*) AS BIGINT) AS n,
+       | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       | count(DISTINCT user_id) < $diversityL AS at_risk
+       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** X8f — t-CLOSENESS audit, the third rung of the release-privacy
+    * ladder (Li, Li & Venkatasubramanian, ICDE'07): a class can be
+    * k-anonymous (x8d) and l-diverse (x8e) yet still leak when its
+    * sensitive-value DISTRIBUTION diverges from the global one — an
+    * observer who places a document in the class updates their belief
+    * about the sensitive attribute by exactly that divergence. QI here
+    * is (lang, 50-char length bucket) — coarser than x8d's, because the
+    * SENSITIVE attribute is the third x8d column, `source` (which
+    * publisher a document came from). Distance is total variation,
+    * computed in EXACT INTEGER arithmetic with denominators cleared:
+    * with dist_num = Σ_s |n_cs·N_g − n_gs·N_c| (= 2·N_c·N_g·TV),
+    * `TV > t` at t = ¼ becomes `4·dist_num > 2·N_c·N_g`, i.e.
+    * `2·dist_num > N_c·N_g` — no float ever computed, so the verdict is
+    * partition-invariant and engine-portable.
+    *
+    * The absent-source tail needs no class×source cross join:
+    * Σ_{s∉class} n_gs·N_c = (N_g − Σ_{s∈class} n_gs)·N_c, so the whole
+    * audit is one (class, source) groupBy, one #sources-row broadcast
+    * join, one class groupBy — output bounded by the QI domain.
+    * Headroom: every term is ≤ N_c·N_g ≤ N_g², exact while N_g ≤ 3·10⁹
+    * documents (guarded in-plan, the q36 discipline — THROWS, never
+    * wraps); past that, quantize the global frequencies to micro-units
+    * before the cross-multiplication.
+    */
+  def tClosenessAudit(docs: DataFrame): DataFrame = {
+    val d = docs
+      .select(col("lang"), expr("n_chars DIV 50").as("len_bucket"),
+        col("source"))
+    val g = d.groupBy(col("source")).agg(count(lit(1)).as("n_gs"))
+    val tot = g.agg(sum(col("n_gs")).as("n_g"))
+    val cs = d.groupBy(col("lang"), col("len_bucket"), col("source"))
+      .agg(count(lit(1)).as("n_cs"))
+    val cls = cs.groupBy(col("lang"), col("len_bucket"))
+      .agg(sum(col("n_cs")).as("n_c"))
+    cs.join(broadcast(g), Seq("source"))
+      .join(broadcast(cls), Seq("lang", "len_bucket"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("lang"), col("len_bucket"), col("n_c"), col("n_g"))
+      .agg(sum(abs(col("n_cs") * col("n_g") - col("n_gs") * col("n_c")))
+          .as("p"),
+        sum(col("n_gs")).as("covered"))
+      .filter(coalesce(
+        assert_true(col("n_g") <= lit(3000000000L),
+          lit("x8f overflow guard: corpus size exceeds the exact-BIGINT " +
+            "headroom — quantize global frequencies to micro-units")
+        ).cast("boolean"), lit(true)))
+      .select(col("lang"), col("len_bucket"), col("n_c").as("n"),
+        (col("p") + (col("n_g") - col("covered")) * col("n_c"))
+          .as("dist_num"),
+        (lit(2L) * (col("p") + (col("n_g") - col("covered")) * col("n_c"))
+          > col("n_c") * col("n_g")).as("at_risk"))
+      .orderBy(col("lang"), col("len_bucket"))
+  }
+  val x8fTCloseness: Q = (spark, dir) =>
+    tClosenessAudit(Tables.documents(spark, dir))
+  val x8fSql: String =
+    """WITH d AS (SELECT lang, n_chars // 50 AS len_bucket, source
+      |           FROM documents),
+      |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_gs FROM d GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_gs) AS BIGINT) AS n_g FROM g),
+      |cs AS (SELECT lang, len_bucket, source,
+      |        CAST(count(*) AS BIGINT) AS n_cs FROM d GROUP BY 1, 2, 3),
+      |cls AS (SELECT lang, len_bucket, CAST(sum(n_cs) AS BIGINT) AS n_c
+      |        FROM cs GROUP BY 1, 2),
+      |parts AS (SELECT cs.lang, cs.len_bucket, cls.n_c, tot.n_g,
+      |   CAST(sum(abs(cs.n_cs * tot.n_g - g.n_gs * cls.n_c)) AS BIGINT) AS p,
+      |   CAST(sum(g.n_gs) AS BIGINT) AS covered
+      |  FROM cs JOIN g USING (source)
+      |  JOIN cls USING (lang, len_bucket) CROSS JOIN tot
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT lang, len_bucket, n_c AS n,
+      | p + (n_g - covered) * n_c AS dist_num,
+      | 2 * (p + (n_g - covered) * n_c) > n_c * n_g AS at_risk
+      |FROM parts ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "x8_pii_scrub" -> x8PiiScrub,
     "x8b_repetition" -> x8bRepetition,
     "x8c_repetition_gate" -> x8cRepetitionGate,
-    "x8d_k_anonymity" -> x8dKAnonymity)
+    "x8d_k_anonymity" -> x8dKAnonymity,
+    "x8e_l_diversity" -> x8eLDiversity,
+    "x8f_t_closeness" -> x8fTCloseness)
 
   val oracle: Map[String, String] = Map(
     "x8_pii_scrub" -> x8Sql,
     "x8b_repetition" -> x8bSql,
     "x8c_repetition_gate" -> x8cSql,
-    "x8d_k_anonymity" -> x8dSql)
+    "x8d_k_anonymity" -> x8dSql,
+    "x8e_l_diversity" -> x8eSql,
+    "x8f_t_closeness" -> x8fSql)
 }

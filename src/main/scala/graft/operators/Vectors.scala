@@ -114,6 +114,118 @@ object Vectors {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  // ------------------------------------- X3r MMR diversified re-rank
+  /** Greedy Maximal Marginal Relevance selection (Carbonell & Goldstein,
+    * SIGIR'98) over a per-query candidate shortlist. Each of `k` rounds
+    * picks, per q_id, the unselected candidate maximizing
+    * `½·rel(q,d) − ½·max_{s∈S} sim(d,s)` (λ = ½ — exactly representable,
+    * so scaling a double by it is exact and the score chain stays
+    * bit-identical cross-engine given bit-identical rel/sim inputs).
+    * `cand` carries (q_id, vec_id, rel); `pairs` carries (q_id, a, b,
+    * sim) for shortlist-internal pairs. The empty-S round scores ½·rel
+    * (max over ∅ taken as 0), ties broken by vec_id.
+    *
+    * Scale: the loop is k ROUNDS of bounded per-q_id joins + one
+    * rank-1 window partitioned by q_id — all queries advance in
+    * parallel each round, so wall-clock is O(k) regardless of |Q|, and
+    * no driver round-trip ever touches candidate rows (the selection
+    * state lives in `selected`/`remaining`, localCheckpointed to keep
+    * lineage flat). Per-round state is |Q|·shortlist rows — the
+    * shortlist bound makes every join hash-small.
+    */
+  def mmrSelect(cand: DataFrame, pairs: DataFrame, k: Int): DataFrame = {
+    var selected = cand.limit(0)
+      .select(col("q_id"), col("vec_id"), lit(0L).as("pick"))
+    var remaining = cand
+    for (i <- 1 to k) {
+      val ms = pairs
+        .join(selected.select(col("q_id"), col("vec_id").as("b")), Seq("q_id", "b"))
+        .groupBy(col("q_id"), col("a").as("vec_id"))
+        .agg(max(col("sim")).as("maxsim"))
+      val scored = remaining.join(ms, Seq("q_id", "vec_id"), "left")
+        .withColumn("score",
+          lit(0.5) * col("rel") - lit(0.5) * coalesce(col("maxsim"), lit(0.0)))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("vec_id").asc)
+      val pick = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("q_id"), col("vec_id"), lit(i.toLong).as("pick"))
+        .localCheckpoint() // read twice: selected fold + remaining anti-join
+      selected = selected.unionByName(pick).localCheckpoint()
+      remaining = remaining.join(pick.select(col("q_id"), col("vec_id")),
+        Seq("q_id", "vec_id"), "left_anti").localCheckpoint()
+    }
+    selected
+  }
+
+  /** X3r — MMR diversified re-rank of the exact cosine shortlist: the
+    * result-diversification pass a retrieval stack runs AFTER the x3/x4v
+    * head (near-duplicate top hits waste shortlist slots; MMR trades
+    * marginal relevance against redundancy). Shortlist = exact top-20
+    * per query; 8 greedy picks at λ = ½. Pairwise candidate sims reuse
+    * the same native dot expression as the shortlist itself, so every
+    * float entering the score is bit-identical to the oracle's generated
+    * chain and the selection ORDER (the output) is hash-exact — no
+    * bound needed, unlike the recall-style entries. Oracle unrolls the
+    * 8 greedy rounds as MATERIALIZED CTEs (the x3k discipline).
+    */
+  val mmrShortlist = 20
+  val mmrK = 8
+  val x3rMmrRerank: Q = (spark, dir) => {
+    val e = Tables.embeddings(spark, dir)
+    val cand = cosineTopK(e.filter(col("vec_id") < 10), e, mmrShortlist)
+      .select(col("q_id"), col("vec_id"), col("sim").as("rel"))
+      .localCheckpoint() // feeds the pair join and every greedy round
+    val withEmb = cand
+      .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    val pairs = withEmb
+      .select(col("q_id"), col("vec_id").as("a"), col("embedding").as("ea"))
+      .join(withEmb.select(col("q_id"), col("vec_id").as("b"),
+        col("embedding").as("eb")), Seq("q_id"))
+      .filter(col("a") =!= col("b"))
+      .select(col("q_id"), col("a"), col("b"),
+        VectorFunctions.dotF32(col("ea"), col("eb")).as("sim"))
+      .localCheckpoint() // probed once per greedy round
+    mmrSelect(cand, pairs, mmrK).orderBy(col("q_id"), col("pick"))
+  }
+
+  def x3rSqlFor(n: Int, k: Int): String = {
+    val qdot = Portable.dotSql("q.embedding", "c.embedding", dim)
+    val pdot = Portable.dotSql("e1.embedding", "e2.embedding", dim)
+    val header =
+      s"""WITH sims AS MATERIALIZED (
+         | SELECT q.vec_id AS q_id, c.vec_id AS vec_id, $qdot AS sim
+         | FROM embeddings q CROSS JOIN embeddings c
+         | WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         |cand AS MATERIALIZED (
+         | SELECT q_id, vec_id, sim AS rel FROM sims
+         | QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) <= $n),
+         |pair AS MATERIALIZED (
+         | SELECT c1.q_id, c1.vec_id AS a, c2.vec_id AS b, $pdot AS sim
+         | FROM cand c1 JOIN cand c2 ON c1.q_id = c2.q_id AND c1.vec_id <> c2.vec_id
+         | JOIN embeddings e1 ON e1.vec_id = c1.vec_id
+         | JOIN embeddings e2 ON e2.vec_id = c2.vec_id),
+         |su0 AS (SELECT q_id, vec_id, CAST(0 AS BIGINT) AS pick FROM cand WHERE FALSE)"""
+        .stripMargin
+    val its = (1 to k).map { i =>
+      s""",
+         |ms$i AS (SELECT p.q_id, p.a AS vec_id, max(p.sim) AS maxsim
+         | FROM pair p JOIN su${i - 1} s ON p.q_id = s.q_id AND p.b = s.vec_id
+         | GROUP BY 1, 2),
+         |sc$i AS (SELECT c.q_id, c.vec_id,
+         |  0.5 * c.rel - 0.5 * coalesce(m.maxsim, 0.0) AS score
+         | FROM cand c LEFT JOIN ms$i m ON c.q_id = m.q_id AND c.vec_id = m.vec_id
+         | WHERE NOT EXISTS (SELECT 1 FROM su${i - 1} s
+         |   WHERE s.q_id = c.q_id AND s.vec_id = c.vec_id)),
+         |p$i AS (SELECT q_id, vec_id, CAST($i AS BIGINT) AS pick FROM sc$i
+         | QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) = 1),
+         |su$i AS MATERIALIZED (SELECT * FROM su${i - 1} UNION ALL SELECT * FROM p$i)"""
+        .stripMargin
+    }.mkString
+    s"$header$its\nSELECT q_id, vec_id, pick FROM su$k ORDER BY q_id, pick"
+  }
+  val x3rSql: String = x3rSqlFor(mmrShortlist, mmrK)
+
   /** Embedding-cosine near-dup: global top-20 most-similar pairs (the
     * fixtures plant no >0.52-cosine pairs, so a fixed top-k is the
     * deterministic, always-nonempty formulation; a threshold filter is the
@@ -1540,6 +1652,7 @@ object Vectors {
     "x5e_phash_pairs" -> x5ePhashPairs,
     "x5f_frame_manifest" -> x5fFrameManifest,
     "x3_cosine_topk" -> x3CosineTopK,
+    "x3r_mmr_rerank" -> x3rMmrRerank,
     "x3d_topk_agg" -> x3dTopKAgg,
     "x3e_cosine_ivf" -> x3eCosineIvf,
     "x3f_ivf_recall" -> x3fIvfRecall,
@@ -1563,6 +1676,7 @@ object Vectors {
     "x3h_semantic_dedup" -> x3hSql,
     "x3g_quantize" -> x3gSql,
     "x3_cosine_topk" -> x3Sql,
+    "x3r_mmr_rerank" -> x3rSql,
     "x3d_topk_agg" -> x3Sql, // same contract as x3 — value-identical by design
     "x3f_ivf_recall" -> x3fSql,
     "x3j_pq_recall" -> x3jSql,

@@ -1266,6 +1266,96 @@ object Streams extends Serializable {
     graft.operators.Relational.flagAgainst(
       ev, readMoments(ev.sparkSession, root))
 
+  // ------------------- T32 durable graph edge/degree store (x7q's durable half)
+  /** T32 — the graph analytics serving store: the symmetric edge set and
+    * its degree table maintained through the per-epoch `b=<id>` layout
+    * (the T30 discipline applied to the graph). Each batch symmetrizes
+    * its edge increment, anti-joins against the STRICTLY-BEFORE folded
+    * edge set (cross-batch re-sends are no-ops — the x7p/T13 idempotent
+    * protocol), and writes only the FRESH edges plus their degree
+    * DELTAS under its own epoch dir — increment-sized writes, never a
+    * store rewrite. Reads: the edge set is the plain union of epoch
+    * dirs (disjoint by the anti-join construction); degrees re-sum the
+    * per-epoch deltas (BIGINT addition — order- and split-invariant,
+    * the T31 merge rule) over #epochs × touched-nodes rows, never a
+    * groupBy over |E|. [[servedPageRank]] then runs the IDENTICAL q34
+    * integer recurrence over the maintained state
+    * (`Graph.pageRank(presymmetrized = true, degIn = …)`), so
+    * store-served ≡ batch-derived exactly (spec; `x7q_incr_pagerank`
+    * oracle-checks the same fold in-plan against q34Sql). Replay: a
+    * batch's write derives only from its own rows + strictly-before
+    * state and overwrites its own subdirectory ([[nearDupBatch]]
+    * contract). [[compactGraph]] merges epochs ≤ upTo through the
+    * shared staged protocol: edges concatenate (already disjoint),
+    * degree deltas re-sum — reads identical before and after.
+    */
+  def graphEdgesBatch(edges: DataFrame, batchId: Long,
+      graphDir: String): Unit = {
+    val spark = edges.sparkSession
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val priorDirs = bandBatchDirs(spark, s"$graphDir/edges")
+      .filter(_._1 < batchId).map(_._2)
+    val fresh = (if (priorDirs.isEmpty) sym
+      else sym.join(
+        spark.read.parquet(priorDirs: _*).select(col("src"), col("dst")),
+        Seq("src", "dst"), "left_anti"))
+      .localCheckpoint() // read twice: edge write + degree delta
+    fresh.write.mode("overwrite").parquet(s"$graphDir/edges/b=$batchId")
+    fresh.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .write.mode("overwrite").parquet(s"$graphDir/deg/b=$batchId")
+    ()
+  }
+
+  def graphEdgesStream(edgeStream: DataFrame, graphDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    edgeStream.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      graphEdgesBatch(batch.toDF, batchId, graphDir)
+    }
+
+  /** The committed symmetric edge set (epoch dirs are disjoint, so the
+    * union IS the fold — no dedup pass on read). */
+  def readGraphEdges(spark: org.apache.spark.sql.SparkSession,
+      graphDir: String): DataFrame = {
+    val paths = bandBatchDirs(spark, s"$graphDir/edges").map(_._2)
+    require(paths.nonEmpty, s"no committed edges under $graphDir")
+    spark.read.parquet(paths: _*).select(col("src"), col("dst"))
+  }
+
+  /** The maintained out-degree table: per-epoch deltas re-summed —
+    * additively exact, equal to the edge-derived counts by construction
+    * (every fresh edge contributes exactly one delta). */
+  def readGraphDegrees(spark: org.apache.spark.sql.SparkSession,
+      graphDir: String): DataFrame = {
+    val paths = bandBatchDirs(spark, s"$graphDir/deg").map(_._2)
+    require(paths.nonEmpty, s"no committed degrees under $graphDir")
+    spark.read.parquet(paths: _*)
+      .groupBy(col("src")).agg(sum(col("deg")).as("deg"))
+  }
+
+  /** PageRank served from the maintained stores — the refresh path that
+    * skips the per-run edge re-derivation (x7q's point, one level up:
+    * durable across sessions, not just across a fold loop). */
+  def servedPageRank(spark: org.apache.spark.sql.SparkSession,
+      graphDir: String, iters: Int = graft.operators.Graph.prIters,
+      scale: Long = graft.operators.Graph.prScale,
+      topK: Int = graft.operators.Graph.prTopK): DataFrame =
+    graft.operators.Graph.pageRank(readGraphEdges(spark, graphDir),
+      iters, scale, topK, presymmetrized = true,
+      degIn = Some(readGraphDegrees(spark, graphDir)))
+
+  /** Compact both halves of the graph store through the shared staged
+    * protocol. Quiescent-barrier requirement as [[compactBandStore]]. */
+  def compactGraph(spark: org.apache.spark.sql.SparkSession,
+      graphDir: String, upTo: Long): Unit = {
+    compactStore(spark, s"$graphDir/edges", upTo, identity)
+    compactStore(spark, s"$graphDir/deg", upTo,
+      df => df.groupBy(col("src")).agg(sum(col("deg")).as("deg")))
+  }
+
   // ------------------------- T23 incremental SCD2 history maintenance
   /** T23 — the OTHER classic CDC materialization (C4 keeps latest
     * state; SCD2 keeps every version with its validity interval),

@@ -413,4 +413,46 @@ class GraphMixingSpec extends AnyFunSuite {
       assert(fold(incs) === batchRef(edges))
     }
   }
+
+  test("x7q store fold: maintained symmetric edge + degree stores serve pageRank ≡ batch, with re-sent edges as no-ops") {
+    // fold SYMMETRIC increments (both directions of an edge together,
+    // as x7q's pmod(src+dst) split guarantees) into the two stores
+    def fold(incs: Seq[Seq[(Long, Long)]]): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = {
+      val seed = (Seq.empty[(Long, Long)].toDF("src", "dst"),
+        Seq.empty[(Long, Long)].toDF("src", "deg"))
+      incs.foldLeft(seed) { case ((stored, deg), inc) =>
+        val sym = (inc ++ inc.map(_.swap)).toDF("src", "dst")
+        val fresh = sym.distinct()
+          .join(stored, Seq("src", "dst"), "left_anti").localCheckpoint()
+        (stored.unionByName(fresh).localCheckpoint(),
+          deg.unionByName(fresh.groupBy(col("src"))
+              .agg(count(lit(1)).as("deg")))
+            .groupBy(col("src")).agg(sum(col("deg")).as("deg"))
+            .localCheckpoint())
+      }
+    }
+    val rnd = new scala.util.Random(7)
+    val edges = (0 until 30).map { _ =>
+      val a = rnd.nextInt(9).toLong; val b = rnd.nextInt(9).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2).distinct
+    val withDups = edges ++ edges.take(6) // cross-batch re-sends
+    val incs = withDups.groupBy(_ => rnd.nextInt(3)).values.toSeq
+    val (edgeStore, degStore) = fold(incs)
+    // the maintained degree table must equal the edge-derived one exactly
+    val derived = edgeStore.groupBy(col("src"))
+      .agg(count(lit(1)).as("deg"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(degStore.as[(Long, Long)].collect().toSeq.sorted === derived)
+    // serving from the stores ≡ the batch plan on the raw edge list
+    val served = Graph.pageRank(edgeStore, iters = 3,
+        scale = 1000000000000L, topK = 20, presymmetrized = true,
+        degIn = Some(degStore))
+      .as[(Long, Long)].collect().toSeq
+    val batch = Graph.pageRank(edges.toDF("src", "dst"), iters = 3,
+        scale = 1000000000000L, topK = 20)
+      .as[(Long, Long)].collect().toSeq
+    assert(served === batch)
+  }
 }

@@ -2579,4 +2579,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(moments(Streams.readMoments(spark, root)) ===
       moments(Relational.momentsByKey(all)))
   }
+
+  test("T32 graph store: incremental edge/degree epochs serve pageRank ≡ batch; re-sends no-ops; replay idempotent; compaction layout-only; stream wrapper smoke") {
+    import graft.operators.Graph
+    val rnd = new scala.util.Random(13)
+    val edges = (0 until 40).map { _ =>
+      val a = rnd.nextInt(10).toLong; val b = rnd.nextInt(10).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2).distinct
+    val withDups = edges ++ edges.take(8) // cross-batch re-sends
+    val batches = withDups.grouped(15).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("gstore").toString
+    batches.zipWithIndex.foreach { case (b, i) =>
+      Streams.graphEdgesBatch(b.toDF("src", "dst"), i.toLong, dir)
+    }
+    // the maintained degree table must equal the edge-derived one exactly
+    def degs() = Streams.readGraphDegrees(spark, dir)
+      .as[(Long, Long)].collect().toSeq.sorted
+    def derived() = Streams.readGraphEdges(spark, dir)
+      .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(degs() === derived())
+    // serving from the store ≡ the batch plan on the raw edge list
+    def pr() = Streams.servedPageRank(spark, dir, iters = 3,
+        scale = 1000000000000L, topK = 20)
+      .as[(Long, Long)].collect().toSeq
+    val batchPr = Graph.pageRank(edges.toDF("src", "dst"), iters = 3,
+      scale = 1000000000000L, topK = 20).as[(Long, Long)].collect().toSeq
+    assert(pr() === batchPr)
+    // CRASH REPLAY: the last epoch recomputes against strictly-before
+    // state and overwrites its own dir — reads unchanged
+    Streams.graphEdgesBatch(batches.last.toDF("src", "dst"),
+      (batches.size - 1).toLong, dir)
+    assert(degs() === derived())
+    assert(pr() === batchPr)
+    // compaction merges epochs; reads identical, epoch dirs collapsed
+    Streams.compactGraph(spark, dir, (batches.size - 1).toLong)
+    assert(degs() === derived())
+    assert(pr() === batchPr)
+    // stream wrapper smoke on a fresh store
+    implicit val ctx = spark.sqlContext
+    val dir2 = java.nio.file.Files.createTempDirectory("gstore2").toString
+    val mem = MemoryStream[(Long, Long)]
+    val q = Streams.graphEdgesStream(mem.toDS().toDF("src", "dst"), dir2)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt32").toString)
+      .start()
+    mem.addData(withDups: _*)
+    q.processAllAvailable(); q.stop()
+    assert(Streams.servedPageRank(spark, dir2, iters = 3,
+        scale = 1000000000000L, topK = 20)
+      .as[(Long, Long)].collect().toSeq === batchPr)
+  }
 }

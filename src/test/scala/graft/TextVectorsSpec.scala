@@ -720,4 +720,76 @@ class TextVectorsSpec extends AnyFunSuite {
     assert(r.getLong(2) === 6L)                      // all of the article's shingles
     assert(r.getAs[Long]("contained") === 1L)        // the article is the duplicate
   }
+
+  test("MMR re-rank: a near-duplicate of pick 1 is demoted; selection matches a sequential greedy reference") {
+    // hand case: candidates 10 (rel .9) and 11 (rel .89) are near-identical
+    // (sim .99); candidate 12 (rel .5) is orthogonal to both. Plain top-2
+    // keeps (10, 11); MMR's second pick must skip 11 for 12:
+    // score(11) = .445 − .495 < 0 < score(12) = .25 − 0.
+    val cand = Seq((1L, 10L, 0.9), (1L, 11L, 0.89), (1L, 12L, 0.5))
+      .toDF("q_id", "vec_id", "rel")
+    val pairs = Seq(
+      (1L, 10L, 11L, 0.99), (1L, 11L, 10L, 0.99),
+      (1L, 10L, 12L, 0.0), (1L, 12L, 10L, 0.0),
+      (1L, 11L, 12L, 0.0), (1L, 12L, 11L, 0.0))
+      .toDF("q_id", "a", "b", "sim")
+    val got = Vectors.mmrSelect(cand, pairs, 3)
+      .orderBy("pick").select("vec_id").as[Long].collect().toSeq
+    assert(got === Seq(10L, 12L, 11L))
+
+    // property: distributed greedy ≡ sequential reference on random sims,
+    // two query groups advancing in parallel
+    val rnd = new scala.util.Random(11)
+    val qids = Seq(1L, 2L)
+    val candR = qids.flatMap(q => (0 until 8).map(i =>
+      (q, q * 100 + i, rnd.nextInt(1000) / 1000.0)))
+    val pairR = qids.flatMap { q =>
+      val ids = (0 until 8).map(q * 100 + _)
+      for (a <- ids; b <- ids if a != b && a < b; s = rnd.nextInt(1000) / 1000.0;
+           p <- Seq((q, a, b, s), (q, b, a, s))) yield p
+    }
+    def seqRef(q: Long, k: Int): Seq[Long] = {
+      val rel = candR.filter(_._1 == q).map(c => c._2 -> c._3).toMap
+      val sim = pairR.filter(_._1 == q).map(p => (p._2, p._3) -> p._4).toMap
+      var sel = Vector.empty[Long]
+      for (_ <- 1 to k) {
+        val rest = rel.keys.filterNot(sel.contains).toSeq
+        val best = rest.minBy { d =>
+          val ms = if (sel.isEmpty) 0.0 else sel.map(s => sim((d, s))).max
+          (-(0.5 * rel(d) - 0.5 * ms), d)
+        }
+        sel :+= best
+      }
+      sel
+    }
+    val gotR = Vectors.mmrSelect(
+        candR.toDF("q_id", "vec_id", "rel"), pairR.toDF("q_id", "a", "b", "sim"), 5)
+      .orderBy("q_id", "pick")
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSeq
+    val want = qids.flatMap(q => seqRef(q, 5).map(q -> _))
+    assert(gotR === want)
+  }
+
+  test("t-closeness: a class mirroring the global source mix passes; a one-source class is flagged; distance matches a rational reference") {
+    import graft.operators.Scrub
+    // global mix: sources A and B, 10 docs each. Class en/bucket-0 mirrors
+    // it exactly (TV = 0); class de/bucket-1 is all-A (TV = 1/2 > 1/4).
+    val docs = ((1 to 5).map(i => (s"e$i", "en", 10L, "A")) ++
+      (1 to 5).map(i => (s"f$i", "en", 10L, "B")) ++
+      (1 to 5).map(i => (s"g$i", "de", 60L, "A")) ++
+      (1 to 5).map(i => (s"h$i", "xx", 60L, "B")))
+      .toDF("doc_id", "lang", "n_chars", "source")
+    val got = Scrub.tClosenessAudit(docs)
+      .select("lang", "len_bucket", "n", "dist_num", "at_risk")
+      .as[(String, Long, Long, Long, Boolean)].collect().toSeq
+    // N_g = 20, global {A:10, B:10}. en (N_c=10, {A:5,B:5}):
+    // |5*20-10*10| = 0 per source → dist_num 0 → TV 0, pass.
+    // de (N_c=5, all A): present |5*20-10*5| = 50, absent-B tail
+    // (20-10)*5 = 50 → dist_num 100 → TV = 100/(2*5*20) = 1/2 > 1/4
+    // → at risk; xx symmetric.
+    assert(got === Seq(
+      ("de", 1L, 5L, 100L, true),
+      ("en", 0L, 10L, 0L, false),
+      ("xx", 1L, 5L, 100L, true)))
+  }
 }
