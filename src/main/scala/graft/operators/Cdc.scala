@@ -1996,8 +1996,88 @@ object Cdc {
       |FROM snap, w WHERE live OR lsn >= w
       |ORDER BY id""".stripMargin
 
+  // ----------------------------------------------------------------- C26
+  /** C26 — RIGHT-TO-BE-FORGOTTEN erasure sweep over the changelog: the
+    * deletion-request pass (GDPR Art. 17 / CCPA-style) every CDC-fed
+    * lakehouse eventually needs. A subject's erasure CANNOT be "just the
+    * tombstone": the changelog — and every store derived from it —
+    * retains the full personal-data history in before/after images. The
+    * sweep REDACTS the PII attributes of every event belonging to an
+    * erased key while keeping the envelope row itself (key, lsn, op):
+    * dropping rows would silently break replication-audit invariants
+    * (C24 gap detection would report the swept lsns as losses) and
+    * downstream fold cardinalities, whereas redaction preserves the
+    * structural log exactly. Derived stores (C4 snapshot, C21 SCD2
+    * history) rebuild from the swept log and inherit the redaction —
+    * the spec proves both propagations.
+    *
+    * Registered instance: erased = keys whose log contains a delete
+    * (closed accounts whose retention window has elapsed — the fixture's
+    * deterministic %7 cohort). Output: one row per event with the
+    * after-image attributes nulled for erased keys and a `redacted`
+    * audit flag.
+    *
+    * Scale: the erasure-request set is tiny relative to the log →
+    * broadcast probe + projection, NO shuffle of the changelog at any
+    * SF. The sweep is idempotent (redacting redacted rows is a no-op),
+    * so re-runs on overlapping log segments are safe. At 100 TB the
+    * same plan runs per partition-pruned date range; the
+    * crypto-shredding alternative (encrypt per subject, drop the key)
+    * trades this rewrite for unreadable-but-present bytes — redaction
+    * is the variant that keeps the parquet scannable.
+    */
+  /** Envelope-preserving sweep: the output is a changelog of the SAME
+    * shape (before/after/source/op/ts_ms/transaction, plus a `redacted`
+    * audit flag), so every derived-store builder — [[snapshot]], [[scd2]],
+    * [[compactedTopic]] — consumes it unchanged and inherits the
+    * redaction. Keys stay inside the redacted images (the fold needs
+    * them); only the personal attributes are nulled.
+    */
+  def erasureSweep(chg: DataFrame, erased: DataFrame): DataFrame = {
+    def redacted(side: String): Column =
+      when(col("__erased").isNotNull && col(side).isNotNull,
+        struct(col(s"$side.id").as("id"),
+          lit(null).cast("string").as("first_name"),
+          lit(null).cast("string").as("last_name"),
+          lit(null).cast("string").as("email")))
+        .otherwise(col(side))
+    // pass every non-image column through untouched (envelopes with or
+    // without the optional transaction block both work)
+    val rest = chg.columns.filterNot(Set("before", "after")).map(col)
+    chg.join(broadcast(erased.select(col("id").as("__erased"))),
+        coalesce(col("after.id"), col("before.id")) === col("__erased"), "left")
+      .select((Seq(redacted("before").as("before"),
+        redacted("after").as("after")) ++ rest.toSeq ++
+        Seq(col("__erased").isNotNull.as("redacted"))): _*)
+  }
+
+  val cdcErasureSweep: Q = (spark, dir) => {
+    val chg = changelog(spark, dir)
+    val erased = chg.filter(col("op") === "d")
+      .select(coalesce(col("after.id"), col("before.id")).as("id"))
+      .distinct()
+    erasureSweep(chg, erased)
+      .select(coalesce(col("after.id"), col("before.id")).as("id"),
+        col("source.lsn").as("lsn"), col("op"),
+        col("after.first_name").as("first_name"),
+        col("after.last_name").as("last_name"),
+        col("after.email").as("email"),
+        col("redacted"))
+      .orderBy(col("id"), col("lsn"))
+  }
+  val cdcErasureSweepSql: String = changelogCte + """,
+      |erased AS (SELECT DISTINCT id FROM chg WHERE op = 'd')
+      |SELECT c.id, c.lsn, c.op,
+      | CASE WHEN e.id IS NULL THEN c.a_fn END AS first_name,
+      | CASE WHEN e.id IS NULL THEN c.a_ln END AS last_name,
+      | CASE WHEN e.id IS NULL THEN c.a_em END AS email,
+      | e.id IS NOT NULL AS redacted
+      |FROM chg c LEFT JOIN erased e ON c.id = e.id
+      |ORDER BY c.id, c.lsn""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "cdc_seq_audit" -> cdcSeqAudit,
+    "cdc_erasure_sweep" -> cdcErasureSweep,
     "cdc_seq_audit_by" -> cdcSeqAuditBy,
     "cdc_compacted_topic" -> cdcCompactedTopic,
     "cdc_compacted_topic_by" -> cdcCompactedTopicBy,
@@ -2030,6 +2110,7 @@ object Cdc {
 
   val oracle: Map[String, String] = Map(
     "cdc_seq_audit" -> cdcSeqAuditSql,
+    "cdc_erasure_sweep" -> cdcErasureSweepSql,
     "cdc_seq_audit_by" -> cdcSeqAuditBySql,
     "cdc_compacted_topic" -> cdcCompactedTopicSql,
     "cdc_compacted_topic_by" -> cdcCompactedTopicBySql,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -254,6 +254,58 @@ object Curation {
       | doc_id
       |FROM d ORDER BY shard, pos""".stripMargin
 
+  /** X6h — LEAKAGE-SAFE train/validation split: the assignment unit is
+    * the near-dup CLUSTER, not the document. A per-document hash split
+    * puts one member of a near-duplicate pair in train and its twin in
+    * val — the classic evaluation leak: the model is scored on data it
+    * effectively trained on. Hashing the cluster REPRESENTATIVE instead
+    * (min-id label from the x7 connected components; singletons are
+    * their own group) moves whole components together, so no near-dup
+    * relation ever crosses the boundary. The coin is the repo's portable
+    * md5 convention (x6b/x6e): first 8 hex digits as uint32, mod 100 —
+    * same assignment in any engine, any run, any partitioning.
+    *
+    * Scale: the cluster map is bounded by near-dup membership (≪ corpus)
+    * and broadcasts; the corpus side is scan + hash-probe + projection —
+    * no shuffle at any SF. The md5 coin is computed once per GROUP only
+    * conceptually — per row it is a codegen'd scalar on the (tiny)
+    * group id, far cheaper than moving data.
+    */
+  val splitValPct = 10
+
+  /** The portable split coin on a GROUP id: first 8 md5 hex digits as a
+    * uint32, mod 100 → 'val' below `valPct`, else 'train' (the x6b/x6e
+    * md5 convention — identical verdict in any engine/partitioning).
+    * Shared by the batch split (x6h) and the durable registry (T33) so
+    * the two surfaces cannot drift.
+    */
+  def splitOf(grp: Column, valPct: Int = splitValPct): Column =
+    when(pmod(
+        conv(substring(md5(concat(lit("split:"), grp.cast("string"))
+          .cast("binary")), 1, 8), 16, 10).cast("long"),
+        lit(100)) < valPct,
+      lit("val")).otherwise(lit("train"))
+
+  def leakageSplit(docs: DataFrame, clusters: DataFrame,
+      valPct: Int = splitValPct): DataFrame =
+    docs.join(broadcast(clusters), docs("doc_id") === clusters("node"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("cluster"), col("doc_id")).as("grp"))
+      .select(col("doc_id"), col("lang"), col("grp"),
+        splitOf(col("grp"), valPct).as("split"))
+
+  val x6hLeakageSplit: Q = (spark, dir) =>
+    leakageSplit(Tables.documents(spark, dir),
+      Graph.stagedClusters(spark, dir)).orderBy(col("doc_id"))
+  val x6hSql: String = Graph.ccCtes + s"""
+      |SELECT doc_id, lang, coalesce(cluster, doc_id) AS grp,
+      | CASE WHEN CAST(('0x' || substr(md5('split:' ||
+      |    CAST(coalesce(cluster, doc_id) AS VARCHAR)), 1, 8)) AS BIGINT)
+      |    % 100 < $splitValPct
+      |  THEN 'val' ELSE 'train' END AS split
+      |FROM documents LEFT JOIN cc ON doc_id = node
+      |ORDER BY doc_id""".stripMargin
+
   /** X9 — the complete curation pipeline as ONE declarative plan, composed
     * from the catalog operators the way a user would actually run them:
     *
@@ -407,6 +459,7 @@ object Curation {
     "x6e_weighted_sample" -> x6eWeightedSample,
     "x6f_corpus_shuffle" -> x6fCorpusShuffle,
     "x6g_curriculum" -> x6gCurriculum,
+    "x6h_leakage_split" -> x6hLeakageSplit,
     "x9_pipeline" -> x9Pipeline,
     "x9b_shuffle_manifest" -> x9bShuffleManifest,
     "x9c_bpe_packing" -> x9cBpePacking)
@@ -418,6 +471,7 @@ object Curation {
     "x6e_weighted_sample" -> x6eSql,
     "x6f_corpus_shuffle" -> x6fSql,
     "x6g_curriculum" -> x6gSql,
+    "x6h_leakage_split" -> x6hSql,
     "x9_pipeline" -> x9Sql,
     "x9b_shuffle_manifest" -> x9bSql,
     "x9c_bpe_packing" -> x9cSql)

@@ -805,18 +805,23 @@ object Graph {
     val sym = stagedCopurchaseEdges(spark, dir)
     val seed = (sym.limit(0),
       sym.limit(0).select(col("src"), lit(0L).as("deg")))
-    val (edgeStore, degStore) = (0 until 3).foldLeft(seed) {
-      case ((stored, deg), i) =>
+    // only each increment's FRESH set is checkpointed (it is read twice:
+    // edge fold + degree delta, and every later anti-join probes it);
+    // the stores themselves stay plain unions of those checkpointed
+    // leaves — flat lineage without re-materializing the whole store
+    // per round (the T32 read path: degree deltas re-sum once at the end)
+    val (edgeStore, degDeltas) = (0 until 3).foldLeft(seed) {
+      case ((stored, degs), i) =>
         val inc = sym.filter(pmod(col("src") + col("dst"), lit(3)) === i)
         val fresh = inc.distinct()
           .join(stored, Seq("src", "dst"), "left_anti")
-          .localCheckpoint() // read twice: edge fold + degree delta
-        val degDelta = fresh.groupBy(col("src"))
-          .agg(count(lit(1)).as("deg"))
-        (stored.unionByName(fresh).localCheckpoint(),
-          deg.unionByName(degDelta).groupBy(col("src"))
-            .agg(sum(col("deg")).as("deg")).localCheckpoint())
+          .localCheckpoint()
+        (stored.unionByName(fresh),
+          degs.unionByName(fresh.groupBy(col("src"))
+            .agg(count(lit(1)).as("deg"))))
     }
+    val degStore = degDeltas.groupBy(col("src"))
+      .agg(sum(col("deg")).as("deg"))
     pageRank(edgeStore, presymmetrized = true, degIn = Some(degStore))
   }
 

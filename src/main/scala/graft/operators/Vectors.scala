@@ -129,9 +129,10 @@ object Vectors {
     * rank-1 window partitioned by q_id — all queries advance in
     * parallel each round, so wall-clock is O(k) regardless of |Q|, and
     * no driver round-trip ever touches candidate rows (the selection
-    * state lives in `selected`/`remaining`, localCheckpointed to keep
-    * lineage flat). Per-round state is |Q|·shortlist rows — the
-    * shortlist bound makes every join hash-small.
+    * state is the union of the per-round picks, each localCheckpointed,
+    * so lineage stays flat at one materialized job per round).
+    * Per-round state is |Q|·shortlist rows — the shortlist bound makes
+    * every join hash-small.
     */
   def mmrSelect(cand: DataFrame, pairs: DataFrame, k: Int): DataFrame = {
     var selected = cand.limit(0)
@@ -150,10 +151,12 @@ object Vectors {
       val pick = scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("q_id"), col("vec_id"), lit(i.toLong).as("pick"))
-        .localCheckpoint() // read twice: selected fold + remaining anti-join
-      selected = selected.unionByName(pick).localCheckpoint()
-      remaining = remaining.join(pick.select(col("q_id"), col("vec_id")),
-        Seq("q_id", "vec_id"), "left_anti").localCheckpoint()
+        .localCheckpoint() // the ONLY per-round materialization: selected
+        // and remaining are rebuilt as plain unions/anti-joins over the
+        // checkpointed picks, so lineage stays flat at 1 job per round
+      selected = selected.unionByName(pick)
+      remaining = cand.join(selected.select(col("q_id"), col("vec_id")),
+        Seq("q_id", "vec_id"), "left_anti")
     }
     selected
   }

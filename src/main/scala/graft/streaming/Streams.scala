@@ -1356,6 +1356,97 @@ object Streams extends Serializable {
       df => df.groupBy(col("src")).agg(sum(col("deg")).as("deg")))
   }
 
+  // ------------------- T33 durable leakage-split registry (x6h's sticky half)
+  /** T33 — the STICKY train/val split registry: x6h's group-aware split
+    * maintained as documents stream in. The batch split (x6h) hashes the
+    * FINAL cluster representative — correct for a one-shot corpus build,
+    * but wrong as a living registry: when later increments merge two
+    * clusters, the min-label representative changes and a re-hash would
+    * silently MOVE already-assigned documents across the train/val
+    * boundary — retroactive leakage, since a moved val document may
+    * already have been evaluated against a model trained while it sat in
+    * train. The registry therefore makes assignment WRITE-ONCE: each doc
+    * is split by the coin of its cluster representative AS OF arrival
+    * (the T17 cluster store at the registry batch's own epoch;
+    * singletons coin their own id) and never rewritten. A later merge
+    * that unites differently-split docs is surfaced — not papered over —
+    * by [[splitContamination]]: per CURRENT cluster, the train/val
+    * membership counts where both sides are nonzero. The consumer
+    * quarantines those clusters (drop from val, or from both) — an
+    * explicit, auditable decision instead of a silent migration.
+    *
+    * Store protocol — identical to T30/T32: per-epoch `b=<id>` dirs,
+    * each batch writes only its FRESH docs (anti-join on doc_id against
+    * strictly-before epochs; re-sent docs are no-ops), replay derives
+    * from own rows + strictly-before state and overwrites its own dir.
+    * Reads are the plain union (epochs disjoint by construction).
+    * Scale: per-batch cost is increment-sized (the cluster-map probe
+    * broadcasts); the contamination audit is one groupBy over the
+    * bounded cluster map joined to the registry — never corpus², and
+    * the registry itself never rewrites.
+    */
+  def splitRegistryBatch(newDocs: DataFrame, batchId: Long,
+      regDir: String, clusterDir: String,
+      valPct: Int = graft.operators.Curation.splitValPct): Unit = {
+    val spark = newDocs.sparkSession
+    val priorDirs = bandBatchDirs(spark, regDir)
+      .filter(_._1 < batchId).map(_._2)
+    val fresh = (if (priorDirs.isEmpty) newDocs.select(col("doc_id"))
+      else newDocs.select(col("doc_id")).join(
+        spark.read.parquet(priorDirs: _*).select(col("doc_id")),
+        Seq("doc_id"), "left_anti"))
+    // cluster state AS OF this epoch: committed cluster batches ≤ batchId
+    // only, so a crash replay sees the same state it assigned with even
+    // if the cluster store has since advanced
+    val ccDirs = bandBatchDirs(spark, clusterDir)
+      .filter(_._1 <= batchId).map(_._2)
+    val cc =
+      if (ccDirs.isEmpty)
+        fresh.limit(0).select(col("doc_id").as("node"),
+          col("doc_id").as("cluster"))
+      else foldClusterMap(spark.read.parquet(ccDirs: _*))
+    fresh.join(broadcast(cc), fresh("doc_id") === cc("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("grp"))
+      .select(col("doc_id"), col("grp"),
+        graft.operators.Curation.splitOf(col("grp"), valPct).as("split"))
+      .write.mode("overwrite").parquet(s"$regDir/b=$batchId")
+    ()
+  }
+
+  def splitRegistryStream(docStream: DataFrame, regDir: String,
+      clusterDir: String,
+      valPct: Int = graft.operators.Curation.splitValPct)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docStream.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      splitRegistryBatch(batch.toDF, batchId, regDir, clusterDir, valPct)
+    }
+
+  /** The committed write-once assignments: (doc_id, grp-at-assignment,
+    * split). Epochs are disjoint → plain union, no fold window. */
+  def readSplits(spark: org.apache.spark.sql.SparkSession,
+      regDir: String): DataFrame = {
+    val paths = bandBatchDirs(spark, regDir).map(_._2)
+    require(paths.nonEmpty, s"no committed splits under $regDir")
+    spark.read.parquet(paths: _*)
+  }
+
+  /** Clusters whose CURRENT membership mixes train and val assignments —
+    * the quarantine list a consumer must act on after merges. Output:
+    * (cluster, n_train, n_val), both nonzero. Unclustered docs cannot
+    * contaminate (their group is themselves). */
+  def splitContamination(spark: org.apache.spark.sql.SparkSession,
+      regDir: String, clusterDir: String): DataFrame = {
+    val assigned = readSplits(spark, regDir)
+    val cc = readClusterMap(spark, clusterDir)
+    assigned.join(cc, assigned("doc_id") === cc("node"))
+      .groupBy(col("cluster"))
+      .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"))
+      .filter(col("n_train") > 0 && col("n_val") > 0)
+  }
+
   // ------------------------- T23 incremental SCD2 history maintenance
   /** T23 — the OTHER classic CDC materialization (C4 keeps latest
     * state; SCD2 keeps every version with its validity interval),

@@ -644,4 +644,52 @@ class CdcSpec extends AnyFunSuite {
       .orderBy("id", "valid_from").collect().toSeq
     assert(single === classic)
   }
+
+  test("C26 erasure sweep: erased keys lose every PII attribute across their whole history, the log structure survives, and derived stores inherit the redaction") {
+    val chg = Cdc.changelog(spark, TestSpark.sf)
+    val erased = chg.filter(col("op") === "d")
+      .select(coalesce(col("after.id"), col("before.id")).as("id")).distinct()
+    val erasedIds = erased.as[Long].collect().toSet
+    assert(erasedIds.nonEmpty)
+    val swept = Cdc.erasureSweep(chg, erased)
+    // structural identity: same cardinality, same lsn multiset — the C24
+    // continuity audit sees an unchanged sequence
+    assert(swept.count() === chg.count())
+    assert(swept.select(col("source.lsn"))
+      .except(chg.select(col("source.lsn"))).count() === 0)
+    // redacted flag ≡ membership in the erased set, and every flagged row
+    // carries zero PII on either image while keeping its key
+    assert(swept.filter(col("redacted"))
+      .select(coalesce(col("after.id"), col("before.id"))).as[Long]
+      .collect().toSet === erasedIds)
+    assert(swept.filter(col("redacted")).filter(
+      col("before.first_name").isNotNull || col("before.last_name").isNotNull ||
+      col("before.email").isNotNull || col("after.first_name").isNotNull ||
+      col("after.last_name").isNotNull || col("after.email").isNotNull)
+      .count() === 0)
+    assert(swept.filter(col("redacted"))
+      .filter(coalesce(col("after.id"), col("before.id")).isNull)
+      .count() === 0)
+    // non-erased rows byte-identical to the original log
+    assert(swept.filter(!col("redacted")).drop("redacted")
+      .except(chg.filter(!coalesce(col("after.id"), col("before.id"))
+        .isin(erasedIds.toSeq: _*))).count() === 0)
+    // idempotence: sweeping the swept log changes nothing
+    assert(Cdc.erasureSweep(swept.drop("redacted"), erased)
+      .except(swept).count() === 0)
+    // derived stores inherit: the fixture's erased cohort is delete-final,
+    // so the snapshot is unchanged; the SCD2 history keeps its interval
+    // structure but carries no attribute values for erased keys
+    assert(Cdc.snapshot(swept.drop("redacted"))
+      .except(Cdc.snapshot(chg)).count() === 0)
+    val histSwept = Cdc.scd2(swept.drop("redacted"), Seq("email"))
+    val histOrig = Cdc.scd2(chg, Seq("email"))
+    assert(histSwept.filter(col("id").isin(erasedIds.toSeq: _*))
+      .filter(col("email").isNotNull).count() === 0)
+    assert(histSwept.filter(col("id").isin(erasedIds.toSeq: _*)).count() ===
+      histOrig.filter(col("id").isin(erasedIds.toSeq: _*)).count())
+    assert(histSwept.filter(!col("id").isin(erasedIds.toSeq: _*))
+      .except(histOrig.filter(!col("id").isin(erasedIds.toSeq: _*)))
+      .count() === 0)
+  }
 }

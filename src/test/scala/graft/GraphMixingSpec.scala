@@ -414,6 +414,32 @@ class GraphMixingSpec extends AnyFunSuite {
     }
   }
 
+  test("x6h leakage split: cluster partners always share a split, singletons group as themselves, and the naive per-doc coin provably separates some pair") {
+    import graft.operators.Curation
+    // docs 0..99; nodes 0..49 paired into clusters {2i, 2i+1}; 50..99 singleton
+    val docs = (0L until 100L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val clusters = (0L until 50L).map(n => (n, (n / 2) * 2))
+      .toDF("node", "cluster")
+    val split = Curation.leakageSplit(docs, clusters, valPct = 50)
+    // every cluster's members land on ONE side — no near-dup relation
+    // crosses the train/val boundary
+    assert(split.groupBy("grp").agg(countDistinct("split").as("k"))
+      .filter(col("k") > 1).count() === 0)
+    // unclustered docs group as themselves
+    assert(split.filter(col("doc_id") >= 50)
+      .filter(col("grp") =!= col("doc_id")).count() === 0)
+    // at 50% both sides are populated (assignment isn't degenerate)
+    assert(split.select("split").distinct().count() === 2)
+    // the leak x6h exists to prevent: hashing per DOC splits at least one
+    // clustered pair across the boundary
+    val naive = docs.select(col("doc_id"),
+      Curation.splitOf(col("doc_id"), 50).as("split"))
+    assert(naive.join(clusters, naive("doc_id") === clusters("node"))
+      .groupBy("cluster").agg(countDistinct("split").as("k"))
+      .filter(col("k") > 1).count() > 0)
+  }
+
   test("x7q store fold: maintained symmetric edge + degree stores serve pageRank ≡ batch, with re-sent edges as no-ops") {
     // fold SYMMETRIC increments (both directions of an edge together,
     // as x7q's pmod(src+dst) split guarantees) into the two stores

@@ -2580,6 +2580,66 @@ class StreamingSpec extends AnyFunSuite {
       moments(Relational.momentsByKey(all)))
   }
 
+  test("T33 split registry: assignments are write-once under cluster merges, contamination is flagged not migrated, replay is as-of its own epoch, stream wrapper smoke") {
+    import graft.operators.Curation
+    // pick ids whose 50%-coin differs so a merge MUST contaminate
+    val coins = spark.range(0, 64)
+      .select(col("id"), Curation.splitOf(col("id"), 50).as("split"))
+      .as[(Long, String)].collect().toMap
+    val trainId = (0L until 64L).find(coins(_) == "train").get
+    val valId = (0L until 64L).find(coins(_) == "val").get
+    val newId = 200L
+    val regDir = java.nio.file.Files.createTempDirectory("reg33").toString
+    val ccDir = java.nio.file.Files.createTempDirectory("cc33").toString
+    // batch 0: both arrive before any clustering — singleton coins
+    Streams.splitRegistryBatch(Seq(trainId, valId).toDF("doc_id"), 0L,
+      regDir, ccDir, valPct = 50)
+    def splits() = Streams.readSplits(spark, regDir)
+      .as[(Long, Long, String)].collect().toSeq.sorted
+    assert(splits() === Seq((trainId, trainId, "train"), (valId, valId, "val")).sorted)
+    // batch 1: a pair merges them; a third doc joins the merged cluster
+    Streams.clusterIndexBatch(Seq((trainId, valId), (trainId, newId))
+      .toDF("da", "db"), 1L, ccDir)
+    Streams.splitRegistryBatch(Seq(trainId, newId).toDF("doc_id"), 1L,
+      regDir, ccDir, valPct = 50)
+    val rep = Seq(trainId, valId, newId).min
+    // write-once: trainId keeps its batch-0 assignment (one row, original
+    // grp and split); newId inherits the CURRENT representative's coin
+    assert(splits() === Seq(
+      (trainId, trainId, "train"), (valId, valId, "val"),
+      (newId, rep, coins(rep))).sorted)
+    // the merge united differently-split docs: flagged, never migrated
+    val cont = Streams.splitContamination(spark, regDir, ccDir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(cont.map(_._1) === Seq(rep))
+    val (nTrain, nVal) = (cont.head._2, cont.head._3)
+    assert(nTrain >= 1 && nVal >= 1 && nTrain + nVal === 3)
+    // cluster store advances (unrelated pair) — then a CRASH REPLAY of
+    // registry batch 1 re-derives from cluster state AS OF epoch ≤ 1 and
+    // strictly-before assignments: the store is unchanged
+    Streams.clusterIndexBatch(Seq((300L, 301L)).toDF("da", "db"), 2L, ccDir)
+    Streams.splitRegistryBatch(Seq(trainId, newId).toDF("doc_id"), 1L,
+      regDir, ccDir, valPct = 50)
+    assert(splits() === Seq(
+      (trainId, trainId, "train"), (valId, valId, "val"),
+      (newId, rep, coins(rep))).sorted)
+    // stream wrapper smoke on fresh dirs (no clusters → singleton coins)
+    implicit val ctx = spark.sqlContext
+    val regDir2 = java.nio.file.Files.createTempDirectory("reg33b").toString
+    val ccDir2 = java.nio.file.Files.createTempDirectory("cc33b").toString
+    val mem = MemoryStream[Long]
+    val q = Streams.splitRegistryStream(mem.toDS().toDF("doc_id"),
+        regDir2, ccDir2, valPct = 50)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt33").toString)
+      .start()
+    mem.addData(trainId, valId)
+    q.processAllAvailable(); q.stop()
+    assert(Streams.readSplits(spark, regDir2)
+      .as[(Long, Long, String)].collect().toSeq.sorted ===
+      Seq((trainId, trainId, coins(trainId)), (valId, valId, coins(valId))).sorted)
+  }
+
   test("T32 graph store: incremental edge/degree epochs serve pageRank ≡ batch; re-sends no-ops; replay idempotent; compaction layout-only; stream wrapper smoke") {
     import graft.operators.Graph
     val rnd = new scala.util.Random(13)
