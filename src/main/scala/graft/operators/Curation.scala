@@ -306,6 +306,71 @@ object Curation {
       |FROM documents LEFT JOIN cc ON doc_id = node
       |ORDER BY doc_id""".stripMargin
 
+  /** X6i — CURATION-RUN DIFF with reason attribution: when a corpus
+    * config changes (language set, length band), the operational question
+    * is not "what is the new corpus" but "which documents moved, and
+    * WHY" — at 100 TB a silent 12% corpus shrink between runs is a
+    * pipeline incident, and answering it by re-reading documents is the
+    * wrong plan. The diff evaluates BOTH runs' predicates on each row in
+    * ONE scan (no join of two materialized corpora, no second pass):
+    * per doc, membership in run A (the x6 config: en/de/es, 20–90
+    * tokens, near-dup members dropped) and run B (the revised config:
+    * es swapped for fr, band tightened below and loosened above,
+    * 25–100), then status ∈ kept/removed/added with the flipped
+    * predicate attributed in fixed order (lang before len; the shared
+    * dedup rule can never differ). Docs in neither run are not the
+    * diff's business and are excluded.
+    *
+    * Scale: one corpus scan + the broadcast dup-id probe both runs
+    * share; the usual consumer aggregates to (status, reason) counts —
+    * map-side combined, a handful of rows — but the per-doc form is the
+    * operator (the counts are a trivial groupBy over it).
+    */
+  val x6iCurationDiff: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+    val dup = Text.stagedJaccardPairs(spark, dir)
+      .select(col("db").as("dup_id")).distinct()
+    val langA = col("lang").isin("en", "de", "es")
+    val langB = col("lang").isin("en", "de", "fr")
+    docs.join(broadcast(dup), docs("doc_id") === dup("dup_id"), "left")
+      .withColumn("is_dup", col("dup_id").isNotNull)
+      .withColumn("in_a",
+        langA && col("n_tokens").between(20, 90) && !col("is_dup"))
+      .withColumn("in_b",
+        langB && col("n_tokens").between(25, 100) && !col("is_dup"))
+      .filter(col("in_a") || col("in_b"))
+      .select(col("doc_id"),
+        when(col("in_a") && col("in_b"), "kept")
+          .when(col("in_a"), "removed").otherwise("added").as("status"),
+        when(col("in_a") && col("in_b"), lit(null).cast("string"))
+          .when(langA =!= langB, "lang").otherwise("len").as("reason"))
+      .orderBy(col("doc_id"))
+  }
+  val x6iSql: String =
+    Text.x2cCtePrefix() + ",\n" +
+      """dups AS (
+        | SELECT DISTINCT db AS dup_id
+        | FROM shared JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
+        | WHERE shared * 10 >= (ca.n + cb.n - shared) * 7),
+        |d AS (SELECT doc_id, lang,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  EXISTS (SELECT 1 FROM dups WHERE dup_id = doc_id) AS is_dup
+        | FROM documents),
+        |f AS (SELECT doc_id,
+        |  (lang IN ('en','de','es') AND n_tokens BETWEEN 20 AND 90
+        |    AND NOT is_dup) AS in_a,
+        |  (lang IN ('en','de','fr') AND n_tokens BETWEEN 25 AND 100
+        |    AND NOT is_dup) AS in_b,
+        |  (lang IN ('en','de','es')) <> (lang IN ('en','de','fr')) AS lang_flip
+        | FROM d)
+        |SELECT doc_id,
+        | CASE WHEN in_a AND in_b THEN 'kept'
+        |      WHEN in_a THEN 'removed' ELSE 'added' END AS status,
+        | CASE WHEN in_a AND in_b THEN NULL
+        |      WHEN lang_flip THEN 'lang' ELSE 'len' END AS reason
+        |FROM f WHERE in_a OR in_b ORDER BY doc_id""".stripMargin
+
   /** X9 — the complete curation pipeline as ONE declarative plan, composed
     * from the catalog operators the way a user would actually run them:
     *
@@ -460,6 +525,7 @@ object Curation {
     "x6f_corpus_shuffle" -> x6fCorpusShuffle,
     "x6g_curriculum" -> x6gCurriculum,
     "x6h_leakage_split" -> x6hLeakageSplit,
+    "x6i_curation_diff" -> x6iCurationDiff,
     "x9_pipeline" -> x9Pipeline,
     "x9b_shuffle_manifest" -> x9bShuffleManifest,
     "x9c_bpe_packing" -> x9cBpePacking)
@@ -472,6 +538,7 @@ object Curation {
     "x6f_corpus_shuffle" -> x6fSql,
     "x6g_curriculum" -> x6gSql,
     "x6h_leakage_split" -> x6hSql,
+    "x6i_curation_diff" -> x6iSql,
     "x9_pipeline" -> x9Sql,
     "x9b_shuffle_manifest" -> x9bSql,
     "x9c_bpe_packing" -> x9cSql)

@@ -1721,6 +1721,71 @@ object Text {
     """SELECT vec_id AS q_id, true AS recall_ok
       |FROM embeddings WHERE vec_id < 10 ORDER BY 1""".stripMargin
 
+  // ----------------------------------------------- X4w phrase retrieval
+  /** X4w — exact PHRASE matching over positional postings: the retrieval
+    * feature BM25's bag-of-words scoring cannot express ("data change
+    * capture" as a phrase, not three independent terms). The classic
+    * index answer is positional postings — (doc, token, position) — and
+    * the match is pure relational algebra, no string rescans: a token
+    * matching phrase slot i ANCHORS a candidate occurrence at
+    * position − i, so an anchor with ALL m slots present is exactly a
+    * phrase occurrence. One groupBy over the slot-tagged anchor union
+    * replaces the m−1 self-joins of the textbook formulation, and
+    * repeated phrase terms (the case that breaks naive adjacency joins —
+    * one posting row can satisfy several slots) fall out correctly
+    * because each slot contributes its own anchor row (spec).
+    *
+    * Candidate discipline = x4r's: the rarest phrase term gates the
+    * DOC set (computed argmin-df, 1-row broadcast — a doc without the
+    * rarest term cannot contain the phrase), so the groupBy carries the
+    * gated postings of the phrase's terms only, never the corpus. At
+    * 100 TB the positional lists come straight off a maintained
+    * (doc, token, pos) index — the T30 postings store carries tf today;
+    * positions are the same fold with pos kept — and the anchor groupBy
+    * shuffles O(Σ gated postings), the smallest any exact phrase match
+    * can touch.
+    */
+  def phraseMatch(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val pos = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+      .filter(col("token").isin(phrase.distinct: _*))
+    val dfreq = pos.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val gate = dfreq.orderBy(col("df").asc, col("token").asc).limit(1)
+      .select(col("token").as("__gate_token"))
+    val cand = pos.join(broadcast(gate), col("token") === col("__gate_token"))
+      .select(col("doc_id")).distinct()
+    val slots = phrase.zipWithIndex.map { case (w, i) =>
+      pos.filter(col("token") === w)
+        .select(col("doc_id"), (col("pos") - i).as("anchor"),
+          lit(i).as("slot"))
+    }.reduce(_ unionByName _)
+    slots.join(cand, Seq("doc_id"))
+      .filter(col("anchor") >= 0)
+      .groupBy(col("doc_id"), col("anchor"))
+      .agg(countDistinct(col("slot")).as("m"))
+      .filter(col("m") === phrase.size)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"))
+      .orderBy(col("doc_id"))
+  }
+
+  val phraseTerms = Seq("part", "filter", "scan")
+  val x4wPhrase: Q = (spark, dir) =>
+    phraseMatch(Tables.documents(spark, dir), phraseTerms)
+  val x4wSql: String = {
+    val conds = phraseTerms.zipWithIndex
+      .map { case (w, i) => s"t[i+$i] = '$w'" }.mkString(" AND ")
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |p AS (SELECT doc_id, t,
+       |  unnest(generate_series(1, len(t) - ${phraseTerms.size - 1})) AS i
+       | FROM tok),
+       |a AS (SELECT doc_id FROM p WHERE $conds)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
+       |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // --------------------------------------------------- X4s quality probe
   /** Closed-form linear quality probe: fit least-squares weights for
     * `P(lang = en)` on two surface features (token count, char count) and
@@ -2503,6 +2568,7 @@ object Text {
     "x4t_bm25_index" -> x4tBm25Index,
     "x4u_hybrid_rrf" -> x4uHybridRrf,
     "x4v_hybrid_ann" -> x4vHybridAnn,
+    "x4w_phrase" -> x4wPhrase,
     "x1_dedup_exact" -> x1DedupExact,
     "x1e_fuzzy_linkage" -> x1eFuzzyLinkage,
     "x1f_linkage_apply" -> x1fLinkageApply,
@@ -2546,6 +2612,7 @@ object Text {
     "x4t_bm25_index" -> x4tSql,
     "x4u_hybrid_rrf" -> x4uSql,
     "x4v_hybrid_ann" -> x4vSql,
+    "x4w_phrase" -> x4wSql,
     "x1_dedup_exact" -> x1Sql,
     "x1e_fuzzy_linkage" -> x1eSql,
     "x1f_linkage_apply" -> x1fSql,

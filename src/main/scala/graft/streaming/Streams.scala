@@ -1447,6 +1447,98 @@ object Streams extends Serializable {
       .filter(col("n_train") > 0 && col("n_val") > 0)
   }
 
+  // ---------------- T34 streaming erasure propagation (C26's durable half)
+  /** T34 — ERASURE PROPAGATION through the maintained stores: C26 sweeps
+    * a batch changelog, but a right-to-be-forgotten request arriving on a
+    * LIVE pipeline has two more obligations the batch sweep cannot meet:
+    * (1) every DURABLE store already derived from the log (the T23 SCD2
+    * history, the T6 merged snapshot) still holds the subject's PII and
+    * must be redacted IN PLACE — a full rebuild from the swept log
+    * rescans the world; (2) events for the subject that arrive AFTER the
+    * request (stragglers, upstream replays) must never land with PII
+    * again. Three pieces close both:
+    *
+    *   - [[erasureLedgerBatch]] folds requests into a durable id ledger
+    *     (versioned [[SnapshotStore]], request-count-bounded — the only
+    *     state erasure needs to remember forever);
+    *   - [[redactIncoming]] wraps [[graft.operators.Cdc.erasureSweep]]
+    *     over the ledger: composed in front of any store sink, it makes
+    *     post-request arrivals PII-free at ingest (broadcast probe +
+    *     projection, no shuffle of the batch);
+    *   - [[erasureApplyStore]] redacts a partitioned store in place:
+    *     only the buckets holding erased keys are read and rewritten
+    *     (the C20-repair discipline — 0.1% of subjects ⇒ ~0.1% of the
+    *     keyspace touched), committed as a normal epoch so readers see
+    *     an atomic pointer flip and crash replay re-derives from
+    *     strictly-before state.
+    *
+    * Structure survives exactly as in C26: keys, intervals, lsns, and
+    * tombstone markers are untouched — only the PII attribute columns
+    * null out, so every downstream fold, audit, and join keeps its
+    * cardinality. The apply epoch must come from the same monotone
+    * sequence as the store's writer (in a deployment the requests ride
+    * the same changelog stream, so foreachBatch supplies it).
+    */
+  def erasureLedgerBatch(requests: DataFrame, batchId: Long,
+      ledgerRoot: String): Unit = {
+    val spark = requests.sparkSession
+    val ids = requests.select(col("id")).distinct()
+    val merged = SnapshotStore.readBefore(spark, ledgerRoot, batchId) match {
+      case Some(p) => p.unionByName(ids).distinct()
+      case None => ids
+    }
+    // the ledger is erasure-request-bounded: one file per version
+    SnapshotStore.commit(merged.coalesce(1), ledgerRoot, batchId)
+  }
+
+  /** The durable erased-key set (None before any request committed). */
+  def readErased(spark: org.apache.spark.sql.SparkSession,
+      ledgerRoot: String): Option[DataFrame] =
+    SnapshotStore.read(spark, ledgerRoot)
+
+  /** Ingest-side guard: redact an incoming changelog batch against the
+    * ledger so post-request events never reintroduce PII. Pass-through
+    * until the first request commits.
+    */
+  def redactIncoming(batch: DataFrame, ledgerRoot: String): DataFrame =
+    readErased(batch.sparkSession, ledgerRoot) match {
+      case Some(erased) =>
+        graft.operators.Cdc.erasureSweep(batch, erased).drop("redacted")
+      case None => batch
+    }
+
+  /** Redact `piiCols` to null for the ledger's keys across one
+    * partitioned store, touching only the buckets that hold them. No-op
+    * before any request commits. Idempotent: redacting redacted rows
+    * changes nothing, and a replay of `epoch` re-derives from
+    * strictly-before state and overwrites its own version dirs.
+    */
+  def erasureApplyStore(spark: org.apache.spark.sql.SparkSession,
+      storeRoot: String, epoch: Long, piiCols: Seq[String],
+      ledgerRoot: String, keyCol: String = "id"): Unit =
+    readErased(spark, ledgerRoot).foreach { erased =>
+      val buckets = PartitionedSnapshotStore.bucketCount(spark, storeRoot)
+        .getOrElse(sys.error(s"no bucket count under $storeRoot"))
+      val bcol = PartitionedSnapshotStore.bucketColName
+      val req = erased.select(col("id").as("__erased")).distinct()
+        .withColumn(bcol,
+          PartitionedSnapshotStore.bucketOf(col("__erased"), buckets))
+      val affected = req.select(col(bcol)).distinct()
+      PartitionedSnapshotStore.readBefore(spark, storeRoot, epoch).foreach { p =>
+        val touched = p.withColumn(bcol,
+            PartitionedSnapshotStore.bucketOf(col(keyCol), buckets))
+          .join(broadcast(affected), bcol)
+        val marked = touched.join(
+          broadcast(req.select(col("__erased"))),
+          col(keyCol) === col("__erased"), "left")
+        val redacted = piiCols.foldLeft(marked) { (df, c) =>
+          df.withColumn(c, when(col("__erased").isNotNull,
+            lit(null).cast(df.schema(c).dataType)).otherwise(col(c)))
+        }.drop("__erased")
+        PartitionedSnapshotStore.commit(redacted, storeRoot, epoch)
+      }
+    }
+
   // ------------------------- T23 incremental SCD2 history maintenance
   /** T23 — the OTHER classic CDC materialization (C4 keeps latest
     * state; SCD2 keeps every version with its validity interval),

@@ -440,6 +440,38 @@ class GraphMixingSpec extends AnyFunSuite {
       .filter(col("k") > 1).count() > 0)
   }
 
+  test("x6i curation diff: statuses partition the two corpora exactly and every reason names a predicate that really flipped") {
+    import graft.operators.Curation
+    import graft.Tables
+    val diff = Curation.x6iCurationDiff(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+    val byStatus = diff.groupBy(_._2).map { case (s, rs) => s -> rs.map(_._1).toSet }
+    val (kept, removed, added) = (byStatus.getOrElse("kept", Set.empty[Long]),
+      byStatus.getOrElse("removed", Set.empty[Long]),
+      byStatus.getOrElse("added", Set.empty[Long]))
+    assert(kept.nonEmpty && removed.nonEmpty && added.nonEmpty)
+    // run A is exactly the x6 corpus: kept ⊎ removed reconstructs it, and
+    // added is disjoint from it
+    val corpusA = graft.operators.Curation.x6Curation(spark, TestSpark.sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((kept ++ removed) === corpusA)
+    assert((kept & removed).isEmpty && (added & corpusA).isEmpty)
+    // reason attribution: 'lang' rows really flipped the language verdict
+    // (removed = es, added = fr); 'len' rows flipped only the band
+    // (removed = below B's raised floor, added = above A's old ceiling)
+    val meta = Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    diff.filter(_._3.contains("lang")).foreach { case (id, s, _) =>
+      assert(meta(id)._1 === (if (s == "removed") "es" else "fr")) }
+    diff.filter(_._3.contains("len")).foreach { case (id, s, _) =>
+      val n = meta(id)._2
+      if (s == "removed") assert(n >= 20 && n < 25)
+      else assert(n > 90 && n <= 100) }
+    diff.filter(_._2 == "kept").foreach { case (_, _, r) => assert(r.isEmpty) }
+  }
+
   test("x7q store fold: maintained symmetric edge + degree stores serve pageRank ≡ batch, with re-sent edges as no-ops") {
     // fold SYMMETRIC increments (both directions of an edge together,
     // as x7q's pmod(src+dst) split guarantees) into the two stores

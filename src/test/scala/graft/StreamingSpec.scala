@@ -2640,6 +2640,65 @@ class StreamingSpec extends AnyFunSuite {
       Seq((trainId, trainId, coins(trainId)), (valId, valId, coins(valId))).sorted)
   }
 
+  test("T34 erasure propagation: in-place store sweep touches only erased buckets, intervals survive, ingest guard redacts stragglers, ledger folds, replay idempotent") {
+    val root = java.nio.file.Files.createTempDirectory("t34").toString + "/h"
+    val ledger = java.nio.file.Files.createTempDirectory("t34l").toString + "/e"
+    def e(id: Long, op: String, lsn: Long, em: String): CdcEvent = op match {
+      case "c" => CdcEvent(None, row(id, em), src(lsn), "c", lsn)
+      case "u" => CdcEvent(row(id, "old"), row(id, em), src(lsn), "u", lsn)
+      case "d" => CdcEvent(row(id, em), None, src(lsn), "d", lsn)
+    }
+    val b0 = Seq(e(1, "c", 100, "a1"), e(2, "c", 200, "b1"),
+      e(3, "c", 300, "c1"), e(4, "c", 400, "d1"))
+    val b1 = Seq(e(1, "u", 110, "a2"), e(2, "u", 210, "b2"))
+    Streams.scd2Batch(b0.toDS.toDF, 0L, root, buckets = 4)
+    Streams.scd2Batch(b1.toDS.toDF, 1L, root, buckets = 4)
+    def hist() = Streams.readScd2(spark, root).get
+      .select("id", "valid_from", "valid_to", "email").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        Option(r.getString(3)))).toSet
+    val before = hist()
+    // pre-request: no ledger, and the ingest guard passes batches through
+    assert(Streams.readErased(spark, ledger).isEmpty)
+    assert(Streams.redactIncoming(b1.toDS.toDF, ledger)
+      .except(b1.toDS.toDF).count() === 0)
+    // request: erase key 2 (ledger epoch 2), sweep the store in place
+    Streams.erasureLedgerBatch(Seq(2L).toDF("id"), 2L, ledger)
+    Streams.erasureApplyStore(spark, root, 2L, Seq("email"), ledger)
+    val after = hist()
+    // key 2 keeps its exact interval structure, PII gone; others untouched
+    assert(after.filter(_._1 == 2L) ===
+      before.filter(_._1 == 2L).map(t => (t._1, t._2, t._3, Option.empty[String])))
+    assert(after.filter(_._1 != 2L) === before.filter(_._1 != 2L))
+    // bucket granularity: only key 2's bucket (pmod(2,4)=2) gained a v=2
+    assert(new java.io.File(s"$root/p=2/v=2").exists())
+    Seq(0, 1, 3).foreach(b =>
+      assert(!new java.io.File(s"$root/p=$b/v=2").exists()))
+    // crash replay of the sweep epoch re-derives from strictly-before state
+    Streams.erasureApplyStore(spark, root, 2L, Seq("email"), ledger)
+    assert(hist() === after)
+    // stragglers: a later update for the erased key loses its PII at
+    // ingest, an unrelated key's update lands verbatim
+    val b2 = Seq(e(2, "u", 220, "b3"), e(3, "u", 310, "c2"))
+    Streams.scd2Batch(Streams.redactIncoming(b2.toDS.toDF, ledger), 3L,
+      root, buckets = 4)
+    val h3 = hist()
+    assert(h3.filter(_._1 == 2L).forall(_._4.isEmpty))
+    assert(h3.contains((2L, 210L, Some(220L), None)) &&
+      h3.contains((2L, 220L, None, None)))
+    assert(h3.contains((3L, 310L, None, Some("c2"))))
+    // a second request FOLDS into the ledger; the next sweep covers both
+    Streams.erasureLedgerBatch(Seq(4L).toDF("id"), 4L, ledger)
+    assert(Streams.readErased(spark, ledger).get
+      .as[Long].collect().toSet === Set(2L, 4L))
+    Streams.erasureApplyStore(spark, root, 4L, Seq("email"), ledger)
+    val h4 = hist()
+    assert(h4.filter(t => Set(2L, 4L)(t._1)).forall(_._4.isEmpty))
+    assert(h4.filter(t => !Set(2L, 4L)(t._1)) ===
+      h3.filter(t => !Set(2L, 4L)(t._1)))
+  }
+
   test("T32 graph store: incremental edge/degree epochs serve pageRank ≡ batch; re-sends no-ops; replay idempotent; compaction layout-only; stream wrapper smoke") {
     import graft.operators.Graph
     val rnd = new scala.util.Random(13)

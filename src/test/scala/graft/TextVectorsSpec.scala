@@ -770,6 +770,26 @@ class TextVectorsSpec extends AnyFunSuite {
     assert(gotR === want)
   }
 
+  test("x4w phrase match: overlapping and repeated-term occurrences count exactly, non-matches excluded, term order is load-bearing") {
+    import graft.operators.Text
+    val docs = Seq(
+      (1L, "a b a b a"),      // "a b a" anchors at 0 and 2 (overlap)
+      (2L, "a b c a b a x"),  // one occurrence at 3
+      (3L, "b a a b b a"),    // scrambled tokens, no "a b a" run
+      (4L, "a a a"),          // repeated gate term, still no match
+      (5L, "x y z"))          // no phrase terms at all
+      .toDF("doc_id", "text")
+    val got = Text.phraseMatch(docs, Seq("a", "b", "a"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 2L, 2L -> 1L))
+    // a bigram phrase distinguishes order: "b a" matches where "a b" doesn't
+    assert(Text.phraseMatch(docs, Seq("b", "b"))
+      .as[(Long, Long)].collect().toMap === Map(3L -> 1L))
+    // single-term phrase degenerates to per-doc term counts
+    assert(Text.phraseMatch(docs, Seq("c"))
+      .as[(Long, Long)].collect().toMap === Map(2L -> 1L))
+  }
+
   test("t-closeness: a class mirroring the global source mix passes; a one-source class is flagged; distance matches a rational reference") {
     import graft.operators.Scrub
     // global mix: sources A and B, 10 docs each. Class en/bucket-0 mirrors
