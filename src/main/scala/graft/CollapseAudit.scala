@@ -70,14 +70,19 @@ object CollapseAudit {
     * broadcast side is the CAPPED band table, bounded by construction
     * at #bands × keyspace × cap = 4·16·100 = 6400 rows regardless of
     * corpus size (a 16-bit fingerprint has 16 possible 4-bit band
-    * keys, and capBuckets drops over-cap buckets entirely). A NEW
+    * keys, and capBuckets drops over-cap buckets entirely);
+    * x4v_hybrid_ann (r11) serves its dense head through x3q's
+    * maintained-index probe, so it inherits the identical |Q|·nprobe
+    * query-side probe explode (10 queries × nprobe rows) — the same
+    * intended IVF routing broadcast as x3n/x3q. A NEW
     * query landing here must either justify itself into this list or
     * get a shuffle_hash pin.
     */
   val boundedByDesign: Set[String] = Set("q24_salted_join",
     "x2d_simhash_neardup", "x3e_cosine_ivf", "x3f_ivf_recall",
     "x3j_pq_recall", "x3l_incr_index", "x3n_filtered_ivf",
-    "x3p_pq_residual", "x3q_filtered_index", "x5e_phash_pairs")
+    "x3p_pq_residual", "x3q_filtered_index", "x5e_phash_pairs",
+    "x4v_hybrid_ann")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -1745,11 +1745,25 @@ object Text {
     * shuffles O(Σ gated postings), the smallest any exact phrase match
     * can touch.
     */
-  def phraseMatch(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+  def phraseMatch(docs: DataFrame, phrase: Seq[String]): DataFrame =
+    phraseFromPositions(
+      docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "token"))),
+      phrase)
+
+  /** The phrase-matching tail shared by the batch path ([[phraseMatch]])
+    * and the maintained positional-index paths (`x4x` inline fold,
+    * [[graft.streaming.Streams.servedPhrase]]): `positions` carries one
+    * row per (doc_id, pos, token) — extra non-phrase tokens and
+    * null-token META rows are dropped by the term filter — so every
+    * consumer matches through the SAME anchor fold over the same exact
+    * integers, and served results cannot drift from batch results by
+    * construction (the [[bm25FromPostings]] contract).
+    */
+  def phraseFromPositions(positions: DataFrame,
+      phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "empty phrase")
-    val pos = docs
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
-      .filter(col("token").isin(phrase.distinct: _*))
+    val pos = positions.filter(col("token").isin(phrase.distinct: _*))
     val dfreq = pos.groupBy(col("token"))
       .agg(countDistinct(col("doc_id")).as("df"))
     val gate = dfreq.orderBy(col("df").asc, col("token").asc).limit(1)
@@ -1774,6 +1788,23 @@ object Text {
   val phraseTerms = Seq("part", "filter", "scan")
   val x4wPhrase: Q = (spark, dir) =>
     phraseMatch(Tables.documents(spark, dir), phraseTerms)
+
+  /** Positional postings of a corpus slice: one row per (doc, token,
+    * pos) plus one META row per doc (null token, pos −1) — the
+    * doc-exists marker a delete tombstone replaces. [[docPostings]]'s
+    * convention with positions instead of (tf, dl); the T35 store folds
+    * these winner-batch-per-doc exactly like T30 folds the BM25 rows.
+    */
+  def docPositions(docs: DataFrame): DataFrame = {
+    val rows = docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+      .select(col("doc_id"), col("token"), col("pos").cast("long").as("pos"))
+    val meta = docs.select(col("doc_id"),
+      lit(null).cast("string").as("token"), lit(-1L).as("pos"))
+    meta.unionByName(rows)
+  }
+
   val x4wSql: String = {
     val conds = phraseTerms.zipWithIndex
       .map { case (w, i) => s"t[i+$i] = '$w'" }.mkString(" AND ")
@@ -1785,6 +1816,40 @@ object Text {
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
   }
+
+  /** X4x — phrase retrieval from the MAINTAINED positional index: the
+    * same seven-epoch insert/corrupt/restore/delete/re-insert schedule
+    * as x4t, folded winner-batch-per-doc and matched through the shared
+    * [[phraseFromPositions]] tail. The fixture's final state equals the
+    * plain corpus (the corrupting epochs are superseded), so the oracle
+    * is x4wSql VERBATIM — maintained ≡ batch, hash-exact. The corrupt
+    * epoch APPENDS a token (shifting nothing) and the delete/re-insert
+    * cycle exercises the tombstone: a phrase hit in a deleted doc must
+    * vanish and return.
+    */
+  val x4xPhraseIndex: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    def ep(d: DataFrame, i: Int): DataFrame =
+      docPositions(d).withColumn("live", lit(true))
+        .withColumn("b", lit(i.toLong))
+    def tomb(d: DataFrame, i: Int): DataFrame =
+      d.select(col("doc_id"), lit(null).cast("string").as("token"),
+        lit(-1L).as("pos"), lit(false).as("live"), lit(i.toLong).as("b"))
+    val mod = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("text", concat(col("text"), lit(" corrupted")))
+    val all = Seq(
+      ep(docs.filter(col("doc_id") % 3 === 0), 0),
+      ep(docs.filter(col("doc_id") % 3 === 1), 1),
+      ep(docs.filter(col("doc_id") % 3 === 2), 2),
+      ep(mod, 3),
+      ep(docs.filter(col("doc_id") % 10 === 0), 4),
+      tomb(docs.filter(col("doc_id") % 7 === 0).select(col("doc_id")), 5),
+      ep(docs.filter(col("doc_id") % 7 === 0), 6)).reduce(_ unionByName _)
+    phraseFromPositions(foldWinnerBatch(all).drop("b", "live"), phraseTerms)
+  }
+
+  /** The maintained positional index must reproduce the batch answer. */
+  val x4xSql: String = x4wSql
 
   // --------------------------------------------------- X4s quality probe
   /** Closed-form linear quality probe: fit least-squares weights for
@@ -2569,6 +2634,7 @@ object Text {
     "x4u_hybrid_rrf" -> x4uHybridRrf,
     "x4v_hybrid_ann" -> x4vHybridAnn,
     "x4w_phrase" -> x4wPhrase,
+    "x4x_phrase_index" -> x4xPhraseIndex,
     "x1_dedup_exact" -> x1DedupExact,
     "x1e_fuzzy_linkage" -> x1eFuzzyLinkage,
     "x1f_linkage_apply" -> x1fLinkageApply,
@@ -2613,6 +2679,7 @@ object Text {
     "x4u_hybrid_rrf" -> x4uSql,
     "x4v_hybrid_ann" -> x4vSql,
     "x4w_phrase" -> x4wSql,
+    "x4x_phrase_index" -> x4xSql,
     "x1_dedup_exact" -> x1Sql,
     "x1e_fuzzy_linkage" -> x1eSql,
     "x1f_linkage_apply" -> x1fSql,

@@ -1142,6 +1142,84 @@ object Streams extends Serializable {
     compactStore(spark, postingsDir, upTo,
       graft.operators.Text.foldWinnerBatch)
 
+  // -------------- T35 incremental positional phrase index (T30's twin)
+  /** T35 — the POSITIONAL index maintained under document CDC, closing
+    * x4w's serving loop the way T30 closes x4r's: phrase queries need
+    * (doc, token, pos) rows, and re-extracting positions for the corpus
+    * per increment rescans the world. Same protocol as T30 in every
+    * particular — per-epoch `b=<id>` dirs each carrying the batch's own
+    * docs' FULL positional rows plus a null-token META row per doc (the
+    * doc-exists marker a delete tombstone replaces), winner-BATCH-per-doc
+    * read fold (a rewrite may SHORTEN a doc — per-(doc,token,pos) folding
+    * would leak stale positions), batchId-keyed idempotent writes, staged
+    * compaction. [[servedPhrase]] matches through the identical
+    * [[graft.operators.Text.phraseFromPositions]] tail as batch x4w, so
+    * served ≡ batch exactly (spec; the `x4x` oracle checks the identical
+    * fold in-plan against x4wSql verbatim).
+    *
+    * The positional store is ~dl/|vocab-hit| times larger than the tf
+    * store — that is the classic positional-index trade and the reason
+    * it is a SEPARATE store: BM25 serving never pays for positions, and
+    * a deployment that doesn't serve phrase queries never builds it.
+    */
+  def positionsApplyBatch(upserts: DataFrame, deleteIds: DataFrame,
+      batchId: Long, positionsDir: String): Unit = {
+    require(deleteIds.join(upserts.select(col("doc_id")), Seq("doc_id"))
+        .isEmpty,
+      "positionsApplyBatch: a doc_id appears in both upserts and " +
+        "deleteIds of one batch — the in-batch tombstone would silently " +
+        "lose to the upsert; pre-fold the changelog to one winner per " +
+        "key (phraseIndexBatch does) or split across batches.")
+    val live = graft.operators.Text.docPositions(upserts)
+      .withColumn("live", lit(true))
+    val dead = deleteIds.select(col("doc_id"),
+      lit(null).cast("string").as("token"), lit(-1L).as("pos"),
+      lit(false).as("live"))
+    live.unionByName(dead).withColumn("b", lit(batchId))
+      .write.mode("overwrite").parquet(s"$positionsDir/b=$batchId")
+    ()
+  }
+
+  /** CDC → phrase-index integration ([[bm25IndexBatch]]'s twin). */
+  def phraseIndexBatch(changelog: DataFrame, batchId: Long,
+      positionsDir: String): Unit = {
+    val winners = graft.operators.Cdc.latestWithTombstonesBy(
+      changelog, Seq("id"))
+    positionsApplyBatch(
+      winners.filter(col("live")).select(col("id").as("doc_id"), col("text")),
+      winners.filter(!col("live")).select(col("id").as("doc_id")),
+      batchId, positionsDir)
+  }
+
+  def positionsStream(docChangelogStream: DataFrame, positionsDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docChangelogStream.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      phraseIndexBatch(batch.toDF, batchId, positionsDir)
+    }
+
+  /** Consumer view: each doc's HIGHEST epoch's positional rows, dead
+    * docs dropped after the fold (the [[readPostings]] contract). */
+  def readPositions(spark: org.apache.spark.sql.SparkSession,
+      positionsDir: String): DataFrame = {
+    val paths = bandBatchDirs(spark, positionsDir).map(_._2)
+    require(paths.nonEmpty, s"no positional batches under $positionsDir")
+    graft.operators.Text.foldWinnerBatch(spark.read.parquet(paths: _*))
+      .drop("b", "live")
+  }
+
+  /** Phrase matching over the maintained index — the serving path,
+    * scoring through the identical shared tail as batch x4w. */
+  def servedPhrase(spark: org.apache.spark.sql.SparkSession,
+      positionsDir: String, phrase: Seq[String]): DataFrame =
+    graft.operators.Text.phraseFromPositions(
+      readPositions(spark, positionsDir), phrase)
+
+  def compactPositions(spark: org.apache.spark.sql.SparkSession,
+      positionsDir: String, upTo: Long): Unit =
+    compactStore(spark, positionsDir, upTo,
+      graft.operators.Text.foldWinnerBatch)
+
   // ------------------------------- T20 durable streaming heavy hitters
   /** T20 — heavy hitters over an UNBOUNDED token stream with O(k) state:
     * each micro-batch reduces to a ≤(k−1)-counter Misra–Gries summary

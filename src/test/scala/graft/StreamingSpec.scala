@@ -2359,6 +2359,85 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch === streamed)
   }
 
+  test("T35 incremental positional index: served phrase ≡ batch; a rewrite keeping the tokens but breaking adjacency retires stale positions; delete/re-create propagate; replay idempotent; compaction layout-only") {
+    import graft.operators.Text
+    val phrase = Seq("data", "change", "capture")
+    def chg(rows: Seq[(Long, String, Long, String)]) =
+      rows.toDF("id", "text", "lsn", "op").selectExpr(
+        "CASE WHEN op <> 'd' THEN named_struct('id', id, 'text', text) END AS after",
+        "CASE WHEN op <> 'c' THEN named_struct('id', id, 'text', text) END AS before",
+        "named_struct('lsn', lsn) AS source",
+        "op")
+    def textOf(i: Long): String = (i % 3) match {
+      case 1 => s"data change capture data change capture pad${i % 5}"
+      case 2 => s"data change x capture pad${i % 5}" // tokens, no phrase
+      case _ => s"filler data change capture end pad${i % 5}"
+    }
+    val corpus0 = (1L to 8L).map(i => i -> textOf(i))
+    val dir = java.nio.file.Files.createTempDirectory("positions").toString
+    Streams.positionsApplyBatch(corpus0.toDF("doc_id", "text"),
+      spark.emptyDataset[Long].toDF("doc_id"), -1L, dir)
+    def served() = Streams.servedPhrase(spark, dir, phrase)
+      .as[(Long, Long)].collect().toSeq
+    def batch(c: Seq[(Long, String)]) =
+      Text.phraseMatch(c.toDF("doc_id", "text"), phrase)
+        .as[(Long, Long)].collect().toSeq
+    assert(served() === batch(corpus0))
+    assert(served().nonEmpty)
+    // batch 0: inserts 9..12; doc 1 REWRITTEN keeping all three tokens
+    // but breaking adjacency — the stale-position trap: a fold that
+    // keeps old (doc,token,pos) rows would still anchor-match; doc 4
+    // (a matching doc) deleted
+    val rew1 = "data x change y capture"
+    Streams.phraseIndexBatch(chg(
+      (9L to 12L).map(i => (i, textOf(i), 100 + i, "c")) ++
+        Seq((1L, rew1, 200L, "u"), (4L, "x", 201L, "d"))), 0L, dir)
+    val corpus1 = (corpus0.toMap + (1L -> rew1) - 4L).toSeq ++
+      (9L to 12L).map(i => i -> textOf(i))
+    assert(served() === batch(corpus1))
+    assert(!served().map(_._1).contains(1L)) // adjacency broken → no match
+    assert(!served().map(_._1).contains(4L)) // deleted → no match
+    // CRASH REPLAY: same batch id, same rows → identical store read
+    Streams.phraseIndexBatch(chg(
+      (9L to 12L).map(i => (i, textOf(i), 100 + i, "c")) ++
+        Seq((1L, rew1, 200L, "u"), (4L, "x", 201L, "d"))), 0L, dir)
+    assert(served() === batch(corpus1))
+    // batch 1: doc 4 re-created over its tombstone WITH the phrase
+    val reborn = "data change capture reborn"
+    Streams.phraseIndexBatch(chg(Seq((4L, reborn, 300L, "c"))), 1L, dir)
+    val corpus2 = corpus1 :+ (4L -> reborn)
+    assert(served() === batch(corpus2))
+    assert(served().map(_._1).contains(4L))
+    // COMPACTION: layout collapses, reads identical
+    Streams.compactPositions(spark, dir, upTo = 1L)
+    assert(served() === batch(corpus2))
+    val layout = new java.io.File(dir).listFiles
+      .map(_.getName).filter(!_.startsWith("_")).toSeq.sorted
+    assert(layout === Seq("b=1"))
+    // same-batch upsert+delete of one doc is refused loudly
+    intercept[IllegalArgumentException](Streams.positionsApplyBatch(
+      Seq(7L -> "data change capture").toDF("doc_id", "text"),
+      Seq(7L).toDF("doc_id"), 9L, dir))
+    // stream wrapper smoke on a FRESH store (T29 pattern: MemoryStream
+    // numbers its own batches from 0)
+    implicit val ctx = spark.sqlContext
+    val dir2 = java.nio.file.Files.createTempDirectory("positions2").toString
+    val mem = MemoryStream[(Long, String, Long, String)]
+    val stream = mem.toDS().toDF("id", "text", "lsn", "op").selectExpr(
+      "CASE WHEN op <> 'd' THEN named_struct('id', id, 'text', text) END AS after",
+      "CASE WHEN op <> 'c' THEN named_struct('id', id, 'text', text) END AS before",
+      "named_struct('lsn', lsn) AS source", "op")
+    val q = Streams.positionsStream(stream, dir2)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt35").toString)
+      .start()
+    mem.addData((1L, textOf(1L), 1L, "c"), (2L, textOf(2L), 2L, "c"))
+    q.processAllAvailable(); q.stop()
+    assert(Streams.servedPhrase(spark, dir2, phrase)
+      .as[(Long, Long)].collect().toSeq ===
+      batch(Seq(1L -> textOf(1L), 2L -> textOf(2L))))
+  }
+
   test("T30 incremental BM25 postings: served ≡ batch retrieve; update that LOSES the gate token, delete, re-create all propagate; replay idempotent; compaction collapses layout") {
     import graft.operators.Text
     val terms = Seq("rare", "common")
