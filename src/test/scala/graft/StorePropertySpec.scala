@@ -97,4 +97,44 @@ object StorePropertySpec extends Properties("Stores") {
         .as[(Long, Long, Long)].collect().toSeq
       Prop(served == batch) :| s"served $served != batch $batch"
     }
+
+  property("T35 positional fold over random batch splits (rewrites + deletes) serves == batch phrase match of the latest corpus") =
+    forAll(Gen.choose(1, 3), Gen.long) { (nBatches, seed) =>
+      import spark.implicits._
+      import graft.operators.Text
+      val phrase = Seq("data", "change", "capture")
+      val rnd = new scala.util.Random(seed)
+      // random docs: some carry the phrase (possibly repeatedly), some
+      // carry all tokens scrambled (the adjacency trap), some neither
+      def mkText(): String = rnd.nextInt(3) match {
+        case 0 => Seq.fill(1 + rnd.nextInt(2))("data change capture")
+          .mkString(" ") + s" pad${rnd.nextInt(4)}"
+        case 1 => s"data pad${rnd.nextInt(4)} change capture x"
+        case _ => s"w${rnd.nextInt(5)} w${rnd.nextInt(5)} filler"
+      }
+      val docs = (1L to 24L).map(i => i -> mkText())
+      // random subset REWRITTEN later (may gain or lose adjacency — the
+      // stale-position trap), random disjoint subset DELETED later
+      val rewriteIds = docs.map(_._1).filter(_ => rnd.nextInt(4) == 0).toSet
+      val deleteIds = docs.map(_._1)
+        .filter(i => !rewriteIds(i) && rnd.nextInt(5) == 0).toSet
+      val rewrites = docs.filter(d => rewriteIds(d._1))
+        .map { case (i, _) => i -> mkText() }
+      val batches = Array.fill(nBatches)(
+        scala.collection.mutable.Buffer.empty[(Long, String)])
+      docs.foreach(d => batches(rnd.nextInt(nBatches)) += d)
+      val dir = java.nio.file.Files.createTempDirectory("posprop").toString
+      batches.zipWithIndex.foreach { case (b, i) =>
+        Streams.positionsApplyBatch(b.toSeq.toDF("doc_id", "text"),
+          Seq.empty[Long].toDF("doc_id"), i.toLong, dir)
+      }
+      Streams.positionsApplyBatch(rewrites.toDF("doc_id", "text"),
+        deleteIds.toSeq.toDF("doc_id"), nBatches.toLong, dir)
+      val latest = (docs.toMap ++ rewrites.toMap -- deleteIds).toSeq
+      val served = Streams.servedPhrase(spark, dir, phrase)
+        .as[(Long, Long)].collect().toSeq
+      val batch = Text.phraseMatch(latest.toDF("doc_id", "text"), phrase)
+        .as[(Long, Long)].collect().toSeq
+      Prop(served == batch) :| s"served $served != batch $batch"
+    }
 }
