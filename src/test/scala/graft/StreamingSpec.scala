@@ -2776,6 +2776,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(h4.filter(t => Set(2L, 4L)(t._1)).forall(_._4.isEmpty))
     assert(h4.filter(t => !Set(2L, 4L)(t._1)) ===
       h3.filter(t => !Set(2L, 4L)(t._1)))
+    // the sweep generalizes across store SCHEMAS: a merged-snapshot
+    // store (3 PII columns, T6 shape) sweeps with the same function —
+    // erased keys stay PRESENT (cardinality preserved) but carry no PII
+    implicit val ctx = spark.sqlContext
+    val snapRoot = java.nio.file.Files.createTempDirectory("t34s").toString + "/s"
+    val mem = MemoryStream[CdcEvent]
+    val q = Streams.snapshotForeachBatchMerge(mem.toDS, snapRoot, buckets = 4)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt34").toString)
+      .start()
+    mem.addData(b0: _*); q.processAllAvailable(); q.stop()
+    def snap() = Streams.readMergedSnapshot(spark, snapRoot)
+      .select("id", "first_name", "last_name", "email").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        Option(r.getString(2)), Option(r.getString(3)))).toSet
+    val s0 = snap()
+    assert(s0.map(_._1) === Set(1L, 2L, 3L, 4L))
+    Streams.erasureApplyStore(spark, snapRoot, 10L,
+      Seq("first_name", "last_name", "email"), ledger)
+    val s1 = snap()
+    assert(s1.map(_._1) === s0.map(_._1)) // nobody vanishes
+    assert(s1.filter(t => Set(2L, 4L)(t._1)) ===
+      Set((2L, None, None, None), (4L, None, None, None)))
+    assert(s1.filter(t => !Set(2L, 4L)(t._1)) ===
+      s0.filter(t => !Set(2L, 4L)(t._1)))
   }
 
   test("T32 graph store: incremental edge/degree epochs serve pageRank ≡ batch; re-sends no-ops; replay idempotent; compaction layout-only; stream wrapper smoke") {
