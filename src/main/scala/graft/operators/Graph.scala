@@ -599,10 +599,17 @@ object Graph {
       scale: Long = prScale, topK: Int = prTopK,
       presymmetrized: Boolean = false,
       degIn: Option[DataFrame] = None): DataFrame = {
+    // self-loops are excluded from the graph semantics EVERYWHERE — here,
+    // in the x7q in-plan fold, and in the T32 durable store
+    // (Streams.graphEdgesBatch) — so the batch plan, the inline fold, and
+    // the store-served path agree on the edge set even if an input batch
+    // ever carries src = dst (the fixtures cannot: parity-disjoint ids).
+    // A degIn built by any of those paths then matches by construction.
+    val noLoop = edgesIn.filter(col("src") =!= col("dst"))
     val edges =
-      if (presymmetrized) edgesIn.select(col("src"), col("dst"))
-      else edgesIn.select(col("src"), col("dst"))
-        .unionByName(edgesIn.select(col("dst").as("src"), col("src").as("dst")))
+      if (presymmetrized) noLoop.select(col("src"), col("dst"))
+      else noLoop.select(col("src"), col("dst"))
+        .unionByName(noLoop.select(col("dst").as("src"), col("src").as("dst")))
         .distinct()
     // degIn: a MAINTAINED out-degree table (src, deg) — must equal the
     // edge-derived counts (the x7q store guarantees this additively);
@@ -812,7 +819,10 @@ object Graph {
     // per round (the T32 read path: degree deltas re-sum once at the end)
     val (edgeStore, degDeltas) = (0 until 3).foldLeft(seed) {
       case ((stored, degs), i) =>
+        // same self-loop exclusion as pageRank and the T32 store, so the
+        // maintained degree store can never count an edge the serve drops
         val inc = sym.filter(pmod(col("src") + col("dst"), lit(3)) === i)
+          .filter(col("src") =!= col("dst"))
         val fresh = inc.distinct()
           .join(stored, Seq("src", "dst"), "left_anti")
           .localCheckpoint()

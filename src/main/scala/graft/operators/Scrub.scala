@@ -221,10 +221,13 @@ object Scrub {
     * Σ_{s∉class} n_gs·N_c = (N_g − Σ_{s∈class} n_gs)·N_c, so the whole
     * audit is one (class, source) groupBy, one #sources-row broadcast
     * join, one class groupBy — output bounded by the QI domain.
-    * Headroom: every term is ≤ N_c·N_g ≤ N_g², exact while N_g ≤ 3·10⁹
-    * documents (guarded in-plan, the q36 discipline — THROWS, never
-    * wraps); past that, quantize the global frequencies to micro-units
-    * before the cross-multiplication.
+    * Headroom: p = Σ_s|n_cs·N_g − n_gs·N_c| ≤ 2·N_c·N_g and the at_risk
+    * LHS 2·dist_num ≤ 4·N_c·N_g, so the guard bounds the PRODUCT —
+    * 4·N_c·N_g ≤ Long.MaxValue per class (checked division-side so the
+    * guard itself cannot wrap; the q36 discipline — THROWS, never
+    * wraps). A lone N_g bound is NOT enough: one dominant class with
+    * N_c ≈ N_g ≈ 3·10⁹ wraps at ~3.6·10¹⁹. Past the guard, quantize the
+    * global frequencies to micro-units before the cross-multiplication.
     */
   def tClosenessAudit(docs: DataFrame): DataFrame = {
     val d = docs
@@ -244,9 +247,12 @@ object Scrub {
           .as("p"),
         sum(col("n_gs")).as("covered"))
       .filter(coalesce(
-        assert_true(col("n_g") <= lit(3000000000L),
-          lit("x8f overflow guard: corpus size exceeds the exact-BIGINT " +
-            "headroom — quantize global frequencies to micro-units")
+        // 4·n_c·n_g ≤ Long.MaxValue, checked as n_c ≤ (MaxValue/4) div n_g
+        // so the guard never computes the product it is bounding
+        assert_true(col("n_c") <= expr(s"${Long.MaxValue / 4L} div n_g"),
+          lit("x8f overflow guard: class×corpus product exceeds the " +
+            "exact-BIGINT headroom (4*n_c*n_g > Long.MaxValue) — quantize " +
+            "global frequencies to micro-units")
         ).cast("boolean"), lit(true)))
       .select(col("lang"), col("len_bucket"), col("n_c").as("n"),
         (col("p") + (col("n_g") - col("covered")) * col("n_c"))
