@@ -33,6 +33,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // task-binary budget guard: capture the DAGScheduler's large-binary
+    // WARNs, attribute them to the query being timed, and fail the bench
+    // on an unjustified or over-budget closure (TaskBinaryAudit)
+    TaskBinaryAudit.install()
     // untimed warmup: run the WHOLE catalog once at the smallest fixture
     // so janino compilation + JVM JIT of every query's generated code
     // happen before the timed passes. Generated code depends on plan
@@ -65,6 +69,7 @@ object Bench {
       val winViolations = scala.collection.mutable.ArrayBuffer.empty[String]
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         try {
+          TaskBinaryAudit.setQuery(name)
           val df = fn(spark, warmDir)
           df.count()
           WindowAudit.violation(name, df).foreach(winViolations += _)
@@ -115,7 +120,8 @@ object Bench {
       val cals = scala.collection.mutable.ArrayBuffer.empty[Double]
       val times = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
         case ((name, fn), i) =>
-          if (i % CalEvery == 0) cals += safeCal()
+          if (i % CalEvery == 0) { TaskBinaryAudit.setQuery(s"(cal)"); cals += safeCal() }
+          TaskBinaryAudit.setQuery(name)
           val t0 = System.nanoTime()
           val ok = try { fn(spark, sfDir).count(); true } catch {
             case e: Throwable =>
@@ -183,8 +189,14 @@ object Bench {
     // perfdiff normalize each pass's raw time by its own segment sample.
     def arr(xs: Seq[Double]): String = xs.map(r3).mkString("[", ",", "]")
     val series = s"[${arr(cals1)},${arr(cals2)}]"
+    // task-binary gate: every large-closure WARN captured this run must
+    // be justified AND under budget — loudly failing beats tail noise
+    val tbViolations = TaskBinaryAudit.violations
+    require(tbViolations.isEmpty,
+      "task-binary audit failed:\n" + tbViolations.mkString("\n"))
+    val taskBinary = qmap(TaskBinaryAudit.observed.toSeq.sortBy(_._1))
     val full =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qmap(results)},"cold_total":${r3(cold)},"cold_queries":$coldQ,"pass2_queries":${qmap(p2raw.sortBy(_._1))},"staging":$staging,"calibration":${r3(cal)},"calibration_passes":[${r3(cal1)},${r3(cal2)}],"calibration_series":$series,"calibration_every":$CalEvery,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qmap(results)},"cold_total":${r3(cold)},"cold_queries":$coldQ,"pass2_queries":${qmap(p2raw.sortBy(_._1))},"staging":$staging,"task_binary_kib":$taskBinary,"calibration":${r3(cal)},"calibration_passes":[${r3(cal1)},${r3(cal2)}],"calibration_series":$series,"calibration_every":$CalEvery,"sf":"$sfDir"}"""
     // Default sink is the GITIGNORED driver-run file: the committed
     // BENCH_FULL.json is the builder's deliberate record (the one
     // BASELINE.md describes) and an automated driver run must not

@@ -1,0 +1,125 @@
+package graft
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.logging.log4j.{Level, LogManager}
+import org.apache.logging.log4j.core.LogEvent
+import org.apache.logging.log4j.core.LoggerContext
+import org.apache.logging.log4j.core.appender.AbstractAppender
+import org.apache.logging.log4j.core.config.Property
+
+/** Task-binary budget guard (r11 verdict Next-round #4, the WindowAudit
+  * discipline applied to serialized-closure size): Spark WARNs
+  * "Broadcasting large task binary with size N" when a stage's
+  * serialized task closure exceeds 1000 KiB — on a 1000-executor
+  * cluster that binary is re-broadcast per stage retry and its size
+  * tracks unrolled plan lineage, exactly the failure mode that grows
+  * silently as queries accrete rounds. The scheduler does not expose
+  * the size through any listener event, so this audit captures the
+  * DAGScheduler's own WARN via a log4j2 appender, attributes each hit
+  * to the query the bench is currently timing (the bench loop is
+  * single-threaded), and FAILS the bench when any query exceeds the
+  * budget without a justification — turning the former tail noise into
+  * a loud, named gate.
+  */
+object TaskBinaryAudit {
+
+  /** Hard per-query ceiling, KiB. Spark's own warn threshold is
+    * 1000 KiB; the budget sits above it so the known, justified
+    * lineage-heavy iterative queries pass while anything that DOUBLES
+    * past them fails the bench.
+    */
+  val budgetKiB: Double = 4096.0
+
+  /** Queries allowed to exceed Spark's 1000 KiB warn threshold (but
+    * never [[budgetKiB]]) — each entry names the structural reason, so
+    * a NEW warning query must either shrink its closure or justify
+    * itself here (the WindowAudit convention).
+    */
+  val justified: Map[String, String] = Map(
+    "x3r_mmr_rerank" -> ("8 unrolled greedy selection rounds: each " +
+      "round's plan embeds the prior selections' lineage"),
+    "x3q_ivfpq_residual" -> ("two-level PQ: codebook literals for " +
+      "coarse + residual stages ride the closure"),
+    "x3j_ivfpq_adc" -> "PQ codebook distance tables as plan literals",
+    "x3n_ivfpq_rerank" -> "same ADC codebook literals as x3j + re-rank",
+    "x4v_hybrid_ann" -> "IVF-PQ probe (x3j class) fused with BM25 head",
+    "x4y_diverse_ann" -> "x4v fused list + x3r greedy rounds composed",
+    "q34_pagerank" -> ("3 unrolled integer power iterations over the " +
+      "staged edge store"),
+    "x7q_incr_pagerank" -> "same unrolled iterations served from stores",
+    "x3k_kmeans" -> "k-means centroid literals re-embedded per round")
+
+  private val Pat =
+    """Broadcasting large task binary with size ([0-9.]+) (B|KiB|MiB|GiB)""".r
+
+  @volatile private var current: String = "(untracked)"
+  private val maxKiB = TrieMap[String, Double]()
+  @volatile private var installed = false
+
+  /** Name the query whose stages run next (bench loop is serial). */
+  def setQuery(name: String): Unit = current = name
+
+  /** Per-query max observed task-binary size in KiB. */
+  def observed: Map[String, Double] = maxKiB.toMap
+
+  /** Violations against the budget + allowlist: every observed query
+    * over Spark's warn threshold must be justified, and NOTHING may
+    * exceed [[budgetKiB]].
+    */
+  def violations: Seq[String] =
+    maxKiB.toSeq.sortBy(_._1).flatMap { case (q, kib) =>
+      if (kib > budgetKiB)
+        Some(f"$q: task binary $kib%.0f KiB exceeds the ${budgetKiB}%.0f " +
+          "KiB budget — shrink the closure (stage the fold, checkpoint " +
+          "the lineage) or raise the budget with a reason")
+      else if (!justified.contains(q))
+        Some(f"$q: task binary $kib%.0f KiB over Spark's 1000 KiB warn " +
+          "threshold and not in TaskBinaryAudit.justified — justify or " +
+          "shrink")
+      else None
+    }
+
+  private def toKiB(v: Double, unit: String): Double = unit match {
+    case "B" => v / 1024.0
+    case "KiB" => v
+    case "MiB" => v * 1024.0
+    case "GiB" => v * 1024.0 * 1024.0
+  }
+
+  /** Attach the capturing appender to the DAGScheduler's logger (and
+    * keep its WARNs flowing to the normal sinks). Idempotent.
+    */
+  def install(): Unit = synchronized {
+    if (installed) return
+    val appender = new AbstractAppender("graft-task-binary", null, null,
+        true, Property.EMPTY_ARRAY) {
+      override def append(event: LogEvent): Unit = {
+        val msg = event.getMessage.getFormattedMessage
+        Pat.findFirstMatchIn(msg).foreach { m =>
+          val kib = toKiB(m.group(1).toDouble, m.group(2))
+          val q = current
+          maxKiB.updateWith(q) {
+            case Some(prev) => Some(math.max(prev, kib))
+            case None => Some(kib)
+          }
+        }
+      }
+    }
+    appender.start()
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val cfg = ctx.getConfiguration
+    val loggerName = "org.apache.spark.scheduler.DAGScheduler"
+    val lc = cfg.getLoggerConfig(loggerName)
+    // a dedicated LoggerConfig so the appender sees WARNs even if the
+    // root level is above WARN, without touching other loggers
+    if (lc.getName != loggerName) {
+      val fresh = new org.apache.logging.log4j.core.config.LoggerConfig(
+        loggerName, Level.WARN, true)
+      cfg.addLogger(loggerName, fresh)
+      fresh.addAppender(appender, Level.WARN, null)
+    } else lc.addAppender(appender, Level.WARN, null)
+    ctx.updateLoggers()
+    installed = true
+  }
+}

@@ -2032,20 +2032,43 @@ object Cdc {
     * [[compactedTopic]] — consumes it unchanged and inherits the
     * redaction. Keys stay inside the redacted images (the fold needs
     * them); only the personal attributes are nulled.
+    *
+    * SCHEMA-GENERIC (the C15/C16 obligation): the redacted image is
+    * rebuilt from each image column's STRUCT SCHEMA — every field not in
+    * `keepCols` nulls out — never from a hardcoded attribute list, so a
+    * PII column added later by schema evolution, or a differently-shaped
+    * captured table (C14's orders log), is redacted without a code
+    * change. `matchCols` is the SUBJECT key the erasure request names
+    * (after-image with before-image fallback, the fold's key
+    * extraction; composite tuples conjoin); `keepCols` (default:
+    * `matchCols`) is the record-identity set that survives redaction —
+    * distinct from the match key when a subject owns many records, e.g.
+    * orders matched on `custkey` but identified by (id, custkey).
     */
-  def erasureSweep(chg: DataFrame, erased: DataFrame): DataFrame = {
-    def redacted(side: String): Column =
+  def erasureSweep(chg: DataFrame, erased: DataFrame,
+      matchCols: Seq[String] = Seq("id"),
+      keepCols: Option[Seq[String]] = None): DataFrame = {
+    val keep = keepCols.getOrElse(matchCols).toSet
+    def redacted(side: String): Column = {
+      val st = chg.schema(side).dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
       when(col("__erased").isNotNull && col(side).isNotNull,
-        struct(col(s"$side.id").as("id"),
-          lit(null).cast("string").as("first_name"),
-          lit(null).cast("string").as("last_name"),
-          lit(null).cast("string").as("email")))
+        struct(st.fields.toSeq.map { f =>
+          if (keep(f.name)) col(s"$side.${f.name}").as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }: _*))
         .otherwise(col(side))
+    }
     // pass every non-image column through untouched (envelopes with or
     // without the optional transaction block both work)
     val rest = chg.columns.filterNot(Set("before", "after")).map(col)
-    chg.join(broadcast(erased.select(col("id").as("__erased"))),
-        coalesce(col("after.id"), col("before.id")) === col("__erased"), "left")
+    val req = erased
+      .select(matchCols.map(c => col(c).as(s"__k_$c")): _*).distinct()
+      .withColumn("__erased", lit(true))
+    val cond = matchCols.map(c =>
+      coalesce(col(s"after.$c"), col(s"before.$c")) === col(s"__k_$c"))
+      .reduce(_ && _)
+    chg.join(broadcast(req), cond, "left")
       .select((Seq(redacted("before").as("before"),
         redacted("after").as("after")) ++ rest.toSeq ++
         Seq(col("__erased").isNotNull.as("redacted"))): _*)
@@ -2075,9 +2098,43 @@ object Cdc {
       |FROM chg c LEFT JOIN erased e ON c.id = e.id
       |ORDER BY c.id, c.lsn""".stripMargin
 
+  /** Registered multi-schema instance of the sweep (the C26 generality
+    * proof): the ORDERS changelog swept by erased CUSTOMER subjects —
+    * a differently-shaped image struct (id, custkey, status, total),
+    * matched on the subject key `custkey` only while record identity
+    * (id, custkey) survives; the redacted attribute set (status, total)
+    * is derived from the schema, not listed anywhere. The erased set is
+    * the same %7 deleted-customer cohort as `cdc_erasure_sweep`, so one
+    * request provably sweeps BOTH captured tables (the C14 obligation).
+    */
+  val cdcErasureSweepOrders: Q = (spark, dir) => {
+    val erased = changelog(spark, dir).filter(col("op") === "d")
+      .select(coalesce(col("after.id"), col("before.id")).as("custkey"))
+      .distinct()
+    erasureSweep(ordersChangelog(spark, dir), erased,
+        matchCols = Seq("custkey"), keepCols = Some(Seq("id", "custkey")))
+      .select(coalesce(col("after.custkey"), col("before.custkey"))
+          .as("custkey"),
+        coalesce(col("after.id"), col("before.id")).as("orderkey"),
+        col("source.lsn").as("lsn"), col("op"),
+        col("after.status").as("status"), col("after.total").as("total"),
+        col("redacted"))
+      .orderBy(col("custkey"), col("orderkey"), col("lsn"))
+  }
+  val cdcErasureSweepOrdersSql: String = changelogCte + ",\n" +
+    ordersChangelogCte + """,
+      |erased AS (SELECT DISTINCT id FROM chg WHERE op = 'd')
+      |SELECT o.ck AS custkey, o.oid AS orderkey, o.lsn, o.op,
+      | CASE WHEN e.id IS NULL THEN o.status END AS status,
+      | CASE WHEN e.id IS NULL THEN o.total END AS total,
+      | e.id IS NOT NULL AS redacted
+      |FROM ochg o LEFT JOIN erased e ON o.ck = e.id
+      |ORDER BY custkey, orderkey, lsn""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "cdc_seq_audit" -> cdcSeqAudit,
     "cdc_erasure_sweep" -> cdcErasureSweep,
+    "cdc_erasure_sweep_orders" -> cdcErasureSweepOrders,
     "cdc_seq_audit_by" -> cdcSeqAuditBy,
     "cdc_compacted_topic" -> cdcCompactedTopic,
     "cdc_compacted_topic_by" -> cdcCompactedTopicBy,
@@ -2111,6 +2168,7 @@ object Cdc {
   val oracle: Map[String, String] = Map(
     "cdc_seq_audit" -> cdcSeqAuditSql,
     "cdc_erasure_sweep" -> cdcErasureSweepSql,
+    "cdc_erasure_sweep_orders" -> cdcErasureSweepOrdersSql,
     "cdc_seq_audit_by" -> cdcSeqAuditBySql,
     "cdc_compacted_topic" -> cdcCompactedTopicSql,
     "cdc_compacted_topic_by" -> cdcCompactedTopicBySql,

@@ -248,8 +248,12 @@ object Scrub {
         sum(col("n_gs")).as("covered"))
       .filter(coalesce(
         // 4·n_c·n_g ≤ Long.MaxValue, checked as n_c ≤ (MaxValue/4) div n_g
-        // so the guard never computes the product it is bounding
-        assert_true(col("n_c") <= expr(s"${Long.MaxValue / 4L} div n_g"),
+        // so the guard never computes the product it is bounding. The
+        // condition is null-armored (inner coalesce → false): if n_g were
+        // 0/NULL the division yields NULL and a bare comparison would make
+        // assert_true(NULL) silently PASS — the guard must THROW instead.
+        assert_true(coalesce(
+          col("n_c") <= expr(s"${Long.MaxValue / 4L} div n_g"), lit(false)),
           lit("x8f overflow guard: class×corpus product exceeds the " +
             "exact-BIGINT headroom (4*n_c*n_g > Long.MaxValue) — quantize " +
             "global frequencies to micro-units")

@@ -1434,6 +1434,40 @@ object Streams extends Serializable {
       df => df.groupBy(col("src")).agg(sum(col("deg")).as("deg")))
   }
 
+  // ------------------- T36 durable hierarchy closure (q32b's durable half)
+  /** T36 — the maintained hierarchy closure as a DURABLE versioned
+    * store: parent-pointer upserts (org moves, category re-files, BOM
+    * revisions) stream in; each batch folds through
+    * [[graft.operators.Graph.hierarchyApply]] — affected-subtree
+    * recompute against the stored closure, never a full-forest re-walk
+    * — and commits the merged closure as a [[SnapshotStore]] version.
+    * Crash replay derives from strictly-before state and overwrites its
+    * own version (the T31 protocol), so re-delivery is a no-op; a
+    * cycle-introducing upsert THROWS inside the fold and the failed
+    * commit leaves the store at its prior version (readers never see a
+    * corrupt closure).
+    */
+  def hierarchyBatch(upserts: DataFrame, batchId: Long,
+      root: String): Unit = {
+    val spark = upserts.sparkSession
+    val prior = SnapshotStore.readBefore(spark, root, batchId)
+      .getOrElse(graft.operators.Graph.emptyClosure(spark))
+    SnapshotStore.commit(
+      graft.operators.Graph.hierarchyApply(prior, upserts), root, batchId)
+  }
+
+  def hierarchyStream(upsertStream: DataFrame, root: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    upsertStream.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      hierarchyBatch(batch.toDF, batchId, root)
+    }
+
+  /** The committed closure (None before the first batch commits). */
+  def readHierarchy(spark: org.apache.spark.sql.SparkSession,
+      root: String): Option[DataFrame] =
+    SnapshotStore.read(spark, root)
+
   // ------------------- T33 durable leakage-split registry (x6h's sticky half)
   /** T33 — the STICKY train/val split registry: x6h's group-aware split
     * maintained as documents stream in. The batch split (x6h) hashes the
@@ -1456,7 +1490,11 @@ object Streams extends Serializable {
     * Store protocol — identical to T30/T32: per-epoch `b=<id>` dirs,
     * each batch writes only its FRESH docs (anti-join on doc_id against
     * strictly-before epochs; re-sent docs are no-ops), replay derives
-    * from own rows + strictly-before state and overwrites its own dir.
+    * from own rows + strictly-before state and overwrites its own dir —
+    * PLUS a per-batch `ccepoch/b=<id>` manifest recording the cluster
+    * epoch the batch assigned with, because the cluster store advances
+    * under an independent checkpoint and replay must fold the recorded
+    * prefix, not "whatever is committed now" (see the inline comment).
     * Reads are the plain union (epochs disjoint by construction).
     * Scale: per-batch cost is increment-sized (the cluster-map probe
     * broadcasts); the contamination audit is one groupBy over the
@@ -1473,11 +1511,34 @@ object Streams extends Serializable {
       else newDocs.select(col("doc_id")).join(
         spark.read.parquet(priorDirs: _*).select(col("doc_id")),
         Seq("doc_id"), "left_anti"))
-    // cluster state AS OF this epoch: committed cluster batches ≤ batchId
-    // only, so a crash replay sees the same state it assigned with even
-    // if the cluster store has since advanced
+    // cluster state AS OF this epoch — made REPLAY-STABLE by a recorded
+    // manifest. A bare "committed cluster batches ≤ batchId" filter is
+    // not enough: the cluster store is maintained by an INDEPENDENT
+    // streaming query with its own checkpoint, so a cluster epoch
+    // ≤ batchId can commit AFTER this registry batch first ran; a crash
+    // replay would then fold newer merges and assign DIFFERENT grp/split
+    // bytes to the same docs — the retroactive train/val migration T33
+    // exists to prevent. First execution snapshots the cluster epoch it
+    // assigns with into `ccepoch/b=<id>` BEFORE the data write (the
+    // decision commits first, so a crash between the two writes replays
+    // deterministically); replay folds exactly the recorded prefix and
+    // reproduces the batch dir byte-identically.
+    val manifest = s"$regDir/ccepoch/b=$batchId"
+    val manifestPath = new org.apache.hadoop.fs.Path(manifest)
+    val fs = manifestPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ccEpoch: Long =
+      if (fs.exists(manifestPath))
+        spark.read.parquet(manifest).head().getLong(0)
+      else {
+        val eps = bandBatchDirs(spark, clusterDir).map(_._1)
+          .filter(_ <= batchId)
+        val e = if (eps.isEmpty) Long.MinValue else eps.max
+        spark.range(1).select(lit(e).as("cc_epoch"))
+          .coalesce(1).write.mode("overwrite").parquet(manifest)
+        e
+      }
     val ccDirs = bandBatchDirs(spark, clusterDir)
-      .filter(_._1 <= batchId).map(_._2)
+      .filter(_._1 <= ccEpoch).map(_._2)
     val cc =
       if (ccDirs.isEmpty)
         fresh.limit(0).select(col("doc_id").as("node"),

@@ -692,4 +692,49 @@ class CdcSpec extends AnyFunSuite {
       .except(histOrig.filter(!col("id").isin(erasedIds.toSeq: _*)))
       .count() === 0)
   }
+
+  test("C26 generality: the sweep derives its attribute set from the image schema — an evolved PII column and a differently-shaped composite-key table both redact without a code change") {
+    val chg = Cdc.changelog(spark, TestSpark.sf)
+    val erased = chg.filter(col("op") === "d")
+      .select(coalesce(col("after.id"), col("before.id")).as("id")).distinct()
+    val erasedIds = erased.as[Long].collect().toSet
+    // SCHEMA EVOLUTION (C15/C16): a `phone` column appears in the
+    // envelope after the sweep code was written. A hardcoded attribute
+    // list would silently let it survive; the schema-derived sweep must
+    // null it for erased keys like any other non-key attribute.
+    val evolved = chg
+      .withColumn("after", when(col("after").isNotNull, col("after")
+        .withField("phone", concat(lit("p-"), col("after.id")))))
+      .withColumn("before", when(col("before").isNotNull, col("before")
+        .withField("phone", concat(lit("p-"), col("before.id")))))
+    val swept = Cdc.erasureSweep(evolved, erased)
+    assert(swept.filter(col("redacted")).filter(
+      col("after.phone").isNotNull || col("before.phone").isNotNull)
+      .count() === 0)
+    assert(swept.filter(!col("redacted") && col("after").isNotNull)
+      .filter(col("after.phone").isNull).count() === 0)
+    // DIFFERENT CAPTURED TABLE (C14): the orders log's image struct
+    // (id, custkey, status, total) — matched on the SUBJECT key custkey,
+    // record identity (id, custkey) kept, schema-derived attrs nulled.
+    val ochg = Cdc.ordersChangelog(spark, TestSpark.sf)
+    val erasedCust = erased.select(col("id").as("custkey"))
+    val osw = Cdc.erasureSweep(ochg, erasedCust,
+      matchCols = Seq("custkey"), keepCols = Some(Seq("id", "custkey")))
+    val flagged = osw.filter(col("redacted"))
+    assert(flagged.count() > 0)
+    assert(flagged.filter(
+      col("after.status").isNotNull || col("after.total").isNotNull ||
+      col("before.status").isNotNull || col("before.total").isNotNull)
+      .count() === 0)
+    assert(flagged.filter(col("after").isNotNull)
+      .filter(col("after.id").isNull || col("after.custkey").isNull)
+      .count() === 0)
+    // every flagged row belongs to an erased subject; none missed
+    assert(flagged
+      .select(coalesce(col("after.custkey"), col("before.custkey")))
+      .as[Long].collect().toSet.subsetOf(erasedIds))
+    assert(osw.filter(!col("redacted"))
+      .filter(coalesce(col("after.custkey"), col("before.custkey"))
+        .isin(erasedIds.toSeq: _*)).count() === 0)
+  }
 }

@@ -335,7 +335,9 @@ class GraphMixingSpec extends AnyFunSuite {
     * replay of the DataFrame plan. */
   private def pageRankRef(edges: Seq[(Long, Long)], iters: Int,
       scale: Long): Map[Long, Long] = {
-    val sym = (edges ++ edges.map(_.swap)).distinct
+    // self-loops excluded BEFORE symmetrization — same graph semantics as
+    // Graph.pageRank, the x7q fold, and the T32 store
+    val sym = (edges ++ edges.map(_.swap)).filter(e => e._1 != e._2).distinct
     val adjIn = sym.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
     val deg = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
     val nodes = deg.keySet
@@ -365,6 +367,47 @@ class GraphMixingSpec extends AnyFunSuite {
     val reGot = Graph.pageRank(df.repartition(7), iters = 3,
       scale = 1000000000000L, topK = 10).as[(Long, Long)].collect().toSeq
     assert(reGot === got)                        // integer sums: order-free
+  }
+
+  test("self-loops are excluded identically by batch pageRank, the x7q fold, and the T32 store (end-to-end agreement)") {
+    import graft.streaming.Streams
+    // the q34 star+pair graph plus a self-loop on an EXISTING node (1)
+    // and one on an otherwise-ABSENT node (5) — the fixtures cannot
+    // produce either (parity-disjoint ids), so this is the only coverage
+    // of the three loop-filter paths agreeing on the edge set
+    val loopy = Seq((1L, 2L), (1L, 3L), (1L, 4L), (10L, 11L),
+      (1L, 1L), (5L, 5L))
+    val clean = loopy.filter(e => e._1 != e._2)
+    val scale = 1000000000000L
+    val batch = Graph.pageRank(loopy.toDF("src", "dst"), iters = 3,
+      scale = scale, topK = 10).as[(Long, Long)].collect().toSeq
+    // ground truth: the sequential reference gives the same answer on
+    // the loopy and the loop-free inputs, and the plan matches it
+    val ref = pageRankRef(loopy, 3, scale)
+    assert(pageRankRef(clean, 3, scale) === ref)
+    assert(batch === ref.toSeq.sortBy { case (v, r) => (-r, v) })
+    // a loop-only node has NO edges after exclusion: absent entirely
+    assert(!batch.map(_._1).contains(5L))
+    // the x7q inline fold (foldGraphStores) over the symmetrized loopy
+    // set: folded edge store + additively-maintained degrees must serve
+    // the identical ranking
+    val sym = (loopy ++ loopy.map(_.swap)).distinct.toDF("src", "dst")
+    val (es, ds) = Graph.foldGraphStores(sym)
+    val fold = Graph.pageRank(es, iters = 3, scale = scale, topK = 10,
+      presymmetrized = true, degIn = Some(ds))
+      .as[(Long, Long)].collect().toSeq
+    assert(fold === batch)
+    // the T32 durable store: raw edges across two epochs, with a
+    // re-send (no-op) and both self-loops — served ≡ batch
+    val dir = java.nio.file.Files.createTempDirectory("t32loop").toString
+    Streams.graphEdgesBatch(
+      Seq((1L, 2L), (1L, 3L), (1L, 1L)).toDF("src", "dst"), 0L, dir)
+    Streams.graphEdgesBatch(
+      Seq((1L, 4L), (10L, 11L), (5L, 5L), (1L, 2L)).toDF("src", "dst"),
+      1L, dir)
+    val served = Streams.servedPageRank(spark, dir, iters = 3,
+      scale = scale, topK = 10).as[(Long, Long)].collect().toSeq
+    assert(served === batch)
   }
 
   test("triangleCounts: K4 clique gives 3 per node, chains give none, counted once") {

@@ -2719,6 +2719,90 @@ class StreamingSpec extends AnyFunSuite {
       Seq((trainId, trainId, coins(trainId)), (valId, valId, coins(valId))).sorted)
   }
 
+  test("T36 hierarchy store: subtree moves re-resolve only the affected closure, folds equal batch, replay idempotent, cycles throw pre-commit, stream wrapper smoke") {
+    import graft.operators.Graph
+    val root = java.nio.file.Files.createTempDirectory("t36").toString + "/h"
+    def closure() = Streams.readHierarchy(spark, root).get
+      .as[(Long, Long, Long, String)].collect().toSeq.sortBy(_._1)
+    def batchRef(rows: Seq[(Long, Option[Long])]) =
+      Graph.hierarchyPaths(rows.toDF("node", "parent"))
+        .as[(Long, Long, Long, String)].collect().toSeq.sortBy(_._1)
+    // batch 0: the initial forest — 1 -> (11, 12), 11 -> (111, 112), 2 -> 21
+    val b0 = Seq((1L, None), (2L, None), (11L, Some(1L)), (12L, Some(1L)),
+      (111L, Some(11L)), (112L, Some(11L)), (21L, Some(2L)))
+    Streams.hierarchyBatch(b0.toDF("node", "parent"), 0L, root)
+    assert(closure() === batchRef(b0))
+    // batch 1: MOVE the 11-subtree under 2 — 111/112 must re-root to 2
+    // while the rest of the closure passes through untouched
+    Streams.hierarchyBatch(Seq((11L, Some(2L))).toDF("node", "parent"),
+      1L, root)
+    val after1 = b0.map { case (n, p) => if (n == 11L) (n, Some(2L)) else (n, p) }
+    assert(closure() === batchRef(after1))
+    assert(closure().find(_._1 == 111L).get ===
+      ((111L, 2L, 2L, "2/11/111")))
+    // batch 2: insert under the moved subtree
+    Streams.hierarchyBatch(Seq((113L, Some(11L))).toDF("node", "parent"),
+      2L, root)
+    val after2 = after1 :+ (113L, Some(11L): Option[Long])
+    assert(closure() === batchRef(after2))
+    // crash replay of the LAST batch (the only replay foreachBatch can
+    // deliver — an older batch committing implies its checkpoint
+    // advanced): derives from strictly-before state, overwrites its own
+    // version — the committed closure is unchanged
+    Streams.hierarchyBatch(Seq((113L, Some(11L))).toDF("node", "parent"),
+      2L, root)
+    assert(closure() === batchRef(after2))
+    // cycle: moving 2 under its own descendant 111 must THROW inside
+    // the fold; the failed commit leaves the store at its prior version
+    intercept[IllegalStateException] {
+      Streams.hierarchyBatch(Seq((2L, Some(111L))).toDF("node", "parent"),
+        3L, root)
+    }
+    assert(closure() === batchRef(after2))
+    // stream wrapper smoke on a fresh root
+    implicit val ctx = spark.sqlContext
+    val root2 = java.nio.file.Files.createTempDirectory("t36b").toString + "/h"
+    val mem = MemoryStream[(Long, Option[Long])]
+    val q = Streams.hierarchyStream(mem.toDS().toDF("node", "parent"), root2)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt36").toString)
+      .start()
+    mem.addData((1L, None), (11L, Some(1L)))
+    q.processAllAvailable(); q.stop()
+    assert(Streams.readHierarchy(spark, root2).get
+      .as[(Long, Long, Long, String)].collect().toSeq.sortBy(_._1) ===
+      batchRef(Seq((1L, None), (11L, Some(1L)))))
+  }
+
+  test("T33 replay race: a cluster epoch committing late — inside the registry batch's own window, after first execution — cannot change recorded assignments") {
+    // The cluster store and the registry run under INDEPENDENT
+    // checkpoints, so a cluster epoch ≤ the registry batch's id can
+    // commit AFTER that registry batch first executed. A crash replay
+    // that re-read "committed cluster state ≤ batchId" would then fold
+    // the late merge and re-coin the docs by their new shared
+    // representative — silently violating write-once. The recorded
+    // ccepoch manifest pins the replay to the state actually used.
+    val regDir = java.nio.file.Files.createTempDirectory("reg33r").toString
+    val ccDir = java.nio.file.Files.createTempDirectory("cc33r").toString
+    val (a, b) = (5L, 6L)
+    // registry batch 2 runs while the cluster store is EMPTY: both docs
+    // coin as singletons (grp = own id)
+    Streams.splitRegistryBatch(Seq(a, b).toDF("doc_id"), 2L,
+      regDir, ccDir, valPct = 50)
+    def splits() = Streams.readSplits(spark, regDir)
+      .as[(Long, Long, String)].collect().toSeq.sorted
+    val before = splits()
+    assert(before.map(s => (s._1, s._2)).toSet === Set((a, a), (b, b)))
+    // the independently-checkpointed cluster writer now commits an epoch
+    // INSIDE the registry batch's window (1 ≤ 2) merging the two docs
+    Streams.clusterIndexBatch(Seq((a, b)).toDF("da", "db"), 1L, ccDir)
+    // crash replay of registry batch 2: must reproduce its bytes from
+    // the recorded cluster epoch, not from the advanced store
+    Streams.splitRegistryBatch(Seq(a, b).toDF("doc_id"), 2L,
+      regDir, ccDir, valPct = 50)
+    assert(splits() === before)
+  }
+
   test("T34 erasure propagation: in-place store sweep touches only erased buckets, intervals survive, ingest guard redacts stragglers, ledger folds, replay idempotent") {
     val root = java.nio.file.Files.createTempDirectory("t34").toString + "/h"
     val ledger = java.nio.file.Files.createTempDirectory("t34l").toString + "/e"
