@@ -192,6 +192,11 @@ object Bench {
     // task-binary gate: every large-closure WARN captured this run must
     // be justified AND under budget — loudly failing beats tail noise
     val tbViolations = TaskBinaryAudit.violations
+    // observed sizes to stderr BEFORE the gate, so a failed run is
+    // diagnosable without the JSON it never wrote
+    System.err.println("[bench] task_binary_kib=" +
+      TaskBinaryAudit.observed.toSeq.sortBy(_._1)
+        .map { case (q, k) => f"$q:$k%.0f" }.mkString(","))
     require(tbViolations.isEmpty,
       "task-binary audit failed:\n" + tbViolations.mkString("\n"))
     val taskBinary = qmap(TaskBinaryAudit.observed.toSeq.sortBy(_._1))

@@ -29,6 +29,7 @@ object WindowAudit {
   val justified: Map[String, String] = Map(
     "x4u_hybrid_rrf" -> "rank windows over <=k-row heads and <=2k fused rows",
     "x4v_hybrid_ann" -> "rankBm25 global window over the <=k-row lexical head",
+    "x4y_diverse_ann" -> "same rankBm25 <=k-row lexical head as x4v",
     "cdc_seq_audit" -> "cross-bucket lag over the #buckets-row bounds table",
     "cdc_schema_drift" -> ("shape-transition lag over the schema-version " +
       "summary (one row per observed schema shape, not per event)"),
