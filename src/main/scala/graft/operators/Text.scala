@@ -1803,7 +1803,7 @@ object Text {
         graft.functions.VectorFunctions.dotF32(col("qe"), col("embedding"))
           .as("rel"),
         col("embedding"))
-      .localCheckpoint() // feeds the pair join and every greedy round
+      .localCheckpoint() // feeds the pair join and the cogroup input
     val pairs = cand
       .select(col("q_id"), col("vec_id").as("a"), col("embedding").as("ea"))
       .join(cand.select(col("q_id"), col("vec_id").as("b"),
@@ -1812,7 +1812,6 @@ object Text {
       .select(col("q_id"), col("a"), col("b"),
         graft.functions.VectorFunctions.dotF32(col("ea"), col("eb"))
           .as("sim"))
-      .localCheckpoint() // probed once per greedy round
     Vectors.mmrSelect(
       cand.select(col("q_id"), col("vec_id"), col("rel")), pairs, k)
   }
@@ -1856,8 +1855,12 @@ object Text {
       .select(col("q_id"), col("vec_id").as("doc_id"),
         col("rank").cast("long").as("vrank"))
     val exactF = rrfFuseBy(bmr, exactVr)
-    val annPicks = mmrOverFused(annF, e, n, Vectors.mmrK)
-    val exactPicks = mmrOverFused(exactF, e, n, Vectors.mmrK)
+    // each picks set feeds TWO plan branches (the overlap join and its
+    // utility score); subtree reuse is not CSE'd, so without a
+    // checkpoint the whole probe + fusion + greedy chain executes once
+    // per branch
+    val annPicks = mmrOverFused(annF, e, n, Vectors.mmrK).localCheckpoint()
+    val exactPicks = mmrOverFused(exactF, e, n, Vectors.mmrK).localCheckpoint()
     val hits = annPicks.select(col("q_id"), col("vec_id"))
       .join(exactPicks.select(col("q_id"), col("vec_id")),
         Seq("q_id", "vec_id"))

@@ -123,42 +123,68 @@ object Vectors {
     * bit-identical cross-engine given bit-identical rel/sim inputs).
     * `cand` carries (q_id, vec_id, rel); `pairs` carries (q_id, a, b,
     * sim) for shortlist-internal pairs. The empty-S round scores ½·rel
-    * (max over ∅ taken as 0), ties broken by vec_id.
+    * (max over ∅ taken as 0), ties broken by vec_id (ascending scan +
+    * strict improvement ≡ the window order (score DESC, vec_id ASC)).
     *
-    * Scale: the loop is k ROUNDS of bounded per-q_id joins + one
-    * rank-1 window partitioned by q_id — all queries advance in
-    * parallel each round, so wall-clock is O(k) regardless of |Q|, and
-    * no driver round-trip ever touches candidate rows (the selection
-    * state is the union of the per-round picks, each localCheckpointed,
-    * so lineage stays flat at one materialized job per round).
-    * Per-round state is |Q|·shortlist rows — the shortlist bound makes
-    * every join hash-small.
+    * Scale: greedy MMR is sequential in k but LOCAL per query — the
+    * whole selection state is the shortlist (n candidates + n² pairs,
+    * n = 20 here), so the right distribution is ONE q_id-keyed cogroup
+    * shuffle and a per-group sequential greedy, not k driver-coordinated
+    * rounds: a million queries are a million independent bounded groups
+    * in one job, wall-clock carries no k× job-overhead factor, and no
+    * unrolled per-round lineage rides the task closure (the former
+    * 8-round form was the repo's largest broadcast task binary). The
+    * group lambda is off-codegen but touches only O(k·n) score probes
+    * over shortlist-bounded state — never corpus rows. Arithmetic is
+    * the identical IEEE chain as the unrolled-CTE oracle (½·x exact,
+    * max order-independent), so selection stays hash-exact.
     */
   def mmrSelect(cand: DataFrame, pairs: DataFrame, k: Int): DataFrame = {
-    var selected = cand.limit(0)
-      .select(col("q_id"), col("vec_id"), lit(0L).as("pick"))
-    var remaining = cand
-    for (i <- 1 to k) {
-      val ms = pairs
-        .join(selected.select(col("q_id"), col("vec_id").as("b")), Seq("q_id", "b"))
-        .groupBy(col("q_id"), col("a").as("vec_id"))
-        .agg(max(col("sim")).as("maxsim"))
-      val scored = remaining.join(ms, Seq("q_id", "vec_id"), "left")
-        .withColumn("score",
-          lit(0.5) * col("rel") - lit(0.5) * coalesce(col("maxsim"), lit(0.0)))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("score").desc, col("vec_id").asc)
-      val pick = scored.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("q_id"), col("vec_id"), lit(i.toLong).as("pick"))
-        .localCheckpoint() // the ONLY per-round materialization: selected
-        // and remaining are rebuilt as plain unions/anti-joins over the
-        // checkpointed picks, so lineage stays flat at 1 job per round
-      selected = selected.unionByName(pick)
-      remaining = cand.join(selected.select(col("q_id"), col("vec_id")),
-        Seq("q_id", "vec_id"), "left_anti")
-    }
-    selected
+    val spark = cand.sparkSession
+    import spark.implicits._
+    val candT = cand.select(col("q_id").cast("long"),
+        col("vec_id").cast("long"), col("rel").cast("double"))
+      .as[(Long, Long, Double)].groupByKey(_._1)
+    val pairT = pairs.select(col("q_id").cast("long"), col("a").cast("long"),
+        col("b").cast("long"), col("sim").cast("double"))
+      .as[(Long, Long, Long, Double)].groupByKey(_._1)
+    candT.cogroup(pairT) { (q, cs, ps) =>
+      val rel = new scala.collection.mutable.HashMap[Long, Double]
+      cs.foreach(c => rel(c._2) = c._3)
+      val sim = new scala.collection.mutable.HashMap[(Long, Long), Double]
+      ps.foreach(p => sim((p._2, p._3)) = p._4)
+      val ids = rel.keysIterator.toArray.sorted
+      val picked = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]
+      val taken = new scala.collection.mutable.HashSet[Long]
+      var round = 1
+      while (round <= k && taken.size < ids.length) {
+        var bestId = -1L
+        var bestScore = 0.0
+        var first = true
+        ids.foreach { v =>
+          if (!taken.contains(v)) {
+            // max sim vs already-picked; a missing pair row contributes
+            // nothing and an empty set scores 0 — the left-join/coalesce
+            // semantics of the set-based form
+            var ms = 0.0
+            var any = false
+            picked.foreach { case (_, s, _) =>
+              sim.get((v, s)).foreach { x =>
+                if (!any || x > ms) { ms = x; any = true }
+              }
+            }
+            val score = 0.5 * rel(v) - 0.5 * ms
+            if (first || score > bestScore) {
+              first = false; bestScore = score; bestId = v
+            }
+          }
+        }
+        picked += ((q, bestId, round.toLong))
+        taken += bestId
+        round += 1
+      }
+      picked.iterator
+    }.toDF("q_id", "vec_id", "pick")
   }
 
   /** X3r — MMR diversified re-rank of the exact cosine shortlist: the
@@ -178,7 +204,7 @@ object Vectors {
     val e = Tables.embeddings(spark, dir)
     val cand = cosineTopK(e.filter(col("vec_id") < 10), e, mmrShortlist)
       .select(col("q_id"), col("vec_id"), col("sim").as("rel"))
-      .localCheckpoint() // feeds the pair join and every greedy round
+      .localCheckpoint() // feeds the pair join and the cogroup input
     val withEmb = cand
       .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
     val pairs = withEmb
@@ -188,7 +214,6 @@ object Vectors {
       .filter(col("a") =!= col("b"))
       .select(col("q_id"), col("a"), col("b"),
         VectorFunctions.dotF32(col("ea"), col("eb")).as("sim"))
-      .localCheckpoint() // probed once per greedy round
     mmrSelect(cand, pairs, mmrK).orderBy(col("q_id"), col("pick"))
   }
 
