@@ -116,7 +116,20 @@ object TaskBinaryAudit {
         loggerName, Level.WARN, true)
       cfg.addLogger(loggerName, fresh)
       fresh.addAppender(appender, Level.WARN, null)
-    } else lc.addAppender(appender, Level.WARN, null)
+    } else {
+      // an existing dedicated config may sit ABOVE warn (a user log4j2
+      // file quieting Spark): events are filtered at the logger before
+      // any appender, so the gate would observe nothing and pass
+      // VACUOUSLY. Widen the config to WARN — the audit must measure or
+      // fail loudly, never silently measure nothing. (Side effect: the
+      // config's other appenders see DAGScheduler WARNs again; that is
+      // the lesser evil vs an unenforced budget.)
+      if (lc.getLevel == null ||
+          (lc.getLevel.isMoreSpecificThan(Level.WARN) &&
+            lc.getLevel != Level.WARN))
+        lc.setLevel(Level.WARN)
+      lc.addAppender(appender, Level.WARN, null)
+    }
     ctx.updateLoggers()
     installed = true
   }

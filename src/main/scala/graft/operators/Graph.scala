@@ -605,7 +605,23 @@ object Graph {
     */
   def hierarchyApply(closure: DataFrame, upserts: DataFrame,
       maxRounds: Int = 20): DataFrame = {
-    val up = upserts.select(col("node"), col("parent")).localCheckpoint()
+    // CONFLICTING same-node pointers inside one batch are ambiguous — a
+    // micro-batch carries no intra-batch order, so "last write wins" is
+    // undefined and a window tie-break would pick a NONDETERMINISTIC
+    // winner: first execution could commit one closure and a crash
+    // replay the other, exactly the corrupt-replay state the T36
+    // versioned-store protocol forbids. THROW instead (the cycle-guard
+    // discipline); exact duplicate rows collapse harmlessly via distinct.
+    val upW = Window.partitionBy(col("node"))
+    val up = upserts.select(col("node"), col("parent")).distinct()
+      .withColumn("nptr", count(lit(1)).over(upW))
+      .filter(coalesce(assert_true(col("nptr") === lit(1),
+        lit("hierarchyApply: conflicting parent pointers for one node " +
+          "in a single batch — intra-batch order is undefined, so a " +
+          "winner would be nondeterministic under replay; sequence the " +
+          "moves into separate batches")).cast("boolean"), lit(true)))
+      .select(col("node"), col("parent"))
+      .localCheckpoint()
     // descendants-or-self of upserted nodes, from stored path segments
     val segs = closure.select(col("node"),
       explode(split(col("path"), "/")).as("seg"))

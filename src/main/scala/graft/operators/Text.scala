@@ -1758,7 +1758,9 @@ object Text {
     val q = (e: DataFrame) => e.filter(col("vec_id") < 10)
     val docs = Tables.documents(spark, dir)
     val e = Tables.embeddings(spark, dir)
-    val bmr = bm25TopRanks(docs)
+    // feeds BOTH fusions — checkpoint so the corpus BM25 pipeline
+    // executes once, not once per branch (subtree reuse is not CSE'd)
+    val bmr = bm25TopRanks(docs).localCheckpoint()
     val exactVr = Vectors.cosineTopK(q(e), e, hybridTopK)
       .select(col("q_id"), col("vec_id").as("doc_id"),
         col("rank").cast("long").as("vrank"))
@@ -1789,13 +1791,15 @@ object Text {
     * to the query re-scored on the shortlist only (the standard
     * ANN-candidates / exact-re-rank split — |Q|·n rows of exact work,
     * never corpus-sized), pairwise shortlist sims through the same
-    * native dot expression, then the x3r greedy selection.
+    * native dot expression, then the x3r greedy selection. `qe` is the
+    * QUERY embedding table (q_id, qe) — |Q| rows, materialized by the
+    * caller and shared with [[mmrUtility]]; it rides a broadcast, which
+    * is only sound because it is query-sized, never corpus-sized.
     */
-  private def mmrOverFused(fused: DataFrame, e: DataFrame, n: Int,
-      k: Int): DataFrame = {
+  private def mmrOverFused(fused: DataFrame, e: DataFrame, qe: DataFrame,
+      n: Int, k: Int): DataFrame = {
     val shortlist = fused.filter(col("fused_rank") <= n)
       .select(col("q_id"), col("doc_id").as("vec_id"))
-    val qe = e.select(col("vec_id").as("q_id"), col("embedding").as("qe"))
     val cand = shortlist
       .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .join(broadcast(qe), Seq("q_id"))
@@ -1848,7 +1852,15 @@ object Text {
     val q = (e: DataFrame) => e.filter(col("vec_id") < 10)
     val docs = Tables.documents(spark, dir)
     val e = Tables.embeddings(spark, dir)
-    val bmr = bm25TopRanks(docs)
+    // the BM25 head feeds BOTH fusions (subtree reuse is not CSE'd) —
+    // checkpoint so the corpus tokenize/score/rank pipeline runs once
+    val bmr = bm25TopRanks(docs).localCheckpoint()
+    // the query embeddings are |Q| rows — materialized ONCE and reused
+    // by every exact-rescore consumer (shortlist rel, pair sims,
+    // utility); broadcasting the raw embeddings table here would haul
+    // the whole corpus through the driver
+    val qe = q(e).select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      .localCheckpoint()
     val n = Vectors.mmrShortlist
     val annF = rrfFuseBy(bmr, servedAnnRanks(spark, dir, q(e), nprobe = 12))
     val exactVr = Vectors.cosineTopK(q(e), e, hybridTopK)
@@ -1859,14 +1871,16 @@ object Text {
     // utility score); subtree reuse is not CSE'd, so without a
     // checkpoint the whole probe + fusion + greedy chain executes once
     // per branch
-    val annPicks = mmrOverFused(annF, e, n, Vectors.mmrK).localCheckpoint()
-    val exactPicks = mmrOverFused(exactF, e, n, Vectors.mmrK).localCheckpoint()
+    val annPicks =
+      mmrOverFused(annF, e, qe, n, Vectors.mmrK).localCheckpoint()
+    val exactPicks =
+      mmrOverFused(exactF, e, qe, n, Vectors.mmrK).localCheckpoint()
     val hits = annPicks.select(col("q_id"), col("vec_id"))
       .join(exactPicks.select(col("q_id"), col("vec_id")),
         Seq("q_id", "vec_id"))
       .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
-    val ua = mmrUtility(annPicks, e).withColumnRenamed("util", "ua")
-    val ue = mmrUtility(exactPicks, e).withColumnRenamed("util", "ue")
+    val ua = mmrUtility(annPicks, e, qe).withColumnRenamed("util", "ua")
+    val ue = mmrUtility(exactPicks, e, qe).withColumnRenamed("util", "ue")
     q(e).select(col("vec_id").as("q_id"))
       .join(hits, Seq("q_id"), "left")
       .join(ua, Seq("q_id"), "left").join(ue, Seq("q_id"), "left")
@@ -1882,8 +1896,8 @@ object Text {
     * gains summed. Both x4y halves are scored by this same function,
     * so the bound compares QUALITY where pick identity is chaotic.
     */
-  private def mmrUtility(picks: DataFrame, e: DataFrame): DataFrame = {
-    val qe = e.select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+  private def mmrUtility(picks: DataFrame, e: DataFrame,
+      qe: DataFrame): DataFrame = {
     val p = picks
       .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .join(broadcast(qe), Seq("q_id"))

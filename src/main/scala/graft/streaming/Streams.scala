@@ -1526,8 +1526,20 @@ object Streams extends Serializable {
     val manifest = s"$regDir/ccepoch/b=$batchId"
     val manifestPath = new org.apache.hadoop.fs.Path(manifest)
     val fs = manifestPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the manifest is authoritative only once its write COMMITTED: a
+    // crash mid-write leaves a partial directory, and a bare exists()
+    // check would treat it as committed — the read then throws on every
+    // replay and wedges the stream. Gate on the committer's _SUCCESS
+    // marker instead; a partial dir fails the gate and is healed by the
+    // mode("overwrite") rewrite below. Re-deriving is sound there
+    // because the manifest commits BEFORE the data write: a partial
+    // manifest means no registry data was ever written under the old
+    // decision, so adopting a fresher cluster prefix commits a new
+    // decision, not a contradiction of an applied one.
+    val committed = fs.exists(
+      new org.apache.hadoop.fs.Path(manifestPath, "_SUCCESS"))
     val ccEpoch: Long =
-      if (fs.exists(manifestPath))
+      if (committed)
         spark.read.parquet(manifest).head().getLong(0)
       else {
         val eps = bandBatchDirs(spark, clusterDir).map(_._1)

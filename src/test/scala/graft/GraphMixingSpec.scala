@@ -270,6 +270,28 @@ class GraphMixingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("dangling"))
   }
 
+  test("hierarchyApply: conflicting same-batch parent pointers THROW " +
+      "(no nondeterministic winner under replay); exact duplicates collapse") {
+    val sp = spark
+    import sp.implicits._
+    val base = Graph.hierarchyPaths(
+      Seq((1L, None: Option[Long]), (2L, None: Option[Long]),
+        (11L, Some(1L))).toDF("node", "parent"))
+    // the same node moved to TWO different parents inside one batch: a
+    // micro-batch has no intra-batch order, so any picked winner would
+    // be nondeterministic — a crash replay could commit the other
+    // closure. Must throw before anything commits.
+    val e2 = intercept[Exception](Graph.hierarchyApply(base,
+      Seq((11L, Some(1L)), (11L, Some(2L))).toDF("node", "parent")))
+    assert(e2.getMessage != null)
+    // byte-identical duplicate rows are harmless: distinct collapses
+    // them and the move applies once
+    val ok = Graph.hierarchyApply(base,
+        Seq((11L, Some(2L)), (11L, Some(2L))).toDF("node", "parent"))
+      .as[(Long, Long, Long, String)].collect().toSeq.sortBy(_._1)
+    assert(ok.find(_._1 == 11L).get === ((11L, 2L, 1L, "2/11")))
+  }
+
   test("connectedComponents is type-generic: string keys cluster to the " +
       "lexicographic min; x1e/x1f linkage invariants hold on the fixture") {
     val sp = spark

@@ -2803,6 +2803,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(splits() === before)
   }
 
+  test("T33 manifest crash mid-write: a partial ccepoch dir (no _SUCCESS) is not authoritative — replay heals it and commits a fresh decision") {
+    // A crash DURING the manifest write leaves a partial directory. If
+    // bare existence made it authoritative, every replay would throw
+    // reading it (no committed footer) and the stream would wedge until
+    // someone hand-deleted the dir. The gate is the committer's
+    // _SUCCESS marker; re-deriving is sound because the manifest
+    // commits before the data write — a partial manifest proves no
+    // registry data was written under the old decision.
+    val regDir = java.nio.file.Files.createTempDirectory("reg33p").toString
+    val ccDir = java.nio.file.Files.createTempDirectory("cc33p").toString
+    val (a, b) = (7L, 8L)
+    // the cluster store has already merged the two docs
+    Streams.clusterIndexBatch(Seq((a, b)).toDF("da", "db"), 1L, ccDir)
+    // simulate the crash artifact: a partial manifest dir for batch 2 —
+    // a stray temp file, no _SUCCESS
+    val partial = new java.io.File(s"$regDir/ccepoch/b=2")
+    assert(partial.mkdirs())
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(partial.getPath, "part-00000.tmp"),
+      Array[Byte](1, 2, 3))
+    // replay of batch 2 must not read the partial dir as a decision: it
+    // re-derives against the committed cluster prefix (epoch 1), heals
+    // the manifest, and assigns both docs their merged representative
+    Streams.splitRegistryBatch(Seq(a, b).toDF("doc_id"), 2L,
+      regDir, ccDir, valPct = 50)
+    val rep = math.min(a, b)
+    val got = Streams.readSplits(spark, regDir)
+      .as[(Long, Long, String)].collect().toSeq.sorted
+    assert(got.map(s => (s._1, s._2)) === Seq((a, rep), (b, rep)))
+    // the healed manifest is now committed and pins the replayed epoch
+    assert(new java.io.File(s"$regDir/ccepoch/b=2/_SUCCESS").exists())
+    assert(spark.read.parquet(s"$regDir/ccepoch/b=2").head().getLong(0) === 1L)
+    // and a SECOND replay reproduces the same bytes off the manifest
+    Streams.splitRegistryBatch(Seq(a, b).toDF("doc_id"), 2L,
+      regDir, ccDir, valPct = 50)
+    assert(Streams.readSplits(spark, regDir)
+      .as[(Long, Long, String)].collect().toSeq.sorted === got)
+  }
+
   test("T34 erasure propagation: in-place store sweep touches only erased buckets, intervals survive, ingest guard redacts stragglers, ledger folds, replay idempotent") {
     val root = java.nio.file.Files.createTempDirectory("t34").toString + "/h"
     val ledger = java.nio.file.Files.createTempDirectory("t34l").toString + "/e"
