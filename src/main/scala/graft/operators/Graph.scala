@@ -595,8 +595,8 @@ object Graph {
     * closure is the only state. An upsert that creates a cycle (moving
     * a node under its own descendant) leaves the subtree unresolvable
     * and THROWS via the round-exhaustion guard rather than committing
-    * a corrupt closure; deletes are out of scope (subtree removal is a
-    * different operation with different orphan semantics).
+    * a corrupt closure; deletes are [[hierarchyDelete]] (subtree
+    * removal — a different operation with orphan-free semantics).
     *
     * Scale: cost per batch is O(Σ depth of stored paths) for the
     * affected-set join (one equi-shuffle) + the doubling rounds over
@@ -646,6 +646,32 @@ object Graph {
       unaffected.select(col("node"), col("depth"), col("path")), maxRounds)
     unaffected.select(col("node"), col("root"), col("depth"), col("path"))
       .unionByName(recomputed)
+  }
+
+  /** The DELETE half of closure maintenance: SUBTREE removal — deleting
+    * a node removes it and every descendant (closure rows whose stored
+    * path contains the node as a segment). This is the orphan-FREE
+    * delete semantic: nothing ever dangles and no re-parent policy is
+    * smuggled in — splicing surviving children to a grandparent is an
+    * explicit UPSERT of those children, which the caller sequences in
+    * an earlier or the same batch (upserts fold first, see
+    * `Streams.hierarchyOpsBatch`). Deletes of ABSENT nodes are no-ops,
+    * which makes at-least-once replay idempotent for free: a replayed
+    * delete finds the subtree already gone and removes nothing.
+    *
+    * Scale: one segment-explode over stored paths (O(Σ depth of stored
+    * paths) — the same affected-set discipline as [[hierarchyApply]])
+    * probed by the increment-sized delete set on a broadcast, then one
+    * anti-join; never a forest recompute.
+    */
+  def hierarchyDelete(closure: DataFrame, deletes: DataFrame): DataFrame = {
+    val segs = closure.select(col("node"),
+      explode(split(col("path"), "/")).as("seg"))
+    val delSegs = deletes.select(col("node").cast("string").as("seg"))
+      .distinct()
+    val doomed = segs.join(broadcast(delSegs), Seq("seg"))
+      .select(col("node")).distinct()
+    closure.join(doomed, Seq("node"), "left_anti")
   }
 
   /** Empty closure seed for the [[hierarchyApply]] fold. */

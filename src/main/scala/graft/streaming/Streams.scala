@@ -1463,6 +1463,62 @@ object Streams extends Serializable {
       hierarchyBatch(batch.toDF, batchId, root)
     }
 
+  /** T36 delete half: SUBTREE removals (node column) fold through
+    * [[graft.operators.Graph.hierarchyDelete]] and commit as the next
+    * store version — the [[hierarchyBatch]] replay discipline (derive
+    * from strictly-before state, overwrite own version), and absent
+    * deletes are no-ops so a replayed batch reproduces its bytes.
+    */
+  def hierarchyDeleteBatch(deletes: DataFrame, batchId: Long,
+      root: String): Unit = {
+    val spark = deletes.sparkSession
+    val prior = SnapshotStore.readBefore(spark, root, batchId)
+      .getOrElse(graft.operators.Graph.emptyClosure(spark))
+    SnapshotStore.commit(
+      graft.operators.Graph.hierarchyDelete(prior, deletes), root, batchId)
+  }
+
+  /** T36 mixed-op batch (node, parent, op): op "u" rows fold as
+    * parent-pointer upserts, THEN op "d" rows as subtree deletes.
+    * Upserts-first is the DEFINED order — a micro-batch carries no
+    * intra-batch order, so the fold must pick one and document it;
+    * deletes are the batch's final word (an upsert into a subtree the
+    * same batch deletes joins it and dies with it, rather than
+    * dangling). A node carrying BOTH ops in one batch is the same-node
+    * ambiguity [[graft.operators.Graph.hierarchyApply]] rejects — its
+    * upsert would be dead on arrival while looking accepted — so it
+    * THROWS before anything commits.
+    */
+  def hierarchyOpsBatch(ops: DataFrame, batchId: Long,
+      root: String): Unit = {
+    val spark = ops.sparkSession
+    val opsW =
+      org.apache.spark.sql.expressions.Window.partitionBy(col("node"))
+    val o = ops.select(col("node"), col("parent"), col("op"))
+      .withColumn("nops", size(collect_set(col("op")).over(opsW)))
+      .filter(coalesce(assert_true(col("nops") === lit(1),
+        lit("hierarchyOpsBatch: a node carries both an upsert and a " +
+          "delete in one batch — the upsert would be dead on arrival; " +
+          "sequence the ops into separate batches")).cast("boolean"),
+        lit(true)))
+      .localCheckpoint()
+    val prior = SnapshotStore.readBefore(spark, root, batchId)
+      .getOrElse(graft.operators.Graph.emptyClosure(spark))
+    val upserted = graft.operators.Graph.hierarchyApply(prior,
+      o.filter(col("op") === "u").select(col("node"), col("parent")))
+    SnapshotStore.commit(
+      graft.operators.Graph.hierarchyDelete(upserted,
+        o.filter(col("op") === "d").select(col("node"))),
+      root, batchId)
+  }
+
+  def hierarchyOpsStream(opsStream: DataFrame, root: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    opsStream.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      hierarchyOpsBatch(batch.toDF, batchId, root)
+    }
+
   /** The committed closure (None before the first batch commits). */
   def readHierarchy(spark: org.apache.spark.sql.SparkSession,
       root: String): Option[DataFrame] =

@@ -137,4 +137,81 @@ object StorePropertySpec extends Properties("Stores") {
         .as[(Long, Long)].collect().toSeq
       Prop(served == batch) :| s"served $served != batch $batch"
     }
+
+  property("T36 closure fold over random insert/re-parent/delete batches == batch resolve of the final pointer state") =
+    forAll(Gen.choose(1, 3), Gen.long) { (nBatches, seed) =>
+      import spark.implicits._
+      val rnd = new scala.util.Random(seed)
+      // reference pointer model. INVARIANT: parent id < node id, kept by
+      // every generated op, so the forest stays acyclic by construction
+      // (ancestor chains strictly decrease) — cycles have their own spec.
+      val model = scala.collection.mutable.LinkedHashMap[Long, Option[Long]]()
+      (0L until 4L).foreach(k => model(k) = None)
+      (4L until 28L).foreach(k =>
+        model(k) = Some(rnd.nextInt(k.toInt).toLong))
+      val dir =
+        java.nio.file.Files.createTempDirectory("t36prop").toString + "/h"
+      Streams.hierarchyBatch(
+        model.toSeq.map { case (n, p) => (n, p) }.toDF("node", "parent"),
+        0L, dir)
+      var next = 28L
+      // model-side subtree removal: every live node whose ancestor chain
+      // passes through a deleted root goes too
+      def subtree(d: Long): Set[Long] = model.keys.filter { n =>
+        var cur = Option(n)
+        var hit = false
+        while (cur.isDefined && !hit) {
+          if (cur.get == d) hit = true else cur = model(cur.get)
+        }
+        hit
+      }.toSet
+      (1 to nBatches).foreach { b =>
+        val ops =
+          scala.collection.mutable.Buffer.empty[(Long, Option[Long], String)]
+        val touched = scala.collection.mutable.Set.empty[Long]
+        // inserts: parent = any live node (always < next)
+        val live0 = model.keys.toIndexedSeq
+        (1 to 2).foreach { _ =>
+          val p = live0(rnd.nextInt(live0.size))
+          ops += ((next, Some(p), "u")); touched += next
+          model(next) = Some(p); next += 1
+        }
+        // re-parents: a non-root node moves under a live node with a
+        // SMALLER id (preserves the acyclicity invariant)
+        (1 to 2).foreach { _ =>
+          val movables = model.keys.filter(k => !touched(k) &&
+            model(k).isDefined && k > 0).toIndexedSeq
+          if (movables.nonEmpty) {
+            val k = movables(rnd.nextInt(movables.size))
+            val targets = model.keys.filter(t => t < k && !touched(t))
+              .toIndexedSeq
+            if (targets.nonEmpty) {
+              val p = targets(rnd.nextInt(targets.size))
+              ops += ((k, Some(p), "u")); touched += k
+              model(k) = Some(p)
+            }
+          }
+        }
+        // one delete: a live untouched node (its whole subtree goes) or,
+        // every so often, an absent id (must no-op)
+        val delCand = model.keys.filter(k => !touched(k)).toIndexedSeq
+        if (rnd.nextInt(4) == 0) ops += ((next + 1000L, None, "d"))
+        else if (delCand.nonEmpty) {
+          val d = delCand(rnd.nextInt(delCand.size))
+          ops += ((d, None, "d"))
+          subtree(d).foreach(model.remove)
+        }
+        Streams.hierarchyOpsBatch(
+          ops.toSeq.toDF("node", "parent", "op"), b.toLong, dir)
+      }
+      // reference closure off the final model: walk each chain to its root
+      val ref = model.keys.map { n =>
+        val segs = scala.collection.mutable.ArrayBuffer(n)
+        while (model(segs.head).isDefined) segs.prepend(model(segs.head).get)
+        (n, segs.head, (segs.size - 1).toLong, segs.mkString("/"))
+      }.toSet
+      val got = Streams.readHierarchy(spark, dir).get
+        .as[(Long, Long, Long, String)].collect().toSet
+      Prop(got == ref) :| s"closure diverged: ${got.size} vs ${ref.size}"
+    }
 }

@@ -2774,6 +2774,69 @@ class StreamingSpec extends AnyFunSuite {
       batchRef(Seq((1L, None), (11L, Some(1L)))))
   }
 
+  test("T36 deletes: subtree removal is orphan-free, absent deletes no-op (replay idempotent), mixed-op batch folds upserts-then-deletes, both ops on one node throw") {
+    import graft.operators.Graph
+    val root = java.nio.file.Files.createTempDirectory("t36d").toString + "/h"
+    def closure() = Streams.readHierarchy(spark, root).get
+      .as[(Long, Long, Long, String)].collect().toSeq.sortBy(_._1)
+    def batchRef(rows: Seq[(Long, Option[Long])]) =
+      Graph.hierarchyPaths(rows.toDF("node", "parent"))
+        .as[(Long, Long, Long, String)].collect().toSeq.sortBy(_._1)
+    val b0 = Seq((1L, None), (2L, None), (11L, Some(1L)), (12L, Some(1L)),
+      (111L, Some(11L)), (112L, Some(11L)), (21L, Some(2L)))
+    Streams.hierarchyBatch(b0.toDF("node", "parent"), 0L, root)
+    // batch 1: delete the 11-subtree — 11, 111, 112 all go; nothing
+    // dangles, the rest of the forest passes through untouched
+    Streams.hierarchyDeleteBatch(Seq(11L).toDF("node"), 1L, root)
+    val after1 = b0.filterNot(r => Set(11L, 111L, 112L)(r._1))
+    assert(closure() === batchRef(after1))
+    // crash replay of the delete batch: the subtree is already gone —
+    // absent deletes no-op and the committed bytes are reproduced
+    Streams.hierarchyDeleteBatch(Seq(11L).toDF("node"), 1L, root)
+    assert(closure() === batchRef(after1))
+    // batch 2: deleting a node that never existed is also a no-op
+    Streams.hierarchyDeleteBatch(Seq(999L).toDF("node"), 2L, root)
+    assert(closure() === batchRef(after1))
+    // batch 3, mixed ops: insert 31 under 2 AND delete the 21 leaf —
+    // both apply; then batch 4 proves upserts fold FIRST: an insert
+    // under a subtree the SAME batch deletes joins it and dies with it
+    Streams.hierarchyOpsBatch(
+      Seq((31L, Some(2L), "u"), (21L, None, "d"))
+        .toDF("node", "parent", "op"), 3L, root)
+    val after3 = after1.filterNot(_._1 == 21L) :+ (31L, Some(2L): Option[Long])
+    assert(closure() === batchRef(after3))
+    Streams.hierarchyOpsBatch(
+      Seq((121L, Some(12L), "u"), (12L, None, "d"))
+        .toDF("node", "parent", "op"), 4L, root)
+    val after4 = after3.filterNot(_._1 == 12L)
+    assert(closure() === batchRef(after4))
+    assert(!closure().exists(_._1 == 121L))
+    // a node carrying both ops in one batch is ambiguous — THROW, and
+    // the failed commit leaves the store at its prior version
+    intercept[Exception] {
+      Streams.hierarchyOpsBatch(
+        Seq((31L, Some(1L), "u"), (31L, None, "d"))
+          .toDF("node", "parent", "op"), 5L, root)
+    }
+    assert(closure() === batchRef(after4))
+    // stream wrapper smoke: ops stream on a fresh root
+    implicit val ctx = spark.sqlContext
+    val root2 = java.nio.file.Files.createTempDirectory("t36d2").toString + "/h"
+    val mem = MemoryStream[(Long, Option[Long], String)]
+    val q = Streams.hierarchyOpsStream(
+        mem.toDS().toDF("node", "parent", "op"), root2)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt36d").toString)
+      .start()
+    mem.addData((1L, None, "u"), (11L, Some(1L), "u"), (12L, Some(1L), "u"))
+    q.processAllAvailable()
+    mem.addData((11L, None, "d"))
+    q.processAllAvailable(); q.stop()
+    assert(Streams.readHierarchy(spark, root2).get
+      .as[(Long, Long, Long, String)].collect().toSeq.sortBy(_._1) ===
+      batchRef(Seq((1L, None), (12L, Some(1L)))))
+  }
+
   test("T33 replay race: a cluster epoch committing late — inside the registry batch's own window, after first execution — cannot change recorded assignments") {
     // The cluster store and the registry run under INDEPENDENT
     // checkpoints, so a cluster epoch ≤ the registry batch's id can
