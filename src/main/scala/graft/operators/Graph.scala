@@ -699,9 +699,20 @@ object Graph {
         all.filter(col("node") >= 100 && col("node") < 1000),
         deep.select(col("node"), expr("node div 100").as("parent")),
         deep)                                            // corrective move
-      incs.foldLeft(emptyClosure(spark)) { (cl, inc) =>
+      val upserted = incs.foldLeft(emptyClosure(spark)) { (cl, inc) =>
         hierarchyApply(cl, inc).localCheckpoint()
       }
+      // delete wave: retire a whole level-1 layer (nodes under root 3 —
+      // subtree removal takes their descendants too), then re-insert the
+      // layer from the changelog; converges back to the full forest, so
+      // the oracle stays q32Sql VERBATIM while the serve path exercises
+      // DELETE maintenance at fixture scale, not just in spec
+      val retired = all.filter(col("node") >= 30 && col("node") < 40)
+        .select(col("node"))
+      val afterDelete = hierarchyDelete(upserted, retired).localCheckpoint()
+      val reinserts = all.join(afterDelete.select(col("node")),
+        Seq("node"), "left_anti")
+      hierarchyApply(afterDelete, reinserts).localCheckpoint()
     }
 
   val q32bIncrHierarchy: Q = (spark, dir) =>
