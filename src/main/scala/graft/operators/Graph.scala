@@ -615,18 +615,17 @@ object Graph {
     val upW = Window.partitionBy(col("node"))
     val up = upserts.select(col("node"), col("parent")).distinct()
       .withColumn("nptr", count(lit(1)).over(upW))
-      .filter(coalesce(assert_true(col("nptr") === lit(1),
-        lit("hierarchyApply: conflicting parent pointers for one node " +
+      .filter(graft.functions.Guards.assertFilter(col("nptr") === lit(1),
+        "hierarchyApply: conflicting parent pointers for one node " +
           "in a single batch — intra-batch order is undefined, so a " +
           "winner would be nondeterministic under replay; sequence the " +
-          "moves into separate batches")).cast("boolean"), lit(true)))
+          "moves into separate batches"))
       .select(col("node"), col("parent"))
       .localCheckpoint()
     // descendants-or-self of upserted nodes, from stored path segments
-    val segs = closure.select(col("node"),
-      explode(split(col("path"), "/")).as("seg"))
     val upSegs = up.select(col("node").cast("string").as("seg")).distinct()
-    val affected = segs.join(upSegs, Seq("seg")).select(col("node"))
+    val affected = pathSegments(closure).join(upSegs, Seq("seg"))
+      .select(col("node"))
       .unionByName(up.select(col("node")))
       .distinct().localCheckpoint()
     // merged pointers for the affected set: the upserted pointer wins;
@@ -661,18 +660,28 @@ object Graph {
     *
     * Scale: one segment-explode over stored paths (O(Σ depth of stored
     * paths) — the same affected-set discipline as [[hierarchyApply]])
-    * probed by the increment-sized delete set on a broadcast, then one
-    * anti-join; never a forest recompute.
+    * probed by the delete set, then one anti-join. The join strategy is
+    * the PLANNER's (broadcast when the delete set is increment-sized via
+    * autoBroadcastJoinThreshold, shuffle when a bulk retire wave isn't) —
+    * a forced broadcast hint would haul a millions-of-ids purge through
+    * the driver. Never a forest recompute.
     */
   def hierarchyDelete(closure: DataFrame, deletes: DataFrame): DataFrame = {
-    val segs = closure.select(col("node"),
-      explode(split(col("path"), "/")).as("seg"))
     val delSegs = deletes.select(col("node").cast("string").as("seg"))
       .distinct()
-    val doomed = segs.join(broadcast(delSegs), Seq("seg"))
+    val doomed = pathSegments(closure).join(delSegs, Seq("seg"))
       .select(col("node")).distinct()
     closure.join(doomed, Seq("node"), "left_anti")
   }
+
+  /** (node, seg) for every segment of every stored path — the shared
+    * affected-set / doomed-set discovery of [[hierarchyApply]] and
+    * [[hierarchyDelete]]: a node is in scope iff some probe id appears
+    * among its ancestors-or-self.
+    */
+  private def pathSegments(closure: DataFrame): DataFrame =
+    closure.select(col("node"),
+      explode(split(col("path"), "/")).as("seg"))
 
   /** Empty closure seed for the [[hierarchyApply]] fold. */
   def emptyClosure(spark: SparkSession): DataFrame =

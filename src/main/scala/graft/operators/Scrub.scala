@@ -246,18 +246,15 @@ object Scrub {
       .agg(sum(abs(col("n_cs") * col("n_g") - col("n_gs") * col("n_c")))
           .as("p"),
         sum(col("n_gs")).as("covered"))
-      .filter(coalesce(
-        // 4·n_c·n_g ≤ Long.MaxValue, checked as n_c ≤ (MaxValue/4) div n_g
-        // so the guard never computes the product it is bounding. The
-        // condition is null-armored (inner coalesce → false): if n_g were
-        // 0/NULL the division yields NULL and a bare comparison would make
-        // assert_true(NULL) silently PASS — the guard must THROW instead.
-        assert_true(coalesce(
-          col("n_c") <= expr(s"${Long.MaxValue / 4L} div n_g"), lit(false)),
-          lit("x8f overflow guard: class×corpus product exceeds the " +
-            "exact-BIGINT headroom (4*n_c*n_g > Long.MaxValue) — quantize " +
-            "global frequencies to micro-units")
-        ).cast("boolean"), lit(true)))
+      // 4·n_c·n_g ≤ Long.MaxValue, checked as n_c ≤ (MaxValue/4) div n_g
+      // so the guard never computes the product it is bounding. If n_g
+      // were 0/NULL the division yields NULL — assertFilter's null-arm
+      // makes that THROW instead of silently passing.
+      .filter(graft.functions.Guards.assertFilter(
+        col("n_c") <= expr(s"${Long.MaxValue / 4L} div n_g"),
+        "x8f overflow guard: class×corpus product exceeds the " +
+          "exact-BIGINT headroom (4*n_c*n_g > Long.MaxValue) — quantize " +
+          "global frequencies to micro-units"))
       .select(col("lang"), col("len_bucket"), col("n_c").as("n"),
         (col("p") + (col("n_g") - col("covered")) * col("n_c"))
           .as("dist_num"),

@@ -1447,14 +1447,20 @@ object Streams extends Serializable {
     * commit leaves the store at its prior version (readers never see a
     * corrupt closure).
     */
-  def hierarchyBatch(upserts: DataFrame, batchId: Long,
-      root: String): Unit = {
-    val spark = upserts.sparkSession
+  /** Shared T36 fold scaffold: read the strictly-before closure (empty
+    * seed on the first batch), apply `f`, commit as this batch's version.
+    */
+  private def foldClosure(spark: org.apache.spark.sql.SparkSession,
+      batchId: Long, root: String)(f: DataFrame => DataFrame): Unit = {
     val prior = SnapshotStore.readBefore(spark, root, batchId)
       .getOrElse(graft.operators.Graph.emptyClosure(spark))
-    SnapshotStore.commit(
-      graft.operators.Graph.hierarchyApply(prior, upserts), root, batchId)
+    SnapshotStore.commit(f(prior), root, batchId)
   }
+
+  def hierarchyBatch(upserts: DataFrame, batchId: Long,
+      root: String): Unit =
+    foldClosure(upserts.sparkSession, batchId, root)(
+      graft.operators.Graph.hierarchyApply(_, upserts))
 
   def hierarchyStream(upsertStream: DataFrame, root: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
@@ -1470,13 +1476,9 @@ object Streams extends Serializable {
     * deletes are no-ops so a replayed batch reproduces its bytes.
     */
   def hierarchyDeleteBatch(deletes: DataFrame, batchId: Long,
-      root: String): Unit = {
-    val spark = deletes.sparkSession
-    val prior = SnapshotStore.readBefore(spark, root, batchId)
-      .getOrElse(graft.operators.Graph.emptyClosure(spark))
-    SnapshotStore.commit(
-      graft.operators.Graph.hierarchyDelete(prior, deletes), root, batchId)
-  }
+      root: String): Unit =
+    foldClosure(deletes.sparkSession, batchId, root)(
+      graft.operators.Graph.hierarchyDelete(_, deletes))
 
   /** T36 mixed-op batch (node, parent, op): op "u" rows fold as
     * parent-pointer upserts, THEN op "d" rows as subtree deletes.
@@ -1491,25 +1493,35 @@ object Streams extends Serializable {
     */
   def hierarchyOpsBatch(ops: DataFrame, batchId: Long,
       root: String): Unit = {
-    val spark = ops.sparkSession
     val opsW =
       org.apache.spark.sql.expressions.Window.partitionBy(col("node"))
     val o = ops.select(col("node"), col("parent"), col("op"))
+      // an op outside the {u, d} vocabulary must THROW, not vanish: a
+      // silently-dropped row commits a version that lost a changelog
+      // operation and replay reproduces the loss — the one failure mode
+      // every other guard in this module (both-ops, conflicting
+      // pointers, cycles, dangling parents) exists to prevent
+      .filter(graft.functions.Guards.assertFilter(col("op").isin("u", "d"),
+        "hierarchyOpsBatch: unknown op (expected 'u' or 'd') — refusing " +
+          "to commit a version that silently drops a changelog operation"))
       .withColumn("nops", size(collect_set(col("op")).over(opsW)))
-      .filter(coalesce(assert_true(col("nops") === lit(1),
-        lit("hierarchyOpsBatch: a node carries both an upsert and a " +
+      .filter(graft.functions.Guards.assertFilter(col("nops") === lit(1),
+        "hierarchyOpsBatch: a node carries both an upsert and a " +
           "delete in one batch — the upsert would be dead on arrival; " +
-          "sequence the ops into separate batches")).cast("boolean"),
-        lit(true)))
+          "sequence the ops into separate batches"))
       .localCheckpoint()
-    val prior = SnapshotStore.readBefore(spark, root, batchId)
-      .getOrElse(graft.operators.Graph.emptyClosure(spark))
-    val upserted = graft.operators.Graph.hierarchyApply(prior,
-      o.filter(col("op") === "u").select(col("node"), col("parent")))
-    SnapshotStore.commit(
-      graft.operators.Graph.hierarchyDelete(upserted,
-        o.filter(col("op") === "d").select(col("node"))),
-      root, batchId)
+    val dels = o.filter(col("op") === "d").select(col("node"))
+    foldClosure(ops.sparkSession, batchId, root) { prior =>
+      val upserted = graft.operators.Graph.hierarchyApply(prior,
+        o.filter(col("op") === "u").select(col("node"), col("parent")))
+      // hierarchyDelete references its closure argument twice and the
+      // commit executes the plan once more — checkpoint the merge so the
+      // upsert fold runs once; a delete-less batch skips the explode
+      // entirely
+      if (dels.isEmpty) upserted
+      else graft.operators.Graph.hierarchyDelete(
+        upserted.localCheckpoint(), dels)
+    }
   }
 
   def hierarchyOpsStream(opsStream: DataFrame, root: String)

@@ -2819,6 +2819,13 @@ class StreamingSpec extends AnyFunSuite {
           .toDF("node", "parent", "op"), 5L, root)
     }
     assert(closure() === batchRef(after4))
+    // an op outside the {u, d} vocabulary throws rather than silently
+    // committing a version that dropped a changelog operation
+    intercept[Exception] {
+      Streams.hierarchyOpsBatch(
+        Seq((32L, Some(1L), "D")).toDF("node", "parent", "op"), 5L, root)
+    }
+    assert(closure() === batchRef(after4))
     // stream wrapper smoke: ops stream on a fresh root
     implicit val ctx = spark.sqlContext
     val root2 = java.nio.file.Files.createTempDirectory("t36d2").toString + "/h"
