@@ -560,11 +560,28 @@ object Streams extends Serializable {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("b="))
-      .flatMap(s => s.getPath.getName.stripPrefix("b=").toLongOption
-        .map(_ -> s.getPath.toString))
-      .sortBy(_._1)
+    else {
+      val all = fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("b="))
+        .flatMap(s => s.getPath.getName.stripPrefix("b=").toLongOption
+          .map(_ -> s.getPath.toString))
+      // a batch dir is COMMITTED only once the job committer's _SUCCESS
+      // marker lands. A dir without it is a torn write from a crash
+      // mid-batch: the sink write happens before the checkpoint
+      // advances, so that batch WILL be replayed and its dir rewritten —
+      // readers must skip it rather than union partial parquet into a
+      // serve (the T33-manifest lesson, applied to every band store).
+      val (committed, torn) = all.partition { case (_, path) =>
+        fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")) }
+      // every dir torn is a different story: either the store is wholly
+      // corrupt or the committer runs with marksuccessfuljobs=false —
+      // serving an EMPTY view of a non-empty store must fail loudly
+      require(torn.isEmpty || committed.nonEmpty,
+        s"every batch dir under $dir lacks a _SUCCESS marker — torn " +
+          "store or a committer configured without success markers; " +
+          "refusing to serve an empty view of a non-empty store")
+      committed.sortBy(_._1)
+    }
   }
 
   /** Union of every committed `b=*` directory under a batch-keyed store

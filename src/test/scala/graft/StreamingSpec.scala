@@ -1929,6 +1929,38 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet === before)
   }
 
+  test("band stores: a torn batch dir (no _SUCCESS marker) is invisible to readers and healed by replay; a non-empty store with no markers at all fails loudly") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "text").as[DocE].collect().toSeq
+    val inc0 = docs.filter(_.doc_id % 3 == 0)
+    val inc1 = docs.filter(_.doc_id % 3 == 1)
+    val d = java.nio.file.Files.createTempDirectory("torn").toString
+    Streams.nearDupBatch(inc0.toDF, 0L, s"$d/bands", s"$d/pairs")
+    val committed = Streams.readNearDupPairs(spark, s"$d/pairs")
+      .as[(Long, Long)].collect().toSet
+    Streams.nearDupBatch(inc1.toDF, 1L, s"$d/bands", s"$d/pairs")
+    val withB1 = Streams.readNearDupPairs(spark, s"$d/pairs")
+      .as[(Long, Long)].collect().toSet
+    assert(withB1.size > committed.size)
+    // simulate the crash mid-batch-1-write: part files landed, the job
+    // committer's marker did not — the sink write precedes the
+    // checkpoint advance, so this batch WILL be replayed
+    assert(new java.io.File(s"$d/pairs/b=1/_SUCCESS").delete())
+    assert(Streams.readNearDupPairs(spark, s"$d/pairs")
+      .as[(Long, Long)].collect().toSet === committed)
+    // the replay overwrites the torn dir; its pairs reappear, committed
+    Streams.nearDupBatch(inc1.toDF, 1L, s"$d/bands", s"$d/pairs")
+    assert(Streams.readNearDupPairs(spark, s"$d/pairs")
+      .as[(Long, Long)].collect().toSet === withB1)
+    // EVERY dir unmarked on a non-empty store is not a crash artifact —
+    // it is a torn store or a committer without success markers; serving
+    // an empty view must fail loudly instead
+    assert(new java.io.File(s"$d/pairs/b=0/_SUCCESS").delete())
+    assert(new java.io.File(s"$d/pairs/b=1/_SUCCESS").delete())
+    intercept[Exception](
+      Streams.readNearDupPairs(spark, s"$d/pairs").collect())
+  }
+
   test("T16 incremental vector index: stream-built upsert index ≡ batch encode of the latest corpus; replay idempotent; compaction drops shadowed rows") {
     implicit val ctx = spark.sqlContext
     import graft.operators.Vectors
