@@ -37,16 +37,15 @@ object TaskBinaryAudit {
     * itself here (the WindowAudit convention).
     */
   val justified: Map[String, String] = Map(
-    // the only two observed over-threshold closures (sf0.1 sweep after
-    // the r13 fold staging truncated the former x3r/x7q/x4x lineage):
+    // the single observed over-threshold closure (sf0.1 sweep after the
+    // r13 fold staging truncated the former x3r/x7q/x4x lineage, and
+    // the late-r13 x9c fix carried lang through bpeEncode instead of
+    // re-joining the kept subtree — which removed x9c's ~2.2 MiB
+    // closure, the repo's former largest, from the warnings entirely):
     "x6i_curation_diff" -> ("~2.1 MiB: the one-scan diff composes BOTH " +
       "runs' full curation predicates (dedup drop set probes, language/" +
       "length bands, reason attribution) in a single plan — two " +
-      "pipelines' worth of expression tree rides one closure by design"),
-    "x9c_bpe_packing" -> ("~2.2 MiB: tokenizer-true packing embeds the " +
-      "trained BPE merge/vocab dictionary as plan literals (the x4o " +
-      "memoized encoder) — model-in-the-plan, bounded by vocab size " +
-      "not data"))
+      "pipelines' worth of expression tree rides one closure by design"))
 
   private val Pat =
     """Broadcasting large task binary with size ([0-9.]+) (B|KiB|MiB|GiB)""".r

@@ -22,12 +22,22 @@ object Curation {
     * The "would a user of the reference switch" query: filter → near-dup
     * anti-join → project, one declarative plan.
     */
+  /** Run-A curation config (the x6 gate), shared by x6/x6Sql and the
+    * x6i diff's run-A side so "diff vs the x6 config" can never silently
+    * drift from the config it claims to compare against (the
+    * splitValPct / x2cCtePrefix sharing discipline).
+    */
+  val curationLangsA: Seq[String] = Seq("en", "de", "es")
+  val curationBandA: (Int, Int) = (20, 90)
+  private def curationLangsASql: String =
+    curationLangsA.map(l => s"'$l'").mkString(", ")
+
   val x6Curation: Q = (spark, dir) => {
     val docs = Tables.documents(spark, dir)
       .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
     val kept = docs
-      .filter(col("lang").isin("en", "de", "es"))
-      .filter(col("n_tokens").between(20, 90))
+      .filter(col("lang").isin(curationLangsA: _*))
+      .filter(col("n_tokens").between(curationBandA._1, curationBandA._2))
     // near-dup members (da < db): db is the duplicate to drop. The pair
     // table is staged (graft.Staged) — built once per session and shared
     // with x2c instead of re-running the whole Jaccard pipeline here.
@@ -45,8 +55,8 @@ object Curation {
         | WHERE shared * 10 >= (ca.n + cb.n - shared) * 7)
         |SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, n_chars
         |FROM documents
-        |WHERE lang IN ('en', 'de', 'es')
-        | AND len(string_split(text, ' ')) BETWEEN 20 AND 90
+        |WHERE lang IN (""".stripMargin + curationLangsASql + s""")
+        | AND len(string_split(text, ' ')) BETWEEN ${curationBandA._1} AND ${curationBandA._2}
         | AND NOT EXISTS (SELECT 1 FROM dups WHERE dup_id = doc_id)
         |ORDER BY doc_id""".stripMargin
   }
@@ -197,8 +207,10 @@ object Curation {
     // output, which would plan the whole upstream pipeline twice.
     // Internals are __-prefixed so a payload column can never be silently
     // overwritten; the two output names the operator mints are guarded.
-    require(!docs.columns.contains("shard") && !docs.columns.contains("pos"),
-      "corpusShuffle emits 'shard' and 'pos'; rename the input's columns")
+    require(Seq("shard", "pos", "__coin", "__h32")
+        .forall(!docs.columns.contains(_)),
+      "corpusShuffle emits 'shard' and 'pos' and uses '__coin'/'__h32' " +
+        "internally; rename the input's columns")
     val carried = docs.columns.filterNot(_ == "doc_id").map(col)
     docs
       .withColumn("__coin", coin)
@@ -331,12 +343,13 @@ object Curation {
       .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
     val dup = Text.stagedJaccardPairs(spark, dir)
       .select(col("db").as("dup_id")).distinct()
-    val langA = col("lang").isin("en", "de", "es")
+    val langA = col("lang").isin(curationLangsA: _*)
     val langB = col("lang").isin("en", "de", "fr")
     docs.join(broadcast(dup), docs("doc_id") === dup("dup_id"), "left")
       .withColumn("is_dup", col("dup_id").isNotNull)
       .withColumn("in_a",
-        langA && col("n_tokens").between(20, 90) && !col("is_dup"))
+        langA && col("n_tokens").between(curationBandA._1, curationBandA._2)
+          && !col("is_dup"))
       .withColumn("in_b",
         langB && col("n_tokens").between(25, 100) && !col("is_dup"))
       .filter(col("in_a") || col("in_b"))
@@ -358,11 +371,11 @@ object Curation {
         |  EXISTS (SELECT 1 FROM dups WHERE dup_id = doc_id) AS is_dup
         | FROM documents),
         |f AS (SELECT doc_id,
-        |  (lang IN ('en','de','es') AND n_tokens BETWEEN 20 AND 90
+        |  (lang IN (""".stripMargin + curationLangsASql + s""") AND n_tokens BETWEEN ${curationBandA._1} AND ${curationBandA._2}
         |    AND NOT is_dup) AS in_a,
         |  (lang IN ('en','de','fr') AND n_tokens BETWEEN 25 AND 100
         |    AND NOT is_dup) AS in_b,
-        |  (lang IN ('en','de','es')) <> (lang IN ('en','de','fr')) AS lang_flip
+        |  (lang IN (""".stripMargin + curationLangsASql + """)) <> (lang IN ('en','de','fr')) AS lang_flip
         | FROM d)
         |SELECT doc_id,
         | CASE WHEN in_a AND in_b THEN 'kept'
@@ -481,14 +494,19 @@ object Curation {
     */
   val x9cBpePacking: Q = (spark, dir) => {
     val kept = keptDocs(spark, dir)
-    val merges = Text.stagedBpeMerges(spark, dir)
-      .orderBy("iteration").select("left", "right").collect()
-      .map(r => (r.getString(0), r.getString(1))).toSeq
-    val enc = Text.bpeEncode(kept.select(col("doc_id"), col("text")), merges,
-      Some(Text.stagedBpeDictMap(spark, dir)))
-      .select(col("doc_id"), col("n_bpe_tokens"))
-    tokenPacking(kept.join(enc, "doc_id"), budget = 1500L,
-        nTokensCol = Some("n_bpe_tokens"))
+    // lang rides through the encode as carried payload — joining `kept`
+    // back onto the encode output would embed the whole gate + dedup +
+    // decontaminate subtree TWICE in one plan (the x9b lesson: measured
+    // there as three ~1.1 MiB task binaries per run). The merges list is
+    // unused when the staged dict map is supplied, so nothing is
+    // collected for it.
+    val enc = Text.bpeEncode(
+      kept.select(col("doc_id"), col("lang"), col("text")),
+      Seq.empty, Some(Text.stagedBpeDictMap(spark, dir)),
+      carry = Seq("lang"))
+    tokenPacking(
+        enc.select(col("doc_id"), col("lang"), col("n_bpe_tokens")),
+        budget = 1500L, nTokensCol = Some("n_bpe_tokens"))
       .orderBy(col("lang"), col("shard"))
   }
   val x9cSql: String = {

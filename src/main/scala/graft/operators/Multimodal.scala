@@ -69,6 +69,10 @@ object Multimodal {
     * the iterator mapping — the exact shape a pandas-UDF batch gets.
     */
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeatures] = {
+    // fail on the driver: dim = 0 would surface as an executor-side
+    // ArithmeticException (i % 0) after task retries, dim < 0 as a
+    // NegativeArraySizeException
+    require(dim > 0, s"feature dim must be positive, got $dim")
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>

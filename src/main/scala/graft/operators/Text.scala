@@ -2616,17 +2616,26 @@ object Text {
 
   private[operators] def bpeSeq(docs: DataFrame,
       merges: Seq[(String, String)],
-      dictMap: Option[DataFrame] = None): DataFrame =
+      dictMap: Option[DataFrame] = None,
+      carry: Seq[String] = Seq.empty): DataFrame =
     docs.join(broadcast(dictMap.getOrElse(bpeDictMap(docs, merges))))
-      .select(col("doc_id"), expr(
+      .select(Seq(col("doc_id")) ++ carry.map(col) :+ expr(
         "array_join(transform(regexp_extract_all(text, '[a-z0-9]+', 0), " +
-          "w -> element_at(__bpe_dict, w)), '|')").as("seq"))
+          "w -> element_at(__bpe_dict, w)), '|')").as("seq"): _*)
 
+  /** `carry` names ride-along payload columns preserved through the
+    * encode — a caller that needs them alongside the counts would
+    * otherwise have to JOIN its input subtree back onto the output,
+    * embedding the whole upstream pipeline twice in one plan (the x9b
+    * task-binary lesson).
+    */
   def bpeEncode(docs: DataFrame, merges: Seq[(String, String)],
-      dictMap: Option[DataFrame] = None): DataFrame =
-    bpeSeq(docs, merges, dictMap).select(col("doc_id"),
-      (size(split(col("seq"), " ")) - 1).cast("long").as("n_bpe_tokens"),
-      md5(col("seq").cast("binary")).as("fp"))
+      dictMap: Option[DataFrame] = None,
+      carry: Seq[String] = Seq.empty): DataFrame =
+    bpeSeq(docs, merges, dictMap, carry).select(
+      Seq(col("doc_id")) ++ carry.map(col) ++ Seq(
+        (size(split(col("seq"), " ")) - 1).cast("long").as("n_bpe_tokens"),
+        md5(col("seq").cast("binary")).as("fp")): _*)
 
   /** X4p — the trained tokenizer's VOCABULARY as data: base symbols
     * (the corpus's distinct characters, id'd in sorted order) followed

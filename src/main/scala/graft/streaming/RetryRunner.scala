@@ -25,16 +25,34 @@ object RetryRunner {
     */
   def runWithRetry(start: () => StreamingQuery, maxAttempts: Int = 5,
       backoffMs: Long = 1000): RetryOutcome = {
+    // zero attempts would skip the loop and return a SUCCESS-shaped
+    // outcome (attempts=0, no errors) for a query that never ran
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
     var errors = Vector.empty[Throwable]
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
+      // NonFatal only: a fatal JVM error (OOM, LinkageError) must
+      // propagate, not be retried; InterruptedException means the
+      // SUPERVISOR is being cancelled — restarting would make it
+      // uncancellable, so stop the query and let the interrupt escape
       val outcome: Either[Throwable, Unit] =
         try {
           val q = start()
           try { q.awaitTermination(); Right(()) }
-          catch { case e: Throwable => q.stop(); Left(e) }
-        } catch { case e: Throwable => Left(e) }
+          catch {
+            case e: Throwable =>
+              // stop() can itself throw (e.g. a stop timeout) — that
+              // must not REPLACE the query's root-cause failure
+              try q.stop()
+              catch { case s if scala.util.control.NonFatal(s) =>
+                e.addSuppressed(s) }
+              throw e
+          }
+        } catch {
+          case e: InterruptedException => throw e
+          case e if scala.util.control.NonFatal(e) => Left(e)
+        }
       outcome match {
         case Right(()) => return RetryOutcome(attempt, errors)
         case Left(e) =>
