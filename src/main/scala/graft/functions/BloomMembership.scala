@@ -29,10 +29,29 @@ object BloomMembership {
     * sketch is numBits/8 bytes, a bounded model artifact (the CMS-grid
     * class), never data-proportional.
     */
-  def bloomAgg(c: Column, expectedItems: Long, numBits: Long): Column =
+  def bloomAgg(c: Column, expectedItems: Long, numBits: Long): Column = {
+    // BloomFilterAggregate Math.min-CLAMPS both parameters against the
+    // runtime-bloom-filter SQLConf maxima with no error (verified in the
+    // Spark 4.1 source): a crawl-scale request silently builds a tiny
+    // sketch whose false-positive rate approaches 1 — and a Bloom
+    // decontamination consumer then removes ~the whole corpus. The "no
+    // false negatives, bounded false positives" contract dies silently,
+    // so fail loudly here instead.
+    val conf = org.apache.spark.sql.internal.SQLConf.get
+    val maxItems = conf.getConf(
+      org.apache.spark.sql.internal.SQLConf.RUNTIME_BLOOM_FILTER_MAX_NUM_ITEMS)
+    val maxBits = conf.getConf(
+      org.apache.spark.sql.internal.SQLConf.RUNTIME_BLOOM_FILTER_MAX_NUM_BITS)
+    require(expectedItems <= maxItems && numBits <= maxBits,
+      s"bloomAgg: requested sketch (items=$expectedItems, bits=$numBits) " +
+        s"exceeds Spark's limits (maxNumItems=$maxItems, " +
+        s"maxNumBits=$maxBits) and would be SILENTLY clamped to a " +
+        "near-useless false-positive rate — raise spark.sql.optimizer." +
+        "runtime.bloomFilter.maxNumBits/maxNumItems to match the corpus")
     GraftBridge.column(new BloomFilterAggregate(
       new XxHash64(Seq(GraftBridge.expression(c))),
       Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+  }
 
   /** Probe a serialized sketch: true = possibly present, false =
     * DEFINITELY absent. The sketch rides as a binary literal (broadcast

@@ -41,7 +41,14 @@ case class DotProductFloat(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // mismatched lengths are DATA CORRUPTION, not a truncation request: a
+    // silent min-length partial dot returns a plausible-looking score
+    // that reorders similarity rankings and never surfaces the bad row
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        "dot_f32: embedding length mismatch (" + x.numElements() + " vs " +
+          y.numElements() + ")")
+    val n = x.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -57,7 +64,12 @@ case class DotProductFloat(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "dot_f32: embedding length mismatch (" + $a.numElements() +
+         |      " vs " + $b.numElements() + ")");
+         |}
+         |int $n = $a.numElements();
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));

@@ -17,8 +17,13 @@ import org.apache.spark.sql.functions.{assert_true, coalesce, lit}
   * half once already; new guards should use this helper.
   */
 object Guards {
-  def assertFilter(cond: Column, msg: String): Column =
+  /** Column-message form, for guards whose message interpolates row
+    * values (e.g. the offending n/m in the q36 moments guard). */
+  def assertFilter(cond: Column, msg: Column): Column =
     coalesce(
-      assert_true(coalesce(cond, lit(false)), lit(msg)).cast("boolean"),
+      assert_true(coalesce(cond, lit(false)), msg).cast("boolean"),
       lit(true))
+
+  def assertFilter(cond: Column, msg: String): Column =
+    assertFilter(cond, lit(msg))
 }

@@ -1302,14 +1302,15 @@ object Relational {
     * loud failure at the merge that crosses the bound, never a wrong
     * flag. */
   def guardMoments(moments: DataFrame): DataFrame =
-    moments.filter(coalesce(
-      assert_true(
-        col("n").cast("double") * col("m").cast("double")
-          <= lit(q36Headroom.toDouble),
-        concat(lit("q36 overflow guard: a key's n*max|v_c| exceeds the " +
-            s"BIGINT headroom ($q36Headroom) — window the baseline " +
-            "(q36b) or rescale units; n="), col("n"), lit(" m="), col("m"))
-      ).cast("boolean"), lit(true)))
+    // Guards.assertFilter's null-arm matters here: a NULL m would make a
+    // bare assert_true(NULL) silently PASS the guard (fail-open); the
+    // shared helper fails it closed
+    moments.filter(graft.functions.Guards.assertFilter(
+      col("n").cast("double") * col("m").cast("double")
+        <= lit(q36Headroom.toDouble),
+      concat(lit("q36 overflow guard: a key's n*max|v_c| exceeds the " +
+          s"BIGINT headroom ($q36Headroom) — window the baseline " +
+          "(q36b) or rescale units; n="), col("n"), lit(" m="), col("m"))))
 
   /** The WHOLE serving tail — join, predicate, projection, ordering —
     * shared by batch q36 and T31's [[graft.streaming.Streams

@@ -134,8 +134,12 @@ object PushFilterThroughAsOfJoin
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, j: AsOfJoinPlan) =>
+      // deterministic-only, Catalyst's own PushDownPredicates contract: a
+      // nondeterministic predicate (rand(), ...) evaluates against a
+      // different row stream below the join, changing which rows survive
       val (pushable, kept) = splitConjunctivePredicates(cond)
-        .partition(_.references.subsetOf(j.left.outputSet))
+        .partition(p => p.deterministic &&
+          p.references.subsetOf(j.left.outputSet))
       if (pushable.isEmpty) f
       else {
         val pushed = j.copy(left = Filter(pushable.reduce(And), j.left))
@@ -180,11 +184,23 @@ object AsOf {
     // (the same dedup Dataset.join performs)
     val r = right.select(right.columns.map(c => right(c).as(c)): _*)
       .queryExecution.analyzed
-    def attr(p: LogicalPlan, name: String): Attribute =
-      p.output.find(_.name == name).getOrElse(
+    def attr(p: LogicalPlan, name: String,
+        mustBeLong: Boolean = false): Attribute = {
+      val a = p.output.find(_.name == name).getOrElse(
         sys.error(s"asofJoin: column $name not found in ${p.output.map(_.name)}"))
+      // the exec casts key/ts to Long in its merge loop — enforce the
+      // documented LongType contract HERE, at plan time, instead of a
+      // cryptic executor-side ClassCastException per task (the tie-break
+      // column only feeds a SortOrder, so any orderable type is fine there)
+      require(!mustBeLong || a.dataType == org.apache.spark.sql.types.LongType,
+        s"asofJoin: column $name must be LongType (epoch-ms / integral " +
+          s"key), got ${a.dataType.simpleString} — cast it first")
+      a
+    }
     GraftBridge.ofRows(spark,
-      AsOfJoinPlan(l, r, attr(l, key), attr(r, key), attr(l, ts), attr(r, ts),
+      AsOfJoinPlan(l, r,
+        attr(l, key, mustBeLong = true), attr(r, key, mustBeLong = true),
+        attr(l, ts, mustBeLong = true), attr(r, ts, mustBeLong = true),
         tieBreak.map(attr(r, _))))
   }
 }

@@ -81,6 +81,24 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(df.count() === expected)
   }
 
+  test("nondeterministic predicates are NOT pushed below the as-of join; non-Long key/ts rejected at plan time") {
+    // rand() has empty references so a references-only partition would
+    // call it pushable; below the join it evaluates against a different
+    // row stream and selects different rows — it must stay above
+    val df = AsOf.asofJoin(purchases, errors, "user_id", "ts_ms")
+      .filter(org.apache.spark.sql.functions.rand(42) < 0.5)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("rand(42)"), opt)
+    // the rand Filter sits ABOVE the AsOfJoin node — never inside a child
+    assert(opt.indexOf("rand(42)") < opt.indexOf("AsOfJoin"), opt)
+    // key/ts must be LongType — a cryptic executor-side ClassCastException
+    // becomes a clean plan-time failure
+    val intKeyed = purchases.withColumn("user_id", col("user_id").cast("int"))
+    val e = intercept[IllegalArgumentException](
+      AsOf.asofJoin(intKeyed, errors, "user_id", "ts_ms"))
+    assert(e.getMessage.contains("LongType"))
+  }
+
   test("physical plan is AsOfJoinExec fed by one hash shuffle + sort per side") {
     val df = AsOf.asofJoin(purchases, errors, "user_id", "ts_ms")
     df.collect()

@@ -175,6 +175,31 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("guards fail loudly, never silently: dot_f32 length mismatch, bloomAgg over Spark's silent clamp, guardMoments NULL moment") {
+    val sp = spark
+    import sp.implicits._
+    // a 3-elem vs 4-elem embedding is data corruption — a min-length
+    // partial dot would return a plausible score and bury it
+    val mm = Seq((Seq(1f, 2f, 3f), Seq(1f, 2f, 3f, 4f)))
+      .toDF("a", "b")
+      .select(graft.functions.VectorFunctions.dotF32(col("a"), col("b")))
+    val e1 = intercept[Exception](mm.collect())
+    assert(e1.getMessage != null)
+    // BloomFilterAggregate silently Math.min-clamps past the SQLConf
+    // maxima — the helper must throw instead of building a useless sketch
+    val e2 = intercept[IllegalArgumentException](
+      graft.functions.BloomMembership.bloomAgg(col("x"),
+        100000000L,
+        graft.functions.BloomMembership.bitsFor(100000000L, 1e-4)))
+    assert(e2.getMessage.contains("clamped"))
+    // a NULL moment must THROW the q36 guard, not pass it fail-open
+    val nullM = Seq((9L, 5L)).toDF("user_id", "n")
+      .withColumn("m", lit(null).cast("long"))
+    val e3 = intercept[Exception](
+      operators.Relational.guardMoments(nullM).collect())
+    assert(e3.getMessage != null)
+  }
+
   test("TopK aggregator matches the window row_number formulation exactly") {
     val viaAgg = Vectors.x3dTopKAgg(spark, TestSpark.sf).collect()
     val viaWindow = Vectors.x3CosineTopK(spark, TestSpark.sf).collect()
