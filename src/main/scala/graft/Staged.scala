@@ -63,7 +63,13 @@ object Staged {
         openChildSeconds = 0.0 :: openChildSeconds
         try {
           val before = spark.sparkContext.getPersistentRDDs.keySet
-          val ck = build.localCheckpoint() // eager: materializes here
+          // producer stages run here, inside whichever registered query
+          // first consumed the entry — attribute their task-binary
+          // WARNs to the staged key, not that consumer (save/restore,
+          // so nested staged builds attribute to their own keys)
+          val ck = TaskBinaryAudit.withQuery(s"staging:$key") {
+            build.localCheckpoint() // eager: materializes here
+          }
           val added = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
           Entry(ck, added.toSet)
         } finally { // also on build failure, so the frame stack can't leak

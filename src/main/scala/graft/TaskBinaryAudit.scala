@@ -48,7 +48,7 @@ object TaskBinaryAudit {
       "pipelines' worth of expression tree rides one closure by design"))
 
   private val Pat =
-    """Broadcasting large task binary with size ([0-9.]+) (B|KiB|MiB|GiB)""".r
+    """Broadcasting large task binary with size ([0-9.]+) (B|KiB|MiB|GiB|TiB|PiB)""".r
 
   @volatile private var current: String = "(untracked)"
   private val maxKiB = TrieMap[String, Double]()
@@ -56,6 +56,19 @@ object TaskBinaryAudit {
 
   /** Name the query whose stages run next (bench loop is serial). */
   def setQuery(name: String): Unit = current = name
+
+  /** Attribute every stage `f` runs to `name`, restoring the previous
+    * attribution afterwards (save/restore, so nested frames compose —
+    * the Staged-producer case: a lazily-built staged table materializes
+    * inside whichever registered query first consumes it, and without
+    * this its large-closure WARN would be charged to that consumer,
+    * pointing a gate failure at the wrong culprit).
+    */
+  def withQuery[T](name: String)(f: => T): T = {
+    val prev = current
+    current = name
+    try f finally current = prev
+  }
 
   /** Per-query max observed task-binary size in KiB. */
   def observed: Map[String, Double] = maxKiB.toMap
@@ -82,6 +95,8 @@ object TaskBinaryAudit {
     case "KiB" => v
     case "MiB" => v * 1024.0
     case "GiB" => v * 1024.0 * 1024.0
+    case "TiB" => v * 1024.0 * 1024.0 * 1024.0
+    case "PiB" => v * 1024.0 * 1024.0 * 1024.0 * 1024.0
   }
 
   /** Attach the capturing appender to the DAGScheduler's logger (and

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.Tables
+import graft.{Staged, Tables}
 
 /** Corpus-curation composites — the end-to-end shapes a 100 TB training-
   * data pipeline actually runs, composed from the catalog operators:
@@ -428,6 +428,71 @@ object Curation {
     tokenPacking(keptDocs(spark, dir), budget = 2000L)
       .orderBy(col("lang"), col("shard"))
 
+  /** X9d — x9's INCREMENTAL twin: the same gate → cluster-dedup →
+    * decontaminate → pack terminal, fed per CRAWL INCREMENT from the
+    * maintained stores instead of a kept-corpus rescan. Documents
+    * arrive in three increments (pmod split); each increment pays only
+    * increment-sized work — the token gate, and decontamination as a
+    * BLOOM PRE-FILTER against the static benchmark sketch (the T15
+    * artifact; a plan-literal probe, no join for the clean majority)
+    * followed by an EXACT confirm of the few flagged docs against the
+    * broadcast bench set (no false negatives, so bloom→confirm ≡ the
+    * exact anti-join and the oracle stays exact). Cluster state is the
+    * MAINTAINED x7j delta-CC map (the T17 inline twin) — and because a
+    * later increment can merge clusters and dethrone an
+    * already-arrived representative, representativeness is evaluated
+    * at SERVE time against the current map, never frozen at arrival
+    * (the T33 registry documents the frozen-coin alternative and why a
+    * training-data kept set must NOT use it). The packed manifest is
+    * therefore IDENTICAL to batch x9's — oracle x9Sql VERBATIM (the
+    * q32b/x4t discipline) — while no step ever rescans the kept
+    * corpus.
+    *
+    * Scale: per increment — one gate scan of the increment, one bloom
+    * probe of its shingles, one broadcast confirm join; the cluster
+    * fold is the x7j increment cost. The serve is one broadcast probe
+    * of the bounded cluster map plus the packing shuffle.
+    */
+  private def stagedIncrKept(spark: SparkSession, dir: String): DataFrame =
+    Staged(spark, s"x9d_kept:$dir") {
+      import graft.functions.BloomMembership
+      val docs = Tables.documents(spark, dir)
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      val sh = Text.stagedShingles(spark, dir)
+      // the static benchmark artifact: exact set (broadcast confirm
+      // side) + its bloom sketch (the T15 pre-filter, sized from the
+      // measured count — bloomDecontaminate's discipline)
+      val bench = sh.filter(col("doc_id") < 50).select(col("hs"))
+        .distinct().localCheckpoint()
+      val nB = math.max(1L, bench.count())
+      val sketch = bench
+        .agg(BloomMembership.bloomAgg(col("hs"), nB,
+          BloomMembership.bitsFor(nB, 1e-5)).as("bf"))
+        .head.getAs[Array[Byte]]("bf")
+      val keptPreDedup = (0 until 3).map { i =>
+        val inc = docs.filter(pmod(col("doc_id"), lit(3)) === i)
+        val gated = inc.filter(col("n_tokens") >= 5 && col("doc_id") >= 50)
+        val flagged = sh
+          .filter(pmod(col("doc_id"), lit(3)) === i && col("doc_id") >= 50)
+          .filter(BloomMembership.mightContain(sketch, col("hs")))
+        // exact confirm bounded by the bloom hits — no distinct(): the
+        // anti-join tests existence (the keptDocs discipline)
+        val contaminated = flagged.join(broadcast(bench), "hs")
+          .select(col("doc_id"))
+        gated.join(contaminated, Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+      }.reduce(_ unionByName _)
+      val ccMap = Graph.stagedIncrClusterMap(spark, dir)
+      keptPreDedup.join(broadcast(ccMap),
+          keptPreDedup("doc_id") === ccMap("node"), "left")
+        .filter(col("node").isNull || col("doc_id") === col("cluster"))
+        .select(keptPreDedup.columns.map(col): _*)
+    }
+
+  val x9dIncrPipeline: Q = (spark, dir) =>
+    tokenPacking(stagedIncrKept(spark, dir), budget = 2000L)
+      .orderBy(col("lang"), col("shard"))
+
   /** CTE chain for the kept set — the oracle twin of [[keptDocs]],
     * shared by x9 and x9b via concatenation (same discipline as
     * `Text.x2cCtePrefix`).
@@ -546,7 +611,8 @@ object Curation {
     "x6i_curation_diff" -> x6iCurationDiff,
     "x9_pipeline" -> x9Pipeline,
     "x9b_shuffle_manifest" -> x9bShuffleManifest,
-    "x9c_bpe_packing" -> x9cBpePacking)
+    "x9c_bpe_packing" -> x9cBpePacking,
+    "x9d_incr_pipeline" -> x9dIncrPipeline)
 
   val oracle: Map[String, String] = Map(
     "x6_curation" -> x6Sql,
@@ -559,5 +625,8 @@ object Curation {
     "x6i_curation_diff" -> x6iSql,
     "x9_pipeline" -> x9Sql,
     "x9b_shuffle_manifest" -> x9bSql,
-    "x9c_bpe_packing" -> x9cSql)
+    "x9c_bpe_packing" -> x9cSql,
+    // the q32b/x4t discipline: the incremental serve's oracle IS the
+    // batch chain, verbatim — store-fed ≡ rescan, hash-exact
+    "x9d_incr_pipeline" -> x9Sql)
 }

@@ -946,9 +946,11 @@ object Graph {
     * wedges incident to its new edges — Σ deg over the increment's
     * endpoints — never a full-graph recount (the T17 delta discipline
     * applied to x7o). Because every triangle is created exactly once (by
-    * its last-arriving edge), the folded counts equal the batch count of
-    * the final edge set IDENTICALLY, and the oracle is x7oSql verbatim —
-    * hash-exact, not a bound.
+    * its last-arriving edge) and destroyed exactly once (by its
+    * first-retired edge — [[triangleDeleteDelta]], the mirrored rule),
+    * the folded counts equal the batch count of the final edge set
+    * IDENTICALLY through the fold's trailing delete + re-insert wave,
+    * and the oracle is x7oSql verbatim — hash-exact, not a bound.
     */
   /** Staged x7p triangle counts: the 3-increment wedge-delta fold runs
     * ONCE per (session, sfDir) as a staged producer (bench `staging`
@@ -961,16 +963,45 @@ object Graph {
         .select(col("da"), col("db"))
       val seed = (pairs.limit(0).select(col("da").as("doc_id"),
           lit(0L).as("n_tri")), pairs.limit(0))
-      val (counts, _) = (0 until 3).foldLeft(seed) { case ((cnt, stored), i) =>
-        val inc = pairs.filter(pmod(col("da") + col("db"), lit(3)) === i)
-        val fresh = inc.distinct()
-          .join(stored, Seq("da", "db"), "left_anti")
-          .localCheckpoint() // read twice: wedge probe + edge-set fold
-        (mergeTriangleCounts(cnt, triangleDelta(stored, fresh))
-            .localCheckpoint(),
-          stored.unionByName(fresh).localCheckpoint())
+      val (counts, stored) = (0 until 3).foldLeft(seed) {
+        case ((cnt, st), i) =>
+          val inc = pairs.filter(pmod(col("da") + col("db"), lit(3)) === i)
+          val fresh = inc.distinct()
+            .join(st, Seq("da", "db"), "left_anti")
+            .localCheckpoint() // read twice: wedge probe + edge-set fold
+          (mergeTriangleCounts(cnt, triangleDelta(st, fresh))
+              .localCheckpoint(),
+            st.unionByName(fresh).localCheckpoint())
       }
-      counts
+      // DELETE WAVE (the q32b discipline): a crawl refresh retires a
+      // deterministic slice of the pair graph — counts DECREMENT by the
+      // triangles those edges participated in ([[triangleDeleteDelta]],
+      // exactly-once per destroyed triangle) — then the changelog
+      // re-inserts the slice through the same create rule; the fold
+      // converges back to the batch counts, so the oracle stays x7oSql
+      // VERBATIM while every registered x7p run exercises triangle
+      // retraction at fixture scale, not just in spec.
+      val retired = stored
+        .filter(pmod(col("da") + col("db"), lit(7)) === 0)
+        .localCheckpoint()
+      val remaining = stored.join(retired, Seq("da", "db"), "left_anti")
+        .localCheckpoint()
+      val afterDel = mergeTriangleCounts(counts,
+          triangleDeleteDelta(remaining, retired)
+            .select(col("doc_id"), (-col("n_tri")).as("n_tri")))
+        .localCheckpoint()
+      val reinserted = retired.join(remaining, Seq("da", "db"), "left_anti")
+        .localCheckpoint()
+      mergeTriangleCounts(afterDel, triangleDelta(remaining, reinserted))
+        // the SERVE contract: a negative maintained count is a broken
+        // attribution (create and destroy must pair exactly) and
+        // THROWS; a zero-count node reads as absent, identically to
+        // the batch plan's emit set
+        .filter(graft.functions.Guards.assertFilter(col("n_tri") >= 0L,
+          "stagedIncrTriangleCounts: negative maintained triangle " +
+            "count — a decrement without its matching create; the " +
+            "exactly-once attribution guarantees it cannot happen"))
+        .filter(col("n_tri") > 0L)
     }
 
   val x7pIncrTriangles: Q = (spark, dir) =>
@@ -1008,21 +1039,26 @@ object Graph {
     */
   /** The x7q maintenance fold, factored out so the self-loop spec can
     * drive it with hand-built edge sets: folds a symmetric edge table in
-    * `nInc` pmod increments into (edge store, degree store). Only each
-    * increment's FRESH set is checkpointed (it is read twice: edge fold
-    * + degree delta, and every later anti-join probes it); the stores
-    * themselves stay plain unions of those checkpointed leaves — flat
-    * lineage without re-materializing the whole store per round (the
-    * T32 read path: degree deltas re-sum once at the end). Self-loops
-    * are excluded inside the fold — the same exclusion as [[pageRank]]
-    * and the T32 store, so the maintained degree store can never count
-    * an edge the serve drops.
+    * `nInc` pmod increments into (edge store, degree store), then runs a
+    * DELETE wave (retire a deterministic symmetric slice, append
+    * negative degree deltas) followed by a re-insert wave that converges
+    * back to the full graph — so every consumer of the fold passes
+    * through retraction maintenance and still matches the batch oracle
+    * verbatim. Only each increment's FRESH set is checkpointed (it is
+    * read twice: edge fold + degree delta, and every later anti-join
+    * probes it); the stores themselves stay plain unions of those
+    * checkpointed leaves — flat lineage without re-materializing the
+    * whole store per round (the T32 read path: degree deltas re-sum once
+    * at the end, and a node swept to 0 leaves the table; negatives
+    * THROW). Self-loops are excluded inside the fold — the same
+    * exclusion as [[pageRank]] and the T32 store, so the maintained
+    * degree store can never count an edge the serve drops.
     */
   def foldGraphStores(sym: DataFrame, nInc: Int = 3)
       : (DataFrame, DataFrame) = {
     val seed = (sym.limit(0),
       sym.limit(0).select(col("src"), lit(0L).as("deg")))
-    val (edgeStore, degDeltas) = (0 until nInc).foldLeft(seed) {
+    val (inserted, insDegs) = (0 until nInc).foldLeft(seed) {
       case ((stored, degs), i) =>
         val inc = sym.filter(pmod(col("src") + col("dst"), lit(nInc)) === i)
           .filter(col("src") =!= col("dst"))
@@ -1033,8 +1069,35 @@ object Graph {
           degs.unionByName(fresh.groupBy(col("src"))
             .agg(count(lit(1)).as("deg"))))
     }
-    (edgeStore,
-      degDeltas.groupBy(col("src")).agg(sum(col("deg")).as("deg")))
+    // DELETE WAVE (the q32b discipline, applied to the edge store): a
+    // crawl refresh retires a deterministic symmetric slice of the
+    // stored set — retraction removes the edge and appends NEGATIVE
+    // degree deltas, additively — then the changelog re-inserts the
+    // slice through the SAME fresh-only insert protocol; the fold
+    // converges back to the full graph, so the serve's oracle stays
+    // q34Sql VERBATIM while every registered x7q run exercises DELETE
+    // maintenance at fixture scale, not just in spec. The retire
+    // predicate is symmetric in (src, dst), so the store stays
+    // symmetric through the wave.
+    val retired = inserted
+      .filter(pmod(col("src") + col("dst"), lit(7)) === 0)
+      .localCheckpoint()
+    val afterDel = inserted.join(retired, Seq("src", "dst"), "left_anti")
+      .localCheckpoint()
+    val degsAfterDel = insDegs.unionByName(
+      retired.groupBy(col("src")).agg((-count(lit(1))).as("deg")))
+    val reinserted = retired
+      .join(afterDel, Seq("src", "dst"), "left_anti")
+      .localCheckpoint()
+    (afterDel.unionByName(reinserted),
+      degsAfterDel.unionByName(reinserted.groupBy(col("src"))
+          .agg(count(lit(1)).as("deg")))
+        .groupBy(col("src")).agg(sum(col("deg")).as("deg"))
+        .filter(graft.functions.Guards.assertFilter(col("deg") >= 0L,
+          "foldGraphStores: negative folded degree — a delete delta " +
+            "without its matching insert; the fold protocol guarantees " +
+            "it cannot happen"))
+        .filter(col("deg") > 0L))
   }
 
   /** Staged x7q stores: the 3-increment maintenance fold runs ONCE per
@@ -1097,9 +1160,33 @@ object Graph {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_tri"))
   }
 
+  /** Per-node counts of the triangles DESTROYED by removing `deleted`
+    * from the graph `remaining ∪ deleted` — the exact mirror of the
+    * create rule: a triangle is destroyed iff it contains ≥1 deleted
+    * edge, and it is attributed to exactly ONE of them (its MAX deleted
+    * edge under the canonical (da, db) order), so the decrement is
+    * exactly-once with no inclusion–exclusion. That set is IDENTICAL to
+    * "the triangles CREATED by adding `deleted` back to `remaining`",
+    * so the implementation IS [[triangleDelta]] with the roles recast
+    * (stored = the post-delete survivor set, new = the retired slice):
+    * one attribution rule serves both directions, provably symmetric —
+    * which is also what makes delete-then-reinsert a provable net
+    * no-op. Caller contract as [[triangleDelta]]: canonical (da < db),
+    * distinct, mutually disjoint inputs; the caller NEGATES the
+    * returned counts when merging ([[mergeTriangleCounts]] sums
+    * whatever sign it is given).
+    */
+  def triangleDeleteDelta(remaining: DataFrame,
+      deleted: DataFrame): DataFrame =
+    triangleDelta(remaining, deleted)
+
   /** Additive fold of a [[triangleDelta]] into the maintained counts —
     * the same merge rule as the T31 moments (BIGINT addition, order-
-    * and split-invariant). */
+    * and split-invariant). Deltas may carry either sign (create
+    * increments, [[triangleDeleteDelta]] decrements); zero-count nodes
+    * are kept here so intermediate folds stay additive — the SERVE
+    * filters them ([[stagedIncrTriangleCounts]]), because "in zero
+    * triangles" and "absent" must read identically to the batch plan. */
   def mergeTriangleCounts(prior: DataFrame, delta: DataFrame): DataFrame =
     prior.unionByName(delta).groupBy(col("doc_id"))
       .agg(sum(col("n_tri")).as("n_tri"))

@@ -479,13 +479,18 @@ object Relational {
     import spark.implicits._
     val Q = graft.functions.QDigest
     val k = 512
-    // sum on leaf collision (out-of-domain values clamp to edge leaves —
-    // a plain .toMap would nondeterministically drop counts)
+    // the leaf clamp runs IN-PLAN, before the groupBy, so the driver
+    // materialization is ≤ 2^16 rows BY CONSTRUCTION for any input —
+    // a pre-clamp value groupBy would be bounded only by the data's
+    // value domain, and out-of-domain values fold onto the edge leaves
+    // map-side instead of colliding after collect
+    val leafCol = lit(Q.U) + least(
+      greatest(expr("CAST(floor(o_totalprice / 10) AS BIGINT)"), lit(0L)),
+      lit(Q.U - 1))
     val leafCounts = Tables.orders(spark, dir)
-      .select(expr("CAST(floor(o_totalprice / 10) AS BIGINT)").as("v"))
-      .groupBy(col("v")).agg(count(lit(1)).as("c"))
-      .as[(Long, Long)].collect()
-      .groupMapReduce { case (v, _) => Q.leaf(v) } { case (_, c) => c }(_ + _)
+      .select(leafCol.as("leaf"))
+      .groupBy(col("leaf")).agg(count(lit(1)).as("c"))
+      .as[(Long, Long)].collect().toMap
     val n = leafCounts.valuesIterator.sum
     val digest = Q.compress(leafCounts, n, k)
     val bound = 2L * Q.logU * math.max(1L, n / k)

@@ -1728,26 +1728,65 @@ object Text {
     */
   def stagedGenerationRoot(spark: SparkSession, dir: String): String =
     Staged(spark, s"x4v_generation:$dir") {
-      val root = java.nio.file.Files
-        .createTempDirectory("x4v_gen").toString
+      val rootPath = java.nio.file.Files.createTempDirectory("x4v_gen")
+      // the generation store (models + encoded corpus) is session
+      // scratch — reclaim it at JVM exit so repeated bench/test runs
+      // don't accumulate full stores under java.io.tmpdir
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        if (Files.exists(rootPath))
+          Files.walk(rootPath).sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => { Files.deleteIfExists(p); () })
+      }))
+      val root = rootPath.toString
       graft.streaming.Streams.retrainGeneration(
         Tables.embeddings(spark, dir), root, 1L)
       spark.range(1).select(lit(root).as("root"))
     }.head().getString(0)
 
-  /** The ANN rank list served from the committed generation: resolve
-    * `_LATEST`, read the frozen models, fold the generation's index,
-    * probe. Shared by x4v (recall bound) and x4y (diversified serve).
+  /** Session cache of a committed generation's frozen models, keyed by
+    * (session, root, generation) — k×dim / m×ksub×dsub float tables, a
+    * few KB. Entries of stopped sessions are evicted opportunistically
+    * (the [[graft.Staged]] discipline). */
+  private val genModelCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Long),
+      (Array[Array[Float]], Array[Array[Array[Float]]])]
+
+  /** The committed T18 generation's SERVING ASSETS, staged once per
+    * (session, sfDir, generation): resolve `_LATEST` once, read the
+    * frozen models once, fold the generation's index epochs once and
+    * checkpoint the folded rows. Every consumer — the x4v dense head
+    * and x4y's two probe pipelines — then probes the same materialized
+    * index, exactly as a serving node keeps the folded index RESIDENT
+    * between queries instead of re-resolving pointer + models +
+    * winner-fold per request (a new generation gets a new key: the
+    * T18 cutover invalidates by construction, never by TTL).
     */
-  private def servedAnnRanks(spark: SparkSession, dir: String,
-      queries: DataFrame, nprobe: Int = 8): DataFrame = {
+  private def stagedGenAssets(spark: SparkSession, dir: String)
+      : (DataFrame, Array[Array[Float]], Array[Array[Array[Float]]]) = {
     import graft.streaming.Streams
     val root = stagedGenerationRoot(spark, dir)
     val gen = Streams.currentGeneration(spark, root).getOrElse(
       sys.error(s"no committed generation under $root"))
-    val (coarse, books) = Streams.readGenerationModels(spark, root, gen)
-    val index = Streams.readVectorIndex(spark,
-      s"${Streams.generationDir(root, gen)}/index")
+    val index = Staged(spark, s"x4v_gen_index:$dir:g=$gen") {
+      Streams.readVectorIndex(spark,
+        s"${Streams.generationDir(root, gen)}/index")
+    }
+    genModelCache.filterInPlace { case ((s, _, _), _) =>
+      !s.sparkContext.isStopped }
+    val (coarse, books) = genModelCache.getOrElseUpdate((spark, root, gen),
+      Streams.readGenerationModels(spark, root, gen))
+    (index, coarse, books)
+  }
+
+  /** The ANN rank list served from the committed generation's staged
+    * assets ([[stagedGenAssets]]). Shared by x4v (recall bound) and x4y
+    * (diversified serve).
+    */
+  private def servedAnnRanks(spark: SparkSession, dir: String,
+      queries: DataFrame, nprobe: Int = 8): DataFrame = {
+    val (index, coarse, books) = stagedGenAssets(spark, dir)
     Vectors.pqSearchIndex(queries, index, coarse, books,
         k = hybridTopK, nprobe = nprobe)
       .select(col("q_id"), col("vec_id").as("doc_id"),

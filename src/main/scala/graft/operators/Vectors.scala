@@ -142,6 +142,22 @@ object Vectors {
   def mmrSelect(cand: DataFrame, pairs: DataFrame, k: Int): DataFrame = {
     val spark = cand.sparkSession
     import spark.implicits._
+    // the id casts below are widening ONLY under an integral input — a
+    // string/float key would cast to NULL/truncate and surface as an
+    // encoder NPE or collapsed groups at runtime. Enforce the documented
+    // integral-id contract at PLAN time (the asofJoin LongType-guard
+    // pattern), where the caller can still fix it.
+    def requireIntegral(df: DataFrame, cols: Seq[String], side: String): Unit =
+      cols.foreach { c =>
+        import org.apache.spark.sql.types._
+        val dt = df.schema(c).dataType
+        require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+          s"mmrSelect: $side column $c must be an integral id type " +
+            s"(got ${dt.simpleString}) — the long cast would NULL or " +
+            "truncate non-integral keys instead of failing loudly")
+      }
+    requireIntegral(cand, Seq("q_id", "vec_id"), "cand")
+    requireIntegral(pairs, Seq("q_id", "a", "b"), "pairs")
     val candT = cand.select(col("q_id").cast("long"),
         col("vec_id").cast("long"), col("rel").cast("double"))
       .as[(Long, Long, Double)].groupByKey(_._1)
@@ -1417,17 +1433,53 @@ object Vectors {
       |SELECT vec_id, code_sum, (max_err <= step * 0.5000001) AS recon_ok
       |FROM m ORDER BY vec_id""".stripMargin
 
-  /** X5 media pipeline through the driver contract (rows-only check — the
-    * mapPartitions feature extraction is not SQL-expressible): binary
-    * payload → batch feature extraction → per-document feature head.
+  /** X5c — the media decode pipeline with a REAL decoder, oracle-EXACT:
+    * documents encode to genuine binary PPM (P6) images
+    * ([[Multimodal.encodePpm]] — ASCII header + raw RGB plane, a
+    * container any image tool opens), the batch path header-PARSES and
+    * pixel-WALKS each payload ([[Multimodal.decodePpm]], strict:
+    * malformed input throws) inside `mapPartitions`, and features are
+    * integer pixel-bucket sums — so every emitted value is replayable
+    * by a SQL oracle that reconstructs the pixel plane from the source
+    * row (the fixture text is ASCII, so `ord(substr)` IS the byte — the
+    * x5d convention). This closes the former rows-only gap: the decode
+    * is not simulated, and the check is hash-exact, not a bound. The
+    * float-feature stub path keeps its own x5d cross-engine bound.
+    *
+    * Scale: encode/decode are per-row byte work inside one
+    * mapPartitions pass — embarrassingly parallel, payloads never visit
+    * the driver; the emitted head is a handful of BIGINT columns.
     */
   val x5cMediaFeatures: Q = (spark, dir) => {
-    val media = Multimodal.attachPayload(Tables.documents(spark, dir))
-    Multimodal.extractFeatures(media, dim = 16).toDF()
-      .select(col("doc_id"), col("format"), col("n_bytes"),
-        element_at(col("features"), 1).as("f1"))
+    val media = Multimodal.attachPpmPayload(Tables.documents(spark, dir))
+    Multimodal.extractPpmFeatures(media, dim = 16).toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("n_px"),
+        col("px_sum"),
+        element_at(col("buckets"), 1).as("b1"),
+        element_at(col("buckets"), 8).as("b8"),
+        element_at(col("buckets"), 16).as("b16"))
       .orderBy(col("doc_id"))
   }
+  val x5cSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text,
+      |    4 + doc_id % 5 AS w, 3 + doc_id % 3 AS h
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, w, h,
+      |    list_transform(generate_series(0, CAST(w*h*3 - 1 AS INT)),
+      |      j -> ord(substr(text, CAST(j % strlen(text) AS INT) + 1, 1))) AS px
+      |  FROM d)
+      |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |  CAST(len(px) AS BIGINT) AS n_px,
+      |  CAST(list_sum(px) AS BIGINT) AS px_sum,
+      |  CAST(list_sum(list_transform(generate_series(1, len(px)),
+      |    i -> CASE WHEN (i-1) % 16 = 0 THEN px[i] ELSE 0 END)) AS BIGINT) AS b1,
+      |  CAST(list_sum(list_transform(generate_series(1, len(px)),
+      |    i -> CASE WHEN (i-1) % 16 = 7 THEN px[i] ELSE 0 END)) AS BIGINT) AS b8,
+      |  CAST(list_sum(list_transform(generate_series(1, len(px)),
+      |    i -> CASE WHEN (i-1) % 16 = 15 THEN px[i] ELSE 0 END)) AS BIGINT) AS b16
+      |FROM p ORDER BY doc_id""".stripMargin
 
   /** X5d — cross-engine bound for the x5c media decode (the q9c/x3f
     * bound-not-values pattern): the stub decode is integer byte arithmetic
@@ -1720,5 +1772,8 @@ object Vectors {
     "x5b_multimodal_binary" -> x5bSql,
     "x5e_phash_pairs" -> x5eSql,
     "x5f_frame_manifest" -> x5fSql,
-    "x5d_media_bound" -> x5dSql)
+    "x5d_media_bound" -> x5dSql,
+    // exact, not a bound: integer pixel-bucket sums off the REAL P6
+    // decode replay value-for-value from the source text
+    "x5c_media_features" -> x5cSql)
 }

@@ -531,9 +531,12 @@ object Streams extends Serializable {
       .persist() // read 3x below: prior-probe, self-join, store write
     val priorPaths = bandBatchDirs(spark, bandDir)
       .collect { case (id, p) if id < batchId => p }
+    // a retired (erased) doc's stored bands must not form NEW pairs —
+    // the probe drops them like the readers do
     val prior =
       if (priorPaths.isEmpty) None
-      else Some(spark.read.parquet(priorPaths: _*))
+      else Some(dropDead(spark.read.parquet(priorPaths: _*),
+        readDeadDocs(spark, bandDir)))
     val vsPrior = prior.map { p =>
       bands.join(p.withColumnRenamed("doc_id", "prior_id"), Seq("band", "key"))
         .filter(col("doc_id") =!= col("prior_id"))
@@ -580,6 +583,21 @@ object Streams extends Serializable {
         s"every batch dir under $dir lacks a _SUCCESS marker — torn " +
           "store or a committer configured without success markers; " +
           "refusing to serve an empty view of a non-empty store")
+      // under the single-writer foreachBatch protocol only the
+      // MAX-batch-id dir can legitimately be torn (crash mid-batch; the
+      // checkpoint hasn't advanced, so that batch replays and rewrites
+      // it). A torn INTERIOR dir — one below a committed id — cannot be
+      // a pending replay: serving around it would be a silent hole in
+      // the store (manual cleanup / fs fault), so fail loudly instead.
+      if (torn.nonEmpty) {
+        val maxCommitted = committed.map(_._1).max
+        val interior = torn.filter(_._1 < maxCommitted).map(_._1).sorted
+        require(interior.isEmpty,
+          s"batch dir(s) b=${interior.mkString(",")} under $dir lack a " +
+            s"_SUCCESS marker but sit BELOW committed batch " +
+            s"b=$maxCommitted — an interior gap can never be replayed " +
+            "by the single writer; refusing to serve a view with a hole")
+      }
       committed.sortBy(_._1)
     }
   }
@@ -595,17 +613,85 @@ object Streams extends Serializable {
     spark.read.parquet(paths: _*)
   }
 
+  // ---------------- dead-doc retirement for the content-keyed stores
+  /** DEAD-DOC RETIREMENT for the append-only content-keyed stores
+    * (bands, shingles, discovered pairs). The T30/T35/T16 stores carry
+    * per-key tombstones through their winner folds; these three cannot
+    * — their rows are content-derived and IMMUTABLE (a band signature,
+    * a shingle hash, a discovered pair), with no per-key versioning to
+    * tombstone through — so retirement is a store-side dead set: an
+    * epoch-keyed `_dead/b=<id>` marker dir (outside the `b=*` data
+    * namespace, so data readers never union it) holding the retired
+    * doc ids. Readers anti-join it (erasure-request-bounded, so the
+    * probe broadcasts); PROBES skip dead docs too, so an erased doc
+    * stops forming new pairs; compaction drops the dead docs' rows
+    * PHYSICALLY — after sweep + compaction no store retains
+    * erased-doc-derived content. Markers are kept after compaction
+    * (tiny, and they keep a replayed pre-compaction epoch from
+    * resurrecting retired rows into the read view).
+    *
+    * Replay: a marker write is a full overwrite of its own epoch dir
+    * derived from its own rows only — re-delivery reproduces its
+    * bytes; retiring an unknown/already-dead doc is a no-op by the
+    * anti-join semantics.
+    */
+  def retireDocsBatch(deleteIds: DataFrame, batchId: Long,
+      storeDir: String): Unit = {
+    deleteIds.select(col("doc_id")).distinct()
+      .write.mode("overwrite").parquet(s"$storeDir/_dead/b=$batchId")
+    ()
+  }
+
+  /** The store's retired-doc set (None when nothing was ever retired). */
+  def readDeadDocs(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String): Option[DataFrame] = {
+    val paths = bandBatchDirs(spark, s"$storeDir/_dead").map(_._2)
+    if (paths.isEmpty) None
+    else Some(spark.read.parquet(paths: _*).select(col("doc_id")).distinct())
+  }
+
+  /** Id columns a store row can reference a document through — every
+    * one must clear the dead set for the row to survive. */
+  private val deadJoinCols = Set("doc_id", "doc_a", "doc_b", "da", "db")
+
+  /** Drop every row referencing a retired doc through ANY id column the
+    * frame carries. The dead set is erasure-request-bounded, so each
+    * anti-join is a broadcast probe, never a shuffle of the store. */
+  private def dropDead(df: DataFrame,
+      dead: Option[DataFrame]): DataFrame =
+    dead match {
+      case None => df
+      case Some(d) =>
+        val cols = df.schema.fieldNames.filter(deadJoinCols.contains)
+        require(cols.nonEmpty,
+          "dropDead: the frame carries none of the known doc-id " +
+            s"columns (${deadJoinCols.mkString(", ")}) — a retirement " +
+            "filter that matches nothing would silently serve " +
+            "erased-doc content")
+        cols.foldLeft(df)((acc, c) =>
+            acc.join(broadcast(d.select(col("doc_id").as(c))),
+              Seq(c), "left_anti"))
+          // a USING join moves the key column first — restore the
+          // input order so consumers' positional reads don't flip
+          .select(df.columns.map(col): _*)
+    }
+
   /** All discovered pairs (the consumer view of [[nearDupStream]]'s
     * pair store): the union of every batch's pair directory. Pairs are
     * already globally unique — each is discovered exactly once, in the
     * batch where its later member arrived.
     */
   def readNearDupPairs(spark: org.apache.spark.sql.SparkSession,
-      pairDir: String): DataFrame = readBatchStore(spark, pairDir, "pair")
+      pairDir: String): DataFrame =
+    dropDead(readBatchStore(spark, pairDir, "pair"),
+      readDeadDocs(spark, pairDir))
 
-  /** The full band index (seed + every committed batch). */
+  /** The full band index (seed + every committed batch), retired docs
+    * dropped. */
   def readBandStore(spark: org.apache.spark.sql.SparkSession,
-      bandDir: String): DataFrame = readBatchStore(spark, bandDir, "band")
+      bandDir: String): DataFrame =
+    dropDead(readBatchStore(spark, bandDir, "band"),
+      readDeadDocs(spark, bandDir))
 
   /** Compact the band store: merge every batch directory with id ≤
     * `upTo` into ONE directory keyed `b=upTo`, optionally RE-CAPPING
@@ -631,10 +717,15 @@ object Streams extends Serializable {
     * Crash-safe via [[compactStore]]'s staged-merge protocol.
     */
   def compactBandStore(spark: org.apache.spark.sql.SparkSession,
-      bandDir: String, upTo: Long, maxBucket: Int = Int.MaxValue): Unit =
+      bandDir: String, upTo: Long, maxBucket: Int = Int.MaxValue): Unit = {
+    val dead = readDeadDocs(spark, bandDir) // retired rows leave PHYSICALLY
     compactStore(spark, bandDir, upTo,
-      df => if (maxBucket == Int.MaxValue) df
-            else graft.operators.Text.capBuckets(df, maxBucket))
+      df => {
+        val live = dropDead(df, dead)
+        if (maxBucket == Int.MaxValue) live
+        else graft.operators.Text.capBuckets(live, maxBucket)
+      })
+  }
 
   /** Compact the PAIR store: [[nearDupBatch]] grows one `pairDir`
     * directory per micro-batch forever and [[readNearDupPairs]] unions
@@ -648,8 +739,10 @@ object Streams extends Serializable {
     * `b=upTo` dir with only its own pairs).
     */
   def compactPairStore(spark: org.apache.spark.sql.SparkSession,
-      pairDir: String, upTo: Long): Unit =
-    compactStore(spark, pairDir, upTo, identity)
+      pairDir: String, upTo: Long): Unit = {
+    val dead = readDeadDocs(spark, pairDir) // retired rows leave PHYSICALLY
+    compactStore(spark, pairDir, upTo, df => dropDead(df, dead))
+  }
 
   /** T25 — INCREMENTAL containment detection: the x2e/x7m verbatim-embed
     * verifier applied to a crawl increment against a durable SHINGLE
@@ -701,7 +794,10 @@ object Streams extends Serializable {
     val inBatch = T.containmentPairs(sh, maxDf, cNum, cDen)
     var hitRef: Option[DataFrame] = None
     val pairs = if (priorPaths.isEmpty) inBatch else {
-      val store = spark.read.parquet(priorPaths: _*)
+      // retired docs' shingles neither form new candidates nor count
+      // toward df — the store is probed as if they were never written
+      val store = dropDead(spark.read.parquet(priorPaths: _*),
+        readDeadDocs(spark, shingleDir))
       // prior-doc rows sharing any shingle with the increment (equi-join).
       // df is computed FIRST, over the unpersisted hit stream (column-
       // pruned to hs), and the hit set is pruned to rare shingles BEFORE
@@ -763,8 +859,10 @@ object Streams extends Serializable {
     * Same quiescent-barrier requirement as [[compactBandStore]].
     */
   def compactShingleStore(spark: org.apache.spark.sql.SparkSession,
-      shingleDir: String, upTo: Long): Unit =
-    compactStore(spark, shingleDir, upTo, identity)
+      shingleDir: String, upTo: Long): Unit = {
+    val dead = readDeadDocs(spark, shingleDir) // retired rows leave PHYSICALLY
+    compactStore(spark, shingleDir, upTo, df => dropDead(df, dead))
+  }
 
   /** Staged-merge compaction shared by every batchId-keyed directory
     * store here (bands, pairs, vector index): merge every `b=<id>` dir
@@ -1369,11 +1467,30 @@ object Streams extends Serializable {
     * edge set (cross-batch re-sends are no-ops — the x7p/T13 idempotent
     * protocol), and writes only the FRESH edges plus their degree
     * DELTAS under its own epoch dir — increment-sized writes, never a
-    * store rewrite. Reads: the edge set is the plain union of epoch
-    * dirs (disjoint by the anti-join construction); degrees re-sum the
-    * per-epoch deltas (BIGINT addition — order- and split-invariant,
-    * the T31 merge rule) over #epochs × touched-nodes rows, never a
-    * groupBy over |E|. [[servedPageRank]] then runs the IDENTICAL q34
+    * store rewrite.
+    *
+    * RETRACTIONS are first-class (the delete half of the reference's
+    * envelope op set, op ∈ {c,u,d,r} — `README.md:331` — propagates to
+    * every derived store, not just snapshots): edge rows carry a weight
+    * `w` (+1 insert, −1 delete tombstone), and a delete batch
+    * ([[graphEdgesDeleteBatch]]) semi-joins its symmetrized increment
+    * against the strictly-before folded PRESENT set — deletes of absent
+    * edges are no-ops, so cross-batch re-sent deletes vanish — then
+    * writes only the hit edges as tombstones plus NEGATIVE degree
+    * deltas. The per-edge lifetime weight sum is therefore an invariant
+    * in {0, 1} (insert only when absent: 0→1; delete only when present:
+    * 1→0); the read fold checks it and THROWS on any other value — a
+    * torn protocol, not data.
+    *
+    * Reads: the edge set folds the epoch union per (src, dst) by weight
+    * sum and keeps w = 1 — one map-side-combinable aggregation whose
+    * post-[[compactGraph]] cost degenerates to the old plain-union scan
+    * (compaction clears tombstones, so the steady-state store is
+    * insert-only again); degrees re-sum the per-epoch deltas (BIGINT
+    * addition — order- and split-invariant, the T31 merge rule) over
+    * #epochs × touched-nodes rows, never a groupBy over |E|, keeping
+    * nodes with deg > 0 and THROWING on a negative lifetime sum.
+    * [[servedPageRank]] then runs the IDENTICAL q34
     * integer recurrence over the maintained state
     * (`Graph.pageRank(presymmetrized = true, degIn = …)`), so
     * store-served ≡ batch-derived exactly (spec; `x7q_incr_pagerank`
@@ -1384,22 +1501,119 @@ object Streams extends Serializable {
     * shared staged protocol: edges concatenate (already disjoint),
     * degree deltas re-sum — reads identical before and after.
     */
-  def graphEdgesBatch(edges: DataFrame, batchId: Long,
-      graphDir: String): Unit = {
-    val spark = edges.sparkSession
-    val sym = edges.select(col("src"), col("dst"))
+  /** Symmetrize an edge increment: both directions, self-loops excluded
+    * (the [[graft.operators.Graph.pageRank]] graph semantics), distinct. */
+  private def symmetrizeEdges(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
       .distinct()
+
+  /** The PRESENT edge set folded from the weighted epoch rows: per-edge
+    * lifetime weight sum, which the insert/delete protocol pins to
+    * {0, 1} — any other value is a torn protocol and THROWS. */
+  private def foldEdgeEpochs(epochs: DataFrame): DataFrame =
+    epochs.groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      .filter(graft.functions.Guards.assertFilter(col("w").isin(0L, 1L),
+        "graph edge store: per-edge weight sum outside {0,1} — an " +
+          "insert of a present edge or a delete of an absent one " +
+          "reached the store; the batch protocol guarantees neither " +
+          "can, so this store is corrupt"))
+      .filter(col("w") === 1L)
+      .select(col("src"), col("dst"))
+
+  /** The strictly-before present set (empty frame with the edge schema
+    * when no prior epoch exists). */
+  private def priorGraphEdges(spark: org.apache.spark.sql.SparkSession,
+      graphDir: String, batchId: Long): Option[DataFrame] = {
     val priorDirs = bandBatchDirs(spark, s"$graphDir/edges")
       .filter(_._1 < batchId).map(_._2)
-    val fresh = (if (priorDirs.isEmpty) sym
-      else sym.join(
-        spark.read.parquet(priorDirs: _*).select(col("src"), col("dst")),
-        Seq("src", "dst"), "left_anti"))
+    if (priorDirs.isEmpty) None
+    else Some(foldEdgeEpochs(spark.read.parquet(priorDirs: _*)))
+  }
+
+  def graphEdgesBatch(edges: DataFrame, batchId: Long,
+      graphDir: String): Unit = {
+    val spark = edges.sparkSession
+    val sym = symmetrizeEdges(edges)
+    val fresh = priorGraphEdges(spark, graphDir, batchId)
+      .map(present => sym.join(present, Seq("src", "dst"), "left_anti"))
+      .getOrElse(sym)
       .localCheckpoint() // read twice: edge write + degree delta
-    fresh.write.mode("overwrite").parquet(s"$graphDir/edges/b=$batchId")
+    fresh.select(col("src"), col("dst"), lit(1L).as("w"))
+      .write.mode("overwrite").parquet(s"$graphDir/edges/b=$batchId")
     fresh.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .write.mode("overwrite").parquet(s"$graphDir/deg/b=$batchId")
+    ()
+  }
+
+  /** T32 delete half: retract edges from the maintained store. The
+    * increment symmetrizes exactly like an insert (one logical
+    * undirected delete retires both directed rows), semi-joins against
+    * the strictly-before PRESENT set — absent deletes (including
+    * cross-batch re-sent deletes) are no-ops — and writes only the hit
+    * edges as w = −1 tombstones plus NEGATIVE degree deltas under its
+    * own epoch dir. Replay derives from strictly-before state and
+    * overwrites its own dir (the insert batch's discipline), so
+    * re-delivery reproduces its bytes; a later re-INSERT of a deleted
+    * edge is fresh again by the weight fold (0 → 1).
+    */
+  def graphEdgesDeleteBatch(deletes: DataFrame, batchId: Long,
+      graphDir: String): Unit = {
+    val spark = deletes.sparkSession
+    val sym = symmetrizeEdges(deletes)
+    val hit = priorGraphEdges(spark, graphDir, batchId)
+      .map(present => sym.join(present, Seq("src", "dst"), "left_semi"))
+      .getOrElse(sym.limit(0))
+      .localCheckpoint() // read twice: tombstone write + degree delta
+    hit.select(col("src"), col("dst"), lit(-1L).as("w"))
+      .write.mode("overwrite").parquet(s"$graphDir/edges/b=$batchId")
+    hit.groupBy(col("src")).agg((-count(lit(1))).as("deg"))
+      .write.mode("overwrite").parquet(s"$graphDir/deg/b=$batchId")
+    ()
+  }
+
+  /** T32 mixed-op batch (src, dst, op): op "u" rows fold as edge
+    * inserts, op "d" rows as retractions, in ONE epoch commit. The two
+    * halves are disjoint by construction (fresh = absent, hit =
+    * present) EXCEPT when one batch carries both ops for the same
+    * undirected edge — the same-edge ambiguity the T36
+    * [[hierarchyOpsBatch]] rejects (a micro-batch carries no
+    * intra-batch order, so "insert then delete" and "delete then
+    * insert" would commit different stores from the same batch) — so
+    * that THROWS before anything commits.
+    */
+  def graphEdgesOpsBatch(ops: DataFrame, batchId: Long,
+      graphDir: String): Unit = {
+    val spark = ops.sparkSession
+    val opsW = org.apache.spark.sql.expressions.Window
+      .partitionBy(least(col("src"), col("dst")),
+        greatest(col("src"), col("dst")))
+    val o = ops.select(col("src"), col("dst"), col("op"))
+      .filter(graft.functions.Guards.assertFilter(col("op").isin("u", "d"),
+        "graphEdgesOpsBatch: unknown op (expected 'u' or 'd') — refusing " +
+          "to commit an epoch that silently drops a changelog operation"))
+      .withColumn("nops", size(collect_set(col("op")).over(opsW)))
+      .filter(graft.functions.Guards.assertFilter(col("nops") === lit(1),
+        "graphEdgesOpsBatch: an undirected edge carries both an insert " +
+          "and a delete in one batch — unordered within a micro-batch, " +
+          "so the fold would be ambiguous; sequence the ops into " +
+          "separate batches"))
+      .localCheckpoint()
+    val present = priorGraphEdges(spark, graphDir, batchId)
+    val symU = symmetrizeEdges(o.filter(col("op") === "u"))
+    val symD = symmetrizeEdges(o.filter(col("op") === "d"))
+    val fresh = present
+      .map(p => symU.join(p, Seq("src", "dst"), "left_anti"))
+      .getOrElse(symU)
+    val hit = present
+      .map(p => symD.join(p, Seq("src", "dst"), "left_semi"))
+      .getOrElse(symD.limit(0))
+    val epoch = fresh.select(col("src"), col("dst"), lit(1L).as("w"))
+      .unionByName(hit.select(col("src"), col("dst"), lit(-1L).as("w")))
+      .localCheckpoint() // read twice: edge write + degree delta
+    epoch.write.mode("overwrite").parquet(s"$graphDir/edges/b=$batchId")
+    epoch.groupBy(col("src")).agg(sum(col("w")).as("deg"))
       .write.mode("overwrite").parquet(s"$graphDir/deg/b=$batchId")
     ()
   }
@@ -1411,24 +1625,41 @@ object Streams extends Serializable {
       graphEdgesBatch(batch.toDF, batchId, graphDir)
     }
 
-  /** The committed symmetric edge set (epoch dirs are disjoint, so the
-    * union IS the fold — no dedup pass on read). */
+  def graphEdgesOpsStream(opsStream: DataFrame, graphDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    opsStream.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      graphEdgesOpsBatch(batch.toDF, batchId, graphDir)
+    }
+
+  /** The committed symmetric edge set: weight fold over the epoch union
+    * (keeps w = 1, THROWS outside {0,1}); after compaction the store is
+    * tombstone-free so the fold degenerates to a scan-shaped groupBy
+    * with one row per group. */
   def readGraphEdges(spark: org.apache.spark.sql.SparkSession,
       graphDir: String): DataFrame = {
     val paths = bandBatchDirs(spark, s"$graphDir/edges").map(_._2)
     require(paths.nonEmpty, s"no committed edges under $graphDir")
-    spark.read.parquet(paths: _*).select(col("src"), col("dst"))
+    foldEdgeEpochs(spark.read.parquet(paths: _*))
   }
 
   /** The maintained out-degree table: per-epoch deltas re-summed —
     * additively exact, equal to the edge-derived counts by construction
-    * (every fresh edge contributes exactly one delta). */
+    * (every fresh edge contributes exactly one +1 delta and every
+    * retired edge exactly one −1). Nodes swept to degree 0 leave the
+    * served table; a NEGATIVE lifetime sum is a torn protocol and
+    * THROWS. */
   def readGraphDegrees(spark: org.apache.spark.sql.SparkSession,
       graphDir: String): DataFrame = {
     val paths = bandBatchDirs(spark, s"$graphDir/deg").map(_._2)
     require(paths.nonEmpty, s"no committed degrees under $graphDir")
     spark.read.parquet(paths: _*)
       .groupBy(col("src")).agg(sum(col("deg")).as("deg"))
+      .filter(graft.functions.Guards.assertFilter(col("deg") >= 0L,
+        "graph degree store: negative lifetime degree sum — a delete " +
+          "delta without its matching insert reached the store; the " +
+          "batch protocol guarantees it cannot, so this store is corrupt"))
+      .filter(col("deg") > 0L)
   }
 
   /** PageRank served from the maintained stores — the refresh path that
@@ -1443,12 +1674,23 @@ object Streams extends Serializable {
       degIn = Some(readGraphDegrees(spark, graphDir)))
 
   /** Compact both halves of the graph store through the shared staged
-    * protocol. Quiescent-barrier requirement as [[compactBandStore]]. */
+    * protocol: the edge half CLEARS TOMBSTONES (weight fold → keep
+    * w = 1, re-written as w = +1 rows so the compacted store is
+    * schema-uniform and the post-compaction read fold is one row per
+    * group); the degree half re-sums deltas, dropping nodes swept to 0
+    * and THROWING on negatives. Quiescent-barrier requirement as
+    * [[compactBandStore]]. */
   def compactGraph(spark: org.apache.spark.sql.SparkSession,
       graphDir: String, upTo: Long): Unit = {
-    compactStore(spark, s"$graphDir/edges", upTo, identity)
+    compactStore(spark, s"$graphDir/edges", upTo,
+      df => foldEdgeEpochs(df)
+        .select(col("src"), col("dst"), lit(1L).as("w")))
     compactStore(spark, s"$graphDir/deg", upTo,
-      df => df.groupBy(col("src")).agg(sum(col("deg")).as("deg")))
+      df => df.groupBy(col("src")).agg(sum(col("deg")).as("deg"))
+        .filter(graft.functions.Guards.assertFilter(col("deg") >= 0L,
+          "graph degree store compaction: negative lifetime degree sum " +
+            "— torn protocol; refusing to compact a corrupt store"))
+        .filter(col("deg") > 0L))
   }
 
   // ------------------- T36 durable hierarchy closure (q32b's durable half)
@@ -1773,6 +2015,56 @@ object Streams extends Serializable {
         }.drop("__erased")
         PartitionedSnapshotStore.commit(redacted, storeRoot, epoch)
       }
+    }
+
+  /** Erasure propagation into the SEARCH-SERVING stores — the second
+    * half of GDPR completeness: [[erasureApplyStore]] redacts the
+    * snapshot-shaped stores, but a forgotten document's CONTENT also
+    * lives on in every derived search structure — its BM25 postings
+    * (T30), positional rows (T35), ANN encoding (T16/T18), MinHash
+    * bands and discovered pairs (T13), and exact shingle sets (T25).
+    * One ledger read drives all of them:
+    *
+    *   - postings / positions / vector index already speak per-key
+    *     tombstones (their winner folds were built for document CDC),
+    *     so erasure IS a delete epoch: the doc leaves serving
+    *     immediately, and the respective compaction drops its rows
+    *     physically;
+    *   - bands / pairs / shingles have immutable content-derived rows,
+    *     so erasure writes their [[retireDocsBatch]] dead-set markers:
+    *     reads and probes drop the doc at once (it can no longer form
+    *     new pairs either), and compaction removes its rows physically.
+    *
+    * Idempotent and replayable like every epoch write here: each store
+    * write derives only from the ledger + its own epoch id; re-sending
+    * an already-erased id re-tombstones / re-marks, which reads fold to
+    * the same view. The epoch must come from the same monotone sequence
+    * as each store's writer (the [[erasureApplyStore]] contract).
+    */
+  def erasureApplySearchStores(spark: org.apache.spark.sql.SparkSession,
+      epoch: Long, ledgerRoot: String,
+      postingsDir: Option[String] = None,
+      positionsDir: Option[String] = None,
+      vectorIndex: Option[(String, Array[Array[Float]],
+        Array[Array[Array[Float]]])] = None,
+      bandDir: Option[String] = None,
+      pairDirs: Seq[String] = Nil,
+      shingleDir: Option[String] = None): Unit =
+    readErased(spark, ledgerRoot).foreach { erased =>
+      val ids = erased.select(col("id").as("doc_id")).distinct()
+        .localCheckpoint() // probed once per targeted store
+      val noUpserts = ids.limit(0).withColumn("text", lit(""))
+      postingsDir.foreach(d => postingsApplyBatch(noUpserts, ids, epoch, d))
+      positionsDir.foreach(d => positionsApplyBatch(noUpserts, ids, epoch, d))
+      vectorIndex.foreach { case (d, coarse, books) =>
+        vectorIndexApplyBatch(
+          ids.limit(0).select(col("doc_id").as("vec_id")).withColumn(
+            "embedding", lit(null).cast("array<float>")),
+          ids.select(col("doc_id").as("vec_id")), epoch, d, coarse, books)
+      }
+      bandDir.foreach(d => retireDocsBatch(ids, epoch, d))
+      shingleDir.foreach(d => retireDocsBatch(ids, epoch, d))
+      pairDirs.foreach(d => retireDocsBatch(ids, epoch, d))
     }
 
   // ------------------------- T23 incremental SCD2 history maintenance

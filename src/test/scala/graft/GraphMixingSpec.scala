@@ -479,6 +479,56 @@ class GraphMixingSpec extends AnyFunSuite {
     }
   }
 
+  test("triangle retraction: decrement ≡ batch recount on the survivor graph; delete-then-reinsert nets to zero; counts never go negative") {
+    def batchRef(edges: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      Graph.triangleCounts(edges.toDF("da", "db"))
+        .as[(Long, Long)].collect().toSeq.sorted
+    for (seedN <- 1 to 4) {
+      val rnd = new scala.util.Random(100 + seedN)
+      val edges = (0 until 40).map { _ =>
+        val a = rnd.nextInt(10).toLong; val b = rnd.nextInt(10).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      val delSet = edges.filter { case (a, b) => (a + b) % 3 == 0 }.toSet
+      val remSeq = edges.filterNot(delSet)
+      val counts = Graph.triangleCounts(edges.toDF("da", "db"))
+        .localCheckpoint()
+      val del = delSet.toSeq.toDF("da", "db")
+      val rem = remSeq.toDF("da", "db")
+      // decrement by the destroyed-triangle delta, drop zero-count
+      // nodes: must equal a from-scratch recount of the survivor graph
+      val afterDel = Graph.mergeTriangleCounts(counts,
+          Graph.triangleDeleteDelta(rem, del)
+            .select(col("doc_id"), (-col("n_tri")).as("n_tri")))
+        .localCheckpoint()
+      assert(afterDel.filter(col("n_tri") > 0)
+        .as[(Long, Long)].collect().toSeq.sorted === batchRef(remSeq))
+      // exactly-once attribution ⇒ a decrement can never overdraw
+      assert(afterDel.as[(Long, Long)].collect().forall(_._2 >= 0L))
+      // re-inserting the retired slice recreates exactly the destroyed
+      // triangles — the wave nets to zero and batch counts return
+      assert(Graph.mergeTriangleCounts(afterDel,
+          Graph.triangleDelta(rem, del))
+        .filter(col("n_tri") > 0)
+        .as[(Long, Long)].collect().toSeq.sorted === batchRef(edges))
+    }
+    // a triangle losing TWO edges in one wave is destroyed ONCE (the
+    // max-deleted-edge attribution), and one losing all three likewise
+    val k4 = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)).toSeq
+    val counts = Graph.triangleCounts(k4.toDF("da", "db")).localCheckpoint()
+    for (delSet <- Seq(Set((1L, 2L), (1L, 3L)),
+        Set((1L, 2L), (1L, 3L), (2L, 3L)))) {
+      val remSeq = k4.filterNot(delSet)
+      val after = Graph.mergeTriangleCounts(counts,
+        Graph.triangleDeleteDelta(remSeq.toDF("da", "db"),
+            delSet.toSeq.toDF("da", "db"))
+          .select(col("doc_id"), (-col("n_tri")).as("n_tri")))
+      assert(after.filter(col("n_tri") > 0)
+        .as[(Long, Long)].collect().toSeq.sorted === batchRef(remSeq))
+      assert(after.as[(Long, Long)].collect().forall(_._2 >= 0L))
+    }
+  }
+
   test("x6h leakage split: cluster partners always share a split, singletons group as themselves, and the naive per-doc coin provably separates some pair") {
     import graft.operators.Curation
     // docs 0..99; nodes 0..49 paired into clusters {2i, 2i+1}; 50..99 singleton

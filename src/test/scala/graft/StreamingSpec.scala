@@ -3079,4 +3079,226 @@ class StreamingSpec extends AnyFunSuite {
         scale = 1000000000000L, topK = 20)
       .as[(Long, Long)].collect().toSeq === batchPr)
   }
+
+  test("T32 graph retractions: delete sweeps edges + degrees; re-sent delete no-op; replay idempotent; delete-then-reinsert; compaction clears tombstones") {
+    import graft.operators.Graph
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (4L, 5L),
+      (10L, 11L))
+    def sym(es: Seq[(Long, Long)]) = (es ++ es.map(_.swap)).toSet
+    val dir = java.nio.file.Files.createTempDirectory("gdel").toString
+    Streams.graphEdgesBatch(edges.toDF("src", "dst"), 0L, dir)
+    def present() = Streams.readGraphEdges(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    def degs() = Streams.readGraphDegrees(spark, dir)
+      .as[(Long, Long)].collect().toSeq.sorted
+    def derived() = Streams.readGraphEdges(spark, dir)
+      .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    def servedPr() = Streams.servedPageRank(spark, dir, iters = 3,
+      scale = 1000000000000L, topK = 20).as[(Long, Long)].collect().toSeq
+    def batchPr(es: Seq[(Long, Long)]) = Graph.pageRank(
+        es.toDF("src", "dst"), iters = 3, scale = 1000000000000L,
+        topK = 20).as[(Long, Long)].collect().toSeq
+    // DELETE: retire (4,5) and (10,11) — nodes 5, 10, 11 sweep to
+    // degree 0 and leave the served tables entirely
+    Streams.graphEdgesDeleteBatch(
+      Seq((4L, 5L), (10L, 11L)).toDF("src", "dst"), 1L, dir)
+    val kept = edges.filter(e => e != ((4L, 5L)) && e != ((10L, 11L)))
+    assert(present() === sym(kept))
+    assert(degs() === derived())
+    assert(degs().map(_._1).toSet === Set(1L, 2L, 3L, 4L))
+    assert(servedPr() === batchPr(kept))
+    // RE-SENT delete in a LATER batch: the edges are absent now, so the
+    // semi-join drops them — a no-op epoch; a self-loop delete is
+    // excluded by symmetrization like a self-loop insert
+    Streams.graphEdgesDeleteBatch(
+      Seq((4L, 5L), (9L, 9L)).toDF("src", "dst"), 2L, dir)
+    assert(present() === sym(kept))
+    assert(degs() === derived())
+    // CRASH REPLAY of the delete batch: derives from strictly-before
+    // state and overwrites its own dir — reads unchanged
+    Streams.graphEdgesDeleteBatch(
+      Seq((4L, 5L), (10L, 11L)).toDF("src", "dst"), 1L, dir)
+    assert(present() === sym(kept))
+    assert(servedPr() === batchPr(kept))
+    // DELETE-THEN-REINSERT: (4,5) returns — fresh again by the weight
+    // fold (0 → 1), degrees bump back additively
+    Streams.graphEdgesBatch(Seq((4L, 5L)).toDF("src", "dst"), 3L, dir)
+    val back = kept :+ ((4L, 5L))
+    assert(present() === sym(back))
+    assert(degs() === derived())
+    assert(servedPr() === batchPr(back))
+    // COMPACTION clears tombstones: reads identical, and the compacted
+    // epoch's raw rows carry no w = −1
+    Streams.compactGraph(spark, dir, 3L)
+    assert(present() === sym(back))
+    assert(degs() === derived())
+    assert(servedPr() === batchPr(back))
+    val rawW = spark.read.parquet(s"$dir/edges/b=3")
+      .select(col("w")).as[Long].collect().toSet
+    assert(rawW === Set(1L))
+  }
+
+  test("T32 graph mixed-op batch: u+d in one epoch; unknown op throws; same-edge both-ops throws; ops stream smoke") {
+    import graft.operators.Graph
+    val dir = java.nio.file.Files.createTempDirectory("gops").toString
+    def sym(es: Seq[(Long, Long)]) = (es ++ es.map(_.swap)).toSet
+    def present() = Streams.readGraphEdges(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    def degs() = Streams.readGraphDegrees(spark, dir)
+      .as[(Long, Long)].collect().toSeq.sorted
+    def derived() = Streams.readGraphEdges(spark, dir)
+      .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    Streams.graphEdgesOpsBatch(
+      Seq((1L, 2L, "u"), (2L, 3L, "u"), (3L, 4L, "u"))
+        .toDF("src", "dst", "op"), 0L, dir)
+    // one epoch carrying an insert AND a retraction of a prior edge
+    Streams.graphEdgesOpsBatch(
+      Seq((4L, 5L, "u"), (2L, 3L, "d")).toDF("src", "dst", "op"), 1L, dir)
+    assert(present() === sym(Seq((1L, 2L), (3L, 4L), (4L, 5L))))
+    assert(degs() === derived())
+    // unknown op THROWS before anything commits
+    val e1 = intercept[Exception] {
+      Streams.graphEdgesOpsBatch(
+        Seq((7L, 8L, "x")).toDF("src", "dst", "op"), 2L, dir)
+    }
+    assert(e1.getMessage.contains("unknown op") ||
+      Option(e1.getCause).exists(_.getMessage.contains("unknown op")))
+    // both ops for the same UNDIRECTED edge (even direction-flipped)
+    // is ambiguous within one batch and THROWS before anything commits
+    val e2 = intercept[Exception] {
+      Streams.graphEdgesOpsBatch(
+        Seq((7L, 8L, "u"), (8L, 7L, "d")).toDF("src", "dst", "op"),
+        2L, dir)
+    }
+    assert(e2.getMessage.contains("both an insert") ||
+      Option(e2.getCause).exists(_.getMessage.contains("both an insert")))
+    // neither failed batch committed anything
+    assert(present() === sym(Seq((1L, 2L), (3L, 4L), (4L, 5L))))
+    // ops stream wrapper smoke on a fresh store: inserts then a delete
+    // wave through the streaming path converge to the swept graph
+    implicit val ctx = spark.sqlContext
+    val dir2 = java.nio.file.Files.createTempDirectory("gops2").toString
+    val mem = MemoryStream[(Long, Long, String)]
+    val q = Streams.graphEdgesOpsStream(
+        mem.toDS().toDF("src", "dst", "op"), dir2)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckptops").toString)
+      .start()
+    mem.addData((1L, 2L, "u"), (2L, 3L, "u"))
+    q.processAllAvailable()
+    mem.addData((2L, 3L, "d"), (3L, 4L, "u"))
+    q.processAllAvailable(); q.stop()
+    assert(Streams.readGraphEdges(spark, dir2)
+      .as[(Long, Long)].collect().toSet ===
+      sym(Seq((1L, 2L), (3L, 4L))))
+    assert(Streams.servedPageRank(spark, dir2, iters = 3,
+        scale = 1000000000000L, topK = 20)
+      .as[(Long, Long)].collect().toSeq ===
+      Graph.pageRank(Seq((1L, 2L), (3L, 4L)).toDF("src", "dst"),
+        iters = 3, scale = 1000000000000L, topK = 20)
+        .as[(Long, Long)].collect().toSeq)
+  }
+
+  test("erasure propagates into every search-serving store: no store retains erased-doc content after sweep + compaction; erased docs stop forming pairs; cluster lineage serves without them") {
+    import graft.operators.{Graph, Text, Vectors}
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("erase").toString
+    val postingsDir = s"$root/postings"; val positionsDir = s"$root/pos"
+    val vidxDir = s"$root/vidx"; val bandDir = s"$root/bands"
+    val pairDir = s"$root/pairs"; val shDir = s"$root/shingles"
+    val cPairDir = s"$root/cpairs"; val ledger = s"$root/ledger"
+    // build every store over the corpus (epoch ≤ 0)
+    Streams.seedPostings(docs, postingsDir)
+    Streams.positionsApplyBatch(docs,
+      docs.select(col("doc_id")).limit(0), -1L, positionsDir)
+    val e = Tables.embeddings(spark, TestSpark.sf)
+      .select("vec_id", "embedding")
+    val coarse = Vectors.kmeansCentroids(e, 8, 2)
+    val books = Vectors.pqCodebooks(e, 8, 8, 2)
+    Streams.seedVectorIndex(e, vidxDir, coarse, books)
+    Streams.nearDupBatch(docs, 0L, bandDir, pairDir)
+    Streams.containmentBatch(docs, 0L, shDir, cPairDir)
+    // erase a doc that participates in a discovered near-dup pair (the
+    // adversarial case: its content relations are already materialized)
+    val (gone, partner) = Streams.readNearDupPairs(spark, pairDir)
+      .select(col("doc_a"), col("doc_b")) // pin tuple order: parquet
+      .orderBy("doc_a", "doc_b").as[(Long, Long)].head()
+    val goneText = docs.filter(col("doc_id") === gone)
+      .select("text").as[String].head()
+    Streams.erasureLedgerBatch(Seq(gone).toDF("id"), 1L, ledger)
+    Streams.erasureApplySearchStores(spark, 1L, ledger,
+      postingsDir = Some(postingsDir), positionsDir = Some(positionsDir),
+      vectorIndex = Some((vidxDir, coarse, books)),
+      bandDir = Some(bandDir), pairDirs = Seq(pairDir, cPairDir),
+      shingleDir = Some(shDir))
+    // every SERVED view forgets the doc immediately
+    assert(Streams.readPostings(spark, postingsDir)
+      .filter(col("doc_id") === gone).isEmpty)
+    assert(Streams.readPositions(spark, positionsDir)
+      .filter(col("doc_id") === gone).isEmpty)
+    assert(Streams.readVectorIndex(spark, vidxDir)
+      .filter(col("vec_id") === gone).isEmpty)
+    assert(Streams.readBandStore(spark, bandDir)
+      .filter(col("doc_id") === gone).isEmpty)
+    assert(Streams.readNearDupPairs(spark, pairDir)
+      .filter(col("doc_a") === gone || col("doc_b") === gone).isEmpty)
+    assert(Streams.readNearDupPairs(spark, cPairDir)
+      .filter(col("da") === gone || col("db") === gone).isEmpty)
+    // an erased doc STOPS FORMING PAIRS: a later increment carrying a
+    // verbatim copy of its text pairs with its former partner (the
+    // probe machinery is intact) but never with the erased id
+    implicit val ctx = spark.sqlContext
+    Streams.nearDupBatch(Seq(DocE(900000L, goneText)).toDF, 2L,
+      bandDir, pairDir)
+    Streams.containmentBatch(Seq(DocE(900001L, goneText)).toDF, 2L,
+      shDir, cPairDir)
+    val pairsNow = Streams.readNearDupPairs(spark, pairDir)
+      .select(col("doc_a"), col("doc_b"))
+      .as[(Long, Long)].collect().toSet
+    assert(!pairsNow.exists(p => p._1 == gone || p._2 == gone))
+    assert(pairsNow.contains(
+      (math.min(900000L, partner), math.max(900000L, partner))))
+    assert(Streams.readNearDupPairs(spark, cPairDir)
+      .filter(col("da") === gone || col("db") === gone).isEmpty)
+    // COMPACTION removes the content PHYSICALLY: raw parquet of every
+    // compacted store carries zero rows referencing the erased id
+    Streams.compactPostings(spark, postingsDir, 2L)
+    Streams.compactPositions(spark, positionsDir, 2L)
+    Streams.compactVectorIndex(spark, vidxDir, 2L)
+    Streams.compactBandStore(spark, bandDir, 2L)
+    Streams.compactPairStore(spark, pairDir, 2L)
+    Streams.compactShingleStore(spark, shDir, 2L)
+    Streams.compactPairStore(spark, cPairDir, 2L)
+    def raw(dir: String) = spark.read.parquet(s"$dir/b=2")
+    assert(raw(postingsDir).filter(col("doc_id") === gone).isEmpty)
+    assert(raw(positionsDir).filter(col("doc_id") === gone).isEmpty)
+    assert(raw(vidxDir).filter(col("vec_id") === gone).isEmpty)
+    assert(raw(bandDir).filter(col("doc_id") === gone).isEmpty)
+    assert(raw(pairDir)
+      .filter(col("doc_a") === gone || col("doc_b") === gone).isEmpty)
+    assert(raw(shDir).filter(col("doc_id") === gone).isEmpty)
+    assert(raw(cPairDir)
+      .filter(col("da") === gone || col("db") === gone).isEmpty)
+    // reads before/after compaction agree (retirement filter ≡ physical
+    // removal), and BM25 serving still works over the swept store
+    assert(Streams.servedBm25(spark, postingsDir, Text.bm25Terms)
+      .filter(col("doc_id") === gone).isEmpty)
+    // the LINEAGE answer: dedup clusters served from the swept pair
+    // store never name the erased doc — its former partner now clusters
+    // with the re-arrived copy instead (the x7n serve path's input)
+    val cc = Graph.connectedComponents(
+      Streams.readNearDupPairs(spark, pairDir).select("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(!cc.contains(gone) && !cc.valuesIterator.contains(gone))
+    assert(cc.get(900000L) === cc.get(partner))
+    // re-sent erasure of the same id (later epoch) is a no-op on reads
+    Streams.erasureApplySearchStores(spark, 3L, ledger,
+      bandDir = Some(bandDir), pairDirs = Seq(pairDir))
+    assert(Streams.readNearDupPairs(spark, pairDir)
+      .select(col("doc_a"), col("doc_b"))
+      .as[(Long, Long)].collect().toSet === pairsNow)
+  }
 }

@@ -128,6 +128,62 @@ class TextVectorsSpec extends AnyFunSuite {
     assert(frames.nonEmpty)
   }
 
+  test("PPM codec: encode→decode round-trips bytes and dims; strict parser throws on malformed input; features equal a brute pixel walk") {
+    // round-trip: decoded plane is exactly the cycled text bytes
+    val text = "the quick brown fox jumps over the lazy dog"
+    val tb = text.getBytes("UTF-8")
+    val p = Multimodal.encodePpm(text, 6, 4)
+    val (w, h, px) = Multimodal.decodePpm(p)
+    assert(w === 6 && h === 4 && px.length === 6 * 4 * 3)
+    assert(px.zipWithIndex.forall { case (b, j) => b === tb(j % tb.length) })
+    // a '#' comment between header tokens parses per the Netpbm spec
+    val hdr = s"P6\n# a comment\n6 4\n255\n".getBytes("US-ASCII")
+    val withComment = hdr ++ px
+    assert(Multimodal.decodePpm(withComment)._3.sameElements(px))
+    // strict-parser guard rail: each malformation THROWS, never pads
+    def bad(bytes: Array[Byte], what: String): Unit = {
+      val e = intercept[IllegalArgumentException](Multimodal.decodePpm(bytes))
+      assert(e.getMessage.contains(what), s"$what: ${e.getMessage}")
+    }
+    bad("P5\n6 4\n255\n".getBytes("US-ASCII") ++ px, "magic")
+    bad(s"P6\n6 4\n65535\n".getBytes("US-ASCII") ++ px, "maxval")
+    bad(p.dropRight(1), "plane")         // truncated plane
+    bad(p ++ Array(0.toByte), "plane")   // trailing garbage
+    // a missing dimension token shifts the remaining tokens: the parser
+    // reads 255 as height and then fails to find a maxval in the plane
+    bad("P6\n6\n255\n".getBytes("US-ASCII") ++ px, "maxval")
+    // features: the mapPartitions decode path ≡ a brute in-memory walk
+    val docs = Tables.documents(spark, TestSpark.sf).limit(40)
+    val media = Multimodal.attachPpmPayload(docs)
+    val got = Multimodal.extractPpmFeatures(media, dim = 16)
+      .collect().sortBy(_.doc_id)
+    val ref = docs.select("doc_id", "text").as[(Long, String)]
+      .collect().sortBy(_._1).map { case (id, t) =>
+        val bytes = t.getBytes("UTF-8")
+        val n = (4 + id % 5).toInt * (3 + id % 3).toInt * 3
+        val sums = new Array[Long](16)
+        (0 until n).foreach(j => sums(j % 16) += bytes(j % bytes.length) & 0xff)
+        (id, n.toLong, sums.toSeq)
+      }
+    assert(got.length === ref.length)
+    got.zip(ref).foreach { case (g, (id, n, sums)) =>
+      assert(g.doc_id === id && g.n_px === n)
+      assert(g.buckets.toSeq === sums && g.px_sum === sums.sum)
+    }
+    // repartition-invariant (batch boundaries must not matter)
+    val got2 = Multimodal.extractPpmFeatures(media.repartition(7), dim = 16)
+      .collect().sortBy(_.doc_id)
+    assert(got.zip(got2).forall { case (a, b) =>
+      a.doc_id == b.doc_id && a.buckets.sameElements(b.buckets) })
+    // header/metadata contradiction THROWS (catalog row lies about dims)
+    val lying = media.map(m => m.copy(meta = m.meta.copy(width = 999)))(
+      org.apache.spark.sql.Encoders.product[graft.operators.Multimodal.MediaRow])
+    val ex = intercept[org.apache.spark.SparkException](
+      Multimodal.extractPpmFeatures(lying, dim = 16).collect())
+    assert(ex.getMessage.contains("contradicts") ||
+      Option(ex.getCause).exists(_.getMessage.contains("contradicts")))
+  }
+
   test("x5f manifest row-identical to the typed sampleFrames mapPartitions path") {
     def md5hex(b: Array[Byte]): String =
       java.security.MessageDigest.getInstance("MD5").digest(b)
