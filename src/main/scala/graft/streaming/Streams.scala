@@ -2049,7 +2049,8 @@ object Streams extends Serializable {
         Array[Array[Array[Float]]])] = None,
       bandDir: Option[String] = None,
       pairDirs: Seq[String] = Nil,
-      shingleDir: Option[String] = None): Unit =
+      shingleDir: Option[String] = None,
+      graphDir: Option[String] = None): Unit =
     readErased(spark, ledgerRoot).foreach { erased =>
       val ids = erased.select(col("id").as("doc_id")).distinct()
         .localCheckpoint() // probed once per targeted store
@@ -2065,6 +2066,22 @@ object Streams extends Serializable {
       bandDir.foreach(d => retireDocsBatch(ids, epoch, d))
       shingleDir.foreach(d => retireDocsBatch(ids, epoch, d))
       pairDirs.foreach(d => retireDocsBatch(ids, epoch, d))
+      // the T32 co-occurrence graph: an erased doc's node must leave —
+      // its INCIDENT edges become a delete batch (one directed row per
+      // undirected edge suffices; the delete path symmetrizes), its
+      // degree sweeps to 0, partners' degrees decrement additively.
+      // Incident edges derive from the STRICTLY-BEFORE present set, not
+      // the current one — deriving from a view that includes this
+      // epoch's own tombstones would make a crash replay see a smaller
+      // incident set and commit different bytes
+      graphDir.foreach { d =>
+        priorGraphEdges(spark, d, epoch).foreach { present =>
+          val incident = present.join(
+            broadcast(ids.select(col("doc_id").as("src"))),
+            Seq("src"), "left_semi")
+          graphEdgesDeleteBatch(incident, epoch, d)
+        }
+      }
     }
 
   // ------------------------- T23 incremental SCD2 history maintenance

@@ -1961,6 +1961,31 @@ class StreamingSpec extends AnyFunSuite {
       Streams.readNearDupPairs(spark, s"$d/pairs").collect())
   }
 
+  test("band stores: a torn INTERIOR dir (below a committed id) is a hole, never a pending replay — reads fail loudly instead of serving around it") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "text").as[DocE].collect().toSeq
+    val d = java.nio.file.Files.createTempDirectory("gap").toString
+    (0 until 3).foreach { i =>
+      Streams.nearDupBatch(docs.filter(_.doc_id % 3 == i).toDF, i.toLong,
+        s"$d/bands", s"$d/pairs")
+    }
+    val full = Streams.readNearDupPairs(spark, s"$d/pairs")
+      .as[(Long, Long)].collect().toSet
+    // tear the MIDDLE epoch's marker: under the single-writer protocol
+    // only the MAX id can be a legitimately-pending replay, so an
+    // interior gap means manual cleanup / fs fault — a silent hole
+    assert(new java.io.File(s"$d/pairs/b=1/_SUCCESS").delete())
+    val e = intercept[IllegalArgumentException](
+      Streams.readNearDupPairs(spark, s"$d/pairs").collect())
+    assert(e.getMessage.contains("BELOW committed"))
+    // the MAX id torn stays skippable (the crash-mid-batch case)
+    assert(new java.io.File(s"$d/pairs/b=1/_SUCCESS").createNewFile())
+    assert(new java.io.File(s"$d/pairs/b=2/_SUCCESS").delete())
+    val served = Streams.readNearDupPairs(spark, s"$d/pairs")
+      .as[(Long, Long)].collect().toSet
+    assert(served.subsetOf(full) && served.size < full.size)
+  }
+
   test("T16 incremental vector index: stream-built upsert index ≡ batch encode of the latest corpus; replay idempotent; compaction drops shadowed rows") {
     implicit val ctx = spark.sqlContext
     import graft.operators.Vectors
@@ -3201,6 +3226,65 @@ class StreamingSpec extends AnyFunSuite {
         .as[(Long, Long)].collect().toSeq)
   }
 
+  test("x9d durable twin: three crawl increments through the T17 cluster store + T15 bloom gate fold to the batch x9 kept set; registered x9d ≡ x9") {
+    import graft.operators.{Graph, Text}
+    import graft.functions.BloomMembership
+    val dir = TestSpark.sf
+    val docs = Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+    val pairs = Text.stagedJaccardPairs(spark, dir).select(col("da"), col("db"))
+    // T17 DURABLE cluster maintenance, one epoch per increment (the
+    // pmod split merges clusters across epochs — the hard case)
+    val clusterDir = java.nio.file.Files.createTempDirectory("x9dcc").toString
+    (0 until 3).foreach { i =>
+      Streams.clusterIndexBatch(
+        pairs.filter(pmod(col("da") + col("db"), lit(3)) === i),
+        i.toLong, clusterDir)
+    }
+    // the static benchmark artifact: exact set + its T15 bloom sketch
+    val sh = Text.stagedShingles(spark, dir)
+    val bench = sh.filter(col("doc_id") < 50).select(col("hs"))
+      .distinct().localCheckpoint()
+    val nB = math.max(1L, bench.count())
+    val sketch = bench.agg(BloomMembership.bloomAgg(col("hs"), nB,
+      BloomMembership.bitsFor(nB, 1e-5)).as("bf")).head.getAs[Array[Byte]]("bf")
+    // per-increment gate + bloom-prefilter/exact-confirm decontamination
+    val keptPre = (0 until 3).map { i =>
+      val inc = docs.filter(pmod(col("doc_id"), lit(3)) === i)
+      val gated = inc.filter(col("n_tokens") >= 5 && col("doc_id") >= 50)
+      val flagged = sh
+        .filter(pmod(col("doc_id"), lit(3)) === i && col("doc_id") >= 50)
+        .filter(BloomMembership.mightContain(sketch, col("hs")))
+      val contaminated = flagged.join(broadcast(bench), "hs")
+        .select(col("doc_id"))
+      gated.join(contaminated, Seq("doc_id"), "left_anti")
+    }.reduce(_ unionByName _)
+    // dedup at SERVE time against the maintained store (a later epoch
+    // can merge clusters and dethrone an already-arrived representative)
+    val ccMap = Streams.readClusterMap(spark, clusterDir)
+    val keptIds = keptPre
+      .join(ccMap, keptPre("doc_id") === ccMap("node"), "left")
+      .filter(col("node").isNull || keptPre("doc_id") === col("cluster"))
+      .select(keptPre("doc_id")).as[Long].collect().toSet
+    // batch reference: the x9 chain recomputed from scratch
+    val cc = Graph.connectedComponents(pairs)
+    val contamBatch = sh.filter(col("doc_id") >= 50)
+      .join(broadcast(bench), "hs").select(col("doc_id")).distinct()
+    val batchKept = docs
+      .filter(col("n_tokens") >= 5 && col("doc_id") >= 50)
+      .join(cc, docs("doc_id") === cc("node"), "left")
+      .filter(col("node").isNull || docs("doc_id") === col("cluster"))
+      .join(contamBatch, Seq("doc_id"), "left_anti")
+      .select(docs("doc_id")).as[Long].collect().toSet
+    assert(keptIds === batchKept)
+    assert(keptIds.nonEmpty) // the fixture must actually exercise the fold
+    // and the registered incremental pipeline serves the identical
+    // packed manifest as batch x9 (the driver checks the same via x9Sql)
+    assert(SparkEntry.queries("x9d_incr_pipeline")(spark, dir)
+      .collect().toSeq ===
+      SparkEntry.queries("x9_pipeline")(spark, dir).collect().toSeq)
+  }
+
   test("erasure propagates into every search-serving store: no store retains erased-doc content after sweep + compaction; erased docs stop forming pairs; cluster lineage serves without them") {
     import graft.operators.{Graph, Text, Vectors}
     val docs = Tables.documents(spark, TestSpark.sf)
@@ -3300,5 +3384,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(Streams.readNearDupPairs(spark, pairDir)
       .select(col("doc_a"), col("doc_b"))
       .as[(Long, Long)].collect().toSet === pairsNow)
+    // the T32 co-occurrence graph forgets the doc too: its node leaves
+    // (degree swept to 0 via a derived delete batch of its incident
+    // edges), partners decrement, and the served ranking equals batch
+    // PageRank on the graph minus that node — replay included
+    val gDir = s"$root/graph"
+    val gEdges = Seq((gone, partner), (partner, 777L), (777L, 778L))
+    Streams.graphEdgesBatch(gEdges.toDF("src", "dst"), 0L, gDir)
+    Streams.erasureApplySearchStores(spark, 4L, ledger,
+      graphDir = Some(gDir))
+    val sweptEdges = gEdges.filter(e => e._1 != gone && e._2 != gone)
+    def gServed() = Streams.servedPageRank(spark, gDir, iters = 3,
+      scale = 1000000000000L, topK = 20).as[(Long, Long)].collect().toSeq
+    val gBatch = Graph.pageRank(sweptEdges.toDF("src", "dst"),
+        iters = 3, scale = 1000000000000L, topK = 20)
+      .as[(Long, Long)].collect().toSeq
+    assert(gServed() === gBatch)
+    assert(!Streams.readGraphDegrees(spark, gDir)
+      .as[(Long, Long)].collect().map(_._1).contains(gone))
+    // crash replay of the erasure epoch derives from strictly-before
+    // state and overwrites its own dirs — reads unchanged
+    Streams.erasureApplySearchStores(spark, 4L, ledger,
+      graphDir = Some(gDir))
+    assert(gServed() === gBatch)
   }
 }

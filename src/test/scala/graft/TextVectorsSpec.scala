@@ -128,6 +128,20 @@ class TextVectorsSpec extends AnyFunSuite {
     assert(frames.nonEmpty)
   }
 
+  test("mmrSelect refuses non-integral id columns at plan time (the long cast would NULL them at runtime)") {
+    val cand = Seq(("q", "x", 1.0)).toDF("q_id", "vec_id", "rel")
+    val pairs = Seq(("q", "x", "y", 0.5)).toDF("q_id", "a", "b", "sim")
+    val e = intercept[IllegalArgumentException](
+      Vectors.mmrSelect(cand, pairs, 2))
+    assert(e.getMessage.contains("integral"))
+    // integral-but-narrow ids widen fine (the guard only rejects lossy casts)
+    val ok = Vectors.mmrSelect(
+      Seq((1, 2, 1.0), (1, 3, 0.4)).toDF("q_id", "vec_id", "rel"),
+      Seq((1, 2, 3, 0.9)).toDF("q_id", "a", "b", "sim"), 1)
+    assert(ok.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 2L)))
+  }
+
   test("PPM codec: encode→decode round-trips bytes and dims; strict parser throws on malformed input; features equal a brute pixel walk") {
     // round-trip: decoded plane is exactly the cycled text bytes
     val text = "the quick brown fox jumps over the lazy dog"
