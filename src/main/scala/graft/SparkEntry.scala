@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Cdc, Curation, Graph, Mixing, Partitioning, Relational, Scrub, Text, Vectors}
+import graft.operators.{Cdc, Curation, Graph, Lake, Mixing, Partitioning, Relational, Scrub, Text, Vectors}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,12 +19,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Cdc.queries ++ Text.queries ++ Vectors.queries ++
       Curation.queries ++ Graph.queries ++ Mixing.queries ++ Scrub.queries ++
-      Partitioning.queries
+      Partitioning.queries ++ Lake.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Cdc.oracle ++ Text.oracle ++ Vectors.oracle ++
       Curation.oracle ++ Graph.oracle ++ Mixing.oracle ++ Scrub.oracle ++
-      Partitioning.oracle
+      Partitioning.oracle ++ Lake.oracle
 }

@@ -1,0 +1,635 @@
+package graft.sources
+
+import java.util.UUID
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileContext, Options, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{
+  And, AttributeReference, EqualTo, Expression, GreaterThan,
+  GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, Or}
+
+/** A minimal LAKEHOUSE TABLE FORMAT: an ACID, multi-writer, file-level
+  * transaction log over immutable parquet data files — the table layer a
+  * CDC pipeline lands its replicas in (the reference's "maintaining data
+  * replicas" purpose, ez-cdc README.md:62-63, industrialized: the
+  * consumer's one-row-at-a-time UPSERT/DELETE, main.py:29-39, becomes a
+  * transactional file-level MERGE). The protocol is the public Delta
+  * Lake / Iceberg design space re-derived on the Hadoop FileSystem API —
+  * no table-format dependency, same guarantees:
+  *
+  * Layout under `root`:
+  * {{{
+  *   root/_log/<v padded to 20>.json        one commit: JSON action lines
+  *   root/_log/<v>.checkpoint.parquet       log checkpoint (replay shortcut)
+  *   root/_log/_last_checkpoint             pointer to the newest checkpoint
+  *   root/data/<uuid>.parquet               immutable data files
+  * }}}
+  *
+  * Actions (one JSON object per line): `meta` (version 0 only — key
+  * columns, merge order/tombstone columns, stats columns), `add` (path,
+  * row count, file schema DDL, per-column min/max/null-count stats) and
+  * `remove` (path). A snapshot at version V is the add-set minus the
+  * remove-set of commits 0..V; data files are never mutated, so every
+  * historical version stays readable until [[vacuum]] reclaims it
+  * (time travel, [[readAsOf]]).
+  *
+  * COMMIT is optimistic concurrency on the log, not a lock on the data:
+  * a writer prepares its data files, then claims version V by renaming a
+  * temp file to `_log/V.json` WITHOUT overwrite — on HDFS-semantics
+  * filesystems that rename is atomic and fails if the name is taken, so
+  * exactly one of two racing writers wins V; the loser re-reads the log
+  * and either retries on top (blind append — no read-set, always safe)
+  * or aborts with ConcurrentModificationException (MERGE — its rewrite
+  * was derived from a snapshot that is no longer the tip). In-JVM racers
+  * are additionally serialized per root so the local-filesystem rename
+  * (whose no-overwrite check is not atomic on POSIX) is race-free in
+  * tests; an object store without atomic create-if-absent needs the
+  * usual external log-store/conditional-PUT shim — the same requirement
+  * the public Delta protocol documents.
+  *
+  * SCALE: the log is the only driver-side state — O(#files) entries,
+  * checkpointed to parquet every [[checkpoint]] call so replay reads one
+  * parquet file plus the JSON tail instead of the whole history (the
+  * Delta `_last_checkpoint` design). Reads prune files by the per-column
+  * min/max stats BEFORE any scan ([[scan]]): a predicate that touches 1%
+  * of a 100 TB table's key range opens ~1% of its files. MERGE rewrites
+  * only the files that actually contain touched keys — stats-pruned
+  * first, then confirmed by one key-probe scan — so applying a
+  * kilobyte-sized CDC batch never rewrites terabytes.
+  */
+object LakeFormat {
+
+  /** Per-file, per-column stats: min/max as strings (None when the file
+    * is all-NULL for the column), the column's Spark type name (drives
+    * numeric-vs-lexicographic comparison), and the NULL count. */
+  final case class ColStats(typ: String, min: Option[String],
+      max: Option[String], nulls: Long)
+
+  final case class AddFile(path: String, rows: Long, schemaDdl: String,
+      stats: Map[String, ColStats])
+
+  /** Table-lifetime metadata, fixed at [[create]]: `keyCols` + `orderCol`
+    * (the LSN-style total order) + `liveCol` (tombstone flag) define
+    * MERGE semantics; `statsCols` are the columns [[scan]] can prune on. */
+  final case class LakeMeta(keyCols: Seq[String], orderCol: String,
+      liveCol: String, statsCols: Seq[String])
+
+  final case class LakeState(version: Long, meta: LakeMeta,
+      files: Seq[AddFile])
+
+  /** A pruned read: `df` is the filtered scan over `keptFiles` of the
+    * snapshot's `totalFiles` — the skipping ratio is the caller-visible
+    * proof that stats pruning engaged. */
+  final case class LakeScan(df: DataFrame, keptFiles: Long, totalFiles: Long)
+
+  // ------------------------------------------------------------ plumbing
+
+  private def fs(spark: SparkSession, root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def logDir(root: String) = new Path(root, "_log")
+  private def logFile(root: String, v: Long) =
+    new Path(logDir(root), f"$v%020d.json")
+  private def checkpointFile(root: String, v: Long) =
+    new Path(logDir(root), f"$v%020d.checkpoint.parquet")
+  private def lastCheckpointPtr(root: String) =
+    new Path(logDir(root), "_last_checkpoint")
+
+  // one lock per root in this JVM: serializes the [read tip, claim tip+1]
+  // window so local-FS racers (tests, a bench and a stream in one JVM)
+  // can't both pass the no-overwrite check before either renames
+  private val commitLocks = TrieMap.empty[String, Object]
+  private def lockFor(root: String): Object =
+    commitLocks.getOrElseUpdate(root, new Object)
+
+  private def listLogVersions(spark: SparkSession, root: String): Seq[Long] = {
+    val f = fs(spark, root)
+    val d = logDir(root)
+    if (!f.exists(d)) Seq.empty
+    else f.listStatus(d).toSeq.map(_.getPath.getName)
+      .filter(n => n.endsWith(".json") && !n.startsWith("."))
+      .flatMap(n => n.stripSuffix(".json").toLongOption)
+  }
+
+  // ------------------------------------------------------------ JSON
+
+  private def esc(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  private def statsJson(st: Map[String, ColStats]): String =
+    st.toSeq.sortBy(_._1).map { case (c, s) =>
+      def opt(v: Option[String]) = v.map(x => "\"" + esc(x) + "\"").getOrElse("null")
+      s""""${esc(c)}":{"typ":"${esc(s.typ)}","min":${opt(s.min)},"max":${opt(s.max)},"nulls":${s.nulls}}"""
+    }.mkString("{", ",", "}")
+
+  private def addJson(a: AddFile): String =
+    s"""{"add":{"path":"${esc(a.path)}","rows":${a.rows},"schemaDdl":"${esc(a.schemaDdl)}","stats":${statsJson(a.stats)}}}"""
+  private def removeJson(p: String): String =
+    s"""{"remove":{"path":"${esc(p)}"}}"""
+  private def metaJson(m: LakeMeta): String = {
+    def arr(xs: Seq[String]) = xs.map(x => "\"" + esc(x) + "\"").mkString("[", ",", "]")
+    s"""{"meta":{"keyCols":${arr(m.keyCols)},"orderCol":"${esc(m.orderCol)}","liveCol":"${esc(m.liveCol)}","statsCols":${arr(m.statsCols)}}}"""
+  }
+
+  // Jackson ships with Spark; thread-safe after construction
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def parseStats(n: com.fasterxml.jackson.databind.JsonNode)
+      : Map[String, ColStats] =
+    n.properties().asScala.map { e =>
+      val v = e.getValue
+      def opt(f: String) =
+        if (v.get(f) == null || v.get(f).isNull) None else Some(v.get(f).asText)
+      e.getKey -> ColStats(v.get("typ").asText, opt("min"), opt("max"),
+        v.get("nulls").asLong)
+    }.toMap
+
+  private sealed trait Action
+  private final case class AddA(a: AddFile) extends Action
+  private final case class RemoveA(path: String) extends Action
+  private final case class MetaA(m: LakeMeta) extends Action
+
+  private def parseLine(line: String): Action = {
+    val n = mapper.readTree(line)
+    if (n.has("add")) {
+      val a = n.get("add")
+      AddA(AddFile(a.get("path").asText, a.get("rows").asLong,
+        a.get("schemaDdl").asText, parseStats(a.get("stats"))))
+    } else if (n.has("remove")) RemoveA(n.get("remove").get("path").asText)
+    else if (n.has("meta")) {
+      val m = n.get("meta")
+      def arr(f: String) = m.get(f).elements().asScala.map(_.asText).toSeq
+      MetaA(LakeMeta(arr("keyCols"), m.get("orderCol").asText,
+        m.get("liveCol").asText, arr("statsCols")))
+    } else throw new IllegalArgumentException(s"unknown lake action: $line")
+  }
+
+  private def readLogLines(spark: SparkSession, root: String,
+      v: Long): Seq[String] = {
+    val f = fs(spark, root)
+    val in = f.open(logFile(root, v))
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+    finally in.close()
+  }
+
+  // ------------------------------------------------------------ commit
+
+  /** Claim `v` atomically: temp write + rename WITHOUT overwrite — false
+    * when another writer already owns `v`. */
+  private def tryCommit(spark: SparkSession, root: String, v: Long,
+      lines: Seq[String]): Boolean = {
+    val f = fs(spark, root)
+    f.mkdirs(logDir(root))
+    val tmp = new Path(logDir(root), s".tmp-${UUID.randomUUID.toString.take(12)}")
+    val out = f.create(tmp, false)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    val fc = FileContext.getFileContext(new Path(root).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    try { fc.rename(tmp, logFile(root, v)); true }
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException
+           | _: java.nio.file.FileAlreadyExistsException
+           | _: org.apache.hadoop.fs.PathExistsException =>
+        f.delete(tmp, false); false
+    }
+  }
+
+  /** Create an empty table: commit version 0 carrying only the `meta`
+    * action. Throws if a log already exists at `root`. */
+  def create(spark: SparkSession, root: String, keyCols: Seq[String],
+      orderCol: String = "lsn", liveCol: String = "live",
+      statsCols: Seq[String] = Seq.empty): Unit = lockFor(root).synchronized {
+    require(listLogVersions(spark, root).isEmpty,
+      s"lake table already exists at $root")
+    val m = LakeMeta(keyCols, orderCol, liveCol, statsCols)
+    if (!tryCommit(spark, root, 0L, Seq(metaJson(m))))
+      throw new java.util.ConcurrentModificationException(
+        s"concurrent create at $root")
+  }
+
+  // ------------------------------------------------------------ replay
+
+  private def lastCheckpointVersion(spark: SparkSession,
+      root: String): Option[Long] = {
+    val f = fs(spark, root)
+    val p = lastCheckpointPtr(root)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        .trim.toLongOption
+      finally in.close()
+    }
+  }
+
+  private def readCheckpoint(spark: SparkSession, root: String,
+      v: Long): Seq[AddFile] =
+    spark.read.parquet(checkpointFile(root, v).toString)
+      .select("path", "rows", "schemaDdl", "stats").collect().toSeq
+      .map(r => AddFile(r.getString(0), r.getLong(1), r.getString(2),
+        parseStats(mapper.readTree(r.getString(3)))))
+      .sortBy(_.path)
+
+  /** Reconstruct the table state at `asOf` (default: the latest committed
+    * version): meta from commit 0, files from checkpoint + JSON tail
+    * replay. Versions are dense (each commit claims tip+1), so `asOf`
+    * beyond the tip throws rather than silently serving the tip. */
+  def state(spark: SparkSession, root: String,
+      asOf: Option[Long] = None): LakeState = {
+    val vs = listLogVersions(spark, root)
+    require(vs.nonEmpty, s"not a lake table (no _log): $root")
+    val latest = vs.max
+    val target = asOf.getOrElse(latest)
+    require(target >= 0L && target <= latest,
+      s"version $target not committed at $root (latest=$latest)")
+    val meta = readLogLines(spark, root, 0L).map(parseLine).collectFirst {
+      case MetaA(m) => m
+    }.getOrElse(throw new IllegalStateException(s"no meta action in $root v0"))
+    val cp = lastCheckpointVersion(spark, root).filter(_ <= target)
+    val files = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    cp.foreach(v => readCheckpoint(spark, root, v).foreach(a => files += a.path -> a))
+    val from = cp.map(_ + 1).getOrElse(0L)
+    (from to target).foreach { v =>
+      readLogLines(spark, root, v).map(parseLine).foreach {
+        case AddA(a)     => files += a.path -> a
+        case RemoveA(p)  => files -= p
+        case MetaA(_)    => () // immutable after v0
+      }
+    }
+    LakeState(target, meta, files.values.toSeq)
+  }
+
+  // ------------------------------------------------------------ write
+
+  /** Write `df` as fresh immutable files under `root/data/` and return
+    * their add actions: ONE distributed write + ONE distributed stats
+    * job grouped by `_metadata.file_path` (min/max/nulls per stats
+    * column, row count) — never a per-file driver loop over data. */
+  private def writeData(df: DataFrame, root: String,
+      statsCols: Seq[String]): Seq[AddFile] = {
+    val spark = df.sparkSession
+    val f = fs(spark, root)
+    val tmp = new Path(root, s"_tmp-${UUID.randomUUID.toString.take(12)}")
+    df.write.parquet(tmp.toString)
+    f.mkdirs(new Path(root, "data"))
+    val rels = f.listStatus(tmp).toSeq
+      .filter(s => s.getPath.getName.startsWith("part-")
+        && s.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val rel = s"data/${UUID.randomUUID.toString}.parquet"
+        f.rename(st.getPath, new Path(root, rel))
+        rel
+      }
+    f.delete(tmp, true)
+    if (rels.isEmpty) return Seq.empty
+    val present = statsCols.filter(df.columns.contains)
+    val typOf = present.map(c => c -> df.schema(c).dataType.simpleString).toMap
+    val read = spark.read.parquet(rels.map(r => new Path(root, r).toString): _*)
+    val aggs = count(lit(1)).as("__rows") +: present.flatMap(c => Seq(
+      min(col(c)).cast("string").as(s"__min_$c"),
+      max(col(c)).cast("string").as(s"__max_$c"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c")))
+    val byFile = read
+      .groupBy(col("_metadata.file_path").as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        val uri = r.getAs[String]("__f")
+        val stats = present.map { c =>
+          c -> ColStats(typOf(c),
+            Option(r.getAs[String](s"__min_$c")),
+            Option(r.getAs[String](s"__max_$c")),
+            r.getAs[Long](s"__nulls_$c"))
+        }.toMap
+        uri -> (r.getAs[Long]("__rows"), stats)
+      }.toMap
+    val ddl = df.schema.toDDL
+    rels.flatMap { rel =>
+      val name = rel.stripPrefix("data/")
+      byFile.collectFirst { case (uri, (rows, st)) if uri.endsWith("/" + name) =>
+        AddFile(rel, rows, ddl, st)
+      } // a file the stats job produced no group for is empty: drop it
+        .filter(_.rows > 0L)
+        .orElse { f.delete(new Path(root, rel), false); None }
+    }
+  }
+
+  /** Blind append: no read-set, so a lost race just retries on the new
+    * tip — two concurrent appends both land, at consecutive versions. */
+  def append(df: DataFrame, root: String): Long = {
+    val spark = df.sparkSession
+    val adds = writeData(df, root, state(spark, root).meta.statsCols)
+    val lines = adds.map(addJson)
+    var attempts = 0
+    while (attempts < 1000) {
+      lockFor(root).synchronized {
+        val v = listLogVersions(spark, root).max + 1
+        if (tryCommit(spark, root, v, lines)) return v
+      }
+      attempts += 1
+    }
+    throw new IllegalStateException(s"append lost $attempts races at $root")
+  }
+
+  // ------------------------------------------------------------ read
+
+  private def readFiles(spark: SparkSession, root: String,
+      files: Seq[AddFile]): DataFrame = {
+    require(files.nonEmpty, "readFiles on an empty file set")
+    // group by schema VINTAGE (DDL recorded at write time — no footer
+    // reads): one multi-path scan per vintage, widened by name. Additive
+    // evolution (C15 world) reads seamlessly; order deterministic.
+    files.groupBy(_.schemaDdl).toSeq.sortBy(_._1)
+      .map { case (_, fs) =>
+        spark.read.parquet(
+          fs.map(a => new Path(root, a.path).toString).sorted: _*)
+      }
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** The committed snapshot (all stored rows — MERGE tombstones included;
+    * callers filter on `liveCol` for the live view, exactly like
+    * [[graft.streaming.PartitionedSnapshotStore]] readers). */
+  def snapshot(spark: SparkSession, root: String): DataFrame = {
+    val st = state(spark, root)
+    if (st.files.isEmpty) emptyLike(spark, st)
+    else readFiles(spark, root, st.files)
+  }
+
+  /** Time travel: the table exactly as of committed `version`. Data files
+    * are immutable and [[vacuum]]-protected for the retention window, so
+    * this is a log-prefix replay plus the same pruned read. */
+  def readAsOf(spark: SparkSession, root: String, version: Long): DataFrame = {
+    val st = state(spark, root, Some(version))
+    if (st.files.isEmpty) emptyLike(spark, st)
+    else readFiles(spark, root, st.files)
+  }
+
+  private def emptyLike(spark: SparkSession, st: LakeState): DataFrame = {
+    // schema from the newest add ever logged, else just the key columns
+    val ddl = st.files.lastOption.map(_.schemaDdl)
+      .getOrElse(st.meta.keyCols.map(k => s"$k BIGINT").mkString(", "))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType.fromDDL(ddl))
+  }
+
+  // ------------------------------------------------------- file skipping
+
+  private def numericTyp(t: String): Boolean =
+    Set("tinyint", "smallint", "int", "bigint", "float", "double").contains(t) ||
+      t.startsWith("decimal")
+
+  private def cmpVals(typ: String, a: String, b: String): Int =
+    if (numericTyp(typ)) BigDecimal(a).compare(BigDecimal(b))
+    else a.compareTo(b)
+
+  // the attribute side may be wrapped in analyzer-inserted Casts; the
+  // type GATE in `bound` (numeric-vs-numeric, string-vs-string) keeps
+  // looking through them sound — a cast that changes the comparison
+  // domain (string→date etc.) fails the gate and keeps the file
+  private def attName(e: Expression): Option[String] = e match {
+    case a: AttributeReference => Some(a.name)
+    case u: UnresolvedAttribute => Some(u.name)
+    case c: org.apache.spark.sql.catalyst.expressions.Cast => attName(c.child)
+    case _ => None
+  }
+  // a comparison's literal side after analysis is foldable (Literal, or
+  // Cast(Literal) from type coercion): evaluate it once, keep its type
+  private def litVal(e: Expression): Option[(String, org.apache.spark.sql.types.DataType)] =
+    e match {
+      case _ if e.foldable =>
+        Option(e.eval(org.apache.spark.sql.catalyst.InternalRow.empty))
+          .map(v => (v.toString, e.dataType))
+      case _ => None
+    }
+
+  /** Conservative may-match test of `pred` against one file's stats:
+    * prunes only on conjunctions/disjunctions of {=, <, <=, >, >=}
+    * between a stats column and a literal; anything else keeps the file.
+    * All-NULL columns (min/max absent) keep the file — IS NULL probes
+    * must still find it. */
+  private def mayMatch(pred: Expression,
+      stats: Map[String, ColStats]): Boolean = {
+    def bound(c: Expression, l: Expression): Option[(ColStats, String)] =
+      for {
+        n <- attName(c); (v, dt) <- litVal(l); s <- stats.get(n)
+        if s.min.isDefined && s.max.isDefined
+        // domain gate: prune only when the literal compares in the same
+        // domain the stats were recorded in
+        if (numericTyp(s.typ) && dt.isInstanceOf[org.apache.spark.sql.types.NumericType]) ||
+          (s.typ == "string" && dt == org.apache.spark.sql.types.StringType)
+      } yield (s, v)
+    def may(e: Expression): Boolean = e match {
+      case And(l, r) => may(l) && may(r)
+      case Or(l, r)  => may(l) || may(r)
+      case EqualTo(c, l) => bound(c, l).orElse(bound(l, c)).forall {
+        case (s, v) => cmpVals(s.typ, v, s.min.get) >= 0 &&
+          cmpVals(s.typ, v, s.max.get) <= 0
+      }
+      case GreaterThan(c, l) =>
+        bound(c, l).forall { case (s, v) => cmpVals(s.typ, s.max.get, v) > 0 } &&
+        bound(l, c).forall { case (s, v) => cmpVals(s.typ, s.min.get, v) < 0 }
+      case GreaterThanOrEqual(c, l) =>
+        bound(c, l).forall { case (s, v) => cmpVals(s.typ, s.max.get, v) >= 0 } &&
+        bound(l, c).forall { case (s, v) => cmpVals(s.typ, s.min.get, v) <= 0 }
+      case LessThan(c, l) =>
+        bound(c, l).forall { case (s, v) => cmpVals(s.typ, s.min.get, v) < 0 } &&
+        bound(l, c).forall { case (s, v) => cmpVals(s.typ, s.max.get, v) > 0 }
+      case LessThanOrEqual(c, l) =>
+        bound(c, l).forall { case (s, v) => cmpVals(s.typ, s.min.get, v) <= 0 } &&
+        bound(l, c).forall { case (s, v) => cmpVals(s.typ, s.max.get, v) >= 0 }
+      case _ => true
+    }
+    may(pred)
+  }
+
+  /** Stats-pruned filtered read: open only the files whose min/max ranges
+    * can satisfy `pred`, then apply `pred` exactly. The pruning is the
+    * log's job, not the scanner's — at 100 TB this is the difference
+    * between listing-then-opening every file and opening the few whose
+    * key range overlaps the predicate. */
+  def scan(spark: SparkSession, root: String, pred: Column): LakeScan = {
+    val st = state(spark, root)
+    // resolve the predicate against the table schema ONCE (no data file
+    // opened): the analyzed Filter condition is plain Catalyst — typed
+    // attributes, coercion casts, foldable literal sides — which is what
+    // [[mayMatch]] walks. Analysis failures (unknown column) throw here,
+    // loudly, instead of silently disabling pruning.
+    val predExpr = emptyLike(spark, st).filter(pred)
+      .queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }.getOrElse(org.apache.spark.sql.GraftBridge.expression(pred))
+    val kept = st.files.filter(a => mayMatch(predExpr, a.stats))
+    val df =
+      if (kept.isEmpty) emptyLike(spark, st).filter(pred)
+      else readFiles(spark, root, kept).filter(pred)
+    LakeScan(df, kept.size.toLong, st.files.size.toLong)
+  }
+
+  // ------------------------------------------------------------ merge
+
+  /** Transactional CDC MERGE: fold `updates` (one row per key, carrying
+    * `meta.orderCol` and `meta.liveCol` — the
+    * [[graft.operators.Cdc.snapshotWithTombstones]] shape) into the
+    * table, rewriting ONLY the files that contain touched keys.
+    *
+    * Steps: (1) stats-prune candidate files by the updates' key range;
+    * (2) confirm with one key-probe scan over the candidates
+    * (`_metadata.file_path` semi-joined against the broadcast key set) —
+    * the touched set; (3) fold stored-touched ∪ updates to the newest
+    * row per key (orderCol DESC, updates outrank stored on ties), KEEPING
+    * tombstones — a late-arriving stale event must lose to a stored
+    * delete, so deletes stay materialized until [[vacuum]]-era compaction;
+    * (4) write the folded rows as fresh files and commit add(new) +
+    * remove(touched).
+    *
+    * Concurrency: the commit claims exactly read-version+1. Any
+    * intervening commit aborts with ConcurrentModificationException —
+    * the rewrite was derived from a superseded snapshot (Delta's
+    * write-serializable rule for non-blind transactions); the caller
+    * re-runs the merge, which re-reads the new tip.
+    */
+  def merge(updates: DataFrame, root: String): Long = {
+    val spark = updates.sparkSession
+    val st = state(spark, root)
+    val m = st.meta
+    (m.keyCols :+ m.orderCol :+ m.liveCol).foreach(c =>
+      require(updates.columns.contains(c), s"merge updates missing column $c"))
+    // (1) candidate files by single-key range overlap (conservative:
+    // composite keys or missing stats keep everything)
+    val cands: Seq[AddFile] =
+      if (m.keyCols.size != 1) st.files
+      else {
+        val k = m.keyCols.head
+        val r = updates.agg(min(col(k)).cast("string").as("lo"),
+          max(col(k)).cast("string").as("hi")).head()
+        if (r.isNullAt(0)) Seq.empty // empty updates touch nothing
+        else {
+          val (lo, hi) = (r.getString(0), r.getString(1))
+          st.files.filter { a =>
+            a.stats.get(k) match {
+              case Some(s) if s.min.isDefined && s.max.isDefined =>
+                !(cmpVals(s.typ, s.max.get, lo) < 0 ||
+                  cmpVals(s.typ, s.min.get, hi) > 0)
+              case _ => true
+            }
+          }
+        }
+      }
+    // (2) exact touched set: one scan over candidates, keys broadcast
+    val touched: Seq[AddFile] =
+      if (cands.isEmpty) Seq.empty
+      else {
+        val keySet = updates.select(m.keyCols.map(col): _*).distinct()
+        val hit = spark.read
+          .parquet(cands.map(a => new Path(root, a.path).toString): _*)
+          .select(col("_metadata.file_path").as("__f") +: m.keyCols.map(col): _*)
+          .join(broadcast(keySet), m.keyCols, "left_semi")
+          .select("__f").distinct().collect().map(_.getString(0)).toSet
+        cands.filter(a => hit.exists(_.endsWith("/" +
+          a.path.stripPrefix("data/"))))
+      }
+    // (3) fold: newest row per key wins; updates outrank stored on an
+    // orderCol tie so a replayed batch is idempotent
+    val stored =
+      if (touched.isEmpty) None else Some(readFiles(spark, root, touched))
+    val unioned = stored match {
+      case Some(s) => s.withColumn("__src", lit(0))
+        .unionByName(updates.withColumn("__src", lit(1)),
+          allowMissingColumns = true)
+      case None => updates.withColumn("__src", lit(1))
+    }
+    val w = Window.partitionBy(m.keyCols.map(col): _*)
+      .orderBy(col(m.orderCol).desc, col("__src").desc)
+    val folded = unioned
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__src")
+    val adds = writeData(folded, root, m.statsCols)
+    // (4) strict optimistic commit at read-version + 1
+    val lines = touched.map(a => removeJson(a.path)) ++ adds.map(addJson)
+    lockFor(root).synchronized {
+      val tip = listLogVersions(spark, root).max
+      if (tip != st.version || !tryCommit(spark, root, st.version + 1, lines)) {
+        // our rewrite is stale: drop the files it staged and abort
+        val f = fs(spark, root)
+        adds.foreach(a => f.delete(new Path(root, a.path), false))
+        throw new java.util.ConcurrentModificationException(
+          s"merge read v${st.version} but tip moved at $root — re-run")
+      }
+    }
+    st.version + 1
+  }
+
+  // ------------------------------------------------------- maintenance
+
+  /** Write a parquet checkpoint of the CURRENT state and point
+    * `_last_checkpoint` at it: replay afterwards reads one parquet file
+    * plus the JSON tail. JSON commits are retained (they stay the source
+    * of truth for time travel and audits); the checkpoint is purely a
+    * replay accelerator. Returns the checkpointed version. */
+  def checkpoint(spark: SparkSession, root: String): Long = {
+    val st = state(spark, root)
+    import spark.implicits._
+    st.files.map(a => (a.path, a.rows, a.schemaDdl, statsJson(a.stats)))
+      .toDF("path", "rows", "schemaDdl", "stats")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(checkpointFile(root, st.version).toString)
+    // pointer publish: tmp + rename-with-overwrite (atomic on HDFS/local;
+    // single atomic PUT on object stores) — the SnapshotStore discipline
+    val f = fs(spark, root)
+    val tmp = new Path(logDir(root), s".cp-${UUID.randomUUID.toString.take(8)}")
+    val out = f.create(tmp, true)
+    try out.write(st.version.toString.getBytes("UTF-8")) finally out.close()
+    val fc = FileContext.getFileContext(new Path(root).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, lastCheckpointPtr(root), Options.Rename.OVERWRITE)
+    st.version
+  }
+
+  /** Reclaim data files unreferenced by every retained snapshot (the
+    * newest `keepVersions` versions stay time-travelable) and sweep
+    * crashed-writer `_tmp-*` staging debris. `olderThanMs` is the
+    * in-flight-writer guard: a file younger than it is NEVER deleted even
+    * if unreferenced, because a concurrent writer may have staged it for
+    * a commit that hasn't claimed its log slot yet (production keeps
+    * hours here; single-writer tests pass 0). Returns the deleted
+    * relative paths. */
+  def vacuum(spark: SparkSession, root: String, keepVersions: Int,
+      olderThanMs: Long = 3600L * 1000): Seq[String] = {
+    require(keepVersions >= 1, "must retain at least the current version")
+    val f = fs(spark, root)
+    val latest = state(spark, root).version
+    val floor = math.max(0L, latest - keepVersions + 1)
+    val referenced = (floor to latest)
+      .flatMap(v => state(spark, root, Some(v)).files.map(_.path)).toSet
+    val now = System.currentTimeMillis()
+    val dataDir = new Path(root, "data")
+    val deleted = (if (!f.exists(dataDir)) Seq.empty[String]
+      else f.listStatus(dataDir).toSeq
+        .filter(s => now - s.getModificationTime >= olderThanMs)
+        .map(s => s"data/${s.getPath.getName}")
+        .filterNot(referenced))
+      .map { rel => f.delete(new Path(root, rel), false); rel }
+    // crashed-writer staging dirs (data never referenced by any commit)
+    f.listStatus(new Path(root)).toSeq
+      .filter(s => s.getPath.getName.startsWith("_tmp-")
+        && now - s.getModificationTime >= olderThanMs)
+      .foreach(s => f.delete(s.getPath, true))
+    deleted
+  }
+}

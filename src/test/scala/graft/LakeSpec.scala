@@ -1,0 +1,211 @@
+package graft
+
+import java.nio.file.Files
+import java.util.ConcurrentModificationException
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.LakeFormat
+
+/** Protocol guarantees of [[graft.sources.LakeFormat]] — ACID commits over
+  * immutable files, optimistic concurrency, merge semantics, time travel,
+  * stats pruning, checkpoint replay, vacuum safety. These are the
+  * properties the oracle-checked lake_* catalog queries rely on but can't
+  * themselves witness (races, crashes, pruning ratios).
+  */
+class LakeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshRoot(): String = {
+    val p = Files.createTempDirectory("lake_spec")
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  private def rows(xs: (Long, Long, Boolean, String)*) =
+    xs.toSeq.toDF("id", "lsn", "live", "v")
+
+  test("create + append + snapshot round trip; double create throws") {
+    val root = freshRoot()
+    LakeFormat.create(spark, root, Seq("id"), statsCols = Seq("id"))
+    intercept[IllegalArgumentException](
+      LakeFormat.create(spark, root, Seq("id")))
+    val v = LakeFormat.append(rows((1L, 1L, true, "a"), (2L, 1L, true, "b")), root)
+    assert(v === 1L)
+    val got = LakeFormat.snapshot(spark, root)
+      .select("id", "v").as[(Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(1L -> "a", 2L -> "b"))
+  }
+
+  test("merge upserts, deletes tombstone, stale lsn loses, replay is idempotent") {
+    val root = freshRoot()
+    LakeFormat.create(spark, root, Seq("id"), statsCols = Seq("id"))
+    LakeFormat.merge(rows((1L, 10L, true, "a"), (2L, 10L, true, "b")), root)
+    // upsert id=1, delete id=2, insert id=3
+    val wave2 = rows((1L, 20L, true, "a2"), (2L, 20L, false, null.asInstanceOf[String]),
+      (3L, 20L, true, "c"))
+    LakeFormat.merge(wave2, root)
+    def live() = LakeFormat.snapshot(spark, root).filter(col("live"))
+      .select("id", "v").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(live() === Seq(1L -> "a2", 3L -> "c"))
+    // the tombstone is STORED (blocks resurrection), not just filtered
+    val stored = LakeFormat.snapshot(spark, root)
+      .select("id", "live").as[(Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(stored === Seq(1L -> true, 2L -> false, 3L -> true))
+    // a stale event (lsn 15 < stored 20) must lose to both the upsert and
+    // the tombstone — no resurrection, no rollback
+    LakeFormat.merge(rows((1L, 15L, true, "stale"), (2L, 15L, true, "ghost")), root)
+    assert(live() === Seq(1L -> "a2", 3L -> "c"))
+    // replaying wave2 verbatim is a no-op on the served state
+    LakeFormat.merge(wave2, root)
+    assert(live() === Seq(1L -> "a2", 3L -> "c"))
+  }
+
+  test("concurrent blind appends all land at distinct versions, no lost rows") {
+    val root = freshRoot()
+    LakeFormat.create(spark, root, Seq("id"), statsCols = Seq("id"))
+    val threads = (1 to 4).map { i =>
+      new Thread(() => {
+        LakeFormat.append(
+          Seq((i.toLong, 1L, true, s"t$i")).toDF("id", "lsn", "live", "v"), root)
+        ()
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val st = LakeFormat.state(spark, root)
+    assert(st.version === 4L) // versions 1..4 all claimed, densely
+    assert(LakeFormat.snapshot(spark, root).count() === 4L)
+  }
+
+  test("merge aborts with ConcurrentModificationException when the tip moves; re-run succeeds") {
+    val root = freshRoot()
+    LakeFormat.create(spark, root, Seq("id"), statsCols = Seq("id"))
+    LakeFormat.merge(rows((1L, 1L, true, "a")), root)
+    // simulate a racer: claim the next log slot between this merge's
+    // read (state at v1) and its commit — the merge below must abort,
+    // and the data files it staged must not leak into the snapshot
+    val st = LakeFormat.state(spark, root)
+    val racer = rows((9L, 1L, true, "racer"))
+    LakeFormat.append(racer, root) // tip is now v2
+    val before = LakeFormat.snapshot(spark, root).count()
+    // a merge planned against v1 would now mis-ground its rewrite; the
+    // public API re-reads the tip, so drive the race by interleaving two
+    // real merges: thread A reads, thread B commits, A commits second.
+    // Deterministic interleave: run B's full merge inside A's window via
+    // a planned-then-committed replica of merge's internals is private —
+    // so assert the OBSERVABLE contract instead: two threads merging
+    // concurrently → at least one succeeds; any loser throws CME and a
+    // re-run lands. State afterwards contains both key sets.
+    assert(st.version === 1L && before === 2L)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val ts = Seq(
+      rows((1L, 5L, true, "a5")),
+      rows((2L, 5L, true, "b5"))).zipWithIndex.map { case (df, i) =>
+      new Thread(() => {
+        try { LakeFormat.merge(df, root); results.add(s"ok$i") }
+        catch { case _: ConcurrentModificationException =>
+          results.add(s"cme$i")
+          LakeFormat.merge(df, root); results.add(s"retry$i")
+        }
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val r = results.asScala.toSeq
+    assert(r.count(_.startsWith("ok")) + r.count(_.startsWith("retry")) === 2)
+    val live = LakeFormat.snapshot(spark, root).filter(col("live"))
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(live(1L) === "a5" && live(2L) === "b5" && live(9L) === "racer")
+  }
+
+  test("time travel reads every historical version; beyond-tip throws") {
+    val root = freshRoot()
+    LakeFormat.create(spark, root, Seq("id"), statsCols = Seq("id"))
+    LakeFormat.merge(rows((1L, 1L, true, "v1")), root)
+    LakeFormat.merge(rows((1L, 2L, true, "v2")), root)
+    LakeFormat.merge(rows((1L, 3L, false, null.asInstanceOf[String])), root)
+    def at(v: Long) = LakeFormat.readAsOf(spark, root, v)
+      .filter(col("live")).select("v").as[String].collect().toSeq
+    assert(at(1) === Seq("v1"))
+    assert(at(2) === Seq("v2"))
+    assert(at(3) === Seq.empty) // tombstoned
+    assert(LakeFormat.readAsOf(spark, root, 0).count() === 0L) // pre-data
+    intercept[IllegalArgumentException](LakeFormat.readAsOf(spark, root, 4))
+  }
+
+  test("scan prunes files by log stats and misses no rows") {
+    val root = freshRoot()
+    LakeFormat.create(spark, root, Seq("id"), statsCols = Seq("id"))
+    // range layout: 8 near-disjoint files over id 0..7999
+    LakeFormat.append(
+      spark.range(8000).select(col("id"), lit(1L).as("lsn"),
+        lit(true).as("live"), (col("id") % 97).as("v"))
+        .repartitionByRange(8, col("id")), root)
+    val sc = LakeFormat.scan(spark, root, col("id") < lit(1000L))
+    assert(sc.totalFiles === 8L)
+    assert(sc.keptFiles < sc.totalFiles, s"no pruning: ${sc.keptFiles}/${sc.totalFiles}")
+    assert(sc.df.count() === 1000L)
+    // compound predicates: AND narrows, OR keeps the union
+    val both = LakeFormat.scan(spark, root,
+      col("id") >= lit(2000L) && col("id") < lit(3000L))
+    assert(both.keptFiles <= 2L && both.df.count() === 1000L)
+    val disj = LakeFormat.scan(spark, root,
+      col("id") < lit(500L) || col("id") >= lit(7500L))
+    assert(disj.keptFiles < disj.totalFiles && disj.df.count() === 1000L)
+    // un-prunable predicate keeps everything (conservative, never wrong)
+    val full = LakeFormat.scan(spark, root, (col("id") % 2) === lit(0L))
+    assert(full.keptFiles === full.totalFiles && full.df.count() === 4000L)
+  }
+
+  test("checkpoint accelerates replay without changing any read") {
+    val root = freshRoot()
+    LakeFormat.create(spark, root, Seq("id"), statsCols = Seq("id"))
+    (1 to 5).foreach(i => LakeFormat.merge(rows((i.toLong, i.toLong, true, s"r$i")), root))
+    val before = LakeFormat.snapshot(spark, root).filter(col("live")).count()
+    val cv = LakeFormat.checkpoint(spark, root)
+    assert(cv === 5L)
+    // post-checkpoint commits replay as the JSON tail on top of it
+    LakeFormat.merge(rows((6L, 6L, true, "r6")), root)
+    assert(LakeFormat.snapshot(spark, root).filter(col("live")).count() === before + 1)
+    // time travel to a pre-checkpoint version still replays the raw log
+    assert(LakeFormat.readAsOf(spark, root, 2L).filter(col("live")).count() === 2L)
+  }
+
+  test("vacuum reclaims only out-of-retention files; retained time travel survives; torn staging is swept") {
+    val root = freshRoot()
+    LakeFormat.create(spark, root, Seq("id"), statsCols = Seq("id"))
+    LakeFormat.merge(rows((1L, 1L, true, "v1")), root)  // v1
+    LakeFormat.merge(rows((1L, 2L, true, "v2")), root)  // v2 rewrites v1's file
+    LakeFormat.merge(rows((1L, 3L, true, "v3")), root)  // v3 rewrites v2's
+    // a crashed writer's staging dir: data written, commit never claimed
+    val torn = new java.io.File(root, "_tmp-deadbeef")
+    assert(torn.mkdirs())
+    val deleted = LakeFormat.vacuum(spark, root, keepVersions = 2, olderThanMs = 0L)
+    assert(!torn.exists(), "torn staging dir must be swept")
+    assert(deleted.nonEmpty, "v1's rewritten file is out of retention")
+    // retained reads are intact...
+    assert(LakeFormat.readAsOf(spark, root, 2L).select("v").as[String].collect()
+      .toSeq === Seq("v2"))
+    assert(LakeFormat.snapshot(spark, root).select("v").as[String].collect()
+      .toSeq === Seq("v3"))
+    // ...and the in-flight-writer guard refuses young files even when
+    // unreferenced: nothing young is ever deleted with the default guard
+    LakeFormat.merge(rows((1L, 4L, true, "v4")), root)
+    assert(LakeFormat.vacuum(spark, root, keepVersions = 1).isEmpty)
+  }
+
+  test("additive schema evolution: a new column appends and reads back widened") {
+    val root = freshRoot()
+    LakeFormat.create(spark, root, Seq("id"), statsCols = Seq("id"))
+    LakeFormat.append(rows((1L, 1L, true, "old")), root)
+    LakeFormat.append(
+      Seq((2L, 1L, true, "new", 42L)).toDF("id", "lsn", "live", "v", "extra"), root)
+    val snap = LakeFormat.snapshot(spark, root)
+    assert(snap.columns.contains("extra"))
+    val got = snap.select("id", "extra").as[(Long, Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(got === Seq(1L -> None, 2L -> Some(42L)))
+  }
+}
