@@ -119,13 +119,53 @@ object Lake {
       |FROM lineitem WHERE l_orderkey <= 1000
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Staged z-ordered lineitem lake: appended in the source's own layout
+    * (interleaved key ranges — every file overlaps every predicate), then
+    * OPTIMIZE'd on the Morton z-value of (l_orderkey, l_partkey) — the
+    * multi-dimensional clustering that makes per-file min/max stats prune
+    * on BOTH dimensions (a single-column sort prunes only its own).
+    * 21 interleave bits cover key domains to 2M (the fixture SF ceiling;
+    * a production table sizes bits to its domain). */
+  def stagedZorderLakeRoot(spark: SparkSession, dir: String): String =
+    Staged(spark, s"lake_zorder:$dir") {
+      val root = tempRoot("graft_lake_z")
+      LakeFormat.create(spark, root, keyCols = Seq("l_orderkey"),
+        orderCol = "l_orderkey", liveCol = "live",
+        statsCols = Seq("l_orderkey", "l_partkey"))
+      LakeFormat.append(Tables.lineitem(spark, dir), root)
+      LakeFormat.optimize(spark, root,
+        Seq(Partitioning.zValue(col("l_orderkey"), col("l_partkey"), bits = 21)),
+        targetFiles = 8)
+      spark.range(1).select(lit(root).as("root"))
+    }.head().getString(0)
+
+  /** Two-dimensional predicate over the z-ordered layout: the oracle
+    * proves the pruned read misses no row; LakeSpec asserts the pruning
+    * ratio on both dimensions independently. */
+  val lakeZorderScan: Q = (spark, dir) => {
+    val root = stagedZorderLakeRoot(spark, dir)
+    LakeFormat.scan(spark, root,
+      col("l_orderkey") <= lit(1500L) && col("l_partkey") <= lit(100L)).df
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+  val lakeZorderScanSql: String =
+    """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem WHERE l_orderkey <= 1500 AND l_partkey <= 100
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "lake_cdc_snapshot" -> lakeCdcSnapshot,
     "lake_time_travel" -> lakeTimeTravel,
-    "lake_prune_scan" -> lakePruneScan)
+    "lake_prune_scan" -> lakePruneScan,
+    "lake_zorder_scan" -> lakeZorderScan)
 
   val oracle: Map[String, String] = Map(
     "lake_cdc_snapshot" -> Cdc.cdcSnapshotSql,
     "lake_time_travel" -> lakeTimeTravelSql,
-    "lake_prune_scan" -> lakePruneScanSql)
+    "lake_prune_scan" -> lakePruneScanSql,
+    "lake_zorder_scan" -> lakeZorderScanSql)
 }

@@ -80,8 +80,13 @@ object LakeFormat {
   final case class LakeMeta(keyCols: Seq[String], orderCol: String,
       liveCol: String, statsCols: Seq[String])
 
+  /** `txns` carries the highest applied transaction version per writer
+    * application id (the Delta `txn` action): a streaming sink commits
+    * its (appId, batchId) marker ATOMICALLY with the batch's merge, so a
+    * crash replay of the same micro-batch reads the marker and no-ops —
+    * exactly-once without a second coordination system. */
   final case class LakeState(version: Long, meta: LakeMeta,
-      files: Seq[AddFile])
+      files: Seq[AddFile], txns: Map[String, Long] = Map.empty)
 
   /** A pruned read: `df` is the filtered scan over `keptFiles` of the
     * snapshot's `totalFiles` — the skipping ratio is the caller-visible
@@ -138,6 +143,8 @@ object LakeFormat {
     s"""{"add":{"path":"${esc(a.path)}","rows":${a.rows},"schemaDdl":"${esc(a.schemaDdl)}","stats":${statsJson(a.stats)}}}"""
   private def removeJson(p: String): String =
     s"""{"remove":{"path":"${esc(p)}"}}"""
+  private def txnJson(appId: String, version: Long): String =
+    s"""{"txn":{"appId":"${esc(appId)}","version":$version}}"""
   private def metaJson(m: LakeMeta): String = {
     def arr(xs: Seq[String]) = xs.map(x => "\"" + esc(x) + "\"").mkString("[", ",", "]")
     s"""{"meta":{"keyCols":${arr(m.keyCols)},"orderCol":"${esc(m.orderCol)}","liveCol":"${esc(m.liveCol)}","statsCols":${arr(m.statsCols)}}}"""
@@ -160,6 +167,7 @@ object LakeFormat {
   private final case class AddA(a: AddFile) extends Action
   private final case class RemoveA(path: String) extends Action
   private final case class MetaA(m: LakeMeta) extends Action
+  private final case class TxnA(appId: String, version: Long) extends Action
 
   private def parseLine(line: String): Action = {
     val n = mapper.readTree(line)
@@ -168,6 +176,8 @@ object LakeFormat {
       AddA(AddFile(a.get("path").asText, a.get("rows").asLong,
         a.get("schemaDdl").asText, parseStats(a.get("stats"))))
     } else if (n.has("remove")) RemoveA(n.get("remove").get("path").asText)
+    else if (n.has("txn"))
+      TxnA(n.get("txn").get("appId").asText, n.get("txn").get("version").asLong)
     else if (n.has("meta")) {
       val m = n.get("meta")
       def arr(f: String) = m.get(f).elements().asScala.map(_.asText).toSeq
@@ -236,13 +246,23 @@ object LakeFormat {
     }
   }
 
+  // checkpoint rows are a tagged union: kind=add carries a file entry,
+  // kind=txn an (appId, version) high-water mark — txn state MUST ride
+  // the checkpoint or a replay-from-checkpoint would forget applied
+  // batches and double-merge them
   private def readCheckpoint(spark: SparkSession, root: String,
-      v: Long): Seq[AddFile] =
-    spark.read.parquet(checkpointFile(root, v).toString)
-      .select("path", "rows", "schemaDdl", "stats").collect().toSeq
-      .map(r => AddFile(r.getString(0), r.getLong(1), r.getString(2),
-        parseStats(mapper.readTree(r.getString(3)))))
+      v: Long): (Seq[AddFile], Map[String, Long]) = {
+    val rows = spark.read.parquet(checkpointFile(root, v).toString)
+      .select("kind", "path", "rows", "schemaDdl", "stats", "appId",
+        "txnVersion").collect().toSeq
+    val adds = rows.filter(_.getString(0) == "add")
+      .map(r => AddFile(r.getString(1), r.getLong(2), r.getString(3),
+        parseStats(mapper.readTree(r.getString(4)))))
       .sortBy(_.path)
+    val txns = rows.filter(_.getString(0) == "txn")
+      .map(r => r.getString(5) -> r.getLong(6)).toMap
+    (adds, txns)
+  }
 
   /** Reconstruct the table state at `asOf` (default: the latest committed
     * version): meta from commit 0, files from checkpoint + JSON tail
@@ -261,16 +281,23 @@ object LakeFormat {
     }.getOrElse(throw new IllegalStateException(s"no meta action in $root v0"))
     val cp = lastCheckpointVersion(spark, root).filter(_ <= target)
     val files = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
-    cp.foreach(v => readCheckpoint(spark, root, v).foreach(a => files += a.path -> a))
+    val txns = scala.collection.mutable.Map.empty[String, Long]
+    cp.foreach { v =>
+      val (adds, cpTxns) = readCheckpoint(spark, root, v)
+      adds.foreach(a => files += a.path -> a)
+      txns ++= cpTxns
+    }
     val from = cp.map(_ + 1).getOrElse(0L)
     (from to target).foreach { v =>
       readLogLines(spark, root, v).map(parseLine).foreach {
         case AddA(a)     => files += a.path -> a
         case RemoveA(p)  => files -= p
+        case TxnA(app, tv) =>
+          txns.updateWith(app)(p => Some(p.fold(tv)(math.max(_, tv))))
         case MetaA(_)    => () // immutable after v0
       }
     }
-    LakeState(target, meta, files.values.toSeq)
+    LakeState(target, meta, files.values.toSeq, txns.toMap)
   }
 
   // ------------------------------------------------------------ write
@@ -503,9 +530,14 @@ object LakeFormat {
     * write-serializable rule for non-blind transactions); the caller
     * re-runs the merge, which re-reads the new tip.
     */
-  def merge(updates: DataFrame, root: String): Long = {
+  def merge(updates: DataFrame, root: String,
+      txn: Option[(String, Long)] = None): Long = {
     val spark = updates.sparkSession
     val st = state(spark, root)
+    // exactly-once gate: a replayed (appId, batchVersion) at-or-below the
+    // committed high-water mark already landed — no-op, same answer
+    if (txn.exists { case (app, tv) => st.txns.get(app).exists(_ >= tv) })
+      return st.version
     val m = st.meta
     (m.keyCols :+ m.orderCol :+ m.liveCol).foreach(c =>
       require(updates.columns.contains(c), s"merge updates missing column $c"))
@@ -560,19 +592,50 @@ object LakeFormat {
       .filter(col("__rn") === 1)
       .drop("__rn", "__src")
     val adds = writeData(folded, root, m.statsCols)
-    // (4) strict optimistic commit at read-version + 1
-    val lines = touched.map(a => removeJson(a.path)) ++ adds.map(addJson)
+    // (4) strict optimistic commit at read-version + 1 — the txn marker
+    // rides the same atomic commit as the data it marks applied
+    val lines = touched.map(a => removeJson(a.path)) ++ adds.map(addJson) ++
+      txn.map { case (app, tv) => txnJson(app, tv) }
+    strictCommit(spark, root, st.version, lines, adds, "merge")
+  }
+
+  /** Commit `lines` at exactly `readVersion + 1`, aborting (and dropping
+    * the staged `adds`) when any other commit intervened — the
+    * write-serializable rule for transactions with a read-set. */
+  private def strictCommit(spark: SparkSession, root: String,
+      readVersion: Long, lines: Seq[String], adds: Seq[AddFile],
+      what: String): Long = {
     lockFor(root).synchronized {
       val tip = listLogVersions(spark, root).max
-      if (tip != st.version || !tryCommit(spark, root, st.version + 1, lines)) {
+      if (tip != readVersion ||
+          !tryCommit(spark, root, readVersion + 1, lines)) {
         // our rewrite is stale: drop the files it staged and abort
         val f = fs(spark, root)
         adds.foreach(a => f.delete(new Path(root, a.path), false))
         throw new java.util.ConcurrentModificationException(
-          s"merge read v${st.version} but tip moved at $root — re-run")
+          s"$what read v$readVersion but tip moved at $root — re-run")
       }
     }
-    st.version + 1
+    readVersion + 1
+  }
+
+  /** OPTIMIZE: rewrite the current live file set into `targetFiles`
+    * range-partitioned by `layout` (pass one column for a sorted layout,
+    * or a Morton/z-value column for multi-dimensional clustering) — the
+    * compaction that makes stats pruning effective after many small
+    * merges, and the small-files repair for a long-lived table. Data is
+    * unchanged (same rows, tombstones included); only the file layout
+    * and its per-file stats move. Commits under the same strict rule as
+    * merge: any concurrent commit aborts the rewrite, nothing is lost. */
+  def optimize(spark: SparkSession, root: String, layout: Seq[Column],
+      targetFiles: Int): Long = {
+    val st = state(spark, root)
+    if (st.files.isEmpty) return st.version
+    val df = readFiles(spark, root, st.files)
+      .repartitionByRange(targetFiles, layout: _*)
+    val adds = writeData(df, root, st.meta.statsCols)
+    val lines = st.files.map(a => removeJson(a.path)) ++ adds.map(addJson)
+    strictCommit(spark, root, st.version, lines, adds, "optimize")
   }
 
   // ------------------------------------------------------- maintenance
@@ -585,8 +648,14 @@ object LakeFormat {
   def checkpoint(spark: SparkSession, root: String): Long = {
     val st = state(spark, root)
     import spark.implicits._
-    st.files.map(a => (a.path, a.rows, a.schemaDdl, statsJson(a.stats)))
-      .toDF("path", "rows", "schemaDdl", "stats")
+    val addRows = st.files.map(a => ("add", a.path, a.rows, a.schemaDdl,
+      statsJson(a.stats), "", 0L))
+    val txnRows = st.txns.toSeq.sortBy(_._1).map { case (app, tv) =>
+      ("txn", "", 0L, "", "{}", app, tv)
+    }
+    (addRows ++ txnRows)
+      .toDF("kind", "path", "rows", "schemaDdl", "stats", "appId",
+        "txnVersion")
       .coalesce(1).write.mode("overwrite")
       .parquet(checkpointFile(root, st.version).toString)
     // pointer publish: tmp + rename-with-overwrite (atomic on HDFS/local;

@@ -196,6 +196,97 @@ class LakeSpec extends AnyFunSuite {
     assert(LakeFormat.vacuum(spark, root, keepVersions = 1).isEmpty)
   }
 
+  test("txn marker makes merge exactly-once: replayed batches no-op, even from a checkpoint") {
+    val root = freshRoot()
+    LakeFormat.create(spark, root, Seq("id"), statsCols = Seq("id"))
+    val b1 = rows((1L, 1L, true, "a"), (2L, 1L, true, "b"))
+    val b2 = rows((1L, 2L, true, "a2"))
+    def live() = LakeFormat.snapshot(spark, root).filter(col("live"))
+      .select("id", "v").as[(Long, String)].collect().sortBy(_._1).toSeq
+    val v1 = LakeFormat.merge(b1, root, txn = Some(("app", 1L)))
+    // immediate replay: version unchanged, state unchanged
+    assert(LakeFormat.merge(b1, root, txn = Some(("app", 1L))) === v1)
+    assert(LakeFormat.state(spark, root).version === v1)
+    // txn survives the checkpoint: replay AFTER checkpointing must still
+    // no-op (the marker rides the parquet checkpoint, not just the JSONs)
+    LakeFormat.checkpoint(spark, root)
+    assert(LakeFormat.merge(b1, root, txn = Some(("app", 1L))) === v1)
+    val v2 = LakeFormat.merge(b2, root, txn = Some(("app", 2L)))
+    assert(v2 === v1 + 1)
+    // a LATE replay of batch 1 (marker below the high-water mark) no-ops
+    // instead of resurrecting the pre-update row
+    assert(LakeFormat.merge(b1, root, txn = Some(("app", 1L))) === v2)
+    assert(live() === Seq(1L -> "a2", 2L -> "b"))
+    // a DIFFERENT app id is not gated by this app's marker
+    LakeFormat.merge(rows((3L, 1L, true, "c")), root, txn = Some(("other", 1L)))
+    assert(live() === Seq(1L -> "a2", 2L -> "b", 3L -> "c"))
+  }
+
+  test("streaming cdcApply lands envelope batches in the lake exactly like the batch fold") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val root = freshRoot()
+    LakeFormat.create(spark, root, Seq("id"), statsCols = Seq("id"))
+    case class Raw(id: Long, lsn: Long, op: String, fn: String)
+    val mem = MemoryStream[(Long, Long, String, String)]
+    def toEnvelope(df: org.apache.spark.sql.DataFrame) = {
+      val img = struct(col("_1").as("id"), col("_4").as("first_name"),
+        lit("ln").as("last_name"), lit("em").as("email"))
+      df.select(
+        when(col("_3") === "d", img).as("before"),
+        when(col("_3") =!= "d", img).as("after"),
+        struct(col("_2").as("lsn")).as("source"),
+        col("_3").as("op"))
+    }
+    val ck = Files.createTempDirectory("lake_ck").toString
+    val q = streaming.LakeSink.cdcApply(toEnvelope(mem.toDF), root, "stream")
+      .option("checkpointLocation", ck).start()
+    mem.addData((1L, 1L, "c", "a"), (2L, 2L, "c", "b"))
+    q.processAllAvailable()
+    mem.addData((1L, 3L, "u", "a2"), (2L, 4L, "d", "b"))
+    q.processAllAvailable(); q.stop()
+    val live = LakeFormat.snapshot(spark, root).filter(col("live"))
+      .select("id", "first_name").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(live === Seq(1L -> "a2"))
+    // the tombstone for id=2 is stored, not lost
+    assert(LakeFormat.snapshot(spark, root).filter(!col("live")).count() === 1L)
+  }
+
+  test("optimize compacts small files and z-order prunes on BOTH dimensions") {
+    val root = freshRoot()
+    LakeFormat.create(spark, root, Seq("id"), statsCols = Seq("x", "y"))
+    // 16 appends of 512 rows each: many small files, interleaved ranges
+    // (every file spans the full x/y domain — nothing prunes)
+    (0 until 16).foreach { i =>
+      val ids = spark.range(512).select((col("id") * 16 + i).as("id"))
+      LakeFormat.append(
+        ids.select(col("id"), lit(1L).as("lsn"), lit(true).as("live"),
+          // hash-scattered coordinates: every appended file spans the full
+          // x/y domain, so nothing can prune until optimize clusters them
+          pmod(xxhash64(col("id")), lit(64L)).as("x"),
+          pmod(xxhash64(col("id") + 1000000L), lit(128L)).as("y")),
+        root)
+    }
+    val before = LakeFormat.state(spark, root)
+    assert(before.files.size >= 16)
+    val preX = LakeFormat.scan(spark, root, col("x") < lit(8L))
+    assert(preX.keptFiles === preX.totalFiles) // interleaved: no pruning
+    val nX = preX.df.count()
+    val nY = LakeFormat.scan(spark, root, col("y") < lit(16L)).df.count()
+    // compact into 8 z-ordered files
+    LakeFormat.optimize(spark, root,
+      Seq(graft.operators.Partitioning.zValue(col("x"), col("y"), bits = 8)),
+      targetFiles = 8)
+    val after = LakeFormat.state(spark, root)
+    assert(after.files.size <= 8)
+    assert(LakeFormat.snapshot(spark, root).count() === 16L * 512)
+    val sx = LakeFormat.scan(spark, root, col("x") < lit(8L))
+    val sy = LakeFormat.scan(spark, root, col("y") < lit(16L))
+    assert(sx.keptFiles < sx.totalFiles, s"x-prune: ${sx.keptFiles}/${sx.totalFiles}")
+    assert(sy.keptFiles < sy.totalFiles, s"y-prune: ${sy.keptFiles}/${sy.totalFiles}")
+    assert(sx.df.count() === nX && sy.df.count() === nY)
+  }
+
   test("additive schema evolution: a new column appends and reads back widened") {
     val root = freshRoot()
     LakeFormat.create(spark, root, Seq("id"), statsCols = Seq("id"))
