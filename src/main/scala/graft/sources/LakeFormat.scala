@@ -276,9 +276,7 @@ object LakeFormat {
     val target = asOf.getOrElse(latest)
     require(target >= 0L && target <= latest,
       s"version $target not committed at $root (latest=$latest)")
-    val meta = readLogLines(spark, root, 0L).map(parseLine).collectFirst {
-      case MetaA(m) => m
-    }.getOrElse(throw new IllegalStateException(s"no meta action in $root v0"))
+    val meta = readMeta(spark, root)
     val cp = lastCheckpointVersion(spark, root).filter(_ <= target)
     val files = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     val txns = scala.collection.mutable.Map.empty[String, Long]
@@ -318,7 +316,10 @@ object LakeFormat {
         && s.getPath.getName.endsWith(".parquet"))
       .map { st =>
         val rel = s"data/${UUID.randomUUID.toString}.parquet"
-        f.rename(st.getPath, new Path(root, rel))
+        // rename reports failure by RETURN VALUE on most FileSystems —
+        // silently proceeding would commit a log entry missing these rows
+        require(f.rename(st.getPath, new Path(root, rel)),
+          s"failed to publish ${st.getPath} as $rel")
         rel
       }
     f.delete(tmp, true)
@@ -355,11 +356,18 @@ object LakeFormat {
     }
   }
 
+  /** Table metadata without a state replay: it is immutable and lives in
+    * commit 0 only — one small file read, O(1) in table age. */
+  def readMeta(spark: SparkSession, root: String): LakeMeta =
+    readLogLines(spark, root, 0L).map(parseLine).collectFirst {
+      case MetaA(m) => m
+    }.getOrElse(throw new IllegalStateException(s"no meta action in $root v0"))
+
   /** Blind append: no read-set, so a lost race just retries on the new
     * tip — two concurrent appends both land, at consecutive versions. */
   def append(df: DataFrame, root: String): Long = {
     val spark = df.sparkSession
-    val adds = writeData(df, root, state(spark, root).meta.statsCols)
+    val adds = writeData(df, root, readMeta(spark, root).statsCols)
     val lines = adds.map(addJson)
     var attempts = 0
     while (attempts < 1000) {
@@ -406,12 +414,24 @@ object LakeFormat {
     else readFiles(spark, root, st.files)
   }
 
+  /** Zero-row frame with the table's WIDEST schema: every vintage's
+    * fields merged by name in deterministic (ddl-sorted vintage, field
+    * position) order — the same column set a full vintage-union read
+    * serves, so a fully-pruned scan and a populated one agree, and
+    * predicate analysis resolves schema-evolved columns regardless of
+    * which file happens to sort last. */
   private def emptyLike(spark: SparkSession, st: LakeState): DataFrame = {
-    // schema from the newest add ever logged, else just the key columns
-    val ddl = st.files.lastOption.map(_.schemaDdl)
-      .getOrElse(st.meta.keyCols.map(k => s"$k BIGINT").mkString(", "))
+    val ddls = st.files.map(_.schemaDdl).distinct.sorted
+    val fields = scala.collection.mutable.LinkedHashMap
+      .empty[String, org.apache.spark.sql.types.StructField]
+    ddls.foreach(d => StructType.fromDDL(d).fields.foreach(f =>
+      fields.getOrElseUpdate(f.name, f)))
+    if (fields.isEmpty)
+      st.meta.keyCols.foreach(k => fields.getOrElseUpdate(k,
+        org.apache.spark.sql.types.StructField(k,
+          org.apache.spark.sql.types.LongType)))
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType.fromDDL(ddl))
+      StructType(fields.values.toSeq))
   }
 
   // ------------------------------------------------------- file skipping
@@ -420,18 +440,39 @@ object LakeFormat {
     Set("tinyint", "smallint", "int", "bigint", "float", "double").contains(t) ||
       t.startsWith("decimal")
 
-  private def cmpVals(typ: String, a: String, b: String): Int =
-    if (numericTyp(typ)) BigDecimal(a).compare(BigDecimal(b))
-    else a.compareTo(b)
+  // float/double stats can legitimately be non-finite (Spark's min/max
+  // order NaN above everything); rank them the way Spark compares so the
+  // pruning decision agrees with the scan's own predicate evaluation
+  private def numRank(s: String): (Int, BigDecimal) = s match {
+    case "NaN"       => (2, BigDecimal(0))
+    case "Infinity"  => (1, BigDecimal(0))
+    case "-Infinity" => (-1, BigDecimal(0))
+    case _           => (0, BigDecimal(s))
+  }
 
-  // the attribute side may be wrapped in analyzer-inserted Casts; the
-  // type GATE in `bound` (numeric-vs-numeric, string-vs-string) keeps
-  // looking through them sound — a cast that changes the comparison
-  // domain (string→date etc.) fails the gate and keeps the file
+  private def cmpVals(typ: String, a: String, b: String): Int =
+    if (numericTyp(typ)) {
+      val ((ra, va), (rb, vb)) = (numRank(a), numRank(b))
+      if (ra != rb) ra.compare(rb) else va.compare(vb)
+    } else
+      // Spark compares strings in UTF-8 BINARY order (UTF8String), which
+      // differs from java.lang.String UTF-16 order for supplementary
+      // characters — the pruning decision must use the engine's order
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+
+  // the attribute side may be wrapped in analyzer-inserted Casts; only
+  // LOSSLESS upcasts (int→long, float→double, …) are safe to look
+  // through — a value-changing cast (double→int truncates: cast(5.9 as
+  // int) = 5 matches `= 5` though 5.9's stats say otherwise) must keep
+  // the file, so anything Cast.canUpCast rejects returns None here
   private def attName(e: Expression): Option[String] = e match {
     case a: AttributeReference => Some(a.name)
     case u: UnresolvedAttribute => Some(u.name)
-    case c: org.apache.spark.sql.catalyst.expressions.Cast => attName(c.child)
+    case c: org.apache.spark.sql.catalyst.expressions.Cast
+        if scala.util.Try(org.apache.spark.sql.catalyst.expressions.Cast
+          .canUpCast(c.child.dataType, c.dataType)).getOrElse(false) =>
+      attName(c.child) // dataType throws on unresolved children → None
     case _ => None
   }
   // a comparison's literal side after analysis is foldable (Literal, or
@@ -500,7 +541,10 @@ object LakeFormat {
       .queryExecution.analyzed.collectFirst {
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
       }.getOrElse(org.apache.spark.sql.GraftBridge.expression(pred))
-    val kept = st.files.filter(a => mayMatch(predExpr, a.stats))
+    // a pruning failure must never make the table unreadable: any
+    // unexpected stats/literal shape keeps the file (conservative)
+    val kept = st.files.filter(a =>
+      scala.util.Try(mayMatch(predExpr, a.stats)).getOrElse(true))
     val df =
       if (kept.isEmpty) emptyLike(spark, st).filter(pred)
       else readFiles(spark, root, kept).filter(pred)
@@ -530,9 +574,9 @@ object LakeFormat {
     * write-serializable rule for non-blind transactions); the caller
     * re-runs the merge, which re-reads the new tip.
     */
-  def merge(updates: DataFrame, root: String,
+  def merge(updatesIn: DataFrame, root: String,
       txn: Option[(String, Long)] = None): Long = {
-    val spark = updates.sparkSession
+    val spark = updatesIn.sparkSession
     val st = state(spark, root)
     // exactly-once gate: a replayed (appId, batchVersion) at-or-below the
     // committed high-water mark already landed — no-op, same answer
@@ -540,7 +584,12 @@ object LakeFormat {
       return st.version
     val m = st.meta
     (m.keyCols :+ m.orderCol :+ m.liveCol).foreach(c =>
-      require(updates.columns.contains(c), s"merge updates missing column $c"))
+      require(updatesIn.columns.contains(c), s"merge updates missing column $c"))
+    // the batch is consumed three times (key-range agg, key-probe set,
+    // fold union): materialize it once instead of re-deriving the
+    // caller's plan per consumer — also truncates lineage, so repeated
+    // streaming merges don't grow task binaries
+    val updates = updatesIn.localCheckpoint()
     // (1) candidate files by single-key range overlap (conservative:
     // composite keys or missing stats keep everything)
     val cands: Seq[AddFile] =

@@ -287,6 +287,37 @@ class LakeSpec extends AnyFunSuite {
     assert(sx.df.count() === nX && sy.df.count() === nY)
   }
 
+  test("pruning stays conservative at the edges: NaN stats, narrowing casts, evolved columns") {
+    // NaN lands in a double stats column (Spark's max orders NaN above
+    // everything): the table must stay readable and the file kept
+    val r1 = freshRoot()
+    LakeFormat.create(spark, r1, Seq("id"), statsCols = Seq("x"))
+    LakeFormat.append(Seq((1L, 1L, true, Double.NaN), (2L, 1L, true, 0.5))
+      .toDF("id", "lsn", "live", "x"), r1)
+    val s1 = LakeFormat.scan(spark, r1, col("x") <= lit(1.0))
+    assert(s1.df.count() === 1L) // readable; an all-NaN file may prune (sound)
+    // Spark orders NaN above every numeric — the NaN row must survive a
+    // high-bound probe, so the stats ranking mirrors the engine's order
+    assert(LakeFormat.scan(spark, r1, col("x") > lit(10.0)).df.count() === 1L)
+    // a VALUE-CHANGING cast must not prune: x=5.9 has stats [5.9, 5.9]
+    // but matches cast(x as int) = 5 — the file must be kept
+    val r2 = freshRoot()
+    LakeFormat.create(spark, r2, Seq("id"), statsCols = Seq("x"))
+    LakeFormat.append(Seq((1L, 1L, true, 5.9)).toDF("id", "lsn", "live", "x"), r2)
+    val s2 = LakeFormat.scan(spark, r2, col("x").cast("int") === lit(5))
+    assert(s2.keptFiles === 1L && s2.df.count() === 1L)
+    // a predicate on a schema-evolved column resolves regardless of which
+    // vintage sorts last, including through a checkpointed log
+    val r3 = freshRoot()
+    LakeFormat.create(spark, r3, Seq("id"), statsCols = Seq("id"))
+    LakeFormat.append(rows((1L, 1L, true, "old")), r3)
+    LakeFormat.append(
+      Seq((2L, 1L, true, "new", 42L)).toDF("id", "lsn", "live", "v", "extra"), r3)
+    LakeFormat.checkpoint(spark, r3)
+    val s3 = LakeFormat.scan(spark, r3, col("extra") === lit(42L))
+    assert(s3.df.count() === 1L)
+  }
+
   test("additive schema evolution: a new column appends and reads back widened") {
     val root = freshRoot()
     LakeFormat.create(spark, root, Seq("id"), statsCols = Seq("id"))
