@@ -157,13 +157,47 @@ object Lake {
       |FROM lineitem WHERE l_orderkey <= 1500 AND l_partkey <= 100
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Change data feed over the three merge waves: the lake as a CDC
+    * PRODUCER — row-level c/u/d changes reconstructed from the
+    * file-level log alone (pre-image in removed files, post-image in
+    * added files). The oracle re-derives the same changes from the raw
+    * changelog: wave-1 fold = creates, wave-2 rows whose payload moved =
+    * updates, wave-3 tombstoned ids = deletes carrying the pre-image. */
+  val lakeChangeFeed: Q = (spark, dir) => {
+    val root = stagedCustomerLakeRoot(spark, dir)
+    LakeFormat.changeFeed(spark, root, 1L, 3L)
+      .orderBy(col("_commit_version"), col("id"))
+  }
+  val lakeChangeFeedSql: String = Cdc.changelogCte +
+    """
+      |, f1 AS (SELECT id, a_fn AS fn, a_ln AS ln, a_em AS em FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY lsn DESC) AS rn
+      |    FROM chg WHERE lsn % 100 <= 1) WHERE rn = 1 AND op <> 'd'),
+      |f2 AS (SELECT id, a_fn AS fn, a_ln AS ln, a_em AS em FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY lsn DESC) AS rn
+      |    FROM chg WHERE lsn % 100 <= 3) WHERE rn = 1 AND op <> 'd'),
+      |del AS (SELECT id FROM chg WHERE op = 'd')
+      |SELECT id, fn AS first_name, ln AS last_name, em AS email,
+      |  'c' AS _change_type, CAST(1 AS BIGINT) AS _commit_version FROM f1
+      |UNION ALL
+      |SELECT f2.id, f2.fn, f2.ln, f2.em, 'u', CAST(2 AS BIGINT)
+      |FROM f2 JOIN f1 ON f2.id = f1.id
+      |WHERE f2.fn IS DISTINCT FROM f1.fn OR f2.ln IS DISTINCT FROM f1.ln
+      |   OR f2.em IS DISTINCT FROM f1.em
+      |UNION ALL
+      |SELECT f2.id, f2.fn, f2.ln, f2.em, 'd', CAST(3 AS BIGINT)
+      |FROM f2 JOIN del ON f2.id = del.id
+      |ORDER BY _commit_version, id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "lake_change_feed" -> lakeChangeFeed,
     "lake_cdc_snapshot" -> lakeCdcSnapshot,
     "lake_time_travel" -> lakeTimeTravel,
     "lake_prune_scan" -> lakePruneScan,
     "lake_zorder_scan" -> lakeZorderScan)
 
   val oracle: Map[String, String] = Map(
+    "lake_change_feed" -> lakeChangeFeedSql,
     "lake_cdc_snapshot" -> Cdc.cdcSnapshotSql,
     "lake_time_travel" -> lakeTimeTravelSql,
     "lake_prune_scan" -> lakePruneScanSql,

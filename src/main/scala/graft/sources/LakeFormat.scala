@@ -687,6 +687,105 @@ object LakeFormat {
     strictCommit(spark, root, st.version, lines, adds, "optimize")
   }
 
+  // ---------------------------------------------------- change data feed
+
+  /** CHANGE DATA FEED: reconstruct the row-level changes each commit in
+    * [fromV, toV] applied, from the file-level log alone — the lake as a
+    * CDC *producer* (the reference's topic re-emission direction,
+    * README.md:173, served from the table instead of the database). No
+    * per-row change log is stored: a merge commit's REMOVED files hold
+    * the pre-image of every touched key and its ADDED files the
+    * post-image, so the per-commit diff is increment-sized (only
+    * rewritten files are read, never the table).
+    *
+    * Per commit: full-outer join pre and post on the key columns and
+    * classify — newly-live → `c`; live on both sides with any payload
+    * column changed → `u`; live → tombstone → `d`; payload-identical
+    * rows (untouched keys carried along a file rewrite, OPTIMIZE
+    * commits, idempotent replays) produce NOTHING. `c`/`u` rows carry
+    * the post-image, `d` rows the pre-image (the reader's last sight of
+    * the data). Output adds `_change_type` and `_commit_version`.
+    *
+    * Retention: the pre-image lives in files a later [[vacuum]] may
+    * reclaim — feeding past the retention window fails loudly on the
+    * missing file (the same contract as [[readAsOf]]), it never emits a
+    * partial feed. */
+  def changeFeed(spark: SparkSession, root: String, fromV: Long,
+      toV: Long): DataFrame = {
+    val meta = readMeta(spark, root)
+    require(fromV >= 1L && fromV <= toV, s"bad feed range [$fromV, $toV]")
+    val tip = state(spark, root).version
+    require(toV <= tip, s"version $toV not committed (tip=$tip)")
+    val perCommit = (fromV to toV).map { v =>
+      val prior = state(spark, root, Some(v - 1)).files
+        .map(a => a.path -> a).toMap
+      var addsV = List.empty[AddFile]
+      var removesV = List.empty[AddFile]
+      readLogLines(spark, root, v).map(parseLine).foreach {
+        case AddA(a)    => addsV ::= a
+        case RemoveA(p) => removesV ::= prior.getOrElse(p,
+          throw new IllegalStateException(s"remove of unknown file $p at v$v"))
+        case _          => ()
+      }
+      (v, addsV, removesV)
+    }.filter { case (_, a, r) => a.nonEmpty || r.nonEmpty } // txn/meta-only: no feed slice
+      .map { case (v, a, r) => commitDiff(spark, root, meta, a, r, v) }
+    if (perCommit.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(meta.keyCols.map(k =>
+          org.apache.spark.sql.types.StructField(k,
+            org.apache.spark.sql.types.LongType)) ++ Seq(
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("_commit_version",
+            org.apache.spark.sql.types.LongType))))
+    else perCommit.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  private def commitDiff(spark: SparkSession, root: String, meta: LakeMeta,
+      adds: Seq[AddFile], removes: Seq[AddFile], v: Long): DataFrame = {
+    val post = if (adds.isEmpty) None else Some(readFiles(spark, root, adds))
+    val pre = if (removes.isEmpty) None else Some(readFiles(spark, root, removes))
+    def payloadCols(df: DataFrame): Seq[String] =
+      df.columns.toSeq.filterNot(c => meta.keyCols.contains(c)
+        || c == meta.orderCol || c == meta.liveCol)
+    def out(df: DataFrame, tpe: Column): DataFrame =
+      df.select((meta.keyCols ++ payloadCols(df)).map(col) :+
+        tpe.as("_change_type") :+ lit(v).as("_commit_version"): _*)
+    (pre, post) match {
+      case (None, None) =>
+        throw new IllegalStateException(s"commitDiff on an empty commit v$v")
+      case (None, Some(p)) => // blind append: every live row is a create
+        out(p.filter(col(meta.liveCol)), lit("c"))
+      case (Some(q), None) => // pure retirement: every live row deleted
+        out(q.filter(col(meta.liveCol)), lit("d"))
+      case (Some(q), Some(p)) =>
+        // payload = the union of both sides' columns: a schema-evolved
+        // rewrite compares the old side's absent column as NULL
+        val pay = (payloadCols(p) ++ payloadCols(q)).distinct
+        def sided(df: DataFrame, side: String) = df.select(
+          meta.keyCols.map(col) ++
+            (col(meta.liveCol).as(s"${side}_live") +:
+              pay.map(c => (if (df.columns.contains(c)) col(c)
+                else lit(null)).as(s"${side}_$c"))): _*)
+        val j = sided(q, "pre").join(sided(p, "post"), meta.keyCols, "full_outer")
+        val preLive = coalesce(col("pre_live"), lit(false))
+        val postLive = coalesce(col("post_live"), lit(false))
+        val changed = pay.map(c => !(col(s"pre_$c") <=> col(s"post_$c")))
+          .foldLeft(lit(false))(_ || _)
+        val tagged = j.withColumn("_change_type",
+          when(postLive && !preLive, "c")
+            .when(postLive && preLive && changed, "u")
+            .when(!postLive && preLive, "d"))
+          .filter(col("_change_type").isNotNull)
+        // c/u carry the post-image; d carries the pre-image
+        tagged.select(meta.keyCols.map(col) ++ pay.map(c =>
+          when(col("_change_type") === "d", col(s"pre_$c"))
+            .otherwise(col(s"post_$c")).as(c)) ++
+          Seq(col("_change_type"), lit(v).as("_commit_version")): _*)
+    }
+  }
+
   // ------------------------------------------------------- maintenance
 
   /** Write a parquet checkpoint of the CURRENT state and point

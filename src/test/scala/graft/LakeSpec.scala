@@ -318,6 +318,33 @@ class LakeSpec extends AnyFunSuite {
     assert(s3.df.count() === 1L)
   }
 
+  test("change feed classifies c/u/d per commit, drops carried-along rows, and OPTIMIZE is silent") {
+    val root = freshRoot()
+    LakeFormat.create(spark, root, Seq("id"), statsCols = Seq("id"))
+    // v1: blind append → all creates
+    LakeFormat.append(rows((1L, 1L, true, "a"), (2L, 1L, true, "b"),
+      (3L, 1L, true, "c")).coalesce(1), root)
+    // v2: update id=1, delete id=2, insert id=4; id=3 is carried along the
+    // file rewrite UNCHANGED (same single file holds all keys) → no row
+    LakeFormat.merge(rows((1L, 2L, true, "a2"),
+      (2L, 2L, false, null.asInstanceOf[String]), (4L, 2L, true, "dd")), root)
+    // v3: OPTIMIZE rewrites everything with identical data → empty slice
+    LakeFormat.optimize(spark, root, Seq(col("id")), targetFiles = 1)
+    // v4: idempotent replay of v2's batch → folded state unchanged → empty
+    LakeFormat.merge(rows((1L, 2L, true, "a2")), root)
+    val feed = LakeFormat.changeFeed(spark, root, 1L, 4L)
+      .select("_commit_version", "_change_type", "id", "v")
+      .as[(Long, String, Long, Option[String])].collect().sortBy(r => (r._1, r._3))
+    assert(feed.filter(_._1 == 1L).map(r => (r._2, r._3)).toSeq ===
+      Seq(("c", 1L), ("c", 2L), ("c", 3L)))
+    assert(feed.filter(_._1 == 2L).map(r => (r._2, r._3, r._4)).toSeq ===
+      Seq(("u", 1L, Some("a2")), ("d", 2L, Some("b")), ("c", 4L, Some("dd"))))
+    assert(feed.count(_._1 >= 3L) === 0) // optimize + replay: silent
+    // feeding past the tip or from v0 refuses loudly
+    intercept[IllegalArgumentException](LakeFormat.changeFeed(spark, root, 0L, 2L))
+    intercept[IllegalArgumentException](LakeFormat.changeFeed(spark, root, 1L, 99L))
+  }
+
   test("additive schema evolution: a new column appends and reads back widened") {
     val root = freshRoot()
     LakeFormat.create(spark, root, Seq("id"), statsCols = Seq("id"))
