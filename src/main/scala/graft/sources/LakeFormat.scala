@@ -714,41 +714,66 @@ object LakeFormat {
       toV: Long): DataFrame = {
     val meta = readMeta(spark, root)
     require(fromV >= 1L && fromV <= toV, s"bad feed range [$fromV, $toV]")
-    val tip = state(spark, root).version
+    val tip = listLogVersions(spark, root).max
     require(toV <= tip, s"version $toV not committed (tip=$tip)")
-    val perCommit = (fromV to toV).map { v =>
-      val prior = state(spark, root, Some(v - 1)).files
-        .map(a => a.path -> a).toMap
+    // ONE state reconstruction at the range start, then an incremental
+    // fold of each commit's own actions — O(history + range) log reads,
+    // not O(range × history)
+    val live = scala.collection.mutable.Map.empty[String, AddFile]
+    state(spark, root, Some(fromV - 1)).files.foreach(a => live += a.path -> a)
+    val perCommit = (fromV to toV).flatMap { v =>
       var addsV = List.empty[AddFile]
       var removesV = List.empty[AddFile]
       readLogLines(spark, root, v).map(parseLine).foreach {
         case AddA(a)    => addsV ::= a
-        case RemoveA(p) => removesV ::= prior.getOrElse(p,
+        case RemoveA(p) => removesV ::= live.getOrElse(p,
           throw new IllegalStateException(s"remove of unknown file $p at v$v"))
         case _          => ()
       }
-      (v, addsV, removesV)
-    }.filter { case (_, a, r) => a.nonEmpty || r.nonEmpty } // txn/meta-only: no feed slice
-      .map { case (v, a, r) => commitDiff(spark, root, meta, a, r, v) }
+      removesV.foreach(a => live -= a.path)
+      addsV.foreach(a => live += a.path -> a)
+      if (addsV.isEmpty && removesV.isEmpty) None // txn/meta-only commit
+      else Some(commitDiff(spark, root, meta, addsV, removesV, v))
+    }
     if (perCommit.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(meta.keyCols.map(k =>
-          org.apache.spark.sql.types.StructField(k,
-            org.apache.spark.sql.types.LongType)) ++ Seq(
-          org.apache.spark.sql.types.StructField("_change_type",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("_commit_version",
-            org.apache.spark.sql.types.LongType))))
+      // schema-true empty feed: the table's widest schema minus the
+      // order/live bookkeeping, plus the two change columns
+      emptyLike(spark, state(spark, root, Some(toV)))
+        .drop(meta.orderCol, meta.liveCol)
+        .withColumn("_change_type", lit(null).cast("string"))
+        .withColumn("_commit_version", lit(null).cast("long"))
+        .filter(lit(false))
     else perCommit.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   private def commitDiff(spark: SparkSession, root: String, meta: LakeMeta,
       adds: Seq[AddFile], removes: Seq[AddFile], v: Long): DataFrame = {
-    val post = if (adds.isEmpty) None else Some(readFiles(spark, root, adds))
-    val pre = if (removes.isEmpty) None else Some(readFiles(spark, root, removes))
+    // a table written only by append may lack the live/order columns
+    // (append-only facts): absent liveCol reads as all-live, and absent
+    // orderCol folds on a constant (dup keys then tie-break by content
+    // hash — deterministic, and the pre/post sides tie-break IDENTICALLY
+    // so an unchanged duplicate set still diffs to nothing)
+    def liveOf(df: DataFrame): Column =
+      if (df.columns.contains(meta.liveCol)) col(meta.liveCol) else lit(true)
     def payloadCols(df: DataFrame): Seq[String] =
       df.columns.toSeq.filterNot(c => meta.keyCols.contains(c)
         || c == meta.orderCol || c == meta.liveCol)
+    // the diff is defined over the FOLDED view (newest row per key — the
+    // same fold merge serves); blind appends can legally stack duplicate
+    // keys, and an unfolded full-outer join would multiply them into
+    // spurious pairs
+    def folded(df: DataFrame): DataFrame = {
+      val ord = (if (df.columns.contains(meta.orderCol))
+        Seq(col(meta.orderCol).desc) else Seq.empty[Column]) :+
+        xxhash64(payloadCols(df).map(col) :+ lit(0L): _*).desc // :+ lit — never zero-arg
+      val w = Window.partitionBy(meta.keyCols.map(col): _*).orderBy(ord: _*)
+      df.withColumn("__cdf_rn", row_number().over(w))
+        .filter(col("__cdf_rn") === 1).drop("__cdf_rn")
+    }
+    val post = if (adds.isEmpty) None
+      else Some(folded(readFiles(spark, root, adds)))
+    val pre = if (removes.isEmpty) None
+      else Some(folded(readFiles(spark, root, removes)))
     def out(df: DataFrame, tpe: Column): DataFrame =
       df.select((meta.keyCols ++ payloadCols(df)).map(col) :+
         tpe.as("_change_type") :+ lit(v).as("_commit_version"): _*)
@@ -756,16 +781,16 @@ object LakeFormat {
       case (None, None) =>
         throw new IllegalStateException(s"commitDiff on an empty commit v$v")
       case (None, Some(p)) => // blind append: every live row is a create
-        out(p.filter(col(meta.liveCol)), lit("c"))
+        out(p.filter(liveOf(p)), lit("c"))
       case (Some(q), None) => // pure retirement: every live row deleted
-        out(q.filter(col(meta.liveCol)), lit("d"))
+        out(q.filter(liveOf(q)), lit("d"))
       case (Some(q), Some(p)) =>
         // payload = the union of both sides' columns: a schema-evolved
         // rewrite compares the old side's absent column as NULL
         val pay = (payloadCols(p) ++ payloadCols(q)).distinct
         def sided(df: DataFrame, side: String) = df.select(
           meta.keyCols.map(col) ++
-            (col(meta.liveCol).as(s"${side}_live") +:
+            (liveOf(df).as(s"${side}_live") +:
               pay.map(c => (if (df.columns.contains(c)) col(c)
                 else lit(null)).as(s"${side}_$c"))): _*)
         val j = sided(q, "pre").join(sided(p, "post"), meta.keyCols, "full_outer")

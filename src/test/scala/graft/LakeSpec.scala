@@ -345,6 +345,39 @@ class LakeSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](LakeFormat.changeFeed(spark, root, 1L, 99L))
   }
 
+  test("change feed survives duplicate-key appends and live/order-free append-only tables") {
+    // duplicate keys stacked by blind appends: the diff folds each side to
+    // the newest row per key, so an OPTIMIZE rewrite of the duplicate set
+    // is SILENT (an unfolded join would multiply the dups into bogus 'u's)
+    val r1 = freshRoot()
+    LakeFormat.create(spark, r1, Seq("id"), statsCols = Seq("id"))
+    LakeFormat.append(rows((1L, 1L, true, "a")).coalesce(1), r1)
+    LakeFormat.append(rows((1L, 2L, true, "b")).coalesce(1), r1) // same key again
+    LakeFormat.optimize(spark, r1, Seq(col("id")), targetFiles = 1)
+    val f1 = LakeFormat.changeFeed(spark, r1, 1L, 3L)
+      .select("_commit_version", "_change_type", "id")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(f1.toSeq === Seq((1L, "c", 1L), (2L, "c", 1L))) // optimize (v3): nothing
+    // an append-only table with NO live/order columns feeds as all-creates
+    val r2 = freshRoot()
+    LakeFormat.create(spark, r2, Seq("id"), statsCols = Seq("id"))
+    LakeFormat.append(spark.range(4).select(col("id"), (col("id") * 10).as("m")), r2)
+    LakeFormat.optimize(spark, r2, Seq(col("id")), targetFiles = 1)
+    val f2 = LakeFormat.changeFeed(spark, r2, 1L, 2L)
+    assert(f2.filter(col("_change_type") === "c").count() === 4L)
+    assert(f2.filter(col("_commit_version") === 2L).count() === 0L) // optimize silent
+    // an all-txn range returns an EMPTY feed with the table's real schema
+    val r3 = freshRoot()
+    LakeFormat.create(spark, r3, Seq("id"), statsCols = Seq("id"))
+    LakeFormat.merge(rows((1L, 1L, true, "a")), r3, txn = Some(("app", 1L)))
+    LakeFormat.merge(rows((1L, 1L, true, "a")), r3, txn = Some(("app", 1L))) // replayed: txn-only? no — gated, no commit
+    val v = LakeFormat.merge(spark.emptyDataset[(Long, Long, Boolean, String)]
+      .toDF("id", "lsn", "live", "v"), r3, txn = Some(("app", 2L))) // txn-only commit
+    val f3 = LakeFormat.changeFeed(spark, r3, v, v)
+    assert(f3.count() === 0L && f3.columns.contains("v")
+      && f3.columns.contains("_change_type"))
+  }
+
   test("additive schema evolution: a new column appends and reads back widened") {
     val root = freshRoot()
     LakeFormat.create(spark, root, Seq("id"), statsCols = Seq("id"))
