@@ -76,9 +76,15 @@ object LakeFormat {
 
   /** Table-lifetime metadata, fixed at [[create]]: `keyCols` + `orderCol`
     * (the LSN-style total order) + `liveCol` (tombstone flag) define
-    * MERGE semantics; `statsCols` are the columns [[scan]] can prune on. */
+    * MERGE semantics; `statsCols` are the columns [[scan]] can prune on;
+    * `partitionCols` lay files out hive-style (`data/day=5/…`) — each
+    * file's partition values are folded into its stats as min=max
+    * singletons, so partition pruning rides the SAME stats machinery as
+    * range pruning, and the original column types are preserved on read
+    * via the recorded per-vintage schema (never re-inferred from paths). */
   final case class LakeMeta(keyCols: Seq[String], orderCol: String,
-      liveCol: String, statsCols: Seq[String])
+      liveCol: String, statsCols: Seq[String],
+      partitionCols: Seq[String] = Seq.empty)
 
   /** `txns` carries the highest applied transaction version per writer
     * application id (the Delta `txn` action): a streaming sink commits
@@ -147,7 +153,7 @@ object LakeFormat {
     s"""{"txn":{"appId":"${esc(appId)}","version":$version}}"""
   private def metaJson(m: LakeMeta): String = {
     def arr(xs: Seq[String]) = xs.map(x => "\"" + esc(x) + "\"").mkString("[", ",", "]")
-    s"""{"meta":{"keyCols":${arr(m.keyCols)},"orderCol":"${esc(m.orderCol)}","liveCol":"${esc(m.liveCol)}","statsCols":${arr(m.statsCols)}}}"""
+    s"""{"meta":{"keyCols":${arr(m.keyCols)},"orderCol":"${esc(m.orderCol)}","liveCol":"${esc(m.liveCol)}","statsCols":${arr(m.statsCols)},"partitionCols":${arr(m.partitionCols)}}}"""
   }
 
   // Jackson ships with Spark; thread-safe after construction
@@ -180,9 +186,11 @@ object LakeFormat {
       TxnA(n.get("txn").get("appId").asText, n.get("txn").get("version").asLong)
     else if (n.has("meta")) {
       val m = n.get("meta")
-      def arr(f: String) = m.get(f).elements().asScala.map(_.asText).toSeq
+      def arr(f: String) = // absent field (pre-partition logs) reads empty
+        if (m.get(f) == null) Seq.empty
+        else m.get(f).elements().asScala.map(_.asText).toSeq
       MetaA(LakeMeta(arr("keyCols"), m.get("orderCol").asText,
-        m.get("liveCol").asText, arr("statsCols")))
+        m.get("liveCol").asText, arr("statsCols"), arr("partitionCols")))
     } else throw new IllegalArgumentException(s"unknown lake action: $line")
   }
 
@@ -222,10 +230,11 @@ object LakeFormat {
     * action. Throws if a log already exists at `root`. */
   def create(spark: SparkSession, root: String, keyCols: Seq[String],
       orderCol: String = "lsn", liveCol: String = "live",
-      statsCols: Seq[String] = Seq.empty): Unit = lockFor(root).synchronized {
+      statsCols: Seq[String] = Seq.empty,
+      partitionCols: Seq[String] = Seq.empty): Unit = lockFor(root).synchronized {
     require(listLogVersions(spark, root).isEmpty,
       s"lake table already exists at $root")
-    val m = LakeMeta(keyCols, orderCol, liveCol, statsCols)
+    val m = LakeMeta(keyCols, orderCol, liveCol, statsCols, partitionCols)
     if (!tryCommit(spark, root, 0L, Seq(metaJson(m))))
       throw new java.util.ConcurrentModificationException(
         s"concurrent create at $root")
@@ -300,33 +309,58 @@ object LakeFormat {
 
   // ------------------------------------------------------------ write
 
-  /** Write `df` as fresh immutable files under `root/data/` and return
-    * their add actions: ONE distributed write + ONE distributed stats
-    * job grouped by `_metadata.file_path` (min/max/nulls per stats
-    * column, row count) — never a per-file driver loop over data. */
+  /** Write `df` as fresh immutable files under `root/data/` (inside
+    * their hive partition directories when the table is partitioned) and
+    * return their add actions: ONE distributed write + ONE distributed
+    * stats job grouped by `_metadata.file_path` (min/max/nulls per stats
+    * column, row count) — never a per-file driver loop over data.
+    * Partition columns are implicitly stats columns: each file holds one
+    * partition tuple, so its min=max singleton IS the partition value
+    * and partition pruning needs no machinery beyond [[mayMatch]]. */
   private def writeData(df: DataFrame, root: String,
-      statsCols: Seq[String]): Seq[AddFile] = {
+      meta: LakeMeta): Seq[AddFile] = {
     val spark = df.sparkSession
     val f = fs(spark, root)
     val tmp = new Path(root, s"_tmp-${UUID.randomUUID.toString.take(12)}")
-    df.write.parquet(tmp.toString)
+    meta.partitionCols.foreach(c => require(df.columns.contains(c),
+      s"partition column $c missing from the written frame"))
+    if (meta.partitionCols.isEmpty) df.write.parquet(tmp.toString)
+    else df.write.partitionBy(meta.partitionCols: _*).parquet(tmp.toString)
     f.mkdirs(new Path(root, "data"))
-    val rels = f.listStatus(tmp).toSeq
-      .filter(s => s.getPath.getName.startsWith("part-")
-        && s.getPath.getName.endsWith(".parquet"))
-      .map { st =>
-        val rel = s"data/${UUID.randomUUID.toString}.parquet"
-        // rename reports failure by RETURN VALUE on most FileSystems —
-        // silently proceeding would commit a log entry missing these rows
-        require(f.rename(st.getPath, new Path(root, rel)),
-          s"failed to publish ${st.getPath} as $rel")
-        rel
+    // collect leaf part files with their partition-dir suffix preserved
+    val tmpUri = tmp.toUri.getPath
+    val it = f.listFiles(tmp, true)
+    val staged = scala.collection.mutable.ArrayBuffer.empty[(Path, String)]
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (name.startsWith("part-") && name.endsWith(".parquet")) {
+        val rel = st.getPath.toUri.getPath.stripPrefix(tmpUri)
+          .stripPrefix("/").split("/").dropRight(1).mkString("/")
+        staged += st.getPath -> rel
       }
+    }
+    val rels = staged.toSeq.map { case (src, pdir) =>
+      val rel = (if (pdir.isEmpty) "data" else s"data/$pdir") +
+        s"/${UUID.randomUUID.toString}.parquet"
+      f.mkdirs(new Path(root, rel).getParent)
+      // rename reports failure by RETURN VALUE on most FileSystems —
+      // silently proceeding would commit a log entry missing these rows
+      require(f.rename(src, new Path(root, rel)),
+        s"failed to publish $src as $rel")
+      rel
+    }
     f.delete(tmp, true)
     if (rels.isEmpty) return Seq.empty
-    val present = statsCols.filter(df.columns.contains)
+    val present = (meta.statsCols ++ meta.partitionCols).distinct
+      .filter(df.columns.contains)
     val typOf = present.map(c => c -> df.schema(c).dataType.simpleString).toMap
-    val read = spark.read.parquet(rels.map(r => new Path(root, r).toString): _*)
+    // read back with the ORIGINAL schema + basePath: partition columns
+    // come from the directory names but keep their written types (path
+    // re-inference would narrow e.g. long → int)
+    val read = spark.read.schema(df.schema)
+      .option("basePath", new Path(root, "data").toString)
+      .parquet(rels.map(r => new Path(root, r).toString): _*)
     val aggs = count(lit(1)).as("__rows") +: present.flatMap(c => Seq(
       min(col(c)).cast("string").as(s"__min_$c"),
       max(col(c)).cast("string").as(s"__max_$c"),
@@ -347,7 +381,7 @@ object LakeFormat {
       }.toMap
     val ddl = df.schema.toDDL
     rels.flatMap { rel =>
-      val name = rel.stripPrefix("data/")
+      val name = rel.split("/").last
       byFile.collectFirst { case (uri, (rows, st)) if uri.endsWith("/" + name) =>
         AddFile(rel, rows, ddl, st)
       } // a file the stats job produced no group for is empty: drop it
@@ -367,7 +401,7 @@ object LakeFormat {
     * tip — two concurrent appends both land, at consecutive versions. */
   def append(df: DataFrame, root: String): Long = {
     val spark = df.sparkSession
-    val adds = writeData(df, root, readMeta(spark, root).statsCols)
+    val adds = writeData(df, root, readMeta(spark, root))
     val lines = adds.map(addJson)
     var attempts = 0
     while (attempts < 1000) {
@@ -382,19 +416,28 @@ object LakeFormat {
 
   // ------------------------------------------------------------ read
 
-  private def readFiles(spark: SparkSession, root: String,
-      files: Seq[AddFile]): DataFrame = {
-    require(files.nonEmpty, "readFiles on an empty file set")
-    // group by schema VINTAGE (DDL recorded at write time — no footer
-    // reads): one multi-path scan per vintage, widened by name. Additive
-    // evolution (C15 world) reads seamlessly; order deterministic.
+  /** Read a file set per schema VINTAGE (DDL recorded at write time — no
+    * footer reads): one multi-path scan per vintage, `perVintage` applied
+    * PER RELATION (so it may reference `_metadata`, which does not
+    * survive a union), results widened by name in deterministic order.
+    * The explicit recorded schema + `basePath` restore hive partition
+    * columns with their WRITTEN types — never path re-inference. */
+  private def readGrouped(spark: SparkSession, root: String,
+      files: Seq[AddFile],
+      perVintage: DataFrame => DataFrame): DataFrame = {
+    require(files.nonEmpty, "read on an empty file set")
     files.groupBy(_.schemaDdl).toSeq.sortBy(_._1)
-      .map { case (_, fs) =>
-        spark.read.parquet(
-          fs.map(a => new Path(root, a.path).toString).sorted: _*)
+      .map { case (ddl, fs) =>
+        perVintage(spark.read.schema(StructType.fromDDL(ddl))
+          .option("basePath", new Path(root, "data").toString)
+          .parquet(fs.map(a => new Path(root, a.path).toString).sorted: _*))
       }
       .reduce(_.unionByName(_, allowMissingColumns = true))
   }
+
+  private def readFiles(spark: SparkSession, root: String,
+      files: Seq[AddFile]): DataFrame =
+    readGrouped(spark, root, files, identity)
 
   /** The committed snapshot (all stored rows — MERGE tombstones included;
     * callers filter on `liveCol` for the live view, exactly like
@@ -611,18 +654,18 @@ object LakeFormat {
           }
         }
       }
-    // (2) exact touched set: one scan over candidates, keys broadcast
+    // (2) exact touched set: one scan over candidates, keys broadcast;
+    // the file_path projection happens PER VINTAGE (hidden _metadata
+    // does not survive a union), and mixed vintages probe correctly
     val touched: Seq[AddFile] =
       if (cands.isEmpty) Seq.empty
       else {
         val keySet = updates.select(m.keyCols.map(col): _*).distinct()
-        val hit = spark.read
-          .parquet(cands.map(a => new Path(root, a.path).toString): _*)
-          .select(col("_metadata.file_path").as("__f") +: m.keyCols.map(col): _*)
+        val hit = readGrouped(spark, root, cands, df => df.select(
+            col("_metadata.file_path").as("__f") +: m.keyCols.map(col): _*))
           .join(broadcast(keySet), m.keyCols, "left_semi")
           .select("__f").distinct().collect().map(_.getString(0)).toSet
-        cands.filter(a => hit.exists(_.endsWith("/" +
-          a.path.stripPrefix("data/"))))
+        cands.filter(a => hit.exists(_.endsWith("/" + a.path.split("/").last)))
       }
     // (3) fold: newest row per key wins; updates outrank stored on an
     // orderCol tie so a replayed batch is idempotent
@@ -640,7 +683,7 @@ object LakeFormat {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn", "__src")
-    val adds = writeData(folded, root, m.statsCols)
+    val adds = writeData(folded, root, m)
     // (4) strict optimistic commit at read-version + 1 — the txn marker
     // rides the same atomic commit as the data it marks applied
     val lines = touched.map(a => removeJson(a.path)) ++ adds.map(addJson) ++
@@ -682,7 +725,7 @@ object LakeFormat {
     if (st.files.isEmpty) return st.version
     val df = readFiles(spark, root, st.files)
       .repartitionByRange(targetFiles, layout: _*)
-    val adds = writeData(df, root, st.meta.statsCols)
+    val adds = writeData(df, root, st.meta)
     val lines = st.files.map(a => removeJson(a.path)) ++ adds.map(addJson)
     strictCommit(spark, root, st.version, lines, adds, "optimize")
   }
@@ -861,11 +904,20 @@ object LakeFormat {
       .flatMap(v => state(spark, root, Some(v)).files.map(_.path)).toSet
     val now = System.currentTimeMillis()
     val dataDir = new Path(root, "data")
-    val deleted = (if (!f.exists(dataDir)) Seq.empty[String]
-      else f.listStatus(dataDir).toSeq
-        .filter(s => now - s.getModificationTime >= olderThanMs)
-        .map(s => s"data/${s.getPath.getName}")
-        .filterNot(referenced))
+    val rootUri = new Path(root).toUri.getPath
+    val onDisk = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    if (f.exists(dataDir)) { // recursive: partitioned layouts nest dirs
+      val it = f.listFiles(dataDir, true)
+      while (it.hasNext) {
+        val s = it.next()
+        onDisk += s.getPath.toUri.getPath.stripPrefix(rootUri)
+          .stripPrefix("/") -> s.getModificationTime
+      }
+    }
+    val deleted = onDisk.toSeq
+      .filter { case (_, mt) => now - mt >= olderThanMs }
+      .map(_._1)
+      .filterNot(referenced)
       .map { rel => f.delete(new Path(root, rel), false); rel }
     // crashed-writer staging dirs (data never referenced by any commit)
     f.listStatus(new Path(root)).toSeq

@@ -378,6 +378,45 @@ class LakeSpec extends AnyFunSuite {
       && f3.columns.contains("_change_type"))
   }
 
+  test("hive-partitioned tables: nested layout, typed read-back, partition pruning, partition-local merge, nested vacuum") {
+    val root = freshRoot()
+    LakeFormat.create(spark, root, Seq("id"), statsCols = Seq("id"),
+      partitionCols = Seq("day"))
+    LakeFormat.append(
+      spark.range(300).select(col("id"), lit(1L).as("lsn"),
+        lit(true).as("live"), (col("id") % 3).as("day"),
+        (col("id") * 2).as("m")).repartition(col("day")), root)
+    val st = LakeFormat.state(spark, root)
+    assert(st.files.nonEmpty
+      && st.files.forall(_.path.matches("data/day=\\d+/[^/]+\\.parquet")))
+    // read-back keeps the WRITTEN type (path re-inference would narrow
+    // the long partition values to int)
+    val snap = LakeFormat.snapshot(spark, root)
+    assert(snap.schema("day").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(snap.count() === 300L)
+    // partition pruning rides the singleton min=max stats
+    val sc = LakeFormat.scan(spark, root, col("day") === lit(1L))
+    assert(sc.keptFiles < sc.totalFiles, s"${sc.keptFiles}/${sc.totalFiles}")
+    assert(sc.df.count() === 100L)
+    // merge rewrites only the touched partition's files
+    val pre = st.files.map(_.path).toSet
+    LakeFormat.merge(Seq((0L, 2L, true, 0L, 99L))
+      .toDF("id", "lsn", "live", "day", "m"), root)
+    val post = LakeFormat.state(spark, root).files.map(_.path).toSet
+    val removed = pre -- post
+    assert(removed.nonEmpty && removed.forall(_.startsWith("data/day=0/")),
+      s"rewrote outside the touched partition: $removed")
+    assert((pre & post).exists(_.startsWith("data/day=1/"))
+      && (pre & post).exists(_.startsWith("data/day=2/")))
+    // vacuum walks the nested layout and reclaims exactly the rewrite
+    val del = LakeFormat.vacuum(spark, root, keepVersions = 1, olderThanMs = 0L)
+    assert(del.toSet === removed)
+    val after = LakeFormat.snapshot(spark, root).filter(col("live"))
+    assert(after.count() === 300L)
+    assert(after.filter(col("id") === 0L).select("m").as[Long].head() === 99L)
+  }
+
   test("additive schema evolution: a new column appends and reads back widened") {
     val root = freshRoot()
     LakeFormat.create(spark, root, Seq("id"), statsCols = Seq("id"))
