@@ -529,12 +529,13 @@ object LakeFormat {
     }
 
   /** Conservative may-match test of `pred` against one file's stats:
-    * prunes only on conjunctions/disjunctions of {=, <, <=, >, >=}
-    * between a stats column and a literal; anything else keeps the file.
-    * All-NULL columns (min/max absent) keep the file — IS NULL probes
-    * must still find it. */
-  private def mayMatch(pred: Expression,
-      stats: Map[String, ColStats]): Boolean = {
+    * prunes on conjunctions/disjunctions of {=, <=>, <, <=, >, >=, IN}
+    * between a stats column and foldable literals, plus IS [NOT] NULL
+    * against the recorded per-file null counts; anything else keeps the
+    * file. All-NULL columns (min/max absent) keep the file for value
+    * probes — IS NULL still finds them, and IS NOT NULL prunes them. */
+  private def mayMatch(pred: Expression, file: AddFile): Boolean = {
+    val stats = file.stats
     def bound(c: Expression, l: Expression): Option[(ColStats, String)] =
       for {
         n <- attName(c); (v, dt) <- litVal(l); s <- stats.get(n)
@@ -544,23 +545,54 @@ object LakeFormat {
         if (numericTyp(s.typ) && dt.isInstanceOf[org.apache.spark.sql.types.NumericType]) ||
           (s.typ == "string" && dt == org.apache.spark.sql.types.StringType)
       } yield (s, v)
+    // a file whose recorded stats say the column is ALL NULL (min/max
+    // absent, null count = row count) cannot satisfy any value
+    // comparison — =, <=>v, <, >, IN all need a non-null value
+    def allNull(e: Expression): Boolean =
+      attName(e).flatMap(stats.get).exists(s =>
+        s.min.isEmpty && s.max.isEmpty && s.nulls >= file.rows)
+    def eqMay(c: Expression, l: Expression): Boolean =
+      !allNull(c) && !allNull(l) &&
+        bound(c, l).orElse(bound(l, c)).forall {
+          case (s, v) => cmpVals(s.typ, v, s.min.get) >= 0 &&
+            cmpVals(s.typ, v, s.max.get) <= 0
+        }
     def may(e: Expression): Boolean = e match {
       case And(l, r) => may(l) && may(r)
       case Or(l, r)  => may(l) || may(r)
-      case EqualTo(c, l) => bound(c, l).orElse(bound(l, c)).forall {
-        case (s, v) => cmpVals(s.typ, v, s.min.get) >= 0 &&
-          cmpVals(s.typ, v, s.max.get) <= 0
-      }
-      case GreaterThan(c, l) =>
+      case EqualTo(c, l) => eqMay(c, l)
+      // null-safe equality against a non-null literal behaves like =;
+      // `col <=> NULL` is an IS NULL probe on the null counts
+      case org.apache.spark.sql.catalyst.expressions.EqualNullSafe(c, l) =>
+        (litVal(l), litVal(c)) match {
+          case (Some(_), _) | (_, Some(_)) => eqMay(c, l)
+          case _ =>
+            val probe = Seq(c, l).collectFirst {
+              case e2 if e2.foldable && e2.eval(
+                org.apache.spark.sql.catalyst.InternalRow.empty) == null =>
+                Seq(c, l).filterNot(_ eq e2).head
+            }
+            probe.flatMap(attName).flatMap(stats.get)
+              .forall(_.nulls > 0L) // col <=> NULL: needs a null in the file
+        }
+      // IN-list: keep iff ANY member may sit inside [min, max]
+      case org.apache.spark.sql.catalyst.expressions.In(c, list)
+          if list.forall(_.foldable) =>
+        list.exists(l => eqMay(c, l))
+      case org.apache.spark.sql.catalyst.expressions.IsNull(c) =>
+        attName(c).flatMap(stats.get).forall(_.nulls > 0L)
+      case org.apache.spark.sql.catalyst.expressions.IsNotNull(c) =>
+        attName(c).flatMap(stats.get).forall(_.nulls < file.rows)
+      case GreaterThan(c, l) => !allNull(c) && !allNull(l) &&
         bound(c, l).forall { case (s, v) => cmpVals(s.typ, s.max.get, v) > 0 } &&
         bound(l, c).forall { case (s, v) => cmpVals(s.typ, s.min.get, v) < 0 }
-      case GreaterThanOrEqual(c, l) =>
+      case GreaterThanOrEqual(c, l) => !allNull(c) && !allNull(l) &&
         bound(c, l).forall { case (s, v) => cmpVals(s.typ, s.max.get, v) >= 0 } &&
         bound(l, c).forall { case (s, v) => cmpVals(s.typ, s.min.get, v) <= 0 }
-      case LessThan(c, l) =>
+      case LessThan(c, l) => !allNull(c) && !allNull(l) &&
         bound(c, l).forall { case (s, v) => cmpVals(s.typ, s.min.get, v) < 0 } &&
         bound(l, c).forall { case (s, v) => cmpVals(s.typ, s.max.get, v) > 0 }
-      case LessThanOrEqual(c, l) =>
+      case LessThanOrEqual(c, l) => !allNull(c) && !allNull(l) &&
         bound(c, l).forall { case (s, v) => cmpVals(s.typ, s.min.get, v) <= 0 } &&
         bound(l, c).forall { case (s, v) => cmpVals(s.typ, s.max.get, v) >= 0 }
       case _ => true
@@ -587,7 +619,7 @@ object LakeFormat {
     // a pruning failure must never make the table unreadable: any
     // unexpected stats/literal shape keeps the file (conservative)
     val kept = st.files.filter(a =>
-      scala.util.Try(mayMatch(predExpr, a.stats)).getOrElse(true))
+      scala.util.Try(mayMatch(predExpr, a)).getOrElse(true))
     val df =
       if (kept.isEmpty) emptyLike(spark, st).filter(pred)
       else readFiles(spark, root, kept).filter(pred)

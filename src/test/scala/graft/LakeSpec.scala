@@ -417,6 +417,34 @@ class LakeSpec extends AnyFunSuite {
     assert(after.filter(col("id") === 0L).select("m").as[Long].head() === 99L)
   }
 
+  test("pruning handles IN-lists and null-count probes") {
+    val root = freshRoot()
+    LakeFormat.create(spark, root, Seq("id"), statsCols = Seq("x"))
+    // file A: x ∈ [0,9], no nulls; file B: x ∈ [100,107] with 2 nulls;
+    // file C: all-null x (min/max absent, nulls = rows)
+    LakeFormat.append(spark.range(10).select(col("id"), lit(1L).as("lsn"),
+      lit(true).as("live"), col("id").as("x")).coalesce(1), root)
+    LakeFormat.append(spark.range(10).select((col("id") + 10).as("id"),
+      lit(1L).as("lsn"), lit(true).as("live"),
+      when(col("id") < 8, col("id") + 100).as("x")).coalesce(1), root)
+    LakeFormat.append(spark.range(5).select((col("id") + 20).as("id"),
+      lit(1L).as("lsn"), lit(true).as("live"),
+      lit(null).cast("long").as("x")).coalesce(1), root)
+    def probe(p: org.apache.spark.sql.Column) = LakeFormat.scan(spark, root, p)
+    val in = probe(col("x").isin(3L, 5L))
+    assert(in.keptFiles === 1L && in.df.count() === 2L)
+    val farIn = probe(col("x").isin(50L, 60L)) // inside no file's range
+    assert(farIn.keptFiles === 0L && farIn.df.count() === 0L)
+    val isn = probe(col("x").isNull)
+    assert(isn.keptFiles === 2L && isn.df.count() === 7L) // B's 2 + C's 5
+    val nn = probe(col("x").isNotNull)
+    assert(nn.keptFiles === 2L && nn.df.count() === 18L) // A's 10 + B's 8
+    val ns = probe(col("x") <=> lit(105L))
+    assert(ns.keptFiles === 1L && ns.df.count() === 1L)
+    val nsNull = probe(col("x") <=> lit(null).cast("long"))
+    assert(nsNull.keptFiles === 2L && nsNull.df.count() === 7L)
+  }
+
   test("additive schema evolution: a new column appends and reads back widened") {
     val root = freshRoot()
     LakeFormat.create(spark, root, Seq("id"), statsCols = Seq("id"))
