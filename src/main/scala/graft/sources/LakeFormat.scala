@@ -71,8 +71,13 @@ object LakeFormat {
   final case class ColStats(typ: String, min: Option[String],
       max: Option[String], nulls: Long)
 
+  /** `bytes` is the on-disk file size — the input to size-aware
+    * [[optimize]] selection (logs written before the field read back 0,
+    * which [[smallFiles]] treats as "compact me": re-compacting an
+    * already-well-sized legacy file is harmless, skipping a fragmented
+    * one is not). */
   final case class AddFile(path: String, rows: Long, schemaDdl: String,
-      stats: Map[String, ColStats])
+      stats: Map[String, ColStats], bytes: Long = 0L)
 
   /** Table-lifetime metadata, fixed at [[create]]: `keyCols` + `orderCol`
     * (the LSN-style total order) + `liveCol` (tombstone flag) define
@@ -84,7 +89,8 @@ object LakeFormat {
     * via the recorded per-vintage schema (never re-inferred from paths). */
   final case class LakeMeta(keyCols: Seq[String], orderCol: String,
       liveCol: String, statsCols: Seq[String],
-      partitionCols: Seq[String] = Seq.empty)
+      partitionCols: Seq[String] = Seq.empty,
+      schemaDdl: Option[String] = None)
 
   /** `txns` carries the highest applied transaction version per writer
     * application id (the Delta `txn` action): a streaming sink commits
@@ -146,14 +152,17 @@ object LakeFormat {
     }.mkString("{", ",", "}")
 
   private def addJson(a: AddFile): String =
-    s"""{"add":{"path":"${esc(a.path)}","rows":${a.rows},"schemaDdl":"${esc(a.schemaDdl)}","stats":${statsJson(a.stats)}}}"""
+    s"""{"add":{"path":"${esc(a.path)}","rows":${a.rows},"bytes":${a.bytes},"schemaDdl":"${esc(a.schemaDdl)}","stats":${statsJson(a.stats)}}}"""
   private def removeJson(p: String): String =
     s"""{"remove":{"path":"${esc(p)}"}}"""
   private def txnJson(appId: String, version: Long): String =
     s"""{"txn":{"appId":"${esc(appId)}","version":$version}}"""
+  private def commitJson(id: String): String =
+    s"""{"commit":{"id":"${esc(id)}"}}"""
   private def metaJson(m: LakeMeta): String = {
     def arr(xs: Seq[String]) = xs.map(x => "\"" + esc(x) + "\"").mkString("[", ",", "]")
-    s"""{"meta":{"keyCols":${arr(m.keyCols)},"orderCol":"${esc(m.orderCol)}","liveCol":"${esc(m.liveCol)}","statsCols":${arr(m.statsCols)},"partitionCols":${arr(m.partitionCols)}}}"""
+    val schema = m.schemaDdl.map(d => s""","schemaDdl":"${esc(d)}"""").getOrElse("")
+    s"""{"meta":{"keyCols":${arr(m.keyCols)},"orderCol":"${esc(m.orderCol)}","liveCol":"${esc(m.liveCol)}","statsCols":${arr(m.statsCols)},"partitionCols":${arr(m.partitionCols)}$schema}}"""
   }
 
   // Jackson ships with Spark; thread-safe after construction
@@ -174,23 +183,28 @@ object LakeFormat {
   private final case class RemoveA(path: String) extends Action
   private final case class MetaA(m: LakeMeta) extends Action
   private final case class TxnA(appId: String, version: Long) extends Action
+  private final case class CommitA(id: String) extends Action // writer id — replay-inert
 
   private def parseLine(line: String): Action = {
     val n = mapper.readTree(line)
     if (n.has("add")) {
       val a = n.get("add")
       AddA(AddFile(a.get("path").asText, a.get("rows").asLong,
-        a.get("schemaDdl").asText, parseStats(a.get("stats"))))
+        a.get("schemaDdl").asText, parseStats(a.get("stats")),
+        // absent in pre-bytes logs → 0 (smallFiles treats it as "compact")
+        if (a.get("bytes") == null) 0L else a.get("bytes").asLong))
     } else if (n.has("remove")) RemoveA(n.get("remove").get("path").asText)
     else if (n.has("txn"))
       TxnA(n.get("txn").get("appId").asText, n.get("txn").get("version").asLong)
+    else if (n.has("commit")) CommitA(n.get("commit").get("id").asText)
     else if (n.has("meta")) {
       val m = n.get("meta")
       def arr(f: String) = // absent field (pre-partition logs) reads empty
         if (m.get(f) == null) Seq.empty
         else m.get(f).elements().asScala.map(_.asText).toSeq
       MetaA(LakeMeta(arr("keyCols"), m.get("orderCol").asText,
-        m.get("liveCol").asText, arr("statsCols"), arr("partitionCols")))
+        m.get("liveCol").asText, arr("statsCols"), arr("partitionCols"),
+        Option(m.get("schemaDdl")).map(_.asText)))
     } else throw new IllegalArgumentException(s"unknown lake action: $line")
   }
 
@@ -206,18 +220,44 @@ object LakeFormat {
   // ------------------------------------------------------------ commit
 
   /** Claim `v` atomically: temp write + rename WITHOUT overwrite — false
-    * when another writer already owns `v`. */
-  private def tryCommit(spark: SparkSession, root: String, v: Long,
+    * when another writer already owns `v`.
+    *
+    * Each commit leads with a `commit` action carrying a fresh writer
+    * UUID, and after the rename the claimed file is RE-READ and verified
+    * to hold this writer's bytes: on HDFS-semantics filesystems the
+    * no-overwrite rename is atomic and the readback is a cheap no-op
+    * check, but on POSIX local filesystems (and object stores without
+    * conditional PUT) the existence check inside rename is NOT atomic —
+    * two out-of-process writers can both pass it and the second rename
+    * silently replaces the first. The readback detects the replaced
+    * writer, which returns false and retries at the next version instead
+    * of silently losing its commit. (In-JVM racers are fully serialized
+    * by [[lockFor]]; the readback narrows the cross-process window to
+    * the rename→readback instant — the same residual the public Delta
+    * protocol closes with an external log store, documented here rather
+    * than hidden.) */
+  private[sources] def tryCommit(spark: SparkSession, root: String, v: Long,
       lines: Seq[String]): Boolean = {
     val f = fs(spark, root)
     f.mkdirs(logDir(root))
     val tmp = new Path(logDir(root), s".tmp-${UUID.randomUUID.toString.take(12)}")
+    val payload = (commitJson(UUID.randomUUID.toString) +: lines)
+      .mkString("\n") + "\n"
     val out = f.create(tmp, false)
-    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    try out.write(payload.getBytes("UTF-8"))
     finally out.close()
     val fc = FileContext.getFileContext(new Path(root).toUri,
       spark.sparkContext.hadoopConfiguration)
-    try { fc.rename(tmp, logFile(root, v)); true }
+    try {
+      fc.rename(tmp, logFile(root, v))
+      // ownership readback — never delete the file on mismatch: the
+      // bytes there are the WINNER's commit
+      val in = f.open(logFile(root, v))
+      val back = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+      back == payload
+    }
     catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException
            | _: java.nio.file.FileAlreadyExistsException
@@ -227,14 +267,19 @@ object LakeFormat {
   }
 
   /** Create an empty table: commit version 0 carrying only the `meta`
-    * action. Throws if a log already exists at `root`. */
+    * action. Throws if a log already exists at `root`. `schema` is the
+    * optional create-time schema: a zero-file table then analyzes scans
+    * and serves empty reads with its REAL declared columns and types
+    * instead of a keyCols-as-long fabrication. */
   def create(spark: SparkSession, root: String, keyCols: Seq[String],
       orderCol: String = "lsn", liveCol: String = "live",
       statsCols: Seq[String] = Seq.empty,
-      partitionCols: Seq[String] = Seq.empty): Unit = lockFor(root).synchronized {
+      partitionCols: Seq[String] = Seq.empty,
+      schema: Option[StructType] = None): Unit = lockFor(root).synchronized {
     require(listLogVersions(spark, root).isEmpty,
       s"lake table already exists at $root")
-    val m = LakeMeta(keyCols, orderCol, liveCol, statsCols, partitionCols)
+    val m = LakeMeta(keyCols, orderCol, liveCol, statsCols, partitionCols,
+      schema.map(_.toDDL))
     if (!tryCommit(spark, root, 0L, Seq(metaJson(m))))
       throw new java.util.ConcurrentModificationException(
         s"concurrent create at $root")
@@ -302,6 +347,7 @@ object LakeFormat {
         case TxnA(app, tv) =>
           txns.updateWith(app)(p => Some(p.fold(tv)(math.max(_, tv))))
         case MetaA(_)    => () // immutable after v0
+        case CommitA(_)  => () // writer id — bookkeeping only
       }
     }
     LakeState(target, meta, files.values.toSeq, txns.toMap)
@@ -348,7 +394,7 @@ object LakeFormat {
       // silently proceeding would commit a log entry missing these rows
       require(f.rename(src, new Path(root, rel)),
         s"failed to publish $src as $rel")
-      rel
+      rel -> f.getFileStatus(new Path(root, rel)).getLen
     }
     f.delete(tmp, true)
     if (rels.isEmpty) return Seq.empty
@@ -360,7 +406,7 @@ object LakeFormat {
     // re-inference would narrow e.g. long → int)
     val read = spark.read.schema(df.schema)
       .option("basePath", new Path(root, "data").toString)
-      .parquet(rels.map(r => new Path(root, r).toString): _*)
+      .parquet(rels.map(r => new Path(root, r._1).toString): _*)
     val aggs = count(lit(1)).as("__rows") +: present.flatMap(c => Seq(
       min(col(c)).cast("string").as(s"__min_$c"),
       max(col(c)).cast("string").as(s"__max_$c"),
@@ -380,10 +426,10 @@ object LakeFormat {
         uri -> (r.getAs[Long]("__rows"), stats)
       }.toMap
     val ddl = df.schema.toDDL
-    rels.flatMap { rel =>
+    rels.flatMap { case (rel, bytes) =>
       val name = rel.split("/").last
       byFile.collectFirst { case (uri, (rows, st)) if uri.endsWith("/" + name) =>
-        AddFile(rel, rows, ddl, st)
+        AddFile(rel, rows, ddl, st, bytes)
       } // a file the stats job produced no group for is empty: drop it
         .filter(_.rows > 0L)
         .orElse { f.delete(new Path(root, rel), false); None }
@@ -469,10 +515,18 @@ object LakeFormat {
       .empty[String, org.apache.spark.sql.types.StructField]
     ddls.foreach(d => StructType.fromDDL(d).fields.foreach(f =>
       fields.getOrElseUpdate(f.name, f)))
+    // a never-written table has no vintages: fall back to the declared
+    // create-time schema, then (legacy tables created without one) to
+    // keyCols typed long — the last resort that misanalyzes payload
+    // predicates, which is why create now records the schema
     if (fields.isEmpty)
-      st.meta.keyCols.foreach(k => fields.getOrElseUpdate(k,
-        org.apache.spark.sql.types.StructField(k,
-          org.apache.spark.sql.types.LongType)))
+      st.meta.schemaDdl match {
+        case Some(d) => StructType.fromDDL(d).fields.foreach(f =>
+          fields.getOrElseUpdate(f.name, f))
+        case None => st.meta.keyCols.foreach(k => fields.getOrElseUpdate(k,
+          org.apache.spark.sql.types.StructField(k,
+            org.apache.spark.sql.types.LongType)))
+      }
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType(fields.values.toSeq))
   }
@@ -505,16 +559,39 @@ object LakeFormat {
         .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
 
   // the attribute side may be wrapped in analyzer-inserted Casts; only
-  // LOSSLESS upcasts (int→long, float→double, …) are safe to look
-  // through — a value-changing cast (double→int truncates: cast(5.9 as
-  // int) = 5 matches `= 5` though 5.9's stats say otherwise) must keep
-  // the file, so anything Cast.canUpCast rejects returns None here
+  // GENUINELY LOSSLESS upcasts are safe to look through. A value-changing
+  // cast must keep the file, in BOTH directions: double→int truncates
+  // (cast(5.9 as int) = 5 matches `= 5` though 5.9's stats say
+  // otherwise), and — the subtle one — Spark's own Cast.canUpCast admits
+  // long→double/float and int→float via numericPrecedence, which ROUND
+  // integers beyond the mantissa (2^53 / 2^24): the engine evaluates
+  // `bigintCol = 9007199254740992d` in the double domain where a stored
+  // 9007199254740993L rounds and matches, while the exact-BigDecimal
+  // stats comparison would prune the file. So the whitelist is explicit:
+  // integral→wider-integral, byte/short→float, byte/short/int→double
+  // (int is 32 bits < the 53-bit mantissa), float→double.
+  private def losslessUpCast(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    val widths = Map[DataType, Int](
+      ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4)
+    (from, to) match {
+      case (f, t) if f == t => true
+      case (f, t) if widths.contains(f) && widths.contains(t) =>
+        widths(f) <= widths(t)
+      case (ByteType | ShortType, FloatType | DoubleType) => true
+      case (IntegerType, DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+  }
   private def attName(e: Expression): Option[String] = e match {
     case a: AttributeReference => Some(a.name)
     case u: UnresolvedAttribute => Some(u.name)
     case c: org.apache.spark.sql.catalyst.expressions.Cast
-        if scala.util.Try(org.apache.spark.sql.catalyst.expressions.Cast
-          .canUpCast(c.child.dataType, c.dataType)).getOrElse(false) =>
+        if scala.util.Try(losslessUpCast(c.child.dataType, c.dataType))
+          .getOrElse(false) =>
       attName(c.child) // dataType throws on unresolved children → None
     case _ => None
   }
@@ -628,6 +705,21 @@ object LakeFormat {
 
   // ------------------------------------------------------------ merge
 
+  /** Key-count ceiling for broadcasting the merge key probe: a designed
+    * CDC batch is kilobytes and broadcasts, but a backfill-scale merge
+    * (millions of keys) must not OOM the driver on an unconditional
+    * broadcast hint — above the limit the hint is dropped and the
+    * planner/AQE picks a shuffle (or its own size-verified broadcast).
+    * 1M distinct keys ≈ tens of MB serialized: safely inside driver
+    * memory, safely above any micro-batch. */
+  val DefaultBroadcastKeyLimit: Long = 1L << 20
+
+  /** Broadcast-hint `keySet` only under `limit` distinct rows; above it
+    * the un-hinted join lets the planner decide from actual sizes. The
+    * count is one cheap job over the already-checkpointed batch. */
+  private[graft] def gatedBroadcast(keySet: DataFrame, limit: Long): DataFrame =
+    if (keySet.count() <= limit) broadcast(keySet) else keySet
+
   /** Transactional CDC MERGE: fold `updates` (one row per key, carrying
     * `meta.orderCol` and `meta.liveCol` — the
     * [[graft.operators.Cdc.snapshotWithTombstones]] shape) into the
@@ -635,13 +727,14 @@ object LakeFormat {
     *
     * Steps: (1) stats-prune candidate files by the updates' key range;
     * (2) confirm with one key-probe scan over the candidates
-    * (`_metadata.file_path` semi-joined against the broadcast key set) —
-    * the touched set; (3) fold stored-touched ∪ updates to the newest
-    * row per key (orderCol DESC, updates outrank stored on ties), KEEPING
-    * tombstones — a late-arriving stale event must lose to a stored
-    * delete, so deletes stay materialized until [[vacuum]]-era compaction;
-    * (4) write the folded rows as fresh files and commit add(new) +
-    * remove(touched).
+    * (`_metadata.file_path` semi-joined against the key set —
+    * broadcast-hinted only under `broadcastKeyLimit` distinct keys, see
+    * [[gatedBroadcast]]) — the touched set; (3) fold stored-touched ∪
+    * updates to the newest row per key (orderCol DESC, updates outrank
+    * stored on ties), KEEPING tombstones — a late-arriving stale event
+    * must lose to a stored delete, so deletes stay materialized until
+    * [[vacuum]]-era compaction; (4) write the folded rows as fresh files
+    * and commit add(new) + remove(touched).
     *
     * Concurrency: the commit claims exactly read-version+1. Any
     * intervening commit aborts with ConcurrentModificationException —
@@ -650,7 +743,8 @@ object LakeFormat {
     * re-runs the merge, which re-reads the new tip.
     */
   def merge(updatesIn: DataFrame, root: String,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      broadcastKeyLimit: Long = DefaultBroadcastKeyLimit): Long = {
     val spark = updatesIn.sparkSession
     val st = state(spark, root)
     // exactly-once gate: a replayed (appId, batchVersion) at-or-below the
@@ -686,16 +780,17 @@ object LakeFormat {
           }
         }
       }
-    // (2) exact touched set: one scan over candidates, keys broadcast;
-    // the file_path projection happens PER VINTAGE (hidden _metadata
-    // does not survive a union), and mixed vintages probe correctly
+    // (2) exact touched set: one scan over candidates, semi-joined
+    // against the update keys; the file_path projection happens PER
+    // VINTAGE (hidden _metadata does not survive a union), and mixed
+    // vintages probe correctly
     val touched: Seq[AddFile] =
       if (cands.isEmpty) Seq.empty
       else {
         val keySet = updates.select(m.keyCols.map(col): _*).distinct()
         val hit = readGrouped(spark, root, cands, df => df.select(
             col("_metadata.file_path").as("__f") +: m.keyCols.map(col): _*))
-          .join(broadcast(keySet), m.keyCols, "left_semi")
+          .join(gatedBroadcast(keySet, broadcastKeyLimit), m.keyCols, "left_semi")
           .select("__f").distinct().collect().map(_.getString(0)).toSet
         cands.filter(a => hit.exists(_.endsWith("/" + a.path.split("/").last)))
       }
@@ -743,24 +838,47 @@ object LakeFormat {
     readVersion + 1
   }
 
-  /** OPTIMIZE: rewrite the current live file set into `targetFiles`
-    * range-partitioned by `layout` (pass one column for a sorted layout,
-    * or a Morton/z-value column for multi-dimensional clustering) — the
-    * compaction that makes stats pruning effective after many small
-    * merges, and the small-files repair for a long-lived table. Data is
-    * unchanged (same rows, tombstones included); only the file layout
-    * and its per-file stats move. Commits under the same strict rule as
-    * merge: any concurrent commit aborts the rewrite, nothing is lost. */
+  /** OPTIMIZE: rewrite the files `select` picks from the current live
+    * set into `targetFiles` range-partitioned by `layout` (pass one
+    * column for a sorted layout, or a Morton/z-value column for
+    * multi-dimensional clustering) — the compaction that makes stats
+    * pruning effective after many small merges, and the small-files
+    * repair for a long-lived table. Data is unchanged (same rows,
+    * tombstones included); only the selected files' layout and per-file
+    * stats move — UNSELECTED AddFile entries are untouched (no
+    * remove/add lines), so a 100 TB table compacts partition-locally:
+    * pass [[smallFiles]] to bin-pack only the fragmented subset, or
+    * [[inPartition]] to scope the rewrite to one hive partition, instead
+    * of the default whole-table rewrite. Commits under the same strict
+    * rule as merge: any concurrent commit aborts the rewrite, nothing
+    * is lost. */
   def optimize(spark: SparkSession, root: String, layout: Seq[Column],
-      targetFiles: Int): Long = {
+      targetFiles: Int,
+      select: AddFile => Boolean = _ => true): Long = {
     val st = state(spark, root)
-    if (st.files.isEmpty) return st.version
-    val df = readFiles(spark, root, st.files)
+    val picked = st.files.filter(select)
+    if (picked.isEmpty) return st.version
+    val df = readFiles(spark, root, picked)
       .repartitionByRange(targetFiles, layout: _*)
     val adds = writeData(df, root, st.meta)
-    val lines = st.files.map(a => removeJson(a.path)) ++ adds.map(addJson)
+    val lines = picked.map(a => removeJson(a.path)) ++ adds.map(addJson)
     strictCommit(spark, root, st.version, lines, adds, "optimize")
   }
+
+  /** [[optimize]] selector: only files under `maxBytes` on disk — the
+    * production bin-pack that leaves well-sized files alone. Entries
+    * from logs written before sizes were recorded read back 0 bytes and
+    * are selected (re-compacting a well-sized legacy file is harmless;
+    * skipping a fragmented one is not). */
+  def smallFiles(maxBytes: Long): AddFile => Boolean = _.bytes < maxBytes
+
+  /** [[optimize]] selector: only files of one hive partition — each
+    * partitioned file's stats carry the partition value as a min=max
+    * singleton, so partition membership is a stats probe (`value` in the
+    * stats' string encoding). Composes with [[smallFiles]] via `&&`. */
+  def inPartition(column: String, value: String): AddFile => Boolean =
+    a => a.stats.get(column).exists(s =>
+      s.min.contains(value) && s.max.contains(value))
 
   // ---------------------------------------------------- change data feed
 
@@ -818,8 +936,27 @@ object LakeFormat {
         .withColumn("_change_type", lit(null).cast("string"))
         .withColumn("_commit_version", lit(null).cast("long"))
         .filter(lit(false))
-    else perCommit.reduce(_.unionByName(_, allowMissingColumns = true))
+    else {
+      // LINEAGE CUT every [[ChangeFeedLineageCut]] commits: each commit
+      // contributes a join+window subtree, and a months-long feed
+      // (thousands of commits) would otherwise hand the optimizer one
+      // O(#commits)-deep nest of them. Groups of k commits union
+      // normally; past one group, each group is localCheckpoint'd LAZILY
+      // (the plan collapses to a LogicalRDD leaf now, rows materialize
+      // once on first use) and the result is one FLAT union of O(n/k)
+      // leaves — bounded plan depth at any range length, each commit's
+      // rows computed exactly once. Short ranges (≤ k commits, the
+      // registered query's shape) take the plain-union path unchanged.
+      val groups = perCommit.grouped(ChangeFeedLineageCut)
+        .map(_.reduce(_.unionByName(_, allowMissingColumns = true))).toSeq
+      if (groups.size == 1) groups.head
+      else groups.map(_.localCheckpoint(false))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+    }
   }
+
+  /** Commits per change-feed lineage-cut group — the plan-depth bound. */
+  val ChangeFeedLineageCut: Int = 16
 
   private def commitDiff(spark: SparkSession, root: String, meta: LakeMeta,
       adds: Seq[AddFile], removes: Seq[AddFile], v: Long): DataFrame = {
@@ -838,9 +975,17 @@ object LakeFormat {
     // keys, and an unfolded full-outer join would multiply them into
     // spurious pairs
     def folded(df: DataFrame): DataFrame = {
+      // the hash tie-break spans the FULL row content — payload plus the
+      // live/order bookkeeping when present: two same-key rows with equal
+      // orderCol and payload but opposite live flags must fold
+      // deterministically (same winner on the pre and post sides and
+      // across runs), or duplicate-LSN malformed input would flip c/d
+      // classification run to run
+      val hashed = payloadCols(df) ++
+        Seq(meta.liveCol, meta.orderCol).filter(df.columns.contains)
       val ord = (if (df.columns.contains(meta.orderCol))
         Seq(col(meta.orderCol).desc) else Seq.empty[Column]) :+
-        xxhash64(payloadCols(df).map(col) :+ lit(0L): _*).desc // :+ lit — never zero-arg
+        xxhash64(hashed.map(col) :+ lit(0L): _*).desc // :+ lit — never zero-arg
       val w = Window.partitionBy(meta.keyCols.map(col): _*).orderBy(ord: _*)
       df.withColumn("__cdf_rn", row_number().over(w))
         .filter(col("__cdf_rn") === 1).drop("__cdf_rn")
