@@ -189,17 +189,75 @@ object Lake {
       |FROM f2 JOIN del ON f2.id = del.id
       |ORDER BY _commit_version, id""".stripMargin
 
+  /** Staged LAKE-FED BM25 postings: the documents corpus lands in a lake
+    * table through seven maintenance merges (three insert waves, a
+    * corrupting rewrite of the %10 docs, their restore, tombstone
+    * deletes of the %7 docs, their re-insert — the x4t schedule, as
+    * TABLE COMMITS), and the durable T30 postings store is maintained by
+    * TAILING THE TABLE'S CHANGE FEED with a durable consumer offset
+    * ([[graft.streaming.Streams.postingsFromLake]]) — the replica →
+    * serving-index chain closed through the storage layer: no raw
+    * changelog subscription, no table re-read, one epoch per commit.
+    * The drain runs TWICE: the second pass must apply nothing (the
+    * offset discipline witnessed in-plan, not just in specs). */
+  def stagedLakeFedPostingsDir(spark: SparkSession, dir: String): String =
+    Staged(spark, s"lake_bm25:$dir") {
+      val scratch = tempRoot("graft_lake_bm25")
+      val root = s"$scratch/table"
+      val consumerDir = s"$scratch/consumer"
+      val postingsDir = s"$scratch/postings"
+      LakeFormat.create(spark, root, keyCols = Seq("doc_id"),
+        orderCol = "lsn", liveCol = "live", statsCols = Seq("doc_id"))
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      def up(d: org.apache.spark.sql.DataFrame, lsn: Long) =
+        d.withColumn("lsn", lit(lsn)).withColumn("live", lit(true))
+      def del(d: org.apache.spark.sql.DataFrame, lsn: Long) =
+        d.select(col("doc_id"), lit(null).cast("string").as("text"),
+          lit(lsn).as("lsn"), lit(false).as("live"))
+      LakeFormat.merge(up(docs.filter(col("doc_id") % 3 === 0), 1L), root)
+      LakeFormat.merge(up(docs.filter(col("doc_id") % 3 === 1), 2L), root)
+      LakeFormat.merge(up(docs.filter(col("doc_id") % 3 === 2), 3L), root)
+      LakeFormat.merge(up(docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("text", concat(col("text"), lit(" corrupted"))), 4L), root)
+      LakeFormat.merge(up(docs.filter(col("doc_id") % 10 === 0), 5L), root)
+      LakeFormat.merge(del(docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id")), 6L), root)
+      LakeFormat.merge(up(docs.filter(col("doc_id") % 7 === 0), 7L), root)
+      val applied = graft.streaming.Streams.postingsFromLake(
+        spark, root, consumerDir, postingsDir)
+      require(applied == Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L),
+        s"lake drain applied $applied, expected commits 1..7")
+      val replay = graft.streaming.Streams.postingsFromLake(
+        spark, root, consumerDir, postingsDir)
+      require(replay.isEmpty,
+        s"replayed drain must no-op past the offset, applied $replay")
+      spark.range(1).select(lit(postingsDir).as("dir"))
+    }.head().getString(0)
+
+  /** BM25 served from the lake-fed maintained index: the seven commits
+    * converge to the plain corpus, so the folded store must reproduce
+    * the batch x4r answer HASH-EXACTLY (oracle = x4rSql verbatim) —
+    * corrupt/restore as feed `u`s, delete as `d` tombstones, re-insert
+    * as `c`s, all composed through change-feed classification, the
+    * offset-gated drain, and the winner-batch fold. */
+  val lakeBm25Index: Q = (spark, dir) => {
+    val postingsDir = stagedLakeFedPostingsDir(spark, dir)
+    graft.streaming.Streams.servedBm25(spark, postingsDir, Text.bm25Terms)
+  }
+
   val queries: Map[String, Q] = Map(
     "lake_change_feed" -> lakeChangeFeed,
     "lake_cdc_snapshot" -> lakeCdcSnapshot,
     "lake_time_travel" -> lakeTimeTravel,
     "lake_prune_scan" -> lakePruneScan,
-    "lake_zorder_scan" -> lakeZorderScan)
+    "lake_zorder_scan" -> lakeZorderScan,
+    "lake_bm25_index" -> lakeBm25Index)
 
   val oracle: Map[String, String] = Map(
     "lake_change_feed" -> lakeChangeFeedSql,
     "lake_cdc_snapshot" -> Cdc.cdcSnapshotSql,
     "lake_time_travel" -> lakeTimeTravelSql,
     "lake_prune_scan" -> lakePruneScanSql,
-    "lake_zorder_scan" -> lakeZorderScanSql)
+    "lake_zorder_scan" -> lakeZorderScanSql,
+    "lake_bm25_index" -> Text.x4rSql)
 }

@@ -906,28 +906,7 @@ object LakeFormat {
   def changeFeed(spark: SparkSession, root: String, fromV: Long,
       toV: Long): DataFrame = {
     val meta = readMeta(spark, root)
-    require(fromV >= 1L && fromV <= toV, s"bad feed range [$fromV, $toV]")
-    val tip = listLogVersions(spark, root).max
-    require(toV <= tip, s"version $toV not committed (tip=$tip)")
-    // ONE state reconstruction at the range start, then an incremental
-    // fold of each commit's own actions — O(history + range) log reads,
-    // not O(range × history)
-    val live = scala.collection.mutable.Map.empty[String, AddFile]
-    state(spark, root, Some(fromV - 1)).files.foreach(a => live += a.path -> a)
-    val perCommit = (fromV to toV).flatMap { v =>
-      var addsV = List.empty[AddFile]
-      var removesV = List.empty[AddFile]
-      readLogLines(spark, root, v).map(parseLine).foreach {
-        case AddA(a)    => addsV ::= a
-        case RemoveA(p) => removesV ::= live.getOrElse(p,
-          throw new IllegalStateException(s"remove of unknown file $p at v$v"))
-        case _          => ()
-      }
-      removesV.foreach(a => live -= a.path)
-      addsV.foreach(a => live += a.path -> a)
-      if (addsV.isEmpty && removesV.isEmpty) None // txn/meta-only commit
-      else Some(commitDiff(spark, root, meta, addsV, removesV, v))
-    }
+    val perCommit = changeFeedBatches(spark, root, fromV, toV).map(_._2)
     if (perCommit.isEmpty)
       // schema-true empty feed: the table's widest schema minus the
       // order/live bookkeeping, plus the two change columns
@@ -957,6 +936,115 @@ object LakeFormat {
 
   /** Commits per change-feed lineage-cut group — the plan-depth bound. */
   val ChangeFeedLineageCut: Int = 16
+
+  /** The change feed as PER-COMMIT BATCHES — (version, change rows) pairs
+    * with the same c/u/d classification as [[changeFeed]] — the
+    * incremental-read primitive a downstream consumer drains one commit
+    * at a time ([[consumeChangeFeed]]). ONE state reconstruction at the
+    * range start, then an incremental fold of each commit's own actions:
+    * O(history + range) log reads, not O(range × history), so a consumer
+    * loop over the range pays the history replay once. Plans are built
+    * lazily per commit; a txn/meta-only commit yields no pair. */
+  def changeFeedBatches(spark: SparkSession, root: String, fromV: Long,
+      toV: Long): Seq[(Long, DataFrame)] = {
+    val meta = readMeta(spark, root)
+    require(fromV >= 1L && fromV <= toV, s"bad feed range [$fromV, $toV]")
+    val tip = listLogVersions(spark, root).max
+    require(toV <= tip, s"version $toV not committed (tip=$tip)")
+    val live = scala.collection.mutable.Map.empty[String, AddFile]
+    state(spark, root, Some(fromV - 1)).files.foreach(a => live += a.path -> a)
+    (fromV to toV).flatMap { v =>
+      var addsV = List.empty[AddFile]
+      var removesV = List.empty[AddFile]
+      readLogLines(spark, root, v).map(parseLine).foreach {
+        case AddA(a)    => addsV ::= a
+        case RemoveA(p) => removesV ::= live.getOrElse(p,
+          throw new IllegalStateException(s"remove of unknown file $p at v$v"))
+        case _          => ()
+      }
+      removesV.foreach(a => live -= a.path)
+      addsV.foreach(a => live += a.path -> a)
+      if (addsV.isEmpty && removesV.isEmpty) None // txn/meta-only commit
+      else Some(v -> commitDiff(spark, root, meta, addsV, removesV, v))
+    }
+  }
+
+  // ------------------------------------------- incremental consumption
+
+  private def offsetPtr(dir: String) = new Path(dir, "_offset")
+
+  /** The consumer's durable high-water mark: the highest lake commit
+    * version fully applied by this consumer (absent before the first
+    * drain). One small file, atomic pointer-overwrite publish — the
+    * SnapshotStore pointer discipline. */
+  def consumerOffset(spark: SparkSession, dir: String): Option[Long] = {
+    val f = fs(spark, dir)
+    val p = offsetPtr(dir)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        .trim.toLongOption
+      finally in.close()
+    }
+  }
+
+  /** Advance the consumer offset to `v` (tmp + rename-with-overwrite:
+    * atomic on HDFS/local, single PUT on object stores). Refuses to move
+    * BACKWARD — a regressed pointer would re-deliver already-applied
+    * commits to a consumer that believes it is tailing. */
+  def commitConsumerOffset(spark: SparkSession, dir: String, v: Long): Unit = {
+    val prev = consumerOffset(spark, dir)
+    require(prev.forall(_ <= v),
+      s"consumer offset moving backward: ${prev.get} -> $v at $dir")
+    val f = fs(spark, dir)
+    f.mkdirs(new Path(dir))
+    val tmp = new Path(dir, s".off-${UUID.randomUUID.toString.take(8)}")
+    val out = f.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    val fc = FileContext.getFileContext(new Path(dir).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, offsetPtr(dir), Options.Rename.OVERWRITE)
+  }
+
+  /** INCREMENTAL CHANGE-FEED CONSUMPTION — the lake as a streaming
+    * SOURCE: drain every commit above the durable consumer offset (up to
+    * `maxCommits` per call), one `apply(batch, version)` per commit, and
+    * advance the offset AFTER each apply returns — so a crash replays at
+    * most the in-flight commit (at-least-once). Consumers are expected
+    * to be idempotent per commit version (the epoch-keyed store writes —
+    * postings/band/vector batches keyed `b=<version>` — are: a replayed
+    * epoch overwrites its own directory with identical rows). This is
+    * how a 100 TB deployment chains replica → serving indexes: each
+    * maintained store tails the TABLE's commits instead of re-reading
+    * the table or re-subscribing to the raw changelog.
+    *
+    * Retention contract: a consumer lagging past [[vacuum]]'s window
+    * fails LOUDLY when its next batch's pre/post-image files are gone
+    * (missing-file read error at materialization), never silently skips
+    * — size retention to cover the slowest consumer, exactly the public
+    * CDF + VACUUM interaction the Delta docs describe.
+    *
+    * Returns the versions applied this call (empty = nothing new). */
+  def consumeChangeFeed(spark: SparkSession, root: String,
+      consumerDir: String, maxCommits: Int = Int.MaxValue)(
+      apply: (DataFrame, Long) => Unit): Seq[Long] = {
+    val from = consumerOffset(spark, consumerDir).getOrElse(0L) + 1L
+    val tip = listLogVersions(spark, root).max
+    if (from > tip) return Seq.empty
+    val toV = math.min(tip, from + math.max(0, maxCommits).toLong - 1L)
+    if (toV < from) return Seq.empty
+    val applied = scala.collection.mutable.ArrayBuffer.empty[Long]
+    changeFeedBatches(spark, root, from, toV).foreach { case (v, batch) =>
+      apply(batch, v)
+      commitConsumerOffset(spark, consumerDir, v)
+      applied += v
+    }
+    // txn/meta-only commits in the range yield no batch but are still
+    // consumed: the offset lands on toV so the next drain starts past it
+    commitConsumerOffset(spark, consumerDir, toV)
+    applied.toSeq
+  }
 
   private def commitDiff(spark: SparkSession, root: String, meta: LakeMeta,
       adds: Seq[AddFile], removes: Seq[AddFile], v: Long): DataFrame = {

@@ -1210,6 +1210,34 @@ object Streams extends Serializable {
       bm25IndexBatch(batch.toDF, batchId, postingsDir)
     }
 
+  /** LAKE → search-index integration: maintain the T30 postings store by
+    * TAILING A LAKE TABLE'S COMMITS
+    * ([[graft.sources.LakeFormat.consumeChangeFeed]]) instead of
+    * subscribing to the raw changelog — the replica → serving chain at
+    * table scale: once the CDC stream lands in the lake exactly-once
+    * (T37), every derived store drains the table's own change feed with
+    * a durable consumer offset, never re-reading the table.
+    *
+    * Each lake commit becomes ONE postings epoch keyed by the commit
+    * version: `c`/`u` rows re-index their post-image text, `d` rows
+    * write through as dead META tombstones — the exact
+    * [[bm25IndexBatch]] classification, sourced from the table log.
+    * At-least-once delivery composes with the epoch-keyed idempotent
+    * [[postingsApplyBatch]] write: a replayed commit overwrites its own
+    * `b=<version>` directory with identical rows, so the serve is
+    * exactly-once in effect. Returns the commit versions applied. */
+  def postingsFromLake(spark: org.apache.spark.sql.SparkSession,
+      lakeRoot: String, consumerDir: String, postingsDir: String,
+      maxCommits: Int = Int.MaxValue): Seq[Long] =
+    graft.sources.LakeFormat.consumeChangeFeed(spark, lakeRoot, consumerDir,
+        maxCommits) { (batch, v) =>
+      postingsApplyBatch(
+        batch.filter(col("_change_type").isin("c", "u"))
+          .select(col("doc_id"), col("text")),
+        batch.filter(col("_change_type") === "d").select(col("doc_id")),
+        v, postingsDir)
+    }
+
   /** Consumer view: all postings rows of each doc's HIGHEST epoch, dead
     * docs dropped AFTER the fold (fold-then-filter makes a delete
     * irreversible by older epochs; a re-create upserts over it).
