@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Staged, Tables}
-import graft.sources.LakeFormat
+import graft.sources.{LakeFormat, LakeTx}
 
 /** Lakehouse-format catalog queries: the CDC changelog landed in a
   * [[graft.sources.LakeFormat]] table via transactional file-level MERGE
@@ -245,13 +245,75 @@ object Lake {
     graft.streaming.Streams.servedBm25(spark, postingsDir, Text.bm25Terms)
   }
 
+  /** Staged MULTI-TABLE transactional lake: the C14 fixture — customers
+    * and orders changelogs restricted to transactions complete at the
+    * 60% cutoff — lands in TWO member tables of one [[LakeTx]] root
+    * through three cross-table transaction waves (LSN-banded, each wave
+    * carrying BOTH tables' folded updates in ONE commitTx), so every
+    * wave exercises the atomic two-table manifest publish. A replay of
+    * the last wave (same app/txv) must no-op without a new manifest
+    * version — exactly-once witnessed in-plan. */
+  def stagedMultiTableTxRoot(spark: SparkSession, dir: String): String =
+    Staged(spark, s"lake_tx:$dir") {
+      val root = tempRoot("graft_lake_tx")
+      val cust = Cdc.changelog(spark, dir)
+      val ords = Cdc.ordersChangelog(spark, dir)
+      val cutoff = cust.select(col("source.lsn").as("lsn"))
+        .unionAll(ords.select(col("source.lsn").as("lsn")))
+        .agg(expr("max(lsn) * 6 DIV 10").as("cutoff"))
+      val Seq(custC, ordsC) = Cdc.multiTableCompleteTx(Seq(cust, ords), cutoff)
+      LakeFormat.create(spark, LakeTx.tableRoot(root, "customers"),
+        keyCols = Seq("id"), statsCols = Seq("id"))
+      LakeFormat.create(spark, LakeTx.tableRoot(root, "orders"),
+        keyCols = Seq("id"), statsCols = Seq("id"))
+      LakeTx.init(spark, root, Seq("customers", "orders"))
+      // three lsn%3-banded waves — a residue banding covers BOTH logs'
+      // lsn domains (the customer fixture stripes lsn%100 low, the
+      // orders fixture high), and orderCol=lsn makes wave order
+      // irrelevant: a key whose events span bands folds to its true
+      // newest event regardless of which wave landed first
+      def wave(i: Long) = Map(
+        "customers" -> Cdc.snapshotWithTombstones(
+          custC.filter(col("source.lsn") % 3 === i)),
+        "orders" -> Cdc.latestWithTombstonesBy(
+          ordsC.filter(col("source.lsn") % 3 === i), Seq("id")))
+      (0L to 2L).foreach(i =>
+        LakeTx.commitTx(spark, root, wave(i), app = "lake_tx_stage", txv = i))
+      val mv = LakeTx.manifestVersion(spark, root)
+      val replay = LakeTx.commitTx(spark, root, wave(2L),
+        app = "lake_tx_stage", txv = 2L)
+      require(replay == mv,
+        s"replayed tx must publish no new manifest: $mv -> $replay")
+      spark.range(1).select(lit(root).as("root"))
+    }.head().getString(0)
+
+  /** The C14 replica join served from the TRANSACTIONAL lake: both
+    * member tables read through one manifest (never half a distributed
+    * tx), live rows joined orders→customers — must hash-equal the C14
+    * fold of the raw changelogs (cdcMultitableSnapshotSql VERBATIM),
+    * proving the manifest-pinned two-table read is exactly the
+    * transaction-consistent snapshot. */
+  val lakeMultitableTx: Q = (spark, dir) => {
+    val root = stagedMultiTableTxRoot(spark, dir)
+    val snapC = LakeTx.snapshot(spark, root, "customers").filter(col("live"))
+    val snapO = LakeTx.snapshot(spark, root, "orders").filter(col("live"))
+    snapO.select(col("id").as("orderkey"), col("custkey"),
+        col("status"), col("total"))
+      .join(snapC.select(col("id").as("custkey"), col("first_name"),
+        col("email")), "custkey")
+      .select(col("orderkey"), col("custkey"), col("first_name"),
+        col("email"), col("status"), col("total"))
+      .orderBy(col("orderkey"))
+  }
+
   val queries: Map[String, Q] = Map(
     "lake_change_feed" -> lakeChangeFeed,
     "lake_cdc_snapshot" -> lakeCdcSnapshot,
     "lake_time_travel" -> lakeTimeTravel,
     "lake_prune_scan" -> lakePruneScan,
     "lake_zorder_scan" -> lakeZorderScan,
-    "lake_bm25_index" -> lakeBm25Index)
+    "lake_bm25_index" -> lakeBm25Index,
+    "lake_multitable_tx" -> lakeMultitableTx)
 
   val oracle: Map[String, String] = Map(
     "lake_change_feed" -> lakeChangeFeedSql,
@@ -259,5 +321,6 @@ object Lake {
     "lake_time_travel" -> lakeTimeTravelSql,
     "lake_prune_scan" -> lakePruneScanSql,
     "lake_zorder_scan" -> lakeZorderScanSql,
-    "lake_bm25_index" -> Text.x4rSql)
+    "lake_bm25_index" -> Text.x4rSql,
+    "lake_multitable_tx" -> Cdc.cdcMultitableSnapshotSql)
 }

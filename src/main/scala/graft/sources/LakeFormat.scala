@@ -121,10 +121,10 @@ object LakeFormat {
   // window so local-FS racers (tests, a bench and a stream in one JVM)
   // can't both pass the no-overwrite check before either renames
   private val commitLocks = TrieMap.empty[String, Object]
-  private def lockFor(root: String): Object =
+  private[sources] def lockFor(root: String): Object =
     commitLocks.getOrElseUpdate(root, new Object)
 
-  private def listLogVersions(spark: SparkSession, root: String): Seq[Long] = {
+  private[sources] def listLogVersions(spark: SparkSession, root: String): Seq[Long] = {
     val f = fs(spark, root)
     val d = logDir(root)
     if (!f.exists(d)) Seq.empty
@@ -208,7 +208,7 @@ object LakeFormat {
     } else throw new IllegalArgumentException(s"unknown lake action: $line")
   }
 
-  private def readLogLines(spark: SparkSession, root: String,
+  private[sources] def readLogLines(spark: SparkSession, root: String,
       v: Long): Seq[String] = {
     val f = fs(spark, root)
     val in = f.open(logFile(root, v))

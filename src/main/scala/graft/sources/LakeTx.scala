@@ -1,0 +1,161 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** MULTI-TABLE LAKE TRANSACTIONS: atomic visibility of one logical
+  * transaction across SEVERAL lake tables — the table-layer completion of
+  * the CDC layer's whole-commit guarantee (C14/T12: a database commit is
+  * applied to every captured table or to none; the reference's envelope
+  * carries the cross-table transaction struct, ez-cdc README.md:331).
+  * Landing two captured tables in two INDEPENDENT [[LakeFormat]] tables
+  * re-tears commits: each table's log commits alone, so a reader joining
+  * them mid-apply sees half a transaction.
+  *
+  * Design — a TRANSACTION MANIFEST over per-table logs (the "2-entry
+  * manifest commit" shape): member tables stay ordinary [[LakeFormat]]
+  * tables under `root/t/<name>/` with their full machinery (merge,
+  * pruning, time travel, vacuum); a separate manifest log at
+  * `root/_tx/_log/` publishes, per manifest version, the COMMITTED
+  * version of every member table. Cross-table visibility is the
+  * manifest, and ONLY the manifest: [[snapshot]] reads each table AS OF
+  * its manifest-pinned version ([[LakeFormat.readAsOf]] — data files are
+  * immutable, so the pinned read is stable even while newer table
+  * commits land). The manifest claim is one atomic
+  * rename-without-overwrite of one small file — the same primitive as a
+  * table commit — so a reader observes every member table before the
+  * transaction or every member table after it, NEVER a mix.
+  *
+  * Crash recovery rides the per-table exactly-once markers: [[commitTx]]
+  * merges each table with a `txn(app::table, txv)` marker before
+  * publishing the manifest. A crash between the merges and the manifest
+  * leaves orphan table versions that manifest readers cannot see; the
+  * caller re-runs the SAME (app, txv) transaction — already-applied
+  * merges no-op through their markers, missing ones apply, and the
+  * manifest publish then makes the whole transaction visible at once. A
+  * replay of a fully-committed transaction no-ops entirely (the manifest
+  * content is unchanged, so no new version is written).
+  *
+  * SCALE: the manifest is O(#tables) bytes per transaction and one
+  * driver-side file claim — no data-path cost on top of the member
+  * merges; readers pay one extra small-file read per consistent
+  * snapshot. Vacuum discipline: retention on member tables must cover
+  * the manifest versions still served (the [[LakeFormat.readAsOf]]
+  * contract — a reclaimed pinned version fails loudly, never partially).
+  */
+object LakeTx {
+
+  /** A member table's root under the transactional root. */
+  def tableRoot(root: String, table: String): String = s"$root/t/$table"
+
+  private def txRoot(root: String): String = s"$root/_tx"
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def esc(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  private def manifestJson(vs: Map[String, Long]): String =
+    vs.toSeq.sortBy(_._1).map { case (t, v) => s""""${esc(t)}":$v""" }
+      .mkString("""{"manifest":{""", ",", "}}")
+
+  /** Initialize the transactional root over already-created member
+    * tables: manifest v0 pins each at its current version. Create the
+    * members first ([[LakeFormat.create]] under [[tableRoot]]). */
+  def init(spark: SparkSession, root: String, tables: Seq[String]): Unit = {
+    require(tables.nonEmpty, "a transactional root needs member tables")
+    require(LakeFormat.listLogVersions(spark, txRoot(root)).isEmpty,
+      s"transactional root already initialized at $root")
+    val pinned = tables.map { t =>
+      val vs = LakeFormat.listLogVersions(spark, tableRoot(root, t))
+      require(vs.nonEmpty, s"member table $t not created under $root")
+      t -> vs.max
+    }.toMap
+    if (!LakeFormat.tryCommit(spark, txRoot(root), 0L,
+        Seq(manifestJson(pinned))))
+      throw new java.util.ConcurrentModificationException(
+        s"concurrent init at $root")
+  }
+
+  /** The current manifest version (dense from 0). */
+  def manifestVersion(spark: SparkSession, root: String): Long = {
+    val vs = LakeFormat.listLogVersions(spark, txRoot(root))
+    require(vs.nonEmpty, s"not a transactional root (no _tx log): $root")
+    vs.max
+  }
+
+  /** The per-table committed versions the manifest publishes at `asOf`
+    * (default: current). */
+  def manifest(spark: SparkSession, root: String,
+      asOf: Option[Long] = None): Map[String, Long] = {
+    val v = asOf.getOrElse(manifestVersion(spark, root))
+    LakeFormat.readLogLines(spark, txRoot(root), v)
+      .map(mapper.readTree)
+      .collectFirst { case n if n.has("manifest") =>
+        n.get("manifest").properties().asScala
+          .map(e => e.getKey -> e.getValue.asLong).toMap
+      }
+      .getOrElse(throw new IllegalStateException(
+        s"no manifest action in $root _tx v$v"))
+  }
+
+  /** Apply one logical transaction ACROSS member tables and publish it
+    * atomically: merge each table's updates (the
+    * [[LakeFormat.merge]] fold shape — keyCols + orderCol + liveCol)
+    * with a per-table `txn(app::table, txv)` exactly-once marker, then
+    * claim the next manifest version carrying every member's committed
+    * version. Tables absent from `updates` keep their pinned version.
+    * Returns the manifest version serving the transaction (a replay of a
+    * fully-committed (app, txv) returns the CURRENT version unchanged).
+    */
+  def commitTx(spark: SparkSession, root: String,
+      updates: Map[String, DataFrame], app: String, txv: Long): Long = {
+    val before = manifest(spark, root)
+    require(updates.keySet.subsetOf(before.keySet),
+      s"unknown member tables ${updates.keySet -- before.keySet} at $root")
+    // deterministic table order: a crashed-and-retried transaction
+    // re-walks the same sequence, hitting its own markers in order
+    val applied = updates.toSeq.sortBy(_._1).map { case (t, df) =>
+      t -> LakeFormat.merge(df, tableRoot(root, t),
+        txn = Some((s"$app::$t", txv)))
+    }.toMap
+    val after = before ++ applied
+    LakeFormat.lockFor(txRoot(root)).synchronized {
+      val tip = manifestVersion(spark, root)
+      // full replay of a committed tx: every merge no-op'd and the tip
+      // manifest already covers the applied versions — publish nothing
+      val current = manifest(spark, root, Some(tip))
+      if (after.forall { case (t, v) => current.getOrElse(t, -1L) >= v })
+        return tip
+      // pin unchanged tables at the TIP manifest's versions (another
+      // transaction may have advanced them since our read)
+      val publish = current ++ applied
+      if (!LakeFormat.tryCommit(spark, txRoot(root), tip + 1L,
+          Seq(manifestJson(publish))))
+        throw new java.util.ConcurrentModificationException(
+          s"manifest claim lost at $root v${tip + 1} — re-run the tx")
+      tip + 1L
+    }
+  }
+
+  /** TRANSACTION-CONSISTENT READ: the member table exactly as the
+    * current manifest publishes it — concurrent in-flight transactions
+    * (table versions above the pin) are invisible, so cross-table joins
+    * over [[snapshot]]s never observe half a transaction. */
+  def snapshot(spark: SparkSession, root: String, table: String): DataFrame =
+    snapshotAsOf(spark, root, table, manifestVersion(spark, root))
+
+  /** [[snapshot]] at a historical manifest version — cross-table time
+    * travel: BOTH tables as of one consistent point. */
+  def snapshotAsOf(spark: SparkSession, root: String, table: String,
+      manifestV: Long): DataFrame = {
+    val pins = manifest(spark, root, Some(manifestV))
+    require(pins.contains(table), s"$table not a member of $root")
+    LakeFormat.readAsOf(spark, tableRoot(root, table), pins(table))
+  }
+}

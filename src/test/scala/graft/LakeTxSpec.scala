@@ -1,0 +1,120 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{LakeFormat, LakeTx}
+
+/** Multi-table lake transactions ([[graft.sources.LakeTx]]): atomic
+  * cross-table visibility through the transaction manifest — the property
+  * the oracle-checked `lake_multitable_tx` query relies on but cannot
+  * witness (torn states, crash recovery, in-flight invisibility).
+  */
+class LakeTxSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshRoot(): String = {
+    val p = Files.createTempDirectory("lake_tx_spec")
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  // one tx writes the SAME marker value into both tables: cross-table
+  // consistency is then "the set of markers visible in A equals the set
+  // visible in B" at every manifest version
+  private def markerRows(tx: Long) =
+    Seq((tx, tx, true, s"m$tx")).toDF("id", "lsn", "live", "v")
+
+  private def setup(root: String): Unit = {
+    // the declared schema makes manifest v0 (zero-file members) serve
+    // typed empties — a `live` filter on the pre-first-tx state analyzes
+    val schema = Some(org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, lsn BIGINT, live BOOLEAN, v STRING"))
+    LakeFormat.create(spark, LakeTx.tableRoot(root, "a"), Seq("id"),
+      statsCols = Seq("id"), schema = schema)
+    LakeFormat.create(spark, LakeTx.tableRoot(root, "b"), Seq("id"),
+      statsCols = Seq("id"), schema = schema)
+    LakeTx.init(spark, root, Seq("a", "b"))
+  }
+
+  private def visible(root: String, table: String, mv: Long): Set[Long] =
+    LakeTx.snapshotAsOf(spark, root, table, mv)
+      .filter(col("live")).select("id").as[Long].collect().toSet
+
+  test("every manifest version shows BOTH tables at the same tx prefix — never half") {
+    val root = freshRoot()
+    setup(root)
+    (1L to 4L).foreach(tx => LakeTx.commitTx(spark, root,
+      Map("a" -> markerRows(tx), "b" -> markerRows(tx)), "app", tx))
+    val tip = LakeTx.manifestVersion(spark, root)
+    assert(tip === 4L)
+    (0L to tip).foreach { mv =>
+      val (va, vb) = (visible(root, "a", mv), visible(root, "b", mv))
+      assert(va === vb, s"manifest v$mv tore a tx: a=$va b=$vb")
+      assert(va === (1L to mv).toSet)
+    }
+  }
+
+  test("an orphan table commit (crash before manifest) is invisible; retry converges") {
+    val root = freshRoot()
+    setup(root)
+    LakeTx.commitTx(spark, root,
+      Map("a" -> markerRows(1L), "b" -> markerRows(1L)), "app", 1L)
+    // simulate tx 2 crashing AFTER table a's merge, BEFORE table b and
+    // the manifest: merge a directly with the marker commitTx would use
+    LakeFormat.merge(markerRows(2L), LakeTx.tableRoot(root, "a"),
+      txn = Some(("app::a", 2L)))
+    val mvBefore = LakeTx.manifestVersion(spark, root)
+    // manifest readers see the PRE-tx state on BOTH tables...
+    assert(visible(root, "a", mvBefore) === Set(1L))
+    assert(visible(root, "b", mvBefore) === Set(1L))
+    // ...even though a DIRECT table read (bypassing the manifest — the
+    // documented boundary) already shows the orphan
+    assert(LakeFormat.snapshot(spark, LakeTx.tableRoot(root, "a"))
+      .filter(col("live")).count() === 2L)
+    // retry the whole tx: a's merge no-ops through its marker, b applies,
+    // ONE manifest publishes both
+    val mv = LakeTx.commitTx(spark, root,
+      Map("a" -> markerRows(2L), "b" -> markerRows(2L)), "app", 2L)
+    assert(mv === mvBefore + 1)
+    assert(visible(root, "a", mv) === Set(1L, 2L))
+    assert(visible(root, "b", mv) === Set(1L, 2L))
+    // a's orphan version left NO extra table commit on retry (the marker
+    // gated it): table a has create + 2 merges only
+    assert(LakeFormat.state(spark, LakeTx.tableRoot(root, "a")).version === 2L)
+  }
+
+  test("replaying a fully-committed tx publishes nothing and changes nothing") {
+    val root = freshRoot()
+    setup(root)
+    val mv1 = LakeTx.commitTx(spark, root,
+      Map("a" -> markerRows(1L), "b" -> markerRows(1L)), "app", 1L)
+    val mv2 = LakeTx.commitTx(spark, root,
+      Map("a" -> markerRows(1L), "b" -> markerRows(1L)), "app", 1L)
+    assert(mv2 === mv1, "replay must not mint a manifest version")
+    assert(LakeTx.manifest(spark, root) ===
+      LakeTx.manifest(spark, root, Some(mv1)))
+    assert(visible(root, "a", mv1) === Set(1L))
+  }
+
+  test("partial-table transactions pin untouched members; historical manifests time-travel consistently") {
+    val root = freshRoot()
+    setup(root)
+    LakeTx.commitTx(spark, root,
+      Map("a" -> markerRows(1L), "b" -> markerRows(1L)), "app", 1L)
+    // tx 2 touches ONLY table a
+    LakeTx.commitTx(spark, root, Map("a" -> markerRows(2L)), "app", 2L)
+    val tip = LakeTx.manifestVersion(spark, root)
+    assert(visible(root, "a", tip) === Set(1L, 2L))
+    assert(visible(root, "b", tip) === Set(1L))
+    // cross-table time travel: manifest v1 shows tx 1 only, on both
+    assert(visible(root, "a", tip - 1) === Set(1L))
+    assert(visible(root, "b", tip - 1) === Set(1L))
+    // unknown member tables are refused
+    intercept[IllegalArgumentException](LakeTx.commitTx(spark, root,
+      Map("zz" -> markerRows(9L)), "app", 9L))
+  }
+}
