@@ -158,4 +158,30 @@ object LakeTx {
     require(pins.contains(table), s"$table not a member of $root")
     LakeFormat.readAsOf(spark, tableRoot(root, table), pins(table))
   }
+
+  /** MANIFEST-COORDINATED VACUUM: reclaim member-table files while
+    * keeping every table version the newest `keepManifests` manifest
+    * versions pin — the retention floor a member's [[LakeFormat.vacuum]]
+    * cannot compute alone (a table version with no newer table commits
+    * may still be pinned by an OLD manifest a consistent reader serves).
+    * Per member, the floor is the MINIMUM pin across retained manifests;
+    * everything at-or-above it stays time-travelable, older rewrites
+    * reclaim. Same in-flight guard as the single-table vacuum. Returns
+    * the deleted relative paths per table. Manifests older than the
+    * window become unreadable the moment their pinned files go — the
+    * [[LakeFormat.readAsOf]] loud-failure contract, unchanged. */
+  def vacuum(spark: SparkSession, root: String, keepManifests: Int,
+      olderThanMs: Long = 3600L * 1000): Map[String, Seq[String]] = {
+    require(keepManifests >= 1, "must retain at least the current manifest")
+    val tip = manifestVersion(spark, root)
+    val floor = math.max(0L, tip - keepManifests + 1)
+    val retained = (floor to tip).map(mv => manifest(spark, root, Some(mv)))
+    val tables = retained.head.keySet
+    tables.map { t =>
+      val minPin = retained.map(_(t)).min
+      val tTip = LakeFormat.listLogVersions(spark, tableRoot(root, t)).max
+      val keep = (tTip - minPin + 1).toInt
+      t -> LakeFormat.vacuum(spark, tableRoot(root, t), keep, olderThanMs)
+    }.toMap
+  }
 }

@@ -117,4 +117,96 @@ class LakeTxSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](LakeTx.commitTx(spark, root,
       Map("zz" -> markerRows(9L)), "app", 9L))
   }
+
+  // envelope rows for the streaming sink: (table, id, lsn, op, value)
+  private def envRows(xs: (String, Long, Long, String, String)*) = {
+    val df = xs.toSeq.toDF("_t", "_id", "_lsn", "_op", "_v")
+    val img = struct(col("_id").as("id"), col("_v").as("v"))
+    df.select(
+      when(col("_op") === "d", img).as("before"),
+      when(col("_op") =!= "d", img).as("after"),
+      struct(col("_lsn").as("lsn"), col("_t").as("table")).as("source"),
+      col("_op").as("op"))
+  }
+
+  private val sinkKeys = Map("a" -> Seq("id"), "b" -> Seq("id"))
+
+  test("streaming sink: one mixed-table batch lands atomically; replay no-ops; one-table batches pin the other") {
+    val root = freshRoot()
+    setup(root)
+    // batch 0: both tables
+    streaming.LakeTxSink.applyBatch(envRows(
+      ("a", 1L, 1L, "c", "a1"), ("b", 1L, 1L, "c", "b1"),
+      ("a", 2L, 2L, "c", "a2")), root, sinkKeys, "sink", 0L)
+    val mv0 = LakeTx.manifestVersion(spark, root)
+    assert(visible(root, "a", mv0) === Set(1L, 2L))
+    assert(visible(root, "b", mv0) === Set(1L))
+    // replay of batch 0: no new manifest, no state change
+    streaming.LakeTxSink.applyBatch(envRows(
+      ("a", 1L, 1L, "c", "a1"), ("b", 1L, 1L, "c", "b1"),
+      ("a", 2L, 2L, "c", "a2")), root, sinkKeys, "sink", 0L)
+    assert(LakeTx.manifestVersion(spark, root) === mv0)
+    assert(visible(root, "a", mv0) === Set(1L, 2L))
+    // batch 1: only table b has events (a's slice is empty) — the batch
+    // still manifests atomically, a keeps its pin, and a delete for b
+    // tombstones through the fold
+    streaming.LakeTxSink.applyBatch(envRows(
+      ("b", 1L, 3L, "d", "b1"), ("b", 2L, 4L, "c", "b2")),
+      root, sinkKeys, "sink", 1L)
+    val mv1 = LakeTx.manifestVersion(spark, root)
+    assert(mv1 === mv0 + 1)
+    assert(visible(root, "a", mv1) === Set(1L, 2L))
+    assert(visible(root, "b", mv1) === Set(2L))
+    // cross-table time travel still serves the pre-batch-1 pair
+    assert(visible(root, "b", mv0) === Set(1L))
+  }
+
+  test("streaming sink wrapper smoke: cdcApply drives batches through a real stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val root = freshRoot()
+    setup(root)
+    val mem = MemoryStream[(String, Long, Long, String, String)]
+    def toEnv(df: org.apache.spark.sql.DataFrame) = {
+      val img = struct(col("_2").as("id"), col("_5").as("v"))
+      df.select(
+        when(col("_4") === "d", img).as("before"),
+        when(col("_4") =!= "d", img).as("after"),
+        struct(col("_3").as("lsn"), col("_1").as("table")).as("source"),
+        col("_4").as("op"))
+    }
+    val ck = Files.createTempDirectory("lake_tx_ck").toString
+    val q = streaming.LakeTxSink.cdcApply(toEnv(mem.toDF), root, sinkKeys, "stream")
+      .option("checkpointLocation", ck).start()
+    mem.addData(("a", 1L, 1L, "c", "a1"), ("b", 7L, 2L, "c", "b7"))
+    q.processAllAvailable()
+    mem.addData(("a", 1L, 3L, "u", "a1x"))
+    q.processAllAvailable(); q.stop()
+    val tip = LakeTx.manifestVersion(spark, root)
+    assert(visible(root, "a", tip) === Set(1L))
+    assert(LakeTx.snapshot(spark, root, "a").filter(col("live"))
+      .select("v").as[String].collect().toSeq === Seq("a1x"))
+    assert(visible(root, "b", tip) === Set(7L))
+  }
+
+  test("manifest-coordinated vacuum keeps every retained manifest readable, reclaims older rewrites") {
+    val root = freshRoot()
+    setup(root)
+    (1L to 3L).foreach(tx => LakeTx.commitTx(spark, root,
+      // same key every tx: each merge REWRITES table a's single file, so
+      // old pinned versions have reclaimable files
+      Map("a" -> Seq((1L, tx, true, s"m$tx")).toDF("id", "lsn", "live", "v"),
+        "b" -> markerRows(tx)), "app", tx))
+    val tip = LakeTx.manifestVersion(spark, root)
+    // retain the 2 newest manifests: tip and tip-1 must stay readable
+    val deleted = LakeTx.vacuum(spark, root, keepManifests = 2, olderThanMs = 0L)
+    assert(deleted("a").nonEmpty, "tx-1-era rewrite of table a must reclaim")
+    assert(LakeTx.snapshotAsOf(spark, root, "a", tip).filter(col("live"))
+      .select("v").as[String].collect().toSeq === Seq("m3"))
+    assert(LakeTx.snapshotAsOf(spark, root, "a", tip - 1).filter(col("live"))
+      .select("v").as[String].collect().toSeq === Seq("m2"))
+    // the out-of-retention manifest's pinned read fails loudly at scan
+    intercept[Exception](
+      LakeTx.snapshotAsOf(spark, root, "a", tip - 2).count())
+  }
 }
