@@ -41,6 +41,18 @@ object LakeTxSink {
       tableKeys: Map[String, Seq[String]], appId: String,
       batchId: Long): Unit = {
     val spark = envelopes.sparkSession
+    // an event for a table nobody configured must REFUSE, not vanish:
+    // silently dropping it would desynchronize the replica forever (the
+    // bandBatchDirs loud-failure discipline, applied to routing). One
+    // cheap aggregation over the increment-sized batch.
+    val strays = envelopes
+      .filter(!col("source.table").isin(tableKeys.keys.toSeq: _*))
+      .select(col("source.table")).distinct().collect().map(_.getString(0))
+    require(strays.isEmpty,
+      s"batch $batchId carries events for unconfigured table(s) " +
+        s"${strays.mkString(",")} — add them to tableKeys (with their " +
+        "member tables) or route them to their own sink; dropping them " +
+        "silently would desynchronize the replica")
     // one pass over the batch per table: micro-batches are
     // increment-sized, and the localCheckpoint inside each member merge
     // already bounds re-derivation

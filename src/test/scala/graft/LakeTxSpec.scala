@@ -159,6 +159,15 @@ class LakeTxSpec extends AnyFunSuite {
     assert(visible(root, "b", mv1) === Set(2L))
     // cross-table time travel still serves the pre-batch-1 pair
     assert(visible(root, "b", mv0) === Set(1L))
+    // an event for a table nobody configured refuses loudly — silent
+    // drops would desynchronize the replica forever
+    val ex = intercept[IllegalArgumentException] {
+      streaming.LakeTxSink.applyBatch(envRows(("zz", 9L, 9L, "c", "z9")),
+        root, sinkKeys, "sink", 2L)
+    }
+    assert(ex.getMessage.contains("zz"))
+    assert(LakeTx.manifestVersion(spark, root) === mv1,
+      "the refused batch must not publish")
   }
 
   test("streaming sink wrapper smoke: cdcApply drives batches through a real stream") {
