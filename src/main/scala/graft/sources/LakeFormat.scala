@@ -760,26 +760,33 @@ object LakeFormat {
     // streaming merges don't grow task binaries
     val updates = updatesIn.localCheckpoint()
     // (1) candidate files by single-key range overlap (conservative:
-    // composite keys or missing stats keep everything)
-    val cands: Seq[AddFile] =
-      if (m.keyCols.size != 1) st.files
+    // composite keys or missing stats keep everything). The key range is
+    // ALSO the rebase-safety proof below: None = no proof possible
+    // (composite key), Some(None) = empty updates (disjoint from
+    // everything), Some(Some((lo, hi))) = the updates' closed key range.
+    val keyRange: Option[Option[(String, String)]] =
+      if (m.keyCols.size != 1) None
       else {
         val k = m.keyCols.head
         val r = updates.agg(min(col(k)).cast("string").as("lo"),
           max(col(k)).cast("string").as("hi")).head()
-        if (r.isNullAt(0)) Seq.empty // empty updates touch nothing
-        else {
-          val (lo, hi) = (r.getString(0), r.getString(1))
-          st.files.filter { a =>
-            a.stats.get(k) match {
-              case Some(s) if s.min.isDefined && s.max.isDefined =>
-                !(cmpVals(s.typ, s.max.get, lo) < 0 ||
-                  cmpVals(s.typ, s.min.get, hi) > 0)
-              case _ => true
-            }
-          }
-        }
+        if (r.isNullAt(0)) Some(None) // empty updates touch nothing
+        else Some(Some((r.getString(0), r.getString(1))))
       }
+    // a file whose key stats are provably OUTSIDE the updates' range
+    def keyDisjoint(a: AddFile): Boolean = keyRange match {
+      case Some(None) => true
+      case Some(Some((lo, hi))) =>
+        a.stats.get(m.keyCols.head).exists(s =>
+          s.min.isDefined && s.max.isDefined &&
+            (cmpVals(s.typ, s.max.get, lo) < 0 ||
+              cmpVals(s.typ, s.min.get, hi) > 0))
+      case None => false
+    }
+    val cands: Seq[AddFile] = keyRange match {
+      case Some(None) => Seq.empty
+      case _ => st.files.filterNot(keyDisjoint)
+    }
     // (2) exact touched set: one scan over candidates, semi-joined
     // against the update keys; the file_path projection happens PER
     // VINTAGE (hidden _metadata does not survive a union), and mixed
@@ -811,31 +818,79 @@ object LakeFormat {
       .filter(col("__rn") === 1)
       .drop("__rn", "__src")
     val adds = writeData(folded, root, m)
-    // (4) strict optimistic commit at read-version + 1 — the txn marker
-    // rides the same atomic commit as the data it marks applied
+    // (4) optimistic commit with file-level conflict detection — the txn
+    // marker rides the same atomic commit as the data it marks applied.
+    // An intervening commit is provably disjoint from this merge when:
+    // (a) its removes miss our candidate set (it rewrote no file we
+    //     read — files outside cands were PROVEN outside our key range
+    //     at read time, and files it added mid-window are covered by b);
+    // (b) every file it adds is key-disjoint from our updates' range
+    //     (our fold could not have needed its rows — requires the
+    //     single-key range proof; composite keys abort, conservative);
+    // (c) it carries no exactly-once marker of OUR app at-or-above our
+    //     batch id (a concurrent replay of this very batch already
+    //     landed — rebasing would double-apply; the re-run no-ops
+    //     through the read-time gate instead).
+    // So continuous ingest rebases over disjoint-key ingest, appends,
+    // and compactions of other partitions, and aborts on real overlap.
+    val candPaths = cands.map(_.path).toSet
+    val safe: Seq[Action] => Boolean = _.forall {
+      case AddA(a)       => keyDisjoint(a)
+      case RemoveA(p)    => !candPaths.contains(p)
+      case TxnA(app, tv) =>
+        !txn.exists { case (a0, t0) => a0 == app && tv >= t0 }
+      case MetaA(_) | CommitA(_) => true
+    }
     val lines = touched.map(a => removeJson(a.path)) ++ adds.map(addJson) ++
       txn.map { case (app, tv) => txnJson(app, tv) }
-    strictCommit(spark, root, st.version, lines, adds, "merge")
+    strictCommit(spark, root, st.version, lines, adds, "merge", safe)
   }
 
-  /** Commit `lines` at exactly `readVersion + 1`, aborting (and dropping
-    * the staged `adds`) when any other commit intervened — the
-    * write-serializable rule for transactions with a read-set. */
+  /** Test seam: invoked between a transaction's read/stage phase and its
+    * commit claim, so specs can interleave a concurrent commit
+    * DETERMINISTICALLY into the conflict-detection window (a thread race
+    * would be flaky). No-op in production; a spec's hook must reset
+    * itself first or nested commits recurse. */
+  private[graft] var beforeCommitHook: () => Unit = () => ()
+
+  /** Commit `lines` at the current tip + 1. When the tip moved past
+    * `readVersion`, the intervening commits' actions are handed to
+    * `safeOver`: true means PROVABLY DISJOINT from this transaction's
+    * read/write set, so the commit REBASES — claims the new tip + 1 with
+    * the same lines — instead of aborting (the file-level conflict
+    * detection the public Delta protocol performs, replacing the naive
+    * version-equality rule: without it, continuous CDC ingest and
+    * periodic compaction serialize — every OPTIMIZE aborts a concurrent
+    * merge window and vice versa, which a 100 TB deployment cannot
+    * afford). A real conflict (safeOver false) aborts with
+    * ConcurrentModificationException and drops the staged `adds`; the
+    * caller re-runs against the new tip. The default predicate rejects
+    * everything — the old write-serializable rule. */
   private def strictCommit(spark: SparkSession, root: String,
       readVersion: Long, lines: Seq[String], adds: Seq[AddFile],
-      what: String): Long = {
+      what: String,
+      safeOver: Seq[Action] => Boolean = _ => false): Long = {
+    beforeCommitHook()
+    def abort(base: Long): Nothing = {
+      // our rewrite is stale: drop the files it staged and abort
+      val f = fs(spark, root)
+      adds.foreach(a => f.delete(new Path(root, a.path), false))
+      throw new java.util.ConcurrentModificationException(
+        s"$what read v$base but a conflicting commit intervened at $root" +
+          " — re-run")
+    }
     lockFor(root).synchronized {
       val tip = listLogVersions(spark, root).max
-      if (tip != readVersion ||
-          !tryCommit(spark, root, readVersion + 1, lines)) {
-        // our rewrite is stale: drop the files it staged and abort
-        val f = fs(spark, root)
-        adds.foreach(a => f.delete(new Path(root, a.path), false))
-        throw new java.util.ConcurrentModificationException(
-          s"$what read v$readVersion but tip moved at $root — re-run")
+      if (tip != readVersion) {
+        val intervening = (readVersion + 1 to tip)
+          .flatMap(v => readLogLines(spark, root, v).map(parseLine))
+        if (!safeOver(intervening)) abort(readVersion)
       }
+      // a lost claim here means an OUT-OF-PROCESS racer slipped past the
+      // in-JVM lock: indistinguishable from a mid-window tip move, abort
+      if (!tryCommit(spark, root, tip + 1, lines)) abort(tip)
+      tip + 1
     }
-    readVersion + 1
   }
 
   /** OPTIMIZE: rewrite the files `select` picks from the current live
@@ -849,9 +904,13 @@ object LakeFormat {
     * remove/add lines), so a 100 TB table compacts partition-locally:
     * pass [[smallFiles]] to bin-pack only the fragmented subset, or
     * [[inPartition]] to scope the rewrite to one hive partition, instead
-    * of the default whole-table rewrite. Commits under the same strict
-    * rule as merge: any concurrent commit aborts the rewrite, nothing
-    * is lost. */
+    * of the default whole-table rewrite. Commits with file-level
+    * conflict detection: a concurrent commit that touches none of the
+    * picked files (ingest into other files, appends, markers) REBASES
+    * this rewrite instead of aborting it — compaction must not
+    * serialize against a live ingest pipeline; only a concurrent
+    * rewrite of a picked file itself aborts (our output would resurrect
+    * rows the other commit superseded). */
   def optimize(spark: SparkSession, root: String, layout: Seq[Column],
       targetFiles: Int,
       select: AddFile => Boolean = _ => true): Long = {
@@ -861,8 +920,15 @@ object LakeFormat {
     val df = readFiles(spark, root, picked)
       .repartitionByRange(targetFiles, layout: _*)
     val adds = writeData(df, root, st.meta)
+    val pickedPaths = picked.map(_.path).toSet
+    // a pure rewrite of the picked files conflicts ONLY with a removal
+    // of a picked file; adds and removes elsewhere are untouched by it
+    val safe: Seq[Action] => Boolean = _.forall {
+      case RemoveA(p) => !pickedPaths.contains(p)
+      case _          => true
+    }
     val lines = picked.map(a => removeJson(a.path)) ++ adds.map(addJson)
-    strictCommit(spark, root, st.version, lines, adds, "optimize")
+    strictCommit(spark, root, st.version, lines, adds, "optimize", safe)
   }
 
   /** [[optimize]] selector: only files under `maxBytes` on disk — the

@@ -224,4 +224,109 @@ class LakeHardeningSpec extends AnyFunSuite {
 
   private def rows1() =
     Seq((1L, 1L, true, "a"), (2L, 1L, true, "b")).toDF("id", "lsn", "live", "v")
+
+  // deterministic concurrent-commit interleave: the hook fires inside the
+  // conflict-detection window (after read/stage, before the claim) and
+  // must reset itself first — the concurrent commit it issues would
+  // otherwise recurse into the hook
+  private def withConcurrent[T](body: => Unit)(f: => T): T = {
+    LakeFormat.beforeCommitHook = () => {
+      LakeFormat.beforeCommitHook = () => ()
+      body
+    }
+    try f finally LakeFormat.beforeCommitHook = () => ()
+  }
+
+  test("merge rebases over a concurrent key-disjoint commit instead of aborting") {
+    val root = freshRoot()
+    LakeFormat.create(spark, root, Seq("id"), statsCols = Seq("id"))
+    LakeFormat.merge(Seq((1L, 1L, true, "a"), (2L, 1L, true, "b"))
+      .toDF("id", "lsn", "live", "v"), root) // v1
+    // concurrent append of keys 100.. lands INSIDE this merge's window:
+    // provably outside the updates' [1,2] range → the merge must rebase
+    val v = withConcurrent {
+      LakeFormat.append(Seq((100L, 1L, true, "far"))
+        .toDF("id", "lsn", "live", "v"), root) // v2
+    } {
+      LakeFormat.merge(Seq((1L, 2L, true, "a2"))
+        .toDF("id", "lsn", "live", "v"), root)
+    }
+    assert(v === 3L, "merge must land at the REBASED tip, not abort")
+    val live = LakeFormat.snapshot(spark, root).filter(col("live"))
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(live === Map(1L -> "a2", 2L -> "b", 100L -> "far"))
+  }
+
+  test("merge aborts on a concurrent overlapping commit; the re-run lands clean") {
+    val root = freshRoot()
+    LakeFormat.create(spark, root, Seq("id"), statsCols = Seq("id"))
+    LakeFormat.merge(Seq((1L, 1L, true, "a")).toDF("id", "lsn", "live", "v"), root)
+    intercept[java.util.ConcurrentModificationException] {
+      withConcurrent {
+        // overlapping key range: the merge's fold could have needed it
+        LakeFormat.append(Seq((1L, 3L, true, "mid"))
+          .toDF("id", "lsn", "live", "v"), root)
+      } {
+        LakeFormat.merge(Seq((1L, 2L, true, "stale"))
+          .toDF("id", "lsn", "live", "v"), root)
+      }
+    }
+    // the aborted merge leaked nothing; a re-run folds against the NEW
+    // tip — the mid-window row (lsn 3) beats the re-run's lsn 2
+    LakeFormat.merge(Seq((1L, 2L, true, "stale"))
+      .toDF("id", "lsn", "live", "v"), root)
+    val live = LakeFormat.snapshot(spark, root).filter(col("live"))
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(live === Map(1L -> "mid"))
+  }
+
+  test("merge aborts when a concurrent replay of its own exactly-once batch landed") {
+    val root = freshRoot()
+    LakeFormat.create(spark, root, Seq("id"), statsCols = Seq("id"))
+    val batch = Seq((50L, 1L, true, "x")).toDF("id", "lsn", "live", "v")
+    intercept[java.util.ConcurrentModificationException] {
+      withConcurrent {
+        LakeFormat.merge(batch, root, txn = Some(("app", 7L)))
+      } {
+        LakeFormat.merge(batch, root, txn = Some(("app", 7L)))
+      }
+    }
+    // the re-run no-ops through the read-time marker gate — applied ONCE
+    val tip = LakeFormat.merge(batch, root, txn = Some(("app", 7L)))
+    assert(tip === LakeFormat.state(spark, root).version)
+    assert(LakeFormat.snapshot(spark, root).count() === 1L)
+  }
+
+  test("optimize rebases over concurrent ingest; aborts only when a picked file was rewritten") {
+    val root = freshRoot()
+    LakeFormat.create(spark, root, Seq("id"), statsCols = Seq("id"))
+    (0 until 4).foreach(i => LakeFormat.append(
+      Seq((i.toLong, 1L, true, s"v$i")).toDF("id", "lsn", "live", "v"), root))
+    // concurrent append mid-compaction: none of the picked files moved →
+    // the rewrite rebases, and the mid-window file survives untouched
+    val v = withConcurrent {
+      LakeFormat.append(Seq((99L, 1L, true, "mid"))
+        .toDF("id", "lsn", "live", "v"), root)
+    } {
+      LakeFormat.optimize(spark, root, Seq(col("id")), targetFiles = 1)
+    }
+    assert(v === 6L)
+    assert(LakeFormat.snapshot(spark, root).count() === 5L)
+    // 1 compacted + the mid-window file (optimize picked the PRE-append
+    // file set, so the concurrent file is not compacted away)
+    assert(LakeFormat.state(spark, root).files.size === 2)
+    // a concurrent MERGE that rewrites a picked file must abort the
+    // rewrite — committing it would resurrect the superseded row
+    intercept[java.util.ConcurrentModificationException] {
+      withConcurrent {
+        LakeFormat.merge(Seq((0L, 9L, true, "newer"))
+          .toDF("id", "lsn", "live", "v"), root)
+      } {
+        LakeFormat.optimize(spark, root, Seq(col("id")), targetFiles = 1)
+      }
+    }
+    val live = LakeFormat.snapshot(spark, root).filter(col("live"))
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(live(0L) === "newer", "the aborted rewrite must not resurrect v0")
+  }
 }
