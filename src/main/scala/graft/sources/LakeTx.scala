@@ -159,6 +159,47 @@ object LakeTx {
     LakeFormat.readAsOf(spark, tableRoot(root, table), pins(table))
   }
 
+  /** CONSISTENT MULTI-TABLE CHANGE-FEED CONSUMPTION — S7's read half,
+    * the [[LakeFormat.consumeChangeFeed]] discipline lifted to the
+    * transaction layer: drain MANIFEST versions above a durable consumer
+    * offset, delivering for each version every member table's change
+    * rows between its previous and new pins (`apply(table, batch,
+    * manifestV)`; members whose pin did not move deliver nothing). All
+    * of one manifest version's member batches are delivered BEFORE the
+    * offset advances, so a downstream consumer maintaining cross-table
+    * derived state (a replica join, a feature store spanning tables)
+    * sees transaction-aligned increments — never one table's half of a
+    * distributed tx — and a crash replays at most one manifest version
+    * (at-least-once; consumers idempotent per (table, version), the
+    * epoch-keyed store discipline). Offset storage and retention
+    * contract are [[LakeFormat.consumerOffset]]'s: lagging past a
+    * member's vacuum window fails loudly mid-batch, before the offset
+    * moves. Returns the manifest versions applied. */
+  def consumeChanges(spark: SparkSession, root: String, consumerDir: String,
+      maxManifests: Int = Int.MaxValue)(
+      apply: (String, DataFrame, Long) => Unit): Seq[Long] = {
+    val from = LakeFormat.consumerOffset(spark, consumerDir).getOrElse(0L) + 1L
+    val tip = manifestVersion(spark, root)
+    if (from > tip) return Seq.empty
+    val toV = math.min(tip, from + math.max(0, maxManifests).toLong - 1L)
+    if (toV < from) return Seq.empty
+    val applied = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var prev = manifest(spark, root, Some(from - 1))
+    (from to toV).foreach { mv =>
+      val cur = manifest(spark, root, Some(mv))
+      cur.toSeq.sortBy(_._1).foreach { case (t, pin) =>
+        val before = prev.getOrElse(t, 0L)
+        if (pin > before)
+          apply(t, LakeFormat.changeFeed(spark, tableRoot(root, t),
+            before + 1L, pin), mv)
+      }
+      LakeFormat.commitConsumerOffset(spark, consumerDir, mv)
+      applied += mv
+      prev = cur
+    }
+    applied.toSeq
+  }
+
   /** MANIFEST-COORDINATED VACUUM: reclaim member-table files while
     * keeping every table version the newest `keepManifests` manifest
     * versions pin — the retention floor a member's [[LakeFormat.vacuum]]

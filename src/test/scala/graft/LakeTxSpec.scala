@@ -198,6 +198,47 @@ class LakeTxSpec extends AnyFunSuite {
     assert(visible(root, "b", tip) === Set(7L))
   }
 
+  test("consumeChanges delivers transaction-aligned member batches; replay no-ops; crash redelivers one version") {
+    val root = freshRoot()
+    setup(root)
+    (1L to 3L).foreach(tx => LakeTx.commitTx(spark, root,
+      Map("a" -> markerRows(tx), "b" -> markerRows(tx)), "app", tx))
+    val cons = s"${freshRoot()}/c"
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, String)]
+    def drain(max: Int = Int.MaxValue) =
+      LakeTx.consumeChanges(spark, root, cons, max) { (t, batch, mv) =>
+        batch.select("id", "_change_type").as[(Long, String)].collect()
+          .foreach { case (id, ct) => seen += ((mv, t, id, ct)) }
+      }
+    assert(drain(max = 2) === Seq(1L, 2L))
+    // per manifest version, BOTH tables' creates arrive, tx-aligned
+    assert(seen.sorted.toSeq === Seq(
+      (1L, "a", 1L, "c"), (1L, "b", 1L, "c"),
+      (2L, "a", 2L, "c"), (2L, "b", 2L, "c")))
+    assert(drain() === Seq(3L))
+    assert(drain() === Seq.empty, "replay must deliver nothing")
+    assert(seen.size === 6)
+    // crash INSIDE a version: table a's batch applied, then the consumer
+    // dies before b's — the offset must not advance, and the retry
+    // redelivers the WHOLE version (a's idempotent epoch absorbs it)
+    LakeTx.commitTx(spark, root,
+      Map("a" -> markerRows(4L), "b" -> markerRows(4L)), "app", 4L)
+    var crashed = false
+    intercept[RuntimeException] {
+      LakeTx.consumeChanges(spark, root, cons) { (t, _, _) =>
+        if (t == "b" && !crashed) { crashed = true; throw new RuntimeException("crash") }
+      }
+    }
+    assert(LakeFormat.consumerOffset(spark, cons) === Some(3L),
+      "offset must sit BEFORE the half-delivered version")
+    val redelivered = scala.collection.mutable.ArrayBuffer.empty[String]
+    assert(LakeTx.consumeChanges(spark, root, cons) { (t, _, _) =>
+      redelivered += t
+    } === Seq(4L))
+    assert(redelivered.sorted.toSeq === Seq("a", "b"),
+      "the retry must redeliver BOTH members of the torn version")
+  }
+
   test("manifest-coordinated vacuum keeps every retained manifest readable, reclaims older rewrites") {
     val root = freshRoot()
     setup(root)
