@@ -237,6 +237,31 @@ class LakeHardeningSpec extends AnyFunSuite {
     try f finally LakeFormat.beforeCommitHook = () => ()
   }
 
+  test("MERGE with an evolved schema: new column lands, old rows read back null, change feed compares it") {
+    val root = freshRoot()
+    LakeFormat.create(spark, root, Seq("id"), statsCols = Seq("id"))
+    LakeFormat.merge(Seq((1L, 1L, true, "a"), (2L, 1L, true, "b"))
+      .toDF("id", "lsn", "live", "v"), root) // v1, old vintage
+    // v2 merges a batch CARRYING A NEW COLUMN: the fold unions vintages
+    // by name, the rewrite records the widened DDL, untouched keys keep
+    // null for the new column
+    LakeFormat.merge(Seq((1L, 2L, true, "a2", 42L))
+      .toDF("id", "lsn", "live", "v", "extra"), root)
+    val snap = LakeFormat.snapshot(spark, root).filter(col("live"))
+      .select("id", "v", "extra").as[(Long, String, Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(snap === Seq((1L, "a2", Some(42L)), (2L, "b", None)))
+    // the change feed diffs the evolved rewrite against the pre-image:
+    // id=1 changed (v AND the new column), id=2 carried along → silent
+    val feed = LakeFormat.changeFeed(spark, root, 2L, 2L)
+      .select("_change_type", "id").as[(String, Long)].collect().toSeq
+    assert(feed === Seq(("u", 1L)))
+    // stats pruning engages on the evolved column once a later append
+    // records stats for it — and scans on it analyze across vintages
+    assert(LakeFormat.scan(spark, root, col("extra") === lit(42L)).df
+      .count() === 1L)
+  }
+
   test("merge rebases over a concurrent key-disjoint commit instead of aborting") {
     val root = freshRoot()
     LakeFormat.create(spark, root, Seq("id"), statsCols = Seq("id"))
