@@ -1060,6 +1060,29 @@ object Streams extends Serializable {
       batchId, indexDir, coarse, books)
   }
 
+  /** LAKE → vector-index integration — [[postingsFromLake]]'s twin for
+    * the T16 store, making the T38 claim literal: EVERY maintained
+    * serving store tails the table's commits. Each lake commit becomes
+    * one index epoch keyed by the commit version: `c`/`u` rows re-embed
+    * their post-image text against the FROZEN models and upsert, `d`
+    * rows write through as index tombstones. Same at-least-once ×
+    * epoch-idempotent composition as the postings path. */
+  def vectorIndexFromLake(spark: org.apache.spark.sql.SparkSession,
+      lakeRoot: String, consumerDir: String, indexDir: String,
+      coarse: Array[Array[Float]], books: Array[Array[Array[Float]]],
+      maxCommits: Int = Int.MaxValue): Seq[Long] =
+    graft.sources.LakeFormat.consumeChangeFeed(spark, lakeRoot, consumerDir,
+        maxCommits) { (batch, v) =>
+      val embedded = graft.operators.Vectors.stubEmbed(
+        batch.filter(col("_change_type").isin("c", "u"))
+          .select(col("doc_id").as("vec_id"), col("text")))
+      vectorIndexApplyBatch(
+        embedded.select(col("vec_id"), col("embedding")),
+        batch.filter(col("_change_type") === "d")
+          .select(col("doc_id").as("vec_id")),
+        v, indexDir, coarse, books)
+    }
+
   /** Seed the index with a pre-built corpus encode (reserved batch id
     * −1, below every real micro-batch id — [[seedBandStore]]'s
     * convention).

@@ -126,6 +126,45 @@ class LakeFeedSpec extends AnyFunSuite {
     assert(docs() === Set(1L, 2L))
   }
 
+  test("vectorIndexFromLake maintains the T16 store from lake commits: folded index == batch encode of the final corpus") {
+    import graft.operators.Vectors
+    val s = scratch()
+    val root = s"$s/t"; val cons = s"$s/c"; val idx = s"$s/v"
+    LakeFormat.create(spark, root, Seq("doc_id"), statsCols = Seq("doc_id"))
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 60)
+    // frozen models fit offline on the full corpus's stub embeddings
+    val emb = Vectors.stubEmbed(docs.select(col("doc_id").as("vec_id"),
+      col("text"))).select("vec_id", "embedding")
+    val coarse = Vectors.kmeansCentroids(emb, 4, 2)
+    val books = Vectors.pqCodebooks(emb, 4, 8, 2)
+    def up(d: org.apache.spark.sql.DataFrame, lsn: Long) =
+      d.withColumn("lsn", lit(lsn)).withColumn("live", lit(true))
+    LakeFormat.merge(up(docs.filter(col("doc_id") % 2 === 0), 1L), root)
+    LakeFormat.merge(up(docs.filter(col("doc_id") % 2 === 1), 2L), root)
+    // corrupt-then-restore exercises the u path; delete the %7 docs
+    LakeFormat.merge(up(docs.filter(col("doc_id") % 5 === 0)
+      .withColumn("text", concat(col("text"), lit(" corrupted"))), 3L), root)
+    LakeFormat.merge(up(docs.filter(col("doc_id") % 5 === 0), 4L), root)
+    LakeFormat.merge(docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), lit(null).cast("string").as("text"),
+        lit(5L).as("lsn"), lit(false).as("live")), root)
+    assert(Streams.vectorIndexFromLake(spark, root, cons, idx, coarse, books)
+      === Seq(1L, 2L, 3L, 4L, 5L))
+    // replay no-ops through the durable offset
+    assert(Streams.vectorIndexFromLake(spark, root, cons, idx, coarse, books)
+      === Seq.empty)
+    val live = docs.filter(col("doc_id") % 7 =!= 0)
+    val batchIdx = Vectors.encodeForIndex(
+      Vectors.stubEmbed(live.select(col("doc_id").as("vec_id"), col("text")))
+        .select("vec_id", "embedding"), coarse, books)
+    def content(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("cluster"), col("codes"))
+        .as[(Long, Int, Seq[Int])].collect().toSet
+    assert(content(Streams.readVectorIndex(spark, idx)) === content(batchIdx))
+    assert(content(batchIdx).nonEmpty)
+  }
+
   test("a consumer lagging past the vacuum window fails loudly, never partially") {
     val s = scratch()
     val root = s"$s/t"; val cons = s"$s/c"
