@@ -306,6 +306,57 @@ object Lake {
       .orderBy(col("orderkey"))
   }
 
+  /** Staged CONSUMER REPLAY of the multi-table feed: drain the staged
+    * [[stagedMultiTableTxRoot]] root's manifest versions through
+    * [[graft.sources.LakeTx.consumeChanges]] into per-table EPOCH stores
+    * (`<table>/b=<manifestV>` dirs — the T30 store discipline: one
+    * idempotent overwrite per (table, version), tombstones as dead
+    * rows), draining twice so the second pass must deliver nothing.
+    * This is S7's read half exercised end-to-end: a downstream replica
+    * maintained purely from transaction-aligned increments. */
+  def stagedTxFeedStoreDir(spark: SparkSession, dir: String): String =
+    Staged(spark, s"lake_tx_feed:$dir") {
+      val root = stagedMultiTableTxRoot(spark, dir)
+      val out = tempRoot("graft_lake_txfeed")
+      val cons = s"$out/_offset"
+      def drain(): Seq[Long] =
+        LakeTx.consumeChanges(spark, root, cons) { (t, batch, mv) =>
+          batch.withColumn("__live", col("_change_type") =!= "d")
+            .drop("_change_type", "_commit_version")
+            .write.mode("overwrite").parquet(s"$out/$t/b=$mv")
+        }
+      val applied = drain()
+      require(applied.nonEmpty, "feed drain delivered no manifest versions")
+      require(drain().isEmpty,
+        "replayed feed drain must no-op past the durable offset")
+      spark.range(1).select(lit(out).as("dir"))
+    }.head().getString(0)
+
+  /** The C14 replica join REBUILT FROM THE FEED alone: fold each member's
+    * epoch store to the newest manifest version per key (tombstones
+    * filtered after the fold), join — must hash-equal the direct
+    * manifest-pinned read (lake_multitable_tx) and therefore the C14
+    * fold of the raw changelogs (cdcMultitableSnapshotSql VERBATIM):
+    * the incremental consumer loses nothing the table has. */
+  val lakeTxFeedJoin: Q = (spark, dir) => {
+    val out = stagedTxFeedStoreDir(spark, dir)
+    def serve(table: String): DataFrame = {
+      val df = spark.read.parquet(s"$out/$table") // partition col b = manifestV
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id")).orderBy(col("b").desc)
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1 && col("__live"))
+        .drop("__rn", "__live", "b")
+    }
+    serve("orders").select(col("id").as("orderkey"), col("custkey"),
+        col("status"), col("total"))
+      .join(serve("customers").select(col("id").as("custkey"),
+        col("first_name"), col("email")), "custkey")
+      .select(col("orderkey"), col("custkey"), col("first_name"),
+        col("email"), col("status"), col("total"))
+      .orderBy(col("orderkey"))
+  }
+
   val queries: Map[String, Q] = Map(
     "lake_change_feed" -> lakeChangeFeed,
     "lake_cdc_snapshot" -> lakeCdcSnapshot,
@@ -313,7 +364,8 @@ object Lake {
     "lake_prune_scan" -> lakePruneScan,
     "lake_zorder_scan" -> lakeZorderScan,
     "lake_bm25_index" -> lakeBm25Index,
-    "lake_multitable_tx" -> lakeMultitableTx)
+    "lake_multitable_tx" -> lakeMultitableTx,
+    "lake_tx_feed" -> lakeTxFeedJoin)
 
   val oracle: Map[String, String] = Map(
     "lake_change_feed" -> lakeChangeFeedSql,
@@ -322,5 +374,6 @@ object Lake {
     "lake_prune_scan" -> lakePruneScanSql,
     "lake_zorder_scan" -> lakeZorderScanSql,
     "lake_bm25_index" -> Text.x4rSql,
-    "lake_multitable_tx" -> Cdc.cdcMultitableSnapshotSql)
+    "lake_multitable_tx" -> Cdc.cdcMultitableSnapshotSql,
+    "lake_tx_feed" -> Cdc.cdcMultitableSnapshotSql)
 }
