@@ -306,6 +306,46 @@ object Lake {
       .orderBy(col("orderkey"))
   }
 
+  /** Staged DML lake: the lineitem table landed range-laid-out, then hit
+    * with the two direct user-facing table operations — a predicate
+    * UPDATE (zero out the %100==7 orders' quantities) and a predicate
+    * DELETE (drop the %10==3 orders entirely — the GDPR-erasure shape:
+    * one call, stats-pruned + scan-confirmed, only matching files
+    * rewritten, no fabricated CDC batch). The staged frame carries the
+    * root; the registered query times the post-DML read. */
+  def stagedDmlLakeRoot(spark: SparkSession, dir: String): String =
+    Staged(spark, s"lake_dml:$dir") {
+      val root = tempRoot("graft_lake_dml")
+      LakeFormat.create(spark, root, keyCols = Seq("l_orderkey"),
+        orderCol = "l_orderkey", liveCol = "live",
+        statsCols = Seq("l_orderkey"))
+      LakeFormat.append(Tables.lineitem(spark, dir)
+        .repartitionByRange(8, col("l_orderkey")), root)
+      LakeFormat.update(spark, root, col("l_orderkey") % 100 === 7,
+        Map("l_quantity" -> lit(0.0)))
+      LakeFormat.delete(spark, root, col("l_orderkey") % 10 === 3)
+      spark.range(1).select(lit(root).as("root"))
+    }.head().getString(0)
+
+  /** Aggregate over the DML'd table: deleted orders contribute NOTHING
+    * (physical removal — no tombstone residue in the current version),
+    * updated orders contribute zero quantity; the oracle re-derives the
+    * same state from the raw table with WHERE + CASE. Integer-exact. */
+  val lakeDmlScan: Q = (spark, dir) => {
+    val root = stagedDmlLakeRoot(spark, dir)
+    LakeFormat.snapshot(spark, root)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+  val lakeDmlScanSql: String =
+    """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      | CAST(sum(CAST(CASE WHEN l_orderkey % 100 = 7 THEN 0.0
+      |                    ELSE l_quantity END AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem WHERE l_orderkey % 10 <> 3
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Staged CONSUMER REPLAY of the multi-table feed: drain the staged
     * [[stagedMultiTableTxRoot]] root's manifest versions through
     * [[graft.sources.LakeTx.consumeChanges]] into per-table EPOCH stores
@@ -365,7 +405,8 @@ object Lake {
     "lake_zorder_scan" -> lakeZorderScan,
     "lake_bm25_index" -> lakeBm25Index,
     "lake_multitable_tx" -> lakeMultitableTx,
-    "lake_tx_feed" -> lakeTxFeedJoin)
+    "lake_tx_feed" -> lakeTxFeedJoin,
+    "lake_dml_scan" -> lakeDmlScan)
 
   val oracle: Map[String, String] = Map(
     "lake_change_feed" -> lakeChangeFeedSql,
@@ -375,5 +416,6 @@ object Lake {
     "lake_zorder_scan" -> lakeZorderScanSql,
     "lake_bm25_index" -> Text.x4rSql,
     "lake_multitable_tx" -> Cdc.cdcMultitableSnapshotSql,
-    "lake_tx_feed" -> Cdc.cdcMultitableSnapshotSql)
+    "lake_tx_feed" -> Cdc.cdcMultitableSnapshotSql,
+    "lake_dml_scan" -> lakeDmlScanSql)
 }

@@ -685,14 +685,9 @@ object LakeFormat {
   def scan(spark: SparkSession, root: String, pred: Column): LakeScan = {
     val st = state(spark, root)
     // resolve the predicate against the table schema ONCE (no data file
-    // opened): the analyzed Filter condition is plain Catalyst — typed
-    // attributes, coercion casts, foldable literal sides — which is what
-    // [[mayMatch]] walks. Analysis failures (unknown column) throw here,
-    // loudly, instead of silently disabling pruning.
-    val predExpr = emptyLike(spark, st).filter(pred)
-      .queryExecution.analyzed.collectFirst {
-        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
-      }.getOrElse(org.apache.spark.sql.GraftBridge.expression(pred))
+    // opened — [[resolvePred]]): analysis failures (unknown column)
+    // throw here, loudly, instead of silently disabling pruning.
+    val predExpr = resolvePred(spark, st, pred)
     // a pruning failure must never make the table unreadable: any
     // unexpected stats/literal shape keeps the file (conservative)
     val kept = st.files.filter(a =>
@@ -701,6 +696,87 @@ object LakeFormat {
       if (kept.isEmpty) emptyLike(spark, st).filter(pred)
       else readFiles(spark, root, kept).filter(pred)
     LakeScan(df, kept.size.toLong, st.files.size.toLong)
+  }
+
+  // ----------------------------------------------------- delete / update
+
+  /** Resolve `pred` against the table schema once (no data file opened)
+    * — the analyzed Catalyst condition [[mayMatch]] walks. */
+  private def resolvePred(spark: SparkSession, st: LakeState,
+      pred: Column): Expression =
+    emptyLike(spark, st).filter(pred)
+      .queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }.getOrElse(org.apache.spark.sql.GraftBridge.expression(pred))
+
+  /** Shared rewrite engine for predicate DML: stats-prune candidate
+    * files, confirm which actually hold matching rows with one
+    * `_metadata`-keyed scan, rewrite ONLY those files through
+    * `transform`, and commit remove+add under conflict detection —
+    * intervening commits rebase when their added files provably cannot
+    * hold matching rows ([[mayMatch]] on the predicate, the same stats
+    * proof the candidate selection used) and their removes miss our
+    * touched set. */
+  private def predicateRewrite(spark: SparkSession, root: String,
+      pred: Column, what: String,
+      transform: DataFrame => DataFrame): Long = {
+    val st = state(spark, root)
+    if (st.files.isEmpty) return st.version
+    val predExpr = resolvePred(spark, st, pred)
+    val cands = st.files.filter(a =>
+      scala.util.Try(mayMatch(predExpr, a)).getOrElse(true))
+    if (cands.isEmpty) return st.version
+    // confirm: only files that actually contain a matching row rewrite
+    val hit = readGrouped(spark, root, cands, df => df
+        .filter(pred).select(col("_metadata.file_path").as("__f")))
+      .distinct().collect().map(_.getString(0)).toSet
+    val touched = cands.filter(a =>
+      hit.exists(_.endsWith("/" + a.path.split("/").last)))
+    if (touched.isEmpty) return st.version
+    val adds = writeData(transform(readFiles(spark, root, touched)),
+      root, st.meta)
+    val touchedPaths = touched.map(_.path).toSet
+    val safe: Seq[Action] => Boolean = _.forall {
+      // an intervening add whose stats prove NO row can match `pred` is
+      // invisible to this DML; anything that may match must abort — a
+      // rebased delete would silently miss its rows
+      case AddA(a)    => !scala.util.Try(mayMatch(predExpr, a)).getOrElse(true)
+      case RemoveA(p) => !touchedPaths.contains(p)
+      case _          => true
+    }
+    val lines = touched.map(a => removeJson(a.path)) ++ adds.map(addJson)
+    strictCommit(spark, root, st.version, lines, adds, what, safe)
+  }
+
+  /** Predicate DELETE — physical row removal, the direct user-facing
+    * form (a GDPR erasure or data fix is `delete(root, pred)`, not a
+    * fabricated CDC batch): matching rows leave the CURRENT version
+    * entirely (no tombstone row remains — unlike a CDC merge delete,
+    * which must keep tombstones to outrank late stale events); history
+    * keeps them until [[vacuum]] passes the retention window, exactly
+    * the readAsOf/time-travel contract. Touches only the files that
+    * hold matching rows: stats-pruned, scan-confirmed. Returns the new
+    * version (unchanged when nothing matched). */
+  def delete(spark: SparkSession, root: String, pred: Column): Long =
+    predicateRewrite(spark, root, pred, "delete", _.filter(!pred))
+
+  /** Predicate UPDATE: rows matching `pred` get each column in `set`
+    * re-evaluated; everything else in the touched files is carried
+    * byte-identical. Same pruning, confirmation, and conflict rules as
+    * [[delete]]. Updating a stats/partition column is legal — the
+    * rewritten files' stats are recomputed at write, so pruning stays
+    * correct. */
+  def update(spark: SparkSession, root: String, pred: Column,
+      set: Map[String, Column]): Long = {
+    require(set.nonEmpty, "update needs at least one assignment")
+    predicateRewrite(spark, root, pred, "update", df => {
+      set.foreach { case (c, _) => require(df.columns.contains(c),
+        s"update of unknown column $c") }
+      df.select(df.columns.toSeq.map { c =>
+        set.get(c).map(e => when(pred, e).otherwise(col(c)).as(c))
+          .getOrElse(col(c))
+      }: _*)
+    })
   }
 
   // ------------------------------------------------------------ merge

@@ -225,6 +225,92 @@ class LakeHardeningSpec extends AnyFunSuite {
   private def rows1() =
     Seq((1L, 1L, true, "a"), (2L, 1L, true, "b")).toDF("id", "lsn", "live", "v")
 
+  test("predicate DELETE removes rows physically, touches only matching files, keeps history") {
+    val root = freshRoot()
+    LakeFormat.create(spark, root, Seq("id"), statsCols = Seq("id"))
+    // two disjoint-range files: only one holds matching rows
+    LakeFormat.append(spark.range(100).select(col("id"), lit(1L).as("lsn"),
+      lit(true).as("live"), (col("id") % 7).as("m")).coalesce(1), root)
+    LakeFormat.append(spark.range(100, 200).select(col("id"),
+      lit(1L).as("lsn"), lit(true).as("live"), (col("id") % 7).as("m"))
+      .coalesce(1), root)
+    val before = LakeFormat.state(spark, root)
+    val v = LakeFormat.delete(spark, root, col("id") < 50L)
+    val after = LakeFormat.state(spark, root)
+    // physical: no matching row remains ANYWHERE in the current version
+    assert(LakeFormat.snapshot(spark, root).filter(col("id") < 50L).count() === 0L)
+    assert(LakeFormat.snapshot(spark, root).count() === 150L)
+    // only the matching file rewrote; the 100-199 file is byte-identical
+    val keptUntouched = before.files.filter(a =>
+      a.stats("id").min.exists(_.toLong >= 100))
+    assert(keptUntouched.forall(after.files.contains))
+    // history intact: the pre-delete version still serves the rows
+    assert(LakeFormat.readAsOf(spark, root, v - 1)
+      .filter(col("id") < 50L).count() === 50L)
+    // a no-match delete commits nothing
+    assert(LakeFormat.delete(spark, root, col("id") < 0L) === v)
+  }
+
+  test("predicate UPDATE re-evaluates matching rows only; stats stay prune-correct after") {
+    val root = freshRoot()
+    LakeFormat.create(spark, root, Seq("id"), statsCols = Seq("id", "m"))
+    LakeFormat.append(spark.range(100).select(col("id"), lit(1L).as("lsn"),
+      lit(true).as("live"), col("id").as("m")).coalesce(1), root)
+    LakeFormat.append(spark.range(100, 200).select(col("id"),
+      lit(1L).as("lsn"), lit(true).as("live"), col("id").as("m"))
+      .coalesce(1), root)
+    val before = LakeFormat.state(spark, root)
+    LakeFormat.update(spark, root, col("id").between(10L, 19L),
+      Map("m" -> (col("m") + 10000L)))
+    val got = LakeFormat.snapshot(spark, root)
+      .filter(col("id").between(5L, 24L)).select("id", "m")
+      .as[(Long, Long)].collect().toMap
+    (5L to 24L).foreach { i =>
+      assert(got(i) === (if (i >= 10 && i <= 19) i + 10000L else i))
+    }
+    // untouched file byte-identical; the rewritten file's recomputed
+    // stats make the updated VALUES prunable (m now reaches 10019)
+    val after = LakeFormat.state(spark, root)
+    assert(before.files.filter(a => a.stats("id").min.exists(_.toLong >= 100))
+      .forall(after.files.contains))
+    val sc = LakeFormat.scan(spark, root, col("m") >= 10000L)
+    assert(sc.keptFiles === 1L && sc.df.count() === 10L)
+    // unknown assignment column refuses
+    intercept[IllegalArgumentException](LakeFormat.update(spark, root,
+      col("id") === 1L, Map("zz" -> lit(1))))
+  }
+
+  test("DML conflict detection: pred-disjoint concurrent adds rebase, possibly-matching adds abort") {
+    val root = freshRoot()
+    LakeFormat.create(spark, root, Seq("id"), statsCols = Seq("id"))
+    LakeFormat.append(spark.range(100).select(col("id"), lit(1L).as("lsn"),
+      lit(true).as("live"), col("id").as("m")).coalesce(1), root)
+    // concurrent append of ids ≥ 1000 — provably outside `id < 50` by
+    // stats — lands mid-delete: the delete must REBASE, both effects land
+    val v = withConcurrent {
+      LakeFormat.append(spark.range(1000, 1010).select(col("id"),
+        lit(1L).as("lsn"), lit(true).as("live"), col("id").as("m")), root)
+    } {
+      LakeFormat.delete(spark, root, col("id") < 50L)
+    }
+    assert(v === 3L)
+    assert(LakeFormat.snapshot(spark, root).count() === 60L) // 50 + 10
+    // a concurrent add that MAY hold matching rows aborts the delete —
+    // rebasing would silently miss those rows
+    intercept[java.util.ConcurrentModificationException] {
+      withConcurrent {
+        LakeFormat.append(spark.range(50, 60).select(col("id"),
+          lit(1L).as("lsn"), lit(true).as("live"), col("id").as("m")), root)
+      } {
+        LakeFormat.delete(spark, root, col("id") < 70L)
+      }
+    }
+    // the re-run sees the new tip and deletes EVERYTHING under 70,
+    // including the mid-window rows
+    LakeFormat.delete(spark, root, col("id") < 70L)
+    assert(LakeFormat.snapshot(spark, root).filter(col("id") < 70L).count() === 0L)
+  }
+
   // deterministic concurrent-commit interleave: the hook fires inside the
   // conflict-detection window (after read/stage, before the claim) and
   // must reset itself first — the concurrent commit it issues would
