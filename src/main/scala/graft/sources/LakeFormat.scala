@@ -758,7 +758,12 @@ object LakeFormat {
     * hold matching rows: stats-pruned, scan-confirmed. Returns the new
     * version (unchanged when nothing matched). */
   def delete(spark: SparkSession, root: String, pred: Column): Long =
-    predicateRewrite(spark, root, pred, "delete", _.filter(!pred))
+    // SQL DELETE removes only rows where pred is TRUE; a NULL predicate
+    // (e.g. a null column in a comparison) keeps the row — `!pred` alone
+    // would turn NULL into NULL and silently drop those rows from any
+    // rewritten file while keeping them in untouched files
+    predicateRewrite(spark, root, pred, "delete",
+      _.filter(not(coalesce(pred, lit(false)))))
 
   /** Predicate UPDATE: rows matching `pred` get each column in `set`
     * re-evaluated; everything else in the touched files is carried
@@ -1078,6 +1083,19 @@ object LakeFormat {
 
   /** Commits per change-feed lineage-cut group — the plan-depth bound. */
   val ChangeFeedLineageCut: Int = 16
+
+  /** The change feed's row schema for the table's CURRENT widest schema:
+    * key + payload columns (order/live bookkeeping folded away) plus
+    * `_change_type` and `_commit_version` — what a streaming reader of
+    * the feed ([[GraftLakeProvider]]) pins at query start. */
+  def changeFeedSchema(spark: SparkSession, root: String): StructType = {
+    val meta = readMeta(spark, root)
+    emptyLike(spark, state(spark, root))
+      .drop(meta.orderCol, meta.liveCol)
+      .withColumn("_change_type", lit(null).cast("string"))
+      .withColumn("_commit_version", lit(null).cast("long"))
+      .schema
+  }
 
   /** The change feed as PER-COMMIT BATCHES — (version, change rows) pairs
     * with the same c/u/d classification as [[changeFeed]] — the

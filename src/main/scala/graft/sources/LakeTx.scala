@@ -133,8 +133,14 @@ object LakeTx {
       if (after.forall { case (t, v) => current.getOrElse(t, -1L) >= v })
         return tip
       // pin unchanged tables at the TIP manifest's versions (another
-      // transaction may have advanced them since our read)
-      val publish = current ++ applied
+      // transaction may have advanced them since our read), and NEVER
+      // regress a pin: a concurrent commitTx may have advanced one of
+      // OUR tables between our merge and this claim — publishing our
+      // (older) applied version would un-publish its committed rows
+      // from the consistent view and make consumeChanges skip them
+      val publish = current ++ applied.map { case (t, v) =>
+        t -> math.max(v, current.getOrElse(t, v))
+      }
       if (!LakeFormat.tryCommit(spark, txRoot(root), tip + 1L,
           Seq(manifestJson(publish))))
         throw new java.util.ConcurrentModificationException(

@@ -45,8 +45,12 @@ object LakeTxSink {
     // silently dropping it would desynchronize the replica forever (the
     // bandBatchDirs loud-failure discipline, applied to routing). One
     // cheap aggregation over the increment-sized batch.
+    // NULL source.table must count as stray too: `!isin(...)` is NULL
+    // (not true) for NULL, which would slip past this guard and then
+    // match no per-table `===` filter — vanishing silently
     val strays = envelopes
-      .filter(!col("source.table").isin(tableKeys.keys.toSeq: _*))
+      .filter(col("source.table").isNull ||
+        !col("source.table").isin(tableKeys.keys.toSeq: _*))
       .select(col("source.table")).distinct().collect().map(_.getString(0))
     require(strays.isEmpty,
       s"batch $batchId carries events for unconfigured table(s) " +

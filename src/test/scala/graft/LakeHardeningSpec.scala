@@ -251,6 +251,30 @@ class LakeHardeningSpec extends AnyFunSuite {
     assert(LakeFormat.delete(spark, root, col("id") < 0L) === v)
   }
 
+  test("predicate DELETE keeps NULL-predicate rows (SQL semantics) — in touched files too") {
+    val root = freshRoot()
+    LakeFormat.create(spark, root, Seq("id"), statsCols = Seq("id"))
+    // ONE file holding TRUE, FALSE, and NULL predicate outcomes together:
+    // the rewrite path must keep the NULL rows — `!pred` alone turns
+    // NULL into NULL and drops them from the rewritten file while
+    // untouched files would keep theirs (silent, inconsistent data loss)
+    LakeFormat.append(Seq(
+      (1L, 1L, true, Some(10L)),  // x > 5 TRUE  → deleted
+      (2L, 1L, true, None),       // x > 5 NULL  → kept
+      (3L, 1L, true, Some(1L)),   // x > 5 FALSE → kept
+      (4L, 1L, true, None)        // x > 5 NULL  → kept
+    ).toDF("id", "lsn", "live", "x").coalesce(1), root)
+    // a second file with NULL-only rows: stats-pruned or confirm-missed,
+    // it stays untouched — the touched file must agree with it
+    LakeFormat.append(Seq((5L, 1L, true, Option.empty[Long]))
+      .toDF("id", "lsn", "live", "x").coalesce(1), root)
+    LakeFormat.delete(spark, root, col("x") > 5L)
+    val left = LakeFormat.snapshot(spark, root)
+      .select("id").as[Long].collect().toSet
+    assert(left === Set(2L, 3L, 4L, 5L),
+      "only pred=TRUE rows may leave; NULL-pred rows stay everywhere")
+  }
+
   test("predicate UPDATE re-evaluates matching rows only; stats stay prune-correct after") {
     val root = freshRoot()
     LakeFormat.create(spark, root, Seq("id"), statsCols = Seq("id", "m"))

@@ -118,6 +118,53 @@ class LakeTxSpec extends AnyFunSuite {
       Map("zz" -> markerRows(9L)), "app", 9L))
   }
 
+  test("concurrent commitTx on an overlapping table never regresses its pin") {
+    val root = freshRoot()
+    setup(root)
+    LakeTx.commitTx(spark, root,
+      Map("a" -> markerRows(1L), "b" -> markerRows(1L)), "appA", 1L)
+    // Interleave deterministically through the commit hook: transaction
+    // A merges its tables in sorted order (a, then b) BEFORE claiming
+    // the manifest. On A's SECOND table commit (b's merge), a full
+    // concurrent commitTx from appB advances table a and publishes its
+    // own manifest. A's manifest claim then holds a STALE applied
+    // version for a — publishing it verbatim would un-publish appB's
+    // committed rows from the consistent view and make consumeChanges
+    // silently skip them; the pin must take the per-table max instead.
+    var fired = 0
+    LakeFormat.beforeCommitHook = () => {
+      fired += 1
+      if (fired == 2) {
+        LakeFormat.beforeCommitHook = () => ()
+        LakeTx.commitTx(spark, root, Map("a" -> markerRows(3L)), "appB", 3L)
+      }
+    }
+    val tip = try {
+      LakeTx.commitTx(spark, root,
+        Map("a" -> markerRows(2L), "b" -> markerRows(2L)), "appA", 2L)
+    } finally LakeFormat.beforeCommitHook = () => ()
+    // BOTH transactions' rows are visible at A's manifest
+    assert(visible(root, "a", tip) === Set(1L, 2L, 3L))
+    assert(visible(root, "b", tip) === Set(1L, 2L))
+    // pins are monotonic across every manifest version, per table
+    (1L to tip).foreach { mv =>
+      val (prev, cur) = (LakeTx.manifest(spark, root, Some(mv - 1)),
+        LakeTx.manifest(spark, root, Some(mv)))
+      cur.foreach { case (t, v) =>
+        assert(v >= prev(t), s"manifest v$mv regressed $t: $v < ${prev(t)}")
+      }
+    }
+    // and the transaction-aligned feed delivers appB's row (a regressed
+    // pin would make the version window skip it)
+    val dir = Files.createTempDirectory("lake_tx_cons").toString
+    val seen = scala.collection.mutable.Set.empty[Long]
+    LakeTx.consumeChanges(spark, root, dir) { (t, df, _) =>
+      if (t == "a") seen ++= df.filter(col("_change_type") =!= "d")
+        .select("id").as[Long].collect()
+    }
+    assert(seen.toSet === Set(1L, 2L, 3L))
+  }
+
   // envelope rows for the streaming sink: (table, id, lsn, op, value)
   private def envRows(xs: (String, Long, Long, String, String)*) = {
     val df = xs.toSeq.toDF("_t", "_id", "_lsn", "_op", "_v")
@@ -167,6 +214,22 @@ class LakeTxSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("zz"))
     assert(LakeTx.manifestVersion(spark, root) === mv1,
+      "the refused batch must not publish")
+  }
+
+  test("streaming sink: a NULL source.table is a stray, not a silent drop") {
+    val root = freshRoot()
+    setup(root)
+    val mv0 = LakeTx.manifestVersion(spark, root)
+    // `!isin(...)` is NULL (not true) for a NULL table — without the
+    // explicit isNull arm the envelope would slip past the stray guard
+    // and then match no per-table `===` filter, vanishing silently
+    intercept[IllegalArgumentException] {
+      streaming.LakeTxSink.applyBatch(
+        envRows((null.asInstanceOf[String], 9L, 9L, "c", "z9")),
+        root, sinkKeys, "sink", 0L)
+    }
+    assert(LakeTx.manifestVersion(spark, root) === mv0,
       "the refused batch must not publish")
   }
 
