@@ -201,6 +201,18 @@ object Lake {
     * The drain runs TWICE: the second pass must apply nothing (the
     * offset discipline witnessed in-plan, not just in specs). */
   def stagedLakeFedPostingsDir(spark: SparkSession, dir: String): String =
+    stagedLakeFedPostings(spark, dir)._1
+
+  /** (postings dir, lake table root) — the root is exposed so the
+    * STREAMING-source twin ([[stagedStreamFedPostingsDir]]) can tail the
+    * SAME staged table instead of paying the seven-wave producer twice. */
+  def stagedLakeFedPostings(spark: SparkSession, dir: String): (String, String) = {
+    val r = stagedLakeFedPostingsRow(spark, dir).head()
+    (r.getString(0), r.getString(1))
+  }
+
+  private def stagedLakeFedPostingsRow(spark: SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
     Staged(spark, s"lake_bm25:$dir") {
       val scratch = tempRoot("graft_lake_bm25")
       val root = s"$scratch/table"
@@ -231,8 +243,8 @@ object Lake {
         spark, root, consumerDir, postingsDir)
       require(replay.isEmpty,
         s"replayed drain must no-op past the offset, applied $replay")
-      spark.range(1).select(lit(postingsDir).as("dir"))
-    }.head().getString(0)
+      spark.range(1).select(lit(postingsDir).as("dir"), lit(root).as("root"))
+    }
 
   /** BM25 served from the lake-fed maintained index: the seven commits
     * converge to the plain corpus, so the folded store must reproduce
@@ -242,6 +254,51 @@ object Lake {
     * offset-gated drain, and the winner-batch fold. */
   val lakeBm25Index: Q = (spark, dir) => {
     val postingsDir = stagedLakeFedPostingsDir(spark, dir)
+    graft.streaming.Streams.servedBm25(spark, postingsDir, Text.bm25Terms)
+  }
+
+  /** Staged STREAM-FED postings: the SAME staged lake table (producer
+    * shared with [[stagedLakeFedPostingsDir]] — no second seven-wave
+    * pass) maintained into a SECOND postings store through a REAL
+    * StreamingQuery over the `graft-lake` source
+    * ([[graft.sources.GraftLakeProvider]]): offsets live in the Spark
+    * CHECKPOINT's offset log, not a hand-rolled consumer dir. The drive
+    * is deliberately a KILL/RESTART: query 1 runs ONE rate-limited
+    * trigger (Trigger.Once, maxCommitsPerTrigger=4 → lake commits 1-4)
+    * and terminates; query 2 starts on the SAME checkpointLocation with
+    * no other state and must resume at commit 5 from the engine's
+    * offset log alone — recovery witnessed in-plan, not just in specs.
+    */
+  def stagedStreamFedPostingsDir(spark: SparkSession, dir: String): String =
+    Staged(spark, s"lake_stream_bm25:$dir") {
+      val tableRoot = stagedLakeFedPostings(spark, dir)._2
+      val scratch = tempRoot("graft_lake_stream_bm25")
+      val postingsDir = s"$scratch/postings"
+      val ck = s"$scratch/ck"
+      def writer = spark.readStream.format("graft-lake")
+        .option("maxCommitsPerTrigger", "4").load(tableRoot)
+        .writeStream.option("checkpointLocation", ck)
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              _: Long) =>
+            graft.streaming.Streams.postingsApplyFeedBatch(b.toDF, postingsDir)
+        }
+      val q1 = writer
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+      q1.awaitTermination() // one capped batch: commits 1-4, then stop
+      val q2 = writer.start() // restart from the checkpoint ALONE
+      q2.processAllAvailable()
+      q2.stop(); q2.awaitTermination()
+      spark.range(1).select(lit(postingsDir).as("dir"))
+    }.head().getString(0)
+
+  /** BM25 served from the STREAM-fed postings store: must equal the
+    * drain-fed `lake_bm25_index` and the batch x4r answer HASH-EXACTLY
+    * (oracle = x4rSql verbatim) — the per-commit change-feed plans are
+    * identical; only the offset management moved into Spark's streaming
+    * checkpoint, through a mid-stream restart. */
+  val lakeStreamIndex: Q = (spark, dir) => {
+    val postingsDir = stagedStreamFedPostingsDir(spark, dir)
     graft.streaming.Streams.servedBm25(spark, postingsDir, Text.bm25Terms)
   }
 
@@ -404,6 +461,7 @@ object Lake {
     "lake_prune_scan" -> lakePruneScan,
     "lake_zorder_scan" -> lakeZorderScan,
     "lake_bm25_index" -> lakeBm25Index,
+    "lake_stream_index" -> lakeStreamIndex,
     "lake_multitable_tx" -> lakeMultitableTx,
     "lake_tx_feed" -> lakeTxFeedJoin,
     "lake_dml_scan" -> lakeDmlScan)
@@ -415,6 +473,7 @@ object Lake {
     "lake_prune_scan" -> lakePruneScanSql,
     "lake_zorder_scan" -> lakeZorderScanSql,
     "lake_bm25_index" -> Text.x4rSql,
+    "lake_stream_index" -> Text.x4rSql,
     "lake_multitable_tx" -> Cdc.cdcMultitableSnapshotSql,
     "lake_tx_feed" -> Cdc.cdcMultitableSnapshotSql,
     "lake_dml_scan" -> lakeDmlScanSql)

@@ -1261,6 +1261,31 @@ object Streams extends Serializable {
         v, postingsDir)
     }
 
+  /** [[postingsFromLake]]'s StreamingQuery-native sibling: the
+    * `foreachBatch` applier for a `spark.readStream.format("graft-lake")`
+    * stream over the table ([[graft.sources.GraftLakeProvider]]) —
+    * offsets live in the SPARK CHECKPOINT, not a hand-rolled consumer
+    * dir, so kill/restart recovery is the engine's. One micro-batch may
+    * span several lake commits; each commit still becomes its own
+    * postings epoch (split on `_commit_version` — the union branches
+    * carry it as a literal, so Catalyst prunes every other commit's
+    * subplan under the filter). The per-batch commit list is O(#commits
+    * in the trigger) driver-side — never row-scaled. Idempotence is
+    * [[postingsApplyBatch]]'s epoch-overwrite discipline, absorbing the
+    * engine's at-least-once batch replay after a crash. */
+  def postingsApplyFeedBatch(batch: DataFrame, postingsDir: String): Unit = {
+    val versions = batch.select("_commit_version").distinct()
+      .collect().map(_.getLong(0)).sorted
+    versions.foreach { v =>
+      val b = batch.filter(col("_commit_version") === v)
+      postingsApplyBatch(
+        b.filter(col("_change_type").isin("c", "u"))
+          .select(col("doc_id"), col("text")),
+        b.filter(col("_change_type") === "d").select(col("doc_id")),
+        v, postingsDir)
+    }
+  }
+
   /** Consumer view: all postings rows of each doc's HIGHEST epoch, dead
     * docs dropped AFTER the fold (fold-then-filter makes a delete
     * irreversible by older epochs; a re-create upserts over it).

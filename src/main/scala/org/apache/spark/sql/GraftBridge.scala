@@ -19,4 +19,18 @@ object GraftBridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(
       spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Re-tag a batch DataFrame as a STREAMING one — what a V1 streaming
+    * `Source.getBatch` must return (`MicroBatchExecution` asserts
+    * `batch.isStreaming`). The plan stays lazy: `toRdd` captures the
+    * physical plan, rows materialize when the micro-batch runs. This is
+    * exactly `FileStreamSource.getBatch`'s construction (public Spark
+    * source, FileStreamSource.scala), reachable only from the sql
+    * package — hence the bridge.
+    */
+  def streamingDataFrame(df: DataFrame): DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
 }

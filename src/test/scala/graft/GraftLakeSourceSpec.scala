@@ -1,0 +1,262 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{LakeFormat, LakeTx}
+
+/** The lake change feed as a REAL Spark streaming source
+  * ([[graft.sources.GraftLakeProvider]] / [[graft.sources.GraftLakeTxProvider]]):
+  * `readStream.format("graft-lake")` with offsets managed by the Spark
+  * CHECKPOINT — recovery, rate limiting, startingVersion, retention and
+  * schema-evolution contracts, and the multi-table source's
+  * transaction-aligned batch boundaries. The oracle-checked
+  * `lake_stream_index` query gates the hash-exact serve; these specs
+  * pin the engine-level properties it cannot witness.
+  */
+class GraftLakeSourceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshDir(tag: String): String = {
+    val p = Files.createTempDirectory(tag)
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  private def rows(xs: (Long, Long, Boolean, String)*) =
+    xs.toDF("id", "lsn", "live", "v")
+
+  private def causeChain(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+
+  /** Collected feed row: (id, v, _change_type, _commit_version, batchId). */
+  private type Got = (Long, String, String, Long, Long)
+
+  /** Run a graft-lake stream to exhaustion, collecting every row with
+    * its foreachBatch batchId. `once` = Trigger.Once (one trigger, then
+    * the query terminates by itself — the deterministic "kill": the
+    * engine's offset log is the only state the next start sees). */
+  private def drain(root: String, ck: String,
+      buf: collection.mutable.Buffer[Got],
+      options: Map[String, String] = Map.empty,
+      once: Boolean = false): Unit = {
+    var r = spark.readStream.format("graft-lake")
+    options.foreach { case (k, v) => r = r.option(k, v) }
+    val w = r.load(root).writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (b: Dataset[Row], id: Long) =>
+        val got = b.collect().map(x => (x.getLong(0), x.getString(1),
+          x.getString(2), x.getLong(3), id))
+        buf.synchronized { buf ++= got }
+        ()
+      }
+    if (once) {
+      val q = w.trigger(Trigger.Once()).start(); q.awaitTermination()
+    } else {
+      val q = w.start(); q.processAllAvailable(); q.stop(); q.awaitTermination()
+    }
+  }
+
+  private def setupTable(root: String): Unit = {
+    LakeFormat.create(spark, root, Seq("id"), statsCols = Seq("id"))
+    LakeFormat.merge(rows((1L, 1L, true, "a1"), (2L, 1L, true, "b1")), root)
+    LakeFormat.merge(rows((1L, 2L, true, "a2"), (3L, 2L, true, "c1")), root)
+    LakeFormat.merge(rows((2L, 3L, false, "b1")), root) // delete id=2
+  }
+
+  test("streamed rows equal the batch change feed exactly") {
+    val root = freshDir("glss_tbl")
+    setupTable(root)
+    val buf = collection.mutable.Buffer.empty[Got]
+    drain(root, freshDir("glss_ck"), buf)
+    val want = LakeFormat.changeFeed(spark, root, 1L, 3L)
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getString(2),
+        x.getLong(3))).toSet
+    assert(want.nonEmpty)
+    assert(buf.map(g => (g._1, g._2, g._3, g._4)).toSet === want)
+  }
+
+  test("rate-limited kill/restart resumes from the checkpoint alone — no re-delivery, no gaps") {
+    val root = freshDir("glss_tbl2")
+    setupTable(root) // commits 1-3
+    val ck = freshDir("glss_ck2")
+    val buf = collection.mutable.Buffer.empty[Got]
+    // query 1: ONE trigger capped at 2 commits, then terminates
+    drain(root, ck, buf, Map("maxCommitsPerTrigger" -> "2"), once = true)
+    val afterKill = buf.map(_._4).toSet
+    assert(afterKill === Set(1L, 2L),
+      s"first trigger must cover commits 1-2, got $afterKill")
+    // more commits land while the stream is down
+    LakeFormat.merge(rows((4L, 4L, true, "d1")), root)
+    LakeFormat.merge(rows((5L, 5L, true, "e1")), root)
+    // query 2: same checkpoint, still rate-limited — resumes at commit 3
+    drain(root, ck, buf, Map("maxCommitsPerTrigger" -> "2"))
+    assert(buf.map(_._4).toSet === Set(1L, 2L, 3L, 4L, 5L))
+    // exactly-once per (key, commit) across the restart
+    assert(buf.groupBy(g => (g._1, g._4)).forall(_._2.size == 1),
+      s"a (key, commit) pair was delivered twice: $buf")
+    // the cap bounds every batch
+    buf.groupBy(_._5).foreach { case (bid, g) =>
+      assert(g.map(_._4).distinct.size <= 2, s"batch $bid exceeded the cap")
+    }
+  }
+
+  test("startingVersion=latest tails only post-start commits; numeric startingVersion skips history") {
+    val root = freshDir("glss_tbl3")
+    setupTable(root) // commits 1-3
+    val buf = collection.mutable.Buffer.empty[Got]
+    val ck = freshDir("glss_ck3")
+    drain(root, ck, buf, Map("startingVersion" -> "latest"))
+    assert(buf.isEmpty, "latest must not replay history")
+    LakeFormat.merge(rows((9L, 9L, true, "i1")), root) // commit 4
+    drain(root, ck, buf, Map("startingVersion" -> "latest"))
+    assert(buf.map(_._4).toSet === Set(4L),
+      "only the post-start commit flows; the checkpointed offsets hold across restarts")
+    // a numeric start on a FRESH checkpoint: from commit 3 only
+    val buf2 = collection.mutable.Buffer.empty[Got]
+    drain(root, freshDir("glss_ck3b"), buf2, Map("startingVersion" -> "3"))
+    assert(buf2.map(_._4).toSet === Set(3L, 4L))
+  }
+
+  test("additive schema evolution mid-stream fails the RUNNING query loudly; a restart re-pins and serves the new column") {
+    val root = freshDir("glss_tbl4")
+    LakeFormat.create(spark, root, Seq("id"), statsCols = Seq("id"))
+    LakeFormat.merge(rows((1L, 1L, true, "a1")), root)
+    val ck = freshDir("glss_ck4")
+    // the query pins the pre-evolution schema and STAYS RUNNING
+    val q = spark.readStream.format("graft-lake").load(root)
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch((b: Dataset[Row], _: Long) => { b.count(); () })
+      .start()
+    q.processAllAvailable() // commit 1 under the old pin
+    // the table evolves under the live query
+    LakeFormat.merge(
+      Seq((2L, 2L, true, "b1", 7.5)).toDF("id", "lsn", "live", "v", "score"),
+      root)
+    val ex = intercept[StreamingQueryException] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(causeChain(ex).contains("restart the streaming query"),
+      s"want the evolve-restart instruction, got: ${causeChain(ex)}")
+    // restart on the SAME checkpoint: the new incarnation pins the
+    // evolved schema, serves the new column, and does NOT replay commit 1
+    val got = collection.mutable.Buffer.empty[(Long, Option[Double], Long)]
+    val q2 = spark.readStream.format("graft-lake").load(root)
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (b: Dataset[Row], _: Long) =>
+        val xs = b.select(col("id"), col("score"), col("_commit_version"))
+          .collect().map(x => (x.getLong(0),
+            if (x.isNullAt(1)) None else Some(x.getDouble(1)), x.getLong(2)))
+        got.synchronized { got ++= xs }
+        ()
+      }.start()
+    q2.processAllAvailable(); q2.stop(); q2.awaitTermination()
+    assert(got.toSet === Set((2L, Some(7.5), 2L)))
+  }
+
+  test("retention violation surfaces as stream failure, never a silent skip") {
+    val root = freshDir("glss_tbl5")
+    setupTable(root) // commits 1-3; 2 and 3 rewrote earlier files
+    LakeFormat.merge(rows((1L, 4L, true, "a3")), root) // commit 4
+    LakeFormat.vacuum(spark, root, keepVersions = 1, olderThanMs = 0L)
+    intercept[StreamingQueryException] {
+      val q = spark.readStream.format("graft-lake").load(root)
+        .writeStream.option("checkpointLocation", freshDir("glss_ck5"))
+        .foreachBatch((b: Dataset[Row], _: Long) => { b.count(); () })
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+  }
+
+  // ------------------------------------------------ multi-table source
+
+  private def setupTx(root: String): Unit = {
+    val schema = Some(org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, lsn BIGINT, live BOOLEAN, v STRING"))
+    LakeFormat.create(spark, LakeTx.tableRoot(root, "a"), Seq("id"),
+      statsCols = Seq("id"), schema = schema)
+    LakeFormat.create(spark, LakeTx.tableRoot(root, "b"), Seq("id"),
+      statsCols = Seq("id"), schema = schema)
+    LakeTx.init(spark, root, Seq("a", "b"))
+  }
+
+  private def marker(tx: Long) =
+    Seq((tx, tx, true, s"m$tx")).toDF("id", "lsn", "live", "v")
+
+  /** Collected tx-feed row: (table, id, change_type, manifestV, batchId). */
+  private type TxGot = (String, Long, String, Long, Long)
+
+  private def drainTx(root: String, ck: String,
+      buf: collection.mutable.Buffer[TxGot],
+      options: Map[String, String] = Map.empty,
+      once: Boolean = false): Unit = {
+    var r = spark.readStream.format("graft-lake-tx")
+    options.foreach { case (k, v) => r = r.option(k, v) }
+    val w = r.load(root).writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (b: Dataset[Row], id: Long) =>
+        val got = b.select(col("_table"), col("id"), col("_change_type"),
+            col("_manifest_version")).collect()
+          .map(x => (x.getString(0), x.getLong(1), x.getString(2),
+            x.getLong(3), id))
+        buf.synchronized { buf ++= got }
+        ()
+      }
+    if (once) {
+      val q = w.trigger(Trigger.Once()).start(); q.awaitTermination()
+    } else {
+      val q = w.start(); q.processAllAvailable(); q.stop(); q.awaitTermination()
+    }
+  }
+
+  test("tx stream: batches are transaction-aligned; kill/restart drives cross-table derived state exactly-once") {
+    val root = freshDir("glss_txroot")
+    setupTx(root)
+    // three two-table transactions + one touching only table a
+    (1L to 3L).foreach(tx => LakeTx.commitTx(spark, root,
+      Map("a" -> marker(tx), "b" -> marker(tx)), "app", tx))
+    LakeTx.commitTx(spark, root, Map("a" -> marker(4L)), "app", 4L)
+    val ck = freshDir("glss_txck")
+    val buf = collection.mutable.Buffer.empty[TxGot]
+    // kill after ONE rate-limited trigger (manifests 1-2)...
+    drainTx(root, ck, buf, Map("maxManifestsPerTrigger" -> "2"), once = true)
+    assert(buf.map(_._4).toSet === Set(1L, 2L))
+    // ...a fifth transaction lands while the stream is down...
+    LakeTx.commitTx(spark, root,
+      Map("a" -> marker(5L), "b" -> marker(5L)), "app", 5L)
+    // ...and the restart resumes from the checkpoint alone
+    drainTx(root, ck, buf)
+    assert(buf.map(_._4).toSet === Set(1L, 2L, 3L, 4L, 5L))
+    // TRANSACTION ALIGNMENT: a manifest version never splits across
+    // micro-batches — every row of one tx shares one foreachBatch id
+    buf.groupBy(_._4).foreach { case (mv, g) =>
+      assert(g.map(_._5).distinct.size === 1,
+        s"manifest v$mv split across batches: $g")
+    }
+    // two-table transactions deliver BOTH members' rows in that batch
+    (1L to 3L).foreach { mv =>
+      val tables = buf.filter(_._4 == mv).map(_._1).toSet
+      assert(tables === Set("a", "b"), s"manifest v$mv tore: $tables")
+    }
+    assert(buf.filter(_._4 == 4L).map(_._1).toSet === Set("a"))
+    // exactly-once per (table, key, manifest) across the kill/restart
+    assert(buf.groupBy(g => (g._1, g._2, g._4)).forall(_._2.size == 1))
+    // CROSS-TABLE DERIVED STATE through the restart: fold the feed per
+    // table (the lake_tx_feed epoch discipline — newest manifest wins,
+    // deletes tombstone) and it must equal the manifest-pinned snapshots
+    def fold(table: String): Set[Long] = {
+      val byKey = buf.filter(_._1 == table).groupBy(_._2)
+      byKey.collect { case (id, g)
+        if g.maxBy(_._4)._3 != "d" => id }.toSet
+    }
+    def snap(table: String): Set[Long] =
+      LakeTx.snapshot(spark, root, table)
+        .filter(col("live")).select("id").as[Long].collect().toSet
+    assert(fold("a") === snap("a"))
+    assert(fold("b") === snap("b"))
+  }
+}
