@@ -795,11 +795,14 @@ object LakeFormat {
     * memory, safely above any micro-batch. */
   val DefaultBroadcastKeyLimit: Long = 1L << 20
 
-  /** Broadcast-hint `keySet` only under `limit` distinct rows; above it
-    * the un-hinted join lets the planner decide from actual sizes. The
-    * count is one cheap job over the already-checkpointed batch. */
-  private[graft] def gatedBroadcast(keySet: DataFrame, limit: Long): DataFrame =
-    if (keySet.count() <= limit) broadcast(keySet) else keySet
+  /** Broadcast-hint `keySet` only when `rows` (the batch's row count,
+    * an upper bound on distinct keys — [[merge]] reads it off the SAME
+    * aggregation job that computes the key range, never a separate
+    * count pass) is under `limit`; above it the un-hinted join lets the
+    * planner decide from actual sizes. */
+  private[graft] def gatedBroadcast(keySet: DataFrame, rows: Long,
+      limit: Long): DataFrame =
+    if (rows <= limit) broadcast(keySet) else keySet
 
   /** Transactional CDC MERGE: fold `updates` (one row per key, carrying
     * `meta.orderCol` and `meta.liveCol` — the
@@ -845,14 +848,21 @@ object LakeFormat {
     // ALSO the rebase-safety proof below: None = no proof possible
     // (composite key), Some(None) = empty updates (disjoint from
     // everything), Some(Some((lo, hi))) = the updates' closed key range.
-    val keyRange: Option[Option[(String, String)]] =
-      if (m.keyCols.size != 1) None
-      else {
+    // the broadcast gate's row count rides the SAME aggregation job —
+    // no separate count pass over the batch (rows ≥ distinct keys, so
+    // gating on rows is conservative-safe for the driver)
+    val (keyRange: Option[Option[(String, String)]], batchRows: Long) =
+      if (m.keyCols.size != 1) {
+        (None, updates.agg(count(lit(1))).head().getLong(0))
+      } else {
         val k = m.keyCols.head
         val r = updates.agg(min(col(k)).cast("string").as("lo"),
-          max(col(k)).cast("string").as("hi")).head()
-        if (r.isNullAt(0)) Some(None) // empty updates touch nothing
-        else Some(Some((r.getString(0), r.getString(1))))
+          max(col(k)).cast("string").as("hi"),
+          count(lit(1)).as("n")).head()
+        val range: Option[Option[(String, String)]] =
+          if (r.isNullAt(0)) Some(None) // empty updates touch nothing
+          else Some(Some((r.getString(0), r.getString(1))))
+        (range, r.getLong(2))
       }
     // a file whose key stats are provably OUTSIDE the updates' range
     def keyDisjoint(a: AddFile): Boolean = keyRange match {
@@ -878,7 +888,8 @@ object LakeFormat {
         val keySet = updates.select(m.keyCols.map(col): _*).distinct()
         val hit = readGrouped(spark, root, cands, df => df.select(
             col("_metadata.file_path").as("__f") +: m.keyCols.map(col): _*))
-          .join(gatedBroadcast(keySet, broadcastKeyLimit), m.keyCols, "left_semi")
+          .join(gatedBroadcast(keySet, batchRows, broadcastKeyLimit),
+            m.keyCols, "left_semi")
           .select("__f").distinct().collect().map(_.getString(0)).toSet
         cands.filter(a => hit.exists(_.endsWith("/" + a.path.split("/").last)))
       }

@@ -68,8 +68,8 @@ class LakeHardeningSpec extends AnyFunSuite {
     def hinted(limit: Long): Boolean = {
       val left = spark.range(100).toDF("id")
       val keys = spark.range(10).toDF("id")
-      val j = left.join(LakeFormat.gatedBroadcast(keys, limit), Seq("id"),
-        "left_semi")
+      val j = left.join(LakeFormat.gatedBroadcast(keys, rows = 10L, limit),
+        Seq("id"), "left_semi")
       j.queryExecution.optimizedPlan.collect {
         case jn: org.apache.spark.sql.catalyst.plans.logical.Join
             if jn.hint.leftHint.exists(_.strategy.isDefined) ||
@@ -94,6 +94,47 @@ class LakeHardeningSpec extends AnyFunSuite {
         .select("id", "v").as[(Long, String)].collect().sortBy(_._1).toSeq
     }
     assert(build(0L) === build(LakeFormat.DefaultBroadcastKeyLimit))
+  }
+
+  test("the merge broadcast gate rides the key-range aggregation — no separate count job") {
+    val root = freshRoot()
+    LakeFormat.create(spark, root, Seq("id"), statsCols = Seq("id"))
+    LakeFormat.merge(spark.range(100).select(col("id"), lit(1L).as("lsn"),
+      lit(true).as("live"), col("id").cast("string").as("v")), root)
+    // record every job THIS thread's job group launches during a merge
+    // (suites share the session concurrently — group-filter the bus)
+    val group = s"gate-probe-${java.util.UUID.randomUUID}"
+    val stages = collection.mutable.Buffer.empty[String]
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (js.properties != null &&
+            group == js.properties.getProperty("spark.jobGroup.id"))
+          stages.synchronized { stages ++= js.stageInfos.map(_.name) }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      spark.sparkContext.setJobGroup(group, "merge gate probe")
+      LakeFormat.merge(spark.range(30).select(col("id"), lit(2L).as("lsn"),
+        lit(true).as("live"), lit("u").as("v")), root)
+    } finally {
+      spark.sparkContext.clearJobGroup()
+    }
+    // the async listener bus needs a beat to drain
+    val deadline = System.nanoTime() + 10e9.toLong
+    var last = -1
+    while (System.nanoTime() < deadline &&
+        stages.synchronized(stages.size) != last) {
+      last = stages.synchronized(stages.size); Thread.sleep(200)
+    }
+    spark.sparkContext.removeSparkListener(l)
+    val got = stages.synchronized(stages.toList)
+    assert(got.nonEmpty, "the probe merge must have run jobs in its group")
+    // the gate reads its row count off the key-range agg ("head at") —
+    // a `count at LakeFormat` stage would be the separate gate job
+    // this test exists to forbid
+    assert(!got.exists(_.startsWith("count at")),
+      s"merge ran a standalone count job: $got")
   }
 
   test("selective OPTIMIZE rewrites only the fragmented partition; other entries untouched") {
