@@ -209,6 +209,12 @@ private[sources] abstract class LakeVersionedSource(
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val fromV = start.map(LakeStreamSources.versionOf).getOrElse(floor) + 1
     val toV = LakeStreamSources.versionOf(end)
+    // `start` is always a DURABLY COMMITTED offset (the engine runs
+    // batches serially: batch N only starts after N-1's sink completed
+    // and its commit-log entry landed; on restart it is the recovered
+    // committed offset) — acknowledge it eagerly, because the engine's
+    // own Source.commit callback fires lazily (next trigger / restart)
+    start.foreach(s => acknowledged(LakeStreamSources.versionOf(s)))
     // a restart may hand us an end we never offered this incarnation
     if (toV > lastEnd) {
       lastEnd = toV
@@ -238,7 +244,14 @@ private[sources] abstract class LakeVersionedSource(
     }: _*)
   }
 
-  override def commit(end: OffsetV1): Unit = ()
+  /** A version whose batch the engine has durably committed — hook for
+    * subclasses maintaining a consumer-registry floor. May trail the
+    * checkpoint by one batch (commit callbacks are lazy), which only
+    * errs conservative: vacuum holds slightly more history. */
+  protected def acknowledged(v: Long): Unit = ()
+
+  override def commit(end: OffsetV1): Unit =
+    acknowledged(LakeStreamSources.versionOf(end))
   override def stop(): Unit = ()
 }
 
@@ -249,11 +262,29 @@ private[sources] class GraftLakeSource(spark0: SparkSession,
 
   override val schema: StructType = LakeFormat.changeFeedSchema(spark, root)
 
+  // option("consumerName", ...) registers this stream in the TABLE's
+  // consumer registry ([[LakeFormat.registerConsumer]]) at query start
+  // and advances the registered offset as the engine acknowledges
+  // batches — so vacuum proactively refuses to reclaim history the
+  // stream still needs, instead of the stream failing at its next
+  // batch. The pointer may trail the checkpoint by one batch (safe
+  // direction). Without a name the stream is anonymous: protected only
+  // by the read-time loud failure.
+  private val registeredDir: Option[String] =
+    parameters.get("consumerName")
+      .map(n => LakeFormat.registerConsumer(spark, root, n))
+
   override protected def tip(): Long =
     LakeFormat.listLogVersions(spark, root).max
 
   override protected def batchPlan(fromV: Long, toV: Long): DataFrame =
     conform(LakeFormat.changeFeed(spark, root, fromV, toV), schema, root)
+
+  override protected def acknowledged(v: Long): Unit =
+    registeredDir.foreach { d =>
+      if (LakeFormat.consumerOffset(spark, d).forall(_ < v))
+        LakeFormat.commitConsumerOffset(spark, d, v)
+    }
 }
 
 private[sources] object GraftLakeTxSource {

@@ -1322,20 +1322,75 @@ object LakeFormat {
     st.version
   }
 
+  // ------------------------------------------------- consumer registry
+
+  /** Register a named change-feed consumer UNDER THE TABLE at
+    * `<root>/_consumers/<name>` and return its offset dir — the path
+    * convention IS the API. Namespacing by name means two downstream
+    * stores can never silently share an offset pointer, and
+    * registration makes the consumer visible to [[vacuum]], which then
+    * REFUSES to reclaim history the slowest registered consumer still
+    * needs (proactive, at vacuum time). Ad-hoc unregistered dirs keep
+    * working but are protected only by the read-time loud failure. */
+  def registerConsumer(spark: SparkSession, root: String,
+      name: String): String = {
+    require(name.matches("[A-Za-z0-9._-]+"),
+      s"consumer name must match [A-Za-z0-9._-]+, got '$name'")
+    val dir = s"$root/_consumers/$name"
+    fs(spark, root).mkdirs(new Path(dir))
+    dir
+  }
+
+  /** Registered consumers and their durable offsets (None = registered
+    * but nothing consumed yet — [[vacuum]] treats it as offset 0: the
+    * consumer intends to read from the beginning). */
+  def registeredConsumers(spark: SparkSession,
+      root: String): Map[String, Option[Long]] = {
+    val base = new Path(s"$root/_consumers")
+    val f = fs(spark, root)
+    if (!f.exists(base)) Map.empty
+    else f.listStatus(base).toSeq.filter(_.isDirectory).map { st =>
+      st.getPath.getName -> consumerOffset(spark, st.getPath.toString)
+    }.toMap
+  }
+
+  /** Unregister a consumer (its offset dies with it); [[vacuum]] stops
+    * holding history for it. */
+  def dropConsumer(spark: SparkSession, root: String, name: String): Unit = {
+    fs(spark, root).delete(new Path(s"$root/_consumers/$name"), true)
+    ()
+  }
+
   /** Reclaim data files unreferenced by every retained snapshot (the
     * newest `keepVersions` versions stay time-travelable) and sweep
     * crashed-writer `_tmp-*` staging debris. `olderThanMs` is the
     * in-flight-writer guard: a file younger than it is NEVER deleted even
     * if unreferenced, because a concurrent writer may have staged it for
     * a commit that hasn't claimed its log slot yet (production keeps
-    * hours here; single-writer tests pass 0). Returns the deleted
-    * relative paths. */
+    * hours here; single-writer tests pass 0). REFUSES to run when the
+    * requested window would break the change feed for a registered
+    * consumer ([[registerConsumer]]): commits above its offset need
+    * every file removed after that offset as a pre-image, so reclaiming
+    * them would turn the consumer's next drain into a missing-file
+    * failure — the refusal names the laggard and the remedies instead.
+    * Returns the deleted relative paths. */
   def vacuum(spark: SparkSession, root: String, keepVersions: Int,
       olderThanMs: Long = 3600L * 1000): Seq[String] = {
     require(keepVersions >= 1, "must retain at least the current version")
     val f = fs(spark, root)
     val latest = state(spark, root).version
     val floor = math.max(0L, latest - keepVersions + 1)
+    val lagging = registeredConsumers(spark, root)
+      .map { case (n, o) => (n, o.getOrElse(0L)) }
+      .filter { case (_, o) => o < floor }
+    if (lagging.nonEmpty) {
+      val (slowName, slowOff) = lagging.minBy(_._2)
+      throw new IllegalStateException(
+        s"vacuum(keepVersions=$keepVersions) would reclaim pre-images " +
+          s"below v$floor while registered consumer '$slowName' has " +
+          s"consumed only through v$slowOff — let it catch up, keep at " +
+          s"least ${latest - slowOff + 1} versions, or dropConsumer it")
+    }
     val referenced = (floor to latest)
       .flatMap(v => state(spark, root, Some(v)).files.map(_.path)).toSet
     val now = System.currentTimeMillis()

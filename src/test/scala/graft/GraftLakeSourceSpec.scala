@@ -173,6 +173,42 @@ class GraftLakeSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("a named stream registers in the table's consumer registry; vacuum holds history for it") {
+    val root = freshDir("glss_tbl6")
+    setupTable(root) // commits 1-3, rewrites along the way
+    val ck = freshDir("glss_ck6")
+    val buf = collection.mutable.Buffer.empty[Got]
+    // one capped trigger: the stream dies mid-backlog at commit 2,
+    // BEFORE the engine's lazy batch acknowledgement ran — the
+    // registered pointer legitimately still says "nothing durable yet"
+    drain(root, ck, buf,
+      Map("maxCommitsPerTrigger" -> "2", "consumerName" -> "ix"),
+      once = true)
+    assert(LakeFormat.registeredConsumers(spark, root).contains("ix"),
+      "query start must register the consumer")
+    // a tip-only vacuum would reclaim pre-images the stream still
+    // (conservatively) claims: refused, naming the stream
+    val ex = intercept[IllegalStateException](
+      LakeFormat.vacuum(spark, root, keepVersions = 1, olderThanMs = 0L))
+    assert(ex.getMessage.contains("ix"))
+    // the restart acknowledges the recovered committed offset (commit 2)
+    // eagerly and drains commit 3; the pointer trails the checkpoint by
+    // at most one batch — the SAFE direction (vacuum holds extra)
+    drain(root, ck, buf, Map("consumerName" -> "ix"))
+    val afterCatchup = LakeFormat.registeredConsumers(spark, root)
+      .get("ix").flatten
+    assert(afterCatchup.exists(_ >= 2L), s"pointer too old: $afterCatchup")
+    // one more commit + drain: the previous batch's acknowledgement is
+    // now deterministic (it is this drain's recovered start offset)
+    LakeFormat.merge(rows((6L, 6L, true, "f1")), root) // commit 4
+    drain(root, ck, buf, Map("consumerName" -> "ix"))
+    assert(LakeFormat.registeredConsumers(spark, root)
+      .get("ix").flatten.exists(_ >= 3L))
+    assert(buf.map(_._4).toSet === Set(1L, 2L, 3L, 4L))
+    // a window respecting the trail-by-one pointer runs
+    LakeFormat.vacuum(spark, root, keepVersions = 2, olderThanMs = 0L)
+  }
+
   // ------------------------------------------------ multi-table source
 
   private def setupTx(root: String): Unit = {

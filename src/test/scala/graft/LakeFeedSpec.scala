@@ -165,6 +165,52 @@ class LakeFeedSpec extends AnyFunSuite {
     assert(content(batchIdx).nonEmpty)
   }
 
+  test("registered consumers drain independently; vacuum refuses for the slowest, proceeds after catch-up or drop") {
+    val s = scratch(); val root = s"$s/t"
+    LakeFormat.create(spark, root, Seq("doc_id"), statsCols = Seq("doc_id"))
+    LakeFormat.merge(docRows((1L, 1L, true, "a")), root)  // v1 adds F1
+    LakeFormat.merge(docRows((1L, 2L, true, "a2")), root) // v2 rewrites F1
+    LakeFormat.merge(docRows((1L, 3L, true, "a3")), root) // v3 rewrites F2
+    val fast = LakeFormat.registerConsumer(spark, root, "fast")
+    val slow = LakeFormat.registerConsumer(spark, root, "slow")
+    assert(LakeFormat.registerConsumer(spark, root, "fast") === fast,
+      "re-registration is idempotent, same dir")
+    intercept[IllegalArgumentException](
+      LakeFormat.registerConsumer(spark, root, "bad/name"))
+    // independent offsets by name — no silent sharing
+    LakeFormat.consumeChangeFeed(spark, root, fast)((b, _) => { b.count(); () })
+    LakeFormat.consumeChangeFeed(spark, root, slow, maxCommits = 1) {
+      (b, _) => { b.count(); () }
+    }
+    assert(LakeFormat.registeredConsumers(spark, root) ===
+      Map("fast" -> Some(3L), "slow" -> Some(1L)))
+    // reclaiming below v3 would eat pre-images slow still needs: REFUSE
+    // proactively, naming the laggard — not at slow's next read
+    val ex = intercept[IllegalStateException](
+      LakeFormat.vacuum(spark, root, keepVersions = 1, olderThanMs = 0L))
+    assert(ex.getMessage.contains("slow"))
+    // a window covering slow's offset runs fine
+    LakeFormat.vacuum(spark, root, keepVersions = 3, olderThanMs = 0L)
+    // slow catches up → the tight window is legal again
+    LakeFormat.consumeChangeFeed(spark, root, slow)((b, _) => { b.count(); () })
+    assert(LakeFormat.vacuum(spark, root, keepVersions = 1,
+      olderThanMs = 0L).nonEmpty)
+    // a freshly-registered, never-drained consumer wants FULL history:
+    // vacuum holds everything for it until it drains or is dropped
+    LakeFormat.registerConsumer(spark, root, "newborn")
+    LakeFormat.merge(docRows((1L, 4L, true, "a4")), root) // v4 rewrites F3
+    intercept[IllegalStateException](
+      LakeFormat.vacuum(spark, root, keepVersions = 1, olderThanMs = 0L))
+    LakeFormat.dropConsumer(spark, root, "newborn")
+    // fast and slow now lag v4 themselves — the guard catches EVERY
+    // registered laggard, not just the one the test focused on
+    intercept[IllegalStateException](
+      LakeFormat.vacuum(spark, root, keepVersions = 1, olderThanMs = 0L))
+    LakeFormat.consumeChangeFeed(spark, root, fast)((b, _) => { b.count(); () })
+    LakeFormat.consumeChangeFeed(spark, root, slow)((b, _) => { b.count(); () })
+    LakeFormat.vacuum(spark, root, keepVersions = 1, olderThanMs = 0L)
+  }
+
   test("a consumer lagging past the vacuum window fails loudly, never partially") {
     val s = scratch()
     val root = s"$s/t"; val cons = s"$s/c"
