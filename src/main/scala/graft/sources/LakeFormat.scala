@@ -117,6 +117,22 @@ object LakeFormat {
   private def lastCheckpointPtr(root: String) =
     new Path(logDir(root), "_last_checkpoint")
 
+  /** Delete log entries below `floorV` — retention for SELF-CONTAINED
+    * logs whose every version is readable on its own ([[LakeTx]]'s
+    * manifest log: each version carries the full pin map). NOT legal on
+    * a data-table log, whose state is the fold of all versions — data
+    * tables compact through [[checkpoint]] instead. `olderThanMs` is the
+    * same in-flight guard as [[vacuum]]'s. Returns the pruned versions. */
+  private[sources] def pruneLogBelow(spark: SparkSession, root: String,
+      floorV: Long, olderThanMs: Long): Seq[Long] = {
+    val f = fs(spark, root)
+    val now = System.currentTimeMillis()
+    listLogVersions(spark, root).filter(_ < floorV).sorted
+      .filter(v => now - f.getFileStatus(logFile(root, v))
+        .getModificationTime >= olderThanMs)
+      .map { v => f.delete(logFile(root, v), false); v }
+  }
+
   // one lock per root in this JVM: serializes the [read tip, claim tip+1]
   // window so local-FS racers (tests, a bench and a stream in one JVM)
   // can't both pass the no-overwrite check before either renames

@@ -214,9 +214,18 @@ object LakeTx {
     * Per member, the floor is the MINIMUM pin across retained manifests;
     * everything at-or-above it stays time-travelable, older rewrites
     * reclaim. Same in-flight guard as the single-table vacuum. Returns
-    * the deleted relative paths per table. Manifests older than the
-    * window become unreadable the moment their pinned files go — the
-    * [[LakeFormat.readAsOf]] loud-failure contract, unchanged. */
+    * the deleted relative paths per table.
+    *
+    * MANIFEST LOG RETENTION rides along: manifest versions below the
+    * window are pruned from the `_tx` log itself, consistently with the
+    * member files they pin. No separate checkpoint is needed — every
+    * manifest is SELF-CONTAINED (it carries the complete pin map, never
+    * a delta), so any retained version reads in O(1) small files at any
+    * history length, and pruning bounds the `_tx` directory listing at
+    * O(keepManifests) where it grew O(#transactions) before. Reads of a
+    * pruned manifest version fail loudly (missing log entry) — the
+    * [[LakeFormat.readAsOf]] contract, now symmetric between a
+    * manifest's pins and its log entry. */
   def vacuum(spark: SparkSession, root: String, keepManifests: Int,
       olderThanMs: Long = 3600L * 1000): Map[String, Seq[String]] = {
     require(keepManifests >= 1, "must retain at least the current manifest")
@@ -224,11 +233,13 @@ object LakeTx {
     val floor = math.max(0L, tip - keepManifests + 1)
     val retained = (floor to tip).map(mv => manifest(spark, root, Some(mv)))
     val tables = retained.head.keySet
-    tables.map { t =>
+    val deleted = tables.map { t =>
       val minPin = retained.map(_(t)).min
       val tTip = LakeFormat.listLogVersions(spark, tableRoot(root, t)).max
       val keep = (tTip - minPin + 1).toInt
       t -> LakeFormat.vacuum(spark, tableRoot(root, t), keep, olderThanMs)
     }.toMap
+    LakeFormat.pruneLogBelow(spark, txRoot(root), floor, olderThanMs)
+    deleted
   }
 }

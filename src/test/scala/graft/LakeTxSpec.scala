@@ -302,6 +302,32 @@ class LakeTxSpec extends AnyFunSuite {
       "the retry must redeliver BOTH members of the torn version")
   }
 
+  test("manifest log retention: pruned versions fail loudly, retained ones serve, new txs land") {
+    val root = freshRoot()
+    setup(root)
+    (1L to 5L).foreach(tx => LakeTx.commitTx(spark, root,
+      Map("a" -> markerRows(tx), "b" -> markerRows(tx)), "app", tx))
+    // retention prunes manifests 0-3 from the _tx log itself: the
+    // listing is bounded by the window, not by transaction history
+    LakeTx.vacuum(spark, root, keepManifests = 2, olderThanMs = 0L)
+    assert(LakeTx.manifestVersion(spark, root) === 5L)
+    // retained manifests are SELF-CONTAINED — each reads on its own
+    assert(LakeTx.manifest(spark, root, Some(4L))("a") ===
+      LakeTx.manifest(spark, root, Some(4L))("b"))
+    assert(visible(root, "a", 4L) === (1L to 4L).toSet)
+    // a pruned manifest version fails loudly at the manifest layer
+    intercept[Exception](LakeTx.manifest(spark, root, Some(2L)))
+    // a consumer below the retention floor fails loudly, never partially
+    val dir = Files.createTempDirectory("tx_cons_floor").toString
+    intercept[Exception](
+      LakeTx.consumeChanges(spark, root, dir)((_, _, _) => ()))
+    // life goes on above the floor: new transactions land and serve
+    val mv = LakeTx.commitTx(spark, root,
+      Map("a" -> markerRows(6L), "b" -> markerRows(6L)), "app", 6L)
+    assert(mv === 6L)
+    assert(visible(root, "a", mv) === (1L to 6L).toSet)
+  }
+
   test("manifest-coordinated vacuum keeps every retained manifest readable, reclaims older rewrites") {
     val root = freshRoot()
     setup(root)
