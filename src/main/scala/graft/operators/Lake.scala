@@ -119,6 +119,22 @@ object Lake {
       |FROM lineitem WHERE l_orderkey <= 1000
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The same pruned aggregate as `lake_prune_scan`, entered through
+    * Spark's DATA SOURCE resolution — `spark.read.format("graft-lake")`
+    * over the SAME staged table — so the oracle gates the whole batch
+    * provider round trip: relation schema, pushed-filter translation
+    * into the stats pruning ([[graft.sources.GraftLakeProvider]]), and
+    * Catalyst column pruning through the V1 relation. */
+  val lakeBatchSource: Q = (spark, dir) => {
+    val root = stagedLineitemLakeRoot(spark, dir)
+    spark.read.format("graft-lake").load(root)
+      .filter(col("l_orderkey") <= lit(1000L))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Staged z-ordered lineitem lake: appended in the source's own layout
     * (interleaved key ranges — every file overlaps every predicate), then
     * OPTIMIZE'd on the Morton z-value of (l_orderkey, l_partkey) — the
@@ -459,6 +475,7 @@ object Lake {
     "lake_cdc_snapshot" -> lakeCdcSnapshot,
     "lake_time_travel" -> lakeTimeTravel,
     "lake_prune_scan" -> lakePruneScan,
+    "lake_batch_source" -> lakeBatchSource,
     "lake_zorder_scan" -> lakeZorderScan,
     "lake_bm25_index" -> lakeBm25Index,
     "lake_stream_index" -> lakeStreamIndex,
@@ -471,6 +488,7 @@ object Lake {
     "lake_cdc_snapshot" -> Cdc.cdcSnapshotSql,
     "lake_time_travel" -> lakeTimeTravelSql,
     "lake_prune_scan" -> lakePruneScanSql,
+    "lake_batch_source" -> lakePruneScanSql,
     "lake_zorder_scan" -> lakeZorderScanSql,
     "lake_bm25_index" -> Text.x4rSql,
     "lake_stream_index" -> Text.x4rSql,

@@ -1,10 +1,11 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, GraftBridge, Row, SQLContext, SparkSession}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, PrunedFilteredScan, RelationProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** The lake change feed as a REAL Spark streaming source:
@@ -72,7 +73,8 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * increment (touched files only), distributed — nothing driver-side
   * scales with row count.
   */
-class GraftLakeProvider extends DataSourceRegister with StreamSourceProvider {
+class GraftLakeProvider extends DataSourceRegister with StreamSourceProvider
+    with RelationProvider {
   override def shortName(): String = "graft-lake"
 
   override def sourceSchema(sqlContext: SQLContext,
@@ -85,6 +87,18 @@ class GraftLakeProvider extends DataSourceRegister with StreamSourceProvider {
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new GraftLakeSource(sqlContext.sparkSession, metadataPath, parameters)
+
+  /** BATCH read: `spark.read.format("graft-lake").load(root)` — the
+    * current snapshot (raw maintained rows: newest per key, tombstones
+    * as `live=false` rows, exactly [[LakeFormat.snapshot]]), or
+    * `option("versionAsOf", v)` for time travel. Pushed filters feed
+    * [[LakeFormat.scan]]'s per-file stats pruning (exact-only
+    * translation; Spark re-applies every filter above, so skipping an
+    * untranslatable one costs pruning, never correctness). */
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation =
+    new GraftLakeRelation(sqlContext,
+      LakeStreamSources.rootOf(parameters, shortName()), parameters)
 }
 
 /** The MULTI-TABLE transaction feed as a streaming source:
@@ -109,7 +123,8 @@ class GraftLakeProvider extends DataSourceRegister with StreamSourceProvider {
   * retention and schema contracts — is [[GraftLakeProvider]]'s,
   * per-member.
   */
-class GraftLakeTxProvider extends DataSourceRegister with StreamSourceProvider {
+class GraftLakeTxProvider extends DataSourceRegister with StreamSourceProvider
+    with RelationProvider {
   override def shortName(): String = "graft-lake-tx"
 
   override def sourceSchema(sqlContext: SQLContext,
@@ -122,6 +137,118 @@ class GraftLakeTxProvider extends DataSourceRegister with StreamSourceProvider {
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new GraftLakeTxSource(sqlContext.sparkSession, metadataPath, parameters)
+
+  /** BATCH read of one member, TRANSACTION-CONSISTENT:
+    * `spark.read.format("graft-lake-tx").option("table", t).load(root)`
+    * serves the member AS OF the current (or `option("manifestAsOf",
+    * m)`) manifest's pin — concurrent in-flight transactions invisible,
+    * exactly [[LakeTx.snapshot]]/[[LakeTx.snapshotAsOf]]. */
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val root = LakeStreamSources.rootOf(parameters, shortName())
+    val table = parameters.getOrElse("table",
+      throw new IllegalArgumentException(
+        "graft-lake-tx batch reads need option(\"table\", <member>)"))
+    new GraftLakeTxRelation(sqlContext, root, table,
+      parameters.get("manifestAsOf").map(_.toLong))
+  }
+}
+
+/** Exact-only translation of Spark's pushed [[Filter]]s to a pruning
+  * [[Column]]. `None` = not translatable; a top-level filter array is
+  * CONJUNCTIVE, so callers may drop untranslatable members (a weaker
+  * predicate prunes less, never wrong) — but inside Not/Or the
+  * translation must be exact, which this is by construction. */
+private[sources] object LakeFilters {
+  import org.apache.spark.sql.{sources => sf}
+
+  def toColumn(f: Filter): Option[Column] = f match {
+    case sf.EqualTo(a, v)            => leaf(v)(col(a) === lit(v))
+    case sf.EqualNullSafe(a, v)      => leaf(v)(col(a) <=> lit(v))
+    case sf.GreaterThan(a, v)        => leaf(v)(col(a) > lit(v))
+    case sf.GreaterThanOrEqual(a, v) => leaf(v)(col(a) >= lit(v))
+    case sf.LessThan(a, v)           => leaf(v)(col(a) < lit(v))
+    case sf.LessThanOrEqual(a, v)    => leaf(v)(col(a) <= lit(v))
+    case sf.In(a, vs) =>
+      scala.util.Try(col(a).isin(vs.toSeq: _*)).toOption
+    case sf.IsNull(a)                => Some(col(a).isNull)
+    case sf.IsNotNull(a)             => Some(col(a).isNotNull)
+    case sf.StringStartsWith(a, p)   => Some(col(a).startsWith(p))
+    case sf.And(l, r) =>
+      for { a <- toColumn(l); b <- toColumn(r) } yield a && b
+    case sf.Or(l, r) =>
+      for { a <- toColumn(l); b <- toColumn(r) } yield a || b
+    case sf.Not(c) => toColumn(c).map(!_)
+    case _ => None
+  }
+
+  // lit() throws on exotic value types — a failed leaf just skips pruning
+  private def leaf(v: Any)(c: => Column): Option[Column] =
+    scala.util.Try(c).toOption
+}
+
+private[sources] class GraftLakeRelation(val sqlContext: SQLContext,
+    root: String, parameters: Map[String, String])
+    extends BaseRelation with PrunedFilteredScan {
+
+  private def spark: SparkSession = sqlContext.sparkSession
+  private val asOf: Option[Long] = parameters.get("versionAsOf").map(_.toLong)
+
+  private def base(): DataFrame = asOf match {
+    case Some(v) => LakeFormat.readAsOf(spark, root, v)
+    case None    => LakeFormat.snapshot(spark, root)
+  }
+
+  override val schema: StructType = base().schema
+
+  /** Recorded per-file bytes, so the planner can size THIS relation
+    * (e.g. auto-broadcast a small lake dim in a join) instead of
+    * assuming the conservative default. Logs predating byte recording
+    * fall back to the default — never report a fake small size. */
+  override def sizeInBytes: Long = {
+    val files = LakeFormat.state(spark, root).files
+    if (files.nonEmpty && files.forall(_.bytes > 0L)) files.map(_.bytes).sum
+    else super.sizeInBytes
+  }
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    val pred = filters.toSeq.flatMap(LakeFilters.toColumn)
+      .reduceOption(_ && _)
+    val df = (asOf, pred) match {
+      case (None, Some(p)) => LakeFormat.scan(spark, root, p).df
+      case (None, None)    => LakeFormat.snapshot(spark, root)
+      // time travel has no stats-pruned scan entry point; the filter
+      // still reaches the parquet scan through Catalyst pushdown
+      case (Some(_), p)    => p.map(base().filter).getOrElse(base())
+    }
+    (if (requiredColumns.isEmpty) df
+     else df.select(requiredColumns.toSeq.map(col): _*)).rdd
+  }
+}
+
+private[sources] class GraftLakeTxRelation(val sqlContext: SQLContext,
+    root: String, table: String, manifestAsOf: Option[Long])
+    extends BaseRelation with PrunedFilteredScan {
+
+  private def spark: SparkSession = sqlContext.sparkSession
+
+  private def base(): DataFrame = manifestAsOf match {
+    case Some(m) => LakeTx.snapshotAsOf(spark, root, table, m)
+    case None    => LakeTx.snapshot(spark, root, table)
+  }
+
+  override val schema: StructType = base().schema
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    // the pin decides the files; filters reach the parquet scan through
+    // Catalyst pushdown (and Spark re-applies them above regardless)
+    val df = filters.toSeq.flatMap(LakeFilters.toColumn)
+      .reduceOption(_ && _).map(base().filter).getOrElse(base())
+    (if (requiredColumns.isEmpty) df
+     else df.select(requiredColumns.toSeq.map(col): _*)).rdd
+  }
 }
 
 private[sources] object LakeStreamSources {

@@ -209,6 +209,52 @@ class GraftLakeSourceSpec extends AnyFunSuite {
     LakeFormat.vacuum(spark, root, keepVersions = 2, olderThanMs = 0L)
   }
 
+  test("batch relation: format(graft-lake) reads the snapshot, time-travels, reports real bytes to the planner") {
+    val root = freshDir("glss_tbl7")
+    setupTable(root) // commits 1-3; id=2 tombstoned at commit 3
+    val got = spark.read.format("graft-lake").load(root)
+    // raw maintained rows — newest per key, tombstones as live=false
+    assert(got.count() === 3L)
+    assert(got.filter(col("live")).select("id").as[Long].collect().toSet
+      === Set(1L, 3L))
+    assert(got.collect().toSet ===
+      graft.sources.LakeFormat.snapshot(spark, root).collect().toSet)
+    // pushed filters agree with the direct API (values, not just counts)
+    assert(spark.read.format("graft-lake").load(root)
+      .filter(col("id") === 1L).select("v").as[String].head() === "a2")
+    // versionAsOf time travel through the reader options
+    val v1 = spark.read.format("graft-lake")
+      .option("versionAsOf", "1").load(root)
+    assert(v1.select("id").as[Long].collect().toSet === Set(1L, 2L))
+    // the planner sees the table's REAL recorded size (broadcast-ability
+    // for small lake dims), not the conservative default
+    val stats = got.queryExecution.optimizedPlan.stats.sizeInBytes
+    val bytes = graft.sources.LakeFormat.state(spark, root).files.map(_.bytes).sum
+    assert(bytes > 0L && stats === BigInt(bytes))
+  }
+
+  test("tx batch relation: option(table) serves the manifest pin — in-flight table commits invisible") {
+    val root = freshDir("glss_txroot2")
+    setupTx(root)
+    (1L to 2L).foreach(tx => LakeTx.commitTx(spark, root,
+      Map("a" -> marker(tx), "b" -> marker(tx)), "app", tx))
+    // an orphan direct table commit (no manifest): a consistent reader
+    // through the format must NOT see it
+    LakeFormat.merge(marker(9L), LakeTx.tableRoot(root, "a"),
+      txn = Some(("app::a", 9L)))
+    def read(opts: (String, String)*) = {
+      var r = spark.read.format("graft-lake-tx").option("table", "a")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      r.load(root).filter(col("live")).select("id").as[Long].collect().toSet
+    }
+    assert(read() === Set(1L, 2L), "the orphan commit leaked through the pin")
+    // cross-table time travel by manifest version
+    assert(read("manifestAsOf" -> "1") === Set(1L))
+    // a missing table option refuses loudly
+    intercept[IllegalArgumentException](
+      spark.read.format("graft-lake-tx").load(root).count())
+  }
+
   // ------------------------------------------------ multi-table source
 
   private def setupTx(root: String): Unit = {
