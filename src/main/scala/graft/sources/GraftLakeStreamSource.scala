@@ -2,10 +2,10 @@ package graft.sources
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, GraftBridge, Row, SQLContext, SparkSession}
-import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, PrunedFilteredScan, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, PrunedFilteredScan, RelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** The lake change feed as a REAL Spark streaming source:
@@ -74,8 +74,39 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * scales with row count.
   */
 class GraftLakeProvider extends DataSourceRegister with StreamSourceProvider
-    with RelationProvider {
+    with RelationProvider with StreamSinkProvider {
   override def shortName(): String = "graft-lake"
+
+  /** STREAMING SINK: `envelopes.writeStream.format("graft-lake")
+    * .option("path", root).option("checkpointLocation", ck).start()` —
+    * the [[graft.streaming.LakeSink]] exactly-once apply behind Spark's
+    * sink resolution, closing the format round trip (a lake table is
+    * now a first-class source AND sink of the streaming engine).
+    * Modes: `option("mode", "cdc")` (default) folds CDC envelope rows
+    * to newest-per-key with tombstones before merging; `"merge"` takes
+    * rows already in the merge shape (key cols + orderCol + liveCol).
+    * Exactly-once identity: the engine replays at most the last batch
+    * on restart, and the merge's `txn(appId, batchId)` marker absorbs
+    * it — `appId` defaults to the query's checkpointLocation (unique
+    * per query, stable across restarts); override with
+    * `option("appId", ...)` when two queries share a checkpoint root.
+    */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode): Sink = {
+    require(partitionColumns.isEmpty,
+      "graft-lake sink: partitioning is fixed at table create, not per query")
+    val root = LakeStreamSources.rootOf(parameters, shortName())
+    val appId = parameters.get("appId")
+      .orElse(parameters.get("checkpointLocation"))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-lake sink needs a checkpointLocation (or an explicit " +
+          "option(\"appId\", ...)) for its exactly-once marker identity"))
+    val mode = parameters.getOrElse("mode", "cdc")
+    require(mode == "cdc" || mode == "merge",
+      s"graft-lake sink mode must be cdc or merge, got '$mode'")
+    new GraftLakeSink(root, appId, mode)
+  }
 
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
@@ -152,6 +183,27 @@ class GraftLakeTxProvider extends DataSourceRegister with StreamSourceProvider
     new GraftLakeTxRelation(sqlContext, root, table,
       parameters.get("manifestAsOf").map(_.toLong))
   }
+}
+
+/** The V1 sink behind `writeStream.format("graft-lake")`: each
+  * micro-batch merges transactionally with a `txn(appId, batchId)`
+  * exactly-once marker — the engine's at-most-one-batch replay no-ops
+  * through it. The incoming frame is re-wrapped the `ForeachBatchSink`
+  * way ([[GraftBridge.sinkBatchDataFrame]]: execute the incremental
+  * plan once, defensive row copies) before the fold/merge consumes it
+  * through shuffles. */
+private[sources] class GraftLakeSink(root: String, appId: String,
+    mode: String) extends Sink {
+  override def addBatch(batchId: Long,
+      data: org.apache.spark.sql.Dataset[Row]): Unit = {
+    val batch = GraftBridge.sinkBatchDataFrame(data.toDF)
+    val shaped =
+      if (mode == "cdc") graft.operators.Cdc.snapshotWithTombstones(batch)
+      else batch
+    LakeFormat.merge(shaped, root, txn = Some((appId, batchId)))
+    ()
+  }
+  override def toString: String = s"GraftLakeSink[$root]"
 }
 
 /** Exact-only translation of Spark's pushed [[Filter]]s to a pruning

@@ -33,4 +33,17 @@ object GraftBridge {
     cs.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** Re-wrap the DataFrame a V1 `Sink.addBatch` receives as a plain
+    * BATCH frame a normal write path can consume — the exact
+    * `ForeachBatchSink` construction (public Spark source): execute the
+    * incremental plan once, DEFENSIVELY COPY each row (the scan reuses
+    * one UnsafeRow buffer; a shuffle downstream would otherwise buffer
+    * aliased rows), and rebuild over the materialized RDD.
+    */
+  def sinkBatchDataFrame(df: DataFrame): DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.queryExecution.toRdd.map(_.copy()), df.schema, isStreaming = false)
+  }
 }

@@ -209,6 +209,92 @@ class GraftLakeSourceSpec extends AnyFunSuite {
     LakeFormat.vacuum(spark, root, keepVersions = 2, olderThanMs = 0L)
   }
 
+  test("format sink: writeStream.format(graft-lake) lands CDC envelopes exactly-once; merge mode takes the fold shape") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val root = freshDir("glss_sink")
+    LakeFormat.create(spark, root, Seq("id"), statsCols = Seq("id"))
+    val mem = MemoryStream[(Long, Long, String, String)]
+    def toEnvelope(df: org.apache.spark.sql.DataFrame) = {
+      val img = struct(col("_1").as("id"), col("_4").as("first_name"),
+        lit("ln").as("last_name"), lit("em").as("email"))
+      df.select(
+        when(col("_3") === "d", img).as("before"),
+        when(col("_3") =!= "d", img).as("after"),
+        struct(col("_2").as("lsn")).as("source"),
+        col("_3").as("op"))
+    }
+    val ck = freshDir("glss_sink_ck")
+    val q = toEnvelope(mem.toDF).writeStream.format("graft-lake")
+      .option("checkpointLocation", ck).start(root)
+    mem.addData((1L, 1L, "c", "a"), (2L, 2L, "c", "b"))
+    q.processAllAvailable()
+    mem.addData((1L, 3L, "u", "a2"), (2L, 4L, "d", "b"))
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    val live = LakeFormat.snapshot(spark, root).filter(col("live"))
+      .select("id", "first_name").as[(Long, String)].collect().toSeq
+    assert(live === Seq(1L -> "a2"))
+    assert(LakeFormat.snapshot(spark, root).filter(!col("live")).count() === 1L)
+    // the exactly-once identity landed under the CHECKPOINT's appId: a
+    // replayed batch id no-ops even with different (garbage) content
+    val vBefore = LakeFormat.state(spark, root).version
+    LakeFormat.merge(
+      Seq((99L, 99L, true, "GARBAGE", "x", "y"))
+        .toDF("id", "lsn", "live", "first_name", "last_name", "email"),
+      root, txn = Some((ck, 0L)))
+    assert(LakeFormat.state(spark, root).version === vBefore,
+      "a replayed batch id must no-op through the txn marker")
+    assert(LakeFormat.snapshot(spark, root).filter(col("id") === 99L).count() === 0L)
+    // merge mode: rows already in the fold shape, no envelope
+    val root2 = freshDir("glss_sink2")
+    LakeFormat.create(spark, root2, Seq("id"), statsCols = Seq("id"))
+    val mem2 = MemoryStream[(Long, Long, Boolean, String)]
+    val q2 = mem2.toDF.toDF("id", "lsn", "live", "v")
+      .writeStream.format("graft-lake").option("mode", "merge")
+      .option("checkpointLocation", freshDir("glss_sink2_ck")).start(root2)
+    mem2.addData((7L, 1L, true, "v7"), (8L, 2L, false, "v8"))
+    q2.processAllAvailable(); q2.stop(); q2.awaitTermination()
+    assert(LakeFormat.snapshot(spark, root2).filter(col("live"))
+      .select("id").as[Long].collect().toSeq === Seq(7L))
+    // and the sink refuses to run without an exactly-once identity
+    intercept[IllegalArgumentException] {
+      mem2.toDF.toDF("id", "lsn", "live", "v").writeStream
+        .format("graft-lake").option("mode", "merge").start(root2)
+    }
+  }
+
+  test("the stream composes with watermarks and windowed aggregation") {
+    val root = freshDir("glss_wm")
+    LakeFormat.create(spark, root, Seq("id"), statsCols = Seq("id"))
+    def evRows(xs: (Long, String)*) = xs.toDF("id", "_t")
+      .select(col("id"), col("id").as("lsn"), lit(true).as("live"),
+        to_timestamp(col("_t")).as("ts"))
+    LakeFormat.merge(evRows((1L, "2026-01-01 10:00:00"),
+      (2L, "2026-01-01 10:05:00")), root)
+    LakeFormat.merge(evRows((3L, "2026-01-01 10:25:00")), root)
+    LakeFormat.merge(evRows((4L, "2026-01-01 10:40:00")), root)
+    // one commit per trigger: the watermark advances batch by batch, so
+    // the 10:00-10:10 window (2 events) closes once the 10:25 commit's
+    // watermark (10:20) has been absorbed, and emits in the next batch
+    val q = spark.readStream.format("graft-lake")
+      .option("maxCommitsPerTrigger", "1").load(root)
+      .filter(col("_change_type") =!= "d")
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window(col("ts"), "10 minutes")).count()
+      .select(col("window.start").cast("string").as("w"), col("count"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("glss_wm_q")
+      .option("checkpointLocation", freshDir("glss_wm_ck")).start()
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    val got = spark.table("glss_wm_q").as[(String, Long)].collect().toMap
+    // the final watermark (10:40 - 5m = 10:35) closes the 10:00 and
+    // 10:20 windows (the engine's no-data micro-batch flushes the last
+    // one); only the 10:40 window stays open
+    assert(got === Map("2026-01-01 10:00:00" -> 2L,
+      "2026-01-01 10:20:00" -> 1L),
+      s"closed windows must emit through the watermark, got $got")
+  }
+
   test("batch relation: format(graft-lake) reads the snapshot, time-travels, reports real bytes to the planner") {
     val root = freshDir("glss_tbl7")
     setupTable(root) // commits 1-3; id=2 tombstoned at commit 3
