@@ -326,7 +326,9 @@ private[sources] abstract class LakeVersionedSource(
     protected val spark: SparkSession, metadataPath: String,
     parameters: Map[String, String], formatName: String,
     maxPerTriggerKey: String)
-    extends Source {
+    extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   // in the BASE class, before `floor` — a subclass val would not be
   // initialized yet when floor's "latest" branch calls tip()
@@ -375,15 +377,39 @@ private[sources] abstract class LakeVersionedSource(
   private var lastEnd: Long = math.max(floor,
     LakeFormat.consumerOffset(spark, metadataPath).getOrElse(0L))
 
-  override def getOffset: Option[OffsetV1] = {
-    val t = tip()
+  // Trigger.AvailableNow (the FileStreamSource pattern — a V1 Source
+  // implementing SupportsTriggerAvailableNow): the engine calls
+  // prepare() once at query start, then loops rate-limited batches
+  // until the source stops advancing; capping the offered tip at the
+  // prepared point makes the query drain exactly the backlog present
+  // at start and terminate, without disabling maxPerTrigger.
+  @volatile private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(tip())
+
+  private def nextAvailable(): Option[Long] = {
+    val t0 = tip()
+    val t = availableNowCap.fold(t0)(math.min(t0, _))
     val avail = maxPerTrigger.map(m => math.min(t, lastEnd + m)).getOrElse(t)
     if (avail > lastEnd) {
       lastEnd = avail
       LakeFormat.commitConsumerOffset(spark, metadataPath, avail)
     }
-    if (lastEnd <= floor) None else Some(LongOffset(lastEnd))
+    if (lastEnd <= floor) None else Some(lastEnd)
   }
+
+  // the admission-control entry the engine uses when the source
+  // declares it (our rate limit is version-based, so the engine's
+  // ReadLimit vocabulary — rows/files/bytes — stays allAvailable and
+  // the cap is applied here)
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    nextAvailable().map(LongOffset(_)).orNull
+
+  override def getOffset: Option[OffsetV1] =
+    nextAvailable().map(LongOffset(_))
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val fromV = start.map(LakeStreamSources.versionOf).getOrElse(floor) + 1

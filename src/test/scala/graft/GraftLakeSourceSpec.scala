@@ -263,6 +263,27 @@ class GraftLakeSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("Trigger.AvailableNow drains the backlog under the rate limit, then terminates") {
+    val root = freshDir("glss_an")
+    setupTable(root) // commits 1-3
+    val buf = collection.mutable.Buffer.empty[Got]
+    val q = spark.readStream.format("graft-lake")
+      .option("maxCommitsPerTrigger", "1").load(root)
+      .writeStream.option("checkpointLocation", freshDir("glss_an_ck"))
+      .foreachBatch { (b: Dataset[Row], id: Long) =>
+        val got = b.collect().map(x => (x.getLong(0), x.getString(1),
+          x.getString(2), x.getLong(3), id))
+        buf.synchronized { buf ++= got }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // the wrapper honors the cap (3 one-commit batches), drains the
+    // whole backlog present at start, and self-terminates
+    assert(buf.map(_._4).toSet === Set(1L, 2L, 3L))
+    assert(buf.groupBy(_._5).size === 3, s"expected 3 capped batches: $buf")
+  }
+
   test("the stream composes with watermarks and windowed aggregation") {
     val root = freshDir("glss_wm")
     LakeFormat.create(spark, root, Seq("id"), statsCols = Seq("id"))
