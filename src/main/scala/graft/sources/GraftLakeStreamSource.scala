@@ -155,7 +155,7 @@ class GraftLakeProvider extends DataSourceRegister with StreamSourceProvider
   * per-member.
   */
 class GraftLakeTxProvider extends DataSourceRegister with StreamSourceProvider
-    with RelationProvider {
+    with RelationProvider with StreamSinkProvider {
   override def shortName(): String = "graft-lake-tx"
 
   override def sourceSchema(sqlContext: SQLContext,
@@ -168,6 +168,44 @@ class GraftLakeTxProvider extends DataSourceRegister with StreamSourceProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new GraftLakeTxSource(sqlContext.sparkSession, metadataPath, parameters)
+
+  /** STREAMING SINK, MULTI-TABLE: `envelopes.writeStream
+    * .format("graft-lake-tx").option("tables", "a:id;b:id,region")
+    * .option("checkpointLocation", ck).start(root)` — the
+    * [[graft.streaming.LakeTxSink]] exactly-once cross-table apply
+    * behind Spark's sink resolution: each micro-batch splits by
+    * `source.table`, folds per member, and lands under ONE atomic
+    * manifest. `tables` names every member with its key columns
+    * (`table:keyCol[,keyCol...]`, members separated by `;`); events
+    * for unlisted tables refuse loudly. `appId` defaults to the
+    * checkpointLocation, as in the single-table sink. */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode): Sink = {
+    require(partitionColumns.isEmpty,
+      "graft-lake-tx sink: partitioning is fixed at table create")
+    val root = LakeStreamSources.rootOf(parameters, shortName())
+    val appId = parameters.get("appId")
+      .orElse(parameters.get("checkpointLocation"))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-lake-tx sink needs a checkpointLocation (or an explicit " +
+          "option(\"appId\", ...)) for its exactly-once marker identity"))
+    val spec = parameters.getOrElse("tables",
+      throw new IllegalArgumentException("graft-lake-tx sink needs " +
+        "option(\"tables\", \"<name>:<key>[,<key>...];...\") naming every " +
+        "member and its fold keys"))
+    val tableKeys: Map[String, Seq[String]] =
+      spec.split(';').toSeq.map(_.trim).filter(_.nonEmpty).map { part =>
+        part.split(':') match {
+          case Array(t, ks) if ks.trim.nonEmpty =>
+            t.trim -> ks.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+          case _ => throw new IllegalArgumentException(
+            s"bad tables entry '$part' — want <name>:<key>[,<key>...]")
+        }
+      }.toMap
+    require(tableKeys.nonEmpty, "graft-lake-tx sink: tables spec is empty")
+    new GraftLakeTxSinkImpl(root, appId, tableKeys)
+  }
 
   /** BATCH read of one member, TRANSACTION-CONSISTENT:
     * `spark.read.format("graft-lake-tx").option("table", t).load(root)`
@@ -204,6 +242,19 @@ private[sources] class GraftLakeSink(root: String, appId: String,
     ()
   }
   override def toString: String = s"GraftLakeSink[$root]"
+}
+
+/** [[GraftLakeSink]]'s multi-table sibling: each micro-batch lands
+  * atomically ACROSS member tables ([[graft.streaming.LakeTxSink]] —
+  * per-table exactly-once markers, one manifest publish). */
+private[sources] class GraftLakeTxSinkImpl(root: String, appId: String,
+    tableKeys: Map[String, Seq[String]]) extends Sink {
+  override def addBatch(batchId: Long,
+      data: org.apache.spark.sql.Dataset[Row]): Unit =
+    graft.streaming.LakeTxSink.applyBatch(
+      GraftBridge.sinkBatchDataFrame(data.toDF), root, tableKeys,
+      appId, batchId)
+  override def toString: String = s"GraftLakeTxSink[$root]"
 }
 
 /** Exact-only translation of Spark's pushed [[Filter]]s to a pruning

@@ -402,6 +402,42 @@ class GraftLakeSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("tx format sink: one mixed-table stream lands atomically across members through format resolution") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val root = freshDir("glss_txsink")
+    setupTx(root)
+    val mem = MemoryStream[(String, Long, Long, String, String)]
+    def toEnv(df: org.apache.spark.sql.DataFrame) = {
+      val img = struct(col("_2").as("id"), col("_5").as("v"))
+      df.select(
+        when(col("_4") === "d", img).as("before"),
+        when(col("_4") =!= "d", img).as("after"),
+        struct(col("_3").as("lsn"), col("_1").as("table")).as("source"),
+        col("_4").as("op"))
+    }
+    val q = toEnv(mem.toDF).writeStream.format("graft-lake-tx")
+      .option("tables", "a:id;b:id")
+      .option("checkpointLocation", freshDir("glss_txsink_ck")).start(root)
+    mem.addData(("a", 1L, 1L, "c", "a1"), ("b", 7L, 2L, "c", "b7"),
+      ("a", 2L, 3L, "c", "a2"))
+    q.processAllAvailable()
+    mem.addData(("a", 1L, 4L, "u", "a1x"), ("b", 7L, 5L, "d", "b7"))
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    def live(t: String) = LakeTx.snapshot(spark, root, t)
+      .filter(col("live")).select("id", "v").as[(Long, String)]
+      .collect().toSet
+    assert(live("a") === Set(1L -> "a1x", 2L -> "a2"))
+    assert(live("b") === Set.empty[(Long, String)])
+    // both batches manifested atomically: 2 manifest versions past init
+    assert(LakeTx.manifestVersion(spark, root) === 2L)
+    // a malformed tables spec refuses at sink creation
+    intercept[IllegalArgumentException] {
+      toEnv(mem.toDF).writeStream.format("graft-lake-tx")
+        .option("tables", "a=id").option("appId", "x").start(root)
+    }
+  }
+
   test("tx stream: batches are transaction-aligned; kill/restart drives cross-table derived state exactly-once") {
     val root = freshDir("glss_txroot")
     setupTx(root)
