@@ -205,6 +205,21 @@ object Lake {
       |FROM f2 JOIN del ON f2.id = del.id
       |ORDER BY _commit_version, id""".stripMargin
 
+  /** The change feed read as a BATCH TABLE through data-source
+    * resolution (`option("readChangeFeed", "true")` — the public Delta
+    * `table_changes` shape), over the SAME staged table and commit
+    * range as `lake_change_feed`: the oracle (lakeChangeFeedSql
+    * VERBATIM) gates the whole relation path — schema pinning, range
+    * options, and the per-commit diff plans behind the V1 scan. */
+  val lakeCdfBatch: Q = (spark, dir) => {
+    val root = stagedCustomerLakeRoot(spark, dir)
+    spark.read.format("graft-lake")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1").option("endingVersion", "3")
+      .load(root)
+      .orderBy(col("_commit_version"), col("id"))
+  }
+
   /** Staged LAKE-FED BM25 postings: the documents corpus lands in a lake
     * table through seven maintenance merges (three insert waves, a
     * corrupting rewrite of the %10 docs, their restore, tombstone
@@ -472,6 +487,7 @@ object Lake {
 
   val queries: Map[String, Q] = Map(
     "lake_change_feed" -> lakeChangeFeed,
+    "lake_cdf_batch" -> lakeCdfBatch,
     "lake_cdc_snapshot" -> lakeCdcSnapshot,
     "lake_time_travel" -> lakeTimeTravel,
     "lake_prune_scan" -> lakePruneScan,
@@ -485,6 +501,7 @@ object Lake {
 
   val oracle: Map[String, String] = Map(
     "lake_change_feed" -> lakeChangeFeedSql,
+    "lake_cdf_batch" -> lakeChangeFeedSql,
     "lake_cdc_snapshot" -> Cdc.cdcSnapshotSql,
     "lake_time_travel" -> lakeTimeTravelSql,
     "lake_prune_scan" -> lakePruneScanSql,

@@ -125,11 +125,21 @@ class GraftLakeProvider extends DataSourceRegister with StreamSourceProvider
     * `option("versionAsOf", v)` for time travel. Pushed filters feed
     * [[LakeFormat.scan]]'s per-file stats pruning (exact-only
     * translation; Spark re-applies every filter above, so skipping an
-    * untranslatable one costs pruning, never correctness). */
+    * untranslatable one costs pruning, never correctness).
+    * `option("readChangeFeed", "true")` switches to the CHANGE FEED as
+    * a batch table (the public Delta `table_changes` shape): rows =
+    * [[LakeFormat.changeFeed]] for `startingVersion`..`endingVersion`
+    * (ending defaults to the tip), increment-sized reads off the
+    * removed/added files only. */
   override def createRelation(sqlContext: SQLContext,
-      parameters: Map[String, String]): BaseRelation =
-    new GraftLakeRelation(sqlContext,
-      LakeStreamSources.rootOf(parameters, shortName()), parameters)
+      parameters: Map[String, String]): BaseRelation = {
+    val root = LakeStreamSources.rootOf(parameters, shortName())
+    if (parameters.get("readChangeFeed").exists(_.toBoolean)) {
+      val from = parameters.get("startingVersion").map(_.toLong).getOrElse(1L)
+      val to = parameters.get("endingVersion").map(_.toLong)
+      new GraftLakeChangeFeedRelation(sqlContext, root, from, to)
+    } else new GraftLakeRelation(sqlContext, root, parameters)
+  }
 }
 
 /** The MULTI-TABLE transaction feed as a streaming source:
@@ -327,6 +337,40 @@ private[sources] class GraftLakeRelation(val sqlContext: SQLContext,
     }
     (if (requiredColumns.isEmpty) df
      else df.select(requiredColumns.toSeq.map(col): _*)).rdd
+  }
+}
+
+/** The change feed as a BATCH relation (`readChangeFeed=true`): the
+  * requested commit range's c/u/d rows, read from the range's
+  * removed/added files only — never the table. Filters are left to
+  * Spark (the feed is a computed diff; file pruning does not apply),
+  * column pruning rides Catalyst. Retention: a range reaching past
+  * vacuum fails loudly at materialization, the readAsOf contract. */
+private[sources] class GraftLakeChangeFeedRelation(
+    val sqlContext: SQLContext, root: String, fromV: Long,
+    toV: Option[Long]) extends BaseRelation with PrunedFilteredScan {
+
+  private def spark: SparkSession = sqlContext.sparkSession
+
+  override val schema: StructType = LakeFormat.changeFeedSchema(spark, root)
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    val end = toV.getOrElse(LakeFormat.listLogVersions(spark, root).max)
+    val df0 =
+      if (fromV > end) spark.createDataFrame(
+        java.util.Collections.emptyList[Row](), schema)
+      else LakeFormat.changeFeed(spark, root, fromV, end)
+    // conform to the pinned widest schema (a range predating a
+    // later-added column null-fills it, the streaming source's rule)
+    val df = df0.select(schema.fields.toSeq.map { f =>
+      if (df0.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    val filtered = filters.toSeq.flatMap(LakeFilters.toColumn)
+      .reduceOption(_ && _).map(df.filter).getOrElse(df)
+    (if (requiredColumns.isEmpty) filtered
+     else filtered.select(requiredColumns.toSeq.map(col): _*)).rdd
   }
 }
 

@@ -340,6 +340,35 @@ class GraftLakeSourceSpec extends AnyFunSuite {
     assert(bytes > 0L && stats === BigInt(bytes))
   }
 
+  test("readChangeFeed batch relation: range options, tip default, retention failure") {
+    val root = freshDir("glss_cdf")
+    setupTable(root) // commits 1-3
+    def cdf(opts: (String, String)*) = {
+      var r = spark.read.format("graft-lake")
+        .option("readChangeFeed", "true")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      r.load(root)
+    }
+    // full default range (1..tip) equals the API changeFeed exactly
+    val viaFormat = cdf().collect().map(x => (x.getLong(0), x.getString(1),
+      x.getString(2), x.getLong(3))).toSet
+    val direct = LakeFormat.changeFeed(spark, root, 1L, 3L)
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getString(2),
+        x.getLong(3))).toSet
+    assert(viaFormat === direct && direct.nonEmpty)
+    // an explicit sub-range
+    assert(cdf("startingVersion" -> "3").select("_commit_version")
+      .as[Long].collect().toSet === Set(3L))
+    assert(cdf("startingVersion" -> "1", "endingVersion" -> "1")
+      .select("_commit_version").as[Long].collect().toSet === Set(1L))
+    // an empty range is schema-true and empty
+    assert(cdf("startingVersion" -> "9").count() === 0L)
+    // a range past retention fails loudly at materialization
+    LakeFormat.merge(rows((1L, 9L, true, "a9")), root) // commit 4
+    LakeFormat.vacuum(spark, root, keepVersions = 1, olderThanMs = 0L)
+    intercept[Exception](cdf().count())
+  }
+
   test("tx batch relation: option(table) serves the manifest pin — in-flight table commits invisible") {
     val root = freshDir("glss_txroot2")
     setupTx(root)
