@@ -619,6 +619,20 @@ private[sources] class GraftLakeTxSource(spark0: SparkSession,
 
   override val schema: StructType = GraftLakeTxSource.feedSchema(spark, root)
 
+  // option("consumerName", ...): register in the TX root's consumer
+  // registry so LakeTx.vacuum holds manifest history for this stream —
+  // the GraftLakeSource semantics at the manifest layer (pointer may
+  // trail the checkpoint by one batch, the safe direction)
+  private val registeredDir: Option[String] =
+    parameters.get("consumerName")
+      .map(n => LakeTx.registerConsumer(spark, root, n))
+
+  override protected def acknowledged(v: Long): Unit =
+    registeredDir.foreach { d =>
+      if (LakeFormat.consumerOffset(spark, d).forall(_ < v))
+        LakeFormat.commitConsumerOffset(spark, d, v)
+    }
+
   override protected def tip(): Long = LakeTx.manifestVersion(spark, root)
 
   /** One piece per (manifest step, advanced member): that member's

@@ -226,11 +226,44 @@ object LakeTx {
     * pruned manifest version fail loudly (missing log entry) — the
     * [[LakeFormat.readAsOf]] contract, now symmetric between a
     * manifest's pins and its log entry. */
+  /** Register a named [[consumeChanges]] consumer at the TRANSACTIONAL
+    * root (`<root>/_tx/_consumers/<name>` — the [[LakeFormat
+    * .registerConsumer]] discipline at the manifest layer) and return
+    * its offset dir. [[vacuum]] then refuses to prune manifest history
+    * or member pre-images the slowest registered consumer still needs. */
+  def registerConsumer(spark: SparkSession, root: String,
+      name: String): String =
+    LakeFormat.registerConsumer(spark, txRoot(root), name)
+
+  /** Registered tx consumers and their durable manifest offsets. */
+  def registeredConsumers(spark: SparkSession,
+      root: String): Map[String, Option[Long]] =
+    LakeFormat.registeredConsumers(spark, txRoot(root))
+
+  /** Unregister a tx consumer; [[vacuum]] stops holding history for it. */
+  def dropConsumer(spark: SparkSession, root: String, name: String): Unit =
+    LakeFormat.dropConsumer(spark, txRoot(root), name)
+
   def vacuum(spark: SparkSession, root: String, keepManifests: Int,
       olderThanMs: Long = 3600L * 1000): Map[String, Seq[String]] = {
     require(keepManifests >= 1, "must retain at least the current manifest")
     val tip = manifestVersion(spark, root)
     val floor = math.max(0L, tip - keepManifests + 1)
+    // PROACTIVE retention guard (the LakeFormat.vacuum rule at the
+    // manifest layer): a consumer at offset o needs manifest o (its
+    // next drain's `prev` pins) and every member change window above
+    // it — refuse NOW instead of failing its next drain
+    val lagging = registeredConsumers(spark, root)
+      .map { case (n, o) => (n, o.getOrElse(0L)) }
+      .filter { case (_, o) => o < floor }
+    if (lagging.nonEmpty) {
+      val (slowName, slowOff) = lagging.minBy(_._2)
+      throw new IllegalStateException(
+        s"vacuum(keepManifests=$keepManifests) would prune manifests " +
+          s"below v$floor while registered consumer '$slowName' has " +
+          s"consumed only through v$slowOff — let it catch up, keep at " +
+          s"least ${tip - slowOff + 1} manifests, or dropConsumer it")
+    }
     val retained = (floor to tip).map(mv => manifest(spark, root, Some(mv)))
     val tables = retained.head.keySet
     val deleted = tables.map { t =>

@@ -328,6 +328,36 @@ class LakeTxSpec extends AnyFunSuite {
     assert(visible(root, "a", mv) === (1L to 6L).toSet)
   }
 
+  test("registered tx consumers: vacuum refuses while the slowest lags, proceeds after catch-up or drop") {
+    val root = freshRoot()
+    setup(root)
+    (1L to 4L).foreach(tx => LakeTx.commitTx(spark, root,
+      Map("a" -> markerRows(tx), "b" -> markerRows(tx)), "app", tx))
+    val slow = LakeTx.registerConsumer(spark, root, "replica")
+    LakeTx.consumeChanges(spark, root, slow, maxManifests = 1) {
+      (_, b, _) => { b.count(); () }
+    }
+    assert(LakeTx.registeredConsumers(spark, root) ===
+      Map("replica" -> Some(1L)))
+    // pruning manifests the replica still needs refuses, naming it
+    val ex = intercept[IllegalStateException](
+      LakeTx.vacuum(spark, root, keepManifests = 1, olderThanMs = 0L))
+    assert(ex.getMessage.contains("replica"))
+    // a window covering its offset runs; full catch-up unlocks tight ones
+    LakeTx.vacuum(spark, root, keepManifests = 4, olderThanMs = 0L)
+    LakeTx.consumeChanges(spark, root, slow)((_, b, _) => { b.count(); () })
+    LakeTx.vacuum(spark, root, keepManifests = 1, olderThanMs = 0L)
+    // a dropped consumer stops holding history
+    LakeTx.registerConsumer(spark, root, "abandoned")
+    LakeTx.commitTx(spark, root, Map("a" -> markerRows(5L)), "app", 5L)
+    intercept[IllegalStateException](
+      LakeTx.vacuum(spark, root, keepManifests = 1, olderThanMs = 0L))
+    LakeTx.dropConsumer(spark, root, "abandoned")
+    // replica lags the new tip by one manifest — catch it up first
+    LakeTx.consumeChanges(spark, root, slow)((_, b, _) => { b.count(); () })
+    LakeTx.vacuum(spark, root, keepManifests = 1, olderThanMs = 0L)
+  }
+
   test("manifest-coordinated vacuum keeps every retained manifest readable, reclaims older rewrites") {
     val root = freshRoot()
     setup(root)
