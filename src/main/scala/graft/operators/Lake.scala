@@ -485,7 +485,50 @@ object Lake {
       .orderBy(col("orderkey"))
   }
 
+  /** STATS-PRUNED TIME TRAVEL through data-source resolution: the DML'd
+    * table read AS OF v1 — BEFORE the update and delete waves — with a
+    * key-range predicate, entered via `option("versionAsOf", 1)` +
+    * `.filter`. The pinned-version relation routes the pushed filter
+    * into [[graft.sources.LakeFormat.scanAsOf]] (per-file min/max
+    * pruning over the HISTORICAL version's file set — stats are
+    * recorded at commit and immutable, so yesterday's version prunes
+    * like today's); the oracle is lakePruneScanSql VERBATIM (v1 is the
+    * raw appended lineitem), proving the historical pruned read misses
+    * no row the later DML would have hidden. LakeSpec asserts the
+    * pruning ratio at the pinned historical version. */
+  val lakeAsofPrune: Q = (spark, dir) => {
+    val root = stagedDmlLakeRoot(spark, dir)
+    spark.read.format("graft-lake").option("versionAsOf", "1").load(root)
+      .filter(col("l_orderkey") <= lit(1000L))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** The lake table through the SQL CATALOG — `CREATE TABLE ... USING
+    * graft-lake OPTIONS (path ...)` then a plain `spark.sql` SELECT:
+    * the first thing a SQL-first user does with a table format. The V1
+    * [[graft.sources.GraftLakeProvider]] resolves behind the catalog
+    * entry, so the SELECT's WHERE feeds the same pushed-filter stats
+    * pruning as the DataFrame path; oracle = lakePruneScanSql VERBATIM
+    * over the same staged table as `lake_prune_scan`/`lake_batch_source`
+    * — three entry points (API, source, catalog SQL), one answer. */
+  val lakeSqlSource: Q = (spark, dir) => {
+    val root = stagedLineitemLakeRoot(spark, dir)
+    val tbl = "graft_lake_lineitem"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl USING `graft-lake` OPTIONS (path '$root')")
+    spark.sql(
+      s"""SELECT l_returnflag, count(*) AS n,
+         | sum(CAST(l_quantity AS LONG)) AS sum_qty
+         |FROM $tbl WHERE l_orderkey <= 1000
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "lake_asof_prune" -> lakeAsofPrune,
+    "lake_sql_source" -> lakeSqlSource,
     "lake_change_feed" -> lakeChangeFeed,
     "lake_cdf_batch" -> lakeCdfBatch,
     "lake_cdc_snapshot" -> lakeCdcSnapshot,
@@ -500,6 +543,8 @@ object Lake {
     "lake_dml_scan" -> lakeDmlScan)
 
   val oracle: Map[String, String] = Map(
+    "lake_asof_prune" -> lakePruneScanSql,
+    "lake_sql_source" -> lakePruneScanSql,
     "lake_change_feed" -> lakeChangeFeedSql,
     "lake_cdf_batch" -> lakeChangeFeedSql,
     "lake_cdc_snapshot" -> Cdc.cdcSnapshotSql,

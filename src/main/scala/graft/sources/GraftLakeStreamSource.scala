@@ -305,21 +305,30 @@ private[sources] class GraftLakeRelation(val sqlContext: SQLContext,
     extends BaseRelation with PrunedFilteredScan {
 
   private def spark: SparkSession = sqlContext.sparkSession
-  private val asOf: Option[Long] = parameters.get("versionAsOf").map(_.toLong)
 
-  private def base(): DataFrame = asOf match {
-    case Some(v) => LakeFormat.readAsOf(spark, root, v)
-    case None    => LakeFormat.snapshot(spark, root)
-  }
+  /** The table version this relation serves, PINNED AT CONSTRUCTION —
+    * versionAsOf when given, else the tip at relation-creation time. A
+    * query scanning the relation twice (self-join, union reuse) must
+    * read ONE version even if a commit lands between the scans — the
+    * snapshot-pinned-at-analysis rule the public Delta connector
+    * follows; a per-scan tip re-read would silently mix versions. */
+  private val pinnedVersion: Long =
+    parameters.get("versionAsOf").map(_.toLong)
+      .getOrElse(LakeFormat.state(spark, root).version)
+
+  private def base(): DataFrame =
+    LakeFormat.readAsOf(spark, root, pinnedVersion)
 
   override val schema: StructType = base().schema
 
-  /** Recorded per-file bytes, so the planner can size THIS relation
-    * (e.g. auto-broadcast a small lake dim in a join) instead of
-    * assuming the conservative default. Logs predating byte recording
-    * fall back to the default — never report a fake small size. */
+  /** Recorded per-file bytes OF THE PINNED VERSION, so the planner can
+    * size THIS relation (e.g. auto-broadcast a small lake dim in a
+    * join) instead of assuming the conservative default — and a
+    * time-travel relation reports the historical version's size, not
+    * the current tip's. Logs predating byte recording fall back to the
+    * default — never report a fake small size. */
   override def sizeInBytes: Long = {
-    val files = LakeFormat.state(spark, root).files
+    val files = LakeFormat.state(spark, root, Some(pinnedVersion)).files
     if (files.nonEmpty && files.forall(_.bytes > 0L)) files.map(_.bytes).sum
     else super.sizeInBytes
   }
@@ -328,15 +337,14 @@ private[sources] class GraftLakeRelation(val sqlContext: SQLContext,
       filters: Array[Filter]): RDD[Row] = {
     val pred = filters.toSeq.flatMap(LakeFilters.toColumn)
       .reduceOption(_ && _)
-    val df = (asOf, pred) match {
-      case (None, Some(p)) => LakeFormat.scan(spark, root, p).df
-      case (None, None)    => LakeFormat.snapshot(spark, root)
-      // time travel has no stats-pruned scan entry point; the filter
-      // still reaches the parquet scan through Catalyst pushdown
-      case (Some(_), p)    => p.map(base().filter).getOrElse(base())
+    // stats pruning applies to every pin — current and historical alike
+    // ([[LakeFormat.scanAsOf]]); an empty requiredColumns (count(*))
+    // projects to zero-width rows instead of shipping the full row
+    val df = pred match {
+      case Some(p) => LakeFormat.scanAsOf(spark, root, pinnedVersion, p).df
+      case None    => base()
     }
-    (if (requiredColumns.isEmpty) df
-     else df.select(requiredColumns.toSeq.map(col): _*)).rdd
+    df.select(requiredColumns.toSeq.map(col): _*).rdd
   }
 }
 
@@ -352,15 +360,20 @@ private[sources] class GraftLakeChangeFeedRelation(
 
   private def spark: SparkSession = sqlContext.sparkSession
 
+  // endingVersion defaults to the tip AT RELATION CONSTRUCTION, pinned —
+  // two scans of one relation must serve one commit range even if a
+  // commit lands between them (the version-pinning rule above)
+  private val endV: Long =
+    toV.getOrElse(LakeFormat.listLogVersions(spark, root).max)
+
   override val schema: StructType = LakeFormat.changeFeedSchema(spark, root)
 
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
-    val end = toV.getOrElse(LakeFormat.listLogVersions(spark, root).max)
     val df0 =
-      if (fromV > end) spark.createDataFrame(
+      if (fromV > endV) spark.createDataFrame(
         java.util.Collections.emptyList[Row](), schema)
-      else LakeFormat.changeFeed(spark, root, fromV, end)
+      else LakeFormat.changeFeed(spark, root, fromV, endV)
     // conform to the pinned widest schema (a range predating a
     // later-added column null-fills it, the streaming source's rule)
     val df = df0.select(schema.fields.toSeq.map { f =>
@@ -369,8 +382,7 @@ private[sources] class GraftLakeChangeFeedRelation(
     }: _*)
     val filtered = filters.toSeq.flatMap(LakeFilters.toColumn)
       .reduceOption(_ && _).map(df.filter).getOrElse(df)
-    (if (requiredColumns.isEmpty) filtered
-     else filtered.select(requiredColumns.toSeq.map(col): _*)).rdd
+    filtered.select(requiredColumns.toSeq.map(col): _*).rdd
   }
 }
 
@@ -380,25 +392,57 @@ private[sources] class GraftLakeTxRelation(val sqlContext: SQLContext,
 
   private def spark: SparkSession = sqlContext.sparkSession
 
-  private def base(): DataFrame = manifestAsOf match {
-    case Some(m) => LakeTx.snapshotAsOf(spark, root, table, m)
-    case None    => LakeTx.snapshot(spark, root, table)
+  // manifest pinned at construction (the version-pinning rule): a
+  // concurrent commitTx between two scans of one relation must not
+  // split the query across two transaction-consistent views
+  private val pinnedManifest: Long =
+    manifestAsOf.getOrElse(LakeTx.manifestVersion(spark, root))
+
+  // the member's table version under the pinned manifest — stats-pruned
+  // scans enter through the member table's own log ([[LakeFormat.scanAsOf]])
+  private val pinnedTableVersion: Long = {
+    val pins = LakeTx.manifest(spark, root, Some(pinnedManifest))
+    require(pins.contains(table), s"$table not a member of $root")
+    pins(table)
   }
+
+  private val tRoot: String = LakeTx.tableRoot(root, table)
+
+  private def base(): DataFrame =
+    LakeFormat.readAsOf(spark, tRoot, pinnedTableVersion)
 
   override val schema: StructType = base().schema
 
+  override def sizeInBytes: Long = {
+    val files = LakeFormat.state(spark, tRoot, Some(pinnedTableVersion)).files
+    if (files.nonEmpty && files.forall(_.bytes > 0L)) files.map(_.bytes).sum
+    else super.sizeInBytes
+  }
+
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
-    // the pin decides the files; filters reach the parquet scan through
-    // Catalyst pushdown (and Spark re-applies them above regardless)
+    // pushed filters feed the member table's stats pruning at the
+    // manifest-pinned version; Spark re-applies every filter above
     val df = filters.toSeq.flatMap(LakeFilters.toColumn)
-      .reduceOption(_ && _).map(base().filter).getOrElse(base())
-    (if (requiredColumns.isEmpty) df
-     else df.select(requiredColumns.toSeq.map(col): _*)).rdd
+      .reduceOption(_ && _) match {
+      case Some(p) =>
+        LakeFormat.scanAsOf(spark, tRoot, pinnedTableVersion, p).df
+      case None => base()
+    }
+    df.select(requiredColumns.toSeq.map(col): _*).rdd
   }
 }
 
 private[sources] object LakeStreamSources {
+  /** Default per-trigger version cap when `maxCommitsPerTrigger` /
+    * `maxManifestsPerTrigger` is unset — the Delta convention (its
+    * `maxFilesPerTrigger` defaults to 1000). Without a default, a
+    * stream started at startingVersion=1 against a long history plans
+    * its ENTIRE catch-up in ONE micro-batch: O(#versions) driver-side
+    * log reads and plan pieces before the first row moves. Opt out
+    * explicitly with option(<key>, "none"). */
+  val DefaultMaxVersionsPerTrigger: Long = 1000L
+
   def rootOf(parameters: Map[String, String], name: String): String =
     parameters.get("path").orElse(parameters.get("root")).getOrElse(
       throw new IllegalArgumentException(
@@ -435,12 +479,33 @@ private[sources] abstract class LakeVersionedSource(
 
   /** The feed plan for versions [fromV, toV] (both ≥ 1, fromV ≤ toV),
     * already conformed to [[schema]]. */
-  protected def batchPlan(fromV: Long, toV: Long): DataFrame
+  private[sources] def batchPlan(fromV: Long, toV: Long): DataFrame
 
-  private val maxPerTrigger: Option[Long] =
-    parameters.get(maxPerTriggerKey).map { s =>
+  /** Data bytes version `v` ADDED to the log — the admission metric for
+    * `maxBytesPerTrigger` (driver cost: one small log read per admitted
+    * version, the same reads [[batchPlan]] pays anyway). */
+  private[sources] def versionBytes(v: Long): Long
+
+  // Rate limit defaults ON ([[LakeStreamSources.DefaultMaxVersionsPerTrigger]]):
+  // an unbounded catch-up batch is an operability hazard, not a feature.
+  private[sources] val maxPerTrigger: Option[Long] =
+    parameters.get(maxPerTriggerKey) match {
+      case Some("none") => None
+      case Some(s) =>
+        val v = s.toLong
+        require(v > 0, s"$maxPerTriggerKey must be positive, got $v")
+        Some(v)
+      case None => Some(LakeStreamSources.DefaultMaxVersionsPerTrigger)
+    }
+
+  // Byte-aware admission: cap the trigger's version window by ADDED
+  // bytes — offsets stay whole versions (a commit/manifest is the
+  // atomicity grain; splitting one would tear the alignment contract),
+  // so one commit larger than the cap still forms a one-commit batch.
+  private[sources] val maxBytesPerTrigger: Option[Long] =
+    parameters.get("maxBytesPerTrigger").map { s =>
       val v = s.toLong
-      require(v > 0, s"$maxPerTriggerKey must be positive, got $v")
+      require(v > 0, s"maxBytesPerTrigger must be positive, got $v")
       v
     }
 
@@ -485,7 +550,20 @@ private[sources] abstract class LakeVersionedSource(
   private def nextAvailable(): Option[Long] = {
     val t0 = tip()
     val t = availableNowCap.fold(t0)(math.min(t0, _))
-    val avail = maxPerTrigger.map(m => math.min(t, lastEnd + m)).getOrElse(t)
+    var avail = maxPerTrigger.map(m => math.min(t, lastEnd + m)).getOrElse(t)
+    maxBytesPerTrigger.foreach { cap =>
+      // admit whole versions until the NEXT one would cross the cap;
+      // the first version is always admitted (progress guarantee)
+      var end = lastEnd
+      var acc = 0L
+      var open = true
+      while (open && end < avail) {
+        val b = versionBytes(end + 1)
+        if (end == lastEnd || acc + b <= cap) { end += 1; acc += b }
+        else open = false
+      }
+      avail = end
+    }
     if (avail > lastEnd) {
       lastEnd = avail
       LakeFormat.commitConsumerOffset(spark, metadataPath, avail)
@@ -530,17 +608,32 @@ private[sources] abstract class LakeVersionedSource(
 
   /** Conform a feed plan to the pinned [[schema]]: null-fill columns
     * commits predate, REFUSE columns the pin lacks (additive evolution
-    * mid-stream — restarting re-pins). */
-  protected def conform(df: DataFrame, pinned: StructType,
+    * mid-stream — restarting re-pins). TYPES are enforced too, not just
+    * names: a column whose type diverged from the pin is losslessly
+    * up-cast when possible ([[LakeFormat.losslessUpCast]] — e.g. an old
+    * int vintage under a pinned long) and refused with the same
+    * restart-to-re-pin failure otherwise — a silent select-by-name
+    * would hand the engine a DataFrame whose type contradicts the
+    * analyzed sourceSchema. */
+  private[sources] def conform(df: DataFrame, pinned: StructType,
       root: String): DataFrame = {
     val extra = df.columns.filterNot(pinned.fieldNames.contains)
     if (extra.nonEmpty) throw new IllegalStateException(
       s"lake table at $root evolved mid-stream: column(s) " +
         s"${extra.mkString(", ")} are not in this query's pinned schema" +
         " — restart the streaming query to pick up the evolved schema")
+    val have = df.schema.fields.map(f => f.name -> f.dataType).toMap
     df.select(pinned.fields.toSeq.map { f =>
-      if (df.columns.contains(f.name)) col(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      have.get(f.name) match {
+        case None => lit(null).cast(f.dataType).as(f.name)
+        case Some(t) if t == f.dataType => col(f.name)
+        case Some(t) if LakeFormat.losslessUpCast(t, f.dataType) =>
+          col(f.name).cast(f.dataType).as(f.name)
+        case Some(t) => throw new IllegalStateException(
+          s"lake table at $root evolved mid-stream: column ${f.name} is " +
+            s"$t but this query pinned ${f.dataType} — restart the " +
+            "streaming query to re-pin the evolved schema")
+      }
     }: _*)
   }
 
@@ -577,14 +670,16 @@ private[sources] class GraftLakeSource(spark0: SparkSession,
   override protected def tip(): Long =
     LakeFormat.listLogVersions(spark, root).max
 
-  override protected def batchPlan(fromV: Long, toV: Long): DataFrame =
+  override private[sources] def batchPlan(fromV: Long, toV: Long): DataFrame =
     conform(LakeFormat.changeFeed(spark, root, fromV, toV), schema, root)
 
+  override private[sources] def versionBytes(v: Long): Long =
+    LakeFormat.commitAddedBytes(spark, root, v)
+
+  // monotonic-advance form: tolerant of a second query sharing the
+  // consumerName (the higher pointer wins — the safe direction)
   override protected def acknowledged(v: Long): Unit =
-    registeredDir.foreach { d =>
-      if (LakeFormat.consumerOffset(spark, d).forall(_ < v))
-        LakeFormat.commitConsumerOffset(spark, d, v)
-    }
+    registeredDir.foreach(d => LakeFormat.advanceConsumerOffset(spark, d, v))
 }
 
 private[sources] object GraftLakeTxSource {
@@ -628,18 +723,29 @@ private[sources] class GraftLakeTxSource(spark0: SparkSession,
       .map(n => LakeTx.registerConsumer(spark, root, n))
 
   override protected def acknowledged(v: Long): Unit =
-    registeredDir.foreach { d =>
-      if (LakeFormat.consumerOffset(spark, d).forall(_ < v))
-        LakeFormat.commitConsumerOffset(spark, d, v)
-    }
+    registeredDir.foreach(d => LakeFormat.advanceConsumerOffset(spark, d, v))
 
   override protected def tip(): Long = LakeTx.manifestVersion(spark, root)
+
+  /** Bytes a MANIFEST version admits = the sum of its advanced members'
+    * commit-range added bytes — one manifest pair read plus one small
+    * log read per advanced commit, the same reads [[batchPlan]] pays. */
+  override private[sources] def versionBytes(mv: Long): Long = {
+    val prev = LakeTx.manifest(spark, root, Some(mv - 1))
+    val cur = LakeTx.manifest(spark, root, Some(mv))
+    cur.toSeq.map { case (t, pin) =>
+      val before = prev.getOrElse(t, 0L)
+      if (pin <= before) 0L
+      else (before + 1L to pin).map(v =>
+        LakeFormat.commitAddedBytes(spark, LakeTx.tableRoot(root, t), v)).sum
+    }.sum
+  }
 
   /** One piece per (manifest step, advanced member): that member's
     * change feed between its previous and new pins, tagged. Pieces
     * union flat with the [[LakeFormat.ChangeFeedLineageCut]] grouping —
     * a long catch-up range stays bounded-depth. */
-  override protected def batchPlan(fromM: Long, toM: Long): DataFrame = {
+  override private[sources] def batchPlan(fromM: Long, toM: Long): DataFrame = {
     var prev = LakeTx.manifest(spark, root, Some(fromM - 1))
     val pieces = (fromM to toM).flatMap { mv =>
       val cur = LakeTx.manifest(spark, root, Some(mv))

@@ -586,7 +586,7 @@ object LakeFormat {
   // stats comparison would prune the file. So the whitelist is explicit:
   // integral→wider-integral, byte/short→float, byte/short/int→double
   // (int is 32 bits < the 53-bit mantissa), float→double.
-  private def losslessUpCast(
+  private[sources] def losslessUpCast(
       from: org.apache.spark.sql.types.DataType,
       to: org.apache.spark.sql.types.DataType): Boolean = {
     import org.apache.spark.sql.types._
@@ -698,8 +698,22 @@ object LakeFormat {
     * log's job, not the scanner's — at 100 TB this is the difference
     * between listing-then-opening every file and opening the few whose
     * key range overlaps the predicate. */
-  def scan(spark: SparkSession, root: String, pred: Column): LakeScan = {
-    val st = state(spark, root)
+  def scan(spark: SparkSession, root: String, pred: Column): LakeScan =
+    scanState(spark, root, state(spark, root), pred)
+
+  /** [[scan]] AS OF a committed version — stats-pruned TIME TRAVEL. The
+    * log's per-file min/max stats are recorded AT COMMIT and immutable
+    * like the files they describe, so a historical version prunes
+    * exactly as well as the day it was the tip: a selective predicate
+    * over yesterday's version of a 100 TB table opens the few
+    * overlapping files, not every file the pinned version references
+    * (which plain [[readAsOf]] + a post-filter would). */
+  def scanAsOf(spark: SparkSession, root: String, version: Long,
+      pred: Column): LakeScan =
+    scanState(spark, root, state(spark, root, Some(version)), pred)
+
+  private def scanState(spark: SparkSession, root: String, st: LakeState,
+      pred: Column): LakeScan = {
     // resolve the predicate against the table schema ONCE (no data file
     // opened — [[resolvePred]]): analysis failures (unknown column)
     // throw here, loudly, instead of silently disabling pruning.
@@ -866,20 +880,26 @@ object LakeFormat {
     // everything), Some(Some((lo, hi))) = the updates' closed key range.
     // the broadcast gate's row count rides the SAME aggregation job —
     // no separate count pass over the batch (rows ≥ distinct keys, so
-    // gating on rows is conservative-safe for the driver)
-    val (keyRange: Option[Option[(String, String)]], batchRows: Long) =
-      if (m.keyCols.size != 1) {
-        (None, updates.agg(count(lit(1))).head().getLong(0))
-      } else {
+    // gating on rows is conservative-safe for the driver). Composite
+    // keys have no range job to ride, so their count is LAZY: it runs
+    // only if the key-probe branch below actually consults the gate
+    // (a no-op/disjoint merge never pays it).
+    val singleKeyAgg: Option[org.apache.spark.sql.Row] =
+      if (m.keyCols.size != 1) None
+      else {
         val k = m.keyCols.head
-        val r = updates.agg(min(col(k)).cast("string").as("lo"),
+        Some(updates.agg(min(col(k)).cast("string").as("lo"),
           max(col(k)).cast("string").as("hi"),
-          count(lit(1)).as("n")).head()
-        val range: Option[Option[(String, String)]] =
-          if (r.isNullAt(0)) Some(None) // empty updates touch nothing
-          else Some(Some((r.getString(0), r.getString(1))))
-        (range, r.getLong(2))
+          count(lit(1)).as("n")).head())
       }
+    val keyRange: Option[Option[(String, String)]] = singleKeyAgg.map { r =>
+      if (r.isNullAt(0)) None // empty updates touch nothing
+      else Some((r.getString(0), r.getString(1)))
+    }
+    lazy val batchRows: Long = singleKeyAgg match {
+      case Some(r) => r.getLong(2)
+      case None    => updates.agg(count(lit(1))).head().getLong(0)
+    }
     // a file whose key stats are provably OUTSIDE the updates' range
     def keyDisjoint(a: AddFile): Boolean = keyRange match {
       case Some(None) => true
@@ -1194,6 +1214,33 @@ object LakeFormat {
     fc.rename(tmp, offsetPtr(dir), Options.Rename.OVERWRITE)
   }
 
+  /** Advance the consumer offset to `v` ONLY IF it is ahead of the
+    * stored pointer — the monotonic form of [[commitConsumerOffset]]
+    * safe under CONCURRENT advancers (two queries registered with one
+    * consumerName): the check-then-write races under a per-dir lock in
+    * this JVM, and a cross-JVM loser whose `v` is already stale simply
+    * keeps the higher pointer (a higher offset is the safe direction —
+    * vacuum holds less, never more than needed). */
+  def advanceConsumerOffset(spark: SparkSession, dir: String,
+      v: Long): Unit = lockFor(dir).synchronized {
+    if (consumerOffset(spark, dir).forall(_ < v))
+      try commitConsumerOffset(spark, dir, v)
+      catch {
+        // cross-JVM race: another advancer moved the pointer past v
+        // between our read and the write's own backward check — theirs
+        // is newer, ours is subsumed
+        case _: IllegalArgumentException => ()
+      }
+  }
+
+  /** Total data bytes commit `v` ADDED — the [[AddFile.bytes]] sum from
+    * one small log read; the admission metric for byte-capped streaming
+    * triggers (`maxBytesPerTrigger`). Legacy logs written before byte
+    * recording report 0 (admission then degrades to the version cap). */
+  def commitAddedBytes(spark: SparkSession, root: String, v: Long): Long =
+    readLogLines(spark, root, v).map(parseLine)
+      .collect { case AddA(a) => a.bytes }.sum
+
   /** INCREMENTAL CHANGE-FEED CONSUMPTION — the lake as a streaming
     * SOURCE: drain every commit above the durable consumer offset (up to
     * `maxCommits` per call), one `apply(batch, version)` per commit, and
@@ -1212,9 +1259,13 @@ object LakeFormat {
     * — size retention to cover the slowest consumer, exactly the public
     * CDF + VACUUM interaction the Delta docs describe.
     *
-    * Returns the versions applied this call (empty = nothing new). */
+    * Returns the versions applied this call (empty = nothing new).
+    * `maxCommits` defaults to 1000 (the streaming sources' per-trigger
+    * default) — ONE call's driver work is bounded by design; loop until
+    * the return is empty to drain an arbitrarily deep backlog. */
   def consumeChangeFeed(spark: SparkSession, root: String,
-      consumerDir: String, maxCommits: Int = Int.MaxValue)(
+      consumerDir: String,
+      maxCommits: Int = LakeStreamSources.DefaultMaxVersionsPerTrigger.toInt)(
       apply: (DataFrame, Long) => Unit): Seq[Long] = {
     val from = consumerOffset(spark, consumerDir).getOrElse(0L) + 1L
     val tip = listLogVersions(spark, root).max
@@ -1377,6 +1428,66 @@ object LakeFormat {
     ()
   }
 
+  /** When the consumer LAST ADVANCED its offset (epoch ms) — the
+    * modification time of its `_offset` pointer (the write that advances
+    * it), falling back to the registration dir's own mtime for a
+    * registered-but-never-consumed entry. The LIVENESS signal vacuum
+    * reports and [[vacuum]]'s `expireConsumersOlderThanMs` acts on: a
+    * crashed stream that never restarts stops advancing, and its age
+    * makes the staleness visible instead of pinning retention silently
+    * forever. */
+  def consumerLastAdvancedMs(spark: SparkSession, dir: String): Option[Long] = {
+    val f = fs(spark, dir)
+    val off = offsetPtr(dir)
+    if (f.exists(off)) Some(f.getFileStatus(off).getModificationTime)
+    else if (f.exists(new Path(dir)))
+      Some(f.getFileStatus(new Path(dir)).getModificationTime)
+    else None
+  }
+
+  private def fmtAge(ms: Long): String =
+    if (ms >= 3600000L) f"${ms / 3600000.0}%.1fh"
+    else if (ms >= 60000L) f"${ms / 60000.0}%.1fm"
+    else s"${ms / 1000}s"
+
+  /** Vacuum's registry gate, shared with [[LakeTx.vacuum]]: expire
+    * provably-dead registrations when asked (age ≥
+    * `expireOlderThanMs` since the last offset advance — an opt-in,
+    * deliberate reclaim: the expired consumer's next drain fails loudly
+    * on the missing pre-images, exactly as an unregistered laggard
+    * would), then REFUSE when a surviving registered consumer still
+    * needs history below `floor` — naming the laggard, its offset AND
+    * its age, so an operator can tell a slow-but-live consumer from a
+    * dead one. Returns the expired names. */
+  private[sources] def consumerRetentionGate(spark: SparkSession,
+      registryRoot: String, floor: Long, what: String,
+      expireOlderThanMs: Option[Long]): Seq[String] = {
+    val now = System.currentTimeMillis()
+    val expired = expireOlderThanMs.toSeq.flatMap { ttl =>
+      registeredConsumers(spark, registryRoot).keys.toSeq.sorted.filter { n =>
+        val dir = s"$registryRoot/_consumers/$n"
+        consumerLastAdvancedMs(spark, dir).exists(now - _ >= ttl)
+      }.map { n => dropConsumer(spark, registryRoot, n); n }
+    }
+    val lagging = registeredConsumers(spark, registryRoot)
+      .map { case (n, o) => (n, o.getOrElse(0L)) }
+      .filter { case (_, o) => o < floor }
+    if (lagging.nonEmpty) {
+      val (slowName, slowOff) = lagging.minBy(_._2)
+      val age = consumerLastAdvancedMs(spark,
+          s"$registryRoot/_consumers/$slowName")
+        .map(t => s"last advanced ${fmtAge(now - t)} ago")
+        .getOrElse("last advance unknown")
+      throw new IllegalStateException(
+        s"$what would prune history below v$floor while registered " +
+          s"consumer '$slowName' has consumed only through v$slowOff " +
+          s"($age) — let it catch up, widen retention, dropConsumer it, " +
+          "or pass expireConsumersOlderThanMs to reclaim past " +
+          "provably-dead registrations")
+    }
+    expired
+  }
+
   /** Reclaim data files unreferenced by every retained snapshot (the
     * newest `keepVersions` versions stay time-travelable) and sweep
     * crashed-writer `_tmp-*` staging debris. `olderThanMs` is the
@@ -1391,22 +1502,14 @@ object LakeFormat {
     * failure — the refusal names the laggard and the remedies instead.
     * Returns the deleted relative paths. */
   def vacuum(spark: SparkSession, root: String, keepVersions: Int,
-      olderThanMs: Long = 3600L * 1000): Seq[String] = {
+      olderThanMs: Long = 3600L * 1000,
+      expireConsumersOlderThanMs: Option[Long] = None): Seq[String] = {
     require(keepVersions >= 1, "must retain at least the current version")
     val f = fs(spark, root)
     val latest = state(spark, root).version
     val floor = math.max(0L, latest - keepVersions + 1)
-    val lagging = registeredConsumers(spark, root)
-      .map { case (n, o) => (n, o.getOrElse(0L)) }
-      .filter { case (_, o) => o < floor }
-    if (lagging.nonEmpty) {
-      val (slowName, slowOff) = lagging.minBy(_._2)
-      throw new IllegalStateException(
-        s"vacuum(keepVersions=$keepVersions) would reclaim pre-images " +
-          s"below v$floor while registered consumer '$slowName' has " +
-          s"consumed only through v$slowOff — let it catch up, keep at " +
-          s"least ${latest - slowOff + 1} versions, or dropConsumer it")
-    }
+    consumerRetentionGate(spark, root, floor,
+      s"vacuum(keepVersions=$keepVersions)", expireConsumersOlderThanMs)
     val referenced = (floor to latest)
       .flatMap(v => state(spark, root, Some(v)).files.map(_.path)).toSet
     val now = System.currentTimeMillis()

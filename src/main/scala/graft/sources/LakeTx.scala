@@ -180,9 +180,12 @@ object LakeTx {
     * epoch-keyed store discipline). Offset storage and retention
     * contract are [[LakeFormat.consumerOffset]]'s: lagging past a
     * member's vacuum window fails loudly mid-batch, before the offset
-    * moves. Returns the manifest versions applied. */
+    * moves. Returns the manifest versions applied. `maxManifests`
+    * defaults to 1000 (the streaming sources' per-trigger default) so
+    * one call's driver work is bounded; loop until the return is empty
+    * to drain an arbitrarily deep backlog. */
   def consumeChanges(spark: SparkSession, root: String, consumerDir: String,
-      maxManifests: Int = Int.MaxValue)(
+      maxManifests: Int = LakeStreamSources.DefaultMaxVersionsPerTrigger.toInt)(
       apply: (String, DataFrame, Long) => Unit): Seq[Long] = {
     val from = LakeFormat.consumerOffset(spark, consumerDir).getOrElse(0L) + 1L
     val tip = manifestVersion(spark, root)
@@ -245,25 +248,20 @@ object LakeTx {
     LakeFormat.dropConsumer(spark, txRoot(root), name)
 
   def vacuum(spark: SparkSession, root: String, keepManifests: Int,
-      olderThanMs: Long = 3600L * 1000): Map[String, Seq[String]] = {
+      olderThanMs: Long = 3600L * 1000,
+      expireConsumersOlderThanMs: Option[Long] = None)
+      : Map[String, Seq[String]] = {
     require(keepManifests >= 1, "must retain at least the current manifest")
     val tip = manifestVersion(spark, root)
     val floor = math.max(0L, tip - keepManifests + 1)
     // PROACTIVE retention guard (the LakeFormat.vacuum rule at the
     // manifest layer): a consumer at offset o needs manifest o (its
     // next drain's `prev` pins) and every member change window above
-    // it — refuse NOW instead of failing its next drain
-    val lagging = registeredConsumers(spark, root)
-      .map { case (n, o) => (n, o.getOrElse(0L)) }
-      .filter { case (_, o) => o < floor }
-    if (lagging.nonEmpty) {
-      val (slowName, slowOff) = lagging.minBy(_._2)
-      throw new IllegalStateException(
-        s"vacuum(keepManifests=$keepManifests) would prune manifests " +
-          s"below v$floor while registered consumer '$slowName' has " +
-          s"consumed only through v$slowOff — let it catch up, keep at " +
-          s"least ${tip - slowOff + 1} manifests, or dropConsumer it")
-    }
+    // it — refuse NOW (naming the laggard's offset AND last-advance
+    // age) instead of failing its next drain; expiry reclaims past
+    // provably-dead registrations on explicit opt-in
+    LakeFormat.consumerRetentionGate(spark, txRoot(root), floor,
+      s"vacuum(keepManifests=$keepManifests)", expireConsumersOlderThanMs)
     val retained = (floor to tip).map(mv => manifest(spark, root, Some(mv)))
     val tables = retained.head.keySet
     val deleted = tables.map { t =>

@@ -1,0 +1,355 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Round-17 hardening of the lake source layer, tested AT THE SEAM
+  * (this spec lives in `graft.sources`, so it drives the V1 source and
+  * relation classes directly — admission control without spinning a
+  * StreamingQuery per assertion):
+  *
+  *  - rate limiting DEFAULTS ON (`maxCommitsPerTrigger`/
+  *    `maxManifestsPerTrigger` unset ⇒ 1000, the Delta convention;
+  *    `"none"` opts out) — an unbounded catch-up batch is an
+  *    operability hazard, not a feature;
+  *  - `maxBytesPerTrigger`: whole-version admission capped by ADDED
+  *    bytes, always ≥ 1 version per trigger (progress guarantee);
+  *  - batch relations PIN their version/tip/manifest at construction —
+  *    a self-join or repeated action over one relation reads one
+  *    version even while commits land (the Delta snapshot-pinning rule);
+  *  - `sizeInBytes` reports the PINNED version's bytes (a time-travel
+  *    relation must not be sized by the current tip);
+  *  - empty-projection `buildScan` returns ZERO-WIDTH rows (`count(*)`
+  *    must not ship full rows);
+  *  - `conform` enforces TYPES, not just names (lossless up-cast or
+  *    loud restart-to-re-pin refusal);
+  *  - concurrent same-name consumer advancement is monotonic and
+  *    race-tolerant ([[LakeFormat.advanceConsumerOffset]]);
+  *  - vacuum's registry refusal reports the laggard's last-advance AGE,
+  *    and `expireConsumersOlderThanMs` reclaims provably-dead
+  *    registrations — at both the table and the transaction layer.
+  */
+class LakeSourceHardeningSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshDir(tag: String): String = {
+    val p = Files.createTempDirectory(tag)
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  /** A lake table with `n` merge commits of one row each. */
+  private def tableWithCommits(n: Int): String = {
+    val root = freshDir("lsh_table")
+    LakeFormat.create(spark, root, keyCols = Seq("id"), orderCol = "lsn",
+      liveCol = "live", statsCols = Seq("id"))
+    (1 to n).foreach { i =>
+      LakeFormat.merge(Seq((i.toLong, i.toLong, true, s"v$i"))
+        .toDF("id", "lsn", "live", "v"), root)
+    }
+    root
+  }
+
+  private def mkSource(root: String,
+      opts: Map[String, String] = Map.empty): GraftLakeSource =
+    new GraftLakeSource(spark, freshDir("lsh_meta"),
+      Map("path" -> root) ++ opts)
+
+  // ---------------------------------------------------- rate limit default
+
+  test("per-trigger version cap DEFAULTS to 1000 and 'none' opts out") {
+    val root = tableWithCommits(2)
+    assert(mkSource(root).maxPerTrigger ===
+      Some(LakeStreamSources.DefaultMaxVersionsPerTrigger))
+    assert(LakeStreamSources.DefaultMaxVersionsPerTrigger === 1000L)
+    assert(mkSource(root, Map("maxCommitsPerTrigger" -> "2"))
+      .maxPerTrigger === Some(2L))
+    assert(mkSource(root, Map("maxCommitsPerTrigger" -> "none"))
+      .maxPerTrigger === None)
+    intercept[IllegalArgumentException] {
+      mkSource(root, Map("maxCommitsPerTrigger" -> "0")).maxPerTrigger
+    }
+  }
+
+  // ------------------------------------------------- byte-capped admission
+
+  test("maxBytesPerTrigger admits whole commits up to the cap, ≥1 per trigger") {
+    val root = tableWithCommits(5)
+    val bytes = (1L to 5L).map(v =>
+      LakeFormat.commitAddedBytes(spark, root, v))
+    assert(bytes.forall(_ > 0L), s"commit bytes must be recorded: $bytes")
+    // cap sized to exactly two commits: the reference walk admits 2+2+1
+    val cap = bytes(0) + bytes(1)
+    val src = mkSource(root, Map("maxBytesPerTrigger" -> cap.toString))
+    // replicate the admission walk as the expected offset sequence
+    def walk(from: Long): Long = {
+      var end = from; var acc = 0L; var open = true
+      while (open && end < 5L) {
+        val b = bytes((end + 1).toInt - 1)
+        if (end == from || acc + b <= cap) { end += 1; acc += b }
+        else open = false
+      }
+      end
+    }
+    val expected = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var at = 0L
+    while (at < 5L) { at = walk(at); expected += at }
+    val offered = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var cont = true
+    while (cont) {
+      src.getOffset.map(LakeStreamSources.versionOf) match {
+        case Some(v) if offered.lastOption.forall(_ < v) => offered += v
+        case _ => cont = false
+      }
+    }
+    assert(offered.toSeq === expected.toSeq,
+      s"offered $offered, expected $expected (bytes=$bytes, cap=$cap)")
+    assert(offered.size >= 2, "cap must have chunked the backlog")
+  }
+
+  test("a commit fatter than the cap still forms a one-commit batch") {
+    val root = tableWithCommits(3)
+    val src = mkSource(root, Map("maxBytesPerTrigger" -> "1"))
+    val o1 = src.getOffset.map(LakeStreamSources.versionOf)
+    val o2 = src.getOffset.map(LakeStreamSources.versionOf)
+    val o3 = src.getOffset.map(LakeStreamSources.versionOf)
+    assert(Seq(o1, o2, o3) === Seq(Some(1L), Some(2L), Some(3L)))
+    // and the batch between consecutive offsets is exactly one commit
+    // (asserted on batchPlan — getBatch's frame is streaming-tagged and
+    // only executable under the engine)
+    val b = src.batchPlan(2L, 2L)
+    assert(b.select("_commit_version").distinct().collect()
+      .map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
+  test("tx source: versionBytes sums the advanced members' commit ranges") {
+    val root = freshDir("lsh_tx")
+    Seq("a", "b").foreach { t =>
+      LakeFormat.create(spark, LakeTx.tableRoot(root, t),
+        keyCols = Seq("id"), orderCol = "lsn", liveCol = "live",
+        statsCols = Seq("id"))
+    }
+    LakeTx.init(spark, root, Seq("a", "b"))
+    def up(id: Long) = Seq((id, id, true, s"r$id"))
+      .toDF("id", "lsn", "live", "v")
+    LakeTx.commitTx(spark, root, Map("a" -> up(1), "b" -> up(2)),
+      app = "lsh", txv = 1L)
+    LakeTx.commitTx(spark, root, Map("a" -> up(3)), app = "lsh", txv = 2L)
+    val src = new GraftLakeTxSource(spark, freshDir("lsh_meta"),
+      Map("path" -> root))
+    val aBytes = LakeFormat.commitAddedBytes(spark,
+      LakeTx.tableRoot(root, "a"), 1L)
+    val bBytes = LakeFormat.commitAddedBytes(spark,
+      LakeTx.tableRoot(root, "b"), 1L)
+    val a2Bytes = LakeFormat.commitAddedBytes(spark,
+      LakeTx.tableRoot(root, "a"), 2L)
+    assert(src.versionBytes(1L) === aBytes + bBytes)
+    assert(src.versionBytes(2L) === a2Bytes)
+  }
+
+  // ------------------------------------------------------ relation pinning
+
+  test("batch relation pins the table version at construction") {
+    val root = tableWithCommits(2)
+    val df = spark.read.format("graft-lake").load(root)
+    val before = df.count()
+    LakeFormat.merge(Seq((99L, 99L, true, "late"))
+      .toDF("id", "lsn", "live", "v"), root)
+    assert(df.count() === before,
+      "a relation must serve its construction-time version after a commit")
+    // a self-join over the SAME relation reads one version on both sides
+    val j = df.as("l").join(df.as("r"), Seq("id")).count()
+    assert(j === before)
+    assert(spark.read.format("graft-lake").load(root).count() === before + 1,
+      "a FRESH relation pins the new tip")
+  }
+
+  test("change-feed relation pins its ending version at construction") {
+    val root = tableWithCommits(2)
+    val cf = spark.read.format("graft-lake")
+      .option("readChangeFeed", "true").load(root)
+    val before = cf.count()
+    LakeFormat.merge(Seq((98L, 98L, true, "late"))
+      .toDF("id", "lsn", "live", "v"), root)
+    assert(cf.count() === before)
+    assert(spark.read.format("graft-lake").option("readChangeFeed", "true")
+      .load(root).count() > before)
+  }
+
+  test("tx relation pins the manifest at construction") {
+    val root = freshDir("lsh_txrel")
+    LakeFormat.create(spark, LakeTx.tableRoot(root, "a"),
+      keyCols = Seq("id"), orderCol = "lsn", liveCol = "live",
+      statsCols = Seq("id"))
+    LakeTx.init(spark, root, Seq("a"))
+    def up(id: Long) = Seq((id, id, true, s"r$id"))
+      .toDF("id", "lsn", "live", "v")
+    LakeTx.commitTx(spark, root, Map("a" -> up(1)), app = "lsh2", txv = 1L)
+    val df = spark.read.format("graft-lake-tx").option("table", "a").load(root)
+    val before = df.count()
+    LakeTx.commitTx(spark, root, Map("a" -> up(2)), app = "lsh2", txv = 2L)
+    assert(df.count() === before)
+    assert(spark.read.format("graft-lake-tx").option("table", "a")
+      .load(root).count() === before + 1)
+  }
+
+  test("sizeInBytes reports the PINNED version's recorded bytes") {
+    val root = tableWithCommits(1)
+    val v1Bytes = LakeFormat.state(spark, root, Some(1L))
+      .files.map(_.bytes).sum
+    // grow the table well past v1
+    LakeFormat.merge((100L to 160L).map(i => (i, i, true, s"v$i"))
+      .toDF("id", "lsn", "live", "v"), root)
+    val tipBytes = LakeFormat.state(spark, root).files.map(_.bytes).sum
+    assert(tipBytes > v1Bytes)
+    val sqlCtx = spark.sqlContext
+    val asOf = new GraftLakeRelation(sqlCtx, root,
+      Map("path" -> root, "versionAsOf" -> "1"))
+    val cur = new GraftLakeRelation(sqlCtx, root, Map("path" -> root))
+    assert(asOf.sizeInBytes === v1Bytes)
+    assert(cur.sizeInBytes === tipBytes)
+  }
+
+  // ------------------------------------------------------ empty projection
+
+  test("empty-projection buildScan ships zero-width rows (count(*) path)") {
+    val root = tableWithCommits(2)
+    val rel = new GraftLakeRelation(spark.sqlContext, root,
+      Map("path" -> root))
+    val widths = rel.buildScan(Array.empty, Array.empty)
+      .map(_.length).distinct().collect().toSeq
+    assert(widths === Seq(0),
+      s"count-only scan must be zero-width, got widths $widths")
+    val cfRel = new GraftLakeChangeFeedRelation(spark.sqlContext, root, 1L,
+      None)
+    assert(cfRel.buildScan(Array.empty, Array.empty)
+      .map(_.length).distinct().collect().toSeq === Seq(0))
+    // and the end-to-end count answers stay right
+    assert(spark.read.format("graft-lake").load(root).count() === 2L)
+  }
+
+  // ------------------------------------------------------- conform typing
+
+  test("conform up-casts losslessly and refuses lossy type drift") {
+    val root = tableWithCommits(1)
+    val src = mkSource(root)
+    val pinned = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    // int vintage under a pinned long: lossless up-cast, no refusal
+    val intDf = Seq((1, "a")).toDF("id", "v")
+      .select(col("id").cast("int"), col("v"))
+    val conformed = src.conform(intDf, pinned, root)
+    assert(conformed.schema("id").dataType === LongType)
+    assert(conformed.collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSeq === Seq((1L, "a")))
+    // string where long was pinned: loud restart-to-re-pin refusal
+    val bad = Seq(("x", "a")).toDF("id", "v")
+    val ex = intercept[IllegalStateException] {
+      src.conform(bad, pinned, root)
+    }
+    assert(ex.getMessage.contains("restart") &&
+      ex.getMessage.contains("id"))
+  }
+
+  // ---------------------------------------- concurrent consumer advancement
+
+  test("advanceConsumerOffset is monotonic and race-tolerant") {
+    val dir = freshDir("lsh_cons")
+    LakeFormat.advanceConsumerOffset(spark, dir, 5L)
+    assert(LakeFormat.consumerOffset(spark, dir) === Some(5L))
+    // a stale advancer (second query sharing the consumerName) no-ops
+    LakeFormat.advanceConsumerOffset(spark, dir, 3L)
+    assert(LakeFormat.consumerOffset(spark, dir) === Some(5L))
+    LakeFormat.advanceConsumerOffset(spark, dir, 7L)
+    assert(LakeFormat.consumerOffset(spark, dir) === Some(7L))
+    // the strict form still refuses to regress
+    intercept[IllegalArgumentException] {
+      LakeFormat.commitConsumerOffset(spark, dir, 3L)
+    }
+  }
+
+  // -------------------------------------------------- registry liveness
+
+  test("vacuum refusal names the laggard's last-advance AGE; expiry reclaims it") {
+    val root = tableWithCommits(4)
+    LakeFormat.registerConsumer(spark, root, "deadstream")
+    val ex = intercept[IllegalStateException] {
+      LakeFormat.vacuum(spark, root, keepVersions = 1, olderThanMs = 0L)
+    }
+    assert(ex.getMessage.contains("deadstream") &&
+      ex.getMessage.contains("ago"),
+      s"refusal must carry the liveness signal: ${ex.getMessage}")
+    // opt-in expiry: age 0ms ⇒ provably-dead by the caller's policy —
+    // registration dropped, vacuum proceeds
+    LakeFormat.vacuum(spark, root, keepVersions = 1, olderThanMs = 0L,
+      expireConsumersOlderThanMs = Some(0L))
+    assert(!LakeFormat.registeredConsumers(spark, root)
+      .contains("deadstream"))
+    // a LIVE consumer (advanced just now) survives a generous TTL
+    val live = LakeFormat.registerConsumer(spark, root, "livestream")
+    LakeFormat.commitConsumerOffset(spark, live, 1L)
+    val ex2 = intercept[IllegalStateException] {
+      LakeFormat.vacuum(spark, root, keepVersions = 1, olderThanMs = 0L,
+        expireConsumersOlderThanMs = Some(3600000L))
+    }
+    assert(ex2.getMessage.contains("livestream"))
+  }
+
+  test("tx vacuum refusal carries age; expiry reclaims dead tx consumers") {
+    val root = freshDir("lsh_txvac")
+    LakeFormat.create(spark, LakeTx.tableRoot(root, "a"),
+      keyCols = Seq("id"), orderCol = "lsn", liveCol = "live",
+      statsCols = Seq("id"))
+    LakeTx.init(spark, root, Seq("a"))
+    def up(id: Long) = Seq((id, id, true, s"r$id"))
+      .toDF("id", "lsn", "live", "v")
+    (1L to 3L).foreach(i => LakeTx.commitTx(spark, root,
+      Map("a" -> up(i)), app = "lshvac", txv = i))
+    LakeTx.registerConsumer(spark, root, "deadtx")
+    val ex = intercept[IllegalStateException] {
+      LakeTx.vacuum(spark, root, keepManifests = 1, olderThanMs = 0L)
+    }
+    assert(ex.getMessage.contains("deadtx") && ex.getMessage.contains("ago"))
+    LakeTx.vacuum(spark, root, keepManifests = 1, olderThanMs = 0L,
+      expireConsumersOlderThanMs = Some(0L))
+    assert(!LakeTx.registeredConsumers(spark, root).contains("deadtx"))
+  }
+
+  // --------------------------------------------- stats-pruned time travel
+
+  test("scanAsOf prunes a HISTORICAL version by its recorded stats") {
+    val root = freshDir("lsh_asof")
+    LakeFormat.create(spark, root, keyCols = Seq("id"), orderCol = "id",
+      liveCol = "live", statsCols = Seq("id"))
+    // v1: range layout ⇒ near-disjoint per-file id ranges
+    LakeFormat.append(
+      spark.range(0, 4000).select(col("id"),
+        (col("id") * 2).as("x"), lit(true).as("live"))
+        .repartitionByRange(8, col("id")), root)
+    // v2: delete half — the CURRENT version differs from v1
+    LakeFormat.delete(spark, root, col("id") % 2 === 0)
+    val sc = LakeFormat.scanAsOf(spark, root, 1L, col("id") < lit(500L))
+    assert(sc.keptFiles < sc.totalFiles,
+      s"no historical pruning: ${sc.keptFiles}/${sc.totalFiles}")
+    assert(sc.df.count() === 500L,
+      "as-of v1 must include the rows v2 deleted")
+    // pruned historical read ≡ unpruned historical read + filter
+    val full = LakeFormat.readAsOf(spark, root, 1L)
+      .filter(col("id") < lit(500L)).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(sc.df.select("id").collect().map(_.getLong(0)).sorted.toSeq
+      === full)
+    // and the relation path routes versionAsOf + filter through it
+    val relCount = spark.read.format("graft-lake")
+      .option("versionAsOf", "1").load(root)
+      .filter(col("id") < lit(500L)).count()
+    assert(relCount === 500L)
+  }
+}
