@@ -106,6 +106,20 @@ class GraftLakeSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("maxBytesPerTrigger chunks the backlog by commit bytes under the real engine") {
+    val root = freshDir("glss_bytes")
+    setupTable(root) // commits 1-3
+    // cap below two commits' added bytes ⇒ every micro-batch carries
+    // exactly one commit (whole-commit admission, ≥1 per trigger)
+    val buf = collection.mutable.Buffer.empty[Got]
+    drain(root, freshDir("glss_bk"), buf, Map("maxBytesPerTrigger" -> "1"))
+    assert(buf.map(_._4).toSet === Set(1L, 2L, 3L))
+    val perBatch = buf.groupBy(_._5).values.map(_.map(_._4).distinct.size)
+    assert(perBatch.forall(_ == 1),
+      s"byte cap must admit one commit per batch, got $buf")
+    assert(buf.groupBy(_._5).size === 3)
+  }
+
   test("startingVersion=latest tails only post-start commits; numeric startingVersion skips history") {
     val root = freshDir("glss_tbl3")
     setupTable(root) // commits 1-3
