@@ -526,9 +526,56 @@ object Lake {
          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   }
 
+  /** Staged WRITER-PATH lake: the table is built entirely through the
+    * SQL write surface — `CREATE TABLE ... USING graft-lake AS SELECT`
+    * lands the even-key half (CTAS → CreatableRelationProvider:
+    * create-from-options + first append), `INSERT INTO` lands the odd
+    * half (InsertableRelation.append), and `INSERT OVERWRITE` replaces
+    * the whole contents with the full corpus in ONE atomic commit
+    * (history intact: the pre-overwrite version is asserted
+    * time-travelable). Three write forms, three commits, one final
+    * state. */
+  def stagedCtasLakeRoot(spark: SparkSession, dir: String): String =
+    Staged(spark, s"lake_ctas:$dir") {
+      val root = tempRoot("graft_lake_ctas")
+      val tbl = "graft_lake_ctas_li"
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      Tables.lineitem(spark, dir).createOrReplaceTempView("li_all_v")
+      spark.sql(
+        s"""CREATE TABLE $tbl USING `graft-lake`
+           |OPTIONS (path '$root', keyCols 'l_orderkey')
+           |AS SELECT * FROM li_all_v WHERE l_orderkey % 2 = 0""".stripMargin)
+      spark.sql(s"INSERT INTO $tbl SELECT * FROM li_all_v WHERE l_orderkey % 2 = 1")
+      spark.sql(s"INSERT OVERWRITE $tbl SELECT * FROM li_all_v")
+      val vs = graft.sources.LakeFormat.state(spark, root).version
+      require(vs == 3L, s"CTAS+INSERT+OVERWRITE must commit v1..v3, tip=$vs")
+      // the replaced (two-append) version stays time-travelable
+      val preOverwrite = graft.sources.LakeFormat.readAsOf(spark, root, 2L).count()
+      val now = graft.sources.LakeFormat.snapshot(spark, root).count()
+      require(preOverwrite == now,
+        s"pre-overwrite history must serve the same rows: $preOverwrite vs $now")
+      spark.range(1).select(lit(root).as("root"))
+    }.head().getString(0)
+
+  /** The lake_prune_scan aggregate over the WRITER-BUILT table: CTAS +
+    * INSERT INTO + INSERT OVERWRITE converge to the plain lineitem
+    * corpus, so the oracle is lakePruneScanSql VERBATIM — the whole SQL
+    * write surface (create-from-options, positional insert resolution,
+    * atomic overwrite) gated by the same hash the read paths answer. */
+  val lakeCtasInsert: Q = (spark, dir) => {
+    val root = stagedCtasLakeRoot(spark, dir)
+    spark.read.format("graft-lake").load(root)
+      .filter(col("l_orderkey") <= lit(1000L))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, Q] = Map(
     "lake_asof_prune" -> lakeAsofPrune,
     "lake_sql_source" -> lakeSqlSource,
+    "lake_ctas_insert" -> lakeCtasInsert,
     "lake_change_feed" -> lakeChangeFeed,
     "lake_cdf_batch" -> lakeCdfBatch,
     "lake_cdc_snapshot" -> lakeCdcSnapshot,
@@ -545,6 +592,7 @@ object Lake {
   val oracle: Map[String, String] = Map(
     "lake_asof_prune" -> lakePruneScanSql,
     "lake_sql_source" -> lakePruneScanSql,
+    "lake_ctas_insert" -> lakePruneScanSql,
     "lake_change_feed" -> lakeChangeFeedSql,
     "lake_cdf_batch" -> lakeChangeFeedSql,
     "lake_cdc_snapshot" -> Cdc.cdcSnapshotSql,

@@ -74,8 +74,60 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * scales with row count.
   */
 class GraftLakeProvider extends DataSourceRegister with StreamSourceProvider
-    with RelationProvider with StreamSinkProvider {
+    with RelationProvider with StreamSinkProvider
+    with org.apache.spark.sql.sources.CreatableRelationProvider {
   override def shortName(): String = "graft-lake"
+
+  /** BATCH WRITE — `df.write.format("graft-lake").mode(...).save(root)`
+    * and `CREATE TABLE t USING graft-lake OPTIONS (...) AS SELECT ...`
+    * (Spark routes CTAS here with ErrorIfExists): the DataFrameWriter
+    * half of the format round trip. A first write CREATES the table
+    * from options — `keyCols` (comma-separated, REQUIRED at create),
+    * `orderCol` (default: first key), `liveCol` (default `live`),
+    * `statsCols` (default: the keys — recorded min/max make the new
+    * table prunable from day one), `partitionCols` — then lands the
+    * rows as a blind append. Modes on an existing table: Append lands
+    * a new commit; Overwrite replaces contents in ONE atomic commit
+    * (history stays time-travelable until vacuum); ErrorIfExists
+    * refuses; Ignore no-ops. CDC folds stay [[LakeFormat.merge]]'s job
+    * — this path is the append-only fact-table shape. */
+  override def createRelation(sqlContext: SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.Dataset[Row]): BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    val spark = sqlContext.sparkSession
+    val root = LakeStreamSources.rootOf(parameters, shortName())
+    val exists = LakeFormat.tableExists(spark, root)
+    if (!exists) {
+      val keys = LakeStreamSources.opt(parameters, "keyCols")
+        .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+        .getOrElse(throw new IllegalArgumentException(
+          "first write to a graft-lake path CREATES the table and needs " +
+            "option(\"keyCols\", \"k1[,k2...]\")"))
+      def cols(key: String, dflt: Seq[String]) =
+        LakeStreamSources.opt(parameters, key)
+          .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+          .getOrElse(dflt)
+      LakeFormat.create(spark, root, keys,
+        orderCol = LakeStreamSources.opt(parameters, "orderCol")
+          .getOrElse(keys.head),
+        liveCol = LakeStreamSources.opt(parameters, "liveCol")
+          .getOrElse("live"),
+        statsCols = cols("statsCols", keys),
+        partitionCols = cols("partitionCols", Seq.empty),
+        schema = Some(data.schema))
+      LakeFormat.append(data.toDF, root)
+    } else mode match {
+      case SaveMode.Append    => LakeFormat.append(data.toDF, root)
+      case SaveMode.Overwrite => LakeFormat.overwrite(data.toDF, root)
+      case SaveMode.Ignore    => ()
+      case SaveMode.ErrorIfExists => throw new IllegalStateException(
+        s"graft-lake table at $root already exists (mode=ErrorIfExists)")
+    }
+    new GraftLakeRelation(sqlContext, root,
+      parameters - "versionAsOf") // the relation serves what was written
+  }
 
   /** STREAMING SINK: `envelopes.writeStream.format("graft-lake")
     * .option("path", root).option("checkpointLocation", ck).start()` —
@@ -302,9 +354,24 @@ private[sources] object LakeFilters {
 
 private[sources] class GraftLakeRelation(val sqlContext: SQLContext,
     root: String, parameters: Map[String, String])
-    extends BaseRelation with PrunedFilteredScan {
+    extends BaseRelation with PrunedFilteredScan
+    with org.apache.spark.sql.sources.InsertableRelation {
 
   private def spark: SparkSession = sqlContext.sparkSession
+
+  /** SQL `INSERT INTO t SELECT ...` / `INSERT OVERWRITE t ...` over a
+    * catalog-registered lake table (Spark matches columns by position
+    * against [[schema]] and casts before calling). A new relation is
+    * resolved per subsequent query, so readers after the insert see the
+    * new commit; THIS relation keeps serving its pinned version — the
+    * snapshot rule is unchanged. Time-travel relations refuse writes. */
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    require(parameters.get("versionAsOf").isEmpty,
+      "cannot INSERT into a versionAsOf time-travel relation")
+    if (overwrite) LakeFormat.overwrite(data, root)
+    else LakeFormat.append(data, root)
+    ()
+  }
 
   /** The table version this relation serves, PINNED AT CONSTRUCTION —
     * versionAsOf when given, else the tip at relation-creation time. A
@@ -447,6 +514,17 @@ private[sources] object LakeStreamSources {
     parameters.get("path").orElse(parameters.get("root")).getOrElse(
       throw new IllegalArgumentException(
         s"$name needs a table root: .load(<root>) or option(\"path\", ...)"))
+
+  /** Case-insensitive option lookup: SQL `OPTIONS (keyCols '...')` and
+    * `option("keyCols", ...)` may reach a V1 provider with different
+    * key casing depending on the entry path. */
+  def opt(parameters: Map[String, String], key: String): Option[String] =
+    parameters.get(key).orElse {
+      val lk = key.toLowerCase(java.util.Locale.ROOT)
+      parameters.collectFirst {
+        case (k, v) if k.toLowerCase(java.util.Locale.ROOT) == lk => v
+      }
+    }
 
   def versionOf(o: OffsetV1): Long = o match {
     case l: LongOffset       => l.offset

@@ -459,6 +459,26 @@ object LakeFormat {
       case MetaA(m) => m
     }.getOrElse(throw new IllegalStateException(s"no meta action in $root v0"))
 
+  /** Whether a lake table exists at `root` (has a committed log). */
+  def tableExists(spark: SparkSession, root: String): Boolean =
+    listLogVersions(spark, root).nonEmpty
+
+  /** Atomic full-table OVERWRITE: ONE commit removes every current file
+    * and adds the new rows — readers see the old contents or the new,
+    * never a mix, and the replaced version stays time-travelable until
+    * [[vacuum]] (the same history contract as every rewrite). Uses the
+    * strict write-serializable rule (no rebase): an overwrite derived
+    * its intent from the read snapshot, so ANY intervening commit
+    * aborts with ConcurrentModificationException and the caller
+    * re-runs. */
+  def overwrite(df: DataFrame, root: String): Long = {
+    val spark = df.sparkSession
+    val st = state(spark, root)
+    val adds = writeData(df, root, st.meta)
+    val lines = st.files.map(a => removeJson(a.path)) ++ adds.map(addJson)
+    strictCommit(spark, root, st.version, lines, adds, "overwrite")
+  }
+
   /** Blind append: no read-set, so a lost race just retries on the new
     * tip — two concurrent appends both land, at consecutive versions. */
   def append(df: DataFrame, root: String): Long = {

@@ -322,6 +322,57 @@ class LakeSourceHardeningSpec extends AnyFunSuite {
     assert(!LakeTx.registeredConsumers(spark, root).contains("deadtx"))
   }
 
+  // ------------------------------------------------------- batch writes
+
+  test("df.write.format(graft-lake): first write creates from options, modes behave") {
+    val root = freshDir("lsh_writer")
+    val a = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    // first write without keyCols refuses loudly
+    val ex = intercept[Exception] {
+      a.write.format("graft-lake").save(s"$root/bad")
+    }
+    assert(ex.getMessage.contains("keyCols"))
+    a.write.format("graft-lake").option("keyCols", "id").save(root)
+    val meta = LakeFormat.readMeta(spark, root)
+    assert(meta.keyCols === Seq("id") && meta.orderCol === "id" &&
+      meta.statsCols === Seq("id"),
+      s"create-from-options defaults wrong: $meta")
+    // append mode lands a second commit
+    Seq((3L, "c")).toDF("id", "v")
+      .write.format("graft-lake").mode("append").save(root)
+    assert(LakeFormat.snapshot(spark, root).count() === 3L)
+    // ErrorIfExists refuses, Ignore no-ops
+    intercept[IllegalStateException] {
+      a.write.format("graft-lake").mode("errorifexists").save(root)
+    }
+    Seq((9L, "z")).toDF("id", "v")
+      .write.format("graft-lake").mode("ignore").save(root)
+    assert(LakeFormat.snapshot(spark, root).count() === 3L)
+    // overwrite replaces atomically; the replaced version time-travels
+    Seq((7L, "x")).toDF("id", "v")
+      .write.format("graft-lake").mode("overwrite").save(root)
+    assert(LakeFormat.snapshot(spark, root).select("id").collect()
+      .map(_.getLong(0)).toSeq === Seq(7L))
+    assert(LakeFormat.readAsOf(spark, root, 2L).count() === 3L,
+      "pre-overwrite contents must stay time-travelable")
+    // and the created table is a REAL lake table: merge works against it
+    // (orderCol defaulted to the key itself — the append-only shape)
+    LakeFormat.merge(Seq((7L, "x", false)).toDF("id", "v", "live"), root)
+    assert(LakeFormat.snapshot(spark, root).filter(col("live")).count() === 0L)
+  }
+
+  test("INSERT into a versionAsOf time-travel relation refuses") {
+    val root = freshDir("lsh_ttw")
+    Seq((1L, "a")).toDF("id", "v")
+      .write.format("graft-lake").option("keyCols", "id").save(root)
+    val rel = new GraftLakeRelation(spark.sqlContext, root,
+      Map("path" -> root, "versionAsOf" -> "1"))
+    val ex = intercept[IllegalArgumentException] {
+      rel.insert(Seq((2L, "b")).toDF("id", "v"), overwrite = false)
+    }
+    assert(ex.getMessage.contains("versionAsOf"))
+  }
+
   // --------------------------------------------- stats-pruned time travel
 
   test("scanAsOf prunes a HISTORICAL version by its recorded stats") {
