@@ -173,8 +173,8 @@ object LakeFormat {
     s"""{"remove":{"path":"${esc(p)}"}}"""
   private def txnJson(appId: String, version: Long): String =
     s"""{"txn":{"appId":"${esc(appId)}","version":$version}}"""
-  private def commitJson(id: String): String =
-    s"""{"commit":{"id":"${esc(id)}"}}"""
+  private def commitJson(id: String, op: String, ts: Long): String =
+    s"""{"commit":{"id":"${esc(id)}","op":"${esc(op)}","ts":$ts}}"""
   private def metaJson(m: LakeMeta): String = {
     def arr(xs: Seq[String]) = xs.map(x => "\"" + esc(x) + "\"").mkString("[", ",", "]")
     val schema = m.schemaDdl.map(d => s""","schemaDdl":"${esc(d)}"""").getOrElse("")
@@ -199,7 +199,10 @@ object LakeFormat {
   private final case class RemoveA(path: String) extends Action
   private final case class MetaA(m: LakeMeta) extends Action
   private final case class TxnA(appId: String, version: Long) extends Action
-  private final case class CommitA(id: String) extends Action // writer id — replay-inert
+  // writer id + operation name + wall-clock — replay-inert bookkeeping
+  // (op/ts absent in pre-r17 logs read back ""/0; nothing replays them)
+  private final case class CommitA(id: String, op: String = "",
+      ts: Long = 0L) extends Action
 
   private def parseLine(line: String): Action = {
     val n = mapper.readTree(line)
@@ -212,7 +215,12 @@ object LakeFormat {
     } else if (n.has("remove")) RemoveA(n.get("remove").get("path").asText)
     else if (n.has("txn"))
       TxnA(n.get("txn").get("appId").asText, n.get("txn").get("version").asLong)
-    else if (n.has("commit")) CommitA(n.get("commit").get("id").asText)
+    else if (n.has("commit")) {
+      val c = n.get("commit")
+      CommitA(c.get("id").asText,
+        if (c.get("op") == null) "" else c.get("op").asText,
+        if (c.get("ts") == null) 0L else c.get("ts").asLong)
+    }
     else if (n.has("meta")) {
       val m = n.get("meta")
       def arr(f: String) = // absent field (pre-partition logs) reads empty
@@ -253,11 +261,12 @@ object LakeFormat {
     * protocol closes with an external log store, documented here rather
     * than hidden.) */
   private[sources] def tryCommit(spark: SparkSession, root: String, v: Long,
-      lines: Seq[String]): Boolean = {
+      lines: Seq[String], op: String = ""): Boolean = {
     val f = fs(spark, root)
     f.mkdirs(logDir(root))
     val tmp = new Path(logDir(root), s".tmp-${UUID.randomUUID.toString.take(12)}")
-    val payload = (commitJson(UUID.randomUUID.toString) +: lines)
+    val payload = (commitJson(UUID.randomUUID.toString, op,
+      System.currentTimeMillis()) +: lines)
       .mkString("\n") + "\n"
     val out = f.create(tmp, false)
     try out.write(payload.getBytes("UTF-8"))
@@ -296,7 +305,7 @@ object LakeFormat {
       s"lake table already exists at $root")
     val m = LakeMeta(keyCols, orderCol, liveCol, statsCols, partitionCols,
       schema.map(_.toDDL))
-    if (!tryCommit(spark, root, 0L, Seq(metaJson(m))))
+    if (!tryCommit(spark, root, 0L, Seq(metaJson(m)), op = "create"))
       throw new java.util.ConcurrentModificationException(
         s"concurrent create at $root")
   }
@@ -363,7 +372,7 @@ object LakeFormat {
         case TxnA(app, tv) =>
           txns.updateWith(app)(p => Some(p.fold(tv)(math.max(_, tv))))
         case MetaA(_)    => () // immutable after v0
-        case CommitA(_)  => () // writer id — bookkeeping only
+        case _: CommitA  => () // writer bookkeeping only
       }
     }
     LakeState(target, meta, files.values.toSeq, txns.toMap)
@@ -463,6 +472,37 @@ object LakeFormat {
   def tableExists(spark: SparkSession, root: String): Boolean =
     listLogVersions(spark, root).nonEmpty
 
+  /** Commit history, NEWEST first — the DESCRIBE HISTORY shape a table
+    * operator asks for before touching retention: one row per retained
+    * log version with its recorded operation name and wall-clock
+    * (absent in pre-r17 logs → ""/0 — never re-derived), the add/remove
+    * file counts, added rows/bytes, and any exactly-once markers the
+    * commit carried. Driver cost: one small log read per returned row,
+    * capped by `limit` (newest-first) — never a data-file open. */
+  def history(spark: SparkSession, root: String,
+      limit: Int = 1000): DataFrame = {
+    import spark.implicits._
+    val vs = listLogVersions(spark, root).sorted(Ordering[Long].reverse)
+      .take(math.max(0, limit))
+    vs.map { v =>
+      // lenient parse: a log may carry actions this layer doesn't own
+      // (LakeTx's `manifest` pin map) — history reports the file/commit
+      // bookkeeping and skips foreign lines instead of refusing
+      val acts = readLogLines(spark, root, v)
+        .flatMap(l => scala.util.Try(parseLine(l)).toOption)
+      val adds = acts.collect { case AddA(a) => a }
+      val removes = acts.count(_.isInstanceOf[RemoveA])
+      val commit = acts.collectFirst { case c: CommitA => c }
+      val txns = acts.collect { case TxnA(app, tv) => s"$app=$tv" }
+        .sorted.mkString(",")
+      (v, commit.map(_.op).getOrElse(""),
+        commit.map(_.ts).getOrElse(0L),
+        adds.size.toLong, removes.toLong,
+        adds.map(_.rows).sum, adds.map(_.bytes).sum, txns)
+    }.toDF("version", "op", "ts", "added_files", "removed_files",
+      "added_rows", "added_bytes", "txns")
+  }
+
   /** Atomic full-table OVERWRITE: ONE commit removes every current file
     * and adds the new rows — readers see the old contents or the new,
     * never a mix, and the replaced version stays time-travelable until
@@ -489,7 +529,7 @@ object LakeFormat {
     while (attempts < 1000) {
       lockFor(root).synchronized {
         val v = listLogVersions(spark, root).max + 1
-        if (tryCommit(spark, root, v, lines)) return v
+        if (tryCommit(spark, root, v, lines, op = "append")) return v
       }
       attempts += 1
     }
@@ -987,7 +1027,7 @@ object LakeFormat {
       case RemoveA(p)    => !candPaths.contains(p)
       case TxnA(app, tv) =>
         !txn.exists { case (a0, t0) => a0 == app && tv >= t0 }
-      case MetaA(_) | CommitA(_) => true
+      case MetaA(_) | (_: CommitA) => true
     }
     val lines = touched.map(a => removeJson(a.path)) ++ adds.map(addJson) ++
       txn.map { case (app, tv) => txnJson(app, tv) }
@@ -1036,7 +1076,7 @@ object LakeFormat {
       }
       // a lost claim here means an OUT-OF-PROCESS racer slipped past the
       // in-JVM lock: indistinguishable from a mid-window tip move, abort
-      if (!tryCommit(spark, root, tip + 1, lines)) abort(tip)
+      if (!tryCommit(spark, root, tip + 1, lines, op = what)) abort(tip)
       tip + 1
     }
   }
@@ -1481,15 +1521,17 @@ object LakeFormat {
     * dead one. Returns the expired names. */
   private[sources] def consumerRetentionGate(spark: SparkSession,
       registryRoot: String, floor: Long, what: String,
-      expireOlderThanMs: Option[Long]): Seq[String] = {
+      expireOlderThanMs: Option[Long],
+      dryRun: Boolean = false): Seq[String] = {
     val now = System.currentTimeMillis()
     val expired = expireOlderThanMs.toSeq.flatMap { ttl =>
       registeredConsumers(spark, registryRoot).keys.toSeq.sorted.filter { n =>
         val dir = s"$registryRoot/_consumers/$n"
         consumerLastAdvancedMs(spark, dir).exists(now - _ >= ttl)
-      }.map { n => dropConsumer(spark, registryRoot, n); n }
+      }.map { n => if (!dryRun) dropConsumer(spark, registryRoot, n); n }
     }
     val lagging = registeredConsumers(spark, registryRoot)
+      .filter { case (n, _) => !expired.contains(n) } // dry run: as-if dropped
       .map { case (n, o) => (n, o.getOrElse(0L)) }
       .filter { case (_, o) => o < floor }
     if (lagging.nonEmpty) {
@@ -1520,16 +1562,21 @@ object LakeFormat {
     * every file removed after that offset as a pre-image, so reclaiming
     * them would turn the consumer's next drain into a missing-file
     * failure — the refusal names the laggard and the remedies instead.
-    * Returns the deleted relative paths. */
+    * Returns the deleted relative paths. `dryRun=true` returns the
+    * paths the same call WOULD reclaim — refusing exactly when the real
+    * call would refuse (expiry policy included) — without mutating
+    * anything: no deletes, no staging sweeps, no registry drops. */
   def vacuum(spark: SparkSession, root: String, keepVersions: Int,
       olderThanMs: Long = 3600L * 1000,
-      expireConsumersOlderThanMs: Option[Long] = None): Seq[String] = {
+      expireConsumersOlderThanMs: Option[Long] = None,
+      dryRun: Boolean = false): Seq[String] = {
     require(keepVersions >= 1, "must retain at least the current version")
     val f = fs(spark, root)
     val latest = state(spark, root).version
     val floor = math.max(0L, latest - keepVersions + 1)
     consumerRetentionGate(spark, root, floor,
-      s"vacuum(keepVersions=$keepVersions)", expireConsumersOlderThanMs)
+      s"vacuum(keepVersions=$keepVersions)", expireConsumersOlderThanMs,
+      dryRun)
     val referenced = (floor to latest)
       .flatMap(v => state(spark, root, Some(v)).files.map(_.path)).toSet
     val now = System.currentTimeMillis()
@@ -1544,10 +1591,12 @@ object LakeFormat {
           .stripPrefix("/") -> s.getModificationTime
       }
     }
-    val deleted = onDisk.toSeq
+    val reclaimable = onDisk.toSeq
       .filter { case (_, mt) => now - mt >= olderThanMs }
       .map(_._1)
       .filterNot(referenced)
+    if (dryRun) return reclaimable
+    val deleted = reclaimable
       .map { rel => f.delete(new Path(root, rel), false); rel }
     // crashed-writer staging dirs (data never referenced by any commit)
     f.listStatus(new Path(root)).toSeq

@@ -77,7 +77,7 @@ object LakeTx {
       t -> vs.max
     }.toMap
     if (!LakeFormat.tryCommit(spark, txRoot(root), 0L,
-        Seq(manifestJson(pinned))))
+        Seq(manifestJson(pinned)), op = "tx-init"))
       throw new java.util.ConcurrentModificationException(
         s"concurrent init at $root")
   }
@@ -142,7 +142,7 @@ object LakeTx {
         t -> math.max(v, current.getOrElse(t, v))
       }
       if (!LakeFormat.tryCommit(spark, txRoot(root), tip + 1L,
-          Seq(manifestJson(publish))))
+          Seq(manifestJson(publish)), op = "tx-commit"))
         throw new java.util.ConcurrentModificationException(
           s"manifest claim lost at $root v${tip + 1} — re-run the tx")
       tip + 1L
@@ -249,8 +249,8 @@ object LakeTx {
 
   def vacuum(spark: SparkSession, root: String, keepManifests: Int,
       olderThanMs: Long = 3600L * 1000,
-      expireConsumersOlderThanMs: Option[Long] = None)
-      : Map[String, Seq[String]] = {
+      expireConsumersOlderThanMs: Option[Long] = None,
+      dryRun: Boolean = false): Map[String, Seq[String]] = {
     require(keepManifests >= 1, "must retain at least the current manifest")
     val tip = manifestVersion(spark, root)
     val floor = math.max(0L, tip - keepManifests + 1)
@@ -259,18 +259,30 @@ object LakeTx {
     // next drain's `prev` pins) and every member change window above
     // it — refuse NOW (naming the laggard's offset AND last-advance
     // age) instead of failing its next drain; expiry reclaims past
-    // provably-dead registrations on explicit opt-in
+    // provably-dead registrations on explicit opt-in. dryRun reports
+    // without mutating (member files, manifest log, registry).
     LakeFormat.consumerRetentionGate(spark, txRoot(root), floor,
-      s"vacuum(keepManifests=$keepManifests)", expireConsumersOlderThanMs)
+      s"vacuum(keepManifests=$keepManifests)", expireConsumersOlderThanMs,
+      dryRun)
     val retained = (floor to tip).map(mv => manifest(spark, root, Some(mv)))
     val tables = retained.head.keySet
     val deleted = tables.map { t =>
       val minPin = retained.map(_(t)).min
       val tTip = LakeFormat.listLogVersions(spark, tableRoot(root, t)).max
       val keep = (tTip - minPin + 1).toInt
-      t -> LakeFormat.vacuum(spark, tableRoot(root, t), keep, olderThanMs)
+      t -> LakeFormat.vacuum(spark, tableRoot(root, t), keep, olderThanMs,
+        dryRun = dryRun)
     }.toMap
-    LakeFormat.pruneLogBelow(spark, txRoot(root), floor, olderThanMs)
+    if (!dryRun)
+      LakeFormat.pruneLogBelow(spark, txRoot(root), floor, olderThanMs)
     deleted
   }
+
+  /** The TRANSACTION log's commit history (newest first) — one row per
+    * manifest version with its recorded op (`tx-init`/`tx-commit`) and
+    * wall-clock: [[LakeFormat.history]] over the `_tx` log. Member
+    * tables answer their own `LakeFormat.history(tableRoot(root, t))`. */
+  def history(spark: SparkSession, root: String,
+      limit: Int = 1000): DataFrame =
+    LakeFormat.history(spark, txRoot(root), limit)
 }

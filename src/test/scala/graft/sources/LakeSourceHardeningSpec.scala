@@ -373,6 +373,88 @@ class LakeSourceHardeningSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("versionAsOf"))
   }
 
+  // -------------------------------------------------- history + dry run
+
+  test("history reports per-version ops, counts and markers, newest first") {
+    val root = freshDir("lsh_hist")
+    LakeFormat.create(spark, root, keyCols = Seq("id"), orderCol = "lsn",
+      liveCol = "live", statsCols = Seq("id"))
+    LakeFormat.append(Seq((1L, 1L, true, "a"), (2L, 1L, true, "b"))
+      .toDF("id", "lsn", "live", "v"), root)
+    LakeFormat.merge(Seq((1L, 2L, true, "a2")).toDF("id", "lsn", "live", "v"),
+      root, txn = Some(("app1", 7L)))
+    LakeFormat.delete(spark, root, col("id") === 2L)
+    val h = LakeFormat.history(spark, root).collect()
+    assert(h.map(_.getLong(0)).toSeq === Seq(3L, 2L, 1L, 0L),
+      "history must list newest first")
+    val byV = h.map(r => r.getLong(0) ->
+      (r.getString(1), r.getLong(3), r.getLong(4), r.getString(7))).toMap
+    assert(byV(0L)._1 === "create")
+    assert(byV(1L)._1 === "append" && byV(1L)._2 >= 1L)
+    assert(byV(2L)._1 === "merge" && byV(2L)._4 === "app1=7",
+      s"merge row must carry its txn marker: ${byV(2L)}")
+    assert(byV(3L)._1 === "delete" && byV(3L)._3 >= 1L,
+      "delete must report removed files")
+    // recorded wall-clock present on every commit
+    assert(h.forall(_.getLong(2) > 0L))
+    assert(LakeFormat.history(spark, root, limit = 2).count() === 2L)
+  }
+
+  test("vacuum dryRun reports reclaimable files without touching anything") {
+    // same-key merges: each rewrite retires the previous file, so
+    // keepVersions=1 leaves reclaimable history
+    val root = freshDir("lsh_dry")
+    LakeFormat.create(spark, root, keyCols = Seq("id"), orderCol = "lsn",
+      liveCol = "live", statsCols = Seq("id"))
+    (1 to 4).foreach { i =>
+      LakeFormat.merge(Seq((1L, i.toLong, true, s"v$i"))
+        .toDF("id", "lsn", "live", "v"), root)
+    }
+    val wouldDelete = LakeFormat.vacuum(spark, root, keepVersions = 1,
+      olderThanMs = 0L, dryRun = true)
+    assert(wouldDelete.nonEmpty, "rewritten files must be reclaimable")
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    wouldDelete.foreach(rel => assert(
+      f.exists(new org.apache.hadoop.fs.Path(root, rel)),
+      s"dry run must not delete $rel"))
+    // dry run with expiry policy: predicts, but keeps the registration
+    LakeFormat.registerConsumer(spark, root, "dryghost")
+    LakeFormat.vacuum(spark, root, keepVersions = 1, olderThanMs = 0L,
+      expireConsumersOlderThanMs = Some(0L), dryRun = true)
+    assert(LakeFormat.registeredConsumers(spark, root).contains("dryghost"),
+      "dry run must not drop registrations")
+    LakeFormat.dropConsumer(spark, root, "dryghost")
+    // the real call then reclaims exactly the predicted set
+    val deleted = LakeFormat.vacuum(spark, root, keepVersions = 1,
+      olderThanMs = 0L)
+    assert(deleted.toSet === wouldDelete.toSet)
+  }
+
+  test("tx history and tx dry-run vacuum") {
+    val root = freshDir("lsh_txhist")
+    LakeFormat.create(spark, LakeTx.tableRoot(root, "a"),
+      keyCols = Seq("id"), orderCol = "lsn", liveCol = "live",
+      statsCols = Seq("id"))
+    LakeTx.init(spark, root, Seq("a"))
+    def up(id: Long) = Seq((id, id, true, s"r$id"))
+      .toDF("id", "lsn", "live", "v")
+    (1L to 3L).foreach(i => LakeTx.commitTx(spark, root,
+      Map("a" -> up(i)), app = "lshh", txv = i))
+    val h = LakeTx.history(spark, root).collect()
+    assert(h.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((3L, "tx-commit"), (2L, "tx-commit"), (1L, "tx-commit"),
+        (0L, "tx-init")))
+    val dry = LakeTx.vacuum(spark, root, keepManifests = 1,
+      olderThanMs = 0L, dryRun = true)
+    assert(LakeTx.manifestVersion(spark, root) === 3L)
+    // manifest log untouched by the dry run: v0 still readable
+    assert(LakeTx.manifest(spark, root, Some(0L)).contains("a"))
+    val real = LakeTx.vacuum(spark, root, keepManifests = 1,
+      olderThanMs = 0L)
+    assert(real("a").toSet === dry("a").toSet)
+  }
+
   // --------------------------------------------- stats-pruned time travel
 
   test("scanAsOf prunes a HISTORICAL version by its recorded stats") {
