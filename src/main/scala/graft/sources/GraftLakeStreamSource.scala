@@ -105,6 +105,9 @@ class GraftLakeProvider extends DataSourceRegister with StreamSourceProvider
         .getOrElse(throw new IllegalArgumentException(
           "first write to a graft-lake path CREATES the table and needs " +
             "option(\"keyCols\", \"k1[,k2...]\")"))
+      keys.foreach(k => require(data.columns.contains(k),
+        s"keyCols column '$k' is not in the written frame " +
+          s"(${data.columns.mkString(", ")})"))
       def cols(key: String, dflt: Seq[String]) =
         LakeStreamSources.opt(parameters, key)
           .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
@@ -366,22 +369,32 @@ private[sources] class GraftLakeRelation(val sqlContext: SQLContext,
     * new commit; THIS relation keeps serving its pinned version — the
     * snapshot rule is unchanged. Time-travel relations refuse writes. */
   override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-    require(parameters.get("versionAsOf").isEmpty,
-      "cannot INSERT into a versionAsOf time-travel relation")
+    require(LakeStreamSources.opt(parameters, "versionAsOf").isEmpty &&
+      LakeStreamSources.opt(parameters, "timestampAsOf").isEmpty,
+      "cannot INSERT into a versionAsOf/timestampAsOf time-travel relation")
     if (overwrite) LakeFormat.overwrite(data, root)
     else LakeFormat.append(data, root)
     ()
   }
 
   /** The table version this relation serves, PINNED AT CONSTRUCTION —
-    * versionAsOf when given, else the tip at relation-creation time. A
+    * versionAsOf / timestampAsOf (the last version whose recorded
+    * commit wall-clock is ≤ the requested instant — epoch ms or
+    * ISO-8601) when given, else the tip at relation-creation time. A
     * query scanning the relation twice (self-join, union reuse) must
     * read ONE version even if a commit lands between the scans — the
     * snapshot-pinned-at-analysis rule the public Delta connector
     * follows; a per-scan tip re-read would silently mix versions. */
-  private val pinnedVersion: Long =
-    parameters.get("versionAsOf").map(_.toLong)
+  private val pinnedVersion: Long = {
+    val byV = LakeStreamSources.opt(parameters, "versionAsOf")
+    val byT = LakeStreamSources.opt(parameters, "timestampAsOf")
+    require(byV.isEmpty || byT.isEmpty,
+      "versionAsOf and timestampAsOf are mutually exclusive")
+    byV.map(_.toLong)
+      .orElse(byT.map(s => LakeFormat.versionAtTimestamp(spark, root,
+        LakeFormat.parseTsOption(s))))
       .getOrElse(LakeFormat.state(spark, root).version)
+  }
 
   private def base(): DataFrame =
     LakeFormat.readAsOf(spark, root, pinnedVersion)
@@ -587,23 +600,44 @@ private[sources] abstract class LakeVersionedSource(
       v
     }
 
+  /** The recorded commit wall-clock of version `v`, 0 when unknown —
+    * pruned-from-retention and pre-stamping commits both read 0 and
+    * therefore sort as OLDER than any requested startingTimestamp. */
+  protected def versionTs(v: Long): Long
+
   /** Highest version this stream must NOT serve again — the exclusive
     * start of the first batch. `latest` anchors at the tip ONCE, durably
     * (the Kafka consumer-group shape: the first start picks the anchor,
     * restarts honor it — without persistence, a restart before any batch
-    * would silently re-anchor at a NEWER tip and skip the gap). */
-  private val floor: Long = parameters.get("startingVersion") match {
-    case Some("latest") =>
+    * would silently re-anchor at a NEWER tip and skip the gap).
+    * `startingTimestamp` (epoch ms or ISO-8601) resolves to the first
+    * version whose recorded commit wall-clock is ≥ the instant — or the
+    * tip when none is yet (tail only future commits) — and persists the
+    * resolution durably for the same restart-determinism reason. */
+  private val floor: Long = (parameters.get("startingVersion"),
+      LakeStreamSources.opt(parameters, "startingTimestamp")) match {
+    case (Some(_), Some(_)) => throw new IllegalArgumentException(
+      "startingVersion and startingTimestamp are mutually exclusive")
+    case (Some("latest"), _) =>
       LakeFormat.consumerOffset(spark, metadataPath).getOrElse {
         val t = tip()
         LakeFormat.commitConsumerOffset(spark, metadataPath, t)
         t
       }
-    case Some(v) =>
+    case (Some(v), _) =>
       val sv = v.toLong
       require(sv >= 1, s"startingVersion must be ≥ 1 or 'latest', got $sv")
       sv - 1
-    case None => 0L
+    case (None, Some(s)) =>
+      LakeFormat.consumerOffset(spark, metadataPath).getOrElse {
+        val ts = LakeFormat.parseTsOption(s)
+        val t = tip()
+        val f = (1L to t).find(v => versionTs(v) >= ts)
+          .map(_ - 1L).getOrElse(t)
+        LakeFormat.commitConsumerOffset(spark, metadataPath, f)
+        f
+      }
+    case (None, None) => 0L
   }
 
   // Monotonic high-water mark ACROSS RESTARTS: getOffset must never
@@ -754,6 +788,10 @@ private[sources] class GraftLakeSource(spark0: SparkSession,
   override private[sources] def versionBytes(v: Long): Long =
     LakeFormat.commitAddedBytes(spark, root, v)
 
+  override protected def versionTs(v: Long): Long =
+    scala.util.Try(LakeFormat.commitTimestampMs(spark, root, v))
+      .getOrElse(0L)
+
   // monotonic-advance form: tolerant of a second query sharing the
   // consumerName (the higher pointer wins — the safe direction)
   override protected def acknowledged(v: Long): Unit =
@@ -804,6 +842,10 @@ private[sources] class GraftLakeTxSource(spark0: SparkSession,
     registeredDir.foreach(d => LakeFormat.advanceConsumerOffset(spark, d, v))
 
   override protected def tip(): Long = LakeTx.manifestVersion(spark, root)
+
+  override protected def versionTs(mv: Long): Long =
+    scala.util.Try(LakeFormat.commitTimestampMs(spark,
+      LakeTx.txLogRoot(root), mv)).getOrElse(0L)
 
   /** Bytes a MANIFEST version admits = the sum of its advanced members'
     * commit-range added bytes — one manifest pair read plus one small

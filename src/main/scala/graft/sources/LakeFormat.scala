@@ -472,6 +472,34 @@ object LakeFormat {
   def tableExists(spark: SparkSession, root: String): Boolean =
     listLogVersions(spark, root).nonEmpty
 
+  /** The wall-clock recorded by version `v`'s commit action (0 for logs
+    * written before op/ts stamping — such commits sort as older than
+    * any requested timestamp). One small log read. */
+  def commitTimestampMs(spark: SparkSession, root: String, v: Long): Long =
+    readLogLines(spark, root, v)
+      .flatMap(l => scala.util.Try(parseLine(l)).toOption)
+      .collectFirst { case c: CommitA => c.ts }.getOrElse(0L)
+
+  /** Parse a user-facing timestamp option: epoch millis (all digits) or
+    * ISO-8601 instant (`2026-08-16T12:00:00Z`). */
+  private[sources] def parseTsOption(s: String): Long =
+    if (s.forall(_.isDigit)) s.toLong
+    else java.time.Instant.parse(s).toEpochMilli
+
+  /** TIMESTAMP-BASED TIME TRAVEL resolution: the LAST committed version
+    * whose recorded commit wall-clock is ≤ `tsMs` — the state the table
+    * was serving at that moment (`timestampAsOf` semantics, the public
+    * Delta shape). Commit timestamps are monotone in practice (each
+    * claims tip+1 under wall-clock); resolution scans the retained log
+    * newest-first and stops at the first match — O(#versions-after-ts)
+    * small reads. Throws when `tsMs` predates the table. */
+  def versionAtTimestamp(spark: SparkSession, root: String,
+      tsMs: Long): Long =
+    listLogVersions(spark, root).sorted(Ordering[Long].reverse)
+      .find(v => commitTimestampMs(spark, root, v) <= tsMs)
+      .getOrElse(throw new IllegalArgumentException(
+        s"timestampAsOf $tsMs predates every retained commit at $root"))
+
   /** Commit history, NEWEST first — the DESCRIBE HISTORY shape a table
     * operator asks for before touching retention: one row per retained
     * log version with its recorded operation name and wall-clock

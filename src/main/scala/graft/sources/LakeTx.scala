@@ -51,6 +51,10 @@ object LakeTx {
 
   private def txRoot(root: String): String = s"$root/_tx"
 
+  /** The manifest log's root — the path [[LakeFormat.commitTimestampMs]]
+    * and [[LakeFormat.history]] read tx-layer bookkeeping from. */
+  private[sources] def txLogRoot(root: String): String = txRoot(root)
+
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   private def esc(s: String): String = s.flatMap {

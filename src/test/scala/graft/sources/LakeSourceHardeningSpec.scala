@@ -373,6 +373,124 @@ class LakeSourceHardeningSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("versionAsOf"))
   }
 
+  // ------------------------------------------------ timestamp time travel
+
+  test("timestampAsOf resolves to the last version committed at-or-before the instant") {
+    val root = freshDir("lsh_ts")
+    LakeFormat.create(spark, root, keyCols = Seq("id"), orderCol = "lsn",
+      liveCol = "live", statsCols = Seq("id"))
+    LakeFormat.merge(Seq((1L, 1L, true, "a")).toDF("id", "lsn", "live", "v"),
+      root)
+    Thread.sleep(20)
+    val between = System.currentTimeMillis()
+    Thread.sleep(20)
+    LakeFormat.merge(Seq((2L, 2L, true, "b")).toDF("id", "lsn", "live", "v"),
+      root)
+    assert(LakeFormat.versionAtTimestamp(spark, root, between) === 1L)
+    assert(LakeFormat.versionAtTimestamp(spark, root,
+      System.currentTimeMillis()) === 2L)
+    intercept[IllegalArgumentException] {
+      LakeFormat.versionAtTimestamp(spark, root, 1L) // predates the table
+    }
+    // the relation path: timestampAsOf serves v1's single row
+    val df = spark.read.format("graft-lake")
+      .option("timestampAsOf", between.toString).load(root)
+    assert(df.select("id").collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // mutual exclusion with versionAsOf
+    intercept[Exception] {
+      spark.read.format("graft-lake").option("timestampAsOf", "0")
+        .option("versionAsOf", "1").load(root).count()
+    }
+  }
+
+  test("startingTimestamp anchors a stream at the first commit at-or-after the instant") {
+    val root = freshDir("lsh_sts")
+    LakeFormat.create(spark, root, keyCols = Seq("id"), orderCol = "lsn",
+      liveCol = "live", statsCols = Seq("id"))
+    LakeFormat.merge(Seq((1L, 1L, true, "a")).toDF("id", "lsn", "live", "v"),
+      root)
+    Thread.sleep(20)
+    val between = System.currentTimeMillis()
+    Thread.sleep(20)
+    LakeFormat.merge(Seq((2L, 2L, true, "b")).toDF("id", "lsn", "live", "v"),
+      root)
+    LakeFormat.merge(Seq((3L, 3L, true, "c")).toDF("id", "lsn", "live", "v"),
+      root)
+    // commits 2..3 are at-or-after `between`; commit 1 is skipped
+    val meta = freshDir("lsh_sts_meta")
+    val src = new GraftLakeSource(spark, meta,
+      Map("path" -> root, "startingTimestamp" -> between.toString))
+    val o = src.getOffset.map(LakeStreamSources.versionOf)
+    assert(o === Some(3L))
+    val rows = src.batchPlan(2L, 3L).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(rows === Seq(2L, 3L))
+    // the resolution is DURABLE: a second incarnation on the same
+    // metadataPath anchors identically even after more commits
+    LakeFormat.merge(Seq((4L, 4L, true, "d")).toDF("id", "lsn", "live", "v"),
+      root)
+    val src2 = new GraftLakeSource(spark, meta,
+      Map("path" -> root, "startingTimestamp" -> between.toString))
+    val o2 = src2.getOffset.map(LakeStreamSources.versionOf)
+    assert(o2 === Some(4L))
+    // a timestamp past every commit tails only future ones
+    val srcF = new GraftLakeSource(spark, freshDir("lsh_sts_meta2"),
+      Map("path" -> root,
+        "startingTimestamp" -> (System.currentTimeMillis() + 60000).toString))
+    assert(srcF.getOffset === None)
+    // mutual exclusion
+    intercept[IllegalArgumentException] {
+      new GraftLakeSource(spark, freshDir("lsh_sts_meta3"),
+        Map("path" -> root, "startingVersion" -> "1",
+          "startingTimestamp" -> "0"))
+    }
+  }
+
+  // ------------------------------------------------- partitioned writer
+
+  test("writer-created PARTITIONED table lays out hive dirs and prunes") {
+    val root = freshDir("lsh_pw")
+    spark.range(0, 400)
+      .select(col("id"), (col("id") % 4).as("bucket"),
+        lit(true).as("live"))
+      .write.format("graft-lake")
+      .option("keyCols", "id").option("partitionCols", "bucket")
+      .save(root)
+    assert(LakeFormat.readMeta(spark, root).partitionCols === Seq("bucket"))
+    val sc = LakeFormat.scan(spark, root, col("bucket") === lit(1L))
+    assert(sc.keptFiles < sc.totalFiles,
+      s"partition pruning must engage: ${sc.keptFiles}/${sc.totalFiles}")
+    assert(sc.df.count() === 100L)
+    // keyCols not in the frame refuses at create
+    val ex = intercept[Exception] {
+      spark.range(3).toDF("x").write.format("graft-lake")
+        .option("keyCols", "nope").save(s"$root-bad")
+    }
+    assert(ex.getMessage.contains("nope"))
+  }
+
+  // ------------------------------------------------- tx catalog entry
+
+  test("CREATE TABLE USING graft-lake-tx serves a manifest-pinned member via SQL") {
+    val root = freshDir("lsh_txsql")
+    LakeFormat.create(spark, LakeTx.tableRoot(root, "a"),
+      keyCols = Seq("id"), orderCol = "lsn", liveCol = "live",
+      statsCols = Seq("id"))
+    LakeTx.init(spark, root, Seq("a"))
+    LakeTx.commitTx(spark, root, Map("a" ->
+      Seq((1L, 1L, true, "x")).toDF("id", "lsn", "live", "v")),
+      app = "lshsql", txv = 1L)
+    spark.sql("DROP TABLE IF EXISTS lsh_tx_member")
+    spark.sql(
+      s"""CREATE TABLE lsh_tx_member USING `graft-lake-tx`
+         |OPTIONS (path '$root', table 'a')""".stripMargin)
+    val got = spark.sql(
+      "SELECT id, v FROM lsh_tx_member WHERE live ORDER BY id").collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "x")))
+    spark.sql("DROP TABLE lsh_tx_member")
+  }
+
   // -------------------------------------------------- history + dry run
 
   test("history reports per-version ops, counts and markers, newest first") {
