@@ -373,6 +373,36 @@ class LakeSourceHardeningSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("versionAsOf"))
   }
 
+  // ------------------------------------------------- overwrite conflicts
+
+  test("overwrite aborts on ANY concurrent commit (strict serializable, deterministic interleave)") {
+    val root = freshDir("lsh_ow")
+    LakeFormat.create(spark, root, keyCols = Seq("id"), orderCol = "lsn",
+      liveCol = "live", statsCols = Seq("id"))
+    LakeFormat.append(Seq((1L, 1L, true, "a")).toDF("id", "lsn", "live", "v"),
+      root)
+    // fire a concurrent append inside the overwrite's commit window
+    LakeFormat.beforeCommitHook = () => {
+      LakeFormat.beforeCommitHook = () => ()
+      LakeFormat.append(Seq((9L, 9L, true, "race"))
+        .toDF("id", "lsn", "live", "v"), root)
+    }
+    try {
+      intercept[java.util.ConcurrentModificationException] {
+        LakeFormat.overwrite(Seq((2L, 2L, true, "b"))
+          .toDF("id", "lsn", "live", "v"), root)
+      }
+    } finally LakeFormat.beforeCommitHook = () => ()
+    // the racer's row is intact; the aborted overwrite left nothing
+    assert(LakeFormat.snapshot(spark, root).select("id").collect()
+      .map(_.getLong(0)).toSet === Set(1L, 9L))
+    // the re-run (new tip) succeeds
+    LakeFormat.overwrite(Seq((2L, 2L, true, "b"))
+      .toDF("id", "lsn", "live", "v"), root)
+    assert(LakeFormat.snapshot(spark, root).select("id").collect()
+      .map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
   // ------------------------------------------------ timestamp time travel
 
   test("timestampAsOf resolves to the last version committed at-or-before the instant") {
