@@ -149,6 +149,22 @@ object LakeFormat {
       .flatMap(n => n.stripSuffix(".json").toLongOption)
   }
 
+  /** Committed checkpoint versions (a checkpoint is a parquet DIR; only
+    * fully-written ones — `_SUCCESS` present — count, so a crashed
+    * checkpoint writer leaves no readable half-state). */
+  private def listCheckpointVersions(spark: SparkSession,
+      root: String): Seq[Long] = {
+    val f = fs(spark, root)
+    val d = logDir(root)
+    if (!f.exists(d)) Seq.empty
+    else f.listStatus(d).toSeq
+      .filter(s => s.isDirectory
+        && s.getPath.getName.endsWith(".checkpoint.parquet")
+        && f.exists(new Path(s.getPath, "_SUCCESS")))
+      .flatMap(_.getPath.getName.stripSuffix(".checkpoint.parquet")
+        .toLongOption)
+  }
+
   // ------------------------------------------------------------ JSON
 
   private def esc(s: String): String = s.flatMap {
@@ -331,15 +347,18 @@ object LakeFormat {
   // batches and double-merge them
   private def readCheckpoint(spark: SparkSession, root: String,
       v: Long): (Seq[AddFile], Map[String, Long]) = {
-    val rows = spark.read.parquet(checkpointFile(root, v).toString)
-      .select("kind", "path", "rows", "schemaDdl", "stats", "appId",
-        "txnVersion").collect().toSeq
+    val df0 = spark.read.parquet(checkpointFile(root, v).toString)
+    // pre-r17 checkpoints lack the bytes column → 0 (legacy degradation)
+    val df = if (df0.columns.contains("bytes")) df0
+      else df0.withColumn("bytes", lit(0L))
+    val rows = df.select("kind", "path", "rows", "bytes", "schemaDdl",
+      "stats", "appId", "txnVersion").collect().toSeq
     val adds = rows.filter(_.getString(0) == "add")
-      .map(r => AddFile(r.getString(1), r.getLong(2), r.getString(3),
-        parseStats(mapper.readTree(r.getString(4)))))
+      .map(r => AddFile(r.getString(1), r.getLong(2), r.getString(4),
+        parseStats(mapper.readTree(r.getString(5))), r.getLong(3)))
       .sortBy(_.path)
     val txns = rows.filter(_.getString(0) == "txn")
-      .map(r => r.getString(5) -> r.getLong(6)).toMap
+      .map(r => r.getString(6) -> r.getLong(7)).toMap
     (adds, txns)
   }
 
@@ -356,7 +375,13 @@ object LakeFormat {
     require(target >= 0L && target <= latest,
       s"version $target not committed at $root (latest=$latest)")
     val meta = readMeta(spark, root)
-    val cp = lastCheckpointVersion(spark, root).filter(_ <= target)
+    // the NEWEST fully-written checkpoint at-or-below the target (from
+    // the checkpoint listing, not just the `_last_checkpoint` pointer —
+    // historical checkpoints keep retained versions replayable after
+    // [[pruneLog]] reclaims the JSON entries below them)
+    val cp = listCheckpointVersions(spark, root).filter(_ <= target)
+      .maxOption.orElse(lastCheckpointVersion(spark, root)
+        .filter(_ <= target))
     val files = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     val txns = scala.collection.mutable.Map.empty[String, Long]
     cp.foreach { v =>
@@ -1447,24 +1472,35 @@ object LakeFormat {
 
   // ------------------------------------------------------- maintenance
 
-  /** Write a parquet checkpoint of the CURRENT state and point
-    * `_last_checkpoint` at it: replay afterwards reads one parquet file
-    * plus the JSON tail. JSON commits are retained (they stay the source
-    * of truth for time travel and audits); the checkpoint is purely a
-    * replay accelerator. Returns the checkpointed version. */
-  def checkpoint(spark: SparkSession, root: String): Long = {
-    val st = state(spark, root)
+  /** Write the parquet checkpoint rows for `st` at its version (no
+    * pointer update). File BYTES ride the checkpoint (r17) so a
+    * replay-from-checkpoint state keeps sizing relations, byte-capped
+    * triggers and size-aware optimize; pre-r17 checkpoints read back 0
+    * (the documented legacy-bytes degradation). */
+  private def writeCheckpointFile(spark: SparkSession, root: String,
+      st: LakeState): Unit = {
     import spark.implicits._
-    val addRows = st.files.map(a => ("add", a.path, a.rows, a.schemaDdl,
-      statsJson(a.stats), "", 0L))
+    val addRows = st.files.map(a => ("add", a.path, a.rows, a.bytes,
+      a.schemaDdl, statsJson(a.stats), "", 0L))
     val txnRows = st.txns.toSeq.sortBy(_._1).map { case (app, tv) =>
-      ("txn", "", 0L, "", "{}", app, tv)
+      ("txn", "", 0L, 0L, "", "{}", app, tv)
     }
     (addRows ++ txnRows)
-      .toDF("kind", "path", "rows", "schemaDdl", "stats", "appId",
+      .toDF("kind", "path", "rows", "bytes", "schemaDdl", "stats", "appId",
         "txnVersion")
       .coalesce(1).write.mode("overwrite")
       .parquet(checkpointFile(root, st.version).toString)
+  }
+
+  /** Write a parquet checkpoint of the CURRENT state and point
+    * `_last_checkpoint` at it: replay afterwards reads one parquet file
+    * plus the JSON tail. JSON commits are retained (they stay the source
+    * of truth for time travel and audits) until [[pruneLog]] explicitly
+    * reclaims old ones; the checkpoint is a replay accelerator and the
+    * replay FLOOR for pruned history. Returns the checkpointed version. */
+  def checkpoint(spark: SparkSession, root: String): Long = {
+    val st = state(spark, root)
+    writeCheckpointFile(spark, root, st)
     // pointer publish: tmp + rename-with-overwrite (atomic on HDFS/local;
     // single atomic PUT on object stores) — the SnapshotStore discipline
     val f = fs(spark, root)
@@ -1475,6 +1511,49 @@ object LakeFormat {
       spark.sparkContext.hadoopConfiguration)
     fc.rename(tmp, lastCheckpointPtr(root), Options.Rename.OVERWRITE)
     st.version
+  }
+
+  /** LOG RETENTION for data tables — bounds the `_log` listing at
+    * O(keepVersions) where it grew O(#commits) over the table's
+    * lifetime (at one commit a minute, a year is ~500k driver-side
+    * listing entries): ensure a CHECKPOINT exists at the retention
+    * floor (so every retained version replays as checkpoint + tail),
+    * then delete JSON entries and stale checkpoints below it. Version
+    * 0 is always kept — it carries the immutable table meta.
+    *
+    * Contract: time travel, change feeds and [[history]] below the
+    * floor fail LOUDLY afterwards (missing log entry — the vacuum
+    * contract, now symmetric between data files and their log).
+    * Registered change-feed consumers gate it exactly like [[vacuum]]:
+    * a consumer still below the floor refuses the prune. Keep log
+    * retention AT LEAST as wide as data retention (`keepVersions` here
+    * ≥ vacuum's) or vacuum's referenced-set walk loses its log.
+    * `olderThanMs` is the same in-flight guard. Returns the pruned
+    * versions. */
+  def pruneLog(spark: SparkSession, root: String, keepVersions: Int,
+      olderThanMs: Long = 3600L * 1000,
+      expireConsumersOlderThanMs: Option[Long] = None): Seq[Long] = {
+    require(keepVersions >= 1, "must retain at least the current version")
+    val tip = state(spark, root).version
+    val floor = math.max(0L, tip - keepVersions + 1)
+    if (floor <= 1L) return Seq.empty
+    consumerRetentionGate(spark, root, floor,
+      s"pruneLog(keepVersions=$keepVersions)", expireConsumersOlderThanMs)
+    if (!listCheckpointVersions(spark, root).contains(floor))
+      writeCheckpointFile(spark, root, state(spark, root, Some(floor)))
+    val f = fs(spark, root)
+    val now = System.currentTimeMillis()
+    val pruned = listLogVersions(spark, root)
+      .filter(v => v >= 1L && v < floor).sorted
+      .filter(v => now - f.getFileStatus(logFile(root, v))
+        .getModificationTime >= olderThanMs)
+      .map { v => f.delete(logFile(root, v), false); v }
+    // checkpoints below the floor serve only pruned versions — reclaim
+    listCheckpointVersions(spark, root).filter(_ < floor)
+      .filter(v => now - f.getFileStatus(checkpointFile(root, v))
+        .getModificationTime >= olderThanMs)
+      .foreach(v => f.delete(checkpointFile(root, v), true))
+    pruned
   }
 
   // ------------------------------------------------- consumer registry

@@ -373,6 +373,56 @@ class LakeSourceHardeningSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("versionAsOf"))
   }
 
+  // ------------------------------------------------------ log retention
+
+  test("pruneLog bounds the log listing; retained versions replay from the floor checkpoint") {
+    val root = freshDir("lsh_pl")
+    LakeFormat.create(spark, root, keyCols = Seq("id"), orderCol = "lsn",
+      liveCol = "live", statsCols = Seq("id"))
+    (1 to 6).foreach { i =>
+      LakeFormat.merge(Seq((1L, i.toLong, true, s"v$i"), (100L + i, i.toLong,
+        true, "pad")).toDF("id", "lsn", "live", "v"), root)
+    }
+    val before = LakeFormat.snapshot(spark, root).collect().map(_.toString)
+      .sorted.toSeq
+    val beforeAsOf4 = LakeFormat.readAsOf(spark, root, 4L).collect()
+      .map(_.toString).sorted.toSeq
+    val pruned = LakeFormat.pruneLog(spark, root, keepVersions = 3,
+      olderThanMs = 0L)
+    assert(pruned === Seq(1L, 2L, 3L), s"floor=4 must prune 1-3: $pruned")
+    // v0 (meta) always kept; listing is bounded
+    assert(LakeFormat.listLogVersions(spark, root).sorted ===
+      Seq(0L, 4L, 5L, 6L))
+    assert(LakeFormat.readMeta(spark, root).keyCols === Seq("id"))
+    // every retained version replays exactly (checkpoint at floor + tail)
+    assert(LakeFormat.snapshot(spark, root).collect().map(_.toString)
+      .sorted.toSeq === before)
+    assert(LakeFormat.readAsOf(spark, root, 4L).collect().map(_.toString)
+      .sorted.toSeq === beforeAsOf4)
+    // bytes survive the checkpoint round trip (sizing still works)
+    assert(LakeFormat.state(spark, root, Some(4L)).files.forall(_.bytes > 0L),
+      "checkpointed state must keep recorded file bytes")
+    // pruned history fails LOUDLY, not silently
+    intercept[Exception] { LakeFormat.readAsOf(spark, root, 2L).count() }
+    intercept[Exception] {
+      LakeFormat.changeFeed(spark, root, 2L, 3L).count()
+    }
+    // the change feed over retained commits still serves
+    assert(LakeFormat.changeFeed(spark, root, 5L, 6L).count() > 0L)
+    // new commits land normally on the pruned log
+    LakeFormat.merge(Seq((2L, 9L, true, "post")).toDF("id", "lsn", "live", "v"),
+      root)
+    assert(LakeFormat.state(spark, root).version === 7L)
+    // registered laggard gates the prune exactly like vacuum
+    val c = LakeFormat.registerConsumer(spark, root, "plslow")
+    LakeFormat.commitConsumerOffset(spark, c, 4L)
+    val ex = intercept[IllegalStateException] {
+      LakeFormat.pruneLog(spark, root, keepVersions = 1, olderThanMs = 0L)
+    }
+    assert(ex.getMessage.contains("plslow"))
+    LakeFormat.dropConsumer(spark, root, "plslow")
+  }
+
   // ------------------------------------------------- overwrite conflicts
 
   test("overwrite aborts on ANY concurrent commit (strict serializable, deterministic interleave)") {
