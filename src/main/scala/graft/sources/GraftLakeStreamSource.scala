@@ -632,8 +632,19 @@ private[sources] abstract class LakeVersionedSource(
       LakeFormat.consumerOffset(spark, metadataPath).getOrElse {
         val ts = LakeFormat.parseTsOption(s)
         val t = tip()
-        val f = (1L to t).find(v => versionTs(v) >= ts)
-          .map(_ - 1L).getOrElse(t)
+        val found = (1L to t).find(v => versionTs(v) >= ts)
+        // ts=0 on the predecessor means pruned-or-unstamped history: a
+        // commit at-or-after the requested instant may have lived there
+        // — refuse loudly rather than silently skip it (the
+        // versionAtTimestamp pruned-gap rule)
+        found.filter(_ > 1L).foreach { v =>
+          if (versionTs(v - 1L) == 0L) throw new IllegalStateException(
+            s"startingTimestamp $s reaches into history pruned from (or " +
+              s"predating timestamp stamping of) the log at $root — " +
+              "commits before v" + v + " cannot be timestamp-resolved; " +
+              "use startingVersion, or a timestamp at-or-after v" + v)
+        }
+        val f = found.map(_ - 1L).getOrElse(t)
         LakeFormat.commitConsumerOffset(spark, metadataPath, f)
         f
       }

@@ -152,7 +152,7 @@ object LakeFormat {
   /** Committed checkpoint versions (a checkpoint is a parquet DIR; only
     * fully-written ones — `_SUCCESS` present — count, so a crashed
     * checkpoint writer leaves no readable half-state). */
-  private def listCheckpointVersions(spark: SparkSession,
+  private[sources] def listCheckpointVersions(spark: SparkSession,
       root: String): Seq[Long] = {
     val f = fs(spark, root)
     val d = logDir(root)
@@ -514,16 +514,29 @@ object LakeFormat {
   /** TIMESTAMP-BASED TIME TRAVEL resolution: the LAST committed version
     * whose recorded commit wall-clock is ≤ `tsMs` — the state the table
     * was serving at that moment (`timestampAsOf` semantics, the public
-    * Delta shape). Commit timestamps are monotone in practice (each
-    * claims tip+1 under wall-clock); resolution scans the retained log
-    * newest-first and stops at the first match — O(#versions-after-ts)
-    * small reads. Throws when `tsMs` predates the table. */
+    * Delta shape). Commit timestamps are monotone (each commit claims
+    * tip+1 under wall-clock). Resolution is over the RETAINED log; when
+    * the true as-of version may have been [[pruneLog]]-pruned (the
+    * resolved version and the next retained one are not adjacent — the
+    * gap held the commits current at `tsMs`), this throws LOUDLY
+    * instead of silently serving an older state. Also throws when
+    * `tsMs` predates the table. O(#retained-versions) small reads. */
   def versionAtTimestamp(spark: SparkSession, root: String,
-      tsMs: Long): Long =
-    listLogVersions(spark, root).sorted(Ordering[Long].reverse)
-      .find(v => commitTimestampMs(spark, root, v) <= tsMs)
-      .getOrElse(throw new IllegalArgumentException(
-        s"timestampAsOf $tsMs predates every retained commit at $root"))
+      tsMs: Long): Long = {
+    val vs = listLogVersions(spark, root).sorted
+    val ts = vs.map(v => v -> commitTimestampMs(spark, root, v)).toMap
+    val le = vs.filter(v => ts(v) <= tsMs)
+    val r = le.lastOption.getOrElse(throw new IllegalArgumentException(
+      s"timestampAsOf $tsMs predates every retained commit at $root"))
+    vs.find(_ > r).foreach { next =>
+      if (next != r + 1) throw new IllegalStateException(
+        s"the version current at $tsMs was pruned from the log at $root " +
+          s"(resolved v$r, next retained v$next) — the state at that " +
+          "instant is no longer reconstructible; use versionAsOf over a " +
+          "retained version instead")
+    }
+    r
+  }
 
   /** Commit history, NEWEST first — the DESCRIBE HISTORY shape a table
     * operator asks for before touching retention: one row per retained
@@ -582,7 +595,10 @@ object LakeFormat {
     while (attempts < 1000) {
       lockFor(root).synchronized {
         val v = listLogVersions(spark, root).max + 1
-        if (tryCommit(spark, root, v, lines, op = "append")) return v
+        if (tryCommit(spark, root, v, lines, op = "append")) {
+          maybeAutoCheckpoint(spark, root, v)
+          return v
+        }
       }
       attempts += 1
     }
@@ -1130,6 +1146,7 @@ object LakeFormat {
       // a lost claim here means an OUT-OF-PROCESS racer slipped past the
       // in-JVM lock: indistinguishable from a mid-window tip move, abort
       if (!tryCommit(spark, root, tip + 1, lines, op = what)) abort(tip)
+      maybeAutoCheckpoint(spark, root, tip + 1)
       tip + 1
     }
   }
@@ -1471,6 +1488,20 @@ object LakeFormat {
   }
 
   // ------------------------------------------------------- maintenance
+
+  /** Every `AutoCheckpointInterval`-th committed version triggers a
+    * best-effort checkpoint from the WRITE path (the public Delta
+    * behavior, default 10 commits there): replay cost stays bounded on
+    * a continuously-ingesting table whose operator never calls
+    * [[checkpoint]] by hand. Best-effort — a checkpoint failure never
+    * fails the commit that triggered it (the commit is already
+    * durable; the checkpoint is an accelerator). */
+  val AutoCheckpointInterval: Long = 20L
+
+  private def maybeAutoCheckpoint(spark: SparkSession, root: String,
+      v: Long): Unit =
+    if (v > 0L && v % AutoCheckpointInterval == 0L)
+      scala.util.Try(checkpoint(spark, root))
 
   /** Write the parquet checkpoint rows for `st` at its version (no
     * pointer update). File BYTES ride the checkpoint (r17) so a

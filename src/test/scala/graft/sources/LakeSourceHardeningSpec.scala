@@ -423,6 +423,53 @@ class LakeSourceHardeningSpec extends AnyFunSuite {
     LakeFormat.dropConsumer(spark, root, "plslow")
   }
 
+  test("timestamp resolution REFUSES when the instant falls in pruned history") {
+    val root = freshDir("lsh_tsgap")
+    LakeFormat.create(spark, root, keyCols = Seq("id"), orderCol = "lsn",
+      liveCol = "live", statsCols = Seq("id"))
+    LakeFormat.merge(Seq((1L, 1L, true, "a")).toDF("id", "lsn", "live", "v"),
+      root)
+    LakeFormat.merge(Seq((2L, 2L, true, "b")).toDF("id", "lsn", "live", "v"),
+      root)
+    Thread.sleep(20)
+    val inPrunedEra = System.currentTimeMillis()
+    Thread.sleep(20)
+    (3 to 6).foreach(i => LakeFormat.merge(
+      Seq((i.toLong, i.toLong, true, s"v$i")).toDF("id", "lsn", "live", "v"),
+      root))
+    LakeFormat.pruneLog(spark, root, keepVersions = 2, olderThanMs = 0L)
+    assert(LakeFormat.listLogVersions(spark, root).sorted ===
+      Seq(0L, 5L, 6L))
+    // the instant's true version (2) is pruned: loud refusal, not v0
+    val ex = intercept[IllegalStateException] {
+      LakeFormat.versionAtTimestamp(spark, root, inPrunedEra)
+    }
+    assert(ex.getMessage.contains("pruned"))
+    // a current instant still resolves
+    assert(LakeFormat.versionAtTimestamp(spark, root,
+      System.currentTimeMillis()) === 6L)
+    // the stream anchor refuses the same reach into pruned history
+    val ex2 = intercept[IllegalStateException] {
+      new GraftLakeSource(spark, freshDir("lsh_tsgap_meta"),
+        Map("path" -> root,
+          "startingTimestamp" -> inPrunedEra.toString)).getOffset
+    }
+    assert(ex2.getMessage.contains("pruned"))
+  }
+
+  test("every 20th commit auto-checkpoints from the write path") {
+    val root = freshDir("lsh_acp")
+    LakeFormat.create(spark, root, keyCols = Seq("id"), orderCol = "lsn",
+      liveCol = "live", statsCols = Seq("id"))
+    (1 to 21).foreach { i =>
+      LakeFormat.merge(Seq((i.toLong, i.toLong, true, s"v$i"))
+        .toDF("id", "lsn", "live", "v"), root)
+    }
+    assert(LakeFormat.listCheckpointVersions(spark, root).contains(20L),
+      "commit 20 must have auto-checkpointed")
+    assert(LakeFormat.snapshot(spark, root).count() === 21L)
+  }
+
   // ------------------------------------------------- overwrite conflicts
 
   test("overwrite aborts on ANY concurrent commit (strict serializable, deterministic interleave)") {
