@@ -274,17 +274,26 @@ class GraftLakeTxProvider extends DataSourceRegister with StreamSourceProvider
 
   /** BATCH read of one member, TRANSACTION-CONSISTENT:
     * `spark.read.format("graft-lake-tx").option("table", t).load(root)`
-    * serves the member AS OF the current (or `option("manifestAsOf",
-    * m)`) manifest's pin — concurrent in-flight transactions invisible,
-    * exactly [[LakeTx.snapshot]]/[[LakeTx.snapshotAsOf]]. */
+    * serves the member AS OF the current manifest's pin — or a
+    * historical one via `option("manifestAsOf", m)` /
+    * `option("manifestTimestampAsOf", <epoch-ms|ISO-8601>)` (the
+    * manifest current at that instant, pruned-gap refusal included) —
+    * concurrent in-flight transactions invisible, exactly
+    * [[LakeTx.snapshot]]/[[LakeTx.snapshotAsOf]]. */
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
     val root = LakeStreamSources.rootOf(parameters, shortName())
     val table = parameters.getOrElse("table",
       throw new IllegalArgumentException(
         "graft-lake-tx batch reads need option(\"table\", <member>)"))
-    new GraftLakeTxRelation(sqlContext, root, table,
-      parameters.get("manifestAsOf").map(_.toLong))
+    val byM = LakeStreamSources.opt(parameters, "manifestAsOf")
+    val byT = LakeStreamSources.opt(parameters, "manifestTimestampAsOf")
+    require(byM.isEmpty || byT.isEmpty,
+      "manifestAsOf and manifestTimestampAsOf are mutually exclusive")
+    val asOf = byM.map(_.toLong).orElse(byT.map(s =>
+      LakeTx.manifestAtTimestamp(sqlContext.sparkSession, root,
+        LakeFormat.parseTsOption(s))))
+    new GraftLakeTxRelation(sqlContext, root, table, asOf)
   }
 }
 

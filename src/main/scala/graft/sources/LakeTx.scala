@@ -282,6 +282,14 @@ object LakeTx {
     deleted
   }
 
+  /** Timestamp-based CROSS-TABLE time travel resolution: the manifest
+    * version current at `tsMs` ([[LakeFormat.versionAtTimestamp]] over
+    * the `_tx` log — same pruned-gap refusal). Feed the result to
+    * [[snapshotAsOf]] for every member as of one consistent instant. */
+  def manifestAtTimestamp(spark: SparkSession, root: String,
+      tsMs: Long): Long =
+    LakeFormat.versionAtTimestamp(spark, txRoot(root), tsMs)
+
   /** The TRANSACTION log's commit history (newest first) — one row per
     * manifest version with its recorded op (`tx-init`/`tx-commit`) and
     * wall-clock: [[LakeFormat.history]] over the `_tx` log. Member

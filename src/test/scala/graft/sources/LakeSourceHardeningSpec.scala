@@ -457,6 +457,30 @@ class LakeSourceHardeningSpec extends AnyFunSuite {
     assert(ex2.getMessage.contains("pruned"))
   }
 
+  test("manifestTimestampAsOf serves the cross-table state current at the instant") {
+    val root = freshDir("lsh_txts")
+    LakeFormat.create(spark, LakeTx.tableRoot(root, "a"),
+      keyCols = Seq("id"), orderCol = "lsn", liveCol = "live",
+      statsCols = Seq("id"))
+    LakeTx.init(spark, root, Seq("a"))
+    def up(id: Long) = Seq((id, id, true, s"r$id"))
+      .toDF("id", "lsn", "live", "v")
+    LakeTx.commitTx(spark, root, Map("a" -> up(1)), app = "lshts", txv = 1L)
+    Thread.sleep(20)
+    val between = System.currentTimeMillis()
+    Thread.sleep(20)
+    LakeTx.commitTx(spark, root, Map("a" -> up(2)), app = "lshts", txv = 2L)
+    assert(LakeTx.manifestAtTimestamp(spark, root, between) === 1L)
+    val df = spark.read.format("graft-lake-tx").option("table", "a")
+      .option("manifestTimestampAsOf", between.toString).load(root)
+    assert(df.select("id").collect().map(_.getLong(0)).toSeq === Seq(1L))
+    intercept[Exception] {
+      spark.read.format("graft-lake-tx").option("table", "a")
+        .option("manifestAsOf", "1")
+        .option("manifestTimestampAsOf", between.toString).load(root)
+    }
+  }
+
   test("every 20th commit auto-checkpoints from the write path") {
     val root = freshDir("lsh_acp")
     LakeFormat.create(spark, root, keyCols = Seq("id"), orderCol = "lsn",
