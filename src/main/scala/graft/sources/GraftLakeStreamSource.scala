@@ -129,7 +129,10 @@ class GraftLakeProvider extends DataSourceRegister with StreamSourceProvider
         s"graft-lake table at $root already exists (mode=ErrorIfExists)")
     }
     new GraftLakeRelation(sqlContext, root,
-      parameters - "versionAsOf") // the relation serves what was written
+      parameters.filterNot { case (k, _) =>
+        val lk = k.toLowerCase(java.util.Locale.ROOT)
+        lk == "versionasof" || lk == "timestampasof"
+      }) // the relation serves what was written
   }
 
   /** STREAMING SINK: `envelopes.writeStream.format("graft-lake")
@@ -373,10 +376,10 @@ private[sources] class GraftLakeRelation(val sqlContext: SQLContext,
 
   /** SQL `INSERT INTO t SELECT ...` / `INSERT OVERWRITE t ...` over a
     * catalog-registered lake table (Spark matches columns by position
-    * against [[schema]] and casts before calling). A new relation is
-    * resolved per subsequent query, so readers after the insert see the
-    * new commit; THIS relation keeps serving its pinned version — the
-    * snapshot rule is unchanged. Time-travel relations refuse writes. */
+    * against [[schema]] and casts before calling). Readers after the
+    * insert see the new commit — the per-execution pin re-resolves on
+    * their next action, even through the session catalog's cached
+    * relation. Time-travel relations refuse writes. */
   override def insert(data: DataFrame, overwrite: Boolean): Unit = {
     require(LakeStreamSources.opt(parameters, "versionAsOf").isEmpty &&
       LakeStreamSources.opt(parameters, "timestampAsOf").isEmpty,
@@ -386,15 +389,17 @@ private[sources] class GraftLakeRelation(val sqlContext: SQLContext,
     ()
   }
 
-  /** The table version this relation serves, PINNED AT CONSTRUCTION —
-    * versionAsOf / timestampAsOf (the last version whose recorded
-    * commit wall-clock is ≤ the requested instant — epoch ms or
-    * ISO-8601) when given, else the tip at relation-creation time. A
-    * query scanning the relation twice (self-join, union reuse) must
-    * read ONE version even if a commit lands between the scans — the
-    * snapshot-pinned-at-analysis rule the public Delta connector
-    * follows; a per-scan tip re-read would silently mix versions. */
-  private val pinnedVersion: Long = {
+  /** An explicitly requested historical pin — versionAsOf /
+    * timestampAsOf (the last version whose recorded commit wall-clock
+    * is ≤ the requested instant, epoch ms or ISO-8601) — fixed for the
+    * relation's lifetime. Without one, the served version is pinned
+    * PER SQL EXECUTION ([[PerExecutionPin]]): every scan planned under
+    * one execution reads ONE version (a self-join can never mix two —
+    * the Delta snapshot rule), while a NEW action re-resolves the tip —
+    * so a relation cached in the session catalog's table cache (the V1
+    * CREATE TABLE path, which Spark resolves once and reuses) serves
+    * fresh commits instead of the version current at first resolution. */
+  private val explicitPin: Option[Long] = {
     val byV = LakeStreamSources.opt(parameters, "versionAsOf")
     val byT = LakeStreamSources.opt(parameters, "timestampAsOf")
     require(byV.isEmpty || byT.isEmpty,
@@ -402,22 +407,34 @@ private[sources] class GraftLakeRelation(val sqlContext: SQLContext,
     byV.map(_.toLong)
       .orElse(byT.map(s => LakeFormat.versionAtTimestamp(spark, root,
         LakeFormat.parseTsOption(s))))
-      .getOrElse(LakeFormat.state(spark, root).version)
   }
 
-  private def base(): DataFrame =
-    LakeFormat.readAsOf(spark, root, pinnedVersion)
+  private val tipPin = new PerExecutionPin(
+    () => LakeFormat.listLogVersions(spark, root).max)
 
-  override val schema: StructType = base().schema
+  private def pinnedVersion(): Long = explicitPin.getOrElse(tipPin(spark))
 
-  /** Recorded per-file bytes OF THE PINNED VERSION, so the planner can
+  // committed versions are immutable: one log replay per served
+  // version for the relation's lifetime, shared by schema, sizing and
+  // every scan (was: an independent replay per planner/scan call)
+  private val states =
+    scala.collection.concurrent.TrieMap.empty[Long, LakeFormat.LakeState]
+  private def stateFor(v: Long): LakeFormat.LakeState = {
+    if (states.size > 8) states.clear()
+    states.getOrElseUpdate(v, LakeFormat.state(spark, root, Some(v)))
+  }
+
+  override val schema: StructType =
+    LakeFormat.readState(spark, root, stateFor(pinnedVersion())).schema
+
+  /** Recorded per-file bytes OF THE SERVED VERSION, so the planner can
     * size THIS relation (e.g. auto-broadcast a small lake dim in a
     * join) instead of assuming the conservative default — and a
     * time-travel relation reports the historical version's size, not
     * the current tip's. Logs predating byte recording fall back to the
     * default — never report a fake small size. */
   override def sizeInBytes: Long = {
-    val files = LakeFormat.state(spark, root, Some(pinnedVersion)).files
+    val files = stateFor(pinnedVersion()).files
     if (files.nonEmpty && files.forall(_.bytes > 0L)) files.map(_.bytes).sum
     else super.sizeInBytes
   }
@@ -426,15 +443,34 @@ private[sources] class GraftLakeRelation(val sqlContext: SQLContext,
       filters: Array[Filter]): RDD[Row] = {
     val pred = filters.toSeq.flatMap(LakeFilters.toColumn)
       .reduceOption(_ && _)
+    val st = stateFor(pinnedVersion())
     // stats pruning applies to every pin — current and historical alike
-    // ([[LakeFormat.scanAsOf]]); an empty requiredColumns (count(*))
-    // projects to zero-width rows instead of shipping the full row
+    // ([[LakeFormat.scanFromState]]); an empty requiredColumns
+    // (count(*)) projects to zero-width rows instead of the full row
     val df = pred match {
-      case Some(p) => LakeFormat.scanAsOf(spark, root, pinnedVersion, p).df
-      case None    => base()
+      case Some(p) => LakeFormat.scanFromState(spark, root, st, p).df
+      case None    => LakeFormat.readState(spark, root, st)
     }
     df.select(requiredColumns.toSeq.map(col): _*).rdd
   }
+}
+
+/** Per-SQL-execution version pinning for the batch relations: scans
+  * planned under ONE execution id share a resolution (consistency —
+  * a self-join over one relation reads one table version), a new
+  * execution re-resolves (freshness — catalog-cached relations serve
+  * new commits), and resolution outside any execution (explain, direct
+  * buildScan) is per-call. The map is bounded: entries are tiny and
+  * cleared past 64 — an execution never needs another's pin again. */
+private[sources] final class PerExecutionPin(resolve: () => Long) {
+  private val pins = scala.collection.concurrent.TrieMap.empty[String, Long]
+  def apply(spark: SparkSession): Long =
+    Option(spark.sparkContext.getLocalProperty("spark.sql.execution.id")) match {
+      case Some(id) =>
+        if (pins.size > 64) pins.clear()
+        pins.getOrElseUpdate(id, resolve())
+      case None => resolve()
+    }
 }
 
 /** The change feed as a BATCH relation (`readChangeFeed=true`): the
@@ -449,20 +485,22 @@ private[sources] class GraftLakeChangeFeedRelation(
 
   private def spark: SparkSession = sqlContext.sparkSession
 
-  // endingVersion defaults to the tip AT RELATION CONSTRUCTION, pinned —
-  // two scans of one relation must serve one commit range even if a
-  // commit lands between them (the version-pinning rule above)
-  private val endV: Long =
-    toV.getOrElse(LakeFormat.listLogVersions(spark, root).max)
+  // an explicit endingVersion is fixed; otherwise the end is the tip
+  // pinned PER EXECUTION — two scans of one relation in one query
+  // serve one commit range, a new action serves newly landed commits
+  private val tipPin = new PerExecutionPin(
+    () => LakeFormat.listLogVersions(spark, root).max)
+  private def endV(): Long = toV.getOrElse(tipPin(spark))
 
   override val schema: StructType = LakeFormat.changeFeedSchema(spark, root)
 
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
+    val end = endV()
     val df0 =
-      if (fromV > endV) spark.createDataFrame(
+      if (fromV > end) spark.createDataFrame(
         java.util.Collections.emptyList[Row](), schema)
-      else LakeFormat.changeFeed(spark, root, fromV, endV)
+      else LakeFormat.changeFeed(spark, root, fromV, end)
     // conform to the pinned widest schema (a range predating a
     // later-added column null-fills it, the streaming source's rule)
     val df = df0.select(schema.fields.toSeq.map { f =>
@@ -481,29 +519,44 @@ private[sources] class GraftLakeTxRelation(val sqlContext: SQLContext,
 
   private def spark: SparkSession = sqlContext.sparkSession
 
-  // manifest pinned at construction (the version-pinning rule): a
-  // concurrent commitTx between two scans of one relation must not
-  // split the query across two transaction-consistent views
-  private val pinnedManifest: Long =
-    manifestAsOf.getOrElse(LakeTx.manifestVersion(spark, root))
-
-  // the member's table version under the pinned manifest — stats-pruned
-  // scans enter through the member table's own log ([[LakeFormat.scanAsOf]])
-  private val pinnedTableVersion: Long = {
-    val pins = LakeTx.manifest(spark, root, Some(pinnedManifest))
-    require(pins.contains(table), s"$table not a member of $root")
-    pins(table)
-  }
+  // an explicit manifestAsOf is fixed; otherwise the manifest is
+  // pinned PER EXECUTION: a concurrent commitTx between two scans of
+  // one query cannot split it across two transaction-consistent
+  // views, while a new action serves the newest published manifest
+  private val tipPin = new PerExecutionPin(
+    () => LakeTx.manifestVersion(spark, root))
+  private def pinnedManifest(): Long = manifestAsOf.getOrElse(tipPin(spark))
 
   private val tRoot: String = LakeTx.tableRoot(root, table)
 
-  private def base(): DataFrame =
-    LakeFormat.readAsOf(spark, tRoot, pinnedTableVersion)
+  // manifest → the member's pinned table version (one small-file read,
+  // cached: manifests are immutable), and table version → replayed
+  // state (cached: committed versions are immutable)
+  private val memberPins =
+    scala.collection.concurrent.TrieMap.empty[Long, Long]
+  private def tableVersionAt(m: Long): Long =
+    memberPins.getOrElseUpdate(m, {
+      if (memberPins.size > 64) memberPins.clear()
+      val pins = LakeTx.manifest(spark, root, Some(m))
+      require(pins.contains(table), s"$table not a member of $root")
+      pins(table)
+    })
 
-  override val schema: StructType = base().schema
+  private val states =
+    scala.collection.concurrent.TrieMap.empty[Long, LakeFormat.LakeState]
+  private def stateFor(tv: Long): LakeFormat.LakeState = {
+    if (states.size > 8) states.clear()
+    states.getOrElseUpdate(tv, LakeFormat.state(spark, tRoot, Some(tv)))
+  }
+
+  private def currentState(): LakeFormat.LakeState =
+    stateFor(tableVersionAt(pinnedManifest()))
+
+  override val schema: StructType =
+    LakeFormat.readState(spark, tRoot, currentState()).schema
 
   override def sizeInBytes: Long = {
-    val files = LakeFormat.state(spark, tRoot, Some(pinnedTableVersion)).files
+    val files = currentState().files
     if (files.nonEmpty && files.forall(_.bytes > 0L)) files.map(_.bytes).sum
     else super.sizeInBytes
   }
@@ -512,11 +565,11 @@ private[sources] class GraftLakeTxRelation(val sqlContext: SQLContext,
       filters: Array[Filter]): RDD[Row] = {
     // pushed filters feed the member table's stats pruning at the
     // manifest-pinned version; Spark re-applies every filter above
+    val st = currentState()
     val df = filters.toSeq.flatMap(LakeFilters.toColumn)
       .reduceOption(_ && _) match {
-      case Some(p) =>
-        LakeFormat.scanAsOf(spark, tRoot, pinnedTableVersion, p).df
-      case None => base()
+      case Some(p) => LakeFormat.scanFromState(spark, tRoot, st, p).df
+      case None    => LakeFormat.readState(spark, tRoot, st)
     }
     df.select(requiredColumns.toSeq.map(col): _*).rdd
   }
@@ -653,6 +706,16 @@ private[sources] abstract class LakeVersionedSource(
               "commits before v" + v + " cannot be timestamp-resolved; " +
               "use startingVersion, or a timestamp at-or-after v" + v)
         }
+        // no stamped commit at-or-after ts: anchoring at the tip (tail
+        // only future commits) is only sound if the tip PROVABLY
+        // predates ts — an unstamped tip proves nothing, and silently
+        // skipping the whole history would lose commits the user asked
+        // for (a fully pre-stamping log hits this)
+        if (found.isEmpty && t >= 1L && versionTs(t) == 0L)
+          throw new IllegalStateException(
+            s"the log at $root has no timestamp-resolvable commits " +
+              s"(pre-stamping or pruned) — startingTimestamp cannot " +
+              "anchor; use startingVersion")
         val f = found.map(_ - 1L).getOrElse(t)
         LakeFormat.commitConsumerOffset(spark, metadataPath, f)
         f

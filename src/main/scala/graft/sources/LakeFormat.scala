@@ -528,6 +528,14 @@ object LakeFormat {
     val le = vs.filter(v => ts(v) <= tsMs)
     val r = le.lastOption.getOrElse(throw new IllegalArgumentException(
       s"timestampAsOf $tsMs predates every retained commit at $root"))
+    // an UNSTAMPED resolution (ts 0 — pre-r17 log) proves nothing about
+    // when v$r actually committed: refuse rather than silently serve a
+    // state that may postdate the requested instant by years (the same
+    // rule the streaming startingTimestamp anchor applies)
+    if (ts(r) == 0L) throw new IllegalStateException(
+      s"version v$r at $root predates commit-timestamp stamping — the " +
+        s"state current at $tsMs cannot be timestamp-resolved; use " +
+        "versionAsOf instead")
     vs.find(_ > r).foreach { next =>
       if (next != r + 1) throw new IllegalStateException(
         s"the version current at $tsMs was pruned from the log at $root " +
@@ -593,12 +601,16 @@ object LakeFormat {
     val lines = adds.map(addJson)
     var attempts = 0
     while (attempts < 1000) {
-      lockFor(root).synchronized {
+      val claimed = lockFor(root).synchronized {
         val v = listLogVersions(spark, root).max + 1
-        if (tryCommit(spark, root, v, lines, op = "append")) {
-          maybeAutoCheckpoint(spark, root, v)
-          return v
-        }
+        if (tryCommit(spark, root, v, lines, op = "append")) Some(v) else None
+      }
+      claimed.foreach { v =>
+        // OUTSIDE the lock: the checkpoint replays state and runs a
+        // Spark write job — holding the per-root lock through it would
+        // stall every concurrent in-JVM writer on each interval commit
+        maybeAutoCheckpoint(spark, root, v)
+        return v
       }
       attempts += 1
     }
@@ -840,6 +852,19 @@ object LakeFormat {
   def scanAsOf(spark: SparkSession, root: String, version: Long,
       pred: Column): LakeScan =
     scanState(spark, root, state(spark, root, Some(version)), pred)
+
+  /** [[scan]] over an ALREADY-REPLAYED state — for callers (the batch
+    * relations) that cache the [[LakeState]] of a pinned version and
+    * must not pay a fresh log replay per planner/scan call. */
+  private[sources] def scanFromState(spark: SparkSession, root: String,
+      st: LakeState, pred: Column): LakeScan = scanState(spark, root, st, pred)
+
+  /** Read an already-replayed state's rows (schema-true empty frame for
+    * a zero-file state) — the cached-state sibling of [[readAsOf]]. */
+  private[sources] def readState(spark: SparkSession, root: String,
+      st: LakeState): DataFrame =
+    if (st.files.isEmpty) emptyLike(spark, st)
+    else readFiles(spark, root, st.files)
 
   private def scanState(spark: SparkSession, root: String, st: LakeState,
       pred: Column): LakeScan = {
@@ -1136,7 +1161,7 @@ object LakeFormat {
         s"$what read v$base but a conflicting commit intervened at $root" +
           " — re-run")
     }
-    lockFor(root).synchronized {
+    val v = lockFor(root).synchronized {
       val tip = listLogVersions(spark, root).max
       if (tip != readVersion) {
         val intervening = (readVersion + 1 to tip)
@@ -1146,9 +1171,11 @@ object LakeFormat {
       // a lost claim here means an OUT-OF-PROCESS racer slipped past the
       // in-JVM lock: indistinguishable from a mid-window tip move, abort
       if (!tryCommit(spark, root, tip + 1, lines, op = what)) abort(tip)
-      maybeAutoCheckpoint(spark, root, tip + 1)
       tip + 1
     }
+    // outside the lock — see append's auto-checkpoint note
+    maybeAutoCheckpoint(spark, root, v)
+    v
   }
 
   /** OPTIMIZE: rewrite the files `select` picks from the current live
@@ -1662,11 +1689,19 @@ object LakeFormat {
       expireOlderThanMs: Option[Long],
       dryRun: Boolean = false): Seq[String] = {
     val now = System.currentTimeMillis()
+    // expiry targets ONLY lagging consumers (offset below the floor) —
+    // the only ones whose registration blocks this prune. A caught-up
+    // consumer on a quiet table has an old pointer mtime too; dropping
+    // it would buy nothing now and silently strip its FUTURE retention
+    // protection.
     val expired = expireOlderThanMs.toSeq.flatMap { ttl =>
-      registeredConsumers(spark, registryRoot).keys.toSeq.sorted.filter { n =>
-        val dir = s"$registryRoot/_consumers/$n"
-        consumerLastAdvancedMs(spark, dir).exists(now - _ >= ttl)
-      }.map { n => if (!dryRun) dropConsumer(spark, registryRoot, n); n }
+      registeredConsumers(spark, registryRoot).toSeq.sortBy(_._1)
+        .filter { case (_, o) => o.getOrElse(0L) < floor }
+        .map(_._1)
+        .filter { n =>
+          val dir = s"$registryRoot/_consumers/$n"
+          consumerLastAdvancedMs(spark, dir).exists(now - _ >= ttl)
+        }.map { n => if (!dryRun) dropConsumer(spark, registryRoot, n); n }
     }
     val lagging = registeredConsumers(spark, registryRoot)
       .filter { case (n, _) => !expired.contains(n) } // dry run: as-if dropped

@@ -274,8 +274,11 @@ object LakeTx {
       val minPin = retained.map(_(t)).min
       val tTip = LakeFormat.listLogVersions(spark, tableRoot(root, t)).max
       val keep = (tTip - minPin + 1).toInt
+      // forward the expiry policy: a dead consumer registered directly
+      // on a MEMBER table must not block the tx-level vacuum after the
+      // caller already opted into reclaiming dead registrations
       t -> LakeFormat.vacuum(spark, tableRoot(root, t), keep, olderThanMs,
-        dryRun = dryRun)
+        expireConsumersOlderThanMs, dryRun)
     }.toMap
     if (!dryRun)
       LakeFormat.pruneLogBelow(spark, txRoot(root), floor, olderThanMs)

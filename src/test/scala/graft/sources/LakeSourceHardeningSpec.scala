@@ -156,34 +156,90 @@ class LakeSourceHardeningSpec extends AnyFunSuite {
 
   // ------------------------------------------------------ relation pinning
 
-  test("batch relation pins the table version at construction") {
+  /** Run `body` under a synthetic SQL-execution id so two relation
+    * calls share one [[PerExecutionPin]] resolution. */
+  private def underExecution[A](id: String)(body: => A): A = {
+    spark.sparkContext.setLocalProperty("spark.sql.execution.id", id)
+    try body
+    finally spark.sparkContext.setLocalProperty("spark.sql.execution.id", null)
+  }
+
+  test("batch relation: one execution reads one version; a new action reads the new tip") {
     val root = tableWithCommits(2)
+    val rel = new GraftLakeRelation(spark.sqlContext, root,
+      Map("path" -> root))
+    // within ONE execution the pin holds across scans even as a commit
+    // lands between them (the self-join consistency rule)
+    val (n1, n2) = underExecution("lsh-pin-1") {
+      val a = rel.buildScan(Array("id"), Array.empty).count()
+      LakeFormat.merge(Seq((99L, 99L, true, "late"))
+        .toDF("id", "lsn", "live", "v"), root)
+      (a, rel.buildScan(Array("id"), Array.empty).count())
+    }
+    assert(n1 === 2L && n2 === 2L,
+      s"scans in one execution must share a pin: $n1 vs $n2")
+    // a NEW execution re-resolves the tip — the SAME relation instance
+    // (as cached by the session catalog) serves the new commit
+    val n3 = underExecution("lsh-pin-2") {
+      rel.buildScan(Array("id"), Array.empty).count()
+    }
+    assert(n3 === 3L, "a new execution must serve the new tip")
+    // and through the public reader: fresh actions see fresh commits
     val df = spark.read.format("graft-lake").load(root)
-    val before = df.count()
-    LakeFormat.merge(Seq((99L, 99L, true, "late"))
+    assert(df.count() === 3L)
+    LakeFormat.merge(Seq((98L, 98L, true, "later"))
       .toDF("id", "lsn", "live", "v"), root)
-    assert(df.count() === before,
-      "a relation must serve its construction-time version after a commit")
-    // a self-join over the SAME relation reads one version on both sides
-    val j = df.as("l").join(df.as("r"), Seq("id")).count()
-    assert(j === before)
-    assert(spark.read.format("graft-lake").load(root).count() === before + 1,
-      "a FRESH relation pins the new tip")
+    assert(df.count() === 4L,
+      "a new action on the same DataFrame must serve the new commit")
   }
 
-  test("change-feed relation pins its ending version at construction") {
+  test("catalog table: SELECT after INSERT INTO sees the new rows (cached-relation freshness)") {
+    val root = freshDir("lsh_cat")
+    spark.sql("DROP TABLE IF EXISTS lsh_cat_t")
+    Seq((1L, "a")).toDF("id", "v").createOrReplaceTempView("lsh_cat_src")
+    spark.sql(
+      s"""CREATE TABLE lsh_cat_t USING `graft-lake`
+         |OPTIONS (path '$root', keyCols 'id')
+         |AS SELECT * FROM lsh_cat_src""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM lsh_cat_t").head.getLong(0) === 1L)
+    // resolve-once relation caching must NOT freeze the served version:
+    // the INSERT's commit is visible to the very next SELECT
+    spark.sql("INSERT INTO lsh_cat_t VALUES (2, 'b')")
+    assert(spark.sql("SELECT count(*) FROM lsh_cat_t").head.getLong(0) === 2L,
+      "SELECT after INSERT INTO must see the inserted row")
+    // and a commit from OUTSIDE the catalog (direct API writer) too
+    LakeFormat.append(Seq((3L, "c")).toDF("id", "v"), root)
+    assert(spark.sql("SELECT count(*) FROM lsh_cat_t").head.getLong(0) === 3L,
+      "SELECT must see commits landed by non-catalog writers")
+    spark.sql("DROP TABLE lsh_cat_t")
+  }
+
+  test("change-feed relation: end version pinned per execution, fresh per action") {
     val root = tableWithCommits(2)
-    val cf = spark.read.format("graft-lake")
-      .option("readChangeFeed", "true").load(root)
-    val before = cf.count()
-    LakeFormat.merge(Seq((98L, 98L, true, "late"))
+    val rel = new GraftLakeChangeFeedRelation(spark.sqlContext, root, 1L,
+      None)
+    val (c1, c2) = underExecution("lsh-cf-1") {
+      val a = rel.buildScan(Array("_commit_version"), Array.empty).count()
+      LakeFormat.merge(Seq((98L, 98L, true, "late"))
+        .toDF("id", "lsn", "live", "v"), root)
+      (a, rel.buildScan(Array("_commit_version"), Array.empty).count())
+    }
+    assert(c1 === c2, "one execution must serve one commit range")
+    val c3 = underExecution("lsh-cf-2") {
+      rel.buildScan(Array("_commit_version"), Array.empty).count()
+    }
+    assert(c3 > c2, "a new execution must include the new commit")
+    // explicit endingVersion stays fixed regardless of execution
+    val fixed = spark.read.format("graft-lake")
+      .option("readChangeFeed", "true").option("endingVersion", "2")
+      .load(root)
+    val f1 = fixed.count()
+    LakeFormat.merge(Seq((97L, 97L, true, "again"))
       .toDF("id", "lsn", "live", "v"), root)
-    assert(cf.count() === before)
-    assert(spark.read.format("graft-lake").option("readChangeFeed", "true")
-      .load(root).count() > before)
+    assert(fixed.count() === f1)
   }
 
-  test("tx relation pins the manifest at construction") {
+  test("tx relation: manifest pinned per execution, fresh per action") {
     val root = freshDir("lsh_txrel")
     LakeFormat.create(spark, LakeTx.tableRoot(root, "a"),
       keyCols = Seq("id"), orderCol = "lsn", liveCol = "live",
@@ -192,12 +248,20 @@ class LakeSourceHardeningSpec extends AnyFunSuite {
     def up(id: Long) = Seq((id, id, true, s"r$id"))
       .toDF("id", "lsn", "live", "v")
     LakeTx.commitTx(spark, root, Map("a" -> up(1)), app = "lsh2", txv = 1L)
-    val df = spark.read.format("graft-lake-tx").option("table", "a").load(root)
-    val before = df.count()
-    LakeTx.commitTx(spark, root, Map("a" -> up(2)), app = "lsh2", txv = 2L)
-    assert(df.count() === before)
+    val rel = new GraftLakeTxRelation(spark.sqlContext, root, "a", None)
+    val (t1, t2) = underExecution("lsh-tx-1") {
+      val a = rel.buildScan(Array("id"), Array.empty).count()
+      LakeTx.commitTx(spark, root, Map("a" -> up(2)), app = "lsh2", txv = 2L)
+      (a, rel.buildScan(Array("id"), Array.empty).count())
+    }
+    assert(t1 === 1L && t2 === 1L,
+      "a commitTx inside one execution must stay invisible to it")
+    val t3 = underExecution("lsh-tx-2") {
+      rel.buildScan(Array("id"), Array.empty).count()
+    }
+    assert(t3 === 2L)
     assert(spark.read.format("graft-lake-tx").option("table", "a")
-      .load(root).count() === before + 1)
+      .load(root).count() === 2L)
   }
 
   test("sizeInBytes reports the PINNED version's recorded bytes") {
