@@ -56,6 +56,16 @@ object Staged {
     * (reentrant, so staged tables can build from other staged tables).
     */
   def apply(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    materialized(spark, key)(build.localCheckpoint())
+
+  /** Core registration: `mk` must RETURN AN ALREADY-CHECKPOINTED frame
+    * (evaluated inside the bookkeeping so producer stages are timed and
+    * their checkpoint blocks attributed to this entry). [[apply]] is the
+    * plain `build.localCheckpoint()` form; [[partitioned]] layers a
+    * layout-preserving second pass.
+    */
+  private def materialized(spark: SparkSession, key: String)
+      (mk: => DataFrame): DataFrame =
     synchronized {
       evictStopped()
       cache.getOrElseUpdate((spark, key), {
@@ -68,7 +78,7 @@ object Staged {
           // WARNs to the staged key, not that consumer (save/restore,
           // so nested staged builds attribute to their own keys)
           val ck = TaskBinaryAudit.withQuery(s"staging:$key") {
-            build.localCheckpoint() // eager: materializes here
+            mk // eager: materializes here
           }
           val added = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
           Entry(ck, added.toSet)
@@ -81,6 +91,40 @@ object Staged {
           buildSeconds.put(key, elapsed - children)
         }
       }).df
+    }
+
+  /** [[apply]] for a staged table consumers repeatedly join/group on
+    * `layoutCols`: the entry is stored HASH-PARTITIONED (at the session's
+    * `spark.sql.shuffle.partitions` — scale-parameterized, never a
+    * constant) and sorted by those columns, and the captured `LogicalRDD`
+    * keeps that layout, so consumers keyed on it plan ZERO exchanges over
+    * the staged scan — the session-staging analogue of a bucketed table
+    * (guide §2.4). Two materialization passes:
+    *
+    *  1. `build.localCheckpoint()` at full speed (AQE on — runtime
+    *     broadcast conversion + partition coalescing for the producer);
+    *  2. a trivial scan→exchange→sort relayout of the checkpointed rows
+    *     with AQE OFF — under AQE the executed plan reports
+    *     `UnknownPartitioning` to `Dataset.localCheckpoint` and the
+    *     layout would be lost (measured on q34_pagerank: 27 hash
+    *     exchanges in the finalized plan, none elided; with the capture
+    *     intact: 6). AQE adds nothing to a single-exchange relayout, and
+    *     the session flag is save/restored around just that pass.
+    */
+  def partitioned(spark: SparkSession, key: String, layoutCols: Seq[String])
+      (build: => DataFrame): DataFrame =
+    materialized(spark, key) {
+      val flat = build.localCheckpoint()
+      val flag = "spark.sql.adaptive.enabled"
+      val prev = spark.conf.get(flag)
+      spark.conf.set(flag, "false")
+      try {
+        val cols = layoutCols.map(org.apache.spark.sql.functions.col)
+        flat.repartition(spark.sessionState.conf.numShufflePartitions,
+            cols: _*)
+          .sortWithinPartitions(cols: _*)
+          .localCheckpoint()
+      } finally spark.conf.set(flag, prev)
     }
 
   /** Drop every entry staged for `spark` and free exactly the checkpoint
