@@ -1929,20 +1929,38 @@ object Text {
     val n = Vectors.mmrShortlist
     val annF = rrfFuseBy(bmr, servedAnnRanks(spark, dir, q(e), nprobe = 12))
     val exactF = rrfFuseBy(bmr, stagedExactCosineHead(spark, dir))
-    // each picks set feeds TWO plan branches (the overlap join and its
+    // ONE pipeline for both halves: the head is PACKED INTO THE QUERY
+    // KEY (q_id·2 = ANN, q_id·2+1 = exact reference), so the shared
+    // shortlist → exact re-score → pair-sims → greedy-cogroup chain and
+    // the utility re-score each run ONCE over the tagged union instead
+    // of once per head — the per-query greedy is group-local, so packed
+    // groups select identical picks, and the serve sheds half its job
+    // barriers (41 → ~24 jobs measured at sf0.1; the query was
+    // barrier-bound: 1.2 s of summed task time under a 2.1–4.3 s wall)
+    val tagged = annF
+      .select((col("q_id") * 2).as("q_id"), col("doc_id"), col("fused_rank"))
+      .unionByName(exactF.select((col("q_id") * 2 + 1).as("q_id"),
+        col("doc_id"), col("fused_rank")))
+    val qeTag = qe.select((col("q_id") * 2).as("q_id"), col("qe"))
+      .unionByName(qe.select((col("q_id") * 2 + 1).as("q_id"), col("qe")))
+    // the picks set feeds THREE plan branches (overlap join twice, the
     // utility score); subtree reuse is not CSE'd, so without a
-    // checkpoint the whole probe + fusion + greedy chain executes once
+    // checkpoint the whole probe + fusion + greedy chain re-executes
     // per branch
-    val annPicks =
-      mmrOverFused(annF, e, qe, n, Vectors.mmrK).localCheckpoint()
-    val exactPicks =
-      mmrOverFused(exactF, e, qe, n, Vectors.mmrK).localCheckpoint()
-    val hits = annPicks.select(col("q_id"), col("vec_id"))
-      .join(exactPicks.select(col("q_id"), col("vec_id")),
+    val picks =
+      mmrOverFused(tagged, e, qeTag, n, Vectors.mmrK).localCheckpoint()
+    def half(parity: Int): DataFrame = picks
+      .filter(col("q_id") % 2 === parity)
+      .select(expr("q_id div 2").as("q_id"), col("vec_id"), col("pick"))
+    val hits = half(0).select(col("q_id"), col("vec_id"))
+      .join(half(1).select(col("q_id"), col("vec_id")),
         Seq("q_id", "vec_id"))
       .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
-    val ua = mmrUtility(annPicks, e, qe).withColumnRenamed("util", "ua")
-    val ue = mmrUtility(exactPicks, e, qe).withColumnRenamed("util", "ue")
+    val util = mmrUtility(picks, e, qeTag)
+    val ua = util.filter(col("q_id") % 2 === 0)
+      .select(expr("q_id div 2").as("q_id"), col("util").as("ua"))
+    val ue = util.filter(col("q_id") % 2 === 1)
+      .select(expr("q_id div 2").as("q_id"), col("util").as("ue"))
     q(e).select(col("vec_id").as("q_id"))
       .join(hits, Seq("q_id"), "left")
       .join(ua, Seq("q_id"), "left").join(ue, Seq("q_id"), "left")
