@@ -63,14 +63,18 @@ object MicroBench {
     fns.foreach { case (name, fn) =>
       val cal0 = Bench.calibrate(spark)
       var last = ""
+      var lastCon = 0.0
       val times = (1 to runs).map { _ =>
         Seq(nJobs, nStages, nTasks, taskMs).foreach(_.set(0L))
         stageLog.clear()
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        val df = fn(spark, sfDir)
+        val tCon = (System.nanoTime() - t0) / 1e9
+        df.count()
         val dt = (System.nanoTime() - t0) / 1e9
+        lastCon = tCon
         Thread.sleep(150) // let the listener bus drain (private API)
-        last = s"jobs=${nJobs.get} stages=${nStages.get} " +
+        last = f"con=$lastCon%.3f jobs=${nJobs.get} stages=${nStages.get} " +
           s"tasks=${nTasks.get} taskSec=${taskMs.get / 1000.0}"
         dt
       }

@@ -1463,8 +1463,41 @@ object Cdc {
     * type-carrying envelopes use [[typedSchemaFromWire]], which reads the
     * per-field types the wire transmits and widens them across versions.
     */
+  /** Session-scoped memo of DERIVED READER SCHEMAS keyed by the wire
+    * stream's canonicalized plan — the schema-registry discipline: a
+    * consumer derives (or fetches) the reader schema once per stream
+    * vintage, not once per query execution. Both detect passes
+    * ([[evolvedAfterSchema]], [[typedSchemaFromWire]]) are pure
+    * functions of the deterministic stream, and each costs a full
+    * changelog scan + JSON shape extraction (~0.5 s at sf0.1) that the
+    * evolve queries re-paid at every construction. Same lifecycle as
+    * [[graft.Staged]]: per live session, first derivation pays inside
+    * its timed window, stopped sessions evicted opportunistically.
+    */
+  private val schemaCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String,
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
+      org.apache.spark.sql.types.StructType]
+  private def memoSchema(raw: DataFrame, tag: String)(
+      derive: => org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    schemaCache.filterInPlace { case ((s, _, _), _) =>
+      !s.sparkContext.isStopped }
+    // the CANONICALIZED PLAN OBJECT is the key (structural equality —
+    // for a LocalRelation that includes the rows themselves; its
+    // toString does NOT, which would alias different literal tables)
+    val key = (raw.sparkSession, tag,
+      raw.queryExecution.logical.canonicalized)
+    schemaCache.getOrElseUpdate(key, derive)
+  }
+
   def evolvedAfterSchema(raw: DataFrame,
-      keyField: String = "id"): org.apache.spark.sql.types.StructType = {
+      keyField: String = "id"): org.apache.spark.sql.types.StructType =
+    memoSchema(raw, s"shape|$keyField")(
+      evolvedAfterSchemaUncached(raw, keyField))
+
+  private def evolvedAfterSchemaUncached(raw: DataFrame,
+      keyField: String): org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types.{LongType, StringType, StructType}
     val shapes = payloadSchemaVersions(raw)
       .select(col("fields")).na.drop().distinct()
@@ -1524,7 +1557,11 @@ object Cdc {
     } else StringType
   }
 
-  def typedSchemaFromWire(raw: DataFrame): org.apache.spark.sql.types.StructType = {
+  def typedSchemaFromWire(raw: DataFrame): org.apache.spark.sql.types.StructType =
+    memoSchema(raw, "typed")(typedSchemaFromWireUncached(raw))
+
+  private def typedSchemaFromWireUncached(raw: DataFrame)
+      : org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types.{StructType, StructField}
     val declSchema = StructType.fromDDL(
       "fields ARRAY<STRUCT<field: STRING, type: STRING>>")
