@@ -45,7 +45,17 @@ object TaskBinaryAudit {
     "x6i_curation_diff" -> ("~2.1 MiB: the one-scan diff composes BOTH " +
       "runs' full curation predicates (dedup drop set probes, language/" +
       "length bands, reason attribution) in a single plan — two " +
-      "pipelines' worth of expression tree rides one closure by design"))
+      "pipelines' worth of expression tree rides one closure by design"),
+    // r17 optimization: the packed-key MMR pipeline unions the ANN and
+    // exact heads BEFORE the shared shortlist→greedy tail, so one stage
+    // now carries both heads' full expression trees (probe + fusion ×2)
+    // — the same two-pipelines-one-closure shape as x6i, and the price
+    // of halving the tail's job barriers; plan metadata only, does not
+    // grow with data
+    "x4y_diverse_ann" -> ("~2.1 MiB: the packed-key single MMR tail " +
+      "fuses the ANN and exact-reference heads into one unioned stage " +
+      "— two retrieval pipelines' expression trees in one closure by " +
+      "design (the x6i class)"))
 
   private val Pat =
     """Broadcasting large task binary with size ([0-9.]+) (B|KiB|MiB|GiB|TiB|PiB)""".r

@@ -1886,9 +1886,18 @@ object Cdc {
     * rows carry the key columns; severity order breaks ties on the full
     * (gap desc, keys, prev_lsn) tuple so the top-K cutoff is
     * deterministic in both engines. */
-  def seqAuditBy(lsns: DataFrame, keys: Seq[String],
+  def seqAuditBy(lsnsIn: DataFrame, keys: Seq[String],
       topK: Int = 100): DataFrame = {
     val kc = keys.map(col)
+    // materialize the NARROW (keys, lsn) projection once: the audit's
+    // three passes (intra-bucket window, bucket bounds, duplicates) each
+    // re-execute their input, and when that input projects out of the
+    // wide staged changelog (envelope structs + raw JSON), a checkpoint
+    // scan is full-width — measured at sf0.1: 3 × ~2.8 s of task time
+    // re-reading ~600k wide rows to extract 16 bytes each. One wide
+    // pass here, three scans of the ~10 MB projection after (guide
+    // §2.3: project before the exchange — applied to the re-read, too)
+    val lsns = lsnsIn.localCheckpoint()
     val bucketed = lsns.withColumn("b", expr("lsn DIV 1000"))
     val wIn = Window.partitionBy(kc :+ col("b"): _*).orderBy(col("lsn"))
     val intra = bucketed.withColumn("prev_lsn", lag(col("lsn"), 1).over(wIn))
