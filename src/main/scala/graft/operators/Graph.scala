@@ -766,8 +766,9 @@ object Graph {
     *
     * Scale: per iteration ONE shuffle join keyed by node plus a
     * map-side-combined sum — the standard Pregel-on-DataFrames shape
-    * with no driver-side graph state; the 1-row node count rides a
-    * broadcast; output is top-k via TakeOrderedAndProject. (GraphX/
+    * with no driver-side graph state; the node count is read once from
+    * the materialized degree table and folded into the plan as a
+    * literal; output is top-k via TakeOrderedAndProject. (GraphX/
     * GraphFrames express the same loop; declaring it as joins keeps
     * Catalyst in charge of the physical plan.)
     */
@@ -796,16 +797,17 @@ object Graph {
         .unionByName(noLoop.select(col("dst").as("src"), col("src").as("dst")))
         .distinct()
     // degIn: a MAINTAINED out-degree table (src, deg) — must equal the
-    // edge-derived counts (the x7q store guarantees this additively);
-    // passing it skips the per-session groupBy over |E|.
+    // edge-derived counts over a SYMMETRIC edge set (the x7q store
+    // guarantees this additively; the fused-iteration rewrite below
+    // leans on it); passing it skips the per-session groupBy over |E|.
     // The degree table is MATERIALIZED ONCE (localCheckpoint, |V| rows):
-    // the recurrence references it ~2× per iteration plus the seed and
-    // the n count, and without a shuffle boundary to reuse, Catalyst
-    // re-executes the whole |E|-row derivation per reference — measured
-    // at sf0.1: the 1.17M-row edge scan + degree aggregation ran ~13×
-    // in one q34 execution, ~80% of the query's task time (guide §1.2:
-    // don't compute things you throw away). Checkpointing also hands
-    // the planner REAL size stats, so at fixture scale every deg join
+    // the recurrence references it (edge annotation + seed + n count),
+    // and without a shuffle boundary to reuse, Catalyst re-executes the
+    // whole |E|-row derivation per reference — measured at sf0.1: the
+    // 1.17M-row edge scan + degree aggregation ran ~13× in one q34
+    // execution, ~80% of the query's task time (guide §1.2: don't
+    // compute things you throw away). Checkpointing also hands the
+    // planner REAL size stats, so at fixture scale the deg join
     // broadcasts (|V| rows), and at 100 TB scale — where |V| outgrows
     // the broadcast threshold — the planner falls back to sort-merge
     // against the src-clustered staged edge table with zero edge-side
@@ -815,24 +817,45 @@ object Graph {
     val deg = degIn.getOrElse(
       edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .localCheckpoint())
-    val n1 = deg.agg(count(lit(1)).as("n"))
-    var ranks = deg.select(col("src").as("node")).crossJoin(broadcast(n1))
-      .select(col("node"), expr(s"$scale div n").as("rank_u"))
+    // |V| as a DRIVER scalar (one count over the materialized degree
+    // table) instead of a 1-row aggregate cross-joined back per
+    // reference: the seed and every iteration's teleport term become
+    // plan LITERALS (same BIGINT `div` arithmetic, computed once), which
+    // removes iters+1 broadcast-crossjoin subtrees — and their AQE
+    // stage-materialization job barriers — from the recurrence (guide
+    // §1.2 / §2.4). At any scale this is one |V|-row count against an
+    // already-materialized table, not data work on the driver.
+    val n = deg.count()
+    require(n > 0, "pageRank: empty graph (no nodes with out-edges)")
+    val base = scale / n // == `scale div n`: positive BIGINT division
+    val tele = base * 15 / 100
+    // Degree is FUSED INTO THE EDGE ROW (src, dst, deg) so each
+    // iteration is ONE join + ONE map-side-combined aggregation instead
+    // of three joins: the old shape joined ranks⋈deg (per-node
+    // contribution), edges⋈perNode (contribution fan-out), then
+    // deg⋈contribs LEFT (rank update over the full node set). On the
+    // fixture this planned ~4 exchanges + an |E|-row SortMergeJoin per
+    // iteration; the fused shape plans the |E| side exchange-free
+    // against the src-clustered staged edge table and shuffles only the
+    // |V|-row contribution partials (guide §2.4). The LEFT join (and
+    // its coalesce(insum, 0)) is gone because every node of `deg`
+    // receives at least one contribution per iteration: the graph is
+    // symmetric (the presymmetrized contract, or symmetrized above) and
+    // `deg` carries exactly the edge-derived out-degrees (the
+    // documented degIn contract), so deg(v) ≥ 1 ⇒ v has an out-edge ⇒
+    // v has an in-edge ⇒ v appears as a dst with a ranked src — the
+    // groupBy output spans the full node set, proven hash-exact against
+    // the unchanged left-join oracle (q34Sql) and the sequential
+    // reference (GraphMixingSpec).
+    val edgesDeg = edges.join(deg, "src")
+      .select(col("src"), col("dst"), col("deg"))
+    var ranks = deg.select(col("src").as("node"), lit(base).as("rank_u"))
     for (_ <- 1 to iters) {
-      // per-node contribution FIRST (|V| rows), then the one edge-sized
-      // join — the degree lookup runs |V| times per iteration, not |E|
-      val perNode = ranks.withColumnRenamed("node", "src")
-        .join(deg, "src")
-        .select(col("src"), expr("rank_u div deg").as("c"))
-      val contribs = edges.join(perNode, "src")
-        .select(col("dst").as("node"), col("c"))
+      ranks = edgesDeg.join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), expr("rank_u div deg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("insum"))
-      ranks = deg.select(col("src").as("node"))
-        .join(contribs, Seq("node"), "left")
-        .crossJoin(broadcast(n1))
         .select(col("node"),
-          (expr(s"($scale div n) * 15 div 100") +
-            expr("coalesce(insum, 0L) * 85 div 100")).as("rank_u"))
+          (lit(tele) + expr("insum * 85 div 100")).as("rank_u"))
     }
     ranks.orderBy(col("rank_u").desc, col("node")).limit(topK)
   }
@@ -869,8 +892,24 @@ object Graph {
       e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
     }
 
+  /** Staged out-degree table of [[stagedCopurchaseEdges]]: the |E|-row
+    * degree aggregation runs once per (session, dir) instead of once per
+    * query execution — the same session-materialized-view discipline as
+    * the edge table itself (and the batch analogue of the x7q degree
+    * store: a production deployment that persists its bucketed edge
+    * table persists the degree table next to it). Consistent with the
+    * staged edges BY CONSTRUCTION, which is what the fused pageRank
+    * iteration's inner-join rewrite requires.
+    */
+  def stagedCopurchaseDeg(spark: SparkSession, dir: String): DataFrame =
+    Staged(spark, s"copurchase_deg:$dir") {
+      stagedCopurchaseEdges(spark, dir)
+        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    }
+
   val q34PageRank: Q = (spark, dir) =>
-    pageRank(stagedCopurchaseEdges(spark, dir), presymmetrized = true)
+    pageRank(stagedCopurchaseEdges(spark, dir), presymmetrized = true,
+      degIn = Some(stagedCopurchaseDeg(spark, dir)))
 
   val q34Sql: String = {
     val s = prScale
