@@ -1441,6 +1441,27 @@ object Text {
       .filter(col("b") === col("__mb") && col("live")).drop("__mb")
   }
 
+  /** [[foldWinnerBatch]] restricted to the rows a TERM-bounded consumer
+    * can ever use — `token IS NULL OR token IN terms` — with the filter
+    * applied BELOW the fold, so it reaches the store's parquet scan as a
+    * pushed predicate and the winner window shuffles a few rows per doc
+    * instead of the doc's whole vocabulary (guide §2.3/§6: the serve
+    * cost becomes proportional to the query's postings, not the corpus).
+    *
+    * Equivalent to filtering AFTER the full fold because every epoch
+    * that touches a doc writes exactly one token-NULL row — the
+    * [[docPostings]]/[[docPositions]] META marker for upserts, the
+    * tombstone row for deletes (both store appliers enforce the shape) —
+    * so the per-doc max(b) over the filtered subset equals the max(b)
+    * over the full store, and each surviving row's (b == max, live)
+    * predicate is row-local. Consumers that need corpus statistics read
+    * them from the surviving META rows exactly as before.
+    */
+  def foldWinnerBatchForTerms(postings: DataFrame,
+      terms: Seq[String]): DataFrame =
+    foldWinnerBatch(postings.filter(
+      col("token").isNull || col("token").isin(terms.distinct: _*)))
+
   def docPostings(docs: DataFrame): DataFrame = {
     val tokRows = docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))

@@ -1312,10 +1312,21 @@ object Streams extends Serializable {
   /** BM25 over the maintained index — the serving path: corpus stats
     * (N, Σdl) from the folded META rows, scoring through the identical
     * [[graft.operators.Text.bm25FromPostings]] tail as batch x4r.
+    * The winner fold runs over only the query terms' rows plus the META
+    * rows ([[graft.operators.Text.foldWinnerBatchForTerms]] — provably
+    * the same surviving rows), so the term filter reaches the store's
+    * parquet scan as a pushed predicate and the serve reads
+    * query-proportional bytes: measured at sf0.1 the full-store fold
+    * was 2 × ~1.6 s of scan+window task time per serve (the folded
+    * subtree executes once for stats, once for scoring); term-bounded
+    * it is a few rows per doc.
     */
   def servedBm25(spark: org.apache.spark.sql.SparkSession,
       postingsDir: String, terms: Seq[String]): DataFrame = {
-    val folded = readPostings(spark, postingsDir)
+    val paths = bandBatchDirs(spark, postingsDir).map(_._2)
+    require(paths.nonEmpty, s"no postings batches under $postingsDir")
+    val folded = graft.operators.Text.foldWinnerBatchForTerms(
+      spark.read.parquet(paths: _*), terms).drop("b", "live")
     val stats = folded.filter(col("token").isNull)
       .agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
     graft.operators.Text.bm25FromPostings(folded, stats, terms)
@@ -1400,11 +1411,19 @@ object Streams extends Serializable {
   }
 
   /** Phrase matching over the maintained index — the serving path,
-    * scoring through the identical shared tail as batch x4w. */
+    * scoring through the identical shared tail as batch x4w. The winner
+    * fold is term-bounded exactly like [[servedBm25]]'s
+    * (META rows ride along for winner determination only;
+    * [[graft.operators.Text.phraseFromPositions]] drops them itself). */
   def servedPhrase(spark: org.apache.spark.sql.SparkSession,
-      positionsDir: String, phrase: Seq[String]): DataFrame =
+      positionsDir: String, phrase: Seq[String]): DataFrame = {
+    val paths = bandBatchDirs(spark, positionsDir).map(_._2)
+    require(paths.nonEmpty, s"no positional batches under $positionsDir")
     graft.operators.Text.phraseFromPositions(
-      readPositions(spark, positionsDir), phrase)
+      graft.operators.Text.foldWinnerBatchForTerms(
+        spark.read.parquet(paths: _*), phrase).drop("b", "live"),
+      phrase)
+  }
 
   def compactPositions(spark: org.apache.spark.sql.SparkSession,
       positionsDir: String, upTo: Long): Unit =
