@@ -82,12 +82,81 @@ case class DotProductFloat(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
+/** [[DotProductFloat]]'s exact-integer sibling for the quantized-vector
+  * paths (x3k's Lloyd steps): BIGINT multiply-accumulate over two
+  * `array<long>` columns. Replaces the interpreted
+  * `aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (s, x) -> s + x)`
+  * chain — higher-order functions are CodegenFallback and allocate an
+  * intermediate array per row — with a whole-stage-codegen primitive
+  * loop (guide: eliminate non-codegen expressions in the hot path).
+  * BIGINT addition is associative and exact, so the result is
+  * bit-identical to the HOF chain and to the oracle's SUM over unnested
+  * products; overflow wraps exactly like Spark's non-ANSI `*`/`+`.
+  */
+case class DotProductLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"dot_i64 requires two array<bigint> arguments, got ${l.sql} and ${r.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "dot_i64"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        "dot_i64: vector length mismatch (" + x.numElements() + " vs " +
+          y.numElements() + ")")
+    val n = x.numElements()
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "dot_i64: vector length mismatch (" + $a.numElements() +
+         |      " vs " + $b.numElements() + ")");
+         |}
+         |int $n = $a.numElements();
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
 /** Column-API and SQL-registry exposure of the native expression. */
 object VectorFunctions {
   /** DataFrame form: `df.select(dotF32($"a", $"b"))`. */
   def dotF32(a: Column, b: Column): Column =
     GraftBridge.column(
       DotProductFloat(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** DataFrame form: `df.select(dotI64($"a", $"b"))`. */
+  def dotI64(a: Column, b: Column): Column =
+    GraftBridge.column(
+      DotProductLong(GraftBridge.expression(a), GraftBridge.expression(b)))
 
   val info = new ExpressionInfo(classOf[DotProductFloat].getName, "dot_f32")
   val builder: Seq[Expression] => Expression = { exprs =>
