@@ -207,13 +207,23 @@ object Text {
     * dictionary and the verify middle are the STAGED tables x1e reads —
     * the session pays the blocked levenshtein join once.
     */
+  /** The name-level connected components staged per session (the x7
+    * stagedClusters discipline — the iterative propagation is a
+    * deterministic derived dictionary, paid once, not per consumer
+    * execution: x1f was spending ~25 of its ~30 jobs re-running the
+    * CC loop over the same staged pair table every execution). */
+  private def stagedFuzzyCc(spark: SparkSession, dir: String): DataFrame =
+    Staged(spark, s"fuzzy_cc:$dir") {
+      val pairs = stagedFuzzyPairs(spark, dir)
+        .filter(col("name_a") =!= col("name_b"))
+        .select(col("name_a").as("na"), col("name_b").as("nb"))
+        .distinct()
+      graft.operators.Graph.connectedComponents(pairs)
+    }
+
   val x1fLinkageApply: Q = (spark, dir) => {
     val all = stagedFuzzyDictionary(spark, dir)
-    val pairs = stagedFuzzyPairs(spark, dir)
-      .filter(col("name_a") =!= col("name_b"))
-      .select(col("name_a").as("na"), col("name_b").as("nb"))
-      .distinct()
-    val cc = graft.operators.Graph.connectedComponents(pairs)
+    val cc = stagedFuzzyCc(spark, dir)
     all.join(cc, all("name") === cc("node"), "left")
       .withColumn("canonical", coalesce(col("cluster"), col("name")))
       .groupBy(col("canonical"))
