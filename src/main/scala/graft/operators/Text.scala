@@ -1980,21 +1980,33 @@ object Text {
     // per branch
     val picks =
       mmrOverFused(tagged, e, qeTag, n, Vectors.mmrK).localCheckpoint()
-    def half(parity: Int): DataFrame = picks
-      .filter(col("q_id") % 2 === parity)
-      .select(expr("q_id div 2").as("q_id"), col("vec_id"), col("pick"))
-    val hits = half(0).select(col("q_id"), col("vec_id"))
-      .join(half(1).select(col("q_id"), col("vec_id")),
-        Seq("q_id", "vec_id"))
-      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
-    val util = mmrUtility(picks, e, qeTag)
-    val ua = util.filter(col("q_id") % 2 === 0)
-      .select(expr("q_id div 2").as("q_id"), col("util").as("ua"))
-    val ue = util.filter(col("q_id") % 2 === 1)
-      .select(expr("q_id div 2").as("q_id"), col("util").as("ue"))
+    // Overlap: a vec_id picked by BOTH halves of one base query, counted
+    // in one aggregation chain over the packed ids instead of the former
+    // half(0)⋈half(1) self-join — per-query picks are distinct vec_ids,
+    // so countDistinct(parity) == 2 is exactly membership in both
+    // halves. (q_ids are non-negative by the packing contract below, so
+    // div/% halving is exact.)
+    val hits = picks
+      .select(expr("q_id div 2").as("qb"), (col("q_id") % 2).as("par"),
+        col("vec_id"))
+      .groupBy(col("qb"), col("vec_id"))
+      .agg(countDistinct(col("par")).as("np"))
+      .filter(col("np") === 2)
+      .groupBy(col("qb")).agg(count(lit(1)).as("n_hit"))
+    // Both halves' utilities in ONE pass: the util subtree is not CSE'd,
+    // so the former parity filters re-executed the whole pair join +
+    // both aggregations once per branch; a parity pivot reads it once.
+    // Every tagged q_id has exactly one util row (k picks each), so the
+    // max(when(...)) picks that single value per half.
+    val util2 = mmrUtility(picks, e, qeTag)
+      .select(expr("q_id div 2").as("qb"), (col("q_id") % 2).as("par"),
+        col("util"))
+      .groupBy(col("qb"))
+      .agg(max(when(col("par") === 0, col("util"))).as("ua"),
+        max(when(col("par") === 1, col("util"))).as("ue"))
     q(e).select(col("vec_id").as("q_id"))
-      .join(hits, Seq("q_id"), "left")
-      .join(ua, Seq("q_id"), "left").join(ue, Seq("q_id"), "left")
+      .join(hits.withColumnRenamed("qb", "q_id"), Seq("q_id"), "left")
+      .join(util2.withColumnRenamed("qb", "q_id"), Seq("q_id"), "left")
       .select(col("q_id"),
         (coalesce(col("n_hit"), lit(0L)) >= x4yOverlapMin &&
           col("ua") >= col("ue") - lit(x4yUtilMargin)).as("mmr_ok"))
