@@ -89,6 +89,17 @@ object Cdc {
     * (vs a 5-way union that re-reads the table five times — at 100 TB the
     * difference is 5 scans vs 1).
     */
+  /** NOTE on checkpoint parallelism: the producer's last exchange is
+    * small enough at bench scale that AQE folds it to ~one partition and
+    * the checkpoint inherits that, serializing every consumer's first
+    * stage. Re-partitioning the SHARED staging to the session's shuffle
+    * parallelism was tried and rejected by measurement — it fixed the
+    * two consumers with heavy per-row work (the evolve queries' JSON
+    * synth+parse) but regressed every light consumer with 32-way
+    * task-launch overhead (cdc_seq_audit_by 0.69 → 1.89 s standalone).
+    * The heavy consumers parallelize their OWN hot input instead
+    * ([[cdcSchemaEvolve]]/[[cdcSchemaEvolveTyped]]).
+    */
   def changelog(spark: SparkSession, dir: String): DataFrame =
     Staged(spark, s"cdc_changelog:$dir")(buildChangelog(spark, dir))
 
@@ -1677,7 +1688,14 @@ object Cdc {
           .when(col("source.lsn") >= col("c1"), obj(fnEm ++ ln ++ phone: _*))
           .otherwise(obj(fnEm ++ ln: _*)),
         lit("}")).as("raw"))
-    evolveSnapshot(raw, evolvedAfterSchema(raw.withColumn("tbl",
+    // the synth'd wire strings re-parse per row (from_json) — the heavy
+    // stage; the staged changelog checkpoint is AQE-coalesced to ~one
+    // partition at bench scale, so without an explicit spread this ran
+    // as a single task (measured 0.6 s at sf0.1). lsn is deterministic;
+    // explicit numPartitions so AQE cannot re-coalesce it away.
+    val spread = raw.repartition(
+      spark.sessionState.conf.numShufflePartitions, col("lsn"))
+    evolveSnapshot(spread, evolvedAfterSchema(spread.withColumn("tbl",
       lit("customers")))).orderBy(col("id"))
   }
   val cdcSchemaEvolveSql: String = changelogCte +
@@ -1755,9 +1773,13 @@ object Cdc {
         lit("\",\"key\":"),
         coalesce(col("after.id"), col("before.id")).cast("string"),
         lit(",\"after\":"), after, lit("}}")).as("raw"))
-    val widened = typedSchemaFromWire(raw)
+    // parallelize the parse — the [[cdcSchemaEvolve]] rationale
+    val spread = raw.repartition(
+      spark.sessionState.conf.numShufflePartitions, col("lsn"))
+    val widened = typedSchemaFromWire(spread)
     evolveSnapshot(
-      raw.withColumn("raw", get_json_object(col("raw"), "$.payload")), widened)
+      spread.withColumn("raw", get_json_object(col("raw"), "$.payload")),
+      widened)
       .orderBy(col("id"))
   }
   val cdcSchemaEvolveTypedSql: String = changelogCte +
