@@ -50,13 +50,40 @@ object Staged {
   private def evictStopped(): Unit =
     cache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
 
+  /** Materialize a staged frame at the SESSION-CONFIGURED durability
+    * level — the §5 fault-tolerance seam for the 100 TB story:
+    *
+    *  - `local` (default): `localCheckpoint()` — non-replicated executor
+    *    blocks, lineage truncated. Fastest; correct for single-process
+    *    local mode (this repo's bench/verify drivers), where executor
+    *    loss IS process loss. On a real cluster an executor failure
+    *    makes a local checkpoint unrecomputable.
+    *  - `reliable`: `checkpoint()` — rows written to the context's
+    *    checkpoint dir (HDFS/object store on a cluster), recoverable
+    *    across executor loss. Requires `sparkContext.setCheckpointDir`.
+    *
+    * Set via session conf `spark.graft.staged.materialization`. A
+    * cluster deployment would set `reliable` (or replace staging with
+    * parquet/Delta table writes — the scaladoc'd production topology);
+    * the default keeps local runs fast and the bench comparable.
+    */
+  private def materializeFrame(df: DataFrame): DataFrame =
+    df.sparkSession.conf
+      .get("spark.graft.staged.materialization", "local") match {
+      case "local"    => df.localCheckpoint()
+      case "reliable" => df.checkpoint()
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.staged.materialization=$other " +
+          "(expected 'local' or 'reliable')")
+    }
+
   /** The staged table for `key`, building + checkpointing it on first use.
     * Synchronized so the before/after persistent-RDD diff that attributes
     * checkpoint blocks to this entry can't interleave with another build
     * (reentrant, so staged tables can build from other staged tables).
     */
   def apply(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    materialized(spark, key)(build.localCheckpoint())
+    materialized(spark, key)(materializeFrame(build))
 
   /** Core registration: `mk` must RETURN AN ALREADY-CHECKPOINTED frame
     * (evaluated inside the bookkeeping so producer stages are timed and
@@ -114,16 +141,34 @@ object Staged {
   def partitioned(spark: SparkSession, key: String, layoutCols: Seq[String])
       (build: => DataFrame): DataFrame =
     materialized(spark, key) {
-      val flat = build.localCheckpoint()
+      // track the pass-1 checkpoint's blocks so they can be freed once
+      // the relaid-out copy is materialized — leaving them persisted
+      // doubled the block-manager footprint of every partitioned staged
+      // table for the whole session (r17 ADVICE)
+      val beforeFlat = spark.sparkContext.getPersistentRDDs.keySet
+      val flat = materializeFrame(build)
+      val flatIds = spark.sparkContext.getPersistentRDDs.keySet
+        .diff(beforeFlat)
       val flag = "spark.sql.adaptive.enabled"
       val prev = spark.conf.get(flag)
+      // NOTE: this flips session-global conf for the relayout pass;
+      // Staged's synchronization only excludes other Staged builds, so
+      // the registry assumes no CONCURRENT query is being planned on
+      // the same session during a first-touch staging build (true of
+      // the bench/verify drivers, which run queries sequentially). A
+      // multi-threaded caller should pre-build staged tables before
+      // fanning out.
       spark.conf.set(flag, "false")
       try {
         val cols = layoutCols.map(org.apache.spark.sql.functions.col)
-        flat.repartition(spark.sessionState.conf.numShufflePartitions,
+        val out = materializeFrame(flat
+          .repartition(spark.sessionState.conf.numShufflePartitions,
             cols: _*)
-          .sortWithinPartitions(cols: _*)
-          .localCheckpoint()
+          .sortWithinPartitions(cols: _*)) // eager: materialized + truncated
+        // the relaid-out blocks are self-contained now — free pass 1's
+        val persistent = spark.sparkContext.getPersistentRDDs
+        flatIds.foreach(id => persistent.get(id).foreach(_.unpersist(false)))
+        out
       } finally spark.conf.set(flag, prev)
     }
 

@@ -1502,13 +1502,26 @@ object Cdc {
     schemaCache.getOrElseUpdate(key, derive)
   }
 
+  /** MEMOIZATION CONTRACT (applies to [[typedSchemaFromWire]] too): the
+    * per-session cache keys on the CANONICALIZED LOGICAL PLAN, and
+    * Spark's file-relation equality is by root path, not contents — so
+    * for a PATH-backed stream the memo assumes the path's data is
+    * immutable for the session's lifetime (true of every fixture and of
+    * the epoch-dir store convention, where new data means a NEW path).
+    * A consumer re-deriving the reader schema after appending to the
+    * SAME path — i.e. mid-stream DDL on a mutable location — must call
+    * [[evolvedAfterSchemaUncached]] / [[typedSchemaFromWireUncached]],
+    * which recompute unconditionally.
+    */
   def evolvedAfterSchema(raw: DataFrame,
       keyField: String = "id"): org.apache.spark.sql.types.StructType =
     memoSchema(raw, s"shape|$keyField")(
       evolvedAfterSchemaUncached(raw, keyField))
 
-  private def evolvedAfterSchemaUncached(raw: DataFrame,
-      keyField: String): org.apache.spark.sql.types.StructType = {
+  /** Uncached [[evolvedAfterSchema]] — for mutable-path streams whose
+    * contents may have changed since the last derivation. */
+  def evolvedAfterSchemaUncached(raw: DataFrame,
+      keyField: String = "id"): org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types.{LongType, StringType, StructType}
     val shapes = payloadSchemaVersions(raw)
       .select(col("fields")).na.drop().distinct()
@@ -1568,10 +1581,14 @@ object Cdc {
     } else StringType
   }
 
+  /** Memoized per session on the canonicalized plan — see
+    * [[evolvedAfterSchema]]'s immutable-input contract; mutable-path
+    * streams must use [[typedSchemaFromWireUncached]]. */
   def typedSchemaFromWire(raw: DataFrame): org.apache.spark.sql.types.StructType =
     memoSchema(raw, "typed")(typedSchemaFromWireUncached(raw))
 
-  private def typedSchemaFromWireUncached(raw: DataFrame)
+  /** Uncached [[typedSchemaFromWire]] — recomputes unconditionally. */
+  def typedSchemaFromWireUncached(raw: DataFrame)
       : org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types.{StructType, StructField}
     val declSchema = StructType.fromDDL(

@@ -1968,6 +1968,11 @@ object Text {
     // groups select identical picks, and the serve sheds half its job
     // barriers (41 → ~24 jobs measured at sf0.1; the query was
     // barrier-bound: 1.2 s of summed task time under a 2.1–4.3 s wall)
+    // PACKING CONTRACT: q_id ≥ 0 (here vec_id < 10 by construction). A
+    // negative id would break the parity split (% 2 yields −1, silently
+    // dropping exact-half rows) and the div-2 unpacking — mmrOverFused
+    // itself accepts any integral ids, so the assumption lives HERE,
+    // where the ids are packed (r17 ADVICE).
     val tagged = annF
       .select((col("q_id") * 2).as("q_id"), col("doc_id"), col("fused_rank"))
       .unionByName(exactF.select((col("q_id") * 2 + 1).as("q_id"),

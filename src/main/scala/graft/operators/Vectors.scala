@@ -1191,10 +1191,14 @@ object Vectors {
       m: Int, ksub: Int, iters: Int,
       fitSampleMax: Int = 100000): Array[Array[Array[Float]]] =
     // the coarse model is itself a deterministic function of its inputs;
-    // its contents join the key so a different coarse fit cannot alias
+    // its FULL contents join the key (exact float bits rendered per
+    // element) so a different coarse fit cannot alias — a 32-bit
+    // deepHashCode was used here before, which a hash collision between
+    // two different coarse models would have silently aliased (r17
+    // ADVICE); the k×dim render is a few KB, built once per fit lookup
     memoFit(corpus, s"pqres|$m|$ksub|$iters|$fitSampleMax|" +
-        java.util.Arrays.deepHashCode(
-          coarse.asInstanceOf[Array[AnyRef]])) {
+        coarse.map(_.map(java.lang.Float.floatToRawIntBits)
+          .mkString(",")).mkString(";")) {
     val sample: Array[Array[Float]] = corpus
       .select(col("vec_id"), col("embedding"))
       .orderBy(col("vec_id")).limit(fitSampleMax)

@@ -61,6 +61,53 @@ class StagedSpec extends AnyFunSuite {
     Staged.clear(spark)
   }
 
+  test("partitioned staging frees the pass-1 intermediate blocks") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val staged = Staged.partitioned(spark, "spec:relayout", Seq("k"))(
+      spark.range(64).toDF("k"))
+    assert(staged.count() === 64)
+    val added = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    // only the relaid-out checkpoint's blocks remain persisted — the
+    // flat pass-1 checkpoint is unpersisted once pass 2 materializes
+    // (ids may linger in the map with zero blocks after unpersist, so
+    // count RDDs that still hold storage)
+    val live = added.toSeq.map(spark.sparkContext.getPersistentRDDs(_))
+      .filter(_.getStorageLevel.isValid)
+    assert(live.size === 1,
+      s"expected exactly the relaid-out checkpoint persisted, got $live")
+    Staged.clear(spark)
+  }
+
+  test("materialization seam: 'reliable' uses the context checkpoint dir") {
+    val dir = java.nio.file.Files.createTempDirectory("staged_reliable")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    spark.conf.set("spark.graft.staged.materialization", "reliable")
+    try {
+      val staged = Staged(spark, "spec:reliable")(spark.range(7).toDF("x"))
+      assert(staged.count() === 7)
+      // rows live in the reliable checkpoint dir, not (only) executor blocks
+      assert(java.nio.file.Files.walk(dir).anyMatch(p =>
+        p.getFileName.toString.startsWith("rdd-")))
+      // layout-preserving second pass works under the seam too
+      val part = Staged.partitioned(spark, "spec:reliable-part", Seq("x"))(
+        spark.range(16).toDF("x"))
+      assert(part.count() === 16)
+    } finally {
+      spark.conf.unset("spark.graft.staged.materialization")
+      Staged.clear(spark)
+    }
+  }
+
+  test("materialization seam rejects unknown levels loudly") {
+    spark.conf.set("spark.graft.staged.materialization", "bogus")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        Staged(spark, "spec:bogus")(spark.range(1).toDF("x"))
+      }
+      assert(ex.getMessage.contains("bogus"))
+    } finally spark.conf.unset("spark.graft.staged.materialization")
+  }
+
   test("cleared key rebuilds on next apply") {
     var builds = 0
     def build = { builds += 1; spark.range(3).toDF("z") }
