@@ -837,30 +837,30 @@ object Graph {
     require(n > 0, "pageRank: empty graph (no nodes with out-edges)")
     val base = scale / n // == `scale div n`: positive BIGINT division
     val tele = base * 15 / 100
-    // Degree is FUSED INTO THE EDGE ROW (src, dst, deg) so each
-    // iteration is ONE join + ONE map-side-combined aggregation instead
-    // of three joins: the old shape joined ranks⋈deg (per-node
-    // contribution), edges⋈perNode (contribution fan-out), then
-    // deg⋈contribs LEFT (rank update over the full node set). On the
-    // fixture this planned ~4 exchanges + an |E|-row SortMergeJoin per
-    // iteration; the fused shape plans the |E| side exchange-free
-    // against the src-clustered staged edge table and shuffles only the
-    // |V|-row contribution partials (guide §2.4). The LEFT join (and
-    // its coalesce(insum, 0)) is gone because every node of `deg`
-    // receives at least one contribution per iteration: the graph is
-    // symmetric (the presymmetrized contract, or symmetrized above) and
-    // `deg` carries exactly the edge-derived out-degrees (the
-    // documented degIn contract), so deg(v) ≥ 1 ⇒ v has an out-edge ⇒
-    // v has an in-edge ⇒ v appears as a dst with a ranked src — the
-    // groupBy output spans the full node set, proven hash-exact against
-    // the unchanged left-join oracle (q34Sql) and the sequential
-    // reference (GraphMixingSpec).
-    val edgesDeg = edges.join(deg, "src")
-      .select(col("src"), col("dst"), col("deg"))
+    // Each iteration is a |V|-sized contribution join plus ONE
+    // edge-sized probe and one map-side-combined aggregation — two
+    // joins instead of the old three: the rank-update LEFT join over
+    // the full node set (and its coalesce(insum, 0)) is gone because
+    // every node of `deg` receives at least one contribution per
+    // iteration — the graph is symmetric (the presymmetrized contract,
+    // or symmetrized above) and `deg` carries exactly the edge-derived
+    // out-degrees (the documented degIn contract), so deg(v) ≥ 1 ⇒ v
+    // has an out-edge ⇒ v has an in-edge ⇒ v appears as a dst with a
+    // ranked src: the groupBy output spans the full node set, proven
+    // hash-exact against the unchanged left-join oracle (q34Sql) and
+    // the sequential reference (GraphMixingSpec). Fusing deg into the
+    // edge row instead (edges⋈deg once, one join per iteration) was
+    // tried and rejected by measurement: it re-probed the degree table
+    // per edge row per iteration (+6 summed task-sec at sf0.1) to save
+    // one |V|-sized join. Per-node contribution FIRST keeps the degree
+    // lookup at |V| rows per iteration, not |E| (guide §2.3/§2.4).
     var ranks = deg.select(col("src").as("node"), lit(base).as("rank_u"))
     for (_ <- 1 to iters) {
-      ranks = edgesDeg.join(ranks.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), expr("rank_u div deg").as("c"))
+      val perNode = ranks.withColumnRenamed("node", "src")
+        .join(deg, "src")
+        .select(col("src"), expr("rank_u div deg").as("c"))
+      ranks = edges.join(perNode, "src")
+        .select(col("dst").as("node"), col("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("insum"))
         .select(col("node"),
           (lit(tele) + expr("insum * 85 div 100")).as("rank_u"))
