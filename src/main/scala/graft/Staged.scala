@@ -144,9 +144,16 @@ object Staged {
       // track the pass-1 checkpoint's blocks so they can be freed once
       // the relaid-out copy is materialized — leaving them persisted
       // doubled the block-manager footprint of every partitioned staged
-      // table for the whole session (r17 ADVICE)
+      // table for the whole session (r17 ADVICE). The snapshot is taken
+      // AFTER evaluating the build expression: constructing the frame
+      // may itself stage nested entries or checkpoint internal fold
+      // leaves (x7q_stores builds copurchase_edges and the maintenance
+      // fold's fresh-sets inside this frame) whose blocks other
+      // consumers still need — only the flat checkpoint's own blocks
+      // may be freed.
+      val built = build
       val beforeFlat = spark.sparkContext.getPersistentRDDs.keySet
-      val flat = materializeFrame(build)
+      val flat = materializeFrame(built)
       val flatIds = spark.sparkContext.getPersistentRDDs.keySet
         .diff(beforeFlat)
       val flag = "spark.sql.adaptive.enabled"

@@ -14,11 +14,30 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Session-scoped memo of the RESOLVED BASE RELATIONS: every
+  // `spark.read.parquet` call re-lists the directory and re-reads
+  // footers to infer the schema — pure driver-side metadata work
+  // (~30-80 ms per table on this host) that the catalog re-paid inside
+  // EVERY query construction (q27 alone loaded five tables = ~0.4 s of
+  // its wall). A DataFrame is an immutable plan, so handing every
+  // consumer the same resolved relation is exactly what a metastore
+  // catalog entry does; the fixture dirs are immutable for a session's
+  // lifetime (the Staged/memoSchema contract). Entries of stopped
+  // sessions are evicted opportunistically; nothing persists across
+  // JVMs.
+  private val relations = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS), which Spark 4 rejects unless
-    // read as a raw nanos long (legacy conf). Runtime-settable; idempotent.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    relations.filterInPlace { case ((s, _, _), _) =>
+      !s.sparkContext.isStopped }
+    relations.getOrElseUpdate((spark, dir, name), {
+      // events.parquet carries TIMESTAMP(NANOS), which Spark 4 rejects
+      // unless read as a raw nanos long (legacy conf). Runtime-settable;
+      // idempotent; must be set before the first resolve.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+    })
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
